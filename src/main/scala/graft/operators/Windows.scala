@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window / ordered operators from SURVEY.md §2.5.
+  *
+  * All operators take explicit tiebreaker columns so results are fully
+  * deterministic regardless of partitioning — at cluster scale a window
+  * over an ambiguous order is a silent nondeterminism bug.
+  *
+  * Scale notes: every window here shuffles once on its partition keys and
+  * sorts within partitions. None of them require a global sort or a
+  * driver-side collect; skewed partition keys are handled by AQE.
+  */
+object Windows {
+
+  /** A10 (latest-per-group dedup): keep the single row per `keys` with the
+    * greatest (`ord`, tiebreakers) — reference semantics
+    * `end_time == max(end_time) over (visit, extid)` collapsed to one row.
+    * Ref: pipeline-reporting/R/00.store_se_goals.R:551-556.
+    */
+  def latestPerGroup(df: DataFrame, keys: Seq[String], ord: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** W9 (first-per-group): ascending variant of latestPerGroup.
+    * Ref: efficacy_status...Rmd:143-150 (`arrange(desc) %>% distinct(.keep_all)`).
+    */
+  def firstPerGroup(df: DataFrame, keys: Seq[String], ord: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** W3 (top-k per group): keep k rows per group by (`ord` desc, tiebreakers).
+    * Ref: pipeline-metadata/analyses/randomization/randomize.R:661-662,1135-1139.
+    */
+  def topKPerGroup(df: DataFrame, keys: Seq[String], ord: Seq[Column], k: Int,
+                   rankCol: String = "rank"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord.map(_.desc): _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+
+  /** W2 (seeded stable shuffle): deterministic per-group permutation via
+    * xxhash64(key, seed) — same seed ⇒ same order regardless of partitioning,
+    * unlike rand(). Mirrors the reference's set.seed + sample_n contract
+    * (randomize.R:569-591) without reproducing R's RNG stream.
+    */
+  def seededShuffleRank(df: DataFrame, groupKeys: Seq[String], idCol: String,
+                        seed: Long, rankCol: String = "randomization_number"): DataFrame = {
+    val w = Window.partitionBy(groupKeys.map(col): _*)
+      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+    df.withColumn(rankCol, row_number().over(w))
+  }
+
+  /** W7 (forward fill): last non-null value of `cols` per `keys` ordered by
+    * `ord` — tidyr::fill(.direction='down').
+    * Ref: 00.store_se_goals.R:305-313,416-420.
+    */
+  def forwardFill(df: DataFrame, keys: Seq[String], ord: Seq[Column],
+                  cols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cols.foldLeft(df)((d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+  }
+
+  /** W1 (count over partition, no row reduction). Ref: safety.R:95-97. */
+  def countOver(df: DataFrame, keys: Seq[String], as: String = "n"): DataFrame =
+    df.withColumn(as, count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+
+  /** W6 (cumulative sum) per keys ordered by `ord`. Ref: prevalence_incidence.qmd:54-59. */
+  def cumSum(df: DataFrame, keys: Seq[String], ord: Seq[Column],
+             valueCol: Column, as: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(as, sum(valueCol).over(w))
+  }
+}

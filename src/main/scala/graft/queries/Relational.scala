@@ -1,0 +1,299 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.{Query, Tables}
+import graft.operators.Windows
+
+/** Aggregation / join / window operators from SURVEY.md §2.3-2.5 expressed
+  * over the driver testdata, each with a DuckDB oracle.
+  *
+  * Determinism rules (the driver hash-compares values with DuckDB):
+  *  - double aggregations go through DECIMAL(18,4) per row so the sum is
+  *    order-independent exact arithmetic on both engines, then back to
+  *    double (`dsum`);
+  *  - every window order includes a unique tiebreaker column;
+  *  - string/list aggregations are sorted.
+  */
+object Relational {
+
+  /** Order-independent exact sum of a double column (see class doc). */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,4)")).cast("double")
+  private def dsumSql(e: String) =
+    s"CAST(sum(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
+
+  val queries: Seq[Query] = Seq(
+
+    // ---- A1: group count -------------------------------------------------
+    // Ref semantics: pipeline-reporting/R/utils.R:23-34 (submissions per status).
+    Query("a01_group_count",
+      "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus") {
+      (s, d) => Tables.orders(s, d).groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    },
+
+    // ---- A2: distinct count ----------------------------------------------
+    Query("a02_distinct_count",
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+        |       count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) {
+      (s, d) => Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+             countDistinct(col("l_partkey")).as("n_parts"))
+    },
+
+    // ---- A3: conditional distinct count ------------------------------------
+    // Ref: n_distinct(extid[person_absent_reason=='Died']) safety.R:168-169.
+    Query("a03_conditional_distinct",
+      """SELECT o_orderpriority,
+        |       count(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_custkey END) AS n_f_cust,
+        |       count(DISTINCT CASE WHEN o_totalprice > 200000 THEN o_custkey END) AS n_big_cust
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) {
+      (s, d) => Tables.orders(s, d).groupBy("o_orderpriority").agg(
+        countDistinct(when(col("o_orderstatus") === "F", col("o_custkey"))).as("n_f_cust"),
+        countDistinct(when(col("o_totalprice") > 200000, col("o_custkey"))).as("n_big_cust"))
+    },
+
+    // ---- A4: sum / max / min -----------------------------------------------
+    Query("a04_sum_max_min",
+      s"""SELECT l_returnflag, ${dsumSql("l_quantity")} AS sum_qty,
+         |       max(l_shipdate) AS max_ship, min(l_extendedprice) AS min_price
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin) {
+      (s, d) => Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        max(col("l_shipdate")).as("max_ship"),
+        min(col("l_extendedprice")).as("min_price"))
+    },
+
+    // ---- A5: string agg (sorted for determinism) ---------------------------
+    // Ref: paste0(KEY, collapse=',') safety.R:97.
+    Query("a05_string_agg",
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey""".stripMargin) {
+      (s, d) => Tables.nation(s, d).groupBy("n_regionkey")
+        .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"))
+    },
+
+    // ---- A6: list agg (sorted array) ---------------------------------------
+    // Ref: summarise(samples = list(sample)) monitoring/lab.Rmd:305-306.
+    Query("a06_list_agg",
+      """SELECT n_regionkey, list_sort(list(n_name)) AS nation_list
+        |FROM nation GROUP BY n_regionkey""".stripMargin) {
+      (s, d) => Tables.nation(s, d).groupBy("n_regionkey")
+        .agg(array_sort(collect_list(col("n_name"))).as("nation_list"))
+    },
+
+    // ---- A8: multi-metric summarise with derived ratios --------------------
+    // Ref: prevalence_incidence.qmd:22-47.
+    Query("a08_multi_metric",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  count(*) AS n_rows,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_base,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) {
+      (s, d) => Tables.lineitem(s, d).groupBy("l_returnflag", "l_linestatus").agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    },
+
+    // ---- A9: exact dedup ----------------------------------------------------
+    Query("a09_dedup_exact",
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders") {
+      (s, d) => Tables.orders(s, d).select("o_orderstatus", "o_orderpriority").distinct()
+    },
+
+    // ---- A10: latest-per-group dedup ---------------------------------------
+    // Ref: end_time == max(end_time) over (visit, extid), 00.store_se_goals.R:551-556.
+    Query("a10_latest_per_group",
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn = 1""".stripMargin) {
+      (s, d) => Windows.latestPerGroup(Tables.orders(s, d),
+          Seq("o_custkey"), Seq(col("o_orderdate"), col("o_orderkey")))
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    },
+
+    // ---- A11: duplicate detector --------------------------------------------
+    // Ref: group_by(k) mutate(n=n()) filter(n>=2) + keylist, anomalies_utils.R:2-25.
+    Query("a11_duplicate_detector",
+      """SELECT l_orderkey, count(*) AS n,
+        |       string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS keylist
+        |FROM lineitem GROUP BY l_orderkey HAVING count(*) >= 2""".stripMargin) {
+      (s, d) => Tables.lineitem(s, d).groupBy("l_orderkey").agg(
+          count(lit(1)).as("n"),
+          concat_ws(",", array_sort(collect_list(col("l_linenumber"))).cast("array<string>")).as("keylist"))
+        .filter(col("n") >= 2)
+    },
+
+    // ---- A13: group-all-match filter -----------------------------------------
+    // Ref: households where ALL members refused, 00.store_se_goals.R:152-163.
+    Query("a13_group_all_match",
+      """SELECT o_custkey FROM orders GROUP BY o_custkey
+        |HAVING sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) = count(*)""".stripMargin) {
+      (s, d) => Tables.orders(s, d).groupBy("o_custkey")
+        .agg(sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("__nf"),
+             count(lit(1)).as("__n"))
+        .filter(col("__nf") === col("__n")).select("o_custkey")
+    },
+
+    // ---- A14: tabulation with grand total (rollup) ----------------------------
+    // Ref: tabyl + adorn_totals, pipeline-analysis/data_prep/ntd.R:79-93.
+    Query("a14_totals_rollup",
+      """SELECT coalesce(o_orderstatus, 'Total') AS status, count(*) AS n
+        |FROM orders GROUP BY ROLLUP(o_orderstatus)""".stripMargin) {
+      (s, d) => Tables.orders(s, d).rollup("o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("Total")).as("status"), col("n"))
+    },
+
+    // ---- J1: big-to-big inner join (sort-merge territory at scale) -------------
+    Query("j01_inner_join",
+      s"""SELECT o_orderstatus, count(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus""".stripMargin) {
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    },
+
+    // ---- J2: dimension left join, explicitly broadcast --------------------------
+    // Ref: form ⟕ assignments (96-row dim), 00.store_se_goals.R:548-549.
+    Query("j02_broadcast_dim_join",
+      """SELECT r_name, count(*) AS n_customers
+        |FROM customer
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin) {
+      (s, d) => Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"), "left")
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"), "left")
+        .groupBy("r_name").agg(count(lit(1)).as("n_customers"))
+    },
+
+    // ---- J3/J4: anti join (batch DELETE / set difference) ------------------------
+    // Ref: processing_utils.R:369-389.
+    Query("j03_anti_join",
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin) {
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey")
+    },
+
+    // ---- J5: semi join -------------------------------------------------------
+    // Ref: households visited but person missed, safety_status...Rmd:418.
+    Query("j05_semi_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin) {
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 300000),
+              col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    },
+
+    // ---- J8: temporal as-of filter join -----------------------------------------
+    // Ref: events before first departure per extid, 00.store_se_goals.R:229-234.
+    // Keep each user's events strictly before their first 'logout' event.
+    Query("j08_asof_filter",
+      """SELECT e.user_id, count(*) AS n_before
+        |FROM events e
+        |LEFT JOIN (SELECT user_id, min(ts) AS dep_ts FROM events
+        |           WHERE event_type = 'logout' GROUP BY user_id) dep
+        |  ON e.user_id = dep.user_id
+        |WHERE dep.dep_ts IS NULL OR e.ts < dep.dep_ts
+        |GROUP BY e.user_id""".stripMargin) {
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val dep = ev.filter(col("event_type") === "logout")
+          .groupBy(col("user_id").as("dep_user")).agg(min(col("ts")).as("dep_ts"))
+        ev.join(dep, col("user_id") === col("dep_user"), "left")
+          .filter(col("dep_ts").isNull || col("ts") < col("dep_ts"))
+          .groupBy("user_id").agg(count(lit(1)).as("n_before"))
+      }
+    },
+
+    // ---- J11/R9: cross join skeleton ---------------------------------------------
+    // Ref: expand_grid(visit, extid), 00.store_se_goals.R:41-45.
+    Query("j11_cross_join_skeleton",
+      """SELECT r_name, o_orderstatus FROM region
+        |CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)""".stripMargin) {
+      (s, d) => Tables.region(s, d).select("r_name")
+        .crossJoin(Tables.orders(s, d).select("o_orderstatus").distinct())
+    },
+
+    // ---- J13: join-key fallback / coalesce ------------------------------------------
+    // Ref: id = hhid else recon_map else painted, randomize.R:205-208.
+    Query("j13_coalesce_key",
+      """SELECT coalesce(nullif(o_orderpriority, '1-URGENT'), o_orderstatus) AS k,
+        |       count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin) {
+      (s, d) => Tables.orders(s, d)
+        .groupBy(coalesce(nullif_(col("o_orderpriority"), lit("1-URGENT")),
+                          col("o_orderstatus")).as("k"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // ---- W1: count over partition (no reduction) ----------------------------------
+    Query("w01_count_over",
+      """SELECT o_orderkey, o_custkey,
+        |       count(*) OVER (PARTITION BY o_custkey) AS n_cust_orders
+        |FROM orders""".stripMargin) {
+      (s, d) => Windows.countOver(Tables.orders(s, d), Seq("o_custkey"), "n_cust_orders")
+        .select("o_orderkey", "o_custkey", "n_cust_orders")
+    },
+
+    // ---- W3: top-k per group ---------------------------------------------------------
+    Query("w03_topk_per_group",
+      """SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rank
+        |  FROM orders) WHERE rank <= 3""".stripMargin) {
+      (s, d) => Windows.topKPerGroup(Tables.orders(s, d), Seq("o_custkey"),
+          Seq(col("o_totalprice"), col("o_orderkey")), 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    },
+
+    // ---- W5: lag / change ---------------------------------------------------------------
+    Query("w05_lag_delta",
+      """SELECT o_custkey, o_orderkey,
+        |       o_totalprice - lag(o_totalprice) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS delta
+        |FROM orders""".stripMargin) {
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("delta", col("o_totalprice") - lag(col("o_totalprice"), 1).over(w))
+          .select("o_custkey", "o_orderkey", "delta")
+      }
+    },
+
+    // ---- W6: cumulative sum ---------------------------------------------------------------
+    Query("w06_cumsum",
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+        |FROM orders""".stripMargin) {
+      (s, d) => Windows.cumSum(Tables.orders(s, d), Seq("o_custkey"),
+          Seq(col("o_orderdate"), col("o_orderkey")),
+          col("o_totalprice").cast("decimal(18,4)"), "running")
+        .withColumn("running", col("running").cast("double"))
+        .select("o_custkey", "o_orderkey", "running")
+    }
+  )
+
+  /** Spark lacks a `nullif` Column function pre-3.5 naming; inline it. */
+  private def nullif_(c: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+    when(c === v, lit(null)).otherwise(c)
+}
