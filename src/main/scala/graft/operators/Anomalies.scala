@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Anomaly-detection operators from SURVEY.md §2.4 (A11, A12, A15) and the
+  * consolidation/history sinks (R6, R7, S6) of
+  * pipeline-cleaning/R/05.run_anomaly_detection.R.
+  *
+  * Every detector emits the uniform anomaly schema
+  * (resolution_id, key, form_id, anomalies_id, anomalies_description,
+  * resolution_status) — FIXTURES.md §8.
+  *
+  * Scale notes: both detectors are single shuffle-on-group-keys passes;
+  * descriptions are built with codegen'd string expressions, not UDFs.
+  */
+object Anomalies {
+
+  val schemaColumns: Seq[String] = Seq(
+    "resolution_id", "key", "form_id", "anomalies_id",
+    "anomalies_description", "resolution_status")
+
+  private def uniform(formId: String, anomaliesId: String, key: Column,
+                      description: Column): Seq[Column] = Seq(
+    concat_ws("__", lit(formId), key, lit(anomaliesId)).as("resolution_id"),
+    key.cast("string").as("key"),
+    lit(formId).as("form_id"),
+    lit(anomaliesId).as("anomalies_id"),
+    description.as("anomalies_description"),
+    lit("to_do").as("resolution_status"))
+
+  /** A11 (duplicate detector): groups of `keys` with >= threshold rows.
+    * Emits one anomaly per group with the sorted list of member ids.
+    * Ref: anomalies_utils.R:2-25.
+    */
+  def detectDuplication(df: DataFrame, formId: String, anomaliesId: String,
+                        keys: Seq[String], memberId: String,
+                        threshold: Long = 2L): DataFrame = {
+    val groupKey = concat_ws("|", keys.map(k => col(k).cast("string")): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+           concat_ws(",", array_sort(collect_list(col(memberId).cast("string")))).as("__members"))
+      .filter(col("__n") >= threshold)
+      .select(uniform(formId, anomaliesId, groupKey,
+        concat(lit(s"$anomaliesId: "), col("__n").cast("string"),
+               lit(" rows for key, ids="), col("__members"))): _*)
+  }
+
+  /** A12 (threshold detector): rows where `valueCol` exceeds (or falls
+    * below) a threshold. Ref: anomalies_utils.R:28-55.
+    */
+  def detectThreshold(df: DataFrame, formId: String, anomaliesId: String,
+                      keyCol: String, valueCol: Column, threshold: Double,
+                      above: Boolean = true): DataFrame = {
+    val hit = if (above) valueCol > threshold else valueCol < threshold
+    df.filter(hit).select(uniform(formId, anomaliesId, col(keyCol),
+      concat(lit(s"$anomaliesId: value="), valueCol.cast("string"),
+             lit(s" vs threshold=$threshold"))): _*)
+  }
+
+  /** R6+R7 (consolidate): union detector outputs with bind_rows semantics —
+    * align by name, missing columns null, everything cast to string, nulls
+    * as ''. Ref: 05.run_anomaly_detection.R:52-56.
+    */
+  def consolidate(detections: Seq[DataFrame]): DataFrame = {
+    val unioned = detections.reduce(_.unionByName(_, allowMissingColumns = true))
+    unioned.select(unioned.columns.map(c => col(c).cast("string").as(c)).toIndexedSeq: _*)
+      .na.fill("")
+  }
+
+  /** S6 (partitioned history write): append today's snapshot under
+    * partition_date=. Idempotent per (partition_date, resolution_id) when
+    * re-run with overwrite of the day's partition.
+    * Ref: 05.run_anomaly_detection.R:82-86.
+    */
+  def writeHistory(df: DataFrame, root: String,
+                   partitionDate: java.time.LocalDate): Unit =
+    df.withColumn("partition_date", lit(java.sql.Date.valueOf(partitionDate)))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("partition_date").parquet(root)
+
+  /** A15 (summary snapshot): counts by (form_id, anomalies_id).
+    * Ref: 05.run_anomaly_detection.R:91-96.
+    */
+  def summarize(df: DataFrame, snapshotDate: Column): DataFrame =
+    df.groupBy("form_id", "anomalies_id").agg(count(lit(1)).as("n"))
+      .withColumn("snapshot_date", snapshotDate)
+}

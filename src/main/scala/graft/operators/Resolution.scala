@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Human-resolution batch SET/DELETE operators from SURVEY.md §2.3
+  * (J3, J6, R8) — the reference's google-sheets fix loop
+  * (pipeline-cleaning/R/processing_utils.R:237-429).
+  *
+  * The resolution table has one row per (key, column, operation):
+  *   key STRING, column STRING, setTo STRING, operation ∈ {SET, DELETE}.
+  *
+  * Scale notes: the resolution side is human-authored (≤ 20k rows in the
+  * reference) so it is always broadcast; the data side never shuffles.
+  * DELETE before SET, matching the reference (processing_utils.R:404-405).
+  */
+object Resolution {
+
+  /** J3 (batch DELETE as anti join): drop rows whose key appears among the
+    * DELETE operations. Ref: processing_utils.R:369-389.
+    */
+  def applyDeletes(df: DataFrame, resolution: DataFrame, dataKey: String,
+                   resKey: String = "key"): DataFrame = {
+    val deletes = resolution.filter(col("operation") === "DELETE")
+      .select(col(resKey).as("__delkey")).distinct()
+    df.join(broadcast(deletes), col(dataKey) === col("__delkey"), "left_anti")
+  }
+
+  /** J6 (batch SET via pivoted join + coalesce): pivot the SET rows wide
+    * (key → one column per target column), broadcast-left-join on the key,
+    * then per affected column take the resolution value if present, cast to
+    * the EXISTING column's type — the reference's dtype-reconciliation rule
+    * (processing_utils.R:305-318: prefer the data column's type).
+    */
+  def applySets(df: DataFrame, resolution: DataFrame, dataKey: String,
+                resKey: String = "key"): DataFrame = {
+    val sets = resolution.filter(col("operation") === "SET")
+    val targetCols = sets.select("column").distinct().collect()
+      .map(_.getString(0)).filter(df.columns.contains).sorted
+    if (targetCols.isEmpty) return df
+    // max() not first(): deterministic when the sheet holds duplicate
+    // (key, column) rows; the reference instead dedups by last edit (W8).
+    val wide = sets.filter(col("column").isin(targetCols.toIndexedSeq: _*))
+      .groupBy(col(resKey).as("__setkey"))
+      .pivot("column", targetCols.toIndexedSeq)
+      .agg(max("setTo"))
+      .select(col("__setkey") +: targetCols.map(c => col(c).as(s"__set_$c")): _*)
+    val joined = df.join(broadcast(wide), col(dataKey) === col("__setkey"), "left")
+    val projected = df.columns.map { c =>
+      if (targetCols.contains(c))
+        coalesce(col(s"__set_$c").cast(df.schema(c).dataType), col(c)).as(c)
+      else col(c)
+    }
+    joined.select(projected.toIndexedSeq: _*)
+  }
+
+  /** DELETE-then-SET, the reference's fix ordering (processing_utils.R:404-429). */
+  def applyResolution(df: DataFrame, resolution: DataFrame, dataKey: String,
+                      resKey: String = "key"): DataFrame =
+    applySets(applyDeletes(df, resolution, dataKey, resKey), resolution, dataKey, resKey)
+
+  /** R8 (cascade expansion): SET rows on a source column are copied to its
+    * "connected" columns per a small mapping table, optionally rewriting the
+    * value. Ref: processing_utils.R:512-552.
+    */
+  def cascadeExpand(resolution: DataFrame,
+                    mapping: Seq[(String, String)],
+                    rewrite: Map[(String, String), String] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = resolution.sparkSession
+    val mapSchema = StructType(Seq(
+      StructField("__src", StringType), StructField("__dst", StringType)))
+    val mapDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(mapping.map(m => Row(m._1, m._2)), 1), mapSchema)
+    val rewriteCol = rewrite.foldLeft(col("setTo")) {
+      case (acc, ((dst, from), to)) =>
+        when(col("__dst") === dst && col("setTo") === from, lit(to)).otherwise(acc)
+    }
+    val cascaded = resolution.filter(col("operation") === "SET")
+      .join(broadcast(mapDf), col("column") === col("__src"), "inner")
+      .withColumn("setTo", rewriteCol)
+      .withColumn("column", col("__dst"))
+      .drop("__src", "__dst")
+    resolution.unionByName(cascaded)
+  }
+}

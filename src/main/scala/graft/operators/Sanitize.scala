@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII sanitation operators from SURVEY.md §2.2 (P2-P5, P12).
+  *
+  * Scale notes: everything except `pruneEmptyColumns` is a narrow
+  * projection. `pruneEmptyColumns` needs one aggregate pass over the data
+  * (count per column) — at 100 TB run it on a sample or maintain the
+  * counts as table statistics; the operator takes the observed counts so
+  * callers choose.
+  */
+object Sanitize {
+
+  /** P2 (PII column drop): drop denylisted + regex-matched columns.
+    * Ref: processing_utils.R:49-118.
+    */
+  def dropPii(df: DataFrame, denylist: Seq[String],
+              patterns: Seq[String] = Nil): DataFrame = {
+    val direct = denylist.filter(df.columns.contains)
+    val byPattern = df.columns.filter(c => patterns.exists(p => c.matches(p)))
+    df.drop((direct ++ byPattern).distinct: _*)
+  }
+
+  /** P3 (ID hashing): sha1 over every present id column.
+    * Ref: processing_utils.R:120-144 (digest algo='sha1').
+    */
+  def hashIds(df: DataFrame, idColumns: Seq[String]): DataFrame =
+    idColumns.intersect(df.columns.toSeq).foldLeft(df)((d, c) =>
+      d.withColumn(c, sha1(col(c).cast("string"))))
+
+  /** P4 (empty-column prune): drop columns that are entirely null.
+    * One aggregate job; at scale prefer sampled counts.
+    * Ref: processing_utils.R:147-150 (janitor::remove_empty).
+    */
+  def pruneEmptyColumns(df: DataFrame): DataFrame = {
+    val counts = df.select(df.columns.map(c => count(col(c)).as(c)).toIndexedSeq: _*)
+      .head()
+    val empty = df.columns.zipWithIndex.collect {
+      case (c, i) if counts.getLong(i) == 0L => c
+    }
+    df.drop(empty.toIndexedSeq: _*)
+  }
+
+  /** P5 (GPS jitter): per-key FIXED pseudo-random displacement of radius
+    * `r` degrees. The reference seeds R's RNG once per run
+    * (processing_utils.R:156-178, set.seed(1001)) so the same household is
+    * always displaced the same way; we keep that contract with a hash-based
+    * angle — deterministic per (key, seed) regardless of partitioning,
+    * unlike rand(), which would re-jitter per task attempt.
+    */
+  def jitterLocation(df: DataFrame, keyCol: String, lonCol: String,
+                     latCol: String, r: Double = 0.01,
+                     seed: Long = 1001L): DataFrame = {
+    val buckets = 4096
+    val angle = (pmod(xxhash64(col(keyCol), lit(seed)), lit(buckets))
+      .cast("double") / buckets) * (2 * math.Pi)
+    df.withColumn(lonCol, col(lonCol) + lit(r) * cos(angle))
+      .withColumn(latCol, col(latCol) + lit(r) * sin(angle))
+  }
+
+  /** P12 (manual exception masking): for rows whose key is in the exception
+    * list, null out every column except the whitelisted ones; other rows
+    * pass through untouched. Single projection — no split/union needed.
+    * Ref: processing_utils.R:559-597.
+    */
+  def maskExceptions(df: DataFrame, keyCol: String, exceptionKeys: Seq[Any],
+                     keep: Seq[String]): DataFrame = {
+    val hit = col(keyCol).isin(exceptionKeys: _*)
+    df.select(df.columns.map { c =>
+      if (keep.contains(c) || c == keyCol) col(c)
+      else when(hit, lit(null).cast(df.schema(c).dataType)).otherwise(col(c)).as(c)
+    }.toIndexedSeq: _*)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** W11: per-key ordered recurrence — the reference's RDT state machine
+  * (pipeline-analysis/data_prep/evaluate_rdts.R:82-135), where each row's
+  * output depends on the PREVIOUS row's computed value, which lag() cannot
+  * express in one pass.
+  *
+  * Implementation: secondary sort, not groupByKey.flatMapGroups —
+  * repartition by key, sort each partition by (key, order), then a single
+  * mapPartitions scan carrying running state across rows of the same key.
+  * This streams each partition once with O(1) state per key and never
+  * buffers a whole group in memory, so a hot key (one user with millions
+  * of events) cannot OOM an executor the way flatMapGroups' per-group
+  * iterator materialization can when the state function needs a sort.
+  */
+object Sessionize {
+
+  /** Generic per-key scan: adds columns computed by `step`, which folds
+    * over the rows of one key in `order` and returns per-row extra values.
+    *
+    * @param step (state, row) => (newState, extraValues); state is None at
+    *             the first row of each key.
+    */
+  def scanPerKey[S](df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+                    extraSchema: StructType)(
+      step: (Option[S], Row) => (S, Seq[Any])): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ extraSchema.fields)
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val keyIdx = keyCols.map(df.schema.fieldIndex)
+    val sorted = df
+      .repartition(keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols ++ orderCols).map(col): _*)
+    sorted.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var state: Option[S] = None
+      it.map { row =>
+        val k = keyIdx.map(row.get)
+        if (k != curKey) { curKey = k; state = None }
+        val (s2, extra) = step(state, row)
+        state = Some(s2)
+        Row.fromSeq(row.toSeq ++ extra)
+      }
+    }
+  }
+
+  /** Gap-based sessionization: session_id increments when the gap since the
+    * previous event of the same key exceeds `gapMicros`. The concrete
+    * instance of the recurrence used by the w11 oracle query.
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+                 tieBreak: String, gapMicros: Long,
+                 as: String = "session_id"): DataFrame = {
+    val tsIdx = df.schema.fieldIndex(tsCol)
+    scanPerKey[(Long, Long)](df, Seq(keyCol), Seq(tsCol, tieBreak),
+      StructType(Seq(StructField(as, LongType, nullable = false)))) {
+      case (None, row) =>
+        ((micros(row, tsIdx), 1L), Seq(1L))
+      case (Some((prevTs, sid)), row) =>
+        val t = micros(row, tsIdx)
+        val id = if (t - prevTs > gapMicros) sid + 1 else sid
+        ((t, id), Seq(id))
+    }
+  }
+
+  private def micros(row: Row, i: Int): Long = row.get(i) match {
+    case t: java.sql.Timestamp => t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    case t: java.time.Instant  => t.getEpochSecond * 1000000L + t.getNano / 1000
+    case l: Long               => l
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sanitize
+
+class SanitizeSpec extends SparkSpec {
+
+  test("dropPii drops denylist and regex matches, ignores absent") {
+    val d = df("SELECT 1 AS firstname, 2 AS phone_number, 3 AS keepme")
+    val out = Sanitize.dropPii(d, Seq("firstname", "notthere"), Seq(".*phone.*"))
+    assert(out.columns.toSeq == Seq("keepme"))
+  }
+
+  test("hashIds sha1-hashes present id columns only") {
+    val d = df("SELECT 'abc' AS extid, 'v' AS other")
+    val out = Sanitize.hashIds(d, Seq("extid", "absent"))
+    // known sha1("abc")
+    assert(out.head().getString(0) == "a9993e364706816aba3e25717850c26c9cd0d89d")
+    assert(out.head().getString(1) == "v")
+  }
+
+  test("pruneEmptyColumns drops all-null columns") {
+    val d = df("SELECT * FROM VALUES (1, CAST(NULL AS STRING)), (2, CAST(NULL AS STRING)) t(a, b)")
+    assert(Sanitize.pruneEmptyColumns(d).columns.toSeq == Seq("a"))
+  }
+
+  test("jitterLocation: fixed displacement per key, constant radius, deterministic") {
+    val d = df(
+      """SELECT hhid, CAST(lon AS DOUBLE) AS lon, CAST(lat AS DOUBLE) AS lat
+        |FROM VALUES ('h1', 36.8, -1.3), ('h1', 36.9, -1.4), ('h2', 36.8, -1.3)
+        |  t(hhid, lon, lat)""".stripMargin)
+    val out = Sanitize.jitterLocation(d, "hhid", "lon", "lat", r = 0.01, seed = 1001L)
+    val got = out.select("hhid", "lon", "lat").collect()
+    val orig = d.collect()
+    // radius exactly r for every row
+    got.zip(orig).foreach { case (j, o) =>
+      val dx = j.getDouble(1) - o.getDouble(1)
+      val dy = j.getDouble(2) - o.getDouble(2)
+      assert(math.abs(math.sqrt(dx * dx + dy * dy) - 0.01) < 1e-12)
+    }
+    // same key → same displacement vector
+    val d1 = (got(0).getDouble(1) - orig(0).getDouble(1), got(0).getDouble(2) - orig(0).getDouble(2))
+    val d2 = (got(1).getDouble(1) - orig(1).getDouble(1), got(1).getDouble(2) - orig(1).getDouble(2))
+    assert(d1 == d2)
+    // different key → (almost surely) different vector
+    val d3 = (got(2).getDouble(1) - orig(2).getDouble(1), got(2).getDouble(2) - orig(2).getDouble(2))
+    assert(d1 != d3)
+    // rerun identical
+    val again = Sanitize.jitterLocation(d, "hhid", "lon", "lat", r = 0.01, seed = 1001L)
+    assert(rows(again) == rows(Sanitize.jitterLocation(d, "hhid", "lon", "lat", r = 0.01, seed = 1001L)))
+  }
+
+  test("maskExceptions nulls non-kept columns for listed keys only") {
+    val d = df("SELECT * FROM VALUES ('k1', 'a', 1), ('k2', 'b', 2) t(key, secret, metric)")
+    val out = Sanitize.maskExceptions(d, "key", Seq("k1"), keep = Seq("metric"))
+    assert(rows(out) == Set(Seq("k1", null, 1), Seq("k2", "b", 2)))
+  }
+}

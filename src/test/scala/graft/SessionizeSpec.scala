@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.Sessionize
+
+class SessionizeSpec extends SparkSpec {
+
+  test("sessionize splits on gaps > threshold per key") {
+    val d = df(
+      """SELECT * FROM VALUES
+        |  (1, TIMESTAMP'2024-01-01 00:00:00', 1),
+        |  (1, TIMESTAMP'2024-01-01 00:10:00', 2),
+        |  (1, TIMESTAMP'2024-01-01 02:00:00', 3),
+        |  (2, TIMESTAMP'2024-01-01 00:00:00', 4)
+        |  t(uid, ts, eid)""".stripMargin)
+    val out = Sessionize.sessionize(d, "uid", "ts", "eid", gapMicros = 30L * 60 * 1000000)
+    assert(rows(out.select("eid", "session_id")) ==
+      Set(Seq(1, 1L), Seq(2, 1L), Seq(3, 2L), Seq(4, 1L)))
+  }
+
+  test("sessionize matches the SQL gap-flag cumsum formulation on random data") {
+    val d = spark.range(5000).select(
+      (col("id") % 37).as("uid"),
+      expr("timestamp_micros(CAST(xxhash64(id, 7L) % 100000000000 AS LONG))").as("ts"),
+      col("id").as("eid"))
+    val gap = 60L * 1000000
+    val got = Sessionize.sessionize(d, "uid", "ts", "eid", gap)
+    d.createOrReplaceTempView("ev")
+    val want = spark.sql(
+      s"""SELECT eid, 1 + sum(CASE WHEN unix_micros(ts) - prev > $gap THEN 1 ELSE 0 END)
+         |  OVER (PARTITION BY uid ORDER BY ts, eid) AS session_id
+         |FROM (SELECT *, lag(unix_micros(ts)) OVER (PARTITION BY uid ORDER BY ts, eid) AS prev FROM ev)
+         |""".stripMargin)
+    assert(rows(got.select("eid", "session_id")) == rows(want))
+  }
+
+  test("scanPerKey resets state at key boundaries and carries it within key") {
+    val d = df(
+      """SELECT * FROM VALUES ('a', 1, 10), ('a', 2, 20), ('b', 1, 5)
+        |  t(k, i, v)""".stripMargin)
+    val out = Sessionize.scanPerKey[Long](d, Seq("k"), Seq("i"),
+      StructType(Seq(StructField("running", LongType)))) {
+      case (st, row) =>
+        val acc = st.getOrElse(0L) + row.getInt(2)
+        (acc, Seq(acc))
+    }
+    assert(rows(out.select(col("k"), col("i"), col("running"))) ==
+      Set(Seq("a", 1, 10L), Seq("a", 2, 30L), Seq("b", 1, 5L)))
+  }
+}
