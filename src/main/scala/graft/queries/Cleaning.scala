@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.{Query, Tables}
+import graft.operators.{Reshape, Resolution, Sanitize, Standardize}
+
+/** Cleaning / sanitation / resolution / reshape operators (SURVEY.md
+  * §2.2, §2.3 J6, §2.6) exercised over the driver testdata with DuckDB
+  * oracles.
+  *
+  * Oracle notes:
+  *  - Spark `regexp_replace` is global; DuckDB needs the 'g' flag.
+  *  - Hash oracle uses md5 (DuckDB has no sha1); the Sanitize operator
+  *    itself uses sha1 and is pinned by unit test instead.
+  *  - Integer columns that can become null (masking, pivot) surface as
+  *    float64 on BOTH pandas paths, so string compare stays aligned.
+  */
+object Cleaning {
+
+  val queries: Seq[Query] = Seq(
+
+    // ---- P3: id hashing (md5 variant for cross-engine oracle) ------------
+    // Operator uses sha1 (processing_utils.R:120-144); md5 here because the
+    // oracle engine lacks sha1. Same projection shape either way.
+    Query("p03_hash_ids",
+      "SELECT c_custkey, md5(c_name) AS name_hash FROM customer") {
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_custkey"), md5(col("c_name")).as("name_hash"))
+    },
+
+    // ---- P6: case/whitespace standardize ---------------------------------
+    Query("p06_standardize_case",
+      """SELECT c_custkey,
+        |       upper(regexp_replace(trim(concat('  ', c_mktsegment, '   ', c_name, ' ')),
+        |                            ' +', ' ', 'g')) AS std
+        |FROM customer""".stripMargin) {
+      (s, d) => Tables.customer(s, d).select(col("c_custkey"),
+        Standardize.standardizeCase(
+          concat(lit("  "), col("c_mktsegment"), lit("   "), col("c_name"), lit(" "))).as("std"))
+    },
+
+    // ---- P7: typo fix ----------------------------------------------------
+    Query("p07_fix_typos",
+      """SELECT p_partkey,
+        |       regexp_replace(regexp_replace(p_type, 'BRASS', 'BR4SS', 'g'),
+        |                      'PROMO', 'PR0M0', 'g') AS fixed
+        |FROM part""".stripMargin) {
+      (s, d) => Tables.part(s, d).select(col("p_partkey"),
+        Standardize.fixTypos(col("p_type"),
+          Seq("BRASS" -> "BR4SS", "PROMO" -> "PR0M0")).as("fixed"))
+    },
+
+    // ---- P9: derived fractional age --------------------------------------
+    Query("p09_derived_age",
+      """SELECT o_orderkey,
+        |       datediff('day', CAST(o_orderdate AS DATE), DATE '2026-08-01')
+        |         / CAST(365.25 AS DOUBLE) AS age_years
+        |FROM orders""".stripMargin) {
+      (s, d) => Tables.orders(s, d).select(col("o_orderkey"),
+        Standardize.correctedAge(col("o_orderdate"), lit("2026-08-01").cast("date")).as("age_years"))
+    },
+
+    // ---- P10: zero-pad ids ------------------------------------------------
+    Query("p10_pad_ids",
+      "SELECT lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded FROM customer") {
+      (s, d) => Tables.customer(s, d)
+        .select(Standardize.padHhid(col("c_custkey"), 8).as("padded"))
+    },
+
+    // ---- P12: manual exception masking ------------------------------------
+    Query("p12_mask_exceptions",
+      """SELECT c_custkey,
+        |       CASE WHEN c_custkey IN (1,2,3) THEN NULL ELSE c_name END AS c_name,
+        |       CASE WHEN c_custkey IN (1,2,3) THEN NULL ELSE c_nationkey END AS c_nationkey,
+        |       c_acctbal,
+        |       CASE WHEN c_custkey IN (1,2,3) THEN NULL ELSE c_mktsegment END AS c_mktsegment
+        |FROM customer""".stripMargin) {
+      (s, d) => Sanitize.maskExceptions(Tables.customer(s, d), "c_custkey",
+        Seq(1L, 2L, 3L), keep = Seq("c_acctbal"))
+    },
+
+    // ---- J6+J3: batch SET/DELETE resolution --------------------------------
+    // DELETE nationkey 3; SET n_name of nationkey 5 → 'FIXED'; a SET on a
+    // column absent from the data is ignored; DELETE runs before SET.
+    Query("j06_resolution_set_delete",
+      """SELECT n.n_nationkey,
+        |       CASE WHEN n.n_nationkey = 5 THEN 'FIXED' ELSE n.n_name END AS n_name,
+        |       n.n_regionkey
+        |FROM nation n WHERE n.n_nationkey <> 3""".stripMargin) {
+      (s, d) => {
+        import s.implicits._
+        val resolution = Seq(
+          ("3", Option.empty[String], Option.empty[String], "DELETE"),
+          ("5", Some("n_name"), Some("FIXED"), "SET"),
+          ("7", Some("no_such_column"), Some("x"), "SET"))
+          .toDF("key", "column", "setTo", "operation")
+        Resolution.applyResolution(
+          Tables.nation(s, d).withColumn("__k", col("n_nationkey").cast("string")),
+          resolution, "__k").drop("__k")
+      }
+    },
+
+    // ---- R1/R2: pivot_wider -------------------------------------------------
+    // Long (cust, status) → wide counts; absent combinations are NULL on both
+    // engines (Spark pivot-count over no rows; SQL sum-of-case over none).
+    Query("r01_pivot_status",
+      """SELECT o_custkey,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P
+        |FROM orders GROUP BY o_custkey""".stripMargin) {
+      (s, d) => Reshape.pivotWide(Tables.orders(s, d), Seq("o_custkey"),
+        "o_orderstatus", Seq("F", "O", "P"), count(lit(1)))
+    },
+
+    // ---- R3: unpivot / melt -------------------------------------------------
+    Query("r03_unpivot",
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS name, l_quantity AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""".stripMargin) {
+      (s, d) => Reshape.unpivot(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_linenumber"), Seq("l_quantity", "l_discount", "l_tax"))
+    },
+
+    // ---- R4: separate (split column) ----------------------------------------
+    Query("r04_separate",
+      """SELECT o_orderkey, split_part(o_orderpriority, '-', 1) AS prio_num,
+        |       split_part(o_orderpriority, '-', 2) AS prio_name
+        |FROM orders""".stripMargin) {
+      (s, d) => Reshape.separate(Tables.orders(s, d), "o_orderpriority", "-",
+          Seq("prio_num", "prio_name"))
+        .select("o_orderkey", "prio_num", "prio_name")
+    },
+
+    // ---- R5: row explosion by count ------------------------------------------
+    Query("r05_explode_by_count",
+      """SELECT s_suppkey,
+        |       CAST(unnest(generate_series(1, CAST(s_suppkey % 3 + 1 AS INT))) AS INT) AS idx
+        |FROM supplier""".stripMargin) {
+      (s, d) => Reshape.explodeByCount(
+        Tables.supplier(s, d).select("s_suppkey"), col("s_suppkey") % 3 + 1)
+    },
+
+    // ---- W10: visit cascade (re-label to next visit, capped) ------------------
+    Query("w10_visit_cascade",
+      """SELECT event_id, 'V' || CAST((event_id % 8) + 1 AS VARCHAR) AS visit
+        |FROM events WHERE (event_id % 8) + 1 <= 5""".stripMargin) {
+      (s, d) => Standardize.cascadeVisit(
+        Tables.events(s, d)
+          .select(col("event_id"),
+                  concat(lit("V"), (col("event_id") % 8).cast("string")).as("visit")),
+        "visit", cap = 5)
+    },
+
+    // ---- A7: group-concat dictionary -------------------------------------------
+    Query("a07_group_concat",
+      """SELECT p_brand, string_agg(p_type, '; ' ORDER BY p_type) AS types
+        |FROM part GROUP BY p_brand""".stripMargin) {
+      (s, d) => Tables.part(s, d).groupBy("p_brand")
+        .agg(concat_ws("; ", array_sort(collect_list(col("p_type")))).as("types"))
+    }
+  )
+}
