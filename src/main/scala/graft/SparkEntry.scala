@@ -14,7 +14,8 @@ object SparkEntry {
   /** All query packs, in SURVEY §2 order. */
   def packs: Seq[Query] =
     graft.queries.Relational.queries ++
-    graft.queries.Cleaning.queries
+    graft.queries.Cleaning.queries ++
+    graft.queries.Temporal.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Query, Tables}
+import graft.operators.{Sessionize, Windows}
+
+/** Advanced window / temporal operators (SURVEY.md §2.5) over the events
+  * table: forward fill, per-key recurrence (sessionization), as-of weekly
+  * snapshots, aging buckets, seeded shuffle, self-join mismatch, nearest
+  * neighbour.
+  *
+  * Oracle notes:
+  *  - w02 has no oracle (the oracle engine lacks xxhash64); its contract
+  *    (determinism across partitionings, per-group permutation) is pinned
+  *    by WindowsSpec instead, and the driver does a rows-only check.
+  *  - Orders within events use event_id (unique) rather than raw ts as
+  *    the window order where sub-microsecond ties could diverge between
+  *    engines.
+  *  - j10 uses squared euclidean distance: pure *,+,- double arithmetic
+  *    is bit-identical across engines, unlike libm sin/cos.
+  */
+object Temporal {
+
+  val queries: Seq[Query] = Seq(
+
+    // ---- W2: seeded stable shuffle (contract-tested, rows-only here) -----
+    Query.noOracle("w02_seeded_shuffle") { (s, d) =>
+      Windows.seededShuffleRank(
+        Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+        Seq("c_mktsegment"), "c_custkey", seed = 17L)
+    },
+
+    // ---- W7: forward fill ------------------------------------------------
+    // Carry the last purchase amount forward across each user's events.
+    Query("w07_forward_fill",
+      """SELECT event_id,
+        |       last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+        |FROM events""".stripMargin) {
+      (s, d) => Windows.forwardFill(
+          Tables.events(s, d).withColumn("last_purchase",
+            when(col("event_type") === "purchase", col("value"))),
+          Seq("user_id"), Seq(col("event_id")), Seq("last_purchase"))
+        .select("event_id", "last_purchase")
+    },
+
+    // ---- W11: per-key ordered recurrence (gap sessionization) -------------
+    // The scanPerKey secondary-sort operator; oracle is the closed-form
+    // gap-flag running sum, which equals the recurrence for this instance.
+    Query("w11_sessionize",
+      """SELECT event_id,
+        |       CAST(1 + sum(CASE WHEN epoch_us(ts) - prev > 1800000000 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+        |FROM (SELECT *, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |      FROM events)""".stripMargin) {
+      (s, d) => Sessionize.sessionize(Tables.events(s, d), "user_id", "ts",
+          "event_id", gapMicros = 1800L * 1000000)
+        .select("event_id", "session_id")
+    },
+
+    // ---- W12: as-of weekly snapshots ---------------------------------------
+    // For each weekly run_date, the table as it looked then (broadcast
+    // date-dim crossJoin, the reference's snapshot generator).
+    Query("w12_asof_snapshots",
+      """SELECT CAST(w.run_date AS DATE) AS run_date, count(*) AS n_events,
+        |       count(DISTINCT e.user_id) AS n_users
+        |FROM (SELECT unnest(generate_series(DATE '2024-01-08', DATE '2024-01-29',
+        |                                    INTERVAL 7 DAY)) AS run_date) w
+        |JOIN events e ON CAST(e.ts AS DATE) <= CAST(w.run_date AS DATE)
+        |GROUP BY 1""".stripMargin) {
+      (s, d) => {
+        val weeks = s.sql(
+          "SELECT explode(sequence(DATE'2024-01-08', DATE'2024-01-29', interval 7 day)) AS run_date")
+        Tables.events(s, d).crossJoin(broadcast(weeks))
+          .filter(to_date(col("ts")) <= col("run_date"))
+          .groupBy("run_date")
+          .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+      }
+    },
+
+    // ---- W13: aging buckets --------------------------------------------------
+    Query("w13_aging_buckets",
+      """SELECT CASE WHEN age_days < 10 THEN '0-10' WHEN age_days < 20 THEN '10-20'
+        |            ELSE '>20' END AS bucket, count(*) AS n
+        |FROM (SELECT datediff('day', CAST(ts AS DATE), DATE '2024-02-15') AS age_days
+        |      FROM events)
+        |GROUP BY 1""".stripMargin) {
+      (s, d) => Tables.events(s, d)
+        .withColumn("age_days", datediff(lit("2024-02-15").cast("date"), to_date(col("ts"))))
+        .withColumn("bucket",
+          when(col("age_days") < 10, "0-10")
+            .when(col("age_days") < 20, "10-20")
+            .otherwise(">20"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+    },
+
+    // ---- J7: self-join mapping mismatch --------------------------------------
+    // Customers holding orders with conflicting priorities (pairs counted
+    // once, a < b on the key).
+    Query("j07_self_join_mismatch",
+      """SELECT a.o_custkey, count(*) AS n_conflicts
+        |FROM orders a JOIN orders b
+        |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+        |WHERE a.o_orderpriority <> b.o_orderpriority
+        |GROUP BY a.o_custkey""".stripMargin) {
+      (s, d) => {
+        val o = Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_orderpriority")
+        val b = o.toDF("b_custkey", "b_orderkey", "b_orderpriority")
+        o.join(b, col("o_custkey") === col("b_custkey") &&
+                  col("o_orderkey") < col("b_orderkey"))
+          .filter(col("o_orderpriority") =!= col("b_orderpriority"))
+          .groupBy("o_custkey").agg(count(lit(1)).as("n_conflicts"))
+      }
+    },
+
+    // ---- J10: nearest-neighbour join -------------------------------------------
+    // Each customer point to its nearest supplier "facility" in a synthetic
+    // 2-D space; broadcast small side + row_number, no full distance matrix
+    // materialized.
+    Query("j10_nearest_neighbor",
+      """SELECT c_custkey, s_suppkey, dist2 FROM (
+        |  SELECT c.c_custkey, s.s_suppkey,
+        |         (c.c_acctbal - s.s_acctbal) * (c.c_acctbal - s.s_acctbal)
+        |           + CAST((c.c_custkey % 100) - (s.s_suppkey % 100) AS DOUBLE)
+        |             * CAST((c.c_custkey % 100) - (s.s_suppkey % 100) AS DOUBLE) AS dist2,
+        |         row_number() OVER (PARTITION BY c.c_custkey
+        |                            ORDER BY (c.c_acctbal - s.s_acctbal) * (c.c_acctbal - s.s_acctbal)
+        |                              + CAST((c.c_custkey % 100) - (s.s_suppkey % 100) AS DOUBLE)
+        |                                * CAST((c.c_custkey % 100) - (s.s_suppkey % 100) AS DOUBLE),
+        |                              s.s_suppkey) AS rn
+        |  FROM customer c CROSS JOIN supplier s) WHERE rn = 1""".stripMargin) {
+      (s, d) => {
+        val c = Tables.customer(s, d).select("c_custkey", "c_acctbal")
+        val f = Tables.supplier(s, d).select("s_suppkey", "s_acctbal")
+        val dx = col("c_acctbal") - col("s_acctbal")
+        val dy = ((col("c_custkey") % 100) - (col("s_suppkey") % 100)).cast("double")
+        val dist2 = dx * dx + dy * dy
+        val w = Window.partitionBy("c_custkey").orderBy(dist2, col("s_suppkey"))
+        c.crossJoin(broadcast(f))
+          .withColumn("dist2", dist2)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("c_custkey", "s_suppkey", "dist2")
+      }
+    }
+  )
+}
