@@ -15,7 +15,8 @@ object SparkEntry {
   def packs: Seq[Query] =
     graft.queries.Relational.queries ++
     graft.queries.Cleaning.queries ++
-    graft.queries.Temporal.queries
+    graft.queries.Temporal.queries ++
+    graft.queries.TextAnalysis.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale corpus pipelines:
+  * tokenization, token counting, quality scoring, language ID, shingling,
+  * and document fingerprinting.
+  *
+  * Everything here is a narrow, codegen-friendly projection built from
+  * Spark SQL builtins and higher-order array functions — no UDFs, so the
+  * expressions fuse into WholeStageCodegen and scale linearly with the
+  * scan. Functions that must agree bit-for-bit with an external SQL
+  * oracle avoid libm and RNG (integer arithmetic + IEEE +,*,- only).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (single-space delimited corpus). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: runs of word chars or single non-space symbols —
+    * a cheap proxy for subword tokenizer counts over raw text.
+    */
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Share of non-alphanumeric, non-space characters. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[A-Za-z0-9 ]", "")).cast("double") /
+      length(text).cast("double")
+
+  /** Share of tokens found in `stopwords` (duplicates counted — a quality
+    * signal, not set membership).
+    */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(stopwords.map(lit): _*)))
+      .cast("double") / tokenCount(text).cast("double")
+
+  /** Mean token length in characters. */
+  def meanWordLen(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t))
+      .cast("double") / tokenCount(text).cast("double")
+
+  /** Language ID by stopword-hit voting over per-language marker lists.
+    * Ties break by list order (first wins) — deterministic.
+    */
+  def langId(text: Column, markers: Seq[(String, Seq[String])]): Column = {
+    val scores = markers.map { case (lang, words) =>
+      lang -> size(filter(tokens(text), t => t.isin(words.map(lit): _*)))
+    }
+    // First language whose score >= every later language's score wins.
+    scores.init.zipWithIndex.foldRight(lit(scores.last._1)) {
+      case (((lang, sc), i), els) =>
+        val later = scores.drop(i + 1).map(_._2)
+        when(later.foldLeft(lit(true))((a, m) => a && sc >= m), lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Word n-gram shingles (distinct), n >= 2; rows with fewer than n
+    * tokens produce an empty list.
+    */
+  def shingles(text: Column, n: Int = 2): Column = {
+    val t = tokens(text)
+    val gram = (i: Column) =>
+      concat_ws(" ", (0 until n).map(k => element_at(t, i + lit(k + 1))): _*)
+    array_distinct(
+      when(size(t) >= n, transform(sequence(lit(0), size(t) - n), gram))
+        .otherwise(array()))
+  }
+
+  /** Rolling-hash document fingerprint: per-token hash (len*131 + first
+    * char code) folded left with (acc*31 + h) mod 1000003. Stays in int64,
+    * reproducible in any engine with 64-bit integer arithmetic.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(tokens(text), t => length(t) * lit(131L) + ascii(substring(t, 1, 1))),
+      lit(7L),
+      (acc, h) => (acc * 31 + h) % 1000003L)
+}

@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.{Query, Tables}
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the documents table: token counting,
+  * quality scoring, language ID, fingerprinting, exact dedup, and exact
+  * n-gram Jaccard near-dup detection.
+  *
+  * Every query here has a full SQL oracle: the implementations avoid
+  * engine-specific hashes and libm so the same integer/IEEE arithmetic
+  * runs on both sides.
+  *
+  * Scale notes: all single-doc features are narrow projections. The
+  * near-dup query is the exact (quadratic-in-matches) baseline — its
+  * shuffle is one explode + equi-join on the shingle; the MinHash/LSH
+  * variant in the Similarity pack is the subquadratic scale path.
+  */
+object TextAnalysis {
+
+  private val stop = Seq("the", "a", "of", "and", "in")
+  private val markerLists = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "de", "y"),
+    "de" -> Seq("der", "die", "das", "und"))
+
+  val queries: Seq[Query] = Seq(
+
+    // ---- T1: token counting (whitespace + regex/BPE-ish) ------------------
+    Query("t01_token_count",
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INT)
+        |         AS n_retokens
+        |FROM documents""".stripMargin) {
+      (s, d) => Tables.documents(s, d).select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        regexTokenCount(col("text")).as("n_retokens"))
+    },
+
+    // ---- T2: quality scoring ---------------------------------------------
+    Query("t02_quality_score",
+      s"""SELECT doc_id, n_chars,
+         |  CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+         |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
+         |  CAST(len(list_filter(string_split(text, ' '),
+         |                       t -> t IN (${stop.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)
+         |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+         |  CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE)
+         |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_wlen
+         |FROM documents""".stripMargin) {
+      (s, d) => Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+        punctRatio(col("text")).as("punct_ratio"),
+        stopwordRatio(col("text"), stop).as("stop_ratio"),
+        meanWordLen(col("text")).as("mean_wlen"))
+    },
+
+    // ---- T3: language ID (stopword-vote heuristic) -------------------------
+    Query("t03_lang_id",
+      """SELECT doc_id,
+        |  CASE WHEN en >= es AND en >= de THEN 'en'
+        |       WHEN es >= de THEN 'es' ELSE 'de' END AS pred_lang
+        |FROM (SELECT doc_id,
+        |        len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and'))) AS en,
+        |        len(list_filter(string_split(text, ' '), t -> t IN ('el','la','de','y'))) AS es,
+        |        len(list_filter(string_split(text, ' '), t -> t IN ('der','die','das','und'))) AS de
+        |      FROM documents)""".stripMargin) {
+      (s, d) => Tables.documents(s, d).select(col("doc_id"),
+        langId(col("text"), markerLists).as("pred_lang"))
+    },
+
+    // ---- T4: document fingerprint (rolling hash) ----------------------------
+    Query("t04_fingerprint",
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |    list_transform(string_split(text, ' '),
+        |                   t -> CAST(length(t) * 131 + ascii(substring(t, 1, 1)) AS BIGINT))),
+        |    (a, h) -> (a * 31 + h) % 1000003) AS fp
+        |FROM documents""".stripMargin) {
+      (s, d) => Tables.documents(s, d).select(col("doc_id"),
+        fingerprint(col("text")).as("fp"))
+    },
+
+    // ---- T5: exact dedup by content hash ------------------------------------
+    Query("t05_dedup_exact",
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin) {
+      (s, d) => Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    },
+
+    // ---- T6: exact n-gram Jaccard near-dup pairs ------------------------------
+    // Word-bigram shingles, explode + self-join on shingle, Jaccard >= 0.3.
+    // Bounded to doc_id < 300 to keep the exact baseline tractable; the
+    // LSH path (Similarity pack) removes the bound.
+    Query("t06_near_dup_pairs",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 300
+        |), sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS s
+        |  FROM toks WHERE len(t) >= 2
+        |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, i * 1.0 / (sa.n + sb.n - i) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.3""".stripMargin) {
+      (s, d) => {
+        val sh = Tables.documents(s, d).filter(col("doc_id") < 300)
+          .select(col("doc_id"), explode(shingles(col("text"), 2)).as("s"))
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val b = sh.toDF("doc_b", "s_b")
+        val inter = sh.join(b, col("s") === col("s_b") && col("doc_id") < col("doc_b"))
+          .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("i"))
+        val jac = col("i") * lit(1.0) /
+          (col("na") + col("nb") - col("i"))
+        inter
+          .join(sizes.toDF("doc_a2", "na"), col("doc_a") === col("doc_a2"))
+          .join(sizes.toDF("doc_b2", "nb"), col("doc_b") === col("doc_b2"))
+          .withColumn("jaccard", jac)
+          .filter(col("jaccard") >= 0.3)
+          .select("doc_a", "doc_b", "jaccard")
+      }
+    }
+  )
+}
