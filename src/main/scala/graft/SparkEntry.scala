@@ -16,7 +16,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
     graft.queries.Cleaning.queries ++
     graft.queries.Temporal.queries ++
-    graft.queries.TextAnalysis.queries
+    graft.queries.TextAnalysis.queries ++
+    graft.queries.SimilaritySearch.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity and locality-sensitive-hashing primitives for
+  * near-duplicate detection and approximate nearest-neighbour search.
+  *
+  * All scalar math is built from higher-order array expressions (strict
+  * left folds), so results are deterministic and reproducible in any
+  * engine with IEEE doubles; hashes use xxhash64 (seed-stable, partition
+  * independent). No UDFs — everything stays inside codegen.
+  */
+object Similarity {
+
+  /** Strict in-order dot product of two numeric arrays as double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm (IEEE sqrt is correctly rounded — engine-portable). */
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two numeric arrays. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** 64-bit SimHash over an array of string tokens: per-bit vote of each
+    * token's xxhash64, sign-packed into one long.
+    */
+  def simhash64(tokens: Column): Column = {
+    val votes = aggregate(
+      tokens,
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(63)),
+          b => when(call_function("shiftright", xxhash64(t), b).bitwiseAND(1) === 1, 1L)
+            .otherwise(-1L)),
+        (x, y) => x + y))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit hashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** MinHash signature columns over a shingle column: k independent
+    * min-hashes (xxhash64 seeded by index). Aggregate these with groupBy
+    * on the document id.
+    */
+  def minhashAggs(shingle: Column, k: Int): Seq[Column] =
+    (0 until k).map(i => min(xxhash64(lit(i), shingle)).as(s"mh$i"))
+
+  /** LSH band keys from minhash signature columns: b bands of r rows,
+    * each hashed to one long. Explode the resulting array to get one
+    * (band, bucket) row per band.
+    */
+  def bandKeys(sigPrefix: String, b: Int, r: Int): Column =
+    array((0 until b).map { band =>
+      struct(lit(band).as("band"),
+        xxhash64((band * r until (band + 1) * r).map(i => col(s"$sigPrefix$i")): _*).as("bucket"))
+    }: _*)
+
+  /** Signed random-hyperplane LSH bucket for one table: packs `bits`
+    * sign-bits of deterministic pseudo-hyperplane projections into a long.
+    * Hyperplane component g(t, j, i) is a hash of (table, bit, dim) mapped
+    * to [-1, 1] — seed-stable, no RNG state.
+    */
+  def hyperplaneBucket(vec: Column, table: Int, bits: Int, dims: Int): Column = {
+    def g(j: Int, i: Int): Column =
+      (pmod(xxhash64(lit(table * 100003 + j * 97 + i)), lit(2000003L)).cast("double")
+        / 1000001.5) - 1.0
+    val bitCols = (0 until bits).map { j =>
+      val proj = (0 until dims).map(i => element_at(vec, i + 1).cast("double") * g(j, i))
+        .reduce(_ + _)
+      when(proj > 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }
+    bitCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+}

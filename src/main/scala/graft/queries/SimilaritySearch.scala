@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.{Query, Tables}
+import graft.functions.{Similarity, TextFunctions}
+
+/** Deduplication and similarity-search operators over documents and
+  * embeddings: brute-force cosine top-k (exact baseline, SQL oracle),
+  * MinHash+LSH near-dup detection (subquadratic scale path), SimHash,
+  * and hyperplane-LSH approximate nearest neighbour.
+  *
+  * Scale notes: the exact cosine scan broadcasts the (small) query set
+  * and never shuffles the candidate side; MinHash/LSH replaces the
+  * quadratic shingle self-join with a bucket equi-join — candidate pairs
+  * only — then verifies candidates with exact Jaccard. The LSH/SimHash
+  * queries are rows-only checked by the driver (engine-specific hashes
+  * have no SQL oracle); their quality contracts (recall vs the exact
+  * baseline, hamming locality) are pinned in SimilaritySpec.
+  */
+object SimilaritySearch {
+
+  val queries: Seq[Query] = Seq(
+
+    // ---- S1: brute-force cosine top-k (exact ANN baseline) ----------------
+    Query("s01_cosine_knn",
+      """WITH dotp AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list_transform(range(1, len(q.embedding) + 1),
+        |             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+        |           (a, x) -> a + x)
+        |         / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |              list_transform(range(1, len(q.embedding) + 1),
+        |                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))),
+        |              (a, x) -> a + x))
+        |            * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |                list_transform(range(1, len(c.embedding) + 1),
+        |                  i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+        |                (a, x) -> a + x))) AS cos
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+        |  FROM dotp) WHERE rn <= 5""".stripMargin) {
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 10).select(
+          col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+        val cos = Similarity.cosine(col("q_emb"), col("embedding"))
+        val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+        e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cos"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select("query_id", "neighbor_id", "cos")
+      }
+    },
+
+    // ---- S2: embedding near-dup pairs (exact, bounded baseline) ------------
+    Query("s02_embedding_neardup",
+      """SELECT * FROM (
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |         list_transform(range(1, len(a.embedding) + 1),
+        |           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+        |         (x, y) -> x + y)
+        |       / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |            list_transform(range(1, len(a.embedding) + 1),
+        |              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))),
+        |            (x, y) -> x + y))
+        |          * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |              list_transform(range(1, len(b.embedding) + 1),
+        |                i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+        |              (x, y) -> x + y))) AS cos
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200
+        |) WHERE cos >= 0.35""".stripMargin) {
+      (s, d) => {
+        val e = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+        val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("b_emb"))
+        val cos = Similarity.cosine(col("embedding"), col("b_emb"))
+        e.join(broadcast(b), col("vec_id") < col("vec_b"))
+          .select(col("vec_id").as("vec_a"), col("vec_b"), cos.as("cos"))
+          .filter(col("cos") >= 0.35)
+      }
+    },
+
+    // ---- S3: MinHash + LSH near-dup (subquadratic scale path) ---------------
+    // 32 minhashes, 8 bands × 4 rows; candidates from band-bucket equi-join,
+    // then exact-Jaccard verification of candidates only. Matches the exact
+    // t06 pairs with high probability at jaccard >= 0.3.
+    Query.noOracle("s03_minhash_lsh_neardup") { (s, d) =>
+      val (k, bands, rows) = (32, 8, 4)
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFunctions.shingles(col("text"), 2)).as("s"))
+      val sigs = sh.groupBy("doc_id")
+        .agg(Similarity.minhashAggs(col("s"), k).head, Similarity.minhashAggs(col("s"), k).tail: _*)
+      val buckets = sigs
+        .select(col("doc_id"), explode(Similarity.bandKeys("mh", bands, rows)).as("bk"))
+        .select(col("doc_id"), col("bk.band"), col("bk.bucket"))
+      val cand = buckets.alias("x")
+        .join(buckets.alias("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      // verify candidates with exact jaccard (join restricted to candidates)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(sh.toDF("doc_a", "s"), "doc_a")           // pair × shingles of a
+        .join(sh.toDF("doc_b", "s"), Seq("doc_b", "s")) // keep those also in b
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.toDF("doc_a", "na"), "doc_a")
+        .join(sizes.toDF("doc_b", "nb"), "doc_b")
+        .withColumn("jaccard", col("i") * lit(1.0) / (col("na") + col("nb") - col("i")))
+        .filter(col("jaccard") >= 0.3)
+        .select("doc_a", "doc_b", "jaccard")
+    },
+
+    // ---- S4: SimHash fingerprints -------------------------------------------
+    Query.noOracle("s04_simhash") { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        Similarity.simhash64(TextFunctions.tokens(col("text"))).as("simhash"))
+    },
+
+    // ---- S5: hyperplane-LSH approximate nearest neighbour --------------------
+    // 6 tables × 10 sign-bits; candidates share a bucket in any table; exact
+    // cosine re-rank of candidates, top-3 per query.
+    Query.noOracle("s05_ann_lsh") { (s, d) =>
+      val (tables, bits, dims) = (6, 10, 64)
+      val e = Tables.embeddings(s, d)
+      val bucketed = e.select(col("vec_id"), col("embedding"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"),
+            Similarity.hyperplaneBucket(col("embedding"), t, bits, dims).as("b"))): _*)).as("tb"))
+        .select(col("vec_id"), col("embedding"), col("tb.t"), col("tb.b"))
+      val q = bucketed.filter(col("vec_id") < 10)
+        .toDF("query_id", "q_emb", "t", "b")
+      val cand = bucketed.join(broadcast(q), Seq("t", "b"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("q_emb"), col("vec_id").as("neighbor_id"), col("embedding"))
+        .distinct()
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+      cand.withColumn("cos", Similarity.cosine(col("q_emb"), col("embedding")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select("query_id", "neighbor_id", "cos")
+    }
+  )
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Similarity, TextFunctions}
+
+class SimilaritySpec extends SparkSpec {
+
+  test("dot/cosine: strict fold matches hand computation") {
+    val d = df("SELECT array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)) AS a, " +
+      "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)) AS b")
+    val r = d.select(
+      Similarity.dot(col("a"), col("b")).as("dp"),
+      Similarity.cosine(col("a"), col("a")).as("self")).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("simhash locality: near-identical docs close, unrelated docs far") {
+    val d = df(
+      """SELECT * FROM VALUES
+        |  (1, 'the quick brown fox jumps over the lazy dog again and again today'),
+        |  (2, 'the quick brown fox jumps over the lazy cat again and again today'),
+        |  (3, 'completely different words about spark shuffles partitions executors memory')
+        |  t(id, text)""".stripMargin)
+    val h = d.select(col("id"),
+      Similarity.simhash64(TextFunctions.tokens(col("text"))).as("sh"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1), h(2)) < ham(h(1), h(3)),
+      s"near-dup hamming ${ham(h(1), h(2))} should be < unrelated ${ham(h(1), h(3))}")
+    assert(ham(h(1), h(2)) <= 12)
+  }
+
+  test("simhash is deterministic across partitionings") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = docs.repartition(1).select(col("doc_id"),
+      Similarity.simhash64(TextFunctions.tokens(col("text"))).as("sh"))
+    val b = docs.repartition(7).select(col("doc_id"),
+      Similarity.simhash64(TextFunctions.tokens(col("text"))).as("sh"))
+    assert(rows(a) == rows(b))
+  }
+
+  test("minhash LSH finds all exact near-dup pairs at sf0.001 (recall = 1)") {
+    val d = "/root/testdata/sf0.001"
+    // exact pairs with jaccard >= 0.3 over word bigrams (brute force)
+    val docs = graft.core.Tables.documents(spark, d)
+    val sh = docs.select(col("doc_id"), explode(TextFunctions.shingles(col("text"), 2)).as("s"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val exact = sh.toDF("a", "s").join(sh.toDF("b", "s2"),
+        col("s") === col("s2") && col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+      .join(sizes.toDF("a", "na"), "a").join(sizes.toDF("b", "nb"), "b")
+      .withColumn("jac", col("i") * lit(1.0) / (col("na") + col("nb") - col("i")))
+      .filter(col("jac") >= 0.3)
+      .select("a", "b")
+    val exactPairs = rows(exact)
+    // LSH query output
+    val lsh = SparkEntryHelper.run("s03_minhash_lsh_neardup", spark, d)
+    val lshPairs = rows(lsh.select("doc_a", "doc_b"))
+    assert(exactPairs.nonEmpty, "fixture should contain at least one near-dup pair")
+    assert(exactPairs.subsetOf(lshPairs),
+      s"LSH missed pairs: ${exactPairs -- lshPairs}")
+    // verification step guarantees no false positives above threshold
+    assert(lshPairs.subsetOf(exactPairs))
+  }
+
+  test("hyperplane LSH ANN achieves high recall on clustered vectors") {
+    import scala.util.Random
+    val rnd = new Random(42)
+    val dims = 16
+    // 10 well-separated centroids, 30 points each, tight noise
+    val data = (0 until 300).map { i =>
+      val c = i % 10
+      val centroid = Array.tabulate(dims)(j =>
+        if (j % 10 == c % 10 || j % 7 == c % 7) 1.0f else -1.0f)
+      (i.toLong, centroid.map(v => v + (rnd.nextFloat() - 0.5f) * 0.2f).toSeq)
+    }
+    val e = spark.createDataFrame(data).toDF("vec_id", "embedding")
+    // brute-force top-3 per query
+    val q = e.filter(col("vec_id") < 10).toDF("query_id", "q_emb")
+    val cos = Similarity.cosine(col("q_emb"), col("embedding"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    val exact = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("query_id", "neighbor_id")
+    // LSH: same pipeline as s05 but on the synthetic set
+    val (tables, bits) = (6, 6)
+    val bucketed = e.select(col("vec_id"), col("embedding"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"),
+          Similarity.hyperplaneBucket(col("embedding"), t, bits, dims).as("b"))): _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("tb.t"), col("tb.b"))
+    val ql = bucketed.filter(col("vec_id") < 10).toDF("query_id", "q_emb", "t", "b")
+    val cand = bucketed.join(broadcast(ql), Seq("t", "b"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_emb"), col("vec_id").as("neighbor_id"), col("embedding"))
+      .distinct()
+    val approx = cand.withColumn("cos", Similarity.cosine(col("q_emb"), col("embedding")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("query_id", "neighbor_id")
+    val exactSet = rows(exact)
+    val recall = exactSet.intersect(rows(approx)).size.toDouble / exactSet.size
+    assert(recall >= 0.8, s"ANN recall $recall below 0.8")
+  }
+}
+
+/** Test access to SparkEntry query functions by name. */
+object SparkEntryHelper {
+  def run(name: String, s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.SparkEntry.queries(name)(s, d)
+}
