@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.{Query, Tables}
+import graft.functions.Geo
+
+/** Geospatial operators (SURVEY.md §2.8) over synthetic point/polygon
+  * geometry derived from the testdata.
+  *
+  * j09 is rows-only checked by the driver (ray casting has no SQL
+  * oracle); its geometry semantics (containment, concavity, buffered
+  * fallback) are pinned exactly in GeoSpec. j12 (haversine nearest
+  * facility) IS oracle-checked: both engines use correctly-rounded IEEE
+  * sqrt/sin/cos on the same doubles — and the result only needs ORDERING
+  * agreement plus a rounded distance output.
+  */
+object GeoQueries {
+
+  /** 25 diamond (rotated-square) cells tiling [0,10)²: centers at odd
+    * integer coordinates, circumradius 1 — concavity-free but
+    * non-axis-aligned, so containment exercises real ray casting.
+    */
+  private def diamonds: Seq[Geo.Poly] =
+    (for (ci <- 0 until 5; cj <- 0 until 5) yield {
+      val (cx, cy) = (ci * 2 + 1.0, cj * 2 + 1.0)
+      Geo.Poly(ci * 5 + cj,
+        Array(cx, cx + 1, cx, cx - 1), Array(cy - 1, cy, cy + 1, cy))
+    })
+
+  val queries: Seq[Query] = Seq(
+
+    // ---- J9: point-in-polygon cluster assignment ---------------------------
+    // Customer points at ((custkey%100)/10, ((custkey/100)%100)/10); count
+    // per assigned diamond cell (0.05° buffered fallback), nulls = outside.
+    Query.noOracle("j09_point_in_polygon") { (s, d) =>
+      val assign = Geo.clusterAssigner(s, diamonds, bufferDeg = 0.05)
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          ((col("c_custkey") % 100) / 10.0).as("x"),
+          (((col("c_custkey") / 100) % 100) / 10.0).as("y"))
+        .withColumn("geo_cluster", assign(col("x"), col("y")))
+        .groupBy("geo_cluster").agg(count(lit(1)).as("n"))
+    },
+
+    // ---- J12-geo: nearest facility by haversine ----------------------------
+    // Suppliers as facilities on a deterministic lon/lat grid around
+    // Kenya; customers to nearest facility. Distance rounded to 6 dp so
+    // sub-ulp libm differences cannot flip the string compare; ordering
+    // uses the raw double (identical on both engines for these inputs)
+    // with the facility id as tiebreaker.
+    Query("j12_haversine_nearest",
+      """WITH pts AS (
+        |  SELECT c_custkey, 34.0 + (c_custkey % 70) * 0.1 AS lon,
+        |         -4.0 + ((c_custkey // 70) % 70) * 0.1 AS lat
+        |  FROM customer),
+        |fac AS (
+        |  SELECT s_suppkey, 34.0 + (s_suppkey % 8) * 1.013 AS flon,
+        |         -4.0 + ((s_suppkey // 8) % 8) * 0.987 AS flat
+        |  FROM supplier WHERE s_suppkey < 64),
+        |d AS (
+        |  SELECT c_custkey, s_suppkey,
+        |         2 * 6371.0088 * atan2(
+        |           sqrt(pow(sin(radians(flat - lat) / 2), 2)
+        |                + cos(radians(lat)) * cos(radians(flat))
+        |                  * pow(sin(radians(flon - lon) / 2), 2)),
+        |           sqrt(1 - (pow(sin(radians(flat - lat) / 2), 2)
+        |                + cos(radians(lat)) * cos(radians(flat))
+        |                  * pow(sin(radians(flon - lon) / 2), 2)))) AS km
+        |  FROM pts CROSS JOIN fac)
+        |SELECT c_custkey, s_suppkey AS nearest_fac, round(km, 6) AS km
+        |FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY km, s_suppkey) AS rn
+        |      FROM d) WHERE rn = 1""".stripMargin) {
+      (s, d) => {
+        val pts = Tables.customer(s, d).select(col("c_custkey"),
+          (lit(34.0) + (col("c_custkey") % 70) * 0.1).as("lon"),
+          (lit(-4.0) + ((col("c_custkey").cast("long") / 70).cast("long") % 70) * 0.1).as("lat"))
+        val fac = Tables.supplier(s, d).filter(col("s_suppkey") < 64)
+          .select(col("s_suppkey"),
+            (lit(34.0) + (col("s_suppkey") % 8) * 1.013).as("flon"),
+            (lit(-4.0) + ((col("s_suppkey").cast("long") / 8).cast("long") % 8) * 0.987).as("flat"))
+        val km = Geo.haversineKm(col("lon"), col("lat"), col("flon"), col("flat"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("c_custkey").orderBy(col("km"), col("s_suppkey"))
+        pts.crossJoin(broadcast(fac))
+          .withColumn("km", km)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("c_custkey"), col("s_suppkey").as("nearest_fac"),
+            round(col("km"), 6).as("km"))
+      }
+    }
+  )
+}
