@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface. The reference is batch-only (SURVEY.md
+  * §2.9 — "history" is simulated by scheduled re-runs); this module adds
+  * the incremental path a landing-zone pipeline needs: file-source
+  * pickup, watermarked windowed aggregation, and stateful gap
+  * sessionization equivalent to the batch Sessionize operator.
+  *
+  * Scale notes: the file source tracks processed files in the checkpoint
+  * (exactly-once per file); windowed aggregation state is bounded by the
+  * watermark; sessionization state is O(1) per active key and expires
+  * via processing-time timeout.
+  */
+object Streams {
+
+  /** Incremental landing-zone pickup: schema-explicit streaming read of a
+    * directory of parquet files. Use with Trigger.AvailableNow for the
+    * reference's "process everything landed, then stop" batch cadence.
+    */
+  def fileSource(spark: SparkSession, path: String, schema: StructType,
+                 format: String = "parquet"): DataFrame =
+    spark.readStream.format(format).schema(schema)
+      .option("maxFilesPerTrigger", 1000)
+      .load(path)
+
+  /** Watermarked tumbling-window count by key: late data beyond the
+    * watermark is dropped; state is purged as the watermark advances.
+    */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     windowLen: String = "10 minutes",
+                     watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col(s"window.start").as("window_start"), col(keyCol), col("n"))
+
+  final case class SessionEvent(userId: Long, eventId: Long, tsMicros: Long)
+  final case class SessionAssignment(userId: Long, eventId: Long, sessionId: Long)
+  final case class SessionState(lastTs: Long, sessionId: Long)
+
+  /** Stateful gap sessionization: session increments when the gap since
+    * the key's previous event exceeds gapMicros — the streaming
+    * equivalent of operators.Sessionize.sessionize. Events within one
+    * micro-batch are processed in ts order; state carries (lastTs,
+    * sessionId) across batches.
+    *
+    * Pass `stateTtl` in production so inactive keys expire
+    * (processing-time timeout). With a TTL set, the engine wakes up
+    * periodically to expire state, so `processAllAvailable` never
+    * settles — tests use the default NoTimeout.
+    */
+  def sessionizeStream(events: Dataset[SessionEvent], gapMicros: Long,
+                       stateTtl: Option[String] = None): Dataset[SessionAssignment] = {
+    import events.sparkSession.implicits._
+    def update(userId: Long, it: Iterator[SessionEvent],
+               state: GroupState[SessionState]): Iterator[SessionAssignment] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+        val out = it.toSeq.sortBy(e => (e.tsMicros, e.eventId)).map { e =>
+          val sid =
+            if (st.sessionId == 0L || e.tsMicros - st.lastTs > gapMicros) st.sessionId + 1
+            else st.sessionId
+          st = SessionState(e.tsMicros, sid)
+          SessionAssignment(userId, e.eventId, sid)
+        }
+        state.update(st)
+        stateTtl.foreach(state.setTimeoutDuration)
+        out.iterator
+      }
+    }
+    val timeout = if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+                  else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(update)
+  }
+}
