@@ -64,20 +64,40 @@ object Similarity {
         xxhash64((band * r until (band + 1) * r).map(i => col(s"$sigPrefix$i")): _*).as("bucket"))
     }: _*)
 
-  /** Signed random-hyperplane LSH bucket for one table: packs `bits`
-    * sign-bits of deterministic pseudo-hyperplane projections into a long.
-    * Hyperplane component g(t, j, i) is a hash of (table, bit, dim) mapped
-    * to [-1, 1] — seed-stable, no RNG state.
+  /** Deterministic pseudo-random hyperplanes in [-1, 1] via splitmix64 —
+    * computed once on the driver and shipped as one literal, NOT as an
+    * expression tree (a per-component hash expression would be
+    * tables×bits×dims nodes and take longer to codegen than to run).
     */
-  def hyperplaneBucket(vec: Column, table: Int, bits: Int, dims: Int): Column = {
-    def g(j: Int, i: Int): Column =
-      (pmod(xxhash64(lit(table * 100003 + j * 97 + i)), lit(2000003L)).cast("double")
-        / 1000001.5) - 1.0
-    val bitCols = (0 until bits).map { j =>
-      val proj = (0 until dims).map(i => element_at(vec, i + 1).cast("double") * g(j, i))
-        .reduce(_ + _)
-      when(proj > 0, shiftleft(lit(1L), j)).otherwise(0L)
+  private def hyperplanes(tables: Int, bits: Int, dims: Int): Seq[Seq[Double]] = {
+    def splitmix64(seed: Long): Long = {
+      var z = seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
     }
-    bitCols.reduce((a, b) => a.bitwiseOR(b))
+    (0 until tables * bits).map { r =>
+      (0 until dims).map { i =>
+        val h = splitmix64(r.toLong * 131071 + i)
+        (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+      }
+    }
+  }
+
+  /** Signed random-hyperplane LSH buckets: one packed sign-bit bucket per
+    * table, as array<long> of length `tables`. Higher-order array
+    * functions over a literal hyperplane matrix — the expression tree is
+    * O(1) in (tables, bits, dims), so codegen stays fast.
+    */
+  def hyperplaneBuckets(vec: Column, tables: Int, bits: Int, dims: Int): Column = {
+    val perTable: Seq[Seq[Seq[Double]]] =
+      hyperplanes(tables, bits, dims).grouped(bits).toSeq
+    transform(typedlit(perTable), tRows =>
+      aggregate(
+        zip_with(tRows, sequence(lit(0), lit(bits - 1)), (row, j) =>
+          when(aggregate(zip_with(vec, row, (x, y) => x.cast("double") * y),
+                 lit(0.0), (acc, v) => acc + v) > 0,
+            call_function("shiftleft", lit(1L), j)).otherwise(0L)),
+        lit(0L), (acc, b) => acc.bitwiseOR(b)))
   }
 }

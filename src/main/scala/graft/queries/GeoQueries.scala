@@ -79,13 +79,13 @@ object GeoQueries {
             (lit(34.0) + (col("s_suppkey") % 8) * 1.013).as("flon"),
             (lit(-4.0) + ((col("s_suppkey").cast("long") / 8).cast("long") % 8) * 0.987).as("flat"))
         val km = Geo.haversineKm(col("lon"), col("lat"), col("flon"), col("flat"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("c_custkey").orderBy(col("km"), col("s_suppkey"))
+        // argmin via min(struct) — folds map-side, no shuffle of the
+        // cross product (see j10 note)
         pts.crossJoin(broadcast(fac))
-          .withColumn("km", km)
-          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select(col("c_custkey"), col("s_suppkey").as("nearest_fac"),
-            round(col("km"), 6).as("km"))
+          .groupBy("c_custkey")
+          .agg(min(struct(km.as("km"), col("s_suppkey"))).as("m"))
+          .select(col("c_custkey"), col("m.s_suppkey").as("nearest_fac"),
+            round(col("m.km"), 6).as("km"))
       }
     }
   )

@@ -43,12 +43,18 @@ object SimilaritySearch {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
         |  FROM dotp) WHERE rn <= 5""".stripMargin) {
       (s, d) => {
+        // norms are precomputed per side (once per vector), so each of
+        // the NxQ candidate pairs does a single dot product
         val e = Tables.embeddings(s, d)
-        val q = e.filter(col("vec_id") < 10).select(
-          col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-        val cos = Similarity.cosine(col("q_emb"), col("embedding"))
+        val c = e.select(col("vec_id"), col("embedding"),
+          Similarity.l2norm(col("embedding")).as("c_norm"))
+        val q = c.filter(col("vec_id") < 10).select(
+          col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("c_norm").as("q_norm"))
+        val cos = Similarity.dot(col("q_emb"), col("embedding")) /
+          (col("q_norm") * col("c_norm"))
         val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-        e.crossJoin(broadcast(q))
+        c.crossJoin(broadcast(q))
           .filter(col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cos"))
           .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
@@ -76,9 +82,14 @@ object SimilaritySearch {
         |  ON a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200
         |) WHERE cos >= 0.35""".stripMargin) {
       (s, d) => {
+        // per-side norm precomputation: one dot product per pair
         val e = Tables.embeddings(s, d).filter(col("vec_id") < 200)
-        val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("b_emb"))
-        val cos = Similarity.cosine(col("embedding"), col("b_emb"))
+          .select(col("vec_id"), col("embedding"),
+            Similarity.l2norm(col("embedding")).as("nrm"))
+        val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("b_emb"),
+          col("nrm").as("b_nrm"))
+        val cos = Similarity.dot(col("embedding"), col("b_emb")) /
+          (col("nrm") * col("b_nrm"))
         e.join(broadcast(b), col("vec_id") < col("vec_b"))
           .select(col("vec_id").as("vec_a"), col("vec_b"), cos.as("cos"))
           .filter(col("cos") >= 0.35)
@@ -131,10 +142,9 @@ object SimilaritySearch {
       val (tables, bits, dims) = (6, 10, 64)
       val e = Tables.embeddings(s, d)
       val bucketed = e.select(col("vec_id"), col("embedding"),
-        explode(array((0 until tables).map(t =>
-          struct(lit(t).as("t"),
-            Similarity.hyperplaneBucket(col("embedding"), t, bits, dims).as("b"))): _*)).as("tb"))
-        .select(col("vec_id"), col("embedding"), col("tb.t"), col("tb.b"))
+          posexplode(Similarity.hyperplaneBuckets(col("embedding"), tables, bits, dims))
+            .as(Seq("t", "b")))
+        .select("vec_id", "embedding", "t", "b")
       val q = bucketed.filter(col("vec_id") < 10)
         .toDF("query_id", "q_emb", "t", "b")
       val cand = bucketed.join(broadcast(q), Seq("t", "b"))

@@ -132,17 +132,18 @@ object Temporal {
         |                              s.s_suppkey) AS rn
         |  FROM customer c CROSS JOIN supplier s) WHERE rn = 1""".stripMargin) {
       (s, d) => {
+        // min(struct(dist, id)) instead of a row_number window: the argmin
+        // folds map-side (partial aggregation), so the NxM cross product
+        // never crosses a shuffle — the window variant shuffles every pair.
         val c = Tables.customer(s, d).select("c_custkey", "c_acctbal")
         val f = Tables.supplier(s, d).select("s_suppkey", "s_acctbal")
         val dx = col("c_acctbal") - col("s_acctbal")
         val dy = ((col("c_custkey") % 100) - (col("s_suppkey") % 100)).cast("double")
         val dist2 = dx * dx + dy * dy
-        val w = Window.partitionBy("c_custkey").orderBy(dist2, col("s_suppkey"))
         c.crossJoin(broadcast(f))
-          .withColumn("dist2", dist2)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select("c_custkey", "s_suppkey", "dist2")
+          .groupBy("c_custkey")
+          .agg(min(struct(dist2.as("dist2"), col("s_suppkey"))).as("m"))
+          .select(col("c_custkey"), col("m.s_suppkey").as("s_suppkey"), col("m.dist2").as("dist2"))
       }
     }
   )

@@ -88,10 +88,9 @@ class SimilaritySpec extends SparkSpec {
     // LSH: same pipeline as s05 but on the synthetic set
     val (tables, bits) = (6, 6)
     val bucketed = e.select(col("vec_id"), col("embedding"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"),
-          Similarity.hyperplaneBucket(col("embedding"), t, bits, dims).as("b"))): _*)).as("tb"))
-      .select(col("vec_id"), col("embedding"), col("tb.t"), col("tb.b"))
+        posexplode(Similarity.hyperplaneBuckets(col("embedding"), tables, bits, dims))
+          .as(Seq("t", "b")))
+      .select("vec_id", "embedding", "t", "b")
     val ql = bucketed.filter(col("vec_id") < 10).toDF("query_id", "q_emb", "t", "b")
     val cand = bucketed.join(broadcast(ql), Seq("t", "b"))
       .filter(col("vec_id") =!= col("query_id"))
