@@ -79,13 +79,16 @@ object GeoQueries {
             (lit(34.0) + (col("s_suppkey") % 8) * 1.013).as("flon"),
             (lit(-4.0) + ((col("s_suppkey").cast("long") / 8).cast("long") % 8) * 0.987).as("flat"))
         val km = Geo.haversineKm(col("lon"), col("lat"), col("flon"), col("flat"))
-        // argmin via min(struct) — folds map-side, no shuffle of the
-        // cross product (see j10 note)
-        pts.crossJoin(broadcast(fac))
+        // two-phase hash argmin (see j10 note: min(struct) forces a
+        // SortAggregate over every pair; this stays in HashAggregate)
+        val pairs = pts.crossJoin(broadcast(fac)).withColumn("km", km)
+        val mins = pairs.groupBy(col("c_custkey").as("m_cust"))
+          .agg(min(col("km")).as("mk"))
+        pairs.join(broadcast(mins),
+            col("c_custkey") === col("m_cust") && col("km") === col("mk"))
           .groupBy("c_custkey")
-          .agg(min(struct(km.as("km"), col("s_suppkey"))).as("m"))
-          .select(col("c_custkey"), col("m.s_suppkey").as("nearest_fac"),
-            round(col("m.km"), 6).as("km"))
+          .agg(min(col("s_suppkey")).as("nearest_fac"),
+            round(min(col("km")), 6).as("km"))
       }
     }
   )

@@ -132,18 +132,21 @@ object Temporal {
         |                              s.s_suppkey) AS rn
         |  FROM customer c CROSS JOIN supplier s) WHERE rn = 1""".stripMargin) {
       (s, d) => {
-        // min(struct(dist, id)) instead of a row_number window: the argmin
-        // folds map-side (partial aggregation), so the NxM cross product
-        // never crosses a shuffle — the window variant shuffles every pair.
+        // Two hash aggregates instead of a row_number window (shuffles
+        // every pair) or min(struct) (struct buffer forces SortAggregate):
+        // per-key min(dist2) folds map-side, then the tiny minima table
+        // broadcast-joins back to pick min(id) among exact minima.
         val c = Tables.customer(s, d).select("c_custkey", "c_acctbal")
         val f = Tables.supplier(s, d).select("s_suppkey", "s_acctbal")
         val dx = col("c_acctbal") - col("s_acctbal")
         val dy = ((col("c_custkey") % 100) - (col("s_suppkey") % 100)).cast("double")
-        val dist2 = dx * dx + dy * dy
-        c.crossJoin(broadcast(f))
+        val pairs = c.crossJoin(broadcast(f)).withColumn("dist2", dx * dx + dy * dy)
+        val mins = pairs.groupBy(col("c_custkey").as("m_cust"))
+          .agg(min(col("dist2")).as("md"))
+        pairs.join(broadcast(mins),
+            col("c_custkey") === col("m_cust") && col("dist2") === col("md"))
           .groupBy("c_custkey")
-          .agg(min(struct(dist2.as("dist2"), col("s_suppkey"))).as("m"))
-          .select(col("c_custkey"), col("m.s_suppkey").as("s_suppkey"), col("m.dist2").as("dist2"))
+          .agg(min(col("s_suppkey")).as("s_suppkey"), min(col("dist2")).as("dist2"))
       }
     }
   )
