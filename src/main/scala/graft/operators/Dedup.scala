@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{Similarity, TextFunctions}
+
+/** Document deduplication operators: exact content dedup, exact n-gram
+  * Jaccard pairs (quadratic-in-matches baseline), and MinHash+LSH
+  * candidate generation with exact verification (the subquadratic scale
+  * path). All hash work is xxhash64 — partition- and retry-stable.
+  *
+  * Scale notes: exactJaccardPairs shuffles one exploded shingle table
+  * and self-joins on the shingle — use only on bounded inputs or after
+  * LSH candidate pruning. minhashLshPairs shuffles the same exploded
+  * table into k min-aggregations, then joins only rows sharing a
+  * (band, bucket) — the classic LSH candidate join — and verifies
+  * candidates exactly, so false positives are zero and false negatives
+  * are the banding miss probability.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash: (hash, keep_id, n_copies). */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exploded distinct word-n-gram shingles: (id, s). */
+  private def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int) =
+    df.select(col(idCol).as("__id"),
+      explode(TextFunctions.shingles(col(textCol), n)).as("s"))
+
+  private def verified(sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("n"))
+    cand
+      .join(sh.toDF("doc_a", "s"), "doc_a")
+      .join(sh.toDF("doc_b", "s"), Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+      .withColumn("jaccard", col("i") * lit(1.0) / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Exact Jaccard near-dup pairs over word n-grams: all pairs sharing at
+    * least one shingle, filtered to jaccard >= threshold.
+    */
+  def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, n)
+    val cand = sh.toDF("doc_a", "s")
+      .join(sh.toDF("doc_b", "s2"), col("s") === col("s2") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    verified(sh, cand, threshold)
+  }
+
+  /** MinHash+LSH near-dup pairs: k seeded min-hashes, `bands` bands of
+    * k/bands rows, candidates from the band-bucket equi-join, exact
+    * Jaccard verification of candidates only.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val sh = shingleTable(df, idCol, textCol, n)
+    val sigs = sh.groupBy(col("__id"))
+      .agg(Similarity.minhashAggs(col("s"), k).head, Similarity.minhashAggs(col("s"), k).tail: _*)
+    val buckets = sigs
+      .select(col("__id"), explode(Similarity.bandKeys("mh", bands, k / bands)).as("bk"))
+      .select(col("__id"), col("bk.band"), col("bk.bucket"))
+    val cand = buckets.alias("x")
+      .join(buckets.alias("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("doc_a"), col("y.__id").as("doc_b"))
+      .distinct()
+    verified(sh, cand, threshold)
+  }
+}

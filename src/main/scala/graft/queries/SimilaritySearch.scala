@@ -101,32 +101,8 @@ object SimilaritySearch {
     // then exact-Jaccard verification of candidates only. Matches the exact
     // t06 pairs with high probability at jaccard >= 0.3.
     Query.noOracle("s03_minhash_lsh_neardup") { (s, d) =>
-      val (k, bands, rows) = (32, 8, 4)
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"), explode(TextFunctions.shingles(col("text"), 2)).as("s"))
-      val sigs = sh.groupBy("doc_id")
-        .agg(Similarity.minhashAggs(col("s"), k).head, Similarity.minhashAggs(col("s"), k).tail: _*)
-      val buckets = sigs
-        .select(col("doc_id"), explode(Similarity.bandKeys("mh", bands, rows)).as("bk"))
-        .select(col("doc_id"), col("bk.band"), col("bk.bucket"))
-      val cand = buckets.alias("x")
-        .join(buckets.alias("y"),
-          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      // verify candidates with exact jaccard (join restricted to candidates)
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = cand
-        .join(sh.toDF("doc_a", "s"), "doc_a")           // pair × shingles of a
-        .join(sh.toDF("doc_b", "s"), Seq("doc_b", "s")) // keep those also in b
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
-      inter
-        .join(sizes.toDF("doc_a", "na"), "doc_a")
-        .join(sizes.toDF("doc_b", "nb"), "doc_b")
-        .withColumn("jaccard", col("i") * lit(1.0) / (col("na") + col("nb") - col("i")))
-        .filter(col("jaccard") >= 0.3)
-        .select("doc_a", "doc_b", "jaccard")
+      graft.operators.Dedup.minhashLshPairs(Tables.documents(s, d),
+        "doc_id", "text", n = 2, k = 32, bands = 8, threshold = 0.3)
     },
 
     // ---- S4: SimHash fingerprints -------------------------------------------
@@ -155,6 +131,18 @@ object SimilaritySearch {
       cand.withColumn("cos", Similarity.cosine(col("q_emb"), col("embedding")))
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
         .select("query_id", "neighbor_id", "cos")
+    },
+
+    // ---- S6: IVF approximate nearest neighbour -------------------------------
+    // Cell-partitioned ANN: 32 seeded sample centroids, probe 8 cells per
+    // query, exact cosine re-rank. Rows-only here; recall contract in
+    // SimilaritySpec.
+    Query.noOracle("s06_ann_ivf") { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      graft.operators.Ivf.search(e, q, "vec_id", "embedding",
+        nCells = 32, nProbe = 8, k = 3)
     }
   )
 }

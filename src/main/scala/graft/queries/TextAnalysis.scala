@@ -85,9 +85,7 @@ object TextAnalysis {
     Query("t05_dedup_exact",
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin) {
-      (s, d) => Tables.documents(s, d)
-        .groupBy(md5(col("text")).as("content_hash"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      (s, d) => graft.operators.Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
     },
 
     // ---- T6: exact n-gram Jaccard near-dup pairs ------------------------------
@@ -111,23 +109,22 @@ object TextAnalysis {
         |JOIN sizes sa ON doc_a = sa.doc_id
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.3""".stripMargin) {
-      (s, d) => {
-        val sh = Tables.documents(s, d).filter(col("doc_id") < 300)
-          .select(col("doc_id"), explode(shingles(col("text"), 2)).as("s"))
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val b = sh.toDF("doc_b", "s_b")
-        val inter = sh.join(b, col("s") === col("s_b") && col("doc_id") < col("doc_b"))
-          .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
-          .agg(count(lit(1)).as("i"))
-        val jac = col("i") * lit(1.0) /
-          (col("na") + col("nb") - col("i"))
-        inter
-          .join(sizes.toDF("doc_a2", "na"), col("doc_a") === col("doc_a2"))
-          .join(sizes.toDF("doc_b2", "nb"), col("doc_b") === col("doc_b2"))
-          .withColumn("jaccard", jac)
-          .filter(col("jaccard") >= 0.3)
-          .select("doc_a", "doc_b", "jaccard")
-      }
+      (s, d) => graft.operators.Dedup.exactJaccardPairs(
+        Tables.documents(s, d).filter(col("doc_id") < 300), "doc_id", "text",
+        n = 2, threshold = 0.3)
+    },
+
+    // ---- T7: delimited multi-value cells: split → explode → re-aggregate ----
+    // The reference stores multi-valued cells as delimited strings
+    // (space-delimited lab incidences, comma keylists); count token
+    // frequencies across the corpus.
+    Query("t07_split_explode",
+      """SELECT tok, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents WHERE doc_id < 100)
+        |GROUP BY tok""".stripMargin) {
+      (s, d) => Tables.documents(s, d).filter(col("doc_id") < 100)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
     }
   )
 }

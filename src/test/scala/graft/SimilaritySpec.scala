@@ -102,6 +102,19 @@ class SimilaritySpec extends SparkSpec {
     val exactSet = rows(exact)
     val recall = exactSet.intersect(rows(approx)).size.toDouble / exactSet.size
     assert(recall >= 0.8, s"ANN recall $recall below 0.8")
+
+    // IVF on the same clustered set: probing a third of 12 cells
+    val ivfQ = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    val ivf = graft.operators.Ivf.search(e, ivfQ, "vec_id", "embedding",
+      nCells = 12, nProbe = 4, k = 3)
+    val ivfRecall = exactSet.intersect(rows(ivf.select("query_id", "neighbor_id"))).size.toDouble /
+      exactSet.size
+    assert(ivfRecall >= 0.6, s"IVF recall $ivfRecall below 0.6")
+    // determinism across partitionings
+    val ivf2 = graft.operators.Ivf.search(e.repartition(7), ivfQ, "vec_id", "embedding", 12, 4, 3)
+    assert(rows(ivf.select("query_id", "neighbor_id")) ==
+      rows(ivf2.select("query_id", "neighbor_id")))
   }
 }
 
