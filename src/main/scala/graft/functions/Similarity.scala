@@ -47,12 +47,22 @@ object Similarity {
   /** Hamming distance between two 64-bit hashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** MinHash signature columns over a shingle column: k independent
-    * min-hashes (xxhash64 seeded by index). Aggregate these with groupBy
-    * on the document id.
+  /** MinHash signature columns over a PRE-HASHED shingle column (one
+    * xxhash64 of the string, computed once): k independent min-hashes
+    * derived by re-hashing the 8-byte value XOR a per-function mixing
+    * constant — 32x less string hashing than seeding xxhash64(i, shingle)
+    * per function, same independence. XOR (not multiply): Spark 4 runs
+    * ANSI mode, where long multiplication overflow throws.
     */
-  def minhashAggs(shingle: Column, k: Int): Seq[Column] =
-    (0 until k).map(i => min(xxhash64(lit(i), shingle)).as(s"mh$i"))
+  def minhashAggs(shingleHash: Column, k: Int): Seq[Column] =
+    (0 until k).map { i =>
+      val mix = {
+        var z = i.toLong + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z ^ (z >>> 27)
+      }
+      min(xxhash64(shingleHash.bitwiseXOR(lit(mix)))).as(s"mh$i")
+    }
 
   /** LSH band keys from minhash signature columns: b bands of r rows,
     * each hashed to one long. Explode the resulting array to get one

@@ -62,8 +62,9 @@ object Dedup {
                       n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val sh = shingleTable(df, idCol, textCol, n)
-    val sigs = sh.groupBy(col("__id"))
-      .agg(Similarity.minhashAggs(col("s"), k).head, Similarity.minhashAggs(col("s"), k).tail: _*)
+    val hashed = sh.withColumn("__h", xxhash64(col("s")))
+    val aggs = Similarity.minhashAggs(col("__h"), k)
+    val sigs = hashed.groupBy(col("__id")).agg(aggs.head, aggs.tail: _*)
     val buckets = sigs
       .select(col("__id"), explode(Similarity.bandKeys("mh", bands, k / bands)).as("bk"))
       .select(col("__id"), col("bk.band"), col("bk.bucket"))

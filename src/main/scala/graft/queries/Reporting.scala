@@ -72,6 +72,70 @@ object Reporting {
         count(when(col("o_orderstatus") === "F", 1)).as("done"),
         count(lit(1)).as("total"),
         (count(when(col("o_orderstatus") === "F", 1)) * lit(1.0) / count(lit(1))).as("pct_done"))
+    },
+
+    // ---- scalar function sampler (SURVEY §2.7 surface in one projection) ----
+    Query("r09_scalar_sampler",
+      """SELECT p_partkey,
+        |  substring(p_name, 1, 8) AS sub,
+        |  upper(p_brand) AS up, lower(p_type) AS lo,
+        |  length(p_name) AS len,
+        |  concat_ws('|', p_brand, p_type) AS joined,
+        |  CASE WHEN p_type LIKE '%BRASS%' THEN 1 ELSE 0 END AS has_brass,
+        |  regexp_extract(p_type, '[A-Z]+$') AS last_word,
+        |  round(p_retailprice, 1) AS price_r,
+        |  CAST(sqrt(CAST(p_size AS DOUBLE)) AS DOUBLE) AS sq,
+        |  greatest(p_size, 25) AS g, least(p_size, 25) AS l,
+        |  coalesce(nullif(p_brand, 'Brand#13'), 'OTHER') AS brand_o,
+        |  printf('%05d', p_size) AS padded
+        |FROM part""".stripMargin) {
+      (s, d) => Tables.part(s, d).select(col("p_partkey"),
+        substring(col("p_name"), 1, 8).as("sub"),
+        upper(col("p_brand")).as("up"), lower(col("p_type")).as("lo"),
+        length(col("p_name")).as("len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("joined"),
+        when(col("p_type").like("%BRASS%"), 1).otherwise(0).as("has_brass"),
+        regexp_extract(col("p_type"), "[A-Z]+$", 0).as("last_word"),
+        round(col("p_retailprice"), 1).as("price_r"),
+        sqrt(col("p_size").cast("double")).as("sq"),
+        greatest(col("p_size"), lit(25)).as("g"), least(col("p_size"), lit(25)).as("l"),
+        coalesce(when(col("p_brand") === "Brand#13", lit(null)).otherwise(col("p_brand")),
+          lit("OTHER")).as("brand_o"),
+        format_string("%05d", col("p_size")).as("padded"))
+    },
+
+    // ---- shared-base metric fan-out (§4.2 exchange reuse) --------------------
+    // One filtered/joined base feeds several metric rows — the reference
+    // reuses one merged tibble across ~10 report metrics; here the base
+    // is cached and each metric is a row of a unioned summary.
+    Query("r10_shared_base_metrics",
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+        |  WHERE o_totalprice > 1000)
+        |SELECT 'n_orders' AS metric, CAST(count(*) AS DOUBLE) AS value FROM base
+        |UNION ALL
+        |SELECT 'n_customers', CAST(count(DISTINCT o_custkey) AS DOUBLE) FROM base
+        |UNION ALL
+        |SELECT 'open_share',
+        |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+        |FROM base
+        |UNION ALL
+        |SELECT 'total_value',
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) FROM base""".stripMargin) {
+      (s, d) => {
+        val base = Tables.orders(s, d)
+          .filter(col("o_totalprice") > 1000)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+          .cache()
+        def metric(name: String, v: org.apache.spark.sql.Column) =
+          base.agg(v.as("value")).select(lit(name).as("metric"), col("value"))
+        metric("n_orders", count(lit(1)).cast("double"))
+          .unionByName(metric("n_customers", countDistinct(col("o_custkey")).cast("double")))
+          .unionByName(metric("open_share",
+            sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).cast("double") / count(lit(1))))
+          .unionByName(metric("total_value",
+            sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")))
+      }
     }
   )
 }
