@@ -22,7 +22,8 @@ object SparkEntry {
     graft.queries.MultimodalQueries.queries ++
     graft.queries.Composite.queries ++
     graft.queries.Goals.queries ++
-    graft.queries.Reporting.queries
+    graft.queries.Reporting.queries ++
+    graft.queries.Keys.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

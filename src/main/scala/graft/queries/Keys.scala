@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.{Query, Tables}
+import graft.operators.OdkKeys
+
+/** Instance-key parsing and semi-structured extraction queries. */
+object Keys {
+
+  val queries: Seq[Query] = Seq(
+
+    // ---- ODK repeat-key parse (SURVEY §1.1) --------------------------------
+    // Synthesize child keys from events ids, then recover the parts.
+    Query("k01_parse_repeat_key",
+      """SELECT key,
+        |  regexp_extract(regexp_extract(key, '([^/]+)$', 1), '^([^\[]+)\[', 1) AS repeat_name,
+        |  CAST(nullif(regexp_extract(regexp_extract(key, '([^/]+)$', 1), '\[([0-9]+)\]', 1), '')
+        |       AS INT) AS repeat_key
+        |FROM (
+        |  SELECT CASE WHEN event_id % 3 = 0
+        |              THEN 'uuid:' || CAST(event_id AS VARCHAR)
+        |              ELSE 'uuid:' || CAST(event_id AS VARCHAR) || '/repeat_ind['
+        |                   || CAST(event_id % 7 AS VARCHAR) || ']' END AS key
+        |  FROM events)""".stripMargin) {
+      (s, d) => Tables.events(s, d)
+        .select(
+          when(col("event_id") % 3 === 0,
+            concat(lit("uuid:"), col("event_id").cast("string")))
+            .otherwise(concat(lit("uuid:"), col("event_id").cast("string"),
+              lit("/repeat_ind["), (col("event_id") % 7).cast("string"), lit("]")))
+            .as("key"))
+        .select(col("key"),
+          OdkKeys.repeatName(col("key")).as("repeat_name"),
+          OdkKeys.repeatKey(col("key")).as("repeat_key"))
+    },
+
+    // ---- JSON property extraction ------------------------------------------
+    Query("t08_json_extract",
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events""".stripMargin) {
+      (s, d) => Tables.events(s, d).select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+    },
+
+    // ---- approximate distinct (the 100 TB scale knob for A2) -----------------
+    // HLL sketch — no SQL oracle (estimator-specific); accuracy contract
+    // in ApproxSpec.
+    Query.noOracle("a17_approx_distinct") { (s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+    },
+
+    // ---- exact percentile / median ------------------------------------------
+    Query("a18_percentile",
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.9) AS p90
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) {
+      (s, d) => Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.9)").as("p90"))
+    }
+  )
+}
