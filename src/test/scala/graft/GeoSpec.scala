@@ -48,6 +48,23 @@ class GeoSpec extends SparkSpec {
     assert(km > 430 && km < 450, s"got $km")
   }
 
+  test("W4: priority by distance to cluster edge (deepest first)") {
+    val assign = Geo.clusterAssigner(spark, Seq(unitSquare), bufferDeg = 0.0)
+    val edist = Geo.edgeDistanceUdf(spark, Seq(unitSquare))
+    val hh = df(
+      """SELECT hhid, CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y FROM VALUES
+        |  ('h_edge', 0.05, 0.5), ('h_mid', 0.25, 0.5), ('h_center', 0.5, 0.5)
+        |  t(hhid, x, y)""".stripMargin)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(col("d").desc, col("hhid"))
+    val ranked = hh.withColumn("cluster", assign(col("x"), col("y")))
+      .withColumn("d", edist(col("cluster"), col("x"), col("y")))
+      .withColumn("priority", row_number().over(w))
+    val got = ranked.select("hhid", "priority").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("h_center" -> 1, "h_mid" -> 2, "h_edge" -> 3))
+  }
+
   test("edgeDistanceUdf resolves polygon by id") {
     val edist = Geo.edgeDistanceUdf(spark, Seq(unitSquare, lShape))
     val d = df("SELECT 1 AS id, CAST(0.5 AS DOUBLE) AS x, CAST(0.5 AS DOUBLE) AS y")
