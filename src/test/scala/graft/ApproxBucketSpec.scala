@@ -37,6 +37,17 @@ class ApproxBucketSpec extends SparkSpec {
     sp.conf.set("spark.sql.sources.bucketing.enabled", "true")
     sp.sql("DROP TABLE IF EXISTS bkt_a")
     sp.sql("DROP TABLE IF EXISTS bkt_b")
+    // the in-memory catalog forgets tables across JVMs but the warehouse
+    // directories survive — clear them so saveAsTable can recreate
+    val wh = new java.net.URI(sp.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("bkt_a", "bkt_b").foreach { t =>
+      val dir = java.nio.file.Paths.get(wh, t)
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
     val a = sp.range(10000).select(col("id").as("k"), (col("id") * 2).as("va"))
     val b = sp.range(10000).select(col("id").as("k"), (col("id") * 3).as("vb"))
     a.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("bkt_a")
