@@ -10,6 +10,29 @@ import org.apache.spark.sql.SparkSession
   * rather than the 200 default, UTC everywhere for oracle parity.
   */
 object Sessions {
+
+  /** Settings a 1000-executor / 100 TB deployment applies on top of the
+    * shared baseline. Not used by local runs — documented and unit-read
+    * so the production posture lives next to the dev one:
+    *  - shuffle partitions sized for AQE to COALESCE DOWN from (AQE can
+    *    split skew but only merges small partitions; start high);
+    *  - 128m scan partitions keep a task's working set in executor
+    *    memory with room for join build sides;
+    *  - broadcast threshold bounded so geometry/dim broadcasts stay in
+    *    the tens of MB (SURVEY §7.4.4);
+    *  - shuffle compression + reuse on for wide exchanges.
+    */
+  val clusterDefaults: Map[String, String] = Map(
+    "spark.sql.shuffle.partitions" -> "4096",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.files.maxPartitionBytes" -> (128L << 20).toString,
+    "spark.sql.autoBroadcastJoinThreshold" -> (64L << 20).toString,
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.shuffle.compress" -> "true",
+    "spark.sql.exchange.reuse" -> "true")
+
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
             appName: String = "graft"): SparkSession = {
     val spark = SparkSession.builder()

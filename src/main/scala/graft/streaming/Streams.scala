@@ -39,6 +39,15 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col(s"window.start").as("window_start"), col(keyCol), col("n"))
 
+  /** Streaming exact dedup: drop events whose id was already seen,
+    * keeping watermark-bounded state — the incremental counterpart of
+    * the batch dedup operators for a training-data landing stream.
+    */
+  def streamingDedup(events: DataFrame, idCol: String, tsCol: String,
+                     watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   final case class SessionEvent(userId: Long, eventId: Long, tsMicros: Long)
   final case class SessionAssignment(userId: Long, eventId: Long, sessionId: Long)
   final case class SessionState(lastTs: Long, sessionId: Long)

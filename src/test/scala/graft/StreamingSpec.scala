@@ -50,6 +50,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingDedup drops duplicate ids within the watermark") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val out = Streams.streamingDedup(in.toDF.toDF("id", "ts"), "id", "ts")
+    val q = out.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts(0)), (2L, ts(1)), (1L, ts(2)))
+      q.processAllAvailable()
+      in.addData((2L, ts(3)), (3L, ts(4)))
+      q.processAllAvailable()
+      val got = spark.table("sdedup").select("id").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == Seq(1L, 2L, 3L), "each id survives exactly once")
+    } finally q.stop()
+  }
+
   test("fileSource picks up landed parquet incrementally (AvailableNow)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val out = java.nio.file.Files.createTempDirectory("graft_out").toString
