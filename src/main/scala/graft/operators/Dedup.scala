@@ -61,7 +61,11 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
+    // the shingle table feeds the signature agg AND both verification
+    // joins — persist it so the explode isn't recomputed three times
+    // (at cluster scale: checkpoint to reliable storage instead)
     val sh = shingleTable(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hashed = sh.withColumn("__h", xxhash64(col("s")))
     val aggs = Similarity.minhashAggs(col("__h"), k)
     val sigs = hashed.groupBy(col("__id")).agg(aggs.head, aggs.tail: _*)

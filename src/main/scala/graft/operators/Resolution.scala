@@ -44,7 +44,7 @@ object Resolution {
       .groupBy(col(resKey).as("__setkey"))
       .pivot("column", targetCols.toIndexedSeq)
       .agg(max("setTo"))
-      .select(col("__setkey") +: targetCols.map(c => col(c).as(s"__set_$c")): _*)
+      .select((col("__setkey") +: targetCols.map(c => col(c).as(s"__set_$c"))).toIndexedSeq: _*)
     val joined = df.join(broadcast(wide), col(dataKey) === col("__setkey"), "left")
     val projected = df.columns.map { c =>
       if (targetCols.contains(c))
