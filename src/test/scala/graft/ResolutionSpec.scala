@@ -40,6 +40,30 @@ class ResolutionSpec extends SparkSpec {
     assert(rows(Resolution.applySets(data, res, "key")) == rows(data))
   }
 
+  test("repeat-level resolution: key composed from OdkKeys parse parts") {
+    import graft.operators.OdkKeys
+    // child rows keyed by (PARENT_KEY, repeat_name, repeat_key) — the
+    // reference's repeat-row fix addressing
+    val child = df(
+      """SELECT * FROM VALUES
+        |  ('uuid:p1/rep_ind[1]', 'uuid:p1', 'keep'),
+        |  ('uuid:p1/rep_ind[2]', 'uuid:p1', 'kill'),
+        |  ('uuid:p2/rep_ind[1]', 'uuid:p2', 'fixme')
+        |  t(KEY, PARENT_KEY, payload)""".stripMargin)
+      .withColumn("__rkey", concat_ws("|", col("PARENT_KEY"),
+        graft.operators.OdkKeys.repeatName(col("KEY")),
+        graft.operators.OdkKeys.repeatKey(col("KEY"))))
+    val res = df(
+      """SELECT * FROM VALUES
+        |  ('uuid:p1|rep_ind|2', CAST(NULL AS STRING), CAST(NULL AS STRING), 'DELETE'),
+        |  ('uuid:p2|rep_ind|1', 'payload', 'fixed', 'SET')
+        |  t(key, column, setTo, operation)""".stripMargin)
+    val out = Resolution.applyResolution(child, res, "__rkey").drop("__rkey")
+    assert(rows(out.select("KEY", "payload")) == Set(
+      Seq("uuid:p1/rep_ind[1]", "keep"),
+      Seq("uuid:p2/rep_ind[1]", "fixed")))
+  }
+
   test("cascadeExpand copies SETs to connected columns with rewrite") {
     val res = df("SELECT 'r1' AS key, 'status' AS column, 'refused' AS setTo, 'SET' AS operation")
     val out = Resolution.cascadeExpand(res,

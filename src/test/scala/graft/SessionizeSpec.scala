@@ -36,6 +36,17 @@ class SessionizeSpec extends SparkSpec {
     assert(rows(got.select("eid", "session_id")) == rows(want))
   }
 
+  test("scanPerKey handles one hot key with 200k rows (streams, no group buffer)") {
+    val hot = spark.range(200000).select(
+      lit(1L).as("uid"),
+      expr("timestamp_micros(id * 1000000)").as("ts"),
+      col("id").as("eid"))
+    val out = Sessionize.sessionize(hot, "uid", "ts", "eid", gapMicros = 10L * 1000000)
+    // 1s spacing, 10s gap → one single session across all 200k events
+    val agg = out.agg(max("session_id"), count(lit(1))).head()
+    assert(agg.getLong(0) == 1L && agg.getLong(1) == 200000L)
+  }
+
   test("scanPerKey resets state at key boundaries and carries it within key") {
     val d = df(
       """SELECT * FROM VALUES ('a', 1, 10), ('a', 2, 20), ('b', 1, 5)
