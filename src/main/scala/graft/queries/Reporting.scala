@@ -74,6 +74,36 @@ object Reporting {
         (count(when(col("o_orderstatus") === "F", 1)) * lit(1.0) / count(lit(1))).as("pct_done"))
     },
 
+    // ---- incidence rate with 95% CI (prevalence_incidence.qmd analog) -------
+    // rate = cases / person-time; CI = rate * exp(±z / sqrt(cases)).
+    // exp/log are libm (not correctly rounded) → outputs rounded to 6 dp
+    // so sub-ulp engine differences cannot flip the compare.
+    Query("r11_incidence_ci",
+      """SELECT o_orderpriority AS grp,
+        |       CAST(cases AS BIGINT) AS cases,
+        |       round(rate, 6) AS rate,
+        |       round(rate * exp(-1.959964 / sqrt(cases)), 6) AS ci_lo,
+        |       round(rate * exp(1.959964 / sqrt(cases)), 6) AS ci_hi
+        |FROM (
+        |  SELECT o_orderpriority,
+        |         CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS DOUBLE) AS cases,
+        |         count(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+        |           * CAST(1.0 AS DOUBLE) / count(*) AS rate
+        |  FROM orders GROUP BY o_orderpriority)""".stripMargin) {
+      (s, d) => {
+        val cases = count(when(col("o_orderstatus") === "F", 1)).cast("double")
+        val rate = cases * lit(1.0) / count(lit(1))
+        val z = lit(1.959964)
+        Tables.orders(s, d).groupBy(col("o_orderpriority").as("grp"))
+          .agg(cases.as("cases_d"), rate.as("rate_raw"))
+          .select(col("grp"),
+            col("cases_d").cast("bigint").as("cases"),
+            round(col("rate_raw"), 6).as("rate"),
+            round(col("rate_raw") * exp(z * -1 / sqrt(col("cases_d"))), 6).as("ci_lo"),
+            round(col("rate_raw") * exp(z / sqrt(col("cases_d"))), 6).as("ci_hi"))
+      }
+    },
+
     // ---- scalar function sampler (SURVEY §2.7 surface in one projection) ----
     Query("r09_scalar_sampler",
       """SELECT p_partkey,
