@@ -80,6 +80,38 @@ object Temporal {
       }
     },
 
+    // ---- W11b: native session_window (idiomatic counterpart of w11) ---------
+    // Spark's built-in session aggregation; the oracle derives the same
+    // sessions via the gap-flag running sum and aggregates per session.
+    Query("w14_session_window",
+      """WITH ids AS (
+        |  SELECT user_id, ts,
+        |         CAST(1 + sum(CASE WHEN epoch_us(ts) - prev > 1800000000 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS sid
+        |  FROM (SELECT *, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |        FROM events))
+        |SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events
+        |FROM ids GROUP BY user_id, sid""".stripMargin) {
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"))
+        .select("user_id", "session_start", "n_events")
+    },
+
+    // ---- date-part surface: floor-to-week, day-of-week ------------------------
+    // Numbering parity: Spark dayofweek is 1=Sunday..7; DuckDB dayofweek
+    // is 0=Sunday..6 → +1 in the oracle. Both date_trunc('week') floor to
+    // Monday.
+    Query("t09_date_parts",
+      """SELECT event_id,
+        |       CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week_start,
+        |       CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INT) AS dow
+        |FROM events""".stripMargin) {
+      (s, d) => Tables.events(s, d).select(col("event_id"),
+        date_trunc("week", to_date(col("ts"))).cast("date").as("week_start"),
+        dayofweek(to_date(col("ts"))).as("dow"))
+    },
+
     // ---- W13: aging buckets --------------------------------------------------
     Query("w13_aging_buckets",
       """SELECT CASE WHEN age_days < 10 THEN '0-10' WHEN age_days < 20 THEN '10-20'
