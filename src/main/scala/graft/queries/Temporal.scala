@@ -112,6 +112,42 @@ object Temporal {
         dayofweek(to_date(col("ts"))).as("dow"))
     },
 
+    // ---- R1 (two-valued): status+reason wide profile per person --------------
+    // The efficacy report shape: one row per user, status_V* AND reason_V*
+    // columns from the long visit table. Spark pivot with two aliased
+    // aggregations yields V{n}_status / V{n}_reason.
+    Query("r12_status_reason_matrix",
+      """WITH obs AS (
+        |  SELECT user_id, vn, event_type AS status,
+        |         CAST(round(value, 2) AS VARCHAR) AS reason FROM (
+        |    SELECT user_id, 1 + (CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS vn,
+        |           event_type, value,
+        |           row_number() OVER (
+        |             PARTITION BY user_id, 1 + (CAST(ts AS DATE) - DATE '2024-01-01') // 7
+        |             ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1 AND vn <= 3)
+        |SELECT user_id,
+        |  max(CASE WHEN vn = 1 THEN status END) AS V1_status,
+        |  max(CASE WHEN vn = 1 THEN reason END) AS V1_reason,
+        |  max(CASE WHEN vn = 2 THEN status END) AS V2_status,
+        |  max(CASE WHEN vn = 2 THEN reason END) AS V2_reason,
+        |  max(CASE WHEN vn = 3 THEN status END) AS V3_status,
+        |  max(CASE WHEN vn = 3 THEN reason END) AS V3_reason
+        |FROM obs GROUP BY user_id""".stripMargin) {
+      (s, d) => {
+        val vn = lit(1) + floor(datediff(to_date(col("ts")), lit("2024-01-01").cast("date")) / 7)
+        val obs = Windows.latestPerGroup(
+            Tables.events(s, d).withColumn("vn", vn).filter(col("vn") <= 3),
+            Seq("user_id", "vn"), Seq(col("ts"), col("event_id")))
+          .select(col("user_id"), concat(lit("V"), col("vn").cast("string")).as("visit"),
+            col("event_type").as("status"),
+            round(col("value"), 2).cast("string").as("reason"))
+        obs.groupBy("user_id")
+          .pivot("visit", Seq("V1", "V2", "V3"))
+          .agg(max(col("status")).as("status"), max(col("reason")).as("reason"))
+      }
+    },
+
     // ---- W13: aging buckets --------------------------------------------------
     Query("w13_aging_buckets",
       """SELECT CASE WHEN age_days < 10 THEN '0-10' WHEN age_days < 20 THEN '10-20'
