@@ -34,15 +34,21 @@ object Ivf {
     vectors.orderBy(xxhash64(col(idCol), lit(seed)), col(idCol)).limit(nCells)
       .select(col(idCol).as("cell_id"), col(vecCol).as("c_vec"))
 
-  /** Assign every vector to its nearest cell (two-phase hash argmin). */
+  /** Assign every vector to its nearest cell. The centroid set is tiny
+    * by construction, so it ships as ONE literal matrix and the argmin
+    * happens in a single narrow projection — no join, no shuffle, no
+    * second pass; ties break to the first (lowest-index) centroid.
+    */
   def assign(vectors: DataFrame, cents: DataFrame, idCol: String,
              vecCol: String): DataFrame = {
-    val pairs = vectors.crossJoin(broadcast(cents))
-      .withColumn("__d", dist2(col(vecCol), col("c_vec")))
-    val mins = pairs.groupBy(col(idCol).as("__mid")).agg(min(col("__d")).as("__md"))
-    pairs.join(broadcast(mins), col(idCol) === col("__mid") && col("__d") === col("__md"))
-      .groupBy(col(idCol), col(vecCol))
-      .agg(min(col("cell_id")).as("cell_id"))
+    val collected = cents.collect()
+    val ids = collected.map(_.getAs[Number]("cell_id").longValue)
+    val mat: Seq[Seq[Double]] = collected.map(
+      _.getSeq[Number](1).map(_.doubleValue).toSeq).toSeq
+    val cdists = transform(typedlit(mat), c => dist2(col(vecCol), c))
+    vectors.select(col(idCol), col(vecCol),
+      element_at(typedlit(ids.toSeq),
+        array_position(cdists, array_min(cdists)).cast("int")).as("cell_id"))
   }
 
   /** Top-k neighbours for each query vector, probing nProbe cells.
