@@ -47,6 +47,25 @@ object Similarity {
   /** Hamming distance between two 64-bit hashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash via explode + hash aggregation: same result as [[simhash64]]
+    * but as 64 codegen'd SUM buffers over exploded (id, token-hash) rows
+    * instead of nested array lambdas — the faster shape for corpus-wide
+    * computation. Usage:
+    * {{{ df.select(id, explode(tokens).as("tok"))
+    *      .groupBy(id).agg(simhashVoteAggs: _*)
+    *      .select(id, packSimhashVotes) }}}
+    */
+  def simhashVoteAggs(tok: Column): Seq[Column] =
+    (0 until 64).map { b =>
+      sum(when(call_function("shiftright", xxhash64(tok), lit(b)).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"__v$b")
+    }
+
+  def packSimhashVotes: Column =
+    (0 until 64).map { b =>
+      when(col(s"__v$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce((a, c) => a.bitwiseOR(c))
+
   /** MinHash signature columns over a PRE-HASHED shingle column (one
     * xxhash64 of the string, computed once): k independent min-hashes
     * derived by re-hashing the 8-byte value XOR a per-function mixing

@@ -31,9 +31,13 @@ object Dedup {
 
   private def verified(sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("n"))
+    // semi-join prune: only candidate docs' shingles reach the equality
+    // join — without this the full shingle table shuffles on (id, s)
+    val shB = sh.toDF("doc_b", "s")
+      .join(cand.select("doc_b").distinct(), Seq("doc_b"), "left_semi")
     cand
       .join(sh.toDF("doc_a", "s"), "doc_a")
-      .join(sh.toDF("doc_b", "s"), Seq("doc_b", "s"))
+      .join(shB, Seq("doc_b", "s"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
       .join(sizes.toDF("doc_a", "na"), "doc_a")
       .join(sizes.toDF("doc_b", "nb"), "doc_b")

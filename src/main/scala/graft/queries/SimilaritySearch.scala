@@ -107,8 +107,11 @@ object SimilaritySearch {
 
     // ---- S4: SimHash fingerprints -------------------------------------------
     Query.noOracle("s04_simhash") { (s, d) =>
-      Tables.documents(s, d).select(col("doc_id"),
-        Similarity.simhash64(TextFunctions.tokens(col("text"))).as("simhash"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id").agg(Similarity.simhashVoteAggs(col("tok")).head,
+          Similarity.simhashVoteAggs(col("tok")).tail: _*)
+        .select(col("doc_id"), Similarity.packSimhashVotes.as("simhash"))
     },
 
     // ---- S5: hyperplane-LSH approximate nearest neighbour --------------------

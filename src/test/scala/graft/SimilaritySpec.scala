@@ -31,6 +31,18 @@ class SimilaritySpec extends SparkSpec {
     assert(ham(h(1), h(2)) <= 12)
   }
 
+  test("simhash agg variant equals the scalar variant") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val scalarH = docs.select(col("doc_id"),
+      Similarity.simhash64(TextFunctions.tokens(col("text"))).as("simhash"))
+    val aggH = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id").agg(Similarity.simhashVoteAggs(col("tok")).head,
+        Similarity.simhashVoteAggs(col("tok")).tail: _*)
+      .select(col("doc_id"), Similarity.packSimhashVotes.as("simhash"))
+    assert(rows(scalarH) == rows(aggH))
+  }
+
   test("simhash is deterministic across partitionings") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val a = docs.repartition(1).select(col("doc_id"),
