@@ -73,9 +73,12 @@ object Dedup {
     val hashed = sh.withColumn("__h", xxhash64(col("s")))
     val aggs = Similarity.minhashAggs(col("__h"), k)
     val sigs = hashed.groupBy(col("__id")).agg(aggs.head, aggs.tail: _*)
+    // persist: both sides of the candidate self-join read this table —
+    // without it the whole signature aggregation runs twice
     val buckets = sigs
       .select(col("__id"), explode(Similarity.bandKeys("mh", bands, k / bands)).as("bk"))
       .select(col("__id"), col("bk.band"), col("bk.bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = buckets.alias("x")
       .join(buckets.alias("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
