@@ -65,18 +65,26 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
     // the shingle table feeds the signature agg AND both verification
     // joins — persist it so the explode isn't recomputed three times
     // (at cluster scale: checkpoint to reliable storage instead)
     val sh = shingleTable(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hashed = sh.withColumn("__h", xxhash64(col("s")))
-    val aggs = Similarity.minhashAggs(col("__h"), k)
-    val sigs = hashed.groupBy(col("__id")).agg(aggs.head, aggs.tail: _*)
+    // whole signature in ONE TypedImperativeAggregate buffer (long[k])
+    // instead of k separate min-aggregate columns
+    val sigs = sh.withColumn("__h", xxhash64(col("s")))
+      .groupBy(col("__id"))
+      .agg(graft.plans.MinHashSignature(col("__h"), k).as("sig"))
+    val bandStructs = array((0 until bands).map { band =>
+      struct(lit(band).as("band"),
+        xxhash64((band * r until (band + 1) * r)
+          .map(i => element_at(col("sig"), i + 1)): _*).as("bucket"))
+    }: _*)
     // persist: both sides of the candidate self-join read this table —
     // without it the whole signature aggregation runs twice
     val buckets = sigs
-      .select(col("__id"), explode(Similarity.bandKeys("mh", bands, k / bands)).as("bk"))
+      .select(col("__id"), explode(bandStructs).as("bk"))
       .select(col("__id"), col("bk.band"), col("bk.bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = buckets.alias("x")
