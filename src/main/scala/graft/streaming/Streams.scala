@@ -48,6 +48,25 @@ object Streams {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream-stream interval join: match right-side events to left-side
+    * events with the same key arriving within (0, maxDelay] after them —
+    * the impression→conversion attribution shape. Both sides carry
+    * watermarks so join state is bounded and expires.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   leftTs: String, rightTs: String,
+                   maxDelay: String = "30 minutes",
+                   watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+      .withColumnRenamed(keyCol, s"__r_$keyCol")
+    l.join(r,
+      col(keyCol) === col(s"__r_$keyCol") &&
+        col(rightTs) > col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"))
+      .drop(s"__r_$keyCol")
+  }
+
   final case class SessionEvent(userId: Long, eventId: Long, tsMicros: Long)
   final case class SessionAssignment(userId: Long, eventId: Long, sessionId: Long)
   final case class SessionState(lastTs: Long, sessionId: Long)

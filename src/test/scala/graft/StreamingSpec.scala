@@ -67,6 +67,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin attributes conversions within the delay window") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val convs = MemoryStream[(Long, Timestamp)]
+    val out = Streams.intervalJoin(
+      imps.toDF.toDF("uid", "imp_ts"), convs.toDF.toDF("uid", "conv_ts"),
+      "uid", "imp_ts", "conv_ts", maxDelay = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    try {
+      imps.addData((1L, ts(0)), (2L, ts(0)))
+      convs.addData((1L, ts(10)), (2L, ts(50)), (3L, ts(5)))
+      q.processAllAvailable()
+      val got = spark.table("attr").select("uid").collect().map(_.getLong(0)).toSeq
+      // only uid 1 converts within 30min of its impression
+      assert(got == Seq(1L))
+    } finally q.stop()
+  }
+
   test("fileSource picks up landed parquet incrementally (AvailableNow)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val out = java.nio.file.Files.createTempDirectory("graft_out").toString
