@@ -50,6 +50,21 @@ object Keys {
         .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
     },
 
+    // ---- statistical aggregates ----------------------------------------------
+    // corr/covar/stddev use different (both stable) accumulation orders
+    // across engines — compare rounded.
+    Query("a19_stats",
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS r,
+        |  round(covar_samp(l_quantity, l_discount), 6) AS cv,
+        |  round(stddev_samp(l_extendedprice), 4) AS sd
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) {
+      (s, d) => Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("r"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cv"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd"))
+    },
+
     // ---- exact percentile / median ------------------------------------------
     Query("a18_percentile",
       """SELECT l_returnflag,
