@@ -114,6 +114,45 @@ object TextAnalysis {
         n = 2, threshold = 0.3)
     },
 
+    // ---- T10: corpus curation pipeline (dedup ∩ quality ∩ language) ---------
+    // The training-data curation shape end-to-end: keep one copy per
+    // content hash, drop short/low-stopword docs, keep predicted-English
+    // — one query composing the dedup, quality, and lang-ID operators.
+    Query("t10_corpus_curation",
+      s"""WITH keep AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+         |), scored AS (
+         |  SELECT d.doc_id,
+         |    len(string_split(d.text, ' ')) AS n_tokens,
+         |    CAST(len(list_filter(string_split(d.text, ' '),
+         |            t -> t IN (${stop.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)
+         |      / CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS stop_ratio,
+         |    CASE WHEN en >= es AND en >= de THEN 'en'
+         |         WHEN es >= de THEN 'es' ELSE 'de' END AS pred_lang
+         |  FROM (SELECT doc_id, text,
+         |          len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and'))) AS en,
+         |          len(list_filter(string_split(text, ' '), t -> t IN ('el','la','de','y'))) AS es,
+         |          len(list_filter(string_split(text, ' '), t -> t IN ('der','die','das','und'))) AS de
+         |        FROM documents) d
+         |  JOIN keep USING (doc_id))
+         |SELECT doc_id, n_tokens, round(stop_ratio, 6) AS stop_ratio
+         |FROM scored
+         |WHERE n_tokens >= 20 AND stop_ratio >= 0.01 AND pred_lang = 'en'""".stripMargin) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val keep = graft.operators.Dedup.exactGroups(docs, "doc_id", "text")
+          .select(col("keep_id").as("doc_id"))
+        docs.join(keep, "doc_id")
+          .select(col("doc_id"),
+            tokenCount(col("text")).as("n_tokens"),
+            stopwordRatio(col("text"), stop).as("stop_ratio"),
+            langId(col("text"), markerLists).as("pred_lang"))
+          .filter(col("n_tokens") >= 20 && col("stop_ratio") >= 0.01 &&
+            col("pred_lang") === "en")
+          .select(col("doc_id"), col("n_tokens"), round(col("stop_ratio"), 6).as("stop_ratio"))
+      }
+    },
+
     // ---- T7: delimited multi-value cells: split → explode → re-aggregate ----
     // The reference stores multi-valued cells as delimited strings
     // (space-delimited lab incidences, comma keylists); count token
