@@ -52,6 +52,7 @@ object Dedup {
   def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
     val sh = shingleTable(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = sh.toDF("doc_a", "s")
       .join(sh.toDF("doc_b", "s2"), col("s") === col("s2") && col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
