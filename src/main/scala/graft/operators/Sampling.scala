@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation. Spark's
+  * sample()/sampleBy() draw from rand(seed) evaluated in partition
+  * order, so results change with partitioning and retries; these
+  * operators decide membership from a content hash of the row's key —
+  * the same row is always in or out, on any cluster layout, and the
+  * sample is reproducible from the (key, salt) alone.
+  *
+  * Mechanics: the first 4 hex chars of md5(key || salt) are uniform over
+  * 0x0000..0xffff; a row is kept when they fall below fraction * 0x10000
+  * (lexicographic compare on lowercase hex ≡ numeric compare).
+  */
+object Sampling {
+
+  private def bucket(key: Column, salt: String): Column =
+    substring(md5(concat(key.cast("string"), lit(salt))), 1, 4)
+
+  private def thresholdHex(fraction: Double): String = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction out of [0,1]")
+    val t = math.round(fraction * 0x10000).toInt
+    // 'g' sorts above every hex char, so "g" admits all buckets
+    // (a 5-char "10000" would compare lexicographically BELOW "ffff")
+    if (t >= 0x10000) "g" else f"$t%04x"
+  }
+
+  /** Keep ~fraction of rows, decided per key. */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double,
+                 salt: String = ""): DataFrame =
+    df.filter(bucket(col(keyCol), salt) < lit(thresholdHex(fraction)))
+
+  /** Stratified: per-stratum fractions (strata absent from the map get 0). */
+  def stratifiedHashSample(df: DataFrame, keyCol: String, strataCol: String,
+                           fractions: Map[String, Double],
+                           salt: String = ""): DataFrame = {
+    val threshold = fractions.foldLeft(lit("0000")) { case (acc, (stratum, f)) =>
+      when(col(strataCol) === stratum, lit(thresholdHex(f))).otherwise(acc)
+    }
+    df.filter(bucket(col(keyCol), salt) < threshold)
+  }
+}

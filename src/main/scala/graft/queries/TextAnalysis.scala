@@ -153,6 +153,19 @@ object TextAnalysis {
       }
     },
 
+    // ---- T11: deterministic stratified hash sampling -------------------------
+    // Partition-stable curation sampling: membership from md5(key||salt),
+    // per-language rates. Fully reproducible on both engines.
+    Query("t11_stratified_sample",
+      """SELECT doc_id, lang FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR) || 's1'), 1, 4) <
+        |      CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN '4000' ELSE '0000' END""".stripMargin) {
+      (s, d) => graft.operators.Sampling.stratifiedHashSample(
+          Tables.documents(s, d), "doc_id", "lang",
+          Map("en" -> 0.5, "de" -> 0.25), salt = "s1")
+        .select("doc_id", "lang")
+    },
+
     // ---- T7: delimited multi-value cells: split → explode → re-aggregate ----
     // The reference stores multi-valued cells as delimited strings
     // (space-delimited lab incidences, comma keylists); count token
