@@ -31,7 +31,10 @@ object Sessions {
     "spark.sql.autoBroadcastJoinThreshold" -> (64L << 20).toString,
     "spark.sql.session.timeZone" -> "UTC",
     "spark.shuffle.compress" -> "true",
-    "spark.sql.exchange.reuse" -> "true")
+    "spark.sql.exchange.reuse" -> "true",
+    // runtime bloom-filter pushdown prunes big-side shuffle rows on
+    // selective joins — significant at fact-table scale
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true")
 
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
             appName: String = "graft"): SparkSession = {
