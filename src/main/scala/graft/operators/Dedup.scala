@@ -67,16 +67,20 @@ object Dedup {
                       n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    // the shingle table feeds the signature agg AND both verification
-    // joins — persist it so the explode isn't recomputed three times
-    // (at cluster scale: checkpoint to reliable storage instead)
+    // shingles carried as 64-bit hashes from here on: signatures need
+    // only the hash, and verifying candidate overlap on the hash instead
+    // of the string halves the cached/joined payload (a collision would
+    // need two distinct shingles of one candidate pair sharing an
+    // xxhash64 — ~2^-64 per pair). The exact-string path lives in
+    // exactJaccardPairs. Persisted because the signature agg and both
+    // verification joins all read it (checkpoint at cluster scale).
     val sh = shingleTable(df, idCol, textCol, n)
+      .select(col("__id"), xxhash64(col("s")).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // whole signature in ONE TypedImperativeAggregate buffer (long[k])
     // instead of k separate min-aggregate columns
-    val sigs = sh.withColumn("__h", xxhash64(col("s")))
-      .groupBy(col("__id"))
-      .agg(graft.plans.MinHashSignature(col("__h"), k).as("sig"))
+    val sigs = sh.groupBy(col("__id"))
+      .agg(graft.plans.MinHashSignature(col("s"), k).as("sig"))
     val bandStructs = array((0 until bands).map { band =>
       struct(lit(band).as("band"),
         xxhash64((band * r until (band + 1) * r)
