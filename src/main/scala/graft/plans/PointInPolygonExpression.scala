@@ -30,8 +30,11 @@ case class PointInPolygonExpression(left: Expression, right: Expression,
       lon.asInstanceOf[Double], lat.asInstanceOf[Double])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val polysRef = ctx.addReferenceObj("polys", polys, "graft.functions.Geo.Poly[]")
-    val kernel = PointInPolygonKernel.getClass.getName.stripSuffix("$") + ".MODULE$"
+    // JVM binary names: MODULE$ lives on the dollar class (…Kernel$), and
+    // Poly's binary name is Geo$Poly — janino resolves both verbatim, while
+    // the mirror-class spellings fail to compile (round-1 silent fallback).
+    val polysRef = ctx.addReferenceObj("polys", polys, "graft.functions.Geo$Poly[]")
+    val kernel = PointInPolygonKernel.getClass.getName + ".MODULE$"
     nullSafeCodeGen(ctx, ev, (lon, lat) => {
       val boxed = ctx.freshName("cell")
       s"""

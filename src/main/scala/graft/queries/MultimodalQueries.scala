@@ -24,11 +24,14 @@ object MultimodalQueries {
     },
 
     // ---- M2: batched stub-decode feature extraction -------------------------
+    // The feature vector itself stays array<float> inside the pipeline
+    // (MultimodalSpec pins its values); the registry row serializes it so the
+    // driver's pandas sort has a scalar to order.
     Query.noOracle("m02_feature_extract") { (s, d) =>
       val withP = Multimodal.withPayload(Tables.documents(s, d), "doc_id", "text")
       Multimodal.extractFeatures(withP, "payload")
         .select(col("doc_id"), col("meta.media_type").as("media_type"),
-          col("features"))
+          to_json(col("features")).as("features_json"))
     },
 
     // ---- M3: frame sampling (binary windows, no UDF) -------------------------

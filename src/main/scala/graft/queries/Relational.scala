@@ -74,13 +74,15 @@ object Relational {
         .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"))
     },
 
-    // ---- A6: list agg (sorted array) ---------------------------------------
+    // ---- A6: list agg (sorted array, serialized to JSON for the gate) ------
     // Ref: summarise(samples = list(sample)) monitoring/lab.Rmd:305-306.
+    // The list is built as a real array aggregation; the top-level column is
+    // its JSON form because the driver's pandas sort can't order raw arrays.
     Query("a06_list_agg",
-      """SELECT n_regionkey, list_sort(list(n_name)) AS nation_list
+      """SELECT n_regionkey, to_json(list_sort(list(n_name))) AS nation_list
         |FROM nation GROUP BY n_regionkey""".stripMargin) {
       (s, d) => Tables.nation(s, d).groupBy("n_regionkey")
-        .agg(array_sort(collect_list(col("n_name"))).as("nation_list"))
+        .agg(to_json(array_sort(collect_list(col("n_name")))).as("nation_list"))
     },
 
     // ---- A8: multi-metric summarise with derived ratios --------------------

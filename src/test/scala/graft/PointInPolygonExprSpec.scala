@@ -41,6 +41,30 @@ class PointInPolygonExprSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("generated code actually compiles (no silent interpreter fallback)") {
+    // Round-1 regression: doGenCode emitted a call target janino couldn't
+    // compile and every eval silently fell back to interpreted mode. Forcing
+    // CODEGEN_ONLY + fallback=false makes any compile failure a test failure.
+    def run(): Set[Seq[Any]] = {
+      val src = spark.range(1000).select(
+        (col("id").cast("double") / 400).as("x"), lit(0.5).as("y"))
+      rows(src.withColumn("cell",
+          PointInPolygonExpression(col("x"), col("y"), polys))
+        .groupBy("cell").count())
+    }
+    val interpreted = run() // default FALLBACK mode
+    val prevMode = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val prevFb = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      assert(run() == interpreted && interpreted.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", prevMode.getOrElse("FALLBACK"))
+      spark.conf.set("spark.sql.codegen.fallback", prevFb.getOrElse("true"))
+    }
+  }
+
   test("scales over a larger point set deterministically") {
     val many = spark.range(100000).select(
       ((col("id") % 40).cast("double") / 10).as("x"),

@@ -16,15 +16,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    # Mimic the driver's gate exactly: no tuple-conversion of array cells.
+    # A top-level array column must crash the sort here like it does there.
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize types for compare: timestamps -> iso strings, floats rounded
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]").astype(str)
-        elif df[c].dtype == object:
-            df[c] = df[c].apply(
-                lambda v: tuple(v.tolist()) if hasattr(v, "tolist")
-                else (tuple(v) if isinstance(v, list) else v))
     df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last")
     return df.reset_index(drop=True)
 
@@ -41,7 +38,12 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"MISS {name}: no spark output")
             n_fail += 1
             continue
-        got = canon(pd.concat([pd.read_parquet(f) for f in files]))
+        try:
+            got = canon(pd.concat([pd.read_parquet(f) for f in files]))
+        except Exception as e:
+            print(f"FAIL {name}: spark output sort error: {str(e).splitlines()[0]}")
+            n_fail += 1
+            continue
         try:
             exp = canon(con.sql(oracle[name]).df())
         except Exception as e:
@@ -75,7 +77,14 @@ def main(sf_dir: str, out_dir: str) -> int:
         if name in oracle:
             continue
         files = glob.glob(f"{p}/*.parquet")
-        n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
+        try:
+            # The driver canonicalizes rows-only outputs too (m02 in round 1
+            # errored inside its sort), so sortability is part of the contract.
+            n = len(canon(pd.concat([pd.read_parquet(f) for f in files]))) if files else 0
+        except Exception as e:
+            print(f"FAIL {name} (rows-only sort error: {str(e).splitlines()[0]})")
+            n_fail += 1
+            continue
         print(f"{'PASS' if n > 0 else 'FAIL'} {name} (rows-only: {n})")
         if n > 0:
             n_pass += 1
