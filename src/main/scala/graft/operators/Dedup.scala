@@ -29,8 +29,8 @@ object Dedup {
     df.select(col(idCol).as("__id"),
       explode(TextFunctions.shingles(col(textCol), n)).as("s"))
 
-  private def verified(sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
-    val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("n"))
+  private def verified(sh: DataFrame, cand: DataFrame, sizes: DataFrame,
+                       threshold: Double): DataFrame = {
     // semi-join prune: only candidate docs' shingles reach the equality
     // join — without this the full shingle table shuffles on (id, s)
     val shB = sh.toDF("doc_b", "s")
@@ -56,48 +56,68 @@ object Dedup {
     val cand = sh.toDF("doc_a", "s")
       .join(sh.toDF("doc_b", "s2"), col("s") === col("s2") && col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    verified(sh, cand, threshold)
+    verified(sh, cand, sh.groupBy("__id").agg(count(lit(1)).as("n")), threshold)
   }
 
   /** MinHash+LSH near-dup pairs: k seeded min-hashes, `bands` bands of
     * k/bands rows, candidates from the band-bucket equi-join, exact
     * Jaccard verification of candidates only.
+    *
+    * `maxBucketSize` (0 = uncapped) drops any (band, bucket) with more
+    * members before candidate pairing — standard LSH hygiene: a
+    * degenerate bucket (boilerplate, empty-ish docs) otherwise goes
+    * quadratic within the bucket. Dropped buckets are overwhelmingly
+    * low-precision; genuinely similar pairs still collide in the other
+    * bands (recall contract pinned in SimilaritySpec).
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-                      n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+                      n: Int, k: Int, bands: Int, threshold: Double,
+                      maxBucketSize: Int = 0): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    // shingles carried as 64-bit hashes from here on: signatures need
-    // only the hash, and verifying candidate overlap on the hash instead
-    // of the string halves the cached/joined payload (a collision would
-    // need two distinct shingles of one candidate pair sharing an
-    // xxhash64 — ~2^-64 per pair). The exact-string path lives in
-    // exactJaccardPairs. Persisted because the signature agg and both
-    // verification joins all read it (checkpoint at cluster scale).
-    val sh = shingleTable(df, idCol, textCol, n)
-      .select(col("__id"), xxhash64(col("s")).as("s"))
+    // shingles carried as 64-bit hashes end-to-end: ShingleHashes emits
+    // distinct xxhash64 values in one fused byte scan (no string
+    // shingles materialized anywhere), and candidate overlap verifies on
+    // the hash (a false merge needs two distinct shingles of one
+    // candidate pair sharing an xxhash64 — ~2^-64 per pair). The
+    // exact-string path lives in exactJaccardPairs. Persisted because
+    // the signature agg and both verification joins all read it
+    // (checkpoint at cluster scale).
+    val sh = df.select(col(idCol).as("__id"),
+        explode(graft.plans.ShingleHashes(col(textCol), n)).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // whole signature in ONE TypedImperativeAggregate buffer (long[k])
-    // instead of k separate min-aggregate columns
+    // instead of k separate min-aggregate columns; the per-doc shingle
+    // count rides along in the same pass (no second scan + shuffle of
+    // sh just for sizes). Persisted: band explode runs once per
+    // self-join side plus the sizes read — all from this one agg.
     val sigs = sh.groupBy(col("__id"))
-      .agg(graft.plans.MinHashSignature(col("s"), k).as("sig"))
+      .agg(graft.plans.MinHashSignature(col("s"), k).as("sig"),
+           count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandStructs = array((0 until bands).map { band =>
       struct(lit(band).as("band"),
         xxhash64((band * r until (band + 1) * r)
           .map(i => element_at(col("sig"), i + 1)): _*).as("bucket"))
     }: _*)
-    // persist: both sides of the candidate self-join read this table —
-    // without it the whole signature aggregation runs twice
     val buckets = sigs
       .select(col("__id"), explode(bandStructs).as("bk"))
       .select(col("__id"), col("bk.band"), col("bk.bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = buckets.alias("x")
-      .join(buckets.alias("y"),
+    val capped =
+      if (maxBucketSize <= 0) buckets
+      else {
+        // the oversized-bucket list is tiny by construction → broadcast anti
+        val big = buckets.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("__bn")).filter(col("__bn") > maxBucketSize)
+          .select("band", "bucket")
+        buckets.join(broadcast(big), Seq("band", "bucket"), "left_anti")
+      }
+    val cand = capped.alias("x")
+      .join(capped.alias("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("doc_a"), col("y.__id").as("doc_b"))
       .distinct()
-    verified(sh, cand, threshold)
+    verified(sh, cand, sigs.select(col("__id"), col("n")), threshold)
   }
 }

@@ -47,8 +47,12 @@ object Resolution {
       .select((col("__setkey") +: targetCols.map(c => col(c).as(s"__set_$c"))).toIndexedSeq: _*)
     val joined = df.join(broadcast(wide), col(dataKey) === col("__setkey"), "left")
     val projected = df.columns.map { c =>
+      // try_cast, not cast: Spark 4 runs ANSI mode, where one malformed
+      // human-authored SET value ('abc' onto an int column) would throw
+      // and kill the job; the reference prefers the data column's type
+      // and degrades to the existing value.
       if (targetCols.contains(c))
-        coalesce(col(s"__set_$c").cast(df.schema(c).dataType), col(c)).as(c)
+        coalesce(expr(s"try_cast(__set_$c AS ${df.schema(c).dataType.sql})"), col(c)).as(c)
       else col(c)
     }
     joined.select(projected.toIndexedSeq: _*)

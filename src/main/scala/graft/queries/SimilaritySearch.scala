@@ -102,7 +102,8 @@ object SimilaritySearch {
     // t06 pairs with high probability at jaccard >= 0.3.
     Query.noOracle("s03_minhash_lsh_neardup") { (s, d) =>
       graft.operators.Dedup.minhashLshPairs(Tables.documents(s, d),
-        "doc_id", "text", n = 2, k = 32, bands = 8, threshold = 0.3)
+        "doc_id", "text", n = 2, k = 32, bands = 8, threshold = 0.3,
+        maxBucketSize = 100)
     },
 
     // ---- S4: SimHash fingerprints -------------------------------------------
@@ -126,12 +127,22 @@ object SimilaritySearch {
         .select("vec_id", "embedding", "t", "b")
       val q = bucketed.filter(col("vec_id") < 10)
         .toDF("query_id", "q_emb", "t", "b")
-      val cand = bucketed.join(broadcast(q), Seq("t", "b"))
+      // a (query, neighbor) pair colliding in several tables must score
+      // once: dedup on the id pair BEFORE carrying embeddings, so the
+      // exchange shuffles two longs per candidate, not two float arrays
+      val candIds = bucketed.select("vec_id", "t", "b")
+        .join(broadcast(q.select("query_id", "t", "b")), Seq("t", "b"))
         .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("q_emb"), col("vec_id").as("neighbor_id"), col("embedding"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
         .distinct()
+      val e2 = e.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      val qv = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
       val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-      cand.withColumn("cos", Similarity.cosine(col("q_emb"), col("embedding")))
+      // candidate ids are small by construction → broadcast them so the
+      // corpus side re-reads embeddings without any shuffle
+      e2.join(broadcast(candIds), "neighbor_id").join(qv, "query_id")
+        .withColumn("cos", Similarity.cosine(col("q_emb"), col("embedding")))
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
         .select("query_id", "neighbor_id", "cos")
     },

@@ -86,7 +86,7 @@ object Temporal {
     Query("w14_session_window",
       """WITH ids AS (
         |  SELECT user_id, ts,
-        |         CAST(1 + sum(CASE WHEN epoch_us(ts) - prev > 1800000000 THEN 1 ELSE 0 END)
+        |         CAST(1 + sum(CASE WHEN epoch_us(ts) - prev >= 1800000000 THEN 1 ELSE 0 END)
         |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS sid
         |  FROM (SELECT *, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
         |        FROM events))

@@ -168,12 +168,10 @@ object TextAnalysis {
 
     // ---- T12: token-budget shard packing --------------------------------------
     // Assign documents (in stable doc_id order) to shards of ~2000 tokens
-    // each: shard = floor(tokens-before-this-doc / budget) — the
-    // deterministic precursor of sequence packing for training runs.
-    // NOTE: a global prefix sum is inherently single-ordered; at 100 TB
-    // run it as per-partition partial sums + broadcast offsets (or pack
-    // within hash-bucketed substreams) — the windowed form here is the
-    // semantic reference.
+    // each — two-pass distributed prefix sum (operators/Packing): range
+    // buckets → per-bucket totals → broadcast offsets → within-bucket
+    // window. No data-sized single-partition exchange; the oracle's
+    // global window is the semantic reference.
     Query("t12_token_shards",
       """WITH t AS (
         |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
@@ -182,15 +180,10 @@ object TextAnalysis {
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |             - n_tokens) / 2000) AS BIGINT) AS shard
         |FROM t""".stripMargin) {
-      (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      (s, d) => graft.operators.Packing.tokenShards(
         Tables.documents(s, d)
-          .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
-          .withColumn("shard",
-            floor((sum(col("n_tokens")).over(w).cast("double") - col("n_tokens")) / 2000)
-              .cast("bigint"))
-      }
+          .select(col("doc_id"), tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", budget = 2000, bucketWidth = 128)
     },
 
     // ---- T7: delimited multi-value cells: split → explode → re-aggregate ----

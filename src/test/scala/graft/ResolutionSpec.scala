@@ -35,6 +35,17 @@ class ResolutionSpec extends SparkSpec {
     assert(rows(out) == Set(Seq("r1", 99, "x"), Seq("r3", 30, "fixed")))
   }
 
+  test("malformed SET value degrades to the data value, not an ANSI error") {
+    // one bad human-authored sheet row must not crash the job: 'abc'
+    // onto the int column try_casts to null → coalesce keeps 10
+    val res = df(
+      """SELECT * FROM VALUES ('r1', 'amount', 'abc', 'SET'),
+        |  ('r3', 'amount', '77', 'SET') t(key, column, setTo, operation)""".stripMargin)
+    val out = Resolution.applySets(data, res, "key")
+    assert(rows(out) == Set(
+      Seq("r1", 10, "x"), Seq("r2", 20, "y"), Seq("r3", 77, "z")))
+  }
+
   test("applySets ignores resolution columns absent from the data") {
     val res = df("SELECT 'r1' AS key, 'nope' AS column, 'v' AS setTo, 'SET' AS operation")
     assert(rows(Resolution.applySets(data, res, "key")) == rows(data))
