@@ -216,6 +216,84 @@ object Temporal {
           .groupBy("c_custkey")
           .agg(min(col("s_suppkey")).as("s_suppkey"), min(col("dist2")).as("dist2"))
       }
+    },
+
+    // ---- W15: RDT incident-case state machine ----------------------------------
+    // The reference's flagship recurrence (evaluate_rdts.R:84-131) over a
+    // deterministic fixture synthesized from events (md5-derived test
+    // results, cumulative skips for the visit-number rule). The oracle
+    // replays the row-by-row recurrence as a recursive CTE; nullable
+    // outputs are cast to VARCHAR so both engines agree on NA handling.
+    Query("w15_rdt_cases",
+      """WITH RECURSIVE base AS (
+        |  SELECT user_id AS person,
+        |         CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE user_id < 300
+        |), fix AS (
+        |  SELECT person, day, rn,
+        |    CASE WHEN substring(md5(CAST(person AS VARCHAR) || ':' || CAST(rn AS VARCHAR) || ':a'), 1, 2) < '28' THEN 'Positive'
+        |         WHEN substring(md5(CAST(person AS VARCHAR) || ':' || CAST(rn AS VARCHAR) || ':a'), 1, 2) < 'c8' THEN 'Negative'
+        |         ELSE '' END AS pan_result,
+        |    CASE WHEN substring(md5(CAST(person AS VARCHAR) || ':' || CAST(rn AS VARCHAR) || ':b'), 1, 2) < '40' THEN 'Positive'
+        |         WHEN substring(md5(CAST(person AS VARCHAR) || ':' || CAST(rn AS VARCHAR) || ':b'), 1, 2) < 'b0' THEN 'Negative'
+        |         ELSE '' END AS pf_result,
+        |    CASE WHEN substring(md5(CAST(person AS VARCHAR) || ':' || CAST(rn AS VARCHAR) || ':c'), 1, 1) < '8' THEN 'yes'
+        |         ELSE 'no' END AS child_took_coartem,
+        |    CAST(rn + sum(CASE WHEN substring(md5(CAST(person AS VARCHAR) || ':' || CAST(rn AS VARCHAR) || ':d'), 1, 1) < '4' THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY person ORDER BY rn) AS INT) AS visit_number
+        |  FROM base WHERE rn <= 6
+        |), rec AS (
+        |  SELECT person, rn, visit_number, day, pf_result, child_took_coartem,
+        |         CAST(NULL AS INT) AS days_since_prev,
+        |         CAST(NULL AS INT) AS days_at_risk,
+        |         (pan_result = 'Positive' OR pf_result = 'Positive') AS incident_case
+        |  FROM fix WHERE rn = 1
+        |  UNION ALL
+        |  SELECT f.person, f.rn, f.visit_number, f.day, f.pf_result, f.child_took_coartem,
+        |         CAST(f.day - r.day AS INT),
+        |         CAST(f.day - r.day - CASE WHEN r.child_took_coartem = 'yes' THEN 14 ELSE 0 END AS INT),
+        |         CASE WHEN f.pan_result = 'Positive' THEN TRUE
+        |              WHEN f.pf_result = 'Negative' THEN FALSE
+        |              WHEN f.pf_result = 'Positive' THEN
+        |                CASE WHEN f.visit_number <> r.visit_number + 1 THEN TRUE
+        |                     WHEN r.incident_case = FALSE THEN TRUE
+        |                     WHEN r.pf_result <> 'Positive' THEN TRUE
+        |                     WHEN r.child_took_coartem = 'yes' THEN FALSE
+        |                     ELSE TRUE END
+        |              ELSE NULL END
+        |  FROM fix f JOIN rec r ON f.person = r.person AND f.rn = r.rn + 1
+        |)
+        |SELECT person, visit_number,
+        |       CAST(days_since_prev AS VARCHAR) AS days_since_prev,
+        |       CAST(days_at_risk AS VARCHAR) AS days_at_risk,
+        |       CAST(incident_case AS VARCHAR) AS incident_case
+        |FROM rec""".stripMargin) {
+      (s, d) => {
+        val rnW = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val base = Tables.events(s, d).filter(col("user_id") < 300)
+          .select(col("user_id").as("person"),
+            floor(unix_micros(col("ts")) / lit(86400000000L).cast("double")).cast("bigint").as("day"),
+            row_number().over(rnW).as("rn"))
+          .filter(col("rn") <= 6)
+        def h(salt: String, width: Int) =
+          substring(md5(concat_ws(":", col("person"), col("rn"), lit(salt))), 1, width)
+        val skipW = Window.partitionBy("person").orderBy("rn")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val fix = base.select(col("person"), col("day"), col("rn"),
+          when(h("a", 2) < "28", "Positive").when(h("a", 2) < "c8", "Negative")
+            .otherwise("").as("pan_result"),
+          when(h("b", 2) < "40", "Positive").when(h("b", 2) < "b0", "Negative")
+            .otherwise("").as("pf_result"),
+          when(h("c", 1) < "8", "yes").otherwise("no").as("child_took_coartem"),
+          (col("rn") + sum(when(h("d", 1) < "4", 1).otherwise(0)).over(skipW))
+            .cast("int").as("visit_number"))
+        graft.operators.RdtScan.evaluate(fix, "person", "visit_number", "day")
+          .select(col("person"), col("visit_number"),
+            col("days_since_prev").cast("string").as("days_since_prev"),
+            col("days_at_risk").cast("string").as("days_at_risk"),
+            col("incident_case").cast("string").as("incident_case"))
+      }
     }
   )
 }

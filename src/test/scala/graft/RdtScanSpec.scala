@@ -3,55 +3,81 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.operators.RdtScan
 
+/** Goldens hand-traced from the reference flowchart
+  * (evaluate_rdts.R:84-131); every branch of the pf-positive streak
+  * logic, the skipped-visit rule, the NA (null) outcome, and the
+  * previous-visit treatment offset is exercised.
+  */
 class RdtScanSpec extends SparkSpec {
 
   private def visits = df(
-    """SELECT extid, CAST(d AS DATE) AS d, positive, treated FROM VALUES
-      |  ('p1', '2024-01-01', true,  false),
-      |  ('p1', '2024-01-20', true,  true),
-      |  ('p1', '2024-01-30', true,  false),
-      |  ('p1', '2024-03-01', true,  false),
-      |  ('p2', '2024-01-01', false, false),
-      |  ('p2', '2024-02-01', true,  true),
-      |  ('p2', '2024-02-10', true,  false)
-      |  t(extid, d, positive, treated)""".stripMargin)
+    """SELECT extid, CAST(vn AS INT) AS visit_number, CAST(day AS BIGINT) AS day,
+      |       pan_result, pf_result, child_took_coartem FROM VALUES
+      |  ('p1', 1, 0,  '',         'Positive', 'no'),
+      |  ('p1', 2, 10, '',         'Positive', 'yes'),
+      |  ('p1', 3, 20, '',         'Positive', 'no'),
+      |  ('p1', 4, 30, '',         'Positive', 'no'),
+      |  ('p1', 6, 40, '',         'Positive', 'no'),
+      |  ('p1', 7, 50, '',         '',         'no'),
+      |  ('p1', 8, 60, '',         'Positive', 'no'),
+      |  ('p2', 1, 0,  'Negative', 'Negative', 'no'),
+      |  ('p2', 2, 31, 'Positive', '',         'yes'),
+      |  ('p2', 3, 41, '',         'Negative', 'no')
+      |  t(extid, vn, day, pan_result, pf_result, child_took_coartem)""".stripMargin)
 
-  test("incident cases depend on carried state, not just the previous row") {
-    val out = RdtScan.evaluate(visits, "extid", "d")
-      .select("extid", "d", "incident_case", "days_at_risk")
-    val got = out.collect().map(r =>
-      (r.getString(0), r.getDate(1).toString) -> (r.getBoolean(2), r.getInt(3))).toMap
-    // p1: untreated positive carries indefinitely → Jan 20 not incident;
-    // treatment on Jan 20 ends episode Feb 3 → Jan 30 still carried;
-    // Mar 1 (past episode end) is a NEW incident.
-    assert(got(("p1", "2024-01-01")) == (true, 0))
-    assert(got(("p1", "2024-01-20")) == (false, 5)) // gap 19 - 14 treated
-    assert(got(("p1", "2024-01-30")) == (false, 10))
-    assert(got(("p1", "2024-03-01")) == (true, 31))
-    // p2: negative first; treated positive Feb 1; Feb 10 carried (≤ Feb 15)
-    assert(got(("p2", "2024-01-01")) == (false, 0))
-    assert(got(("p2", "2024-02-01")) == (true, 17)) // gap 31 - 14
-    assert(got(("p2", "2024-02-10")) == (false, 9))
+  private def evaluated =
+    RdtScan.evaluate(visits, "extid", "visit_number", "day")
+
+  test("matches the reference flowchart branch for branch") {
+    val got = evaluated.collect().map { r =>
+      (r.getString(0), r.getInt(1)) ->
+        ((if (r.isNullAt(6)) null else r.getInt(6),
+          if (r.isNullAt(7)) null else r.getInt(7),
+          if (r.isNullAt(8)) null else r.getBoolean(8)))
+    }.toMap
+    // p1 trace:
+    // v1 enrollment, pf Positive -> incident TRUE, days null
+    assert(got(("p1", 1)) == ((null, null, true)))
+    // v2 consecutive, prev incident TRUE, prev pf Positive, prev co no -> TRUE
+    assert(got(("p1", 2)) == ((10, 10, true)))
+    // v3 consecutive, prev TRUE, prev pf Positive, prev co yes -> FALSE;
+    // days_at_risk = 10 - 14 (previous visit treated; may go negative)
+    assert(got(("p1", 3)) == ((10, -4, false)))
+    // v4 prev incident known FALSE -> TRUE
+    assert(got(("p1", 4)) == ((10, 10, true)))
+    // v6 skipped v5 -> TRUE regardless of streak
+    assert(got(("p1", 6)) == ((10, 10, true)))
+    // v7 pan blank-ish, pf blank -> unknown (NA)
+    assert(got(("p1", 7)) == ((10, 10, null)))
+    // v8 prev pf not Positive -> TRUE (prev incident NA does not clear it)
+    assert(got(("p1", 8)) == ((10, 10, true)))
+    // p2 trace: enrollment both Negative -> FALSE (not NA)
+    assert(got(("p2", 1)) == ((null, null, false)))
+    // pan Positive always incident
+    assert(got(("p2", 2)) == ((31, 31, true)))
+    // pf Negative -> FALSE; previous visit treated -> 10 - 14
+    assert(got(("p2", 3)) == ((10, -4, false)))
   }
 
   test("recurrence is partition-count independent") {
-    val a = RdtScan.evaluate(visits.repartition(1), "extid", "d")
-    val b = RdtScan.evaluate(visits.repartition(5), "extid", "d")
+    val a = RdtScan.evaluate(visits.repartition(1), "extid", "visit_number", "day")
+    val b = RdtScan.evaluate(visits.repartition(5), "extid", "visit_number", "day")
     assert(rows(a) == rows(b))
   }
 
-  test("a lag()-only formulation disagrees: carried state needs the scan") {
-    // the naive "incident = positive && !lag(positive)" misses that p1's
-    // Mar 1 should be incident (episode expired) — prove the scan differs
+  test("a lag()-only formulation disagrees: the streak needs the scan") {
+    // naive "pf positive and previous pf not positive" misses p1 v4:
+    // incident because the PREVIOUS COMPUTED flag is false, even though
+    // the previous pf was Positive
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("extid").orderBy("d")
+      .partitionBy("extid").orderBy("visit_number")
     val naive = visits.withColumn("incident_case",
-      col("positive") && !coalesce(lag(col("positive"), 1).over(w), lit(false)))
-    val scan = RdtScan.evaluate(visits, "extid", "d")
-    val n = naive.filter(col("extid") === "p1" && col("d") === "2024-03-01")
+      col("pf_result") === "Positive" &&
+        coalesce(lag(col("pf_result"), 1).over(w), lit("")) =!= "Positive")
+    val n = naive.filter(col("extid") === "p1" && col("visit_number") === 4)
       .head().getAs[Boolean]("incident_case")
-    val s = scan.filter(col("extid") === "p1" && col("d") === "2024-03-01")
+    val s = evaluated.filter(col("extid") === "p1" && col("visit_number") === 4)
       .head().getAs[Boolean]("incident_case")
-    assert(!n && s, "scan must re-open expired episodes where lag cannot")
+    assert(!n && s, "computed-flag dependence is invisible to lag()")
   }
 }
