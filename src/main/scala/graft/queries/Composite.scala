@@ -64,6 +64,33 @@ object Composite {
     // latest-per-group dedup (A10), then customers holding duplicate
     // priorities across statuses (A11), projected to the anomaly schema
     // with a sorted keylist (A5).
+    // ---- A15: anomaly summary snapshot ---------------------------------------
+    // The reference's end-of-run tally: consolidate every detector's
+    // uniform output, count per (form_id, anomalies_id), stamp the
+    // snapshot date. Ref: 05.run_anomaly_detection.R:91-96.
+    Query("a15_anomaly_snapshot",
+      """WITH dup AS (
+        |  SELECT 'lineitem' AS form_id, 'dup_orderkey' AS anomalies_id
+        |  FROM lineitem GROUP BY l_orderkey HAVING count(*) >= 2),
+        |thr AS (
+        |  SELECT 'lineitem' AS form_id, 'qty_gt_49' AS anomalies_id
+        |  FROM lineitem WHERE l_quantity > 49)
+        |SELECT form_id, anomalies_id, count(*) AS n,
+        |       CAST('2026-01-01' AS DATE) AS snapshot_date
+        |FROM (SELECT * FROM dup UNION ALL SELECT * FROM thr)
+        |GROUP BY form_id, anomalies_id""".stripMargin) {
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val dup = Anomalies.detectDuplication(li, "lineitem", "dup_orderkey",
+          Seq("l_orderkey"), "l_linenumber")
+        val thr = Anomalies.detectThreshold(
+          li.withColumn("__k", concat_ws("-", col("l_orderkey"), col("l_linenumber"))),
+          "lineitem", "qty_gt_49", "__k", col("l_quantity"), 49.0)
+        Anomalies.summarize(Anomalies.consolidate(Seq(dup, thr)),
+          lit(java.sql.Date.valueOf("2026-01-01")))
+      }
+    },
+
     Query("a16_flagship_dup_pipeline",
       """WITH latest AS (
         |  SELECT * FROM (

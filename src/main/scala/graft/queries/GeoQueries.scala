@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Query, Tables}
 import graft.functions.Geo
@@ -40,6 +41,29 @@ object GeoQueries {
           (((col("c_custkey") / 100) % 100) / 10.0).as("y"))
         .withColumn("geo_cluster", assign(col("x"), col("y")))
         .groupBy("geo_cluster").agg(count(lit(1)).as("n"))
+    },
+
+    // ---- W4: priority by spatial order --------------------------------------
+    // The reference ranks households by distance to their cluster's edge,
+    // deepest first (randomize.R:1104-1114): assign each point a diamond
+    // cell, compute distance to that cell's boundary, rank desc within
+    // the cell. Rows-only (geometry has no SQL oracle); containment and
+    // edge-distance values are pinned in GeoSpec.
+    Query.noOracle("w04_spatial_priority") { (s, d) =>
+      val assign = Geo.clusterAssigner(s, diamonds, bufferDeg = 0.0)
+      val edge = Geo.edgeDistanceUdf(s, diamonds)
+      val w = Window.partitionBy("geo_cluster")
+        .orderBy(col("edge_dist").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          ((col("c_custkey") % 100) / 10.0).as("x"),
+          (((col("c_custkey") / 100) % 100) / 10.0).as("y"))
+        .withColumn("geo_cluster", assign(col("x"), col("y")))
+        .filter(col("geo_cluster").isNotNull)
+        .withColumn("edge_dist", round(edge(col("geo_cluster"), col("x"), col("y")), 9))
+        .withColumn("priority", row_number().over(w))
+        .filter(col("priority") <= 5)
+        .select("geo_cluster", "priority", "c_custkey", "edge_dist")
     },
 
     // ---- J12-geo: nearest facility by haversine ----------------------------
