@@ -17,6 +17,51 @@ import graft.operators.Windows
   */
 object Goals {
 
+  /** g03's deterministic fixture + the reference's enrollment/removal
+    * state machine (00.store_se_goals.R:374-392): md5-derived statuses
+    * over events, enrollment classified from starting vs current status,
+    * removal from migration/death/refusal/eos/never-enrolled-by-V3.
+    * Exposed so GoalsSpec can assert every branch actually occurs in
+    * the fixture the oracle checks.
+    */
+  private[graft] def efficacyCurated(s: org.apache.spark.sql.SparkSession,
+                                     d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rnW = Window.partitionBy("extid").orderBy(col("ts"), col("event_id"))
+    val base = Tables.events(s, d).filter(col("user_id") < 400)
+      .select(col("user_id").as("extid"), col("ts"), col("event_id"))
+      .withColumn("vn", row_number().over(rnW))
+    def hv(salt: String) =
+      substring(md5(concat_ws(":", col("extid"), col("vn"), lit(salt))), 1, 2)
+    def hp(salt: String) =
+      substring(md5(concat_ws(":", col("extid"), lit(salt))), 1, 2)
+    val fix = base
+      .filter(col("vn") <= 4 && hv("pres") < "c0")
+      .select(col("extid"), col("vn"),
+        floor(col("extid") / 4.0).cast("bigint").as("hhid"),
+        when(hp("s") < "60", "out").otherwise("in").as("starting"),
+        when(hv("st") < "28", "out").when(hv("st") < "3c", "refusal")
+          .when(hv("st") < "50", "eos").otherwise("in").as("status"),
+        when(hv("m") < "14", 1).otherwise(0).as("mig"),
+        when(hv("u") < "0a", 1).otherwise(0).as("unm"),
+        when(hv("d") < "05", 1).otherwise(0).as("und"))
+      .withColumn("cluster", col("hhid") % 20)
+      .withColumn("village", concat(lit("v"), (col("cluster") % 7).cast("string")))
+      .withColumn("assignment",
+        when(col("cluster") % 2 === 0, "arm_a").otherwise("arm_b"))
+    // enrollment state machine + removal flags (the removal applies
+    // from the NEXT visit, per the reference's next_eff shift)
+    fix
+      .withColumn("enrollment",
+        when(col("starting") === "out" && col("status") =!= "out", "enrollment")
+          .when(col("starting") === "out" && col("status") === "out", "not yet enrolled")
+          .otherwise("follow up"))
+      .withColumn("removal",
+        col("mig") === 1 || col("unm") === 1 || col("und") === 1 ||
+          col("status") === "refusal" || col("status") === "eos" ||
+          (col("enrollment") === "not yet enrolled" && col("vn") >= 3))
+  }
+
   val queries: Seq[Query] = Seq(
 
     // ---- G1: visit targets = skeleton + latest obs + fill + as-of ----------
@@ -93,6 +138,97 @@ object Goals {
           .agg(sum(col("refused")).as("nr"), count(lit(1)).as("n"))
           .filter(col("nr") === col("n"))
           .select(col("hh"), concat(lit("V"), (col("vn") + 1).cast("string")).as("excluded_visit"))
+      }
+    },
+
+    // ---- G3: deep efficacy cascade ------------------------------------------
+    // The reference's efficacy-target state machine
+    // (00.store_se_goals.R:332-436) end to end over a deterministic
+    // md5-derived fixture: enrollment classification (out→in =
+    // enrollment, out→out = not yet enrolled, else follow up), removal
+    // flags (migration/death/refusal/eos/never-enrolled-by-V3), the
+    // removal shifted to the NEXT visit, a visit×person skeleton with
+    // forward-filled attributes, dplyr's NA-dropping filter on
+    // coalesce(removal, next_removal), and distinct household/person
+    // targets per (visit, assignment, cluster, village).
+    Query("g03_efficacy_cascade",
+      """WITH base AS (
+        |  SELECT user_id AS extid,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vn
+        |  FROM events WHERE user_id < 400
+        |), fix AS (
+        |  SELECT extid, vn,
+        |    CAST(floor(extid / 4.0) AS BIGINT) AS hhid,
+        |    CAST(floor(extid / 4.0) AS BIGINT) % 20 AS cluster,
+        |    'v' || CAST(CAST(floor(extid / 4.0) AS BIGINT) % 20 % 7 AS VARCHAR) AS village,
+        |    CASE WHEN CAST(floor(extid / 4.0) AS BIGINT) % 20 % 2 = 0 THEN 'arm_a' ELSE 'arm_b' END AS assignment,
+        |    CASE WHEN substring(md5(CAST(extid AS VARCHAR) || ':s'), 1, 2) < '60' THEN 'out' ELSE 'in' END AS starting,
+        |    CASE WHEN substring(md5(CAST(extid AS VARCHAR) || ':' || CAST(vn AS VARCHAR) || ':st'), 1, 2) < '28' THEN 'out'
+        |         WHEN substring(md5(CAST(extid AS VARCHAR) || ':' || CAST(vn AS VARCHAR) || ':st'), 1, 2) < '3c' THEN 'refusal'
+        |         WHEN substring(md5(CAST(extid AS VARCHAR) || ':' || CAST(vn AS VARCHAR) || ':st'), 1, 2) < '50' THEN 'eos'
+        |         ELSE 'in' END AS status,
+        |    CASE WHEN substring(md5(CAST(extid AS VARCHAR) || ':' || CAST(vn AS VARCHAR) || ':m'), 1, 2) < '14' THEN 1 ELSE 0 END AS mig,
+        |    CASE WHEN substring(md5(CAST(extid AS VARCHAR) || ':' || CAST(vn AS VARCHAR) || ':u'), 1, 2) < '0a' THEN 1 ELSE 0 END AS unm,
+        |    CASE WHEN substring(md5(CAST(extid AS VARCHAR) || ':' || CAST(vn AS VARCHAR) || ':d'), 1, 2) < '05' THEN 1 ELSE 0 END AS und
+        |  FROM base
+        |  WHERE vn <= 4
+        |    AND substring(md5(CAST(extid AS VARCHAR) || ':' || CAST(vn AS VARCHAR) || ':pres'), 1, 2) < 'c0'
+        |), curated AS (
+        |  SELECT *,
+        |    (mig = 1 OR unm = 1 OR und = 1 OR status = 'refusal' OR status = 'eos'
+        |      OR (starting = 'out' AND status = 'out' AND vn >= 3)) AS removal
+        |  FROM fix
+        |), skel AS (
+        |  SELECT p.extid, v.vn
+        |  FROM (SELECT DISTINCT extid FROM curated) p
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS vn) v
+        |), nexte AS (
+        |  SELECT extid, vn + 1 AS vn, removal AS next_removal
+        |  FROM curated WHERE vn + 1 <= 4
+        |), joined AS (
+        |  SELECT sk.extid, sk.vn, c.removal, n.next_removal,
+        |    last_value(c.hhid IGNORE NULLS) OVER w AS hhid_f,
+        |    last_value(c.cluster IGNORE NULLS) OVER w AS cluster_f,
+        |    last_value(c.village IGNORE NULLS) OVER w AS village_f,
+        |    last_value(c.assignment IGNORE NULLS) OVER w AS assignment_f
+        |  FROM skel sk
+        |  LEFT JOIN curated c ON c.extid = sk.extid AND c.vn = sk.vn
+        |  LEFT JOIN nexte n ON n.extid = sk.extid AND n.vn = sk.vn
+        |  WINDOW w AS (PARTITION BY sk.extid ORDER BY sk.vn
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT 'V' || CAST(vn + 1 AS VARCHAR) AS visit, assignment_f AS assignment,
+        |       cluster_f AS cluster, village_f AS village,
+        |       count(DISTINCT hhid_f) AS hh_target, count(DISTINCT extid) AS ind_target
+        |FROM joined
+        |WHERE NOT coalesce(removal, next_removal)
+        |GROUP BY 1, 2, 3, 4""".stripMargin) {
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val curated = efficacyCurated(s, d)
+        val visits = s.range(1, 5).select(col("id").cast("int").as("vn"))
+        val skel = curated.select("extid").distinct().crossJoin(broadcast(visits))
+        val nextEff = curated
+          .select(col("extid").as("n_extid"), (col("vn") + 1).as("n_vn"),
+            col("removal").as("next_removal"))
+          .filter(col("n_vn") <= 4)
+        val fillW = Window.partitionBy("extid").orderBy("vn")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        skel
+          .join(curated.select("extid", "vn", "hhid", "cluster", "village",
+            "assignment", "removal"), Seq("extid", "vn"), "left")
+          .join(nextEff,
+            col("extid") === col("n_extid") && col("vn") === col("n_vn"), "left")
+          .withColumn("hhid_f", last(col("hhid"), ignoreNulls = true).over(fillW))
+          .withColumn("cluster_f", last(col("cluster"), ignoreNulls = true).over(fillW))
+          .withColumn("village_f", last(col("village"), ignoreNulls = true).over(fillW))
+          .withColumn("assignment_f", last(col("assignment"), ignoreNulls = true).over(fillW))
+          .filter(!coalesce(col("removal"), col("next_removal")))
+          .groupBy(concat(lit("V"), (col("vn") + 1).cast("string")).as("visit"),
+            col("assignment_f").as("assignment"), col("cluster_f").as("cluster"),
+            col("village_f").as("village"))
+          .agg(countDistinct(col("hhid_f")).as("hh_target"),
+            countDistinct(col("extid")).as("ind_target"))
       }
     }
   )
