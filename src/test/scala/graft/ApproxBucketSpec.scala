@@ -18,6 +18,19 @@ class ApproxBucketSpec extends SparkSpec {
     }
   }
 
+  test("single-flavor distinct aggregations stay Expand-free") {
+    // ScaleSmoke regression class: MIXING exact countDistinct with
+    // approx_count_distinct in one aggregate forces an Expand that
+    // multiplies the input (an 18s silent blowup at 10x). Multi-exact
+    // distinct (a02/a03) legitimately Expands; the guard is that the
+    // pure-approx query and the shared-base metrics report never do.
+    val d = "/root/testdata/sf0.001"
+    for (q <- Seq("a17_approx_distinct", "r10_shared_base_metrics")) {
+      val plan = SparkEntryHelper.run(q, spark, d).queryExecution.executedPlan.toString
+      assert(!plan.contains("Expand"), s"$q plan grew an Expand:\n$plan")
+    }
+  }
+
   test("OdkKeys parses parent and child keys") {
     val d = df(
       """SELECT * FROM VALUES
