@@ -50,8 +50,35 @@ object ScaleSmoke {
           .write.format("noop").mode("overwrite").save()
       },
       time("distinct_count") {
+        // mixed exact+approx Expands (2 distinct groups); measured here
+        // it still beats two separate full shuffles — the pattern to
+        // avoid is adding approx to an otherwise Expand-FREE aggregate
+        // (pure approx never Expands: ApproxBucketSpec guard)
         li.groupBy("l_returnflag")
           .agg(countDistinct("l_orderkey"), approx_count_distinct("l_partkey"))
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("lsh_neardup_50k_docs") {
+        // 10x documents (~50k docs, ~5M shingle hashes): the full LSH
+        // pipeline — fused shingling, one-buffer signatures, capped
+        // buckets, exact verification
+        val docs0 = graft.core.Tables.documents(spark, sfDir)
+        val maxDoc = docs0.agg(max("doc_id")).as[Long].head() + 1
+        val docs = docs0.crossJoin(copies)
+          .withColumn("doc_id", col("doc_id") + col("rep") * maxDoc).drop("rep")
+        graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text",
+            n = 2, k = 32, bands = 8, threshold = 0.3, maxBucketSize = 100)
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("token_shards_50k_docs") {
+        val docs0 = graft.core.Tables.documents(spark, sfDir)
+        val maxDoc = docs0.agg(max("doc_id")).as[Long].head() + 1
+        val docs = docs0.crossJoin(copies)
+          .withColumn("doc_id", col("doc_id") + col("rep") * maxDoc).drop("rep")
+        graft.operators.Packing.tokenShards(
+            docs.select(col("doc_id"),
+              graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens")),
+            "doc_id", "n_tokens", budget = 2000, bucketWidth = 128)
           .write.format("noop").mode("overwrite").save()
       })
 
