@@ -19,6 +19,63 @@ object Cleaning {
 
   val queries: Seq[Query] = Seq(
 
+    // ---- P1: column-name normalize (ODK group prefixes) -------------------
+    // Rename to ODK-style `group-subgroup-field` names first, then clean;
+    // the oracle states the expected plain names directly.
+    Query("p01_clean_names",
+      """SELECT c_custkey AS custkey, c_name AS name, c_mktsegment AS segment
+        |FROM customer""".stripMargin) {
+      (s, d) => Standardize.cleanColumnNames(
+        Tables.customer(s, d).select(
+          col("c_custkey").as("grp-meta-custkey"),
+          col("c_name").as("grp-meta-name"),
+          col("c_mktsegment").as("grp-seg-segment")))
+    },
+
+    // ---- P2: PII column drop (denylist + regex) ----------------------------
+    // c_name dropped by denylist (absent names ignored), c_mktsegment by
+    // pattern; the oracle selects exactly the surviving columns.
+    Query("p02_pii_drop",
+      "SELECT c_custkey, c_nationkey, c_acctbal FROM customer") {
+      (s, d) => Sanitize.dropPii(Tables.customer(s, d),
+        denylist = Seq("c_name", "no_such_column"),
+        patterns = Seq(".*mktsegment"))
+    },
+
+    // ---- P4: empty-column prune --------------------------------------------
+    // An all-null column is dropped; a partially-null one survives.
+    Query("p04_prune_empty",
+      """SELECT c_custkey,
+        |       CASE WHEN c_custkey % 2 = 0 THEN c_name END AS maybe_name
+        |FROM customer""".stripMargin) {
+      (s, d) => Sanitize.pruneEmptyColumns(
+        Tables.customer(s, d).select(
+          col("c_custkey"),
+          lit(null).cast("string").as("all_null"),
+          when(col("c_custkey") % 2 === 0, col("c_name")).as("maybe_name")))
+    },
+
+    // ---- P5: GPS jitter (oracled on the displacement invariant) ------------
+    // The hash-derived angle has no SQL oracle (xxhash64 is engine-specific;
+    // determinism under repartitioning is pinned in SanitizeSpec+PropertySpec)
+    // but the displacement MAGNITUDE is exactly the jitter radius for every
+    // key — a real cross-engine check that the operator displaced each point
+    // on the r-circle rather than not at all or twice.
+    Query("p05_gps_jitter",
+      "SELECT c_custkey, round(CAST(0.01 AS DOUBLE), 6) AS disp_deg FROM customer") {
+      (s, d) => {
+        val base = Tables.customer(s, d).select(
+          col("c_custkey"),
+          (col("c_custkey") % 360).cast("double").as("lon"),
+          (col("c_custkey") % 80).cast("double").as("lat"))
+          .withColumn("lon0", col("lon")).withColumn("lat0", col("lat"))
+        Sanitize.jitterLocation(base, "c_custkey", "lon", "lat", r = 0.01, seed = 1001L)
+          .select(col("c_custkey"),
+            round(sqrt(pow(col("lon") - col("lon0"), 2) +
+                       pow(col("lat") - col("lat0"), 2)), 6).as("disp_deg"))
+      }
+    },
+
     // ---- P3: id hashing (md5 variant for cross-engine oracle) ------------
     // Operator uses sha1 (processing_utils.R:120-144); md5 here because the
     // oracle engine lacks sha1. Same projection shape either way.
@@ -152,6 +209,44 @@ object Cleaning {
           .select(col("event_id"),
                   concat(lit("V"), (col("event_id") % 8).cast("string")).as("visit")),
         "visit", cap = 5)
+    },
+
+    // ---- R7: union with all-string cast + ''-filled nulls -----------------------
+    // Two projections with different column sets, bind_rows-style aligned by
+    // name, everything cast to string, nulls become '' (the reference's
+    // all-character consolidated anomaly frame).
+    Query("r13_union_allstring",
+      """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, o_orderstatus,
+        |       '' AS o_orderpriority
+        |FROM orders
+        |UNION ALL
+        |SELECT CAST(o_orderkey AS VARCHAR), '', o_orderpriority FROM orders""".stripMargin) {
+      (s, d) => Reshape.unionAllString(Seq(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus")),
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))))
+    },
+
+    // ---- R8: resolution cascade expansion ----------------------------------------
+    // SET rows on a source column are copied to its connected column, with a
+    // value rewrite on one landing value (processing_utils.R:512-552 shape).
+    Query("r14_cascade_expand",
+      """SELECT CAST(n_nationkey AS VARCHAR) AS key, 'n_name' AS "column",
+        |       n_name AS setTo, 'SET' AS operation
+        |FROM nation
+        |UNION ALL
+        |SELECT CAST(n_nationkey AS VARCHAR), 'alias_name',
+        |       CASE WHEN n_name = 'NATION_5' THEN 'N5' ELSE n_name END, 'SET'
+        |FROM nation""".stripMargin) {
+      (s, d) => {
+        val res = Tables.nation(s, d).select(
+          col("n_nationkey").cast("string").as("key"),
+          lit("n_name").as("column"),
+          col("n_name").as("setTo"),
+          lit("SET").as("operation"))
+        Resolution.cascadeExpand(res,
+          mapping = Seq("n_name" -> "alias_name"),
+          rewrite = Map(("alias_name", "NATION_5") -> "N5"))
+      }
     },
 
     // ---- A7: group-concat dictionary -------------------------------------------

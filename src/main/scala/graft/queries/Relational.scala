@@ -266,6 +266,18 @@ object Relational {
         .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
     },
 
+    // ---- W9: first-per-group (ascending latest-per-group variant) -----------------
+    Query("w09_first_per_group",
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders) WHERE rn = 1""".stripMargin) {
+      (s, d) => Windows.firstPerGroup(Tables.orders(s, d), Seq("o_custkey"),
+          Seq(col("o_orderdate"), col("o_orderkey")))
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    },
+
     // ---- W5: lag / change ---------------------------------------------------------------
     Query("w05_lag_delta",
       """SELECT o_custkey, o_orderkey,
