@@ -23,7 +23,8 @@ object SparkEntry {
     graft.queries.Composite.queries ++
     graft.queries.Goals.queries ++
     graft.queries.Reporting.queries ++
-    graft.queries.Keys.queries
+    graft.queries.Keys.queries ++
+    graft.queries.StreamingQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -71,6 +71,21 @@ object TextFunctions {
         .otherwise(array()))
   }
 
+  /** PII scrubbing for training corpora: replace emails, IPv4 addresses,
+    * and phone-like digit runs with typed placeholder tags. Order matters —
+    * emails first (their digits/dots would otherwise be chewed by the ip/
+    * phone passes), then IPs, then phones. Patterns stay inside the
+    * RE2-compatible subset (no backreferences, no lookaround) so an
+    * external SQL engine running RE2 produces identical output.
+    */
+  def scrubPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>")
+    regexp_replace(ip, "\\+?[0-9][0-9()\\- ]{6,}[0-9]", "<PHONE>")
+  }
+
   /** Rolling-hash document fingerprint: per-token hash (len*131 + first
     * char code) folded left with (acc*31 + h) mod 1000003. Stays in int64,
     * reproducible in any engine with 64-bit integer arithmetic.

@@ -186,6 +186,85 @@ object TextAnalysis {
         "doc_id", "n_tokens", budget = 2000, bucketWidth = 128)
     },
 
+    // ---- T13: PII scrubbing (emails / IPs / phone runs → typed tags) --------
+    // The corpus has no organic PII, so deterministic synthetic PII is
+    // injected per doc_id and must come out scrubbed on both engines.
+    Query("t13_pii_scrub",
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail' ||
+        |          CAST(doc_id % 7 AS VARCHAR) || '.com or +1-555-' ||
+        |          lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' at 10.0.' ||
+        |          CAST(doc_id % 256 AS VARCHAR) || '.1',
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
+        |FROM documents""".stripMargin) {
+      (s, d) => {
+        val injected = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail"), (col("doc_id") % 7).cast("string"),
+          lit(".com or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" at 10.0."), (col("doc_id") % 256).cast("string"), lit(".1"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), scrubPii(injected).as("scrubbed"))
+      }
+    },
+
+    // ---- T14: benchmark decontamination (n-gram overlap vs holdout) ----------
+    // Corpus docs sharing >= 2 distinct word trigrams with the benchmark
+    // slice (doc_id % 40 = 0) get flagged for removal before training.
+    Query("t14_decontaminate",
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |  WHERE len(t) >= 3
+        |), b AS (SELECT DISTINCT s FROM sh WHERE doc_id % 40 = 0),
+        |c AS (SELECT doc_id, s FROM sh WHERE doc_id % 40 <> 0)
+        |SELECT doc_id, count(*) AS n_overlap
+        |FROM c JOIN b USING (s)
+        |GROUP BY doc_id
+        |HAVING count(*) >= 2""".stripMargin) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Decontaminate.benchmarkOverlap(
+          docs.filter(col("doc_id") % 40 =!= 0),
+          docs.filter(col("doc_id") % 40 === 0),
+          "doc_id", "text", n = 3, minOverlap = 2)
+      }
+    },
+
+    // ---- T15: repetition / diversity stats (Gopher-style quality rules) -----
+    // Per-doc top-token frequency ratio and distinct-token ratio — the
+    // standard repetition filters for training corpora. Explode + two-level
+    // aggregate: both aggs are map-side combinable, no driver work.
+    Query("t15_repetition_stats",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |f AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, max(c) AS maxc, count(*) AS n_distinct, sum(c) AS n_tok
+        |        FROM f GROUP BY 1)
+        |SELECT doc_id,
+        |       CAST(maxc AS DOUBLE) / n_tok AS top_token_ratio,
+        |       CAST(n_distinct AS DOUBLE) / n_tok AS distinct_ratio
+        |FROM agg""".stripMargin) {
+      (s, d) => {
+        val freq = Tables.documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+          .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+        freq.groupBy("doc_id")
+          .agg(max("c").as("maxc"), count(lit(1)).as("n_distinct"),
+               sum("c").as("n_tok"))
+          .select(col("doc_id"),
+            (col("maxc").cast("double") / col("n_tok")).as("top_token_ratio"),
+            (col("n_distinct").cast("double") / col("n_tok")).as("distinct_ratio"))
+      }
+    },
+
     // ---- T7: delimited multi-value cells: split → explode → re-aggregate ----
     // The reference stores multi-valued cells as delimited strings
     // (space-delimited lab incidences, comma keylists); count token

@@ -55,4 +55,31 @@ class TextFunctionsSpec extends SparkSpec {
   test("punctRatio zero when no punctuation") {
     assert(one(punctRatio(col("t")), "abc def").getDouble(0) == 0.0)
   }
+
+  test("scrubPii replaces emails, IPs, and phone runs; leaves clean text") {
+    val s = one(scrubPii(col("t")),
+      "mail a.b-c_1@ex-1.co.uk ip 192.168.0.1 ph +44 (0) 20-7946 0958 end")
+      .getString(0)
+    assert(s == "mail <EMAIL> ip <IP> ph <PHONE> end", s)
+    assert(one(scrubPii(col("t")), "no pii here 12 34").getString(0) ==
+      "no pii here 12 34")
+    // short digit runs (< 8 chars total) are not phones
+    assert(one(scrubPii(col("t")), "year 2026 room 4-12").getString(0) ==
+      "year 2026 room 4-12")
+  }
+
+  test("benchmarkOverlap flags exact copy of a bench doc, skips low overlap") {
+    val bench = df(
+      "SELECT * FROM (VALUES (CAST(0 AS BIGINT), 'alpha beta gamma delta epsilon zeta')) AS t(doc_id, text)")
+    // doc 1: 4 shared trigrams, doc 2: 1 shared, doc 3: 0 shared
+    val corpus = df(
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'alpha beta gamma delta epsilon zeta'),
+        |  (CAST(2 AS BIGINT), 'alpha beta gamma nothing else here'),
+        |  (CAST(3 AS BIGINT), 'totally unrelated words only now')) AS t(doc_id, text)""".stripMargin)
+    val out = graft.operators.Decontaminate
+      .benchmarkOverlap(corpus, bench, "doc_id", "text", n = 3, minOverlap = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 4L), out.toString)
+  }
 }
