@@ -13,8 +13,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Strict in-order dot product of two numeric arrays as double. */
-  def dot(a: Column, b: Column): Column =
+  /** Strict in-order dot product of two numeric arrays as double —
+    * native codegen expression (plans.DotProduct), bit-identical to the
+    * aggregate(zip_with(cast·cast)) fold the oracle SQL states.
+    */
+  def dot(a: Column, b: Column): Column = graft.plans.DotProduct(a, b)
+
+  /** The higher-order-function fold dot (the oracle's formulation) —
+    * kept for the equivalence spec.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
@@ -98,7 +106,7 @@ object Similarity {
     * expression tree (a per-component hash expression would be
     * tables×bits×dims nodes and take longer to codegen than to run).
     */
-  private def hyperplanes(tables: Int, bits: Int, dims: Int): Seq[Seq[Double]] = {
+  private[graft] def hyperplanes(tables: Int, bits: Int, dims: Int): Seq[Seq[Double]] = {
     def splitmix64(seed: Long): Long = {
       var z = seed + 0x9e3779b97f4a7c15L
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -114,11 +122,19 @@ object Similarity {
   }
 
   /** Signed random-hyperplane LSH buckets: one packed sign-bit bucket per
-    * table, as array<long> of length `tables`. Higher-order array
-    * functions over a literal hyperplane matrix — the expression tree is
-    * O(1) in (tables, bits, dims), so codegen stays fast.
+    * table, as array<long> of length `tables` — native codegen expression
+    * (plans.HyperplaneBuckets): one fused loop over the plane matrix, no
+    * per-row intermediate arrays. Bit-identical to [[hyperplaneBucketsHof]]
+    * (pinned in SimilaritySpec).
     */
-  def hyperplaneBuckets(vec: Column, tables: Int, bits: Int, dims: Int): Column = {
+  def hyperplaneBuckets(vec: Column, tables: Int, bits: Int, dims: Int): Column =
+    graft.plans.HyperplaneBuckets(vec, tables, bits, dims)
+
+  /** The higher-order-function formulation — kept for the equivalence
+    * spec. Expression tree is O(1) in (tables, bits, dims) but allocates
+    * intermediate arrays per row.
+    */
+  def hyperplaneBucketsHof(vec: Column, tables: Int, bits: Int, dims: Int): Column = {
     val perTable: Seq[Seq[Seq[Double]]] =
       hyperplanes(tables, bits, dims).grouped(bits).toSeq
     transform(typedlit(perTable), tRows =>

@@ -59,6 +59,52 @@ object Dedup {
     verified(sh, cand, sh.groupBy("__id").agg(count(lit(1)).as("n")), threshold)
   }
 
+  /** Embedding near-dup pairs via signed-hyperplane LSH — the all-pairs
+    * scale path that replaces s02's bounded exact baseline: candidates
+    * are id pairs sharing a sign-bucket in ANY of `tables` hash tables,
+    * deduped on the id pair, then verified with an exact cosine.
+    *
+    * Scale notes: candidate volume is O(n² / 2^bits) per table for
+    * near-orthogonal corpora, so `bits` must grow with corpus size
+    * (≈ log2(n) + c keeps expected bucket occupancy constant);
+    * `maxBucketSize` bounds the degenerate case (a dense cluster or
+    * zero-vector pileup otherwise goes quadratic inside one bucket).
+    * The verification join carries each embedding through a hash join
+    * on the id — the bucket exchange itself moves only (id, table,
+    * bucket) longs, never the vectors.
+    */
+  def embeddingNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
+                          tables: Int, bits: Int, dims: Int,
+                          threshold: Double, maxBucketSize: Int = 0): DataFrame = {
+    val e = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        Similarity.l2norm(col(vecCol)).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = e.select(col("__id"),
+        posexplode(Similarity.hyperplaneBuckets(col("__v"), tables, bits, dims))
+          .as(Seq("t", "b")))
+      .select("__id", "t", "b")
+    val capped =
+      if (maxBucketSize <= 0) buckets
+      else {
+        val big = buckets.groupBy("t", "b")
+          .agg(count(lit(1)).as("__bn")).filter(col("__bn") > maxBucketSize)
+          .select("t", "b")
+        buckets.join(broadcast(big), Seq("t", "b"), "left_anti")
+      }
+    val cand = capped.alias("x")
+      .join(capped.alias("y"),
+        col("x.t") === col("y.t") && col("x.b") === col("y.b") &&
+          col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("vec_a"), col("y.__id").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.select(col("__id").as("vec_a"), col("__v").as("__va"), col("__n").as("__na")), "vec_a")
+      .join(e.select(col("__id").as("vec_b"), col("__v").as("__vb"), col("__n").as("__nb")), "vec_b")
+      .withColumn("cos", Similarity.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .filter(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+  }
+
   /** MinHash+LSH near-dup pairs: k seeded min-hashes, `bands` bands of
     * k/bands rows, candidates from the band-bucket equi-join, exact
     * Jaccard verification of candidates only.

@@ -1,0 +1,173 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, GraftShims}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+
+/** Native dot product over numeric arrays (SURVEY §2.10 custom-expression
+  * ladder): one primitive loop instead of the
+  * zip_with(cast·cast) → aggregate(+) chain, which materializes an
+  * intermediate double array per pair — per-row garbage that dominates
+  * the ANN re-rank profile when every (query, candidate) pair computes a
+  * 64-dim dot product.
+  *
+  * Semantics are EXACTLY the higher-order-function fold the oracle SQL
+  * states: strict in-index-order sum of (double)a[i] * (double)b[i] —
+  * same IEEE result bit-for-bit (VectorMathSpec pins equivalence) — and
+  * null when either array is null, any element is null, or lengths
+  * differ (zip_with pads the short side with null, which nulls the fold).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType  => true
+      case DoubleType => false
+      case t => throw new IllegalArgumentException(
+        s"dot_product needs array<float|double>, got array<$t>")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernel.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      elemIsFloat(left), elemIsFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = VectorKernel.getClass.getName + ".MODULE$"
+    val boxed = ctx.freshName("dotRes")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |java.lang.Double $boxed =
+      |  $kernel.dot($a, $b, ${elemIsFloat(left)}, ${elemIsFloat(right)});
+      |if ($boxed == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = $boxed.doubleValue(); }
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorKernel {
+  /** Shared by interpreted eval and generated code. Boxed return: null
+    * encodes the fold's null-propagation (length mismatch / null element).
+    */
+  def dot(a: ArrayData, b: ArrayData,
+          aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  /** Packed sign-bit buckets, one long per table. `planes` is the
+    * row-major flattening of (tables*bits) × dims hyperplanes.
+    */
+  def hyperplaneBuckets(vec: ArrayData, planes: Array[Double],
+                        tables: Int, bits: Int, dims: Int,
+                        isFloat: Boolean): ArrayData = {
+    val out = new Array[Long](tables)
+    val n = vec.numElements()
+    // HOF mirror: zip_with pads a length-mismatched side with null,
+    // nulling the fold — the sign test then leaves the bit unset
+    if (n == dims) {
+      var anyNull = false
+      var i = 0
+      while (i < n && !anyNull) { anyNull = vec.isNullAt(i); i += 1 }
+      if (!anyNull) {
+        var t = 0
+        while (t < tables) {
+          var bucket = 0L
+          var j = 0
+          while (j < bits) {
+            val base = (t * bits + j) * dims
+            var acc = 0.0
+            var k = 0
+            while (k < dims) {
+              val x = if (isFloat) vec.getFloat(k).toDouble else vec.getDouble(k)
+              acc += x * planes(base + k)
+              k += 1
+            }
+            if (acc > 0) bucket |= 1L << j
+            j += 1
+          }
+          out(t) = bucket
+          t += 1
+        }
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
+object DotProduct {
+  /** Column-API entry. */
+  def apply(a: Column, b: Column): Column =
+    GraftShims.column(DotProduct(GraftShims.expression(a), GraftShims.expression(b)))
+}
+
+/** Signed random-hyperplane LSH buckets as one fused loop: for each of
+  * `tables` hash tables, `bits` sign tests of vec · plane packed into a
+  * long. The plane matrix (Similarity.hyperplanes — splitmix64-seeded,
+  * deterministic) ships as one flat reference array, NOT as a literal in
+  * the expression tree, so codegen size is O(1) in tables×bits×dims.
+  *
+  * Mirrors the higher-order-function fold exactly (SimilaritySpec pins
+  * bit-identity): a null element or a length≠dims vector nulls the
+  * per-plane dot, whose sign test then fails → that bit stays 0.
+  */
+case class HyperplaneBuckets(child: Expression, tables: Int, bits: Int, dims: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType  => true
+      case DoubleType => false
+      case t => throw new IllegalArgumentException(
+        s"hyperplane_buckets needs array<float|double>, got array<$t>")
+    }
+
+  @transient private lazy val planes: Array[Double] =
+    graft.functions.Similarity.hyperplanes(tables, bits, dims).flatten.toArray
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_buckets"
+
+  override def nullSafeEval(vec: Any): Any =
+    VectorKernel.hyperplaneBuckets(vec.asInstanceOf[ArrayData], planes,
+      tables, bits, dims, elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = VectorKernel.getClass.getName + ".MODULE$"
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, v => s"""
+      |${ev.value} = $kernel.hyperplaneBuckets(
+      |  $v, $planesRef, $tables, $bits, $dims, $elemIsFloat);
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HyperplaneBuckets {
+  /** Column-API entry. */
+  def apply(vec: Column, tables: Int, bits: Int, dims: Int): Column =
+    GraftShims.column(
+      HyperplaneBuckets(GraftShims.expression(vec), tables, bits, dims))
+}

@@ -148,6 +148,17 @@ object SimilaritySearch {
         .select("query_id", "neighbor_id", "cos")
     },
 
+    // ---- S7: embedding near-dup via hyperplane LSH (all-pairs scale path) ----
+    // Replaces s02's bounded exact baseline corpus-wide: sign-bucket
+    // candidates in any of 12 tables, id-pair dedup, exact-cosine verify.
+    // Rows-only (engine-specific hyperplanes); recall contract vs the
+    // exact pairs is pinned in SimilaritySpec.
+    Query.noOracle("s07_embedding_neardup_lsh") { (s, d) =>
+      graft.operators.Dedup.embeddingNearDupLsh(Tables.embeddings(s, d),
+        "vec_id", "embedding", tables = 12, bits = 10, dims = 64,
+        threshold = 0.35, maxBucketSize = 500)
+    },
+
     // ---- S6: IVF approximate nearest neighbour -------------------------------
     // Cell-partitioned ANN: 32 seeded sample centroids, probe 8 cells per
     // query, exact cosine re-rank. Rows-only here; recall contract in

@@ -128,6 +128,51 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(ivf.select("query_id", "neighbor_id")) ==
       rows(ivf2.select("query_id", "neighbor_id")))
   }
+
+  test("embedding LSH near-dup: near-total recall on clustered vectors, no false positives") {
+    import scala.util.Random
+    val rnd = new Random(7)
+    val dims = 16
+    val data = (0 until 300).map { i =>
+      val c = i % 10
+      val centroid = Array.tabulate(dims)(j =>
+        if (j % 10 == c % 10 || j % 7 == c % 7) 1.0f else -1.0f)
+      (i.toLong, centroid.map(v => v + (rnd.nextFloat() - 0.5f) * 0.2f).toSeq)
+    }
+    val e = spark.createDataFrame(data).toDF("vec_id", "embedding")
+    // exact near-dup pairs at cos >= 0.8 (intra-cluster pairs)
+    val b = e.toDF("vec_b", "emb_b")
+    val exact = e.join(broadcast(b), col("vec_id") < col("vec_b"))
+      .withColumn("cos", Similarity.cosine(col("embedding"), col("emb_b")))
+      .filter(col("cos") >= 0.8)
+      .select(col("vec_id").as("vec_a"), col("vec_b"))
+    val exactSet = rows(exact)
+    assert(exactSet.nonEmpty)
+    val lsh = graft.operators.Dedup.embeddingNearDupLsh(e, "vec_id", "embedding",
+      tables = 12, bits = 6, dims = dims, threshold = 0.8, maxBucketSize = 500)
+    val lshSet = rows(lsh.select("vec_a", "vec_b"))
+    // exact-cosine verification ⇒ every returned pair is a true pair
+    assert(lshSet.subsetOf(exactSet), s"false positives: ${lshSet -- exactSet}")
+    val recall = lshSet.intersect(exactSet).size.toDouble / exactSet.size
+    assert(recall >= 0.95, s"embedding near-dup recall $recall below 0.95")
+    // deterministic across partitionings
+    val lsh2 = graft.operators.Dedup.embeddingNearDupLsh(e.repartition(7),
+      "vec_id", "embedding", 12, 6, dims, 0.8, 500)
+    assert(rows(lsh2.select("vec_a", "vec_b")) == lshSet)
+  }
+
+  test("embedding LSH near-dup: oversized buckets are capped out") {
+    // 100 identical vectors all land in the same bucket in every table;
+    // a cap below the bucket size suppresses the quadratic pair-off
+    val e = spark.range(100).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 15), j -> CAST(1.0 AS FLOAT))").as("embedding"))
+    val capped = graft.operators.Dedup.embeddingNearDupLsh(e, "vec_id", "embedding",
+      tables = 4, bits = 4, dims = 16, threshold = 0.9, maxBucketSize = 50)
+    assert(capped.count() == 0L)
+    val uncapped = graft.operators.Dedup.embeddingNearDupLsh(e, "vec_id", "embedding",
+      tables = 4, bits = 4, dims = 16, threshold = 0.9, maxBucketSize = 0)
+    assert(uncapped.count() == 100L * 99 / 2)
+  }
 }
 
 /** Test access to SparkEntry query functions by name. */

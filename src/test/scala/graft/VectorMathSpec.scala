@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Similarity
+import graft.plans.DotProduct
+
+/** plans.DotProduct must be a drop-in for the aggregate(zip_with) fold:
+  * bit-identical doubles, identical null propagation, and it must
+  * actually compile under whole-stage codegen (no interpreter fallback).
+  */
+class VectorMathSpec extends SparkSpec {
+
+  private def vecs = {
+    // deterministic float vectors incl. negatives and magnitude spread
+    val v = (i: String) =>
+      s"""transform(sequence(0, 63), j ->
+          |  CAST(sin($i * 131 + j) * (1 + j % 7) AS FLOAT))""".stripMargin
+    df(s"""SELECT id, ${v("id")} AS a, ${v("(id + 17)")} AS b
+          |FROM range(200) t(id)""".stripMargin)
+  }
+
+  test("bit-identical to the higher-order fold on float vectors") {
+    val out = vecs.select(
+      DotProduct(col("a"), col("b")).as("native"),
+      Similarity.dotHof(col("a"), col("b")).as("fold"))
+    val mismatch = out.filter(
+      col("native") =!= col("fold") ||
+        col("native").isNull =!= col("fold").isNull).count()
+    assert(mismatch == 0)
+  }
+
+  test("null propagation: null array, null element, length mismatch") {
+    val d = df("""SELECT CAST(NULL AS ARRAY<FLOAT>) AS nil,
+                 |       array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)) AS ab,
+                 |       array(CAST(1 AS FLOAT), NULL) AS withNull,
+                 |       array(CAST(3 AS FLOAT)) AS short""".stripMargin)
+    val r = d.select(
+      DotProduct(col("nil"), col("ab")),
+      DotProduct(col("ab"), col("withNull")),
+      DotProduct(col("ab"), col("short")),
+      DotProduct(col("ab"), col("ab"))).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    assert(r.getDouble(3) == 5.0)
+    // matches the fold's behavior on the same inputs
+    val f = d.select(
+      Similarity.dotHof(col("nil"), col("ab")),
+      Similarity.dotHof(col("ab"), col("withNull")),
+      Similarity.dotHof(col("ab"), col("short"))).head()
+    assert(f.isNullAt(0) && f.isNullAt(1) && f.isNullAt(2))
+  }
+
+  test("empty arrays dot to 0.0 like the fold") {
+    val r = df("SELECT CAST(array() AS ARRAY<FLOAT>) AS e")
+      .select(DotProduct(col("e"), col("e")),
+              Similarity.dotHof(col("e"), col("e"))).head()
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("hyperplane buckets: native expression bit-identical to the HOF fold") {
+    val dims = 64
+    val v = """transform(sequence(0, 63), j ->
+              |  CAST(sin(id * 131 + j) * (1 + j % 7) AS FLOAT))""".stripMargin
+    val d = df(s"SELECT id, $v AS vec FROM range(300) t(id)")
+    val out = d.select(col("id"),
+      Similarity.hyperplaneBuckets(col("vec"), 6, 10, dims).as("native"),
+      Similarity.hyperplaneBucketsHof(col("vec"), 6, 10, dims).as("hof"))
+    assert(out.filter(col("native") =!= col("hof")).count() == 0)
+    // short vector: every bit unset in both formulations
+    val short = df("SELECT array(CAST(1 AS FLOAT)) AS vec").select(
+      Similarity.hyperplaneBuckets(col("vec"), 2, 4, dims).as("native"),
+      Similarity.hyperplaneBucketsHof(col("vec"), 2, 4, dims).as("hof")).head()
+    assert(short.getSeq[Long](0) == Seq(0L, 0L))
+    assert(short.getSeq[Long](0) == short.getSeq[Long](1))
+  }
+
+  test("generated code compiles (no silent interpreter fallback)") {
+    val prevMode = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val prevFb = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val n = vecs.select(DotProduct(col("a"), col("b")).as("d"))
+        .filter(col("d").isNotNull).count()
+      assert(n == 200L)
+      val nb = vecs.select(
+          Similarity.hyperplaneBuckets(col("a"), 4, 8, 64).as("bk"))
+        .filter(size(col("bk")) === 4).count()
+      assert(nb == 200L)
+    } finally {
+      prevMode.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+      prevFb.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
+        spark.conf.set("spark.sql.codegen.fallback", _))
+    }
+  }
+}
