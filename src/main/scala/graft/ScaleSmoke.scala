@@ -70,6 +70,19 @@ object ScaleSmoke {
             n = 2, k = 32, bands = 8, threshold = 0.3, maxBucketSize = 100)
           .write.format("noop").mode("overwrite").save()
       },
+      time("embedding_neardup_50k_vecs") {
+        // 10x embeddings (~50k vectors): all-pairs near-dup with bits
+        // raised 10 → 13 per the log2(n) occupancy rule — candidate
+        // volume stays ~constant per vector as the corpus grows
+        val e0 = graft.core.Tables.embeddings(spark, sfDir)
+        val maxVec = e0.agg(max("vec_id")).as[Long].head() + 1
+        val e = e0.crossJoin(copies)
+          .withColumn("vec_id", col("vec_id") + col("rep") * maxVec).drop("rep")
+        graft.operators.Dedup.embeddingNearDupLsh(e, "vec_id", "embedding",
+            tables = 12, bits = 13, dims = 64, threshold = 0.35,
+            maxBucketSize = 500)
+          .write.format("noop").mode("overwrite").save()
+      },
       time("token_shards_50k_docs") {
         val docs0 = graft.core.Tables.documents(spark, sfDir)
         val maxDoc = docs0.agg(max("doc_id")).as[Long].head() + 1

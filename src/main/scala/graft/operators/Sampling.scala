@@ -41,4 +41,34 @@ object Sampling {
     }
     df.filter(bucket(col(keyCol), salt) < threshold)
   }
+
+  /** Mix-to-target downsampling: deterministic per-key sample whose OUTPUT
+    * domain proportions match `targets` as closely as possible without
+    * upsampling — the standard corpus-mixture op (web/books/code weights).
+    * The binding domain (smallest count relative to its weight) is kept
+    * whole; every other domain downsamples to weight_d × N_out where
+    * N_out = min_d(count_d / weight_d). Domains absent from `targets` are
+    * dropped.
+    *
+    * Scale: two tiny per-domain aggregates + one broadcast join; the data
+    * side never shuffles and membership stays (key, salt)-deterministic.
+    */
+  def mixToTarget(df: DataFrame, keyCol: String, domainCol: String,
+                  targets: Map[String, Double], salt: String = ""): DataFrame = {
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__w", try_element_at(typedlit(targets), col(domainCol)))
+      .filter(col("__w").isNotNull)
+    val nOut = counts.agg(min(col("__c") / col("__w")).as("__nout"))
+    val rates = counts.crossJoin(nOut)
+      .select(col(domainCol),
+        least(col("__w") * col("__nout") / col("__c"), lit(1.0)).as("__rate"))
+    // data-dependent rate → hex threshold computed in-plan ('g' admits all,
+    // matching thresholdHex's full-fraction convention)
+    val threshold = when(col("__rate") >= 1.0, lit("g"))
+      .otherwise(lower(lpad(hex(floor(col("__rate") * 65536).cast("int")), 4, "0")))
+    df.join(broadcast(rates), domainCol)
+      .filter(bucket(col(keyCol), salt) < threshold)
+      .drop("__rate")
+  }
 }

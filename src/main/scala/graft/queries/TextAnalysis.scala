@@ -265,6 +265,33 @@ object TextAnalysis {
       }
     },
 
+    // ---- T16: domain-mixture downsampling -------------------------------------
+    // Sample the corpus so output language proportions hit en:de:es =
+    // 50:30:20 without upsampling (binding domain kept whole); other
+    // languages drop. Rates derive from data counts, so the oracle
+    // recomputes them in SQL.
+    Query("t16_domain_mix",
+      """WITH counts AS (
+        |  SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT lang, c,
+        |         CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.3
+        |                   WHEN 'es' THEN 0.2 END AS wt
+        |  FROM counts),
+        |m AS (SELECT min(c / wt) AS nout FROM w WHERE wt IS NOT NULL),
+        |r AS (SELECT lang, LEAST(wt * nout / c, 1.0) AS rate
+        |      FROM w, m WHERE wt IS NOT NULL)
+        |SELECT d.doc_id, d.lang FROM documents d
+        |JOIN r USING (lang)
+        |WHERE substring(md5(CAST(d.doc_id AS VARCHAR) || 'mx1'), 1, 4) <
+        |      CASE WHEN rate >= 1.0 THEN 'g'
+        |           ELSE printf('%04x', CAST(floor(rate * 65536) AS INT)) END""".stripMargin) {
+      (s, d) => graft.operators.Sampling.mixToTarget(
+          Tables.documents(s, d), "doc_id", "lang",
+          Map("en" -> 0.5, "de" -> 0.3, "es" -> 0.2), salt = "mx1")
+        .select("doc_id", "lang")
+    },
+
     // ---- T7: delimited multi-value cells: split → explode → re-aggregate ----
     // The reference stores multi-valued cells as delimited strings
     // (space-delimited lab incidences, comma keylists); count token

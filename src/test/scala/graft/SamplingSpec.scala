@@ -36,4 +36,28 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.hashSample(pop, "id", 0.0).count() == 0)
     assert(Sampling.hashSample(pop, "id", 1.0).count() == 20000)
   }
+
+  test("mixToTarget: output proportions hit targets, binding domain kept whole") {
+    // domains sized 12000/6000/2000; targets 50:30:20 → binding domain is
+    // "c" (2000/0.2 = 10000 = N_out): keep all of c, 5000 of a, 3000 of b
+    val pop3 = spark.range(20000).select(col("id"),
+      when(col("id") < 12000, "a").when(col("id") < 18000, "b")
+        .otherwise("c").as("domain"))
+    val out = Sampling.mixToTarget(pop3, "id", "domain",
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2), salt = "x")
+    val byDomain = out.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDomain("c") == 2000L, s"binding domain must be whole: $byDomain")
+    assert(math.abs(byDomain("a") / 5000.0 - 1.0) < 0.05, byDomain.toString)
+    assert(math.abs(byDomain("b") / 3000.0 - 1.0) < 0.05, byDomain.toString)
+    // deterministic under repartitioning
+    assert(rows(Sampling.mixToTarget(pop3.repartition(13), "id", "domain",
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2), salt = "x")) == rows(out))
+    // a domain absent from the targets is dropped entirely
+    val withJunk = pop3.withColumn("domain",
+      when(col("id") % 100 === 0, "junk").otherwise(col("domain")))
+    assert(Sampling.mixToTarget(withJunk, "id", "domain",
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2), salt = "x")
+      .filter(col("domain") === "junk").count() == 0)
+  }
 }
