@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Similarity, TextFunctions}
+
+/** The SQL function registry wiring (plans.GraftExtensions) must make
+  * the native expressions reachable from plain spark.sql and agree with
+  * the Column API.
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  test("dot_product callable from SQL, equals Column API") {
+    val r = df(
+      """SELECT dot_product(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)),
+        |                   array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS d""".stripMargin)
+      .head()
+    assert(r.getDouble(0) == 11.0)
+  }
+
+  test("shingle_hashes from SQL equals xxhash64 of the string shingles") {
+    val viaSql = df("SELECT shingle_hashes('a b c d', 2) AS h")
+      .select(explode(col("h")).as("h"))
+    val viaStrings = df("SELECT 'a b c d' AS t")
+      .select(explode(TextFunctions.shingles(col("t"), 2)).as("s"))
+      .select(xxhash64(col("s")).as("h"))
+    assert(rows(viaSql) == rows(viaStrings))
+  }
+
+  test("hyperplane_buckets from SQL equals the Column API") {
+    val d = df("""SELECT transform(sequence(0, 15), j ->
+                 |  CAST(sin(j) AS FLOAT)) AS v""".stripMargin)
+    val sql = d.selectExpr("hyperplane_buckets(v, 3, 5, 16) AS b").head().getSeq[Long](0)
+    val api = d.select(Similarity.hyperplaneBuckets(col("v"), 3, 5, 16).as("b"))
+      .head().getSeq[Long](0)
+    assert(sql == api)
+  }
+
+  test("minhash_signature aggregate from SQL") {
+    val sig = df("SELECT * FROM VALUES (1L), (2L), (3L) t(h)")
+      .selectExpr("minhash_signature(h, 8) AS sig").head().getSeq[Long](0)
+    assert(sig.length == 8)
+    // each signature slot is the min of the re-mixed hashes — stable
+    val again = df("SELECT * FROM VALUES (3L), (1L), (2L) t(h)")
+      .selectExpr("minhash_signature(h, 8) AS sig").head().getSeq[Long](0)
+    assert(sig == again, "order-insensitive aggregate")
+  }
+
+  test("non-literal size argument is rejected") {
+    val e = intercept[Exception] {
+      df("SELECT * FROM VALUES (1) t(n)").selectExpr("shingle_hashes('a b', n)").head()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+}
