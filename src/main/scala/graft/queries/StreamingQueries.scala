@@ -34,8 +34,13 @@ object StreamingQueries {
         java.nio.file.Files.createSymbolicLink(
           dir.resolve("events.parquet"),
           java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
-        val raw = s.read.parquet(s"$d/events.parquet")
-        val src = Streams.fileSource(s, dir.toString, raw.schema)
+        // child session: state-store count follows shuffle partitions, and
+        // 32 HDFS-backed stores for a few-hundred-key aggregation is pure
+        // per-partition overhead — isolate the knob from the shared session
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val raw = ss.read.parquet(s"$d/events.parquet")
+        val src = Streams.fileSource(ss, dir.toString, raw.schema)
           .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         val agg = Streams.windowedCounts(src, "ts", "event_type",
           windowLen = "1 hour", watermark = "2 hours")
@@ -46,7 +51,7 @@ object StreamingQueries {
         val q = agg.writeStream.format("memory").queryName(sink)
           .outputMode("complete").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-        s.table(sink)
+        ss.table(sink)
       }
     }
   )
