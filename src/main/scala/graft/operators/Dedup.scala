@@ -132,14 +132,17 @@ object Dedup {
     val sh = df.select(col(idCol).as("__id"),
         explode(graft.plans.ShingleHashes(col(textCol), n)).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // whole signature in ONE TypedImperativeAggregate buffer (long[k])
-    // instead of k separate min-aggregate columns; the per-doc shingle
-    // count rides along in the same pass (no second scan + shuffle of
-    // sh just for sizes). Persisted: band explode runs once per
-    // self-join side plus the sizes read — all from this one agg.
-    val sigs = sh.groupBy(col("__id"))
-      .agg(graft.plans.MinHashSignature(col("s"), k).as("sig"),
-           count(lit(1)).as("n"))
+    // whole (signature, distinct-count) sketch as a SCALAR expression —
+    // one fused byte scan per doc, a narrow projection with NO shuffle
+    // (the former explode → groupBy → signature-aggregate chain moved
+    // every shingle hash through an exchange just to take k minima).
+    // Docs with no shingles get n = 0 and are dropped, matching the
+    // aggregate path where they had no rows to group. Persisted: band
+    // explode runs once per self-join side plus the sizes read.
+    val sigs = df.select(col(idCol).as("__id"),
+        graft.plans.MinHashSketch(col(textCol), n, k).as("__sk"))
+      .select(col("__id"), col("__sk.sig").as("sig"), col("__sk.n").as("n"))
+      .filter(col("n") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandStructs = array((0 until bands).map { band =>
       struct(lit(band).as("band"),

@@ -39,4 +39,45 @@ class MinHashSignatureSpec extends SparkSpec {
       .head().getSeq[Long](1)
     assert(sig.forall(_ != Long.MaxValue))
   }
+
+  test("scalar MinHashSketch bit-identical to the explode+aggregate path") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val viaAgg = docs
+      .select(col("doc_id"),
+        explode(graft.plans.ShingleHashes(col("text"), 2)).as("s"))
+      .groupBy("doc_id")
+      .agg(MinHashSignature(col("s"), 16).as("sig"), count(lit(1)).as("n"))
+      .select(col("doc_id"), col("sig"), col("n").cast("int").as("n"))
+    val viaSketch = docs
+      .select(col("doc_id"), graft.plans.MinHashSketch(col("text"), 2, 16).as("sk"))
+      .select(col("doc_id"), col("sk.sig").as("sig"), col("sk.n").as("n"))
+      .filter(col("n") > 0)
+    assert(rows(viaAgg) == rows(viaSketch))
+  }
+
+  test("MinHashSketch: sub-n-gram doc yields n=0, all-MaxValue signature") {
+    val r = df("SELECT 'solo' AS t")
+      .select(graft.plans.MinHashSketch(col("t"), 2, 4).as("sk"))
+      .select(col("sk.n"), col("sk.sig")).head()
+    assert(r.getInt(0) == 0)
+    assert(r.getSeq[Long](1).forall(_ == Long.MaxValue))
+  }
+
+  test("MinHashSketch generated code compiles (CODEGEN_ONLY)") {
+    val prevMode = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val prevFb = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      val n = docs.select(graft.plans.MinHashSketch(col("text"), 2, 8).as("sk"))
+        .filter(col("sk.n") > 0).count()
+      assert(n > 0)
+    } finally {
+      prevMode.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+      prevFb.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
+        spark.conf.set("spark.sql.codegen.fallback", _))
+    }
+  }
 }
