@@ -14,7 +14,12 @@ class DeterminismSpec extends SparkSpec {
     "j06_resolution_set_delete", "j10_nearest_neighbor", "w02_seeded_shuffle",
     "w07_forward_fill", "w11_sessionize", "t04_fingerprint",
     "t06_near_dup_pairs", "s01_cosine_knn", "s03_minhash_lsh_neardup",
-    "t11_stratified_sample", "g01_visit_targets", "r12_status_reason_matrix")
+    "t11_stratified_sample", "g01_visit_targets", "r12_status_reason_matrix",
+    // round-2 additions
+    "p05_gps_jitter", "w09_first_per_group", "r14_cascade_expand",
+    "t13_pii_scrub", "t14_decontaminate", "t15_repetition_stats",
+    "t16_domain_mix", "s07_embedding_neardup_lsh",
+    "st01_stream_windowed_counts")
 
   test("registry queries are invariant to shuffle partitioning") {
     val d = "/root/testdata/sf0.001"
