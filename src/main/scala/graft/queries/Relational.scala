@@ -266,6 +266,23 @@ object Relational {
         .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
     },
 
+    // ---- J15: bucketed range join (point-in-interval as an equi-join) --------------
+    // The raw range condition the oracle states would plan as a
+    // nested-loop join; RangeJoin buckets both sides so it becomes an
+    // equi-join on the bucket id (RangeJoinSpec pins the plan shape).
+    Query("j15_range_bucket_join",
+      """SELECT c_custkey, s_suppkey FROM customer c JOIN supplier s
+        |  ON c.c_acctbal >= s.s_acctbal AND c.c_acctbal < s.s_acctbal + 500""".stripMargin) {
+      (s, d) => {
+        val pts = Tables.customer(s, d).select("c_custkey", "c_acctbal")
+        val iv = Tables.supplier(s, d).select(col("s_suppkey"),
+          col("s_acctbal").as("lo"), (col("s_acctbal") + 500).as("hi"))
+        graft.operators.RangeJoin.pointInInterval(pts, "c_acctbal", iv, "lo", "hi",
+            bucketWidth = 500.0)
+          .select("c_custkey", "s_suppkey")
+      }
+    },
+
     // ---- W9: first-per-group (ascending latest-per-group variant) -----------------
     Query("w09_first_per_group",
       """SELECT o_custkey, o_orderkey, o_orderdate FROM (

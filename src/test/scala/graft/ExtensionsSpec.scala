@@ -45,6 +45,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(sig == again, "order-insensitive aggregate")
   }
 
+  test("optimizer rewrites the HOF dot-product fold to the native kernel") {
+    val d = df(
+      """SELECT transform(sequence(0, 63), j -> CAST(sin(id * 7 + j) AS FLOAT)) AS a,
+        |       transform(sequence(0, 63), j -> CAST(cos(id * 3 + j) AS FLOAT)) AS b
+        |FROM range(50) t(id)""".stripMargin)
+    val hof = d.select(Similarity.dotHof(col("a"), col("b")).as("dp"))
+    assert(hof.queryExecution.optimizedPlan.toString.contains("dot_product"),
+      s"rewrite did not fire:\n${hof.queryExecution.optimizedPlan}")
+    // same results as calling the native kernel directly
+    val native = d.select(graft.plans.DotProduct(col("a"), col("b")).as("dp"))
+    assert(rows(hof) == rows(native))
+    // SQL spelling rewrites too
+    val sql = d.selectExpr(
+      """aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |          CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS dp""".stripMargin)
+    assert(sql.queryExecution.optimizedPlan.toString.contains("dot_product"))
+    assert(rows(sql) == rows(native))
+    // a fold that is NOT a dot product is left alone
+    val sum = d.selectExpr(
+      "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) + CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS s")
+    assert(!sum.queryExecution.optimizedPlan.toString.contains("dot_product"))
+  }
+
   test("non-literal size argument is rejected") {
     val e = intercept[Exception] {
       df("SELECT * FROM VALUES (1) t(n)").selectExpr("shingle_hashes('a b', n)").head()
