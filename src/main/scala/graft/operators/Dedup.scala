@@ -105,6 +105,61 @@ object Dedup {
       .select("vec_a", "vec_b", "cos")
   }
 
+  /** Connected components over a near-dup pair graph: assigns every doc
+    * appearing in `pairs` the MINIMUM id reachable through the pair
+    * relation — the canonical-document assignment that turns pair output
+    * (exactJaccardPairs / minhashLshPairs / embeddingNearDupLsh) into
+    * "keep one per cluster". Returns (id, component).
+    *
+    * Algorithm: hash-min label propagation. Each round every node offers
+    * its current label to its neighbors and keeps the minimum seen; a
+    * round is one equi-join (edges ⋈ labels) plus one min-aggregation.
+    * Converges in O(graph diameter) rounds — near-dup clusters are
+    * shallow (dups of dups of one original), so this settles in a
+    * handful of rounds; `maxIter` bounds the pathological chain. The
+    * per-round convergence check is a scalar count, not a collect.
+    *
+    * Scale notes: state per round is one (id, label) table shuffled on
+    * id — never the documents. Labels are re-persisted and the previous
+    * round unpersisted each iteration; every `checkpointEvery` rounds the
+    * lineage is truncated (growing plan trees otherwise dominate
+    * optimizer time in long chains). For graphs with huge diameter,
+    * alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce") drops rounds to O(log n) —
+    * not needed for dedup graphs.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25,
+                          checkpointEvery: Int = 5): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(lvl)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(lvl)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val offers = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("label"))
+      var next = labels.union(offers)
+        .groupBy("id").agg(min("label").as("label"))
+      if ((iter + 1) % checkpointEvery == 0) next = next.localCheckpoint(true)
+      next = next.persist(lvl)
+      changed = next.alias("n")
+        .join(labels.select(col("id"), col("label").as("__old")), "id")
+        .filter(col("label") < col("__old"))
+        .count()
+      labels.unpersist(blocking = false)
+      labels = next
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.select(col("id"), col("label").as("component"))
+  }
+
   /** MinHash+LSH near-dup pairs: k seeded min-hashes, `bands` bands of
     * k/bands rows, candidates from the band-bucket equi-join, exact
     * Jaccard verification of candidates only.

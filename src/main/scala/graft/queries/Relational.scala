@@ -283,6 +283,24 @@ object Relational {
       }
     },
 
+    // ---- J16: skew-salted equi-join ------------------------------------------
+    // The salting transform must be INVISIBLE in the result: salted join
+    // (hot keys spread over `factor` reducers) equals the plain join the
+    // oracle states. SkewSpec pins the partition-spread mechanics; this
+    // row pins result equivalence on real data under the driver's hash.
+    Query("j16_salted_join",
+      """SELECT o_orderkey, o_custkey, c_name FROM orders
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin) {
+      (s, d) => {
+        val big = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        val dim = Tables.customer(s, d)
+          .select(col("c_custkey").as("o_custkey"), col("c_name"))
+        graft.operators.Skew.saltedJoin(big, dim, "o_custkey", "o_orderkey",
+            factor = 8)
+          .select("o_orderkey", "o_custkey", "c_name")
+      }
+    },
+
     // ---- W9: first-per-group (ascending latest-per-group variant) -----------------
     Query("w09_first_per_group",
       """SELECT o_custkey, o_orderkey, o_orderdate FROM (

@@ -159,6 +159,46 @@ object SimilaritySearch {
         threshold = 0.35, maxBucketSize = 500)
     },
 
+    // ---- S8: dedup cluster assignment (connected components) -----------------
+    // The step after pair generation: near-dup pairs form a graph; every
+    // doc gets the minimum id reachable through it (its canonical doc).
+    // Pairs here are the exact-Jaccard set (t06) so DuckDB can replicate
+    // them; the oracle walks the same graph with a recursive CTE. The
+    // engine path is hash-min label propagation — one equi-join + one
+    // min-agg per round, O(cluster diameter) rounds, never touches text.
+    Query("s08_dedup_clusters",
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 300
+        |), sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS s
+        |  FROM toks WHERE len(t) >= 2
+        |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.3),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+        |SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id""".stripMargin) {
+      (s, d) =>
+        val pairs = graft.operators.Dedup.exactJaccardPairs(
+          Tables.documents(s, d).filter(col("doc_id") < 300), "doc_id", "text",
+          n = 2, threshold = 0.3)
+        graft.operators.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+          .select(col("id").as("doc_id"), col("component"))
+    },
+
     // ---- S6: IVF approximate nearest neighbour -------------------------------
     // Cell-partitioned ANN: 32 seeded sample centroids, probe 8 cells per
     // query, exact cosine re-rank. Rows-only here; recall contract in

@@ -53,6 +53,43 @@ object StreamingQueries {
         q.awaitTermination()
         ss.table(sink)
       }
+    },
+
+    // ---- ST2: stateful streaming sessionization vs the batch oracle --------
+    // The flatMapGroupsWithState sessionizer (O(1) state per key) run to
+    // completion over the landed events must assign exactly the session
+    // ids the batch window computation does — same gap rule (> 30 min),
+    // same (ts, event_id) tiebreak. This is the batch↔incremental
+    // equivalence for STATEFUL logic, where divergence is easiest
+    // (ordering inside a batch, state carry across batches).
+    Query("st02_stream_sessionize",
+      """SELECT event_id,
+        |       CAST(1 + sum(CASE WHEN epoch_us(ts) - prev > 1800000000 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+        |FROM (SELECT *, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |      FROM events)""".stripMargin) {
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("st02_landing")
+        java.nio.file.Files.createSymbolicLink(
+          dir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        import ss.implicits._
+        val raw = ss.read.parquet(s"$d/events.parquet")
+        val src = Streams.fileSource(ss, dir.toString, raw.schema)
+          .select(col("user_id").cast("long").as("userId"),
+            col("event_id").cast("long").as("eventId"),
+            expr("ts div 1000").as("tsMicros"))
+          .as[Streams.SessionEvent]
+        val out = Streams.sessionizeStream(src, gapMicros = 1800L * 1000000)
+        val sink = "st02_sessions_" + System.nanoTime()
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        ss.table(sink)
+          .select(col("eventId").as("event_id"), col("sessionId").as("session_id"))
+      }
     }
   )
 }

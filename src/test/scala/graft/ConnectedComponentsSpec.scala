@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class ConnectedComponentsSpec extends SparkSpec {
+
+  private def pairsDf(pairs: Seq[(Long, Long)]) = {
+    val s = spark; import s.implicits._
+    pairs.toDF("a", "b")
+  }
+
+  private def cc(pairs: Seq[(Long, Long)], maxIter: Int = 25) =
+    Dedup.connectedComponents(pairsDf(pairs), "a", "b", maxIter = maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain, clique, and separate component all take their min id") {
+    // 1-2-3-4 chain; {10,11,12} clique; {20,21} pair
+    val got = cc(Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("label flows against edge direction (min on the 'dst' side)") {
+    // min id sits at the far end of a directed pair chain: propagation
+    // must walk both directions to reach it
+    val got = cc(Seq((5L, 1L), (6L, 5L), (7L, 6L)))
+    assert(got.values.toSet == Set(1L))
+    assert(got.keySet == Set(1L, 5L, 6L, 7L))
+  }
+
+  test("long chain converges within maxIter via doubling-free propagation") {
+    // diameter 12 chain: plain hash-min needs ~12 rounds < default 25
+    val edges = (0L until 12L).map(i => (i, i + 1))
+    val got = cc(edges)
+    assert(got.values.toSet == Set(0L))
+  }
+
+  test("deterministic under repartition of the pair input") {
+    val pairs = Seq((3L, 9L), (9L, 4L), (100L, 7L), (7L, 3L))
+    val a = Dedup.connectedComponents(pairsDf(pairs), "a", "b")
+    val b = Dedup.connectedComponents(
+      pairsDf(pairs).repartition(13), "a", "b")
+    assert(sortedRows(a) == sortedRows(b))
+    assert(a.collect().forall(_.getLong(1) == 3L))
+  }
+}
