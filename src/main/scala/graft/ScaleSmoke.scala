@@ -83,6 +83,30 @@ object ScaleSmoke {
             maxBucketSize = 500)
           .write.format("noop").mode("overwrite").save()
       },
+      time("connected_components_1m_edges") {
+        // ~1.5M-edge synthetic pair graph: 150k chains of depth 10 —
+        // label propagation converges in ~10 rounds of equi-join +
+        // min-agg; validates the driver loop (persist/unpersist +
+        // lineage truncation) holds at a million-edge graph
+        val n = 1500000L
+        val pairs = spark.range(n)
+          .filter(pmod(col("id"), lit(10)) =!= 9)
+          .select(col("id").as("a"), (col("id") + 1).as("b"))
+        graft.operators.Dedup.connectedComponents(pairs, "a", "b")
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("asof_join_6m_rows") {
+        // as-of on the 10x orders table: union-form, one shuffle on the
+        // key, no join amplification
+        val snap = or.select(col("o_custkey"), col("o_orderdate").as("d"),
+            col("o_totalprice"))
+          .groupBy("o_custkey", "d").agg(max("o_totalprice").as("px"))
+        graft.operators.AsOfJoin.asOf(
+            or.select("o_orderkey", "o_custkey", "o_orderdate"), snap,
+            key = "o_custkey", leftTs = "o_orderdate", rightTs = "d",
+            strict = true)
+          .write.format("noop").mode("overwrite").save()
+      },
       time("token_shards_50k_docs") {
         val docs0 = graft.core.Tables.documents(spark, sfDir)
         val maxDoc = docs0.agg(max("doc_id")).as[Long].head() + 1

@@ -111,50 +111,79 @@ object Dedup {
     * (exactJaccardPairs / minhashLshPairs / embeddingNearDupLsh) into
     * "keep one per cluster". Returns (id, component).
     *
-    * Algorithm: hash-min label propagation. Each round every node offers
-    * its current label to its neighbors and keeps the minimum seen; a
-    * round is one equi-join (edges ⋈ labels) plus one min-aggregation.
-    * Converges in O(graph diameter) rounds — near-dup clusters are
-    * shallow (dups of dups of one original), so this settles in a
-    * handful of rounds; `maxIter` bounds the pathological chain. The
-    * per-round convergence check is a scalar count, not a collect.
+    * Algorithm: hash-min label propagation with pointer jumping. Each
+    * round every node offers its current label to its neighbors and
+    * keeps the minimum seen (one equi-join edges ⋈ labels + one
+    * min-aggregation), then labels compress one pointer hop
+    * (label(v) ← label(label(v)), a labels self-join) — the jump makes
+    * the reachable-minimum distance double per round, so convergence is
+    * O(log diameter) rounds instead of O(diameter); `maxIter` bounds
+    * the degenerate case. The per-round convergence check is a scalar
+    * count, not a collect.
     *
     * Scale notes: state per round is one (id, label) table shuffled on
     * id — never the documents. Labels are re-persisted and the previous
     * round unpersisted each iteration; every `checkpointEvery` rounds the
     * lineage is truncated (growing plan trees otherwise dominate
-    * optimizer time in long chains). For graphs with huge diameter,
-    * alternating large-star/small-star contraction (Kiveris et al.,
-    * "Connected Components in MapReduce") drops rounds to O(log n) —
-    * not needed for dedup graphs.
+    * optimizer time in long chains). The compression join keys by label
+    * value, so one giant component concentrates on one reducer late in
+    * the run — dedup-pair graphs (many small clusters) don't hit this;
+    * for adversarial graphs use alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce").
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 25,
-                          checkpointEvery: Int = 5): DataFrame = {
+                          maxIter: Int = 25): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    // repartition by src AFTER the dedup shuffle: the per-round
+    // edges ⋈ labels join then reuses this layout every iteration
+    // instead of re-shuffling the (biggest) edge table each round
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
+      .repartition(col("src"))
       .persist(lvl)
+    // EVERY iteration state is eagerly localCheckpoint-ed: persist alone
+    // keeps the full nested LOGICAL plan, so Catalyst/AQE re-analyze a
+    // tree that grows per round and round cost climbs even though the
+    // data is cached — checkpointing flattens lineage to the
+    // materialized blocks. (On a cluster with executor loss concerns,
+    // swap for reliable checkpoint(); same shape.)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(lvl)
+      .localCheckpoint(true)
     var iter = 0
     var changed = 1L
+    if (debug)
+      System.err.println(s"[cc] setup done @${System.nanoTime() / 1000000}ms")
     while (changed > 0 && iter < maxIter) {
-      val offers = edges.join(labels.withColumnRenamed("id", "src"), "src")
+      // joins are hinted SHUFFLE_HASH: the label table sits under
+      // typical broadcast thresholds mid-size, and auto-broadcast would
+      // collect it to the driver on EVERY join of EVERY round
+      val offers = edges.join(
+          labels.withColumnRenamed("id", "src").hint("SHUFFLE_HASH"), "src")
         .select(col("dst").as("id"), col("label"))
-      var next = labels.union(offers)
+      // checkpointed before the self-join below reads it TWICE (the
+      // rename makes the exchange keys differ, so reuse cannot fire)
+      val propagated = labels.union(offers)
         .groupBy("id").agg(min("label").as("label"))
-      if ((iter + 1) % checkpointEvery == 0) next = next.localCheckpoint(true)
-      next = next.persist(lvl)
+        .localCheckpoint(true)
+      // pointer jump: follow the label one hop (labels always name a
+      // node of the graph, so the join always finds its row)
+      val next = propagated
+        .join(propagated.select(col("id").as("label"), col("label").as("__hop"))
+          .hint("SHUFFLE_HASH"), Seq("label"))
+        .select(col("id"), col("__hop").as("label"))
+        .localCheckpoint(true)
       changed = next.alias("n")
-        .join(labels.select(col("id"), col("label").as("__old")), "id")
+        .join(labels.select(col("id"), col("label").as("__old"))
+          .hint("SHUFFLE_HASH"), "id")
         .filter(col("label") < col("__old"))
         .count()
-      labels.unpersist(blocking = false)
       labels = next
       iter += 1
+      if (debug)
+        System.err.println(s"[cc] round $iter changed=$changed @${System.nanoTime() / 1000000}ms")
     }
     edges.unpersist(blocking = false)
     labels.select(col("id"), col("label").as("component"))

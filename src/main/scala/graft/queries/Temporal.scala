@@ -97,6 +97,33 @@ object Temporal {
       }
     },
 
+    // ---- J17: as-of join (union-form, single shuffle) ------------------------
+    // Each order looks up the customer's max order value from the most
+    // recent PRIOR order day — the prices→trades / snapshot-lookup shape.
+    // The engine never joins: both sides union, sort per key, and the
+    // payload forward-fills (AsOfJoin.asOf, strict). The oracle is
+    // DuckDB's native ASOF LEFT JOIN with the same strict bound.
+    Query("j17_asof_join",
+      """WITH snap AS (
+        |  SELECT o_custkey AS k, o_orderdate AS d, max(o_totalprice) AS prev_price
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o.o_orderkey, o.o_custkey, s.prev_price
+        |FROM orders o ASOF LEFT JOIN snap s
+        |  ON o.o_custkey = s.k AND o.o_orderdate > s.d""".stripMargin) {
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val snap = o.select(col("o_custkey"), col("o_orderdate").as("snap_d"),
+            col("o_totalprice"))
+          .groupBy("o_custkey", "snap_d")
+          .agg(max("o_totalprice").as("prev_price"))
+        graft.operators.AsOfJoin.asOf(
+            o.select("o_orderkey", "o_custkey", "o_orderdate"), snap,
+            key = "o_custkey", leftTs = "o_orderdate", rightTs = "snap_d",
+            strict = true)
+          .select("o_orderkey", "o_custkey", "prev_price")
+      }
+    },
+
     // ---- W11b: native session_window (idiomatic counterpart of w11) ---------
     // Spark's built-in session aggregation; the oracle derives the same
     // sessions via the gap-flag running sum and aggregates per session.

@@ -19,7 +19,10 @@ class DeterminismSpec extends SparkSpec {
     "p05_gps_jitter", "w09_first_per_group", "r14_cascade_expand",
     "t13_pii_scrub", "t14_decontaminate", "t15_repetition_stats",
     "t16_domain_mix", "s07_embedding_neardup_lsh",
-    "st01_stream_windowed_counts")
+    "st01_stream_windowed_counts",
+    // late round-2 additions
+    "j15_range_bucket_join", "j16_salted_join", "j17_asof_join",
+    "s08_dedup_clusters", "st02_stream_sessionize")
 
   test("registry queries are invariant to shuffle partitioning") {
     val d = "/root/testdata/sf0.001"
