@@ -1,0 +1,29 @@
+package graft
+
+/** Regenerates the per-query exchange-count golden that PlanBudgetSpec
+  * asserts against (src/test/resources/plan_exchanges.golden). Run after
+  * deliberately changing a query's plan shape:
+  *
+  *   sbt "runMain graft.PlanGolden" > src/test/resources/plan_exchanges.golden
+  *
+  * Streaming queries (st*) are excluded: their fn launches a stream
+  * rather than returning a lazy plan.
+  */
+object PlanGolden {
+  val sfDir = "/root/testdata/sf0.001"
+
+  def exchangeCount(plan: String): Int =
+    "Exchange".r.findAllIn(plan).size
+
+  def counts(spark: org.apache.spark.sql.SparkSession): Seq[(String, Int)] =
+    SparkEntry.packs
+      .filterNot(_.name.startsWith("st"))
+      .map(q => q.name ->
+        exchangeCount(q.fn(spark, sfDir).queryExecution.executedPlan.toString))
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.Sessions.local("8", "graft-plangolden")
+    counts(spark).sortBy(_._1).foreach { case (n, c) => println(s"$n $c") }
+    spark.stop()
+  }
+}

@@ -90,6 +90,35 @@ object StreamingQueries {
         ss.table(sink)
           .select(col("eventId").as("event_id"), col("sessionId").as("session_id"))
       }
+    },
+
+    // ---- ST3: duplicate file delivery → streaming dedup = exactly-once ------
+    // The landing zone delivers the same data twice (two files, same
+    // rows — the re-upload/retry case a scheduled batch pipeline
+    // deduplicates by full re-runs); the streaming path must emit each
+    // event ONCE. dropDuplicatesWithinWatermark holds per-key state
+    // bounded by the watermark, so this is the exactly-once contract a
+    // landing zone actually relies on, pinned against the batch scan.
+    Query("st03_stream_dedup",
+      "SELECT event_id, event_type FROM events") {
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("st03_landing")
+        for (f <- Seq("events.parquet", "events_again.parquet"))
+          java.nio.file.Files.createSymbolicLink(dir.resolve(f),
+            java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val raw = ss.read.parquet(s"$d/events.parquet")
+        val src = Streams.fileSource(ss, dir.toString, raw.schema)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val out = Streams.streamingDedup(src, "event_id", "ts",
+          watermark = "10 days")
+        val sink = "st03_dedup_" + System.nanoTime()
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        ss.table(sink).select("event_id", "event_type")
+      }
     }
   )
 }

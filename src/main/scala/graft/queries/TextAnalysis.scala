@@ -292,6 +292,32 @@ object TextAnalysis {
         .select("doc_id", "lang")
     },
 
+    // ---- T17: corpus term statistics (document frequency + IDF) -------------
+    // The vocabulary table a retrieval/quality pipeline derives once per
+    // corpus: per-term document frequency and inverse document frequency.
+    // One explode of DISTINCT per-doc terms + one hash aggregation; the
+    // corpus size joins in as a broadcast 1-row aggregate (no collect).
+    // ln is libm on both engines → rounded to 6 dp (r11 precedent).
+    Query("t17_tfidf_stats",
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT term, count(*) AS doc_freq,
+        |       round(ln((SELECT n_docs FROM n) * 1.0 / count(*)), 6) AS idf
+        |FROM terms GROUP BY term""".stripMargin) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val terms = docs.select(
+          explode(array_distinct(split(col("text"), " "))).as("term"))
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        terms.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+          .crossJoin(broadcast(nDocs))
+          .select(col("term"), col("doc_freq"),
+            round(log(col("n_docs") * lit(1.0) / col("doc_freq")), 6).as("idf"))
+      }
+    },
+
     // ---- T7: delimited multi-value cells: split → explode → re-aggregate ----
     // The reference stores multi-valued cells as delimited strings
     // (space-delimited lab incidences, comma keylists); count token
