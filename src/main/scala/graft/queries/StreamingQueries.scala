@@ -119,6 +119,42 @@ object StreamingQueries {
         q.awaitTermination()
         ss.table(sink).select("event_id", "event_type")
       }
+    },
+
+    // ---- ST4: stream-stream interval join vs the batch join ------------------
+    // click→purchase attribution: purchases within 30 minutes after a
+    // click by the same user, both sides incremental. Inner interval
+    // joins emit on match and keep watermark-bounded state; run to
+    // completion the pair set must equal the batch interval join.
+    Query("st04_stream_interval_join",
+      """SELECT a.event_id AS imp_id, b.event_id AS conv_id
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |  AND a.event_type = 'click' AND b.event_type = 'purchase'
+        |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE""".stripMargin) {
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("st04_landing")
+        java.nio.file.Files.createSymbolicLink(
+          dir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val raw = ss.read.parquet(s"$d/events.parquet")
+        def src() = Streams.fileSource(ss, dir.toString, raw.schema)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val imps = src().filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("imp_id"),
+            col("ts").as("imp_ts"))
+        val convs = src().filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("conv_id"),
+            col("ts").as("conv_ts"))
+        val joined = Streams.intervalJoin(imps, convs, "user_id",
+          "imp_ts", "conv_ts", maxDelay = "30 minutes", watermark = "10 days")
+        val sink = "st04_attr_" + System.nanoTime()
+        val q = joined.writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        ss.table(sink).select("imp_id", "conv_id")
+      }
     }
   )
 }

@@ -23,7 +23,7 @@ class DeterminismSpec extends SparkSpec {
     // late round-2 additions
     "j15_range_bucket_join", "j16_salted_join", "j17_asof_join",
     "s08_dedup_clusters", "st02_stream_sessionize", "st03_stream_dedup",
-    "t17_tfidf_stats")
+    "st04_stream_interval_join", "t17_tfidf_stats")
 
   test("registry queries are invariant to shuffle partitioning") {
     val d = "/root/testdata/sf0.001"
