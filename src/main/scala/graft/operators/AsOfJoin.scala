@@ -43,17 +43,23 @@ object AsOfJoin {
       .withColumn("__side", lit(leftTag))
     // payload travels as ONE struct so the matched right row is atomic:
     // filling columns independently would let a null payload value
-    // inherit an older row's value, which is not as-of semantics
+    // inherit an older row's value, which is not as-of semantics.
+    // Right rows with a null key or null ts can never match under SQL
+    // equality/inequality — dropped here so they don't leak into the
+    // null-key window partition (left rows with null key/ts are KEPT
+    // and surface with a null payload, matching ASOF LEFT JOIN; null
+    // ts sorts first so the fill sees nothing).
     val r = right
+      .filter(col(key).isNotNull && col(rightTs).isNotNull)
       .select(col(key), col(rightTs).as("__ts"),
         struct(payload.map(col): _*).as("__pay"))
       .withColumn("__side", lit(rightTag))
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
+    val w = Window.partitionBy(key).orderBy(col("__ts").asc_nulls_first, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("__pay", last(col("__pay"), ignoreNulls = true).over(w))
-      .filter(col("__side") === leftTag && col(leftTs).isNotNull)
+      .filter(col("__side") === leftTag)
       .select(left.columns.map(col) ++
         payload.map(c => col(s"__pay.$c").as(c)): _*)
   }

@@ -39,6 +39,19 @@ class AsOfJoinSpec extends SparkSpec {
       s"expected a single shuffle on the key:\n$plan")
   }
 
+  test("ASOF LEFT null semantics: null-ts/key left rows kept unmatched; null right rows never match") {
+    val s = spark; import s.implicits._
+    val l = Seq((Some(1L), Some(30L), "ok"), (Some(1L), None, "null_ts"),
+      (None, Some(30L), "null_key")).toDF("k", "ts", "name")
+    val r = Seq((Some(1L), Some(10L), "match"), (Some(1L), None, "bad_ts"),
+      (None, Some(5L), "bad_key")).toDF("k", "rts", "pay")
+    val got = AsOfJoin.asOf(l, r, "k", "ts", "rts")
+      .collect().map(x => x.getString(2) -> Option(x.getString(3))).toMap
+    // every left row survives; only the fully-valid one matches
+    assert(got == Map("ok" -> Some("match"), "null_ts" -> None,
+      "null_key" -> None))
+  }
+
   test("matched row is atomic: null payload values do NOT inherit older rows") {
     val s = spark; import s.implicits._
     val l = Seq((1L, 30L)).toDF("k", "ts")
