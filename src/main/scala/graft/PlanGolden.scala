@@ -18,8 +18,16 @@ object PlanGolden {
   def counts(spark: org.apache.spark.sql.SparkSession): Seq[(String, Int)] =
     SparkEntry.packs
       .filterNot(_.name.startsWith("st"))
-      .map(q => q.name ->
-        exchangeCount(q.fn(spark, sfDir).queryExecution.executedPlan.toString))
+      .map { q =>
+        // queries persist() intermediates and the CacheManager is
+        // JVM-shared: a subtree already cached by an earlier query (or
+        // an earlier suite) substitutes InMemoryRelations whose stored
+        // build plans re-count their inner exchanges — clear per query
+        // so the count only reflects THIS query's plan
+        spark.sqlContext.clearCache()
+        q.name ->
+          exchangeCount(q.fn(spark, sfDir).queryExecution.executedPlan.toString)
+      }
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.Sessions.local("8", "graft-plangolden")

@@ -205,17 +205,6 @@ object Dedup {
                       maxBucketSize: Int = 0): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    // shingles carried as 64-bit hashes end-to-end: ShingleHashes emits
-    // distinct xxhash64 values in one fused byte scan (no string
-    // shingles materialized anywhere), and candidate overlap verifies on
-    // the hash (a false merge needs two distinct shingles of one
-    // candidate pair sharing an xxhash64 — ~2^-64 per pair). The
-    // exact-string path lives in exactJaccardPairs. Persisted because
-    // the signature agg and both verification joins all read it
-    // (checkpoint at cluster scale).
-    val sh = df.select(col(idCol).as("__id"),
-        explode(graft.plans.ShingleHashes(col(textCol), n)).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // whole (signature, distinct-count) sketch as a SCALAR expression —
     // one fused byte scan per doc, a narrow projection with NO shuffle
     // (the former explode → groupBy → signature-aggregate chain moved
@@ -251,6 +240,23 @@ object Dedup {
           col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("doc_a"), col("y.__id").as("doc_b"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shingles explode for CANDIDATE docs only (semi-join on the doc
+    // table BEFORE the explode — LSH leaves most of the corpus out of
+    // any candidate pair, so the dominant explode cost shrinks to the
+    // near-dup fraction). Carried as 64-bit hashes end-to-end:
+    // ShingleHashes emits distinct xxhash64 values in one fused byte
+    // scan (no string shingles materialized); overlap verifies on the
+    // hash (a false merge needs two distinct shingles of one candidate
+    // pair sharing an xxhash64 — ~2^-64 per pair). The exact-string
+    // path lives in exactJaccardPairs.
+    val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("__id"))
+      .distinct()
+    val sh = df.select(col(idCol).as("__id"),
+        graft.plans.ShingleHashes(col(textCol), n).as("__shs"))
+      .join(candIds, Seq("__id"), "left_semi")
+      .select(col("__id"), explode(col("__shs")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     verified(sh, cand, sigs.select(col("__id"), col("n")), threshold)
   }
 }
