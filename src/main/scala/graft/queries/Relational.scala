@@ -301,6 +301,34 @@ object Relational {
       }
     },
 
+    // ---- A20: one-pass table profile (generic data-quality check) ------------
+    // Per-column nulls/min/max in ONE aggregation pass + a stack() melt —
+    // never a scan per column. Long/string columns only in the oracle
+    // row (double/timestamp → string casts are engine-formatted; the
+    // operator handles them, ProfileSpec pins that side).
+    Query("a20_table_profile",
+      """SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |       CAST(min(o_orderkey) AS VARCHAR) AS min_str,
+        |       CAST(max(o_orderkey) AS VARCHAR) AS max_str FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(*),
+        |       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*),
+        |       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*),
+        |       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR) FROM orders""".stripMargin) {
+      (s, d) => graft.operators.Profile.profile(Tables.orders(s, d),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .select(col("column").as("col_name"), col("n_rows"), col("n_nulls"),
+          col("min_str"), col("max_str"))
+    },
+
     // ---- W9: first-per-group (ascending latest-per-group variant) -----------------
     Query("w09_first_per_group",
       """SELECT o_custkey, o_orderkey, o_orderdate FROM (
