@@ -109,7 +109,14 @@ object Dedup {
     * appearing in `pairs` the MINIMUM id reachable through the pair
     * relation — the canonical-document assignment that turns pair output
     * (exactJaccardPairs / minhashLshPairs / embeddingNearDupLsh) into
-    * "keep one per cluster". Returns (id, component).
+    * "keep one per cluster". Returns (id, component), ids as longs
+    * (integral id columns required).
+    *
+    * Below `smallGraphEdges` distinct edges the graph collects to the
+    * driver for a union-find — near-dup pair graphs are tiny relative
+    * to their corpus, and rounds of distributed joins cannot beat a
+    * bounded in-memory pass. Above it (or with the bound set to 0), the
+    * distributed loop below runs.
     *
     * Algorithm: hash-min label propagation with pointer jumping. Each
     * round every node offers its current label to its neighbors and
@@ -132,14 +139,49 @@ object Dedup {
     * contraction (Kiveris et al., "Connected Components in MapReduce").
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          smallGraphEdges: Long = 100000L): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    require(smallGraphEdges < Int.MaxValue, "smallGraphEdges must fit in Int")
+    // small-graph fast path: near-dup pair graphs are tiny relative to
+    // the corpus they came from (LSH pairs ≪ docs); below the bound a
+    // driver union-find beats rounds of distributed joins outright.
+    // ONE bounded probe decides the path AND delivers the data: collect
+    // at most bound+1 pairs — if they all fit, that IS the whole graph
+    // (no separate count job, no second computation of the pair input).
+    // Set the bound to 0 to force the distributed path.
+    val probe =
+      if (smallGraphEdges <= 0) Array.empty[org.apache.spark.sql.Row]
+      else pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
+        .limit(smallGraphEdges.toInt + 1).collect()
+    if (smallGraphEdges > 0 && probe.length <= smallGraphEdges) {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        if (r != x) parent(x) = r // path compression
+        r
+      }
+      probe.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val out = parent.keys.toSeq.map(v => (v, find(v)))
+      val sess = pairs.sparkSession
+      import sess.implicits._
+      return out.toDF("id", "component")
+    }
     // repartition by src AFTER the dedup shuffle: the per-round
     // edges ⋈ labels join then reuses this layout every iteration
-    // instead of re-shuffling the (biggest) edge table each round
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // instead of re-shuffling the (biggest) edge table each round;
+    // ids travel as longs on both paths so the output schema does not
+    // depend on which path ran
+    val edges = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct()
       .repartition(col("src"))
       .persist(lvl)

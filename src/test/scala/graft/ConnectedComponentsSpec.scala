@@ -10,9 +10,19 @@ class ConnectedComponentsSpec extends SparkSpec {
     pairs.toDF("a", "b")
   }
 
-  private def cc(pairs: Seq[(Long, Long)], maxIter: Int = 25) =
-    Dedup.connectedComponents(pairsDf(pairs), "a", "b", maxIter = maxIter)
+  // exercise BOTH paths: the driver union-find fast path (default
+  // threshold) and the distributed label-propagation loop (forced via
+  // smallGraphEdges = 0)
+  private def cc(pairs: Seq[(Long, Long)], maxIter: Int = 25) = {
+    val fast = Dedup.connectedComponents(pairsDf(pairs), "a", "b",
+        maxIter = maxIter)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(pairsDf(pairs), "a", "b",
+        maxIter = maxIter, smallGraphEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == dist, "fast-path and distributed results must agree")
+    dist
+  }
 
   test("chain, clique, and separate component all take their min id") {
     // 1-2-3-4 chain; {10,11,12} clique; {20,21} pair

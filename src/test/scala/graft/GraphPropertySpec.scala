@@ -29,9 +29,12 @@ class GraphPropertySpec extends SparkSpec {
       // component id = min member id, matching the operator's contract
       val expected = inGraph.groupBy(v => find(v.toInt))
         .flatMap { case (_, vs) => val m = vs.min; vs.map(_ -> m) }
-      val got = Dedup.connectedComponents(pairs.toDF("a", "b"), "a", "b")
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == expected, s"seed $seed mismatch")
+      for (bound <- Seq(100000L, 0L)) { // fast path AND distributed loop
+        val got = Dedup.connectedComponents(pairs.toDF("a", "b"), "a", "b",
+            smallGraphEdges = bound)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"seed $seed bound $bound mismatch")
+      }
     }
   }
 
