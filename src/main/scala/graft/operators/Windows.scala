@@ -49,9 +49,16 @@ object Windows {
     * (randomize.R:569-591) without reproducing R's RNG stream.
     */
   def seededShuffleRank(df: DataFrame, groupKeys: Seq[String], idCol: String,
-                        seed: Long, rankCol: String = "randomization_number"): DataFrame = {
+                        seed: Long, rankCol: String = "randomization_number",
+                        crossEngine: Boolean = false): DataFrame = {
+    // xxhash64 is the fast codegen'd default; crossEngine swaps in md5
+    // over the string form so any SQL engine can replicate the exact
+    // permutation (md5 is the one hash both sides share)
+    val h =
+      if (crossEngine) md5(concat(col(idCol).cast("string"), lit(seed.toString)))
+      else xxhash64(col(idCol), lit(seed))
     val w = Window.partitionBy(groupKeys.map(col): _*)
-      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+      .orderBy(h, col(idCol))
     df.withColumn(rankCol, row_number().over(w))
   }
 

@@ -24,11 +24,21 @@ object Temporal {
 
   val queries: Seq[Query] = Seq(
 
-    // ---- W2: seeded stable shuffle (contract-tested, rows-only here) -----
-    Query.noOracle("w02_seeded_shuffle") { (s, d) =>
+    // ---- W2: seeded stable shuffle -----------------------------------------
+    // Deterministic seeded permutation per group (the reference's
+    // set.seed + sample_n randomization contract). The cross-engine md5
+    // ordering lets DuckDB replicate the EXACT permutation, so this is
+    // a full oracle row; the xxhash64 default (same contract, faster)
+    // is pinned by WindowsSpec determinism tests.
+    Query("w02_seeded_shuffle",
+      """SELECT c_custkey, c_mktsegment,
+        |       CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |            ORDER BY md5(CAST(c_custkey AS VARCHAR) || '17'), c_custkey) AS INT)
+        |         AS randomization_number
+        |FROM customer""".stripMargin) { (s, d) =>
       Windows.seededShuffleRank(
         Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
-        Seq("c_mktsegment"), "c_custkey", seed = 17L)
+        Seq("c_mktsegment"), "c_custkey", seed = 17L, crossEngine = true)
     },
 
     // ---- W7: forward fill ------------------------------------------------
