@@ -8,12 +8,15 @@ import graft.functions.Geo
 /** Geospatial operators (SURVEY.md §2.8) over synthetic point/polygon
   * geometry derived from the testdata.
   *
-  * j09 is rows-only checked by the driver (ray casting has no SQL
-  * oracle); its geometry semantics (containment, concavity, buffered
-  * fallback) are pinned exactly in GeoSpec. j12 (haversine nearest
-  * facility) IS oracle-checked: both engines use correctly-rounded IEEE
-  * sqrt/sin/cos on the same doubles — and the result only needs ORDERING
-  * agreement plus a rounded distance output.
+  * j09 IS oracle-checked: the oracle re-states the ray-cast crossing
+  * test and the clamped point-to-segment fallback for the literal
+  * diamond fixture, edge by edge, in SQL over the SAME doubles — every
+  * operation involved (+,-,*,/, fmod, sqrt, comparisons) is
+  * correctly-rounded IEEE, so both engines compute bit-identical
+  * geometry and the assignment counts hash-match (boundary points and
+  * the d ≤ buffer tie rule included). j12 (haversine nearest facility)
+  * likewise. GeoSpec pins the general-polygon semantics (concavity,
+  * arbitrary vertex loops) the fixture-specific SQL cannot cover.
   */
 object GeoQueries {
 
@@ -33,7 +36,55 @@ object GeoQueries {
     // ---- J9: point-in-polygon cluster assignment ---------------------------
     // Customer points at ((custkey%100)/10, ((custkey/100)%100)/10); count
     // per assigned diamond cell (0.05° buffered fallback), nulls = outside.
-    Query.noOracle("j09_point_in_polygon") { (s, d) =>
+    // Oracle: the same even-odd crossing test per edge (min id wins =
+    // first containing), then the clamped point-to-segment distance
+    // fallback (min distance, larger id wins exact ties = the loop's
+    // d <= best update rule) — all IEEE ops, bit-identical cross-engine.
+    Query("j09_point_in_polygon",
+      """WITH pts AS (
+        |  SELECT c_custkey,
+        |         CAST(c_custkey % 100 AS DOUBLE)/10.0 AS x,
+        |         fmod(CAST(c_custkey AS DOUBLE)/100.0, 100.0)/10.0 AS y
+        |  FROM customer),
+        |dia AS (
+        |  SELECT CAST(a.range*5 + b.range AS INT) AS id,
+        |         CAST(a.range*2 + 1 AS DOUBLE) AS cx, CAST(b.range*2 + 1 AS DOUBLE) AS cy
+        |  FROM range(5) a, range(5) b),
+        |edges AS (
+        |  SELECT * FROM (VALUES
+        |    (0.0,-1.0,-1.0,0.0),
+        |    (1.0,0.0,0.0,-1.0),
+        |    (0.0,1.0,1.0,0.0),
+        |    (-1.0,0.0,0.0,1.0)) e(ix, iy, jx, jy)),
+        |inside AS (
+        |  SELECT c_custkey, min(id) AS mid FROM (
+        |    SELECT p.c_custkey, d.id
+        |    FROM pts p, dia d, edges e
+        |    WHERE ((d.cy + e.iy > p.y) != (d.cy + e.jy > p.y))
+        |      AND p.x < (e.jx - e.ix) * (p.y - (d.cy + e.iy)) / (e.jy - e.iy) + (d.cx + e.ix)
+        |    GROUP BY 1, 2
+        |    HAVING count(*) % 2 = 1)
+        |  GROUP BY 1),
+        |dist AS (
+        |  SELECT c_custkey, id, min(sqrt((x-px)*(x-px) + (y-py)*(y-py))) AS ed FROM (
+        |    SELECT p.c_custkey, d.id, p.x, p.y,
+        |           d.cx + s.x1 + t*(s.x2 - s.x1) AS px,
+        |           d.cy + s.y1 + t*(s.y2 - s.y1) AS py
+        |    FROM pts p, dia d,
+        |         (VALUES (-1.0,0.0,0.0,-1.0),(0.0,-1.0,1.0,0.0),
+        |                 (1.0,0.0,0.0,1.0),(0.0,1.0,-1.0,0.0)) s(x1,y1,x2,y2),
+        |         LATERAL (SELECT greatest(0.0, least(1.0,
+        |             ((p.x-(d.cx+s.x1))*(s.x2-s.x1) + (p.y-(d.cy+s.y1))*(s.y2-s.y1))/2.0)) AS t) tt)
+        |  GROUP BY 1, 2),
+        |fb AS (
+        |  SELECT c_custkey, id FROM (
+        |    SELECT c_custkey, id, row_number() OVER (PARTITION BY c_custkey ORDER BY ed ASC, id DESC) AS rn
+        |    FROM dist WHERE ed <= 0.05)
+        |  WHERE rn = 1),
+        |assign AS (
+        |  SELECT p.c_custkey, COALESCE(i.mid, f.id) AS geo_cluster
+        |  FROM pts p LEFT JOIN inside i USING (c_custkey) LEFT JOIN fb f USING (c_custkey))
+        |SELECT geo_cluster, count(*) AS n FROM assign GROUP BY 1""".stripMargin) { (s, d) =>
       val assign = Geo.clusterAssigner(s, diamonds, bufferDeg = 0.05)
       Tables.customer(s, d)
         .select(col("c_custkey"),
