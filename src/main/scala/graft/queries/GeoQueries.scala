@@ -98,9 +98,49 @@ object GeoQueries {
     // The reference ranks households by distance to their cluster's edge,
     // deepest first (randomize.R:1104-1114): assign each point a diamond
     // cell, compute distance to that cell's boundary, rank desc within
-    // the cell. Rows-only (geometry has no SQL oracle); containment and
-    // edge-distance values are pinned in GeoSpec.
-    Query.noOracle("w04_spatial_priority") { (s, d) =>
+    // the cell. Oracle: same IEEE restatement as j09 (containment via
+    // crossing test, clamped point-to-segment distance), ranked on the
+    // 9-dp-rounded distance with the custkey tiebreak.
+    Query("w04_spatial_priority",
+      """WITH pts AS (
+        |  SELECT c_custkey,
+        |         CAST(c_custkey % 100 AS DOUBLE)/10.0 AS x,
+        |         fmod(CAST(c_custkey AS DOUBLE)/100.0, 100.0)/10.0 AS y
+        |  FROM customer),
+        |dia AS (
+        |  SELECT CAST(a.range*5 + b.range AS INT) AS id,
+        |         CAST(a.range*2 + 1 AS DOUBLE) AS cx, CAST(b.range*2 + 1 AS DOUBLE) AS cy
+        |  FROM range(5) a, range(5) b),
+        |edges AS (
+        |  SELECT * FROM (VALUES
+        |    (0.0,-1.0,-1.0,0.0),(1.0,0.0,0.0,-1.0),(0.0,1.0,1.0,0.0),(-1.0,0.0,0.0,1.0)) e(ix, iy, jx, jy)),
+        |inside AS (
+        |  SELECT c_custkey, min(id) AS mid FROM (
+        |    SELECT p.c_custkey, d.id
+        |    FROM pts p, dia d, edges e
+        |    WHERE ((d.cy + e.iy > p.y) != (d.cy + e.jy > p.y))
+        |      AND p.x < (e.jx - e.ix) * (p.y - (d.cy + e.iy)) / (e.jy - e.iy) + (d.cx + e.ix)
+        |    GROUP BY 1, 2
+        |    HAVING count(*) % 2 = 1)
+        |  GROUP BY 1),
+        |dist AS (
+        |  SELECT c_custkey, id, min(sqrt((x-px)*(x-px) + (y-py)*(y-py))) AS ed FROM (
+        |    SELECT p.c_custkey, d.id, p.x, p.y,
+        |           d.cx + s.x1 + t*(s.x2 - s.x1) AS px,
+        |           d.cy + s.y1 + t*(s.y2 - s.y1) AS py
+        |    FROM pts p, dia d,
+        |         (VALUES (-1.0,0.0,0.0,-1.0),(0.0,-1.0,1.0,0.0),
+        |                 (1.0,0.0,0.0,1.0),(0.0,1.0,-1.0,0.0)) s(x1,y1,x2,y2),
+        |         LATERAL (SELECT greatest(0.0, least(1.0,
+        |             ((p.x-(d.cx+s.x1))*(s.x2-s.x1) + (p.y-(d.cy+s.y1))*(s.y2-s.y1))/2.0)) AS t) tt)
+        |  GROUP BY 1, 2)
+        |SELECT geo_cluster, priority, c_custkey, edge_dist FROM (
+        |  SELECT i.mid AS geo_cluster, p.c_custkey,
+        |         round(dd.ed, 9) AS edge_dist,
+        |         CAST(row_number() OVER (PARTITION BY i.mid ORDER BY round(dd.ed, 9) DESC, p.c_custkey) AS INT) AS priority
+        |  FROM pts p JOIN inside i USING (c_custkey)
+        |  JOIN dist dd ON dd.c_custkey = p.c_custkey AND dd.id = i.mid)
+        |WHERE priority <= 5""".stripMargin) { (s, d) =>
       val assign = Geo.clusterAssigner(s, diamonds, bufferDeg = 0.0)
       val edge = Geo.edgeDistanceUdf(s, diamonds)
       val w = Window.partitionBy("geo_cluster")
