@@ -5,9 +5,9 @@ import graft.core.{Query, Tables}
 import graft.operators.Multimodal
 
 /** Multimodal binary-column queries over synthesized payloads (documents
-  * text as bytes). The pure-SQL plumbing (payload length, content hash,
-  * frame windows) is oracle-checked; the batched stub-decode path is
-  * rows-only here with its contracts in MultimodalSpec.
+  * text as bytes). All three are oracle-checked, including the batched
+  * stub-decode path (its float features de-normalize to exact integer
+  * counts); value contracts live in MultimodalSpec.
   */
 object MultimodalQueries {
 
@@ -24,14 +24,38 @@ object MultimodalQueries {
     },
 
     // ---- M2: batched stub-decode feature extraction -------------------------
-    // The feature vector itself stays array<float> inside the pipeline
-    // (MultimodalSpec pins its values); the registry row serializes it so the
-    // driver's pandas sort has a scalar to order.
-    Query.noOracle("m02_feature_extract") { (s, d) =>
+    // The feature vector stays array<float> inside the pipeline
+    // (MultimodalSpec pins its values); the registry row de-normalizes it
+    // back to the exact integer byte-histogram counts (round(f*n) is exact:
+    // float32 relative error 2^-24 × payload bytes ≪ 0.5), which DuckDB
+    // recomputes byte-by-byte — bucket = high 3 bits = first hex nibbles/2.
+    Query("m02_feature_extract",
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 2 = 0 THEN 'image/fake' ELSE 'audio/fake' END AS media_type,
+        |         hex(encode(text)) AS h, octet_length(encode(text)) AS n
+        |  FROM documents),
+        |by_byte AS (
+        |  SELECT doc_id, (strpos('0123456789ABCDEF', substr(h, CAST(2*u.i+1 AS INT), 1)) - 1) // 2 AS bucket
+        |  FROM base, LATERAL (SELECT unnest(range(n)) AS i) u),
+        |c AS (SELECT doc_id, bucket, count(*) AS cnt FROM by_byte GROUP BY 1, 2)
+        |SELECT b.doc_id, b.media_type,
+        |       coalesce(max(CASE WHEN bucket = 0 THEN cnt END), 0) AS b0,
+        |       coalesce(max(CASE WHEN bucket = 1 THEN cnt END), 0) AS b1,
+        |       coalesce(max(CASE WHEN bucket = 2 THEN cnt END), 0) AS b2,
+        |       coalesce(max(CASE WHEN bucket = 3 THEN cnt END), 0) AS b3,
+        |       coalesce(max(CASE WHEN bucket = 4 THEN cnt END), 0) AS b4,
+        |       coalesce(max(CASE WHEN bucket = 5 THEN cnt END), 0) AS b5,
+        |       coalesce(max(CASE WHEN bucket = 6 THEN cnt END), 0) AS b6,
+        |       coalesce(max(CASE WHEN bucket = 7 THEN cnt END), 0) AS b7
+        |FROM base b LEFT JOIN c USING (doc_id)
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
       val withP = Multimodal.withPayload(Tables.documents(s, d), "doc_id", "text")
+      val n = octet_length(col("payload"))
+      val counts = (0 until Multimodal.FeatureDim).map(b =>
+        round(element_at(col("features"), b + 1) * n).cast("long").as(s"b$b"))
       Multimodal.extractFeatures(withP, "payload")
-        .select(col("doc_id"), col("meta.media_type").as("media_type"),
-          to_json(col("features")).as("features_json"))
+        .select(col("doc_id") +: col("meta.media_type").as("media_type") +: counts: _*)
     },
 
     // ---- M3: frame sampling (binary windows, no UDF) -------------------------
