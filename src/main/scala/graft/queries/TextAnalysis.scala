@@ -318,6 +318,78 @@ object TextAnalysis {
       }
     },
 
+    // ---- T18: unigram-LM cross-entropy score (CCNet-style quality filter) ---
+    // Score each doc by mean negative log-likelihood under the corpus's own
+    // unigram distribution — the standard LM-perplexity quality signal with
+    // the LM replaced by its closed unigram form. Per-term -ln p is rounded
+    // to 6 dp and summed as DECIMAL so the fold is order-independent
+    // (ln precedent: t17/r11). Shapes: one token explode, one hash agg for
+    // the vocab, token→vocab equi-join (vocab ≪ corpus, AQE broadcasts),
+    // one map-side-combinable per-doc agg — no driver work, no collect.
+    Query("t18_unigram_logprob",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |v AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n_total FROM tok),
+        |lp AS (SELECT t, CAST(round(ln((SELECT n_total FROM n) * 1.0 / c), 6)
+        |                      AS DECIMAL(18,6)) AS nll FROM v)
+        |SELECT doc_id, round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS xent,
+        |       count(*) AS n_tok
+        |FROM tok JOIN lp USING (t)
+        |GROUP BY 1""".stripMargin) {
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        val vocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
+        val total = tok.agg(count(lit(1)).as("n_total"))
+        val logp = vocab.crossJoin(broadcast(total))
+          .select(col("t"),
+            round(log(col("n_total").cast("double") / col("c")), 6)
+              .cast("decimal(18,6)").as("nll"))
+        tok.join(logp, "t")
+          .groupBy("doc_id")
+          .agg(sum("nll").as("sum_nll"), count(lit(1)).as("n_tok"))
+          .select(col("doc_id"),
+            round(col("sum_nll").cast("double") / col("n_tok"), 6).as("xent"),
+            col("n_tok"))
+      }
+    },
+
+    // ---- T19: first-occurrence n-gram novelty (dedup diagnostic) ------------
+    // Per doc: how many of its distinct trigrams first appeared in an
+    // earlier doc (doc_id order) — the novelty curve used to audit residual
+    // duplication after dedup. Spark carries grams as 64-bit hashes
+    // (plans.ShingleHashes — no string shingles materialized, t14
+    // precedent); the oracle recomputes with string grams, so agreement
+    // also certifies the hashed path collision-free on this corpus.
+    Query("t19_ngram_novelty",
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |  WHERE len(t) >= 3),
+        |first AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_grams,
+        |       count(*) FILTER (first_doc < doc_id) AS n_seen,
+        |       round(1.0 - CAST(count(*) FILTER (first_doc < doc_id) AS DOUBLE)
+        |             / count(*), 6) AS novelty
+        |FROM sh JOIN first USING (s)
+        |GROUP BY 1""".stripMargin) {
+      (s, d) => {
+        val grams = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(graft.plans.ShingleHashes(col("text"), 3)).as("s"))
+        val first = grams.groupBy("s").agg(min("doc_id").as("first_doc"))
+        grams.join(first, "s")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            count(when(col("first_doc") < col("doc_id"), 1)).as("n_seen"))
+          .select(col("doc_id"), col("n_grams"), col("n_seen"),
+            round(lit(1.0) - col("n_seen").cast("double") / col("n_grams"), 6)
+              .as("novelty"))
+      }
+    },
+
     // ---- T7: delimited multi-value cells: split → explode → re-aggregate ----
     // The reference stores multi-valued cells as delimited strings
     // (space-delimited lab incidences, comma keylists); count token
