@@ -339,8 +339,10 @@ object TextAnalysis {
       (s, d) => {
         val tok = Tables.documents(s, d)
           .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        // n_total from the vocab counts, not a second pass over the
+        // token stream — one corpus scan feeds both
         val vocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
-        val total = tok.agg(count(lit(1)).as("n_total"))
+        val total = vocab.agg(sum("c").as("n_total"))
         val logp = vocab.crossJoin(broadcast(total))
           .select(col("t"),
             round(log(col("n_total").cast("double") / col("c")), 6)
