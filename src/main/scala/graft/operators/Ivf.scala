@@ -9,11 +9,13 @@ import graft.functions.Similarity
   * into cells around seeded sample centroids, probe only the nProbe
   * nearest cells per query, re-rank candidates exactly.
   *
-  * Centroids are a seeded deterministic sample (xxhash64 order), not
-  * Lloyd-refined: refinement's floating-point averages depend on
-  * aggregation order, which would break the engine's partition-
-  * independence contract; sample centroids keep recall adequate and
-  * results bit-stable.
+  * Centroids start as a seeded deterministic sample (xxhash64 order).
+  * [[trainCentroids]] optionally Lloyd-refines them WITHOUT breaking the
+  * engine's partition-independence contract: naive float mean updates
+  * depend on aggregation order, so each component is summed as
+  * DECIMAL(27,7) — exact, therefore order-independent — and only the
+  * final per-cell division returns to floating point. Identical
+  * centroids on every run and every input partitioning.
   *
   * Scale notes: cell assignment is a broadcast of the centroid table +
   * two hash aggregates (no sort, no window over the big side); the probe
@@ -42,13 +44,61 @@ object Ivf {
   def assign(vectors: DataFrame, cents: DataFrame, idCol: String,
              vecCol: String): DataFrame = {
     val collected = cents.collect()
-    val ids = collected.map(_.getAs[Number]("cell_id").longValue)
-    val mat: Seq[Seq[Double]] = collected.map(
-      _.getSeq[Number](1).map(_.doubleValue).toSeq).toSeq
+    assignMat(vectors, idCol, vecCol,
+      collected.map(_.getAs[Number]("cell_id").longValue).toSeq,
+      collected.map(_.getSeq[Number](1).map(_.doubleValue).toSeq).toSeq)
+  }
+
+  private def assignMat(vectors: DataFrame, idCol: String, vecCol: String,
+                        ids: Seq[Long], mat: Seq[Seq[Double]]): DataFrame = {
     val cdists = transform(typedlit(mat), c => dist2(col(vecCol), c))
     vectors.select(col(idCol), col(vecCol),
-      element_at(typedlit(ids.toSeq),
+      element_at(typedlit(ids),
         array_position(cdists, array_min(cdists)).cast("int")).as("cell_id"))
+  }
+
+  /** Lloyd-refined centroids, deterministically: `iters` rounds of
+    * assign → per-cell mean, each component summed as DECIMAL(27,7) (an
+    * exact, order-independent fold — the float sum a naive mean uses
+    * changes with partitioning) and divided by the member count; empty
+    * cells keep their previous centroid. Only k×dim scalars ever reach
+    * the driver (the same bound [[assign]] already has), and collecting
+    * them each round also cuts the iterative-lineage growth that makes
+    * loop round N re-run rounds 1..N-1.
+    */
+  def trainCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+                     nCells: Int, iters: Int, seed: Long = 42L): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    // every round scans (id, vec): cache the projection for the loop —
+    // the iterative-algorithm standard (at cluster scale this is the
+    // difference between 1 and `iters` reads of the corpus)
+    val vecs = vectors.select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents: Seq[(Long, Seq[Double])] =
+        centroids(vecs, idCol, vecCol, nCells, seed).collect()
+          .map(r => (r.getAs[Number]("cell_id").longValue,
+            r.getSeq[Number](1).map(_.doubleValue).toSeq)).toSeq
+      val dim = cents.head._2.length
+      for (_ <- 0 until iters) {
+        val assigned = assignMat(vecs, idCol, vecCol,
+          cents.map(_._1), cents.map(_._2))
+        val sums = (0 until dim).map(i =>
+          sum(element_at(col(vecCol), i + 1).cast("decimal(27,7)")).as(s"s$i"))
+        val mean = assigned.groupBy("cell_id")
+          .agg(count(lit(1)).as("n"), sums: _*)
+          .select(col("cell_id"),
+            array((0 until dim).map(i =>
+              (col(s"s$i") / col("n")).cast("double")): _*).as("c_vec"))
+        val updated = mean.collect()
+          .map(r => (r.getAs[Number]("cell_id").longValue,
+            r.getSeq[Number](1).map(_.doubleValue).toSeq)).toMap
+        cents = cents.map { case (id, old) => (id, updated.getOrElse(id, old)) }
+      }
+      cents.map { case (id, v) => (id, v.map(_.toFloat)) }
+        .toDF("cell_id", "c_vec")
+    } finally vecs.unpersist(blocking = false)
   }
 
   /** Top-k neighbours for each query vector, probing nProbe cells.
@@ -56,8 +106,11 @@ object Ivf {
     */
   def search(vectors: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, nCells: Int, nProbe: Int, k: Int,
-             seed: Long = 42L): DataFrame = {
-    val cents = centroids(vectors, idCol, vecCol, nCells, seed)
+             seed: Long = 42L, trainIters: Int = 0): DataFrame = {
+    val cents =
+      if (trainIters > 0)
+        trainCentroids(vectors, idCol, vecCol, nCells, trainIters, seed)
+      else centroids(vectors, idCol, vecCol, nCells, seed)
     val assigned = assign(vectors, cents, idCol, vecCol)
     // probe cells per query: queries × centroids is tiny — window is fine
     val wq = Window.partitionBy("query_id").orderBy(col("__d"), col("cell_id"))

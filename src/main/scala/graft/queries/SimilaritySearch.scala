@@ -209,6 +209,21 @@ object SimilaritySearch {
         .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
       graft.operators.Ivf.search(e, q, "vec_id", "embedding",
         nCells = 32, nProbe = 8, k = 3)
+    },
+
+    // ---- S9: IVF with Lloyd-trained centroids -------------------------------
+    // Same probe/re-rank pipeline as s06, but the cells are refined by 3
+    // deterministic k-means rounds (decimal-summed means — exact, so the
+    // trained centroids are identical under any input partitioning; see
+    // operators/Ivf.trainCentroids). Rows-only like all ANN queries;
+    // recall and partitioning-determinism contracts live in
+    // SimilaritySpec.
+    Query.noOracle("s09_ann_ivf_trained") { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      graft.operators.Ivf.search(e, q, "vec_id", "embedding",
+        nCells = 32, nProbe = 8, k = 3, trainIters = 3)
     }
   )
 }

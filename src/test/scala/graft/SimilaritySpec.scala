@@ -127,6 +127,33 @@ class SimilaritySpec extends SparkSpec {
     val ivf2 = graft.operators.Ivf.search(e.repartition(7), ivfQ, "vec_id", "embedding", 12, 4, 3)
     assert(rows(ivf.select("query_id", "neighbor_id")) ==
       rows(ivf2.select("query_id", "neighbor_id")))
+
+    // Lloyd training: decimal-summed means make refined centroids exactly
+    // partitioning-independent, and refinement must not lose the cluster
+    // structure (inertia non-increasing, recall at least as good)
+    def inertia(cents: org.apache.spark.sql.DataFrame): Double = {
+      val d2 = org.apache.spark.sql.functions.aggregate(
+        zip_with(col("embedding"), col("c_vec"),
+          (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+      e.crossJoin(broadcast(cents)).groupBy("vec_id").agg(min(d2).as("d2"))
+        .agg(sum("d2")).head.getDouble(0)
+    }
+    val sampled = graft.operators.Ivf.centroids(e, "vec_id", "embedding", 12, 42L)
+    val trained = graft.operators.Ivf.trainCentroids(e, "vec_id", "embedding", 12, 3, 42L)
+    assert(inertia(trained) <= inertia(sampled),
+      "Lloyd refinement must not increase inertia")
+    val trained2 = graft.operators.Ivf.trainCentroids(
+      e.repartition(7), "vec_id", "embedding", 12, 3, 42L)
+    assert(trained.orderBy("cell_id").collect().map(_.getSeq[Float](1)).toSeq ==
+      trained2.orderBy("cell_id").collect().map(_.getSeq[Float](1)).toSeq,
+      "trained centroids must be bit-identical under repartitioning")
+    val ivfT = graft.operators.Ivf.search(e, ivfQ, "vec_id", "embedding",
+      nCells = 12, nProbe = 4, k = 3, trainIters = 3)
+    val trainedRecall = exactSet.intersect(
+      rows(ivfT.select("query_id", "neighbor_id"))).size.toDouble / exactSet.size
+    assert(trainedRecall >= ivfRecall,
+      s"trained IVF recall $trainedRecall worse than sampled $ivfRecall")
   }
 
   test("embedding LSH near-dup: near-total recall on clustered vectors, no false positives") {
