@@ -99,7 +99,7 @@ object Multimodal {
     */
   def resize(df: DataFrame, payloadCol: String, w: Int, h: Int): DataFrame =
     df.withColumn("payload_resized",
-        expr(s"substring($payloadCol, 1, greatest(octet_length($payloadCol) / 4, 1))"))
+        expr(s"substring($payloadCol, 1, greatest(octet_length($payloadCol) div 4, 1))"))
       .withColumn("meta_resized", struct(lit("image/fake").as("media_type"),
         lit(w).as("width"), lit(h).as("height")))
 }

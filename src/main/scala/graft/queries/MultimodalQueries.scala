@@ -58,6 +58,22 @@ object MultimodalQueries {
         .select(col("doc_id") +: col("meta.media_type").as("media_type") +: counts: _*)
     },
 
+    // ---- M4: resize stub (proportional binary truncation) --------------------
+    // The oracle slices VARCHAR where Spark slices BINARY — equivalent on
+    // this ASCII corpus (m03 precedent); md5 of the prefix pins the exact
+    // byte range on both engines.
+    Query("m04_resize",
+      """SELECT doc_id,
+        |       md5(substring(text, 1, CAST(greatest(octet_length(encode(text)) // 4, 1) AS INT)))
+        |         AS resized_md5,
+        |       greatest(octet_length(encode(text)) // 4, 1) AS n_bytes_resized
+        |FROM documents""".stripMargin) { (s, d) =>
+      val withP = Multimodal.withPayload(Tables.documents(s, d), "doc_id", "text")
+      Multimodal.resize(withP, "payload", 64, 64)
+        .select(col("doc_id"), md5(col("payload_resized")).as("resized_md5"),
+          octet_length(col("payload_resized")).cast("long").as("n_bytes_resized"))
+    },
+
     // ---- M3: frame sampling (binary windows, no UDF) -------------------------
     Query("m03_frame_sample",
       """SELECT doc_id, frame_no, md5(frame) AS frame_md5 FROM (
