@@ -392,6 +392,34 @@ object TextAnalysis {
       }
     },
 
+    // ---- T20: exact duplicated substrings (char-window dedup) ---------------
+    // The windowed form of suffix-array substring dedup: every 40-char
+    // window occurring in >= 2 documents, with its document frequency —
+    // the signal used to strip boilerplate/licence blocks that word-level
+    // shingle Jaccard misses. Per-doc distinct happens map-side
+    // (array_distinct before the explode), the aggregation is map-side
+    // combinable, and md5 is deferred to the (small) >= 2 output. At
+    // corpus scale, substitute a 64-bit hash for the raw window as the
+    // group key (ShingleHashes pattern) to shuffle 8 bytes instead of the
+    // window text — done here as raw text only because the DuckDB oracle
+    // needs a cross-engine key.
+    Query("t20_dup_substrings",
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, greatest(length(text) - 39, 1) + 1),
+        |           i -> substr(text, CAST(i AS INT), 40)))) AS win
+        |  FROM documents)
+        |SELECT md5(win) AS win_md5, count(*) AS n_docs
+        |FROM w GROUP BY 1 HAVING count(*) >= 2""".stripMargin) {
+      (s, d) => Tables.documents(s, d)
+        .select(explode(array_distinct(transform(
+            sequence(lit(1), greatest(length(col("text")) - 39, lit(1))),
+            i => col("text").substr(i, lit(40))))).as("win"))
+        .groupBy("win").agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .select(md5(col("win")).as("win_md5"), col("n_docs"))
+    },
+
     // ---- T7: delimited multi-value cells: split → explode → re-aggregate ----
     // The reference stores multi-valued cells as delimited strings
     // (space-delimited lab incidences, comma keylists); count token
