@@ -107,6 +107,34 @@ object ScaleSmoke {
             strict = true)
           .write.format("noop").mode("overwrite").save()
       },
+      time("ivf_train_50k_vecs") {
+        // Lloyd training at 10x: 3 rounds over ~50k vectors, 64 cells —
+        // per-round cost is one cached narrow argmin projection + one
+        // 65-buffer decimal aggregate; validates the cache/collect loop
+        // and that decimal component sums don't blow the agg at volume
+        val e0 = graft.core.Tables.embeddings(spark, sfDir)
+        val maxVec = e0.agg(max("vec_id")).as[Long].head() + 1
+        val e = e0.crossJoin(copies)
+          .withColumn("vec_id", col("vec_id") + col("rep") * maxVec).drop("rep")
+        graft.operators.Ivf.trainCentroids(e, "vec_id", "embedding",
+            nCells = 64, iters = 3)
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("dup_substrings_50k_docs") {
+        // exact char-window dedup at 10x (~73M windows): one explode +
+        // map-side-combinable count — the scan-dominated shape whose
+        // shuffle shrinks to the duplicated fraction
+        val docs0 = graft.core.Tables.documents(spark, sfDir)
+        val maxDoc = docs0.agg(max("doc_id")).as[Long].head() + 1
+        val docs = docs0.crossJoin(copies)
+          .withColumn("doc_id", col("doc_id") + col("rep") * maxDoc).drop("rep")
+        docs.select(explode(array_distinct(transform(
+              sequence(lit(1), greatest(length(col("text")) - 39, lit(1))),
+              i => col("text").substr(i, lit(40))))).as("win"))
+          .groupBy("win").agg(count(lit(1)).as("n_docs"))
+          .filter(col("n_docs") >= 2)
+          .write.format("noop").mode("overwrite").save()
+      },
       time("token_shards_50k_docs") {
         val docs0 = graft.core.Tables.documents(spark, sfDir)
         val maxDoc = docs0.agg(max("doc_id")).as[Long].head() + 1

@@ -37,9 +37,12 @@ object Ivf {
       .select(col(idCol).as("cell_id"), col(vecCol).as("c_vec"))
 
   /** Assign every vector to its nearest cell. The centroid set is tiny
-    * by construction, so it ships as ONE literal matrix and the argmin
-    * happens in a single narrow projection — no join, no shuffle, no
-    * second pass; ties break to the first (lowest-index) centroid.
+    * by construction, so it ships as ONE constant reference matrix
+    * (plans.NearestCell — O(1) codegen in nCells×dims, no per-matrix
+    * recompile) and the argmin happens in a single narrow projection —
+    * no join, no shuffle, no second pass; ties break to the first
+    * (lowest-index) centroid. Inputs are finite by contract: NaN
+    * distances never win the strict `<` argmin.
     */
   def assign(vectors: DataFrame, cents: DataFrame, idCol: String,
              vecCol: String): DataFrame = {
@@ -50,7 +53,18 @@ object Ivf {
   }
 
   private def assignMat(vectors: DataFrame, idCol: String, vecCol: String,
-                        ids: Seq[Long], mat: Seq[Seq[Double]]): DataFrame = {
+                        ids: Seq[Long], mat: Seq[Seq[Double]]): DataFrame =
+    vectors.select(col(idCol), col(vecCol),
+      graft.plans.NearestCell(col(vecCol), ids, mat).as("cell_id"))
+
+  /** HOF formulation of [[assignMat]] — the executable semantic spec the
+    * native NearestCell expression is pinned against (VectorMathSpec).
+    * Not used on the hot path: the typedlit matrix re-compiles codegen
+    * per distinct centroid set.
+    */
+  private[graft] def assignMatHof(vectors: DataFrame, idCol: String,
+                                  vecCol: String, ids: Seq[Long],
+                                  mat: Seq[Seq[Double]]): DataFrame = {
     val cdists = transform(typedlit(mat), c => dist2(col(vecCol), c))
     vectors.select(col(idCol), col(vecCol),
       element_at(typedlit(ids),

@@ -74,6 +74,34 @@ object VectorKernel {
     java.lang.Double.valueOf(acc)
   }
 
+  /** Argmin over a flat row-major centroid matrix; strict in-order
+    * accumulation, strict `<` keeps the first minimum. Boxed return:
+    * null encodes the HOF's null propagation (bad vector / empty matrix).
+    */
+  def nearestCell(vec: ArrayData, ids: Array[Long], mat: Array[Double],
+                  dims: Int, isFloat: Boolean): java.lang.Long = {
+    if (vec.numElements() != dims) return null
+    var i = 0
+    while (i < dims) { if (vec.isNullAt(i)) return null; i += 1 }
+    var best = Double.PositiveInfinity
+    var bestIdx = -1
+    var c = 0
+    while (c < ids.length) {
+      val base = c * dims
+      var acc = 0.0
+      var k = 0
+      while (k < dims) {
+        val x = if (isFloat) vec.getFloat(k).toDouble else vec.getDouble(k)
+        val d = x - mat(base + k)
+        acc += d * d
+        k += 1
+      }
+      if (acc < best) { best = acc; bestIdx = c }
+      c += 1
+    }
+    if (bestIdx < 0) null else java.lang.Long.valueOf(ids(bestIdx))
+  }
+
   /** Packed sign-bit buckets, one long per table. `planes` is the
     * row-major flattening of (tables*bits) × dims hyperplanes.
     */
@@ -119,6 +147,63 @@ object DotProduct {
   /** Column-API entry. */
   def apply(a: Column, b: Column): Column =
     GraftShims.column(DotProduct(GraftShims.expression(a), GraftShims.expression(b)))
+}
+
+/** Nearest-centroid argmin as one fused loop: squared distance to every
+  * row of a constant centroid matrix, first (lowest-index) minimum wins,
+  * returns that centroid's id. The matrix ships via addReferenceObj, so
+  * codegen size is O(1) in nCells×dims — the HOF formulation
+  * (transform(typedlit(mat), dist2) + array_min + array_position)
+  * embeds the matrix in the expression tree and pays a multi-second
+  * janino compile PER DISTINCT MATRIX, which dominates iterative
+  * k-means where every round carries new centroids.
+  *
+  * Mirrors the HOF exactly (VectorMathSpec pins equivalence): strict
+  * in-index-order accumulation of (x-c)^2 per centroid; null vector,
+  * null element, length≠dims, or an empty matrix → null id.
+  */
+case class NearestCell(child: Expression, ids: Array[Long],
+                       mat: Array[Double], dims: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType  => true
+      case DoubleType => false
+      case t => throw new IllegalArgumentException(
+        s"nearest_cell needs array<float|double>, got array<$t>")
+    }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_cell"
+
+  override def nullSafeEval(vec: Any): Any =
+    VectorKernel.nearestCell(vec.asInstanceOf[ArrayData], ids, mat, dims,
+      elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = VectorKernel.getClass.getName + ".MODULE$"
+    val idsRef = ctx.addReferenceObj("cellIds", ids, "long[]")
+    val matRef = ctx.addReferenceObj("cellMat", mat, "double[]")
+    val boxed = ctx.freshName("cellRes")
+    nullSafeCodeGen(ctx, ev, v => s"""
+      |java.lang.Long $boxed =
+      |  $kernel.nearestCell($v, $idsRef, $matRef, $dims, $elemIsFloat);
+      |if ($boxed == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = $boxed.longValue(); }
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NearestCell {
+  /** Column-API entry: `cents` as (id, row-major centroid matrix). */
+  def apply(vec: Column, ids: Seq[Long], mat: Seq[Seq[Double]]): Column =
+    GraftShims.column(NearestCell(GraftShims.expression(vec), ids.toArray,
+      mat.flatten.toArray, if (mat.isEmpty) 0 else mat.head.length))
 }
 
 /** Signed random-hyperplane LSH buckets as one fused loop: for each of

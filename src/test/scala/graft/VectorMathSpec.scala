@@ -73,6 +73,33 @@ class VectorMathSpec extends SparkSpec {
     assert(short.getSeq[Long](0) == short.getSeq[Long](1))
   }
 
+  test("nearest cell: native argmin bit-identical to the HOF formulation") {
+    val cents: Seq[Seq[Double]] = (0 until 12).map(c =>
+      (0 until 64).map(j => math.sin(c * 997 + j) * 3))
+    val ids = (0 until 12).map(c => (c * 10 + 1).toLong)
+    val native = vecs.select(col("id"),
+      graft.plans.NearestCell(col("a"), ids, cents).as("cell"))
+    val hof = graft.operators.Ivf.assignMatHof(
+      vecs.select(col("id"), col("a")), "id", "a", ids, cents)
+      .select(col("id"), col("cell_id"))
+    assert(native.join(hof, "id")
+      .filter(col("cell") =!= col("cell_id") ||
+        col("cell").isNull =!= col("cell_id").isNull).count() == 0)
+    // duplicate centroid forces an exact distance tie → first id wins
+    val tied = Seq(Seq(1.0, 2.0), Seq(1.0, 2.0), Seq(5.0, 5.0))
+    val t = df("SELECT array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)) AS v")
+      .select(graft.plans.NearestCell(col("v"), Seq(7L, 8L, 9L), tied)).head()
+    assert(t.getLong(0) == 7L)
+    // wrong length / null element / null vector → null id (HOF parity)
+    val edge = df("""SELECT array(CAST(1 AS FLOAT)) AS short,
+                    |       array(CAST(1 AS FLOAT), NULL) AS withNull,
+                    |       CAST(NULL AS ARRAY<FLOAT>) AS nil""".stripMargin)
+      .select(graft.plans.NearestCell(col("short"), Seq(7L), tied.take(1).map(_.take(2))),
+        graft.plans.NearestCell(col("withNull"), Seq(7L), tied.take(1)),
+        graft.plans.NearestCell(col("nil"), Seq(7L), tied.take(1))).head()
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2))
+  }
+
   test("generated code compiles (no silent interpreter fallback)") {
     val prevMode = spark.conf.getOption("spark.sql.codegen.factoryMode")
     val prevFb = spark.conf.getOption("spark.sql.codegen.fallback")
@@ -86,6 +113,11 @@ class VectorMathSpec extends SparkSpec {
           Similarity.hyperplaneBuckets(col("a"), 4, 8, 64).as("bk"))
         .filter(size(col("bk")) === 4).count()
       assert(nb == 200L)
+      val cents = (0 until 4).map(c => (0 until 64).map(j => c * 1.0 + j))
+      val nc = vecs.select(
+          graft.plans.NearestCell(col("a"), Seq(1L, 2L, 3L, 4L), cents).as("c"))
+        .filter(col("c").isNotNull).count()
+      assert(nc == 200L)
     } finally {
       prevMode.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
         spark.conf.set("spark.sql.codegen.factoryMode", _))
