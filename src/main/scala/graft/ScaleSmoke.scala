@@ -121,18 +121,16 @@ object ScaleSmoke {
           .write.format("noop").mode("overwrite").save()
       },
       time("dup_substrings_50k_docs") {
-        // exact char-window dedup at 10x (~73M windows): one explode +
-        // map-side-combinable count — the scan-dominated shape whose
-        // shuffle shrinks to the duplicated fraction
+        // exact char-window dedup at 10x (~73M windows) in its at-scale
+        // form: fused window hashing (one byte scan, distinct map-side),
+        // 8-byte group keys in the exchange — the hashed substitution
+        // t20's raw-text oracle row documents
         val docs0 = graft.core.Tables.documents(spark, sfDir)
         val maxDoc = docs0.agg(max("doc_id")).as[Long].head() + 1
         val docs = docs0.crossJoin(copies)
           .withColumn("doc_id", col("doc_id") + col("rep") * maxDoc).drop("rep")
-        docs.select(explode(array_distinct(transform(
-              sequence(lit(1), greatest(length(col("text")) - 39, lit(1))),
-              i => col("text").substr(i, lit(40))))).as("win"))
-          .groupBy("win").agg(count(lit(1)).as("n_docs"))
-          .filter(col("n_docs") >= 2)
+        graft.operators.Dedup.dupSubstringsHashed(docs, "doc_id", "text",
+            width = 40, minDocs = 2)
           .write.format("noop").mode("overwrite").save()
       },
       time("token_shards_50k_docs") {

@@ -59,6 +59,20 @@ object Dedup {
     verified(sh, cand, sh.groupBy("__id").agg(count(lit(1)).as("n")), threshold)
   }
 
+  /** Exact duplicated char-window detection, hashed form — the scale
+    * path for t20's raw-text registry row: every `width`-char window
+    * appearing in >= `minDocs` documents, keyed by a 64-bit hash
+    * computed in one fused byte scan (plans.CharWindowHashes, distinct
+    * per doc map-side), so the exchange moves 8 bytes per window instead
+    * of the window text. Output: (win_h, n_docs). A false merge needs an
+    * xxhash64 collision between two distinct windows, ~2^-64 per pair.
+    */
+  def dupSubstringsHashed(df: DataFrame, idCol: String, textCol: String,
+                          width: Int, minDocs: Int): DataFrame =
+    df.select(explode(graft.plans.CharWindowHashes(col(textCol), width)).as("win_h"))
+      .groupBy("win_h").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
   /** Embedding near-dup pairs via signed-hyperplane LSH — the all-pairs
     * scale path that replaces s02's bounded exact baseline: candidates
     * are id pairs sharing a sign-bucket in ANY of `tables` hash tables,

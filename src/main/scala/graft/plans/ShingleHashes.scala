@@ -95,10 +95,77 @@ object ShingleKernel {
     UnsafeArrayData.fromPrimitiveArray(
       if (nOut == nShingles) out else java.util.Arrays.copyOf(out, nOut))
   }
+
+  /** Distinct hashes of every `width`-byte window (stride 1), in
+    * first-occurrence order; len < width hashes the whole text once.
+    */
+  def hashedWindows(text: UTF8String, width: Int): ArrayData = {
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val len = text.numBytes
+    val nWin = Math.max(len - width + 1, 1)
+    var cap = java.lang.Integer.highestOneBit(nWin * 4 - 1) << 1
+    if (cap < 16) cap = 16
+    val keys = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    val out = new Array[Long](nWin)
+    var nOut = 0
+    var i = 0
+    while (i < nWin) {
+      val h = XXH64.hashUnsafeBytes(base, off + i, Math.min(width, len - i), Seed)
+      var slot = (h ^ (h >>> 32)).toInt & (cap - 1)
+      var isNew = true
+      while (used(slot) && isNew) {
+        if (keys(slot) == h) isNew = false
+        else slot = (slot + 1) & (cap - 1)
+      }
+      if (isNew) {
+        used(slot) = true; keys(slot) = h
+        out(nOut) = h; nOut += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (nOut == nWin) out else java.util.Arrays.copyOf(out, nOut))
+  }
 }
 
 object ShingleHashes {
   /** Column-API entry. */
   def apply(text: Column, n: Int): Column =
     GraftShims.column(ShingleHashes(GraftShims.expression(text), n))
+}
+
+/** Distinct fixed-width char-window hashes in one fused byte scan — the
+  * at-scale group key for exact duplicated-substring detection (t20's
+  * registry row groups on raw window text because the DuckDB oracle
+  * needs a cross-engine key; this expression is the 8-bytes-per-window
+  * substitution its comment names). Windows are byte-aligned (the corpus
+  * contract is single-byte chars); a text shorter than `width` yields
+  * one hash of the whole text, matching substr(text, i, width)'s
+  * clamping in the SQL formulation.
+  */
+case class CharWindowHashes(child: Expression, width: Int)
+    extends UnaryExpression {
+  require(width >= 2, "window width must be >= 2")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_window_hashes"
+
+  override def nullSafeEval(text: Any): Any =
+    ShingleKernel.hashedWindows(text.asInstanceOf[UTF8String], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = ShingleKernel.getClass.getName + ".MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernel.hashedWindows($c, $width);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharWindowHashes {
+  /** Column-API entry. */
+  def apply(text: Column, width: Int): Column =
+    GraftShims.column(CharWindowHashes(GraftShims.expression(text), width))
 }

@@ -60,6 +60,36 @@ class ShingleHashesSpec extends SparkSpec {
     }
   }
 
+  test("char-window hashes: doc-frequency profile identical to raw-text windows") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val raw = docs.select(explode(array_distinct(transform(
+        sequence(lit(1), greatest(length(col("text")) - 39, lit(1))),
+        i => col("text").substr(i, lit(40))))).as("win"))
+      .groupBy("win").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    val hashed = graft.operators.Dedup.dupSubstringsHashed(
+      docs, "doc_id", "text", width = 40, minDocs = 2)
+    // same number of duplicated windows and the same doc-frequency
+    // multiset — any hash collision would merge rows and break both
+    def profile(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy("n_docs").count().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(profile(hashed) == profile(raw))
+    // per-doc distinct window counts agree (collision inside one doc
+    // would shrink the hashed count)
+    val perDoc = docs.select(
+      size(graft.plans.CharWindowHashes(col("text"), 40)).as("h"),
+      size(array_distinct(transform(
+        sequence(lit(1), greatest(length(col("text")) - 39, lit(1))),
+        i => col("text").substr(i, lit(40))))).as("r"))
+    assert(perDoc.filter(col("h") =!= col("r")).count() == 0)
+    // short text clamps to one whole-text window in both forms
+    val s = spark; import s.implicits._
+    val short = Seq((1L, "tiny"), (2L, "tiny")).toDF("doc_id", "text")
+    val sh = graft.operators.Dedup.dupSubstringsHashed(short, "doc_id", "text", 40, 2)
+    assert(sh.count() == 1 && sh.head.getLong(1) == 2L)
+  }
+
   test("LSH bucket cap skips degenerate buckets, keeps normal recall") {
     val s = spark; import s.implicits._
     // 60 identical boilerplate docs (one degenerate bucket per band) plus
