@@ -55,6 +55,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ShingleHashes(args(0), intLit(args(1), "shingle_hashes", "n"))
       }))
     ext.injectFunction((
+      FunctionIdentifier("char_window_hashes"),
+      info("char_window_hashes",
+        "char_window_hashes(text, width) - distinct xxhash64 values of every width-char window (stride 1)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "char_window_hashes(text, width) takes 2 arguments")
+        CharWindowHashes(args(0), intLit(args(1), "char_window_hashes", "width"))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("minhash_signature"),
       info("minhash_signature",
         "minhash_signature(shingleHash, k) - aggregate: k-minhash signature as array<long>"),

@@ -26,6 +26,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows(viaSql) == rows(viaStrings))
   }
 
+  test("char_window_hashes from SQL equals xxhash64 of the raw windows") {
+    val viaSql = df("SELECT char_window_hashes('abcdefgh', 4) AS h")
+      .select(explode(col("h")).as("h"))
+    val viaStrings = df("""SELECT explode(transform(sequence(1, 5),
+                          |  i -> substring('abcdefgh', i, 4))) AS w""".stripMargin)
+      .select(xxhash64(col("w")).as("h")).distinct()
+    assert(rows(viaSql) == rows(viaStrings))
+  }
+
   test("hyperplane_buckets from SQL equals the Column API") {
     val d = df("""SELECT transform(sequence(0, 15), j ->
                  |  CAST(sin(j) AS FLOAT)) AS v""".stripMargin)
