@@ -24,6 +24,7 @@ object SparkEntry {
     graft.queries.Goals.queries ++
     graft.queries.Reporting.queries ++
     graft.queries.Keys.queries ++
+    graft.queries.SinkQueries.queries ++
     graft.queries.StreamingQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
