@@ -19,6 +19,30 @@ object SinkQueries {
 
   val queries: Seq[Query] = Seq(
 
+    // ---- S4: CSV export/import roundtrip ------------------------------------
+    // The reference's CSV export surface: write a cleaned slice as CSV
+    // (header, explicit schema on the way back in — CSV carries no
+    // types), re-read it, aggregate. Doubles survive because Spark
+    // writes the shortest round-trip representation; the oracle
+    // recomputes from the source table, so any codec defect (quoting,
+    // header, type parse) breaks the hash.
+    Query("io02_csv_roundtrip",
+      """SELECT c_mktsegment, count(*) AS n,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
+        |FROM customer WHERE c_acctbal > 0
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+      Tables.customer(s, d).filter(col("c_acctbal") > 0)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .write.mode("overwrite").option("header", "true").csv(dir)
+      s.read.option("header", "true")
+        .schema("c_custkey LONG, c_mktsegment STRING, c_acctbal DOUBLE")
+        .csv(dir)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(18,4)")).cast("double").as("bal"))
+    },
+
     // ---- S6/S7: partitioned history write + pruned read ---------------------
     Query("io01_history_roundtrip",
       """SELECT CAST(DATE '2026-01-01' + CAST(o_orderkey % 3 AS INT) AS VARCHAR) AS pd,
