@@ -22,8 +22,13 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       // queries are self-contained: drop any tables they persisted so
-      // later queries aren't measured under another query's cache pressure
+      // later queries aren't measured under another query's cache pressure.
+      // clearCache() only covers CacheManager entries — localCheckpoint /
+      // bare-RDD persists (e.g. iterative loops) need the explicit sweep,
+      // or their blocks linger as GC pressure on every later query
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -236,6 +236,14 @@ object Dedup {
           .hint("SHUFFLE_HASH"), "id")
         .filter(col("label") < col("__old"))
         .count()
+      // free the superseded round state NOW: checkpoint blocks are not
+      // CacheManager entries, so clearCache() never reclaims them and the
+      // async ContextCleaner only does after a GC notices the dropped
+      // reference — on a memory-tight executor that lag is pure pressure
+      // on whatever runs next (observed as a bench-wide slowdown decaying
+      // over the queries that followed this loop)
+      freeCheckpoint(propagated)
+      freeCheckpoint(labels)
       labels = next
       iter += 1
       if (debug)
@@ -244,6 +252,18 @@ object Dedup {
     edges.unpersist(blocking = false)
     labels.select(col("id"), col("label").as("component"))
   }
+
+  /** Unpersist the RDD blocks behind a localCheckpoint-ed Dataset.
+    * A checkpointed plan is a LogicalRDD leaf over eagerly-persisted
+    * blocks; dropping the Dataset reference alone leaves those blocks
+    * resident until ContextCleaner + GC catch up. (The final `labels`
+    * result stays persisted for the caller to consume.) */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** MinHash+LSH near-dup pairs: k seeded min-hashes, `bands` bands of
     * k/bands rows, candidates from the band-bucket equi-join, exact

@@ -47,6 +47,25 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.values.toSet == Set(0L))
   }
 
+  test("distributed loop frees superseded checkpoint blocks") {
+    // clearCache() never reclaims localCheckpoint blocks, so the loop
+    // must unpersist each superseded round itself; otherwise a multi-round
+    // run leaves O(rounds) block sets resident as GC pressure for whatever
+    // runs next. Survivors allowed: the final labels checkpoint (returned,
+    // still being consumed) — nothing proportional to round count.
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val edges = (0L until 12L).map(i => (i, i + 1))
+    val out = Dedup.connectedComponents(pairsDf(edges), "a", "b",
+      smallGraphEdges = 0L)
+    out.collect() // materialize through the final checkpoint
+    val live = spark.sparkContext.getPersistentRDDs.size
+    assert(live <= 1, s"expected at most the final labels checkpoint, found $live persistent RDDs")
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+
   test("deterministic under repartition of the pair input") {
     val pairs = Seq((3L, 9L), (9L, 4L), (100L, 7L), (7L, 3L))
     val a = Dedup.connectedComponents(pairsDf(pairs), "a", "b")
