@@ -38,4 +38,47 @@ object Decontaminate {
       .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
   }
+
+  /** Same contract as [[benchmarkOverlap]] for when the benchmark's
+    * shingle set is too large to hash-join against every exploded corpus
+    * shingle comfortably: a Bloom filter over the benchmark shingle
+    * hashes (a few MB at any benchmark size) prefilters the corpus
+    * EXPLODE map-side, so only probable matches reach the exchange; the
+    * exact join after it removes the false positives, keeping the result
+    * bit-identical to the exact operator. Bloom filters have no false
+    * negatives, so no overlap can be lost.
+    *
+    * The membership probe is Spark's own codegen'd
+    * `BloomFilterMightContain` over a literal sketch (the same expression
+    * the runtime bloom-join optimization injects) — no UDF in the hot
+    * path. The verify join is deliberately NOT broadcast: the point of
+    * this variant is that it stays correct when the bench side outgrows
+    * the broadcast threshold; locally AQE may still pick broadcast, at
+    * scale it degrades to a shuffle join over the tiny prefiltered slice.
+    */
+  def benchmarkOverlapBloom(corpus: DataFrame, bench: DataFrame, idCol: String,
+                            textCol: String, n: Int, minOverlap: Int,
+                            expectedShingles: Long = 1L << 20,
+                            fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.GraftShims
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val benchShingles = bench
+      .select(explode(graft.plans.ShingleHashes(col(textCol), n)).as("__s"))
+      .distinct()
+    val bf = benchShingles.stat.bloomFilter("__s", expectedShingles, fpp)
+    val bytes = { // sketch-sized (ln(1/fpp)·n/ln²2 bits), never data-sized
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightContain = GraftShims.column(BloomFilterMightContain(
+      Literal.create(bytes, org.apache.spark.sql.types.BinaryType),
+      GraftShims.expression(col("__s"))))
+    val candidates = corpus
+      .select(col(idCol), explode(graft.plans.ShingleHashes(col(textCol), n)).as("__s"))
+      .filter(mightContain)
+    candidates.join(benchShingles.hint("SHUFFLE_HASH"), "__s")
+      .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
 }

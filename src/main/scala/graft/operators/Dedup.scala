@@ -73,6 +73,52 @@ object Dedup {
       .groupBy("win_h").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
 
+  /** Chunk-level (sentence/paragraph-style) exact dedup with a
+    * keep-first policy: each document is cut into non-overlapping
+    * `chunkTokens`-token chunks; a chunk repeated anywhere in the corpus
+    * survives only at its globally first occurrence (smallest
+    * (document id, chunk index)); every document is re-assembled from
+    * its surviving chunks in order. Output: (idCol, clean_text, n_kept),
+    * one row per input document (fully-deduplicated docs keep an empty
+    * clean_text).
+    *
+    * The corpus has no sentence boundaries, so fixed token windows stand
+    * in for sentences; with a real segmenter only the chunker changes.
+    *
+    * Scale notes: chunking is a narrow projection (sequence + slice on
+    * the split array — no explode-then-regroup to BUILD chunks). The
+    * occurrence key packs (id, chunk index) into one long, so the
+    * keep-first winner is a plain min — a single map-side-combinable
+    * hash aggregate, not a min(struct) SortAggregate and not a window.
+    * The frequency join shuffles chunk text as the key for cross-engine
+    * oracle parity (t20 precedent); at corpus scale key the join by
+    * xxhash64(chunk) and the exchange moves 8-byte keys (a false merge
+    * needs a 2^-64 collision inside one bucket).
+    */
+  def dedupChunks(docs: DataFrame, idCol: String, textCol: String,
+                  chunkTokens: Int, posFactor: Long = 1L << 20): DataFrame = {
+    val w = split(col(textCol), " ")
+    val nChunks = ceil(size(w) / lit(chunkTokens.toDouble)).cast("int")
+    val chunkArr = transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(w, i * chunkTokens + 1, lit(chunkTokens)), " "))
+    val occ = docs
+      .select(col(idCol), posexplode(chunkArr).as(Seq("__ci", "__chunk")))
+      .withColumn("__k", col(idCol).cast("long") * posFactor + col("__ci"))
+    val freq = occ.groupBy("__chunk")
+      .agg(count(lit(1)).as("__c"), min("__k").as("__keep"))
+    val kept = occ.join(freq, "__chunk")
+      .filter(col("__c") === 1 || col("__k") === col("__keep"))
+    val rebuilt = kept.groupBy(idCol).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("__ci").as("ci"), col("__chunk").as("ch")))),
+        x => x.getField("ch")), " ").as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Embedding near-dup pairs via signed-hyperplane LSH — the all-pairs
     * scale path that replaces s02's bounded exact baseline: candidates
     * are id pairs sharing a sign-bucket in ANY of `tables` hash tables,

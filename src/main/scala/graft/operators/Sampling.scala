@@ -32,6 +32,24 @@ object Sampling {
                  salt: String = ""): DataFrame =
     df.filter(bucket(col(keyCol), salt) < lit(thresholdHex(fraction)))
 
+  /** Keep each row with its own probability `weight` (clamped to [0,1]),
+    * decided deterministically from (key, salt) — importance/quality-
+    * weighted curation sampling: a row with weight 0.25 survives iff its
+    * hash bucket lands in the bottom quarter of the 16-bit range. Same
+    * row, same verdict, on any partitioning or retry; the whole filter
+    * is one codegen'd projection (md5 + hex compare), no rand(), no
+    * shuffle. Weight resolution is 1/65536 (floor), matching the
+    * 4-hex-char bucket.
+    */
+  def weightedHashSample(df: DataFrame, keyCol: String, weight: Column,
+                         salt: String = ""): DataFrame = {
+    val t = floor(least(greatest(weight, lit(0.0)), lit(1.0)) * 0x10000).cast("long")
+    // same 'g' sentinel as thresholdHex: weight 1.0 must admit "ffff"
+    val thr = when(t >= 0x10000, lit("g"))
+      .otherwise(lower(lpad(hex(t), 4, "0")))
+    df.filter(bucket(col(keyCol), salt) < thr)
+  }
+
   /** Stratified: per-stratum fractions (strata absent from the map get 0). */
   def stratifiedHashSample(df: DataFrame, keyCol: String, strataCol: String,
                            fractions: Map[String, Double],

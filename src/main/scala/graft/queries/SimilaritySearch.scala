@@ -199,6 +199,52 @@ object SimilaritySearch {
           .select(col("id").as("doc_id"), col("component"))
     },
 
+    // ---- S10: canonical corpus (dedup apply) ---------------------------------
+    // The step after s08: keep one document per near-dup cluster (the
+    // cluster's minimum id — its canonical doc) plus every unclustered
+    // doc. Pairs → connected components → left join back to the corpus →
+    // filter; the corpus side never shuffles more than the (tiny)
+    // cluster map. The oracle walks the same graph with the recursive
+    // CTE and applies the same keep rule.
+    Query("s10_canonical_corpus",
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 300
+        |), sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS s
+        |  FROM toks WHERE len(t) >= 2
+        |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.3),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
+        |WHERE d.doc_id < 300 AND (comp.id IS NULL OR comp.component = d.doc_id)""".stripMargin) {
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+        val pairs = graft.operators.Dedup.exactJaccardPairs(
+          docs, "doc_id", "text", n = 2, threshold = 0.3)
+        val comp = graft.operators.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        docs.join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .filter(col("component").isNull || col("component") === col("doc_id"))
+          .select(col("doc_id"), col("lang"))
+      }
+    },
+
     // ---- S6: IVF approximate nearest neighbour -------------------------------
     // Cell-partitioned ANN: 32 seeded sample centroids, probe 8 cells per
     // query, exact cosine re-rank. Rows-only here; recall contract in

@@ -431,6 +431,88 @@ object TextAnalysis {
       (s, d) => Tables.documents(s, d).filter(col("doc_id") < 100)
         .select(explode(split(col("text"), " ")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("n"))
+    },
+
+    // ---- T21: bloom-prefiltered decontamination ------------------------------
+    // t14's semantics at a benchmark size where broadcasting the shingle
+    // set stops being attractive: a Bloom sketch over the benchmark's
+    // bigram hashes prefilters the corpus explode map-side
+    // (BloomFilterMightContain — codegen'd, no UDF), the exact join then
+    // strips the sketch's false positives. Result is bit-identical to
+    // the exact operator (no false negatives), so the oracle is the
+    // plain exact SQL.
+    Query("t21_bloom_decontaminate",
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(t)),
+        |           i -> t[i] || ' ' || t[i+1]))) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |  WHERE len(t) >= 2
+        |), b AS (SELECT DISTINCT s FROM sh WHERE doc_id % 25 = 0),
+        |c AS (SELECT doc_id, s FROM sh WHERE doc_id % 25 <> 0)
+        |SELECT doc_id, count(*) AS n_overlap
+        |FROM c JOIN b USING (s)
+        |GROUP BY doc_id
+        |HAVING count(*) >= 3""".stripMargin) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Decontaminate.benchmarkOverlapBloom(
+          docs.filter(col("doc_id") % 25 =!= 0),
+          docs.filter(col("doc_id") % 25 === 0),
+          "doc_id", "text", n = 2, minOverlap = 3)
+      }
+    },
+
+    // ---- T22: chunk-level dedup (keep-first) --------------------------------
+    // Sentence/paragraph-style exact dedup: 12-token chunks, a repeated
+    // chunk survives only at its globally first occurrence, docs are
+    // re-assembled from surviving chunks (operators/Dedup.dedupChunks).
+    // The keep-first winner is a packed-long min — one hash aggregate,
+    // no window, no min(struct) SortAggregate.
+    Query("t22_chunk_dedup",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ix AS (SELECT doc_id, w,
+        |              unnest(range(0, CAST(ceil(len(w) / 12.0) AS BIGINT))) AS ci
+        |       FROM t),
+        |ch AS (SELECT doc_id, ci,
+        |              array_to_string(w[(ci*12 + 1):(ci*12 + 12)], ' ') AS chunk
+        |       FROM ix),
+        |f AS (SELECT chunk, count(*) AS c, min(doc_id * 1048576 + ci) AS keep
+        |      FROM ch GROUP BY 1),
+        |k AS (SELECT doc_id, ci, ch.chunk FROM ch JOIN f USING (chunk)
+        |      WHERE c = 1 OR doc_id * 1048576 + ci = keep)
+        |SELECT d.doc_id,
+        |       coalesce(string_agg(k.chunk, ' ' ORDER BY k.ci), '') AS clean_text,
+        |       count(k.ci) AS n_kept
+        |FROM documents d LEFT JOIN k ON d.doc_id = k.doc_id
+        |GROUP BY d.doc_id""".stripMargin) {
+      (s, d) => graft.operators.Dedup.dedupChunks(
+        Tables.documents(s, d), "doc_id", "text", chunkTokens = 12)
+    },
+
+    // ---- T23: importance-weighted deterministic sampling --------------------
+    // Quality-weighted curation sampling: each doc's keep-probability is
+    // its own length signal (min(1, n_tokens/60)), membership decided
+    // from md5(doc_id||salt) against the per-row threshold — DSIR-style
+    // importance sampling that is partition/retry-stable by construction
+    // (operators/Sampling.weightedHashSample).
+    Query("t23_weighted_sample",
+      """WITH t AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |p AS (
+        |  SELECT *, CAST(floor(least(1.0, CAST(n_tokens AS DOUBLE) / 60.0) * 65536)
+        |                 AS BIGINT) AS thr
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens FROM p
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR) || 'w1'), 1, 4) <
+        |      CASE WHEN thr >= 65536 THEN 'g' ELSE printf('%04x', thr) END""".stripMargin) {
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), tokenCount(col("text")).as("n_tokens"))
+        graft.operators.Sampling.weightedHashSample(
+          t, "doc_id", least(lit(1.0), col("n_tokens").cast("double") / 60.0),
+          salt = "w1")
+      }
     }
   )
 }

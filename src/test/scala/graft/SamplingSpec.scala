@@ -37,6 +37,27 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.hashSample(pop, "id", 1.0).count() == 20000)
   }
 
+  test("weightedHashSample: per-row rates, clamping, constant-weight equivalence") {
+    // constant weight 0.25 ≡ hashSample(0.25): 0.25 * 0x10000 is exact,
+    // so floor (weighted) and round (thresholdHex) agree
+    val w25 = Sampling.weightedHashSample(pop, "id", lit(0.25), "x")
+    assert(rows(w25) == rows(Sampling.hashSample(pop, "id", 0.25, "x")))
+    // per-row weight: ids < 10000 weight 0.1, rest weight 0.8 — observed
+    // rates must track each group's own weight
+    val w = when(col("id") < 10000, 0.1).otherwise(0.8)
+    val out = Sampling.weightedHashSample(pop, "id", w, "x")
+    val lo = out.filter(col("id") < 10000).count() / 10000.0
+    val hi = out.filter(col("id") >= 10000).count() / 10000.0
+    assert(math.abs(lo - 0.1) < 0.02, s"low-weight rate $lo")
+    assert(math.abs(hi - 0.8) < 0.02, s"high-weight rate $hi")
+    // clamped edges: <=0 drops, >=1 (incl. past 1) keeps
+    assert(Sampling.weightedHashSample(pop, "id", lit(-3.0), "x").count() == 0)
+    assert(Sampling.weightedHashSample(pop, "id", lit(7.0), "x").count() == 20000)
+    // partition-stable
+    assert(rows(Sampling.weightedHashSample(pop.repartition(13), "id", w, "x"))
+      == rows(out))
+  }
+
   test("mixToTarget: output proportions hit targets, binding domain kept whole") {
     // domains sized 12000/6000/2000; targets 50:30:20 → binding domain is
     // "c" (2000/0.2 = 10000 = N_out): keep all of c, 5000 of a, 3000 of b

@@ -82,4 +82,26 @@ class TextFunctionsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 4L), out.toString)
   }
+
+  test("benchmarkOverlapBloom is bit-identical to the exact operator") {
+    // 400-doc corpus vs 40-doc bench built from overlapping token pools —
+    // plenty of shared and unshared bigrams on both sides
+    val docs = spark.range(440).selectExpr("id AS doc_id",
+      """concat_ws(' ', transform(sequence(0, 25),
+        |  i -> concat('w', pmod(id * 31 + i * 7, 90)))) AS text""".stripMargin)
+    val corpus = docs.filter(col("doc_id") >= 40)
+    val bench = docs.filter(col("doc_id") < 40)
+    val exact = rows(graft.operators.Decontaminate
+      .benchmarkOverlap(corpus, bench, "doc_id", "text", n = 2, minOverlap = 2))
+    val bloom = rows(graft.operators.Decontaminate
+      .benchmarkOverlapBloom(corpus, bench, "doc_id", "text", n = 2, minOverlap = 2))
+    assert(exact == bloom, "bloom prefilter must not change the result")
+    assert(exact.nonEmpty, "fixture must actually produce overlaps")
+    // an undersized, high-fpp sketch floods the prefilter with false
+    // positives; the verify join must still strip every one of them
+    val noisy = rows(graft.operators.Decontaminate
+      .benchmarkOverlapBloom(corpus, bench, "doc_id", "text", n = 2,
+        minOverlap = 2, expectedShingles = 8, fpp = 0.5))
+    assert(noisy == exact, "false positives must not survive the exact join")
+  }
 }
