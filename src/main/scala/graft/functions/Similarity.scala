@@ -74,6 +74,45 @@ object Similarity {
       when(col(s"__v$b") > 0, lit(1L << b)).otherwise(0L)
     }.reduce((a, c) => a.bitwiseOR(c))
 
+  /** First 16 hex digits of md5(tok) as int columns __d0 (MSB) .. __d15
+    * — projected ONCE per token row so the 64 vote aggregates below
+    * don't each recompute the md5 (subexpression elimination shares the
+    * single md5 across the 16 digits inside one projection, but NOT
+    * across separate aggregate expressions).
+    */
+  def md5Digits16(tok: Column): Seq[Column] = {
+    val hx = md5(tok)
+    (0 until 16).map(p =>
+      conv(substring(hx, p + 1, 1), 16, 10).cast("int").as(s"__d$p"))
+  }
+
+  /** SimHash vote aggs with the token hash swapped to the first 64 bits
+    * of md5 — the cross-engine-reproducible instance (md5 is the only
+    * hash this engine and the SQL oracle share; xxhash64 above is the
+    * production default). Bit b of the hash is bit (b mod 4) of hex
+    * digit index 15 - b/4 of [[md5Digits16]], so the whole tally stays
+    * in integer space.
+    */
+  def simhashVoteAggsMd5: Seq[Column] =
+    (0 until 64).map { b =>
+      val digit = col(s"__d${15 - b / 4}")
+      sum(when(call_function("shiftright", digit, lit(b % 4)).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"__v$b")
+    }
+
+  /** Pack the 64 vote columns as a 16-char lowercase hex string (MSB
+    * first) instead of a signed long — bit 63 overflows a signed BIGINT
+    * in engines without wrapping shifts, hex sidesteps it.
+    */
+  def packSimhashHex: Column =
+    concat((1 to 16).map { p =>
+      val dv = (0 until 4).map { i =>
+        val b = (16 - p) * 4 + i
+        when(col(s"__v$b") > 0, lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+      lit("0123456789abcdef").substr(dv + 1, lit(1))
+    }: _*)
+
   /** MinHash signature columns over a PRE-HASHED shingle column (one
     * xxhash64 of the string, computed once): k independent min-hashes
     * derived by re-hashing the 8-byte value XOR a per-function mixing

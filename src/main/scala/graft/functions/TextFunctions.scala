@@ -95,4 +95,34 @@ object TextFunctions {
       transform(tokens(text), t => length(t) * lit(131L) + ascii(substring(t, 1, 1))),
       lit(7L),
       (acc, h) => (acc * 31 + h) % 1000003L)
+
+  /** Adjacent token pairs as "left right" strings — the counting
+    * primitive of BPE vocabulary induction (the merge loop is a small
+    * driver-side iteration around a global pair count). One-token and
+    * empty docs yield an empty array.
+    */
+  def adjacentPairs(text: Column): Column = {
+    val t = tokens(text)
+    zip_with(
+      slice(t, lit(1), size(t) - 1),
+      slice(t, lit(2), size(t) - 1),
+      (l, r) => concat(l, lit(" "), r))
+  }
+
+  /** Within-document boilerplate filter (repetition-removal rules in the
+    * Gopher/C4 family): chop the doc into `segTokens`-token segments and
+    * keep a segment only if it is the FIRST occurrence of its content in
+    * the doc and has at least `minDistinct` distinct tokens. Returns the
+    * kept segments, in order. Entirely per-row array algebra — no
+    * explode, no shuffle; the reassembled doc is one projection.
+    */
+  def keptSegments(text: Column, segTokens: Int, minDistinct: Int): Column = {
+    val t = tokens(text)
+    val nseg = ceil(size(t) / lit(segTokens.toDouble)).cast("long")
+    val segs = transform(sequence(lit(0L), nseg - 1),
+      i => array_join(slice(t, (i * segTokens + 1).cast("int"), lit(segTokens)), " "))
+    filter(segs, (seg, i) =>
+      array_position(segs, seg) === (i + 1).cast("long") &&
+        size(array_distinct(split(seg, " "))) >= minDistinct)
+  }
 }

@@ -141,6 +141,47 @@ object VectorKernel {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
       .fromPrimitiveArray(out)
   }
+
+  /** Product-quantization encode: for each of `m` contiguous subspaces
+    * of `subDim` dims, the argmin code (0..k-1) over that subspace's
+    * codewords. `mat` is subspace-major row-major:
+    * mat[((s*k)+c)*subDim + j] = codebook(s)(c)(j). Strict in-order
+    * accumulation, strict `<` keeps the first minimum — same tie-break
+    * as nearestCell. Boxed-null return when the vector length isn't
+    * m*subDim or any element is null (HOF null propagation).
+    */
+  def pqEncode(vec: ArrayData, mat: Array[Double], m: Int, subDim: Int,
+               k: Int, isFloat: Boolean): ArrayData = {
+    val dims = m * subDim
+    if (vec.numElements() != dims) return null
+    var i = 0
+    while (i < dims) { if (vec.isNullAt(i)) return null; i += 1 }
+    val out = new Array[Long](m)
+    var s = 0
+    while (s < m) {
+      var best = Double.PositiveInfinity
+      var bestIdx = -1
+      var c = 0
+      while (c < k) {
+        val base = (s * k + c) * subDim
+        var acc = 0.0
+        var j = 0
+        while (j < subDim) {
+          val idx = s * subDim + j
+          val x = if (isFloat) vec.getFloat(idx).toDouble else vec.getDouble(idx)
+          val d = x - mat(base + j)
+          acc += d * d
+          j += 1
+        }
+        if (acc < best) { best = acc; bestIdx = c }
+        c += 1
+      }
+      out(s) = bestIdx.toLong
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
 }
 
 object DotProduct {
@@ -255,4 +296,59 @@ object HyperplaneBuckets {
   def apply(vec: Column, tables: Int, bits: Int, dims: Int): Column =
     GraftShims.column(
       HyperplaneBuckets(GraftShims.expression(vec), tables, bits, dims))
+}
+
+/** Product-quantization encode as one fused loop: m argmins over a
+  * constant subspace-major codeword matrix, emitted as array<long>
+  * codes. The matrix ships via addReferenceObj (O(1) codegen in
+  * m×k×subDim, no per-codebook recompile — the same reason NearestCell
+  * exists). Mirrors the per-subspace slice+NearestCell composition
+  * exactly (PqSpec pins equivalence): null vector, null element, or
+  * length ≠ m*subDim → null codes array.
+  */
+case class PqEncode(child: Expression, mat: Array[Double],
+                    m: Int, subDim: Int, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType  => true
+      case DoubleType => false
+      case t => throw new IllegalArgumentException(
+        s"pq_encode needs array<float|double>, got array<$t>")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(vec: Any): Any =
+    VectorKernel.pqEncode(vec.asInstanceOf[ArrayData], mat, m, subDim, k,
+      elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = VectorKernel.getClass.getName + ".MODULE$"
+    val matRef = ctx.addReferenceObj("pqMat", mat, "double[]")
+    val boxed = ctx.freshName("pqRes")
+    nullSafeCodeGen(ctx, ev, v => s"""
+      |org.apache.spark.sql.catalyst.util.ArrayData $boxed =
+      |  $kernel.pqEncode($v, $matRef, $m, $subDim, $k, $elemIsFloat);
+      |if ($boxed == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = $boxed; }
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PqEncode {
+  /** Column-API entry: `books` as (subspace)(codeword)(component). */
+  def apply(vec: Column, books: Seq[Seq[Seq[Double]]]): Column = {
+    val m = books.length
+    val k = books.head.length
+    val subDim = books.head.head.length
+    GraftShims.column(PqEncode(GraftShims.expression(vec),
+      books.flatten.flatten.toArray, m, subDim, k))
+  }
 }

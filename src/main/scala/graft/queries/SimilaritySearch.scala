@@ -107,12 +107,39 @@ object SimilaritySearch {
     },
 
     // ---- S4: SimHash fingerprints -------------------------------------------
-    Query.noOracle("s04_simhash") { (s, d) =>
+    // Full oracle since round 3: the registry instance parameterizes the
+    // token hash to md5 (the one hash both engines share) and emits hex,
+    // so DuckDB recomputes the whole integer vote tally bit-for-bit. The
+    // xxhash64 production default keeps its locality/equivalence
+    // contracts in SimilaritySpec.
+    Query("s04_simhash",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |             FROM documents),
+        |h AS (SELECT doc_id, md5(t) AS h FROM tok),
+        |v AS (SELECT doc_id, bit,
+        |        sum(CASE WHEN (strpos('0123456789abcdef',
+        |                              substring(h, 16 - bit // 4, 1)) - 1)
+        |                 // (CASE bit % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+        |                     WHEN 2 THEN 4 ELSE 8 END) % 2 = 1
+        |            THEN 1 ELSE -1 END) AS vote
+        |      FROM h CROSS JOIN generate_series(0, 63) g(bit)
+        |      GROUP BY 1, 2),
+        |d AS (SELECT doc_id, bit // 4 AS dpos,
+        |        sum(CASE WHEN vote > 0 THEN
+        |              CASE bit % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+        |                   WHEN 2 THEN 4 ELSE 8 END
+        |            ELSE 0 END) AS dv
+        |      FROM v GROUP BY 1, 2)
+        |SELECT doc_id,
+        |       string_agg(substring('0123456789abcdef', CAST(dv AS INT) + 1, 1),
+        |                  '' ORDER BY dpos DESC) AS simhash_hex
+        |FROM d GROUP BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
-        .groupBy("doc_id").agg(Similarity.simhashVoteAggs(col("tok")).head,
-          Similarity.simhashVoteAggs(col("tok")).tail: _*)
-        .select(col("doc_id"), Similarity.packSimhashVotes.as("simhash"))
+        .select(col("doc_id") +: Similarity.md5Digits16(col("tok")): _*)
+        .groupBy("doc_id").agg(Similarity.simhashVoteAggsMd5.head,
+          Similarity.simhashVoteAggsMd5.tail: _*)
+        .select(col("doc_id"), Similarity.packSimhashHex.as("simhash_hex"))
     },
 
     // ---- S5: hyperplane-LSH approximate nearest neighbour --------------------
@@ -270,6 +297,19 @@ object SimilaritySearch {
         .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
       graft.operators.Ivf.search(e, q, "vec_id", "embedding",
         nCells = 32, nProbe = 8, k = 3, trainIters = 3)
+    },
+
+    // ---- S11: product-quantization ANN (ADC shortlist + exact re-rank) ----
+    // The compressed-scan scale path: codes are ~32x narrower than the
+    // embeddings, scoring is m table lookups per pair. Rows-only (the
+    // Lloyd codebooks have no SQL oracle); recall vs the exact baseline,
+    // codebook determinism, and kernel/HOF equivalence pinned in PqSpec.
+    Query.noOracle("s11_ann_pq") { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      graft.operators.Pq.search(e, q, "vec_id", "embedding",
+        m = 8, k = 16, iters = 2, shortlist = 50, topK = 5)
     }
   )
 }

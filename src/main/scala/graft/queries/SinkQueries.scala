@@ -71,6 +71,54 @@ object SinkQueries {
           col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total"))
+    },
+
+    // ---- SCD2 incremental dimension merge -----------------------------------
+    // The warehouse-maintenance half of the reference's batch-SET
+    // resolution (j06 fixes values in place; this versions them).
+    // Fixture: the open dim is every customer except the %11=3 "new"
+    // set; the batch changes segments for %7=0, re-sends %13=5
+    // unchanged (must be a no-op), and introduces the %11=3 keys.
+    Query("io03_scd2_merge",
+      """WITH cur AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS seg,
+        |         DATE '2025-06-01' AS vf, CAST(NULL AS DATE) AS vt
+        |  FROM customer WHERE c_custkey % 11 <> 3),
+        |inc AS (
+        |  SELECT c_custkey AS k,
+        |         CASE WHEN c_custkey % 7 = 0 THEN c_mktsegment || '_X'
+        |              ELSE c_mktsegment END AS seg
+        |  FROM customer
+        |  WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 3 OR c_custkey % 13 = 5),
+        |j AS (SELECT coalesce(c.k, i.k) AS k, c.seg AS cseg, i.seg AS iseg,
+        |             c.vf, c.vt, c.k IS NOT NULL AS has_c, i.k IS NOT NULL AS has_i
+        |      FROM cur c FULL JOIN inc i ON c.k = i.k)
+        |SELECT k AS c_custkey, seg, CAST(vf2 AS VARCHAR) AS valid_from,
+        |       CAST(vt2 AS VARCHAR) AS valid_to FROM (
+        |  SELECT k, cseg AS seg, vf AS vf2, vt AS vt2 FROM j
+        |  WHERE has_c AND (NOT has_i OR cseg = iseg)
+        |  UNION ALL
+        |  SELECT k, cseg, vf, DATE '2026-02-01' FROM j
+        |  WHERE has_c AND has_i AND cseg <> iseg
+        |  UNION ALL
+        |  SELECT k, iseg, DATE '2026-02-01', NULL FROM j
+        |  WHERE NOT has_c OR (has_i AND cseg <> iseg))""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val cur = cust.filter(col("c_custkey") % 11 =!= 3)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+          to_date(lit("2025-06-01")).as("valid_from"),
+          lit(null).cast("date").as("valid_to"))
+      val inc = cust
+        .filter(col("c_custkey") % 7 === 0 || col("c_custkey") % 11 === 3 ||
+          col("c_custkey") % 13 === 5)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 7 === 0, concat(col("c_mktsegment"), lit("_X")))
+            .otherwise(col("c_mktsegment")).as("seg"))
+      graft.operators.Scd2.merge(cur, inc, Seq("c_custkey"), Seq("seg"),
+          lit("2026-02-01"))
+        .select(col("c_custkey"), col("seg"),
+          col("valid_from").cast("string").as("valid_from"),
+          col("valid_to").cast("string").as("valid_to"))
     }
   )
 }

@@ -155,6 +155,36 @@ object StreamingQueries {
         q.awaitTermination()
         ss.table(sink).select("imp_id", "conv_id")
       }
+    },
+
+    // ---- ST5: stream-static enrichment join vs the batch join ----------------
+    // The landing-zone enrichment shape: every arriving event is joined
+    // to a broadcast dimension (static side re-read per micro-batch, no
+    // state store at all — the cheapest streaming join there is). Run to
+    // completion it must equal the plain batch join.
+    Query("st05_stream_static_join",
+      """SELECT e.event_id, c.c_mktsegment AS segment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin) {
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("st05_landing")
+        java.nio.file.Files.createSymbolicLink(
+          dir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val raw = ss.read.parquet(s"$d/events.parquet")
+        val dim = graft.core.Tables.customer(ss, d)
+          .select(col("c_custkey").as("user_id"),
+            col("c_mktsegment").as("segment"))
+        val src = Streams.fileSource(ss, dir.toString, raw.schema)
+        val joined = src.join(broadcast(dim), "user_id")
+          .select(col("event_id"), col("segment"))
+        val sink = "st05_enrich_" + System.nanoTime()
+        val q = joined.writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        ss.table(sink)
+      }
     }
   )
 }

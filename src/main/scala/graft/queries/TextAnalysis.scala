@@ -513,6 +513,54 @@ object TextAnalysis {
           t, "doc_id", least(lit(1.0), col("n_tokens").cast("double") / 60.0),
           salt = "w1")
       }
+    },
+
+    // ---- T24: BPE pair counting (vocab-induction primitive) ---------------
+    // Adjacent-token-pair frequencies, global top-50. The pair explode is
+    // map-side (one narrow projection per doc); the count is one hash
+    // aggregate; the top-N is TakeOrderedAndProject (per-partition heaps
+    // merged on the driver — no global sort shuffle), so the plan scales
+    // with the corpus, not the vocabulary. BPE's merge rounds are a small
+    // driver loop around this primitive, like the Lloyd loop in Ivf.
+    Query("t24_bpe_pair_counts",
+      """SELECT pair, count(*) AS n FROM (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |                               i -> w[i] || ' ' || w[i + 1])) AS pair
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents))
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin) {
+      (s, d) => Tables.documents(s, d)
+        .select(explode(adjacentPairs(col("text"))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(50)
+    },
+
+    // ---- T25: within-doc repeated-segment filter (boilerplate removal) ----
+    // Gopher-style repetition rules at segment granularity: drop a
+    // 10-token segment when it repeats earlier content of the SAME doc
+    // or has < 3 distinct tokens. Pure per-row array algebra — the whole
+    // query is one zero-shuffle projection (vs t22's corpus-level
+    // keep-first dedup, which must shuffle by chunk content).
+    Query("t25_segment_filter",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |             list_transform(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT)),
+        |                            i -> array_to_string(w[(i*10 + 1):(i*10 + 10)], ' '))
+        |               AS segs
+        |      FROM t),
+        |k AS (SELECT doc_id, segs,
+        |             list_filter(segs, (seg, i) -> list_position(segs, seg) = i
+        |               AND len(list_distinct(string_split(seg, ' '))) >= 3) AS kept
+        |      FROM s)
+        |SELECT doc_id, array_to_string(kept, ' ') AS clean_text,
+        |       len(segs) - len(kept) AS n_dropped
+        |FROM k""".stripMargin) {
+      (s, d) => {
+        val kept = keptSegments(col("text"), segTokens = 10, minDistinct = 3)
+        Tables.documents(s, d).select(col("doc_id"),
+          array_join(kept, " ").as("clean_text"),
+          (ceil(tokenCount(col("text")) / 10.0).cast("long")
+            - size(kept)).as("n_dropped"))
+      }
     }
   )
 }
