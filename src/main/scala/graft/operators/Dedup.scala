@@ -381,4 +381,41 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     verified(sh, cand, sigs.select(col("__id"), col("n")), threshold)
   }
+
+  /** SimHash near-dup pairs, Manku-style: split each 64-bit simhash
+    * into 4 bands of 16 bits; docs sharing any band value become
+    * candidates (an equi-join on (band, value) — never all-pairs); a
+    * candidate survives when full Hamming distance ≤ `maxHamming`.
+    * Pigeonhole guarantee: a pair within Hamming 3 differs in at most 3
+    * bands, so it ALWAYS shares one — recall is exact for radius ≤ 3
+    * and probabilistic above (DedupSimhashSpec pins both).
+    *
+    * Input: (id, 64-bit simhash). Output: (doc_a, doc_b, hamming),
+    * doc_a < doc_b, one row per pair however many bands matched.
+    *
+    * Scale notes: band rows are 4 fixed-width longs per doc; the pair
+    * dedup shuffles only (id, id, two longs). Candidate volume per
+    * bucket is corpus/2^16-ish per band under uniform hashing —
+    * degenerate buckets (all-identical docs) are the exact-dedup
+    * operator's job to remove first.
+    */
+  def simhashNearDups(sims: DataFrame, idCol: String, shCol: String,
+                      maxHamming: Int): DataFrame = {
+    val banded = sims.select(col(idCol), col(shCol),
+      posexplode(array((0 until 4).map(i =>
+        call_function("shiftright", col(shCol), lit(48 - 16 * i))
+          .bitwiseAND(lit(0xffffL))): _*)).as(Seq("band", "bv")))
+    val a = banded.select(col(idCol).as("doc_a"), col(shCol).as("sha"),
+      col("band"), col("bv"))
+    val b = banded.select(col(idCol).as("doc_b"), col(shCol).as("shb"),
+      col("band"), col("bv"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "sha", "doc_b", "shb")
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming",
+        bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
 }

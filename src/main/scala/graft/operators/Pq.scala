@@ -39,12 +39,76 @@ object Pq {
     }), lit(0.0), (acc, v) => acc + v)
 
   /** Per-subspace codebooks, (subspace)(codeword 0..k-1)(component).
-    * Codeword order is the sorted Lloyd cell id — stable and
+    * Codeword order is the sorted sample id — stable and
     * partitioning-independent, so codes are reproducible.
+    *
+    * All m subspaces train TOGETHER: each Lloyd round is one PqEncode
+    * projection (every subspace's assignment in a single fused kernel
+    * pass), one posexplode to (subspace, code, subvec) — same total
+    * bytes as the input, since the subvectors partition the vector —
+    * and one groupBy(subspace, code) with exact DECIMAL(27,7) component
+    * sums. One shuffle per round for ALL codebooks, where per-subspace
+    * training would rescan the corpus m times per round. The mean
+    * update replicates [[Ivf.trainCentroids]] exactly (same decimal
+    * division expression, empty cells keep their previous codeword), so
+    * the result is bit-identical to the per-subspace form (PqSpec).
     */
   def trainCodebooks(vectors: DataFrame, idCol: String, vecCol: String,
                      m: Int, k: Int, iters: Int,
                      seed: Long = 42L): Seq[Seq[Seq[Double]]] = {
+    val dims = vectors.select(size(col(vecCol))).head().getInt(0)
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val subDim = dims / m
+    val vecs = vectors.select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // seeded sample init — the same k rows every per-subspace Lloyd
+      // would draw (the hash orders by id only), kept in hash order
+      // during training so codeword indexes match the per-subspace run
+      val sample = vecs
+        .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol)).limit(k)
+        .select(col(idCol), col(vecCol)).collect()
+        .map(r => (r.getAs[Number](0).longValue,
+          r.getSeq[Number](1).map(_.doubleValue).toArray))
+      // books(s)(c) — codeword c of subspace s, c in sample-hash order
+      var books: Seq[Seq[Seq[Double]]] = (0 until m).map(s =>
+        sample.toSeq.map(_._2.slice(s * subDim, (s + 1) * subDim).toSeq))
+      for (_ <- 0 until iters) {
+        val sums = (0 until subDim).map(j =>
+          sum(element_at(col("subvec"), j + 1).cast("decimal(27,7)")).as(s"s$j"))
+        val upd = vecs
+          .select(col(vecCol),
+            posexplode(graft.plans.PqEncode(col(vecCol), books))
+              .as(Seq("s", "c")))
+          .select(col("s"), col("c"),
+            slice(col(vecCol), col("s") * subDim + 1, lit(subDim)).as("subvec"))
+          .groupBy("s", "c")
+          .agg(count(lit(1)).as("n"), sums: _*)
+          .select(col("s"), col("c"),
+            array((0 until subDim).map(j =>
+              (col(s"s$j") / col("n")).cast("double")): _*).as("cw"))
+          .collect()
+          .map(r => (r.getAs[Number]("s").intValue,
+            r.getAs[Number]("c").intValue) ->
+            r.getSeq[Number](2).map(_.doubleValue).toSeq).toMap
+        books = (0 until m).map(s => (0 until k).map(c =>
+          upd.getOrElse((s, c), books(s)(c))))
+      }
+      // expose codewords in sorted-sample-id order, rounded through
+      // float like Ivf.trainCentroids's public output — keeps this
+      // bit-identical to the per-subspace reference formulation
+      val perm = sample.map(_._1).zipWithIndex.sortBy(_._1).map(_._2)
+      books.map(b => perm.toSeq.map(c => b(c).map(_.toFloat.toDouble)))
+    } finally vecs.unpersist(blocking = false)
+  }
+
+  /** Reference formulation — one [[Ivf.trainCentroids]] per subspace.
+    * Not on the hot path (m corpus scans per Lloyd round); kept as the
+    * executable spec the fused [[trainCodebooks]] is pinned against.
+    */
+  private[graft] def trainCodebooksPerSubspace(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int, seed: Long = 42L): Seq[Seq[Seq[Double]]] = {
     val dims = vectors.select(size(col(vecCol))).head().getInt(0)
     require(dims % m == 0, s"dims=$dims not divisible by m=$m")
     val subDim = dims / m

@@ -299,6 +299,137 @@ object SimilaritySearch {
         nCells = 32, nProbe = 8, k = 3, trainIters = 3)
     },
 
+    // ---- S13: MinHash LSH near-dup, full-oracle twin of s03 ----------------
+    // The banded-minhash pipeline with every stage cross-engine checkable:
+    // md5-derived hash family, signatures as MIN over fixed-width hex
+    // prefixes (lowercase fixed-length hex is monotonic in the value, so
+    // the string min IS the numeric min), band keys as ordered concats,
+    // candidate equi-join, exact-Jaccard verify on candidates only. s03
+    // stays the production row (fused xxhash64 MinHashSketch kernel —
+    // no SQL oracle); this twin pins the pipeline's SEMANTICS in the
+    // gate while the kernel is pinned by MinHashSignatureSpec.
+    Query("s13_minhash_lsh_oracle",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(t)),
+        |                                             i -> t[i] || ' ' || t[i+1]))) AS s
+        |       FROM toks WHERE len(t) >= 2),
+        |mh AS (SELECT doc_id, f,
+        |         min(substring(md5(s || ':' || CAST(f AS VARCHAR)), 1, 16)) AS m
+        |       FROM sh CROSS JOIN generate_series(0, 15) g(f) GROUP BY 1, 2),
+        |bnd AS (SELECT doc_id, f // 4 AS band, string_agg(m, '|' ORDER BY f) AS bkey
+        |        FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bnd a JOIN bnd b
+        |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+        |          FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+        |                      JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, i * 1.0 / (sa.n + sb.n - i) AS jaccard
+        |FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+        |           JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.3""".stripMargin) {
+      (s, d) => {
+        val sh = Tables.documents(s, d).select(col("doc_id"),
+          explode(TextFunctions.shingles(col("text"), 2)).as("s"))
+        // distinct-shingle count fused into the signature pass (same
+        // one-scan trick MinHashSketch does natively for s03)
+        val sigAggs = count(lit(1)).as("n") +: (0 until 16).map(i =>
+          min(substring(md5(concat(col("s"), lit(":" + i))), 1, 16)).as(s"m$i"))
+        val sig = sh.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+        val bandRows = sig.select(col("doc_id"),
+          posexplode(array((0 until 4).map(b =>
+            concat_ws("|", (0 until 4).map(r => col(s"m${4 * b + r}")): _*)): _*))
+            .as(Seq("band", "bkey")))
+        val cand = bandRows.toDF("doc_a", "band", "bkey")
+          .join(bandRows.toDF("doc_b", "band", "bkey"), Seq("band", "bkey"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
+        // exact-Jaccard verify over candidate docs only (semi-join first
+        // so the shingle self-join never sees the full corpus)
+        val candIds = cand
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+          .distinct()
+        val shc = sh.join(candIds, Seq("doc_id"), "left_semi")
+        val sizes = sig.select(col("doc_id"), col("n"))
+        val inter = shc.toDF("doc_a", "s")
+          .join(shc.toDF("doc_b", "s2"),
+            col("s") === col("s2") && col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+          .join(cand, Seq("doc_a", "doc_b"))
+        val jac = col("i") * lit(1.0) /
+          (col("na") + col("nb") - col("i"))
+        inter
+          .join(sizes.toDF("doc_a", "na"), "doc_a")
+          .join(sizes.toDF("doc_b", "nb"), "doc_b")
+          .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+          .filter(col("jaccard") >= 0.3)
+      }
+    },
+
+    // ---- S12: SimHash Hamming-band near-dup (full oracle) -----------------
+    // The banded-LSH near-dup pipeline with a COMPLETE cross-engine
+    // oracle: md5-variant simhash (hex), 4 bands of 16 bits as hex
+    // substrings, candidate equi-join, exact Hamming verify — DuckDB
+    // recomputes every stage. The xxhash64 production instance of the
+    // same operator is pinned by DedupSimhashSpec's pigeonhole contract.
+    Query("s12_simhash_neardup",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |             FROM documents),
+        |h AS (SELECT doc_id, md5(t) AS h FROM tok),
+        |v AS (SELECT doc_id, bit,
+        |        sum(CASE WHEN (strpos('0123456789abcdef',
+        |                              substring(h, 16 - bit // 4, 1)) - 1)
+        |                 // (CASE bit % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+        |                     WHEN 2 THEN 4 ELSE 8 END) % 2 = 1
+        |            THEN 1 ELSE -1 END) AS vote
+        |      FROM h CROSS JOIN generate_series(0, 63) g(bit)
+        |      GROUP BY 1, 2),
+        |d AS (SELECT doc_id, bit // 4 AS dpos,
+        |        sum(CASE WHEN vote > 0 THEN
+        |              CASE bit % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+        |                   WHEN 2 THEN 4 ELSE 8 END
+        |            ELSE 0 END) AS dv
+        |      FROM v GROUP BY 1, 2),
+        |sh AS (SELECT doc_id,
+        |         string_agg(substring('0123456789abcdef', CAST(dv AS INT) + 1, 1),
+        |                    '' ORDER BY dpos DESC) AS sh
+        |       FROM d GROUP BY doc_id),
+        |band AS (SELECT doc_id, sh, i AS band, substring(sh, i*4 + 1, 4) AS bv
+        |         FROM sh CROSS JOIN generate_series(0, 3) g(i)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.sh AS sha,
+        |                b.doc_id AS doc_b, b.sh AS shb
+        |         FROM band a JOIN band b
+        |           ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+        |ham AS (SELECT doc_a, doc_b,
+        |          CAST(sum(bit_count(xor(
+        |            strpos('0123456789abcdef', substring(sha, p, 1)) - 1,
+        |            strpos('0123456789abcdef', substring(shb, p, 1)) - 1)))
+        |            AS BIGINT) AS hamming
+        |        FROM cand CROSS JOIN generate_series(1, 16) g(p)
+        |        GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 6""".stripMargin) {
+      (s, d) => {
+        val hx = Tables.documents(s, d)
+          .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+          .select(col("doc_id") +: Similarity.md5Digits16(col("tok")): _*)
+          .groupBy("doc_id").agg(Similarity.simhashVoteAggsMd5.head,
+            Similarity.simhashVoteAggsMd5.tail: _*)
+          .select(col("doc_id"), Similarity.packSimhashHex.as("shx"))
+        // hex -> long (two 32-bit halves; the shift into the sign bit is
+        // bitwise, so ANSI overflow never fires)
+        val sims = hx.select(col("doc_id"),
+          call_function("shiftleft",
+            conv(substring(col("shx"), 1, 8), 16, 10).cast("long"), lit(32))
+            .bitwiseOR(conv(substring(col("shx"), 9, 8), 16, 10).cast("long"))
+            .as("sh"))
+        graft.operators.Dedup.simhashNearDups(sims, "doc_id", "sh",
+          maxHamming = 6)
+      }
+    },
+
     // ---- S11: product-quantization ANN (ADC shortlist + exact re-rank) ----
     // The compressed-scan scale path: codes are ~32x narrower than the
     // embeddings, scoring is m table lookups per pair. Rows-only (the

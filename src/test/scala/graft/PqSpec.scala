@@ -84,6 +84,15 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("fused one-scan training is bit-identical to the per-subspace form") {
+    val e = clustered(300)
+    val fused = Pq.trainCodebooks(e, "vec_id", "embedding", m = 4, k = 8,
+      iters = 2)
+    val ref = Pq.trainCodebooksPerSubspace(e, "vec_id", "embedding", m = 4,
+      k = 8, iters = 2)
+    assert(fused == ref)
+  }
+
   test("codebooks are partitioning-independent") {
     val e = clustered(300)
     val b1 = Pq.trainCodebooks(e, "vec_id", "embedding", m = 4, k = 8, iters = 2)
