@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge loop over a tokenized corpus: each round
+  * finds the globally most frequent adjacent pair and rewrites every
+  * document, fusing that pair into one token — the vocabulary-induction
+  * algorithm of subword tokenizers, run as a small driver iteration
+  * (like the Lloyd loop in Ivf) around two distributed primitives:
+  *
+  *  - pair counting: map-side pair explode + one hash aggregate +
+  *    TakeOrdered(1) — no global sort, no window;
+  *  - merge application: a pure per-row array projection. For a pair
+  *    with l ≠ r, two matches can never overlap (overlap at positions
+  *    i, i+1 forces t[i+1] = r = l), so the "sequential" greedy
+  *    left-to-right merge is exactly: position i starts a merge iff
+  *    (t[i], t[i+1]) = (l, r); position i is consumed iff i-1 started
+  *    one. Zero shuffle, whole-stage codegen.
+  *
+  * Self-pairs (l = r) are skipped when selecting the top pair: their
+  * greedy run-length semantics ARE order-dependent within a run and
+  * would need per-run arithmetic; corpus top pairs are virtually always
+  * distinct tokens. Documented contract, asserted in BpeSpec.
+  *
+  * Scale: each round is one map-combinable count over the corpus plus a
+  * narrow rewrite — rounds dominate, so at 100 TB you run the loop on a
+  * deterministic sample to LEARN merges (standard practice) and apply
+  * the learned table corpus-wide in one pass with [[mergeExpr]] chained.
+  */
+object Bpe {
+
+  /** One greedy merge of (l, r), l ≠ r, as a per-row array expression. */
+  def mergeExpr(toks: Column, l: String, r: String, sep: String = "+"): Column =
+    filter(
+      transform(toks, (x, i) =>
+        // transform's i is 0-based, element_at is 1-based: x sits at
+        // 1-based i+1, its successor at i+2, its predecessor at i
+        when(x === l && try_element_at(toks, i + 2) === r, lit(l + sep + r))
+          .when(i > 0 && try_element_at(toks, i) === l && x === r,
+            lit(null))
+          .otherwise(x)),
+      y => y.isNotNull)
+
+  /** Adjacent pairs of a token array as (l, r) structs. */
+  def pairStructs(toks: Column): Column =
+    zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => struct(a.as("l"), b.as("r")))
+
+  /** Run `rounds` merge rounds; returns the learned merges in order and
+    * the rewritten corpus. Deterministic: ties break on (count desc, l,
+    * r), and the rewrite is order-free per the non-overlap argument.
+    */
+  def applyMerges(docs: DataFrame, toksCol: String,
+                  rounds: Int): (Seq[(String, String)], DataFrame) = {
+    var cur = docs
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    for (_ <- 1 to rounds) {
+      val top = cur
+        .select(explode(pairStructs(col(toksCol))).as("p"))
+        .select(col("p.l").as("l"), col("p.r").as("r"))
+        .filter(col("l") =!= col("r"))
+        .groupBy("l", "r").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      require(top.nonEmpty, "corpus has no non-self adjacent pair left")
+      val (l, r) = (top(0).getString(0), top(0).getString(1))
+      merges += ((l, r))
+      cur = cur.withColumn(toksCol, mergeExpr(col(toksCol), l, r))
+    }
+    (merges.toSeq, cur)
+  }
+}

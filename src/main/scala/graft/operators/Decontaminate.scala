@@ -81,4 +81,33 @@ object Decontaminate {
       .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
   }
+
+  /** Graded contamination: for EVERY corpus doc with at least one
+    * shingle, the fraction of its distinct shingles found in the
+    * benchmark set — (id, n_shingles, n_overlap, score). The binary
+    * operators above threshold-and-drop; reporting pipelines want the
+    * distribution. Same broadcast shape; clean docs survive the left
+    * join with overlap 0. The per-doc denominator is the SIZE of the
+    * fused distinct-shingle array — no second aggregation over the
+    * corpus.
+    */
+  def contaminationScore(corpus: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, n: Int): DataFrame = {
+    val benchShingles = bench
+      .select(explode(graft.plans.ShingleHashes(col(textCol), n)).as("__s"))
+      .distinct()
+    val withSh = corpus.select(col(idCol),
+        graft.plans.ShingleHashes(col(textCol), n).as("__shs"))
+      .filter(size(col("__shs")) > 0)
+    val overlap = withSh
+      .select(col(idCol), explode(col("__shs")).as("__s"))
+      .join(broadcast(benchShingles), "__s")
+      .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
+    withSh.select(col(idCol), size(col("__shs")).cast("long").as("n_shingles"))
+      .join(overlap, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) * lit(1.0) / col("n_shingles"))
+          .as("score"))
+  }
 }

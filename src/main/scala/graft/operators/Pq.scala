@@ -129,6 +129,74 @@ object Pq {
     vectors.select(col(idCol),
       graft.plans.PqEncode(col(vecCol), books).as("codes"))
 
+  /** Residual IVF-PQ (the FAISS IVFPQ shape): a coarse quantizer
+    * partitions the corpus into cells, PQ codebooks are trained on the
+    * RESIDUALS (vec − cell centroid) — residual energy is much lower
+    * than raw-vector energy, so the same code budget quantizes finer —
+    * and a query probes only its `nProbe` nearest cells, ADC-scanning
+    * the (cell-local) codes with a distance table built from the
+    * query's OWN residual against that cell. Shortlist, then exact
+    * cosine re-rank on the shortlist only.
+    *
+    * Scale: the probe join touches ~nProbe/nCells of the codes
+    * projection (itself ~32x narrower than the embeddings); the
+    * (query × probed-cell) side carrying the distance tables is
+    * broadcast; full-width vectors are read only for the shortlist.
+    */
+  def searchIvf(vectors: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, nCells: Int, nProbe: Int, m: Int, k: Int,
+                itersCoarse: Int, itersPq: Int, shortlist: Int, topK: Int,
+                seed: Long = 42L): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cents = Ivf
+      .trainCentroids(vectors, idCol, vecCol, nCells, itersCoarse, seed)
+      .collect()
+      .map(r => (r.getAs[Number]("cell_id").longValue,
+        r.getSeq[Number](1).map(_.doubleValue).toSeq)).toSeq
+    val centsDf = cents.toDF("cell_id", "c_vec")
+    val resid = (v: Column, c: Column) =>
+      zip_with(v, c, (x, y) => x.cast("double") - y.cast("double"))
+    // corpus residuals: narrow assign projection + broadcast centroid dim
+    val assigned = Ivf
+      .assign(vectors, centsDf, idCol, vecCol)
+      .join(broadcast(centsDf), "cell_id")
+      .select(col(idCol), col("cell_id"),
+        resid(col(vecCol), col("c_vec")).as("__res"))
+    val books = trainCodebooks(assigned, idCol, "__res", m, k, itersPq, seed)
+    val subDim = books.head.head.length
+    val codes = assigned.select(col(idCol), col("cell_id"),
+      graft.plans.PqEncode(col("__res"), books).as("codes"))
+    // probes: per query its nProbe nearest cells, each with a distance
+    // table over the query's residual in THAT cell's frame
+    val wq = Window.partitionBy("query_id").orderBy(col("__d"), col("cell_id"))
+    val dtable = array((0 until m).map { s =>
+      val qsub = slice(col("__qres"), s * subDim + 1, subDim)
+      transform(typedlit(books(s)), cw => dist2(qsub, cw))
+    }: _*)
+    val probes = queries.crossJoin(broadcast(centsDf))
+      .withColumn("__d", dist2(col("q_vec"), col("c_vec")))
+      .withColumn("__r", row_number().over(wq)).filter(col("__r") <= nProbe)
+      .withColumn("__qres", resid(col("q_vec"), col("c_vec")))
+      .select(col("query_id"), col("q_vec"), col("cell_id"),
+        dtable.as("dtable"))
+    val adc = aggregate(
+      zip_with(col("codes"), col("dtable"),
+        (c, t) => element_at(t, (c + 1).cast("int"))),
+      lit(0.0), (acc, v) => acc + v)
+    val ws = Window.partitionBy("query_id").orderBy(col("adc"), col(idCol))
+    val short = codes.join(broadcast(probes), Seq("cell_id"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("adc", adc)
+      .withColumn("__r", row_number().over(ws)).filter(col("__r") <= shortlist)
+      .select(col("query_id"), col("q_vec"), col(idCol))
+    val wk = Window.partitionBy("query_id").orderBy(col("cos").desc, col(idCol))
+    short.join(vectors.select(col(idCol), col(vecCol)), idCol)
+      .withColumn("cos", Similarity.cosine(col("q_vec"), col(vecCol)))
+      .withColumn("__rk", row_number().over(wk)).filter(col("__rk") <= topK)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("cos"))
+  }
+
   /** Top-k neighbours per query by PQ-ADC shortlist + exact cosine
     * re-rank. Queries: (query_id, q_vec). Output: (query_id,
     * neighbor_id, cos).

@@ -441,6 +441,19 @@ object SimilaritySearch {
         .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
       graft.operators.Pq.search(e, q, "vec_id", "embedding",
         m = 8, k = 16, iters = 2, shortlist = 50, topK = 5)
+    },
+
+    // ---- S14: residual IVF-PQ (coarse cells + residual codes + ADC) -------
+    // The composed FAISS-IVFPQ shape: probe nProbe cells, ADC over
+    // residual codes within them, exact re-rank. Rows-only (Lloyd + float
+    // geometry); recall and partition-independence pinned in PqSpec.
+    Query.noOracle("s14_ann_ivfpq") { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      graft.operators.Pq.searchIvf(e, q, "vec_id", "embedding",
+        nCells = 16, nProbe = 4, m = 8, k = 16, itersCoarse = 2,
+        itersPq = 2, shortlist = 50, topK = 5)
     }
   )
 }

@@ -119,6 +119,49 @@ object SinkQueries {
         .select(col("c_custkey"), col("seg"),
           col("valid_from").cast("string").as("valid_from"),
           col("valid_to").cast("string").as("valid_to"))
+    },
+
+    // ---- SCD2 over the partitioned sink --------------------------------------
+    // io01's sink path composed with io03's operator: the merged dim is
+    // written partitioned by valid_from, read back through partition
+    // discovery, and the batch-date slice is aggregated — the pruning
+    // filter must land on the PARTITION column, so only the new-version
+    // files are ever opened. The oracle recomputes that slice (new keys
+    // + reopened versions) straight from the source table.
+    Query("io04_scd2_partitioned",
+      """WITH cur AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS seg
+        |  FROM customer WHERE c_custkey % 11 <> 3),
+        |inc AS (
+        |  SELECT c_custkey AS k,
+        |         CASE WHEN c_custkey % 7 = 0 THEN c_mktsegment || '_X'
+        |              ELSE c_mktsegment END AS seg
+        |  FROM customer
+        |  WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 3 OR c_custkey % 13 = 5),
+        |j AS (SELECT c.seg AS cseg, i.seg AS iseg,
+        |             c.k IS NOT NULL AS has_c, i.k IS NOT NULL AS has_i
+        |      FROM cur c FULL JOIN inc i ON c.k = i.k)
+        |SELECT iseg AS seg, count(*) AS n FROM j
+        |WHERE NOT has_c OR (has_i AND cseg <> iseg)
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val cur = cust.filter(col("c_custkey") % 11 =!= 3)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+          to_date(lit("2025-06-01")).as("valid_from"),
+          lit(null).cast("date").as("valid_to"))
+      val inc = cust
+        .filter(col("c_custkey") % 7 === 0 || col("c_custkey") % 11 === 3 ||
+          col("c_custkey") % 13 === 5)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 7 === 0, concat(col("c_mktsegment"), lit("_X")))
+            .otherwise(col("c_mktsegment")).as("seg"))
+      val merged = graft.operators.Scd2.merge(cur, inc, Seq("c_custkey"),
+        Seq("seg"), lit("2026-02-01"))
+      val root = java.nio.file.Files.createTempDirectory("graft_scd2_").toString
+      merged.write.mode("overwrite").partitionBy("valid_from").parquet(root)
+      s.read.parquet(root)
+        .filter(col("valid_from") === lit(java.sql.Date.valueOf("2026-02-01")))
+        .groupBy("seg").agg(count(lit(1)).as("n"))
     }
   )
 }

@@ -534,6 +534,84 @@ object TextAnalysis {
         .orderBy(col("n").desc, col("pair")).limit(50)
     },
 
+    // ---- T26: BPE merge loop (3 rounds, full oracle) -----------------------
+    // The iterative half of BPE vocab induction: 3 driver-coordinated
+    // rounds of [global top pair -> corpus-wide greedy merge]. The
+    // oracle LEARNS the same pairs via chained CTEs and applies the
+    // same order-free rewrite, so pair selection, tie-breaks, and merge
+    // semantics are all hash-pinned cross-engine.
+    Query("t26_bpe_merges",
+      """WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |p1 AS (SELECT p[1] AS l, p[2] AS r FROM (
+        |   SELECT unnest(list_transform(range(1, len(t)), i -> [t[i], t[i+1]])) AS p
+        |   FROM d0)
+        |   WHERE p[1] <> p[2]
+        |   GROUP BY 1, 2 ORDER BY count(*) DESC, l, r LIMIT 1),
+        |d1 AS (SELECT doc_id, list_filter(list_transform(t, (x, i) -> CASE
+        |         WHEN x = l AND t[i+1] = r THEN x || '+' || r
+        |         WHEN i > 1 AND t[i-1] = l AND x = r THEN NULL
+        |         ELSE x END), y -> y IS NOT NULL) AS t
+        |       FROM d0, p1),
+        |p2 AS (SELECT p[1] AS l, p[2] AS r FROM (
+        |   SELECT unnest(list_transform(range(1, len(t)), i -> [t[i], t[i+1]])) AS p
+        |   FROM d1)
+        |   WHERE p[1] <> p[2]
+        |   GROUP BY 1, 2 ORDER BY count(*) DESC, l, r LIMIT 1),
+        |d2 AS (SELECT doc_id, list_filter(list_transform(t, (x, i) -> CASE
+        |         WHEN x = l AND t[i+1] = r THEN x || '+' || r
+        |         WHEN i > 1 AND t[i-1] = l AND x = r THEN NULL
+        |         ELSE x END), y -> y IS NOT NULL) AS t
+        |       FROM d1, p2),
+        |p3 AS (SELECT p[1] AS l, p[2] AS r FROM (
+        |   SELECT unnest(list_transform(range(1, len(t)), i -> [t[i], t[i+1]])) AS p
+        |   FROM d2)
+        |   WHERE p[1] <> p[2]
+        |   GROUP BY 1, 2 ORDER BY count(*) DESC, l, r LIMIT 1),
+        |d3 AS (SELECT doc_id, list_filter(list_transform(t, (x, i) -> CASE
+        |         WHEN x = l AND t[i+1] = r THEN x || '+' || r
+        |         WHEN i > 1 AND t[i-1] = l AND x = r THEN NULL
+        |         ELSE x END), y -> y IS NOT NULL) AS t
+        |       FROM d2, p3)
+        |SELECT doc_id, array_to_string(t, ' ') AS merged_text,
+        |       CAST(len(t) AS BIGINT) AS n_tokens FROM d3""".stripMargin) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val (_, merged) = graft.operators.Bpe.applyMerges(docs, "toks", 3)
+        merged.select(col("doc_id"),
+          array_join(col("toks"), " ").as("merged_text"),
+          size(col("toks")).cast("long").as("n_tokens"))
+      }
+    },
+
+    // ---- T27: graded contamination score ----------------------------------
+    // t14's overlap as a per-doc FRACTION over every corpus doc (the
+    // reporting form: score distribution, not a drop filter). String
+    // shingles in the oracle vs fused hashed shingles here — agreement
+    // doubles as a collision-freeness check, like t14/t19.
+    Query("t27_contamination_score",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        |       FROM t WHERE len(t) >= 3),
+        |b AS (SELECT DISTINCT s FROM sh WHERE doc_id % 40 = 0),
+        |c AS (SELECT doc_id, s FROM sh WHERE doc_id % 40 <> 0),
+        |n AS (SELECT doc_id, count(*) AS n_shingles FROM c GROUP BY 1),
+        |o AS (SELECT doc_id, count(*) AS n_overlap FROM c JOIN b USING (s)
+        |      GROUP BY 1)
+        |SELECT n.doc_id, n.n_shingles, coalesce(o.n_overlap, 0) AS n_overlap,
+        |       coalesce(o.n_overlap, 0) * 1.0 / n.n_shingles AS score
+        |FROM n LEFT JOIN o USING (doc_id)""".stripMargin) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Decontaminate.contaminationScore(
+          docs.filter(col("doc_id") % 40 =!= 0),
+          docs.filter(col("doc_id") % 40 === 0),
+          "doc_id", "text", n = 3)
+      }
+    },
+
     // ---- T25: within-doc repeated-segment filter (boilerplate removal) ----
     // Gopher-style repetition rules at segment granularity: drop a
     // 10-token segment when it repeats earlier content of the SAME doc

@@ -126,4 +126,31 @@ class PqSpec extends SparkSpec {
     assert(rows(pq.select("query_id", "neighbor_id")) ==
       rows(pq2.select("query_id", "neighbor_id")))
   }
+
+  test("residual IVF-PQ: high recall while probing a third of the cells") {
+    val e = clustered(300)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    val qe = e.filter(col("vec_id") < 10).toDF("query_id", "q_emb")
+    val cos = Similarity.cosine(col("q_emb"), col("embedding"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    val exact = e.crossJoin(broadcast(qe)).filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("query_id", "neighbor_id")
+    val exactSet = rows(exact)
+    val ivfpq = Pq.searchIvf(e, q, "vec_id", "embedding", nCells = 12,
+      nProbe = 4, m = 4, k = 8, itersCoarse = 2, itersPq = 2,
+      shortlist = 30, topK = 3)
+    val recall = exactSet
+      .intersect(rows(ivfpq.select("query_id", "neighbor_id")))
+      .size.toDouble / exactSet.size
+    assert(recall >= 0.7, s"IVF-PQ recall $recall below 0.7")
+    val ivfpq2 = Pq.searchIvf(e.repartition(5), q, "vec_id", "embedding",
+      nCells = 12, nProbe = 4, m = 4, k = 8, itersCoarse = 2, itersPq = 2,
+      shortlist = 30, topK = 3)
+    assert(rows(ivfpq.select("query_id", "neighbor_id")) ==
+      rows(ivfpq2.select("query_id", "neighbor_id")))
+  }
 }
