@@ -143,6 +143,72 @@ object ScaleSmoke {
               graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens")),
             "doc_id", "n_tokens", budget = 2000, bucketWidth = 128)
           .write.format("noop").mode("overwrite").save()
+      },
+      time("pq_search_50k_vecs") {
+        // IVF-PQ at 10x: fused one-scan codebook training (2 rounds over
+        // ~50k vectors, all 8 subspaces per round), narrow code
+        // projection, cell-probed ADC; validates that the training loop
+        // and the broadcast distance-table join hold at volume
+        val e0 = graft.core.Tables.embeddings(spark, sfDir)
+        val maxVec = e0.agg(max("vec_id")).as[Long].head() + 1
+        val e = e0.crossJoin(copies)
+          .withColumn("vec_id", col("vec_id") + col("rep") * maxVec).drop("rep")
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+        graft.operators.Pq.searchIvf(e, q, "vec_id", "embedding",
+            nCells = 64, nProbe = 8, m = 8, k = 16, itersCoarse = 2,
+            itersPq = 2, shortlist = 100, topK = 5)
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("simhash_neardup_50k_docs") {
+        // banded SimHash at 10x: one token explode + 64-buffer vote agg
+        // over ~10M token rows, 4 band rows per doc, equi-join
+        // candidates, Hamming verify
+        val docs0 = graft.core.Tables.documents(spark, sfDir)
+        val maxDoc = docs0.agg(max("doc_id")).as[Long].head() + 1
+        val docs = docs0.crossJoin(copies)
+          .withColumn("doc_id", col("doc_id") + col("rep") * maxDoc).drop("rep")
+        val sims = docs
+          .select(col("doc_id"),
+            explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id")
+          .agg(graft.functions.Similarity.simhashVoteAggs(col("tok")).head,
+            graft.functions.Similarity.simhashVoteAggs(col("tok")).tail: _*)
+          .select(col("doc_id"),
+            graft.functions.Similarity.packSimhashVotes.as("sh"))
+        graft.operators.Dedup.simhashNearDups(sims, "doc_id", "sh",
+            maxHamming = 6)
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("bpe_merges_50k_docs") {
+        // 2 BPE rounds at 10x: each round is one map-combinable pair
+        // count + TakeOrdered(1) + a zero-shuffle rewrite
+        val docs0 = graft.core.Tables.documents(spark, sfDir)
+        val maxDoc = docs0.agg(max("doc_id")).as[Long].head() + 1
+        val docs = docs0.crossJoin(copies)
+          .withColumn("doc_id", col("doc_id") + col("rep") * maxDoc).drop("rep")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val (_, merged) = graft.operators.Bpe.applyMerges(docs, "toks", 2)
+        merged.select(col("doc_id"), size(col("toks")).as("n"))
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("scd2_merge_150k_keys") {
+        // SCD2 at 10x customer volume: one full-outer join + explode
+        val c0 = graft.core.Tables.customer(spark, sfDir)
+        val maxC = c0.agg(max("c_custkey")).as[Long].head() + 1
+        val c = c0.crossJoin(copies)
+          .withColumn("c_custkey", col("c_custkey") + col("rep") * maxC).drop("rep")
+        val cur = c.filter(col("c_custkey") % 11 =!= 3)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+            to_date(lit("2025-06-01")).as("valid_from"),
+            lit(null).cast("date").as("valid_to"))
+        val inc = c.filter(col("c_custkey") % 7 === 0 || col("c_custkey") % 11 === 3)
+          .select(col("c_custkey"),
+            when(col("c_custkey") % 7 === 0, concat(col("c_mktsegment"), lit("_X")))
+              .otherwise(col("c_mktsegment")).as("seg"))
+        graft.operators.Scd2.merge(cur, inc, Seq("c_custkey"), Seq("seg"),
+            lit("2026-02-01"))
+          .write.format("noop").mode("overwrite").save()
       })
 
     val rows = li.count()

@@ -52,10 +52,17 @@ object Bpe {
   /** Run `rounds` merge rounds; returns the learned merges in order and
     * the rewritten corpus. Deterministic: ties break on (count desc, l,
     * r), and the rewrite is order-free per the non-overlap argument.
+    *
+    * Each round's rewrite is eagerly localCheckpoint-ed and the
+    * superseded round's blocks freed at once (the CC-loop pattern):
+    * without it, round N's pair count re-runs rounds 1..N-1's rewrites
+    * over the corpus, which turned 2 rounds at the 10x smoke volume
+    * into a 28 s chain re-execution.
     */
   def applyMerges(docs: DataFrame, toksCol: String,
                   rounds: Int): (Seq[(String, String)], DataFrame) = {
     var cur = docs
+    var prevCheckpoint: Option[DataFrame] = None
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     for (_ <- 1 to rounds) {
       val top = cur
@@ -69,7 +76,20 @@ object Bpe {
       val (l, r) = (top(0).getString(0), top(0).getString(1))
       merges += ((l, r))
       cur = cur.withColumn(toksCol, mergeExpr(col(toksCol), l, r))
+        .localCheckpoint(true)
+      prevCheckpoint.foreach(freeCheckpoint)
+      prevCheckpoint = Some(cur)
     }
     (merges.toSeq, cur)
   }
+
+  // same leaf-walk free Dedup.connectedComponents uses: localCheckpoint
+  // blocks are NOT CacheManager entries, so catalog.clearCache() never
+  // releases them
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

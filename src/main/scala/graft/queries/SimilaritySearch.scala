@@ -454,6 +454,40 @@ object SimilaritySearch {
       graft.operators.Pq.searchIvf(e, q, "vec_id", "embedding",
         nCells = 16, nProbe = 4, m = 8, k = 16, itersCoarse = 2,
         itersPq = 2, shortlist = 50, topK = 5)
+    },
+
+    // ---- S15: sparse TF-IDF cosine pairs (inverted-index join) ------------
+    // Document similarity with NO dense vectors: weights as (doc, term,
+    // w) triples, dots via the posting-list join, df-cutoff guard. The
+    // doc subset is bounded like t06's (the oracle must run the same
+    // join); the operator's maxDf knob is the corpus-scale control.
+    // Full oracle: integer weights via the rounded-scaled-ln trick.
+    Query("s15_sparse_cosine",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+        |           FROM documents WHERE doc_id < 300),
+        |tf AS (SELECT doc_id, s, count(*) AS tf FROM (
+        |   SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |                                        i -> t[i] || ' ' || t[i+1])) AS s
+        |   FROM d) GROUP BY 1, 2),
+        |idf AS (SELECT s, CAST(round(ln(CAST((SELECT count(*) FROM d) AS DOUBLE)
+        |                                / df) * 1000) AS BIGINT) AS idf
+        |        FROM (SELECT s, count(*) AS df FROM tf GROUP BY 1)
+        |        WHERE df <= 100),
+        |w AS (SELECT doc_id, s, tf * idf AS w FROM tf JOIN idf USING (s)),
+        |nrm AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY 1),
+        |dt AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+        |       FROM w a JOIN w b ON a.s = b.s AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |       CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE))
+        |                              * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+        |FROM dt JOIN nrm na ON doc_a = na.doc_id
+        |        JOIN nrm nb ON doc_b = nb.doc_id
+        |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE))
+        |                             * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.5""".stripMargin) {
+      (s, d) => graft.operators.SparseSim.tfidfCosinePairs(
+        Tables.documents(s, d).filter(col("doc_id") < 300),
+        "doc_id", "text", maxDf = 100, minCos = 0.5)
     }
   )
 }

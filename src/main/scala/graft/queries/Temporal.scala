@@ -218,6 +218,31 @@ object Temporal {
         .groupBy("bucket").agg(count(lit(1)).as("n"))
     },
 
+    // ---- W16: RANGE-frame trailing window ------------------------------------
+    // The value-range window frame (every other window here is
+    // row-framed): per user, the trailing-30-minute sum and count at
+    // each event. Frames are defined by the TIME RANGE, so peers and
+    // gaps behave differently from rowsBetween — both engines order by
+    // epoch microseconds and the sum is decimal-routed (a double sum
+    // would be frame-order-dependent).
+    Query("w16_trailing_range",
+      """SELECT event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS trailing_sum,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_trailing
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)""".stripMargin) {
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(unix_micros(col("ts")))
+          .rangeBetween(-1800000000L, 0L)
+        Tables.events(s, d).select(col("event_id"),
+          sum(col("value").cast("decimal(18,4)")).over(w).cast("double")
+            .as("trailing_sum"),
+          count(lit(1)).over(w).cast("long").as("n_trailing"))
+      }
+    },
+
     // ---- J7: self-join mapping mismatch --------------------------------------
     // Customers holding orders with conflicting priorities (pairs counted
     // once, a < b on the key).
