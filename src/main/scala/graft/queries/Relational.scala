@@ -329,6 +329,22 @@ object Relational {
           col("min_str"), col("max_str"))
     },
 
+    // ---- A21: CUBE grouping sets ---------------------------------------------
+    // All four grouping-set combinations in ONE pass (Expand + single
+    // hash aggregate — not four scans unioned); NULL group keys mark the
+    // rolled-up levels identically in both engines. Completes the
+    // grouping-sets surface a14's ROLLUP started.
+    Query("a21_cube",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin) {
+      (s, d) => Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("qty"))
+    },
+
     // ---- W9: first-per-group (ascending latest-per-group variant) -----------------
     Query("w09_first_per_group",
       """SELECT o_custkey, o_orderkey, o_orderdate FROM (

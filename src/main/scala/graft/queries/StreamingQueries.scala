@@ -185,6 +185,102 @@ object StreamingQueries {
         q.awaitTermination()
         ss.table(sink)
       }
+    },
+
+    // ---- ST6: streaming SCD2 upsert (foreachBatch -> dimension store) --------
+    // The streaming-warehouse-maintenance shape: change batches land as
+    // files, each micro-batch applies Scd2.merge against the parquet
+    // dimension store and rewrites it (localCheckpoint breaks the
+    // read-own-input cycle). Two ordered batches (mtime-pinned,
+    // maxFilesPerTrigger=1) must leave exactly the state two sequential
+    // batch merges produce — the oracle replays both merges in SQL.
+    Query("st06_stream_scd2_upsert",
+      """WITH c AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer),
+        |s0 AS (SELECT k, seg, DATE '2025-06-01' AS vf, CAST(NULL AS DATE) AS vt
+        |       FROM c),
+        |i1 AS (SELECT k, seg || '_X' AS seg FROM c WHERE k % 7 = 0),
+        |j1 AS (SELECT s.k AS sk, s.seg AS sseg, s.vf, i.k AS ik, i.seg AS iseg
+        |       FROM (SELECT * FROM s0 WHERE vt IS NULL) s
+        |       FULL JOIN i1 i ON s.k = i.k),
+        |m1 AS (
+        |  SELECT sk AS k, sseg AS seg, vf, CAST(NULL AS DATE) AS vt FROM j1
+        |  WHERE sk IS NOT NULL AND (ik IS NULL OR sseg = iseg)
+        |  UNION ALL
+        |  SELECT sk, sseg, vf, DATE '2026-02-01' FROM j1
+        |  WHERE sk IS NOT NULL AND ik IS NOT NULL AND sseg <> iseg
+        |  UNION ALL
+        |  SELECT ik, iseg, DATE '2026-02-01', NULL FROM j1
+        |  WHERE sk IS NULL OR (ik IS NOT NULL AND sseg <> iseg)),
+        |i2 AS (SELECT k, seg || '_Y' AS seg FROM c WHERE k % 13 = 5),
+        |j2 AS (SELECT s.k AS sk, s.seg AS sseg, s.vf, i.k AS ik, i.seg AS iseg
+        |       FROM (SELECT * FROM m1 WHERE vt IS NULL) s
+        |       FULL JOIN i2 i ON s.k = i.k),
+        |m2 AS (
+        |  SELECT sk AS k, sseg AS seg, vf, CAST(NULL AS DATE) AS vt FROM j2
+        |  WHERE sk IS NOT NULL AND (ik IS NULL OR sseg = iseg)
+        |  UNION ALL
+        |  SELECT sk, sseg, vf, DATE '2026-02-02' FROM j2
+        |  WHERE sk IS NOT NULL AND ik IS NOT NULL AND sseg <> iseg
+        |  UNION ALL
+        |  SELECT ik, iseg, DATE '2026-02-02', NULL FROM j2
+        |  WHERE sk IS NULL OR (ik IS NOT NULL AND sseg <> iseg)
+        |  UNION ALL
+        |  SELECT k, seg, vf, vt FROM m1 WHERE vt IS NOT NULL)
+        |SELECT k AS c_custkey, seg, CAST(vf AS VARCHAR) AS valid_from,
+        |       CAST(vt AS VARCHAR) AS valid_to FROM m2""".stripMargin) {
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val cust = graft.core.Tables.customer(ss, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+        // dimension store seeded with the open snapshot
+        val dim = Files.createTempDirectory("st06_dim_").toString
+        cust.select(col("c_custkey"), col("seg"),
+            to_date(lit("2025-06-01")).as("valid_from"),
+            lit(null).cast("date").as("valid_to"))
+          .write.mode("overwrite").parquet(dim)
+        // two landed change batches, arrival order pinned via mtime
+        val landing = Files.createTempDirectory("st06_landing_")
+        val b1 = Files.createTempDirectory("st06_b1_").toString
+        val b2 = Files.createTempDirectory("st06_b2_").toString
+        cust.filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"), concat(col("seg"), lit("_X")).as("seg"))
+          .coalesce(1).write.mode("overwrite").parquet(b1)
+        cust.filter(col("c_custkey") % 13 === 5)
+          .select(col("c_custkey"), concat(col("seg"), lit("_Y")).as("seg"))
+          .coalesce(1).write.mode("overwrite").parquet(b2)
+        def stage(src: String, name: String, mtime: Long): Unit = {
+          val f = Files.list(Paths.get(src)).toArray.map(_.toString)
+            .filter(_.endsWith(".parquet")).head
+          val dst = landing.resolve(name)
+          Files.copy(Paths.get(f), dst)
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+        }
+        stage(b1, "batch1.parquet", 1000000L)
+        stage(b2, "batch2.parquet", 2000000L)
+        val schema = ss.read.parquet(b1).schema
+        val src = Streams.fileSource(ss, landing.toString, schema,
+          maxFilesPerTrigger = Some(1))
+        val q = src.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            val state = ss.read.parquet(dim)
+            val merged = graft.operators.Scd2.merge(
+              state.filter(col("valid_to").isNull), batch.select("c_custkey", "seg"),
+              Seq("c_custkey"), Seq("seg"),
+              date_add(lit("2026-02-01").cast("date"), id.toInt))
+              .unionByName(state.filter(col("valid_to").isNotNull))
+              .localCheckpoint(true) // break the read-own-input cycle
+            merged.write.mode("overwrite").parquet(dim)
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        ss.read.parquet(dim).select(col("c_custkey"), col("seg"),
+          col("valid_from").cast("string").as("valid_from"),
+          col("valid_to").cast("string").as("valid_to"))
+      }
     }
   )
 }

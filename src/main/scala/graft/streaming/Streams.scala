@@ -23,9 +23,10 @@ object Streams {
     * reference's "process everything landed, then stop" batch cadence.
     */
   def fileSource(spark: SparkSession, path: String, schema: StructType,
-                 format: String = "parquet"): DataFrame =
+                 format: String = "parquet",
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame =
     spark.readStream.format(format).schema(schema)
-      .option("maxFilesPerTrigger", 1000)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.getOrElse(1000))
       .load(path)
 
   /** Watermarked tumbling-window count by key: late data beyond the
