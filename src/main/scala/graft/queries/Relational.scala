@@ -345,6 +345,37 @@ object Relational {
           sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("qty"))
     },
 
+    // ---- A22: incremental aggregate maintenance -------------------------------
+    // combine(base, partial(delta)) == full recompute, proven by the
+    // oracle aggregating the whole table: the maintained aggregate is
+    // refreshed by scanning ONLY the delta (the Spark-native answer to
+    // the reference's hourly full re-run). Decimal sums so the fold is
+    // exact; min/max dates survive the outer join via least/greatest.
+    Query("a22_incremental_agg",
+      """SELECT o_orderstatus, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |       min(o_orderdate) AS first_day, max(o_orderdate) AS last_day
+        |FROM orders GROUP BY 1""".stripMargin) {
+      (s, d) => {
+        val cutoff = lit("1995-06-01").cast("date")
+        def partial(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("o_orderstatus").agg(
+            count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,4)")).as("total"),
+            min(col("o_orderdate")).as("first_day"),
+            max(col("o_orderdate")).as("last_day"))
+        val orders = Tables.orders(s, d)
+        val base = partial(orders.filter(col("o_orderdate") < cutoff))
+        val delta = partial(orders.filter(col("o_orderdate") >= cutoff))
+        graft.operators.Incremental.combine(base, delta,
+            Seq("o_orderstatus"), sums = Seq("n", "total"),
+            mins = Seq("first_day"), maxs = Seq("last_day"))
+          .select(col("o_orderstatus"), col("n"),
+            col("total").cast("double").as("total"),
+            col("first_day"), col("last_day"))
+      }
+    },
+
     // ---- W9: first-per-group (ascending latest-per-group variant) -----------------
     Query("w09_first_per_group",
       """SELECT o_custkey, o_orderkey, o_orderdate FROM (
