@@ -456,6 +456,84 @@ object SimilaritySearch {
         itersPq = 2, shortlist = 50, topK = 5)
     },
 
+    // ---- S16: hyperplane-LSH ANN, full-oracle twin of s05 ------------------
+    // The float-geometry LSH path made oracle-checkable: the plane
+    // matrix is a deterministic seeded constant, so the oracle embeds
+    // the SAME 12x64 literals (shortest-roundtrip doubles re-parse to
+    // identical bits) and replays the kernel's strict in-order dot fold
+    // — sign tests, bucket packing, candidate join, and the exact
+    // cosine re-rank all recompute bit-for-bit in SQL. s05 remains the
+    // production row (more tables/bits than a literal-bearing oracle
+    // should carry).
+    {
+      val (tables, bits, dims) = (2, 6, 64)
+      val planes = Similarity.hyperplanes(tables, bits, dims)
+      val planeValues = planes.zipWithIndex
+        .map { case (p, r) => s"($r, [${p.mkString(", ")}])" }
+        .mkString(",\n        ")
+      Query("s16_ann_lsh_oracle",
+        s"""WITH planes(r, p) AS (VALUES
+          |        $planeValues),
+          |dots AS (
+          |  SELECT vec_id, r // $bits AS t, r % $bits AS j,
+          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |           list_transform(range(1, $dims + 1),
+          |             i -> CAST(embedding[i] AS DOUBLE) * p[i])),
+          |           (a, x) -> a + x) AS d
+          |  FROM embeddings CROSS JOIN planes),
+          |buck AS (
+          |  SELECT vec_id, t,
+          |         sum(CASE WHEN d > 0 THEN CASE j WHEN 0 THEN 1 WHEN 1 THEN 2
+          |              WHEN 2 THEN 4 WHEN 3 THEN 8 WHEN 4 THEN 16 ELSE 32 END
+          |             ELSE 0 END) AS b
+          |  FROM dots GROUP BY 1, 2),
+          |cand AS (
+          |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          |  FROM buck q JOIN buck c ON q.t = c.t AND q.b = c.b
+          |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+          |cosd AS (
+          |  SELECT query_id, neighbor_id,
+          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |           list_transform(range(1, $dims + 1),
+          |             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+          |           (a, x) -> a + x)
+          |         / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |              list_transform(range(1, $dims + 1),
+          |                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))),
+          |              (a, x) -> a + x))
+          |            * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |                list_transform(range(1, $dims + 1),
+          |                  i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+          |                (a, x) -> a + x))) AS cos
+          |  FROM cand JOIN embeddings q ON q.vec_id = query_id
+          |            JOIN embeddings c ON c.vec_id = neighbor_id)
+          |SELECT query_id, neighbor_id, cos FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id
+          |                               ORDER BY cos DESC, neighbor_id) AS rn
+          |  FROM cosd) WHERE rn <= 3""".stripMargin) { (s, d) =>
+        val e = Tables.embeddings(s, d)
+        val bucketed = e.select(col("vec_id"), col("embedding"),
+            posexplode(Similarity.hyperplaneBuckets(col("embedding"), tables,
+              bits, dims)).as(Seq("t", "b")))
+          .select("vec_id", "embedding", "t", "b")
+        val q = bucketed.filter(col("vec_id") < 10)
+          .toDF("query_id", "q_emb", "t", "b")
+        val cand = bucketed
+          .join(broadcast(q.select("query_id", "t", "b")), Seq("t", "b"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+          .agg(first(col("embedding")).as("embedding"))
+        val qv = broadcast(e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id"))
+        cand.join(qv, "query_id")
+          .withColumn("cos", Similarity.cosine(col("q_emb"), col("embedding")))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .select("query_id", "neighbor_id", "cos")
+      }
+    },
+
     // ---- S15: sparse TF-IDF cosine pairs (inverted-index join) ------------
     // Document similarity with NO dense vectors: weights as (doc, term,
     // w) triples, dots via the posting-list join, df-cutoff guard. The
