@@ -20,6 +20,48 @@ import org.apache.spark.sql.functions._
 object Profile {
 
   /** (column, n_rows, n_nulls, min_str, max_str, approx_distinct) per column. */
+  /** Histogram-interpolated quantiles: two narrow passes (global
+    * min/max/count, then fixed-width bin counts) and a tiny bins-sized
+    * reduction — the quantile path that SURVIVES scale, where exact
+    * percentile (a18) needs a global sort. Bin counts are mergeable
+    * partials (map-side combine); the interpolation is plain IEEE
+    * +,-,*,/ and floor, so results are bit-identical across engines
+    * and partitionings (no libm, no order-dependent folds).
+    *
+    * Output: one row per requested quantile, (q, est). Estimate error
+    * is bounded by the bin width — bins trades memory for accuracy,
+    * the classic histogram sketch contract.
+    */
+  def histogramQuantiles(df: DataFrame, valueCol: String, bins: Int,
+                         qs: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(valueCol).cast("double")
+    val (mn, mx, n) = {
+      val r = df.agg(min(v), max(v), count(v)).head()
+      (r.getDouble(0), r.getDouble(1), r.getLong(2))
+    }
+    val width = (mx - mn) / bins
+    val counts = df.select(
+        least(floor((v - lit(mn)) / lit(width)), lit(bins - 1).cast("long"))
+          .as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    val wcum = org.apache.spark.sql.expressions.Window
+      .orderBy("bin").rowsBetween(Long.MinValue, 0)
+    // bins-sized table: the single-partition window is over ≤ `bins` rows
+    val cum = counts
+      .withColumn("cum", sum(col("cnt")).over(wcum))
+      .withColumn("before", col("cum") - col("cnt"))
+    val qdf = qs.toDF("q")
+    qdf.crossJoin(cum)
+      .filter(col("cum") >= col("q") * n)
+      .groupBy("q").agg(min_by(
+        struct(col("bin"), col("cnt"), col("before")), col("bin")).as("b"))
+      .select(col("q"),
+        (lit(mn) + lit(width) * (col("b.bin") +
+          (col("q") * n - col("b.before")) / col("b.cnt"))).as("est"))
+  }
+
   def profile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
     val names = if (cols.nonEmpty) cols else df.columns.toSeq
     val aggs = names.flatMap { c =>

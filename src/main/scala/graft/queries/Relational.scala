@@ -376,6 +376,33 @@ object Relational {
       }
     },
 
+    // ---- A23: histogram-interpolated quantiles ---------------------------------
+    // The quantile path that survives scale: two narrow passes + a
+    // bins-sized reduction, vs a18's exact percentile whose global sort
+    // is the thing you can't do at 100 TB. Pure IEEE +,-,*,/ and floor
+    // after integer bin counts — bit-identical cross-engine, no libm.
+    Query("a23_histogram_quantile",
+      """WITH stats AS (SELECT min(CAST(l_extendedprice AS DOUBLE)) AS mn,
+        |                      max(CAST(l_extendedprice AS DOUBLE)) AS mx,
+        |                      count(l_extendedprice) AS n FROM lineitem),
+        |c AS (SELECT bin, count(*) AS cnt FROM (
+        |        SELECT least(floor((CAST(l_extendedprice AS DOUBLE) - mn)
+        |                           / ((mx - mn) / 100)), 99) AS bin
+        |        FROM lineitem, stats) GROUP BY 1),
+        |cum AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM c),
+        |qs(q) AS (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+        |                 (CAST(0.75 AS DOUBLE)), (CAST(0.95 AS DOUBLE))),
+        |sel AS (SELECT q, min(bin) AS bin FROM qs, cum, stats
+        |        WHERE CAST(cum AS DOUBLE) >= q * n GROUP BY q)
+        |SELECT q, mn + ((mx - mn) / 100) *
+        |          (bin + (q * n - CAST(cum - cnt AS DOUBLE))
+        |                 / CAST(cnt AS DOUBLE)) AS est
+        |FROM sel JOIN cum USING (bin), stats""".stripMargin) {
+      (s, d) => graft.operators.Profile.histogramQuantiles(
+        Tables.lineitem(s, d), "l_extendedprice", bins = 100,
+        qs = Seq(0.25, 0.5, 0.75, 0.95))
+    },
+
     // ---- W9: first-per-group (ascending latest-per-group variant) -----------------
     Query("w09_first_per_group",
       """SELECT o_custkey, o_orderkey, o_orderdate FROM (

@@ -32,4 +32,23 @@ class ProfileSpec extends SparkSpec {
     assert("Scan|Range".r.findAllIn(plan).size <= 2,
       s"profile must read the input once:\n$plan")
   }
+
+  test("histogram quantiles: within one bin width of exact, partition-independent") {
+    val d = spark.range(10000)
+      .select((col("id") * col("id")).cast("double").as("v")) // skewed
+    val qs = Seq(0.25, 0.5, 0.75, 0.95)
+    val est = Profile.histogramQuantiles(d, "v", bins = 200, qs = qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val exact = d.selectExpr(
+        s"percentile(v, array(${qs.mkString(",")})) AS p")
+      .head().getSeq[Double](0)
+    val width = (9999.0 * 9999.0 - 0.0) / 200
+    qs.zip(exact).foreach { case (q, ex) =>
+      assert(math.abs(est(q) - ex) <= width,
+        s"q=$q est=${est(q)} exact=$ex width=$width")
+    }
+    val est2 = Profile.histogramQuantiles(d.repartition(7), "v", 200, qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(est == est2)
+  }
 }
