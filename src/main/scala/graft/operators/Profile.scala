@@ -39,8 +39,12 @@ object Profile {
     val v = col(valueCol).cast("double")
     val (mn, mx, n) = {
       val r = df.agg(min(v), max(v), count(v)).head()
+      require(!r.isNullAt(0), s"histogramQuantiles: no non-null $valueCol rows")
       (r.getDouble(0), r.getDouble(1), r.getLong(2))
     }
+    // a constant column would make width 0 and the bin expression an
+    // engine-dependent Infinity path — fail loud instead
+    require(mx > mn, s"histogramQuantiles: $valueCol is constant ($mn)")
     val width = (mx - mn) / bins
     val counts = df.select(
         least(floor((v - lit(mn)) / lit(width)), lit(bins - 1).cast("long"))
