@@ -125,6 +125,16 @@ object Ivf {
       if (trainIters > 0)
         trainCentroids(vectors, idCol, vecCol, nCells, trainIters, seed)
       else centroids(vectors, idCol, vecCol, nCells, seed)
+    searchWithCentroids(vectors, queries, cents, idCol, vecCol, nProbe, k)
+  }
+
+  /** Probe + re-rank against a GIVEN centroid table — the search half
+    * of [[search]], also usable with externally supplied (e.g. literal)
+    * centroids, which is what makes the pipeline oracle-checkable.
+    */
+  def searchWithCentroids(vectors: DataFrame, queries: DataFrame,
+                          cents: DataFrame, idCol: String, vecCol: String,
+                          nProbe: Int, k: Int): DataFrame = {
     val assigned = assign(vectors, cents, idCol, vecCol)
     // probe cells per query: queries × centroids is tiny — window is fine
     val wq = Window.partitionBy("query_id").orderBy(col("__d"), col("cell_id"))

@@ -205,6 +205,18 @@ object Pq {
              vecCol: String, m: Int, k: Int, iters: Int, shortlist: Int,
              topK: Int, seed: Long = 42L): DataFrame = {
     val books = trainCodebooks(vectors, idCol, vecCol, m, k, iters, seed)
+    searchWithBooks(vectors, queries, books, idCol, vecCol, shortlist, topK)
+  }
+
+  /** ADC scan + re-rank against GIVEN codebooks — the search half of
+    * [[search]], also usable with externally supplied (e.g. literal)
+    * codebooks, which is what makes the pipeline oracle-checkable
+    * (training is the part with no SQL oracle).
+    */
+  def searchWithBooks(vectors: DataFrame, queries: DataFrame,
+                      books: Seq[Seq[Seq[Double]]], idCol: String,
+                      vecCol: String, shortlist: Int, topK: Int): DataFrame = {
+    val m = books.length
     val subDim = books.head.head.length
     val codes = encode(vectors, idCol, vecCol, books)
     // per-query ADC table: dtable[s][c] = ||q_sub(s) - codeword(s,c)||².

@@ -534,6 +534,146 @@ object SimilaritySearch {
       }
     },
 
+    // ---- S17: IVF probe/re-rank, full-oracle twin of s06 -------------------
+    // The cell-probed ANN pipeline made oracle-checkable by fixing the
+    // centroids to deterministic literals (training is the part with no
+    // SQL oracle — s06/s09 own it): assignment argmin, probe ranking,
+    // and the exact cosine re-rank all replay in SQL with the same
+    // embedded constants and in-order folds. Runs through the SAME
+    // production path (NearestCell kernel + Ivf.searchWithCentroids).
+    {
+      val nCells = 8
+      val cvecs = Similarity.hyperplanes(1, nCells, 64)
+      val centValues = cvecs.zipWithIndex
+        .map { case (c, r) => s"($r, [${c.mkString(", ")}])" }
+        .mkString(",\n        ")
+      Query("s17_ann_ivf_oracle",
+        s"""WITH cents(cell_id, c) AS (VALUES
+          |        $centValues),
+          |dist AS (
+          |  SELECT vec_id, cell_id,
+          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |           list_transform(range(1, 65),
+          |             i -> (CAST(embedding[i] AS DOUBLE) - c[i])
+          |                  * (CAST(embedding[i] AS DOUBLE) - c[i]))),
+          |           (a, x) -> a + x) AS d
+          |  FROM embeddings CROSS JOIN cents),
+          |assigned AS (SELECT vec_id, cell_id FROM (
+          |  SELECT vec_id, cell_id,
+          |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+          |  FROM dist) WHERE rn = 1),
+          |probes AS (SELECT vec_id AS query_id, cell_id FROM (
+          |  SELECT vec_id, cell_id,
+          |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+          |  FROM dist WHERE vec_id < 10) WHERE rn <= 3),
+          |cand AS (
+          |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+          |  FROM probes p JOIN assigned a USING (cell_id)
+          |  WHERE a.vec_id <> p.query_id),
+          |cosd AS (
+          |  SELECT query_id, neighbor_id,
+          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |           list_transform(range(1, 65),
+          |             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+          |           (a, x) -> a + x)
+          |         / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |              list_transform(range(1, 65),
+          |                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))),
+          |              (a, x) -> a + x))
+          |            * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |                list_transform(range(1, 65),
+          |                  i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+          |                (a, x) -> a + x))) AS cos
+          |  FROM cand JOIN embeddings q ON q.vec_id = query_id
+          |            JOIN embeddings c ON c.vec_id = neighbor_id)
+          |SELECT query_id, neighbor_id, cos FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id
+          |                               ORDER BY cos DESC, neighbor_id) AS rn
+          |  FROM cosd) WHERE rn <= 3""".stripMargin) { (s, d) =>
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+        val cents = cvecs.zipWithIndex.map { case (c, r) => (r.toLong, c) }
+          .toDF("cell_id", "c_vec")
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+        graft.operators.Ivf.searchWithCentroids(e, q, cents, "vec_id",
+          "embedding", nProbe = 3, k = 3)
+      }
+    },
+
+    // ---- S18: PQ-ADC, full-oracle twin of s11 ------------------------------
+    // Product quantization with LITERAL codebooks: encode argmins, the
+    // per-query distance tables, the ADC fold, shortlist, and the exact
+    // re-rank all replay in SQL (training stays s11's job). With s13
+    // (minhash), s12 (simhash), s16 (hyperplane) and s17 (IVF), every
+    // ANN/LSH family's pipeline now has a hash-matched oracle twin.
+    {
+      val (m, k, subDim) = (4, 4, 16)
+      val books = Similarity.hyperplanes(1, m * k, subDim)
+        .grouped(k).toSeq // (m)(k)(subDim)
+      val bookLit = "[" + books.map(b =>
+        "[" + b.map(cw => "[" + cw.mkString(", ") + "]").mkString(", ") + "]")
+        .mkString(", ") + "]"
+      val foldDist = (vec: String, s: String) =>
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |             list_transform(range(1, ${subDim + 1}),
+           |               j -> (CAST($vec[$s*$subDim + j] AS DOUBLE) - b[$s+1][c][j])
+           |                    * (CAST($vec[$s*$subDim + j] AS DOUBLE) - b[$s+1][c][j]))),
+           |             (a, x) -> a + x)""".stripMargin
+      Query("s18_ann_pq_oracle",
+        s"""WITH books(b) AS (VALUES ($bookLit)),
+          |d0 AS (
+          |  SELECT vec_id, list_transform(range(0, $m), s ->
+          |           list_transform(range(1, ${k + 1}), c ->
+          |             ${foldDist("embedding", "s")})) AS ds
+          |  FROM embeddings, books),
+          |enc AS (SELECT vec_id,
+          |          list_transform(ds, l -> list_position(l, list_min(l)) - 1) AS codes
+          |        FROM d0),
+          |qd AS (
+          |  SELECT vec_id AS query_id, list_transform(range(0, $m), s ->
+          |           list_transform(range(1, ${k + 1}), c ->
+          |             ${foldDist("embedding", "s")})) AS dt
+          |  FROM embeddings, books WHERE vec_id < 10),
+          |adc AS (
+          |  SELECT q.query_id, e.vec_id AS neighbor_id,
+          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |           list_transform(range(1, ${m + 1}),
+          |             s -> q.dt[s][e.codes[s] + 1])),
+          |           (a, x) -> a + x) AS adc
+          |  FROM enc e CROSS JOIN qd q WHERE e.vec_id <> q.query_id),
+          |short AS (SELECT query_id, neighbor_id FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id
+          |                               ORDER BY adc, neighbor_id) AS rn
+          |  FROM adc) WHERE rn <= 20),
+          |cosd AS (
+          |  SELECT query_id, neighbor_id,
+          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |           list_transform(range(1, 65),
+          |             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+          |           (a, x) -> a + x)
+          |         / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |              list_transform(range(1, 65),
+          |                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))),
+          |              (a, x) -> a + x))
+          |            * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |                list_transform(range(1, 65),
+          |                  i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+          |                (a, x) -> a + x))) AS cos
+          |  FROM short JOIN embeddings q ON q.vec_id = query_id
+          |             JOIN embeddings c ON c.vec_id = neighbor_id)
+          |SELECT query_id, neighbor_id, cos FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id
+          |                               ORDER BY cos DESC, neighbor_id) AS rn
+          |  FROM cosd) WHERE rn <= 3""".stripMargin) { (s, d) =>
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+        graft.operators.Pq.searchWithBooks(e, q, books, "vec_id",
+          "embedding", shortlist = 20, topK = 3)
+      }
+    },
+
     // ---- S15: sparse TF-IDF cosine pairs (inverted-index join) ------------
     // Document similarity with NO dense vectors: weights as (doc, term,
     // w) triples, dots via the posting-list join, df-cutoff guard. The

@@ -162,6 +162,48 @@ object SinkQueries {
       s.read.parquet(root)
         .filter(col("valid_from") === lit(java.sql.Date.valueOf("2026-02-01")))
         .groupBy("seg").agg(count(lit(1)).as("n"))
+    },
+
+    // ---- Bucketed co-located join through the table sink --------------------
+    // The physical-layout lever INSIDE the gate: both sides written
+    // bucketBy(custkey) + sortBy, read back through the catalog, joined
+    // with broadcast disabled — the sort-merge join consumes the bucket
+    // layout with NO exchange on either side (ApproxBucketSpec pins the
+    // plan; this row pins that the bucketed write→read→join path also
+    // produces bit-correct DATA). The oracle recomputes from the raw
+    // tables.
+    Query("io05_bucketed_join",
+      """SELECT c.c_mktsegment AS segment, count(*) AS n,
+        |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val sp = s.newSession()
+      sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      sp.conf.set("spark.sql.sources.bucketing.enabled", "true")
+      Seq("io05_orders_b", "io05_cust_b").foreach { t =>
+        sp.sql(s"DROP TABLE IF EXISTS $t")
+        // in-memory catalog forgets tables across JVMs but the warehouse
+        // dirs survive — clear them so saveAsTable can recreate
+        val wh = new java.net.URI(sp.conf.get("spark.sql.warehouse.dir")).getPath
+        val dir = java.nio.file.Paths.get(wh, t)
+        if (java.nio.file.Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
+      graft.core.Tables.orders(sp, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("io05_orders_b")
+      graft.core.Tables.customer(sp, d).select("c_custkey", "c_mktsegment")
+        .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("io05_cust_b")
+      sp.table("io05_orders_b")
+        .join(sp.table("io05_cust_b"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total"))
     }
   )
 }
