@@ -67,6 +67,26 @@ object Sessionize {
     }
   }
 
+  /** Throttle/debounce: keep a row when at least `minGapMicros` has
+    * passed since the last KEPT row of the same key (the first row is
+    * always kept). A true recurrence — the threshold advances only on
+    * kept rows, so lag()/windows cannot express it; same scan shape as
+    * the RDT machine, O(1) state per key.
+    */
+  def debounce(df: DataFrame, keyCol: String, tsCol: String,
+               tieBreak: String, minGapMicros: Long,
+               as: String = "kept"): DataFrame = {
+    val tsIdx = df.schema.fieldIndex(tsCol)
+    scanPerKey[Long](df, Seq(keyCol), Seq(tsCol, tieBreak),
+      StructType(Seq(StructField(as, BooleanType, nullable = false)))) {
+      case (None, row) => (micros(row, tsIdx), Seq(true))
+      case (Some(lastKept), row) =>
+        val t = micros(row, tsIdx)
+        if (t - lastKept > minGapMicros) (t, Seq(true))
+        else (lastKept, Seq(false))
+    }
+  }
+
   private def micros(row: Row, i: Int): Long = row.get(i) match {
     case t: java.sql.Timestamp => t.getTime * 1000 + (t.getNanos / 1000) % 1000
     case t: java.time.Instant  => t.getEpochSecond * 1000000L + t.getNano / 1000

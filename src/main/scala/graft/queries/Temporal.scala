@@ -218,6 +218,34 @@ object Temporal {
         .groupBy("bucket").agg(count(lit(1)).as("n"))
     },
 
+    // ---- W17: debounce/throttle (keep-first within gap of last KEPT) --------
+    // A true recurrence: the 30-minute threshold advances only when a
+    // row is kept, which no window/lag can express — the per-key scan
+    // (same machinery as the w15 RDT machine) carries the last-kept
+    // timestamp; the oracle replays it with a row-stepping recursive
+    // CTE. The event-throttling shape every alerting/notification
+    // pipeline needs.
+    Query("w17_debounce",
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |scan AS (
+        |  SELECT user_id, rn, event_id, t, TRUE AS kept, t AS last_kept
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, e.event_id, e.t,
+        |         e.t - s.last_kept > 1800000000 AS kept,
+        |         CASE WHEN e.t - s.last_kept > 1800000000 THEN e.t
+        |              ELSE s.last_kept END
+        |  FROM ev e JOIN scan s ON e.user_id = s.user_id AND e.rn = s.rn + 1)
+        |SELECT user_id, event_id FROM scan WHERE kept""".stripMargin) {
+      (s, d) => graft.operators.Sessionize.debounce(
+          Tables.events(s, d).select("user_id", "event_id", "ts"),
+          "user_id", "ts", "event_id", minGapMicros = 1800000000L)
+        .filter(col("kept")).select("user_id", "event_id")
+    },
+
     // ---- W16: RANGE-frame trailing window ------------------------------------
     // The value-range window frame (every other window here is
     // row-framed): per user, the trailing-30-minute sum and count at

@@ -60,4 +60,26 @@ class SessionizeSpec extends SparkSpec {
     assert(rows(out.select(col("k"), col("i"), col("running"))) ==
       Set(Seq("a", 1, 10L), Seq("a", 2, 30L), Seq("b", 1, 5L)))
   }
+
+  test("debounce: threshold advances only on KEPT rows, boundary is strict") {
+    // key 1 at t = 0s, 10s, 20s, 31s with a 30s gap: 10s and 20s are
+    // dropped (within 30s of t=0), 31s is kept (31 > 30, strict);
+    // a naive lag-based rule would keep nothing after 0s because each
+    // row is within 30s of its PREDECESSOR, kept or not
+    val d = df(
+      """SELECT * FROM VALUES
+        |  (1L, 100L, 0L), (1L, 101L, 10000000L),
+        |  (1L, 102L, 20000000L), (1L, 103L, 31000000L),
+        |  (2L, 200L, 5L)
+        |  t(user_id, event_id, ts)""".stripMargin)
+    val out = Sessionize.debounce(d, "user_id", "ts", "event_id",
+      minGapMicros = 30000000L)
+    assert(rows(out.filter(col("kept")).select(col("event_id"))) ==
+      Set(Seq(100L), Seq(103L), Seq(200L)))
+    // exact-boundary gap is NOT kept (strict >)
+    val b = df("SELECT * FROM VALUES (1L, 1L, 0L), (1L, 2L, 30000000L) t(user_id, event_id, ts)")
+    val kept = Sessionize.debounce(b, "user_id", "ts", "event_id", 30000000L)
+      .filter(col("kept")).count()
+    assert(kept == 1)
+  }
 }
