@@ -192,6 +192,27 @@ object ScaleSmoke {
         merged.select(col("doc_id"), size(col("toks")).as("n"))
           .write.format("noop").mode("overwrite").save()
       },
+      time("histogram_quantile_6m_rows") {
+        // sort-free quantiles on the 10x lineitem: two narrow passes +
+        // a 100-row reduction — the a18 exact percentile alternative
+        // that has no global sort to blow up
+        graft.operators.Profile.histogramQuantiles(li, "l_extendedprice",
+            bins = 100, qs = Seq(0.25, 0.5, 0.75, 0.95))
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("debounce_100k_events") {
+        // per-key recurrence scan at 10x events volume: one repartition
+        // + in-partition sort, O(1) state
+        val ev0 = graft.core.Tables.events(spark, sfDir)
+        val maxEv = ev0.agg(max("event_id")).as[Long].head() + 1
+        val ev = ev0.crossJoin(copies)
+          .withColumn("event_id", col("event_id") + col("rep") * maxEv)
+          .drop("rep")
+          .select("user_id", "event_id", "ts")
+        graft.operators.Sessionize.debounce(ev, "user_id", "ts", "event_id",
+            minGapMicros = 1800000000L)
+          .write.format("noop").mode("overwrite").save()
+      },
       time("scd2_merge_150k_keys") {
         // SCD2 at 10x customer volume: one full-outer join + explode
         val c0 = graft.core.Tables.customer(spark, sfDir)
