@@ -12,6 +12,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver scrapes the LAST line of `sbt "runMain graft.Bench"`.
+// Default LoggedOutput decorates every forked-process line with an
+// `[info] ` prefix and appends a `[success] Total time …` trailer, so the
+// JSON line is neither bare nor last. StdoutOutput passes the forked
+// process's stdout through untouched; showSuccess kills the trailer.
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -12,6 +12,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.core.Sessions.local(cpus, "graft-bench")
+    // keep stderr quiet so a driver that merges streams still sees the
+    // JSON line last (Sessions defaults to WARN; ERROR for the bench)
+    spark.sparkContext.setLogLevel("ERROR")
     // untimed warmup: JIT, codegen cache, parquet footers
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .write.format("noop").mode("overwrite").save()

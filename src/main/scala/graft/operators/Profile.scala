@@ -46,7 +46,11 @@ object Profile {
     // engine-dependent Infinity path — fail loud instead
     require(mx > mn, s"histogramQuantiles: $valueCol is constant ($mn)")
     val width = (mx - mn) / bins
-    val counts = df.select(
+    // nulls must not reach the binning: a null v makes a null bin row
+    // that sorts FIRST in the cumulative window, inflating cum/before
+    // for every real bin while n = count(v) excludes nulls — quantiles
+    // would shift low and (q*n - before) could go negative
+    val counts = df.where(v.isNotNull).select(
         least(floor((v - lit(mn)) / lit(width)), lit(bins - 1).cast("long"))
           .as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("cnt"))

@@ -22,9 +22,29 @@ import org.apache.spark.sql.functions._
   */
 object Scd2 {
 
+  /** CONTRACT: `incoming` must have at most ONE row per key. Duplicate
+    * batch keys would fan out through the full-outer join and silently
+    * emit multiple open rows, breaking the one-open-row-per-key
+    * invariant Scd2Spec pins. `assertUniqueKeys = true` enforces it
+    * in-plan (raise_error inside a filter, so pruning can't drop it) at
+    * the cost of one window exchange over the batch side — the batch is
+    * the small side of an SCD2 merge, so the check is bounded; default
+    * off keeps the single-join plan shape the exchange goldens pin.
+    */
   def merge(current: DataFrame, incoming: DataFrame, keyCols: Seq[String],
-            attrCols: Seq[String], batchDate: Column): DataFrame = {
-    val inc = attrCols.foldLeft(incoming)(
+            attrCols: Seq[String], batchDate: Column,
+            assertUniqueKeys: Boolean = false): DataFrame = {
+    val checked = if (!assertUniqueKeys) incoming else {
+      val wk = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*)
+      incoming.withColumn("__kn", count(lit(1)).over(wk))
+        .filter(when(col("__kn") > 1, raise_error(concat(
+            lit("Scd2.merge: duplicate incoming key ("),
+            concat_ws(",", keyCols.map(k => col(k).cast("string")): _*),
+            lit(")")))).otherwise(lit(true)))
+        .drop("__kn")
+    }
+    val inc = attrCols.foldLeft(checked)(
         (d, a) => d.withColumnRenamed(a, s"__in_$a"))
       .withColumn("__i", lit(true))
     val cur = current.withColumn("__c", lit(true))

@@ -67,9 +67,11 @@ object Sessionize {
     }
   }
 
-  /** Throttle/debounce: keep a row when at least `minGapMicros` has
-    * passed since the last KEPT row of the same key (the first row is
-    * always kept). A true recurrence — the threshold advances only on
+  /** Throttle/debounce: keep a row when strictly MORE than
+    * `minGapMicros` has passed since the last KEPT row of the same key
+    * (an exact-boundary gap is dropped — the strict `>` is the contract
+    * the w17 oracle and SessionizeSpec pin; the first row is always
+    * kept). A true recurrence — the threshold advances only on
     * kept rows, so lag()/windows cannot express it; same scan shape as
     * the RDT machine, O(1) state per key.
     */

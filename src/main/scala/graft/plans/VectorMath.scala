@@ -148,7 +148,8 @@ object VectorKernel {
     * mat[((s*k)+c)*subDim + j] = codebook(s)(c)(j). Strict in-order
     * accumulation, strict `<` keeps the first minimum — same tie-break
     * as nearestCell. Boxed-null return when the vector length isn't
-    * m*subDim or any element is null (HOF null propagation).
+    * m*subDim, any element is null, or any subspace has no finite
+    * distance — all-NaN leaves no argmin (HOF null propagation).
     */
   def pqEncode(vec: ArrayData, mat: Array[Double], m: Int, subDim: Int,
                k: Int, isFloat: Boolean): ArrayData = {
@@ -176,6 +177,10 @@ object VectorKernel {
         if (acc < best) { best = acc; bestIdx = c }
         c += 1
       }
+      // all-NaN subspace distances leave bestIdx = -1 (NaN < best is
+      // always false); mirror nearestCell and return null rather than
+      // emit code -1, which downstream ADC would element_at(dtable, 0)
+      if (bestIdx < 0) return null
       out(s) = bestIdx.toLong
       s += 1
     }

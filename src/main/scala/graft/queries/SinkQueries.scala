@@ -31,7 +31,7 @@ object SinkQueries {
         |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
         |FROM customer WHERE c_acctbal > 0
         |GROUP BY 1""".stripMargin) { (s, d) =>
-      val dir = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+      val dir = graft.core.TempDirs.scratch("graft_csv_").toString
       Tables.customer(s, d).filter(col("c_acctbal") > 0)
         .select("c_custkey", "c_mktsegment", "c_acctbal")
         .write.mode("overwrite").option("header", "true").csv(dir)
@@ -55,7 +55,7 @@ object SinkQueries {
         .filter(col("o_totalprice") > 100000)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
           (col("o_orderkey") % 3).as("day_off"))
-      val root = java.nio.file.Files.createTempDirectory("graft_hist_").toString
+      val root = graft.core.TempDirs.scratch("graft_hist_").toString
       val day0 = java.time.LocalDate.of(2026, 1, 1)
       for (off <- 0 to 2)
         Anomalies.writeHistory(
@@ -157,7 +157,7 @@ object SinkQueries {
             .otherwise(col("c_mktsegment")).as("seg"))
       val merged = graft.operators.Scd2.merge(cur, inc, Seq("c_custkey"),
         Seq("seg"), lit("2026-02-01"))
-      val root = java.nio.file.Files.createTempDirectory("graft_scd2_").toString
+      val root = graft.core.TempDirs.scratch("graft_scd2_").toString
       merged.write.mode("overwrite").partitionBy("valid_from").parquet(root)
       s.read.parquet(root)
         .filter(col("valid_from") === lit(java.sql.Date.valueOf("2026-02-01")))
@@ -186,11 +186,7 @@ object SinkQueries {
         // dirs survive — clear them so saveAsTable can recreate
         val wh = new java.net.URI(sp.conf.get("spark.sql.warehouse.dir")).getPath
         val dir = java.nio.file.Paths.get(wh, t)
-        if (java.nio.file.Files.exists(dir)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        }
+        graft.core.TempDirs.deleteRecursively(dir)
       }
       graft.core.Tables.orders(sp, d).select("o_orderkey", "o_custkey", "o_totalprice")
         .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")

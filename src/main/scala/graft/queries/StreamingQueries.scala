@@ -30,7 +30,7 @@ object StreamingQueries {
         // the streaming file source takes a DIRECTORY (it lists for new
         // files); the testdata tables are single files, so stage a
         // landing-zone dir with a symlink — no data copy
-        val dir = java.nio.file.Files.createTempDirectory("st01_landing")
+        val dir = graft.core.TempDirs.scratch("st01_landing")
         java.nio.file.Files.createSymbolicLink(
           dir.resolve("events.parquet"),
           java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
@@ -69,7 +69,7 @@ object StreamingQueries {
         |FROM (SELECT *, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
         |      FROM events)""".stripMargin) {
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("st02_landing")
+        val dir = graft.core.TempDirs.scratch("st02_landing")
         java.nio.file.Files.createSymbolicLink(
           dir.resolve("events.parquet"),
           java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
@@ -102,7 +102,7 @@ object StreamingQueries {
     Query("st03_stream_dedup",
       "SELECT event_id, event_type FROM events") {
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("st03_landing")
+        val dir = graft.core.TempDirs.scratch("st03_landing")
         for (f <- Seq("events.parquet", "events_again.parquet"))
           java.nio.file.Files.createSymbolicLink(dir.resolve(f),
             java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
@@ -132,7 +132,7 @@ object StreamingQueries {
         |  AND a.event_type = 'click' AND b.event_type = 'purchase'
         |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE""".stripMargin) {
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("st04_landing")
+        val dir = graft.core.TempDirs.scratch("st04_landing")
         java.nio.file.Files.createSymbolicLink(
           dir.resolve("events.parquet"),
           java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
@@ -166,7 +166,7 @@ object StreamingQueries {
       """SELECT e.event_id, c.c_mktsegment AS segment
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin) {
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("st05_landing")
+        val dir = graft.core.TempDirs.scratch("st05_landing")
         java.nio.file.Files.createSymbolicLink(
           dir.resolve("events.parquet"),
           java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
@@ -235,15 +235,15 @@ object StreamingQueries {
         val cust = graft.core.Tables.customer(ss, d)
           .select(col("c_custkey"), col("c_mktsegment").as("seg"))
         // dimension store seeded with the open snapshot
-        val dim = Files.createTempDirectory("st06_dim_").toString
+        val dim = graft.core.TempDirs.scratch("st06_dim_").toString
         cust.select(col("c_custkey"), col("seg"),
             to_date(lit("2025-06-01")).as("valid_from"),
             lit(null).cast("date").as("valid_to"))
           .write.mode("overwrite").parquet(dim)
         // two landed change batches, arrival order pinned via mtime
-        val landing = Files.createTempDirectory("st06_landing_")
-        val b1 = Files.createTempDirectory("st06_b1_").toString
-        val b2 = Files.createTempDirectory("st06_b2_").toString
+        val landing = graft.core.TempDirs.scratch("st06_landing_")
+        val b1 = graft.core.TempDirs.scratch("st06_b1_").toString
+        val b2 = graft.core.TempDirs.scratch("st06_b2_").toString
         cust.filter(col("c_custkey") % 7 === 0)
           .select(col("c_custkey"), concat(col("seg"), lit("_X")).as("seg"))
           .coalesce(1).write.mode("overwrite").parquet(b1)

@@ -53,6 +53,16 @@ class PqSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
   }
 
+  test("PqEncode all-NaN vector returns null, not code -1") {
+    // NaN < best is always false, so no subspace argmin exists — the
+    // kernel must null-propagate like NearestCell, or downstream ADC
+    // would element_at(dtable, 0) and error under ANSI
+    val r = df("""SELECT array(CAST('NaN' AS FLOAT), CAST('NaN' AS FLOAT),
+                 |             CAST('NaN' AS FLOAT), CAST('NaN' AS FLOAT)) AS v""".stripMargin)
+      .select(PqEncode(col("v"), books2x4)).head()
+    assert(r.isNullAt(0))
+  }
+
   test("PqEncode ties break to the lowest code, like NearestCell") {
     // both codewords of subspace 0 equidistant from (0,0): code must be 0
     val books = Seq(

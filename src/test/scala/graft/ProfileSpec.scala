@@ -51,4 +51,15 @@ class ProfileSpec extends SparkSpec {
       .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
     assert(est == est2)
   }
+
+  test("histogram quantiles ignore nulls: estimates match the null-free input") {
+    val clean = spark.range(1000).select(col("id").cast("double").as("v"))
+    val withNulls = clean.union(
+      spark.range(500).select(lit(null).cast("double").as("v")))
+    val qs = Seq(0.1, 0.5, 0.9)
+    def est(d: org.apache.spark.sql.DataFrame) =
+      Profile.histogramQuantiles(d, "v", 50, qs)
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(est(withNulls) == est(clean))
+  }
 }

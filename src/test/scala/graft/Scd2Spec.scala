@@ -59,4 +59,17 @@ class Scd2Spec extends SparkSpec {
     val plan = merged.queryExecution.optimizedPlan.toString
     assert("Join".r.findAllIn(plan).size == 1, plan)
   }
+
+  test("assertUniqueKeys fails loud on a duplicate-key batch, passes a clean one") {
+    val dup = inc.union(df("SELECT 2 AS k, 'Z' AS seg, 99 AS sz"))
+    val ex = intercept[Exception] {
+      Scd2.merge(cur, dup, Seq("k"), Seq("seg", "sz"), lit("2025-06-01"),
+        assertUniqueKeys = true).collect()
+    }
+    assert(ex.getMessage.contains("duplicate incoming key"), ex.getMessage)
+    // clean batch: enforcement on must produce the unchanged result
+    val checked = Scd2.merge(cur, inc, Seq("k"), Seq("seg", "sz"),
+      lit("2025-06-01"), assertUniqueKeys = true)
+    assert(rows(checked) == rows(merged))
+  }
 }
