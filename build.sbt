@@ -21,6 +21,10 @@ run / outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
 Compile / runMain / outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
+// lintUnused can't see through command-level key reads — the bench run
+// proves all three take effect (bare stdout, no [success] trailer)
+Global / excludeLintKeys ++= Set(
+  run / outputStrategy, Compile / runMain / outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

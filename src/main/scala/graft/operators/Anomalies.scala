@@ -58,6 +58,79 @@ object Anomalies {
              lit(s" vs threshold=$threshold"))): _*)
   }
 
+  /** Distinct-values mismatch: groups of `keys` carrying MORE THAN ONE
+    * distinct `valueCol` (the reference's "household reports multiple
+    * clusters": safety.R:108-116, pk.R:111-132). One shuffle on the
+    * group keys; the value list is sorted for determinism.
+    */
+  def detectDistinctMismatch(df: DataFrame, formId: String,
+                             anomaliesId: String, keys: Seq[String],
+                             valueCol: String): DataFrame = {
+    val groupKey = concat_ws("|", keys.map(k => col(k).cast("string")): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(countDistinct(col(valueCol)).as("__n"),
+           concat_ws(",", array_sort(collect_set(col(valueCol).cast("string"))))
+             .as("__vals"))
+      .filter(col("__n") > 1)
+      .select(uniform(formId, anomaliesId, groupKey,
+        concat(lit(s"$anomaliesId: "), col("__n").cast("string"),
+               lit(" distinct values, values="), col("__vals"))): _*)
+  }
+
+  /** Conditional member count: groups where the number of DISTINCT
+    * `memberCol` values satisfying `cond` exceeds `threshold` (the
+    * reference's "more than 3 members died/migrated/absent":
+    * safety.R:167-204). when(cond, member) nulls the non-matching rows
+    * and both count_distinct and collect_set ignore nulls — one shuffle,
+    * no pre-filter subquery.
+    */
+  def detectConditionalCount(df: DataFrame, formId: String,
+                             anomaliesId: String, keys: Seq[String],
+                             cond: Column, memberCol: String,
+                             threshold: Long): DataFrame = {
+    val groupKey = concat_ws("|", keys.map(k => col(k).cast("string")): _*)
+    val member = when(cond, col(memberCol))
+    df.groupBy(keys.map(col): _*)
+      .agg(countDistinct(member).as("__n"),
+           concat_ws(",", array_sort(collect_set(member.cast("string"))))
+             .as("__ids"))
+      .filter(col("__n") > threshold)
+      .select(uniform(formId, anomaliesId, groupKey,
+        concat(lit(s"$anomaliesId: "), col("__n").cast("string"),
+               lit(" members, ids="), col("__ids"))): _*)
+  }
+
+  /** Invalid/missing code: rows whose `codeCol` is null or sits in the
+    * hard-coded invalid list (the reference's "outside cluster by geo":
+    * safety.R:212-219). Pure per-row projection, no shuffle.
+    */
+  def detectInvalidCode(df: DataFrame, formId: String, anomaliesId: String,
+                        keyCol: String, codeCol: Column,
+                        invalid: Seq[Long]): DataFrame =
+    df.filter(codeCol.isNull || codeCol.isin(invalid: _*))
+      .select(uniform(formId, anomaliesId, col(keyCol),
+        concat(lit(s"$anomaliesId: code="),
+               coalesce(codeCol.cast("string"), lit("NA")))): _*)
+
+  /** Mapping mismatch vs a source-of-truth table: rows of `df` whose
+    * `valueCol` disagrees with the truth mapping idCol -> expected (the
+    * reference's "pk_id mapped to different extids": pk.R:170-186,
+    * where the truth mapping is derived from the day-0 form). `truth`
+    * must carry (idCol, expected). Shuffle join on idCol — when truth
+    * derives from df itself both sides arrive co-partitioned; broadcast
+    * applies when truth is dim-sized.
+    */
+  def detectMappingMismatch(df: DataFrame, formId: String,
+                            anomaliesId: String, keyCol: Column,
+                            idCol: String, valueCol: String,
+                            truth: DataFrame): DataFrame =
+    df.join(truth, idCol)
+      .filter(col(valueCol) =!= col("expected"))
+      .select(uniform(formId, anomaliesId, keyCol,
+        concat(lit(s"$anomaliesId: $idCol="), col(idCol).cast("string"),
+               lit(" got="), col(valueCol).cast("string"),
+               lit(" expected="), col("expected").cast("string"))): _*)
+
   /** R6+R7 (consolidate): union detector outputs with bind_rows semantics —
     * align by name, missing columns null, everything cast to string, nulls
     * as ''. Ref: 05.run_anomaly_detection.R:52-56.

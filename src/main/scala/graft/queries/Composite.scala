@@ -91,6 +91,178 @@ object Composite {
       }
     },
 
+    // ---- a24: per-form anomaly-rule battery, end-to-end through the sink ----
+    // Eight concrete rule instances mirroring the reference's per-form
+    // detector scripts, consolidated (R6/R7) and routed through the
+    // partitioned history sink (S6) before being read back — the full
+    // 05.run_anomaly_detection.R composition in one query. Rule ↔ source:
+    //   1 hh_visit_already_in_dataset  safety.R:94-105   dup (custkey, order date)
+    //   2 hh_detected_multiple_clusters safety.R:108-116 >1 distinct supplier per (order, part)
+    //   3 hh_more_than_3_members_returned safety.R:186-204 >3 distinct returned lines per order
+    //   4 negative_balance             anomalies_utils.R detect_threshold direction='less'
+    //   5 totalprice_too_high          v0.R:105-113      detect_threshold direction='more'
+    //   6 hh_outside_cluster           safety.R:212-219  null-or-invalid code list
+    //   7 pk_id_duplicates             pk.R:97-108       drop_na(pk) then dup groups
+    //   8 mapping_mismatch             pk.R:170-186      join to source-of-truth mapping
+    //   9 rdt_time_diff                efficacy.R:86-94  implausibly fast ship after order
+    // (rule 4+5 share the threshold detector: both directions exercised.)
+    // Scale: every rule is one shuffle on its own group keys (or a pure
+    // projection); consolidate is a union, not an exchange; the mapping
+    // truth side co-partitions with its source, and the history write
+    // partitions by date exactly like io01.
+    Query("a24_detector_battery",
+      """WITH r1 AS (
+        |  SELECT 'orders__' || k || '__hh_visit_already_in_dataset' AS resolution_id,
+        |         k AS key, 'orders' AS form_id,
+        |         'hh_visit_already_in_dataset' AS anomalies_id,
+        |         'hh_visit_already_in_dataset: ' || CAST(count(*) AS VARCHAR)
+        |           || ' rows for key, ids='
+        |           || string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY CAST(o_orderkey AS VARCHAR))
+        |           AS anomalies_description,
+        |         'to_do' AS resolution_status
+        |  FROM (SELECT *, CAST(o_custkey AS VARCHAR) || '|' ||
+        |               CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS k FROM orders)
+        |  GROUP BY k HAVING count(*) >= 2),
+        |r2 AS (
+        |  SELECT 'lineitem__' || k || '__hh_detected_multiple_clusters' AS resolution_id,
+        |         k AS key, 'lineitem' AS form_id,
+        |         'hh_detected_multiple_clusters' AS anomalies_id,
+        |         'hh_detected_multiple_clusters: ' || CAST(count(DISTINCT l_suppkey) AS VARCHAR)
+        |           || ' distinct values, values='
+        |           || string_agg(DISTINCT CAST(l_suppkey AS VARCHAR), ',' ORDER BY CAST(l_suppkey AS VARCHAR))
+        |           AS anomalies_description,
+        |         'to_do' AS resolution_status
+        |  FROM (SELECT *, CAST(l_orderkey AS VARCHAR) || '|' ||
+        |               CAST(l_partkey AS VARCHAR) AS k FROM lineitem)
+        |  GROUP BY k HAVING count(DISTINCT l_suppkey) > 1),
+        |r3 AS (
+        |  SELECT 'lineitem__' || CAST(l_orderkey AS VARCHAR) || '__hh_more_than_3_members_returned' AS resolution_id,
+        |         CAST(l_orderkey AS VARCHAR) AS key, 'lineitem' AS form_id,
+        |         'hh_more_than_3_members_returned' AS anomalies_id,
+        |         'hh_more_than_3_members_returned: '
+        |           || CAST(count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_linenumber END) AS VARCHAR)
+        |           || ' members, ids='
+        |           || string_agg(DISTINCT CAST(CASE WHEN l_returnflag = 'R' THEN l_linenumber END AS VARCHAR), ','
+        |                         ORDER BY CAST(CASE WHEN l_returnflag = 'R' THEN l_linenumber END AS VARCHAR))
+        |           AS anomalies_description,
+        |         'to_do' AS resolution_status
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_linenumber END) > 3),
+        |r4 AS (
+        |  SELECT 'customer__' || CAST(c_custkey AS VARCHAR) || '__negative_balance' AS resolution_id,
+        |         CAST(c_custkey AS VARCHAR) AS key, 'customer' AS form_id,
+        |         'negative_balance' AS anomalies_id,
+        |         'negative_balance: value=' || CAST(c_acctbal AS VARCHAR)
+        |           || ' vs threshold=0.0' AS anomalies_description,
+        |         'to_do' AS resolution_status
+        |  FROM customer WHERE c_acctbal < 0),
+        |r5 AS (
+        |  SELECT 'orders__' || CAST(o_orderkey AS VARCHAR) || '__totalprice_too_high' AS resolution_id,
+        |         CAST(o_orderkey AS VARCHAR) AS key, 'orders' AS form_id,
+        |         'totalprice_too_high' AS anomalies_id,
+        |         'totalprice_too_high: value=' || CAST(o_totalprice AS VARCHAR)
+        |           || ' vs threshold=450000.0' AS anomalies_description,
+        |         'to_do' AS resolution_status
+        |  FROM orders WHERE o_totalprice > 450000),
+        |r6 AS (
+        |  SELECT 'customer__' || CAST(c_custkey AS VARCHAR) || '__hh_outside_cluster' AS resolution_id,
+        |         CAST(c_custkey AS VARCHAR) AS key, 'customer' AS form_id,
+        |         'hh_outside_cluster' AS anomalies_id,
+        |         'hh_outside_cluster: code=' || coalesce(CAST(c_nationkey AS VARCHAR), 'NA')
+        |           AS anomalies_description,
+        |         'to_do' AS resolution_status
+        |  FROM customer WHERE c_nationkey IS NULL OR c_nationkey IN (1, 4, 6)),
+        |r7 AS (
+        |  SELECT 'orders__' || pk || '__pk_id_duplicates' AS resolution_id,
+        |         pk AS key, 'orders' AS form_id,
+        |         'pk_id_duplicates' AS anomalies_id,
+        |         'pk_id_duplicates: ' || CAST(count(*) AS VARCHAR)
+        |           || ' rows for key, ids='
+        |           || string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY CAST(o_orderkey AS VARCHAR))
+        |           AS anomalies_description,
+        |         'to_do' AS resolution_status
+        |  FROM (SELECT o_orderkey,
+        |               CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+        |                    ELSE CAST(o_custkey AS VARCHAR) || '|' || o_orderpriority END AS pk
+        |        FROM orders)
+        |  WHERE pk IS NOT NULL
+        |  GROUP BY pk HAVING count(*) >= 2),
+        |truth AS (
+        |  SELECT l_partkey, min(l_suppkey) AS expected FROM lineitem GROUP BY l_partkey),
+        |r8 AS (
+        |  SELECT 'lineitem__' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+        |           || '__mapping_mismatch' AS resolution_id,
+        |         CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS key,
+        |         'lineitem' AS form_id, 'mapping_mismatch' AS anomalies_id,
+        |         'mapping_mismatch: l_partkey=' || CAST(l_partkey AS VARCHAR)
+        |           || ' got=' || CAST(l_suppkey AS VARCHAR)
+        |           || ' expected=' || CAST(expected AS VARCHAR) AS anomalies_description,
+        |         'to_do' AS resolution_status
+        |  FROM lineitem JOIN truth USING (l_partkey)
+        |  WHERE l_suppkey != expected),
+        |r9 AS (
+        |  SELECT 'lineitem__' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+        |           || '__rdt_time_diff' AS resolution_id,
+        |         CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS key,
+        |         'lineitem' AS form_id, 'rdt_time_diff' AS anomalies_id,
+        |         'rdt_time_diff: value='
+        |           || CAST(CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS DOUBLE) AS VARCHAR)
+        |           || ' vs threshold=1.0' AS anomalies_description,
+        |         'to_do' AS resolution_status
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) < 1)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+        |UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r5
+        |UNION ALL SELECT * FROM r6 UNION ALL SELECT * FROM r7
+        |UNION ALL SELECT * FROM r8 UNION ALL SELECT * FROM r9""".stripMargin) {
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+        val li = Tables.lineitem(s, d)
+        val cust = Tables.customer(s, d)
+        val r1 = Anomalies.detectDuplication(
+          orders.withColumn("__dt", col("o_orderdate").cast("date")),
+          "orders", "hh_visit_already_in_dataset",
+          Seq("o_custkey", "__dt"), "o_orderkey")
+        val r2 = Anomalies.detectDistinctMismatch(li, "lineitem",
+          "hh_detected_multiple_clusters",
+          Seq("l_orderkey", "l_partkey"), "l_suppkey")
+        val r3 = Anomalies.detectConditionalCount(li, "lineitem",
+          "hh_more_than_3_members_returned", Seq("l_orderkey"),
+          col("l_returnflag") === "R", "l_linenumber", 3L)
+        val r4 = Anomalies.detectThreshold(cust, "customer",
+          "negative_balance", "c_custkey", col("c_acctbal"), 0.0,
+          above = false)
+        val r5 = Anomalies.detectThreshold(orders, "orders",
+          "totalprice_too_high", "o_orderkey", col("o_totalprice"), 450000.0)
+        val r6 = Anomalies.detectInvalidCode(cust, "customer",
+          "hh_outside_cluster", "c_custkey", col("c_nationkey"), Seq(1L, 4L, 6L))
+        val r7 = Anomalies.detectDuplication(
+          orders.withColumn("__pk",
+              when(col("o_orderpriority") === "1-URGENT", lit(null))
+                .otherwise(concat_ws("|", col("o_custkey"), col("o_orderpriority"))))
+            .filter(col("__pk").isNotNull),
+          "orders", "pk_id_duplicates", Seq("__pk"), "o_orderkey")
+        val truth = li.groupBy("l_partkey").agg(min("l_suppkey").as("expected"))
+        val r8 = Anomalies.detectMappingMismatch(li, "lineitem",
+          "mapping_mismatch",
+          concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+          "l_partkey", "l_suppkey", truth)
+        val r9 = Anomalies.detectThreshold(
+          li.join(orders, col("l_orderkey") === col("o_orderkey"))
+            .withColumn("__k", concat_ws("-", col("l_orderkey"), col("l_linenumber")))
+            .withColumn("__days",
+              datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))),
+          "lineitem", "rdt_time_diff", "__k", col("__days").cast("double"), 1.0,
+          above = false)
+        val all = Anomalies.consolidate(
+          Seq(r1, r2, r3, r4, r5, r6, r7, r8, r9))
+        // end-to-end: through the daily-partitioned history sink and back
+        val root = graft.core.TempDirs.scratch("graft_battery_").toString
+        Anomalies.writeHistory(all, root, java.time.LocalDate.parse("2026-01-01"))
+        s.read.parquet(root).drop("partition_date")
+      }
+    },
+
     Query("a16_flagship_dup_pipeline",
       """WITH latest AS (
         |  SELECT * FROM (

@@ -35,6 +35,59 @@ class AnomaliesSpec extends SparkSpec {
     assert(rows(out) == Set(Seq("k", "1"), Seq("j", "")))
   }
 
+  test("detectDistinctMismatch flags groups with >1 distinct value, sorted list") {
+    val d = df(
+      """SELECT * FROM VALUES
+        |  ('h1', 'c2'), ('h1', 'c1'), ('h1', 'c1'), ('h2', 'c3')
+        |  t(hhid, cluster)""".stripMargin)
+    val out = Anomalies.detectDistinctMismatch(d, "safety",
+      "multi_cluster", Seq("hhid"), "cluster").collect()
+    assert(out.length == 1)
+    val m = out(0).getValuesMap[Any](Anomalies.schemaColumns)
+    assert(m("key") == "h1")
+    assert(m("anomalies_description") ==
+      "multi_cluster: 2 distinct values, values=c1,c2")
+  }
+
+  test("detectConditionalCount counts distinct members under the condition only") {
+    val d = df(
+      """SELECT * FROM VALUES
+        |  ('h1', 'p1', 'Died'), ('h1', 'p2', 'Died'), ('h1', 'p2', 'Died'),
+        |  ('h1', 'p3', 'Absent'), ('h2', 'p4', 'Died')
+        |  t(hhid, extid, reason)""".stripMargin)
+    // threshold 1: only h1 has >1 DISTINCT died members (p2 dup ignored)
+    val out = Anomalies.detectConditionalCount(d, "safety", "too_many_died",
+      Seq("hhid"), col("reason") === "Died", "extid", 1L).collect()
+    assert(out.length == 1)
+    val m = out(0).getValuesMap[Any](Anomalies.schemaColumns)
+    assert(m("key") == "h1")
+    assert(m("anomalies_description") == "too_many_died: 2 members, ids=p1,p2")
+  }
+
+  test("detectInvalidCode flags null and listed codes with NA for null") {
+    val d = df(
+      """SELECT * FROM VALUES
+        |  ('k1', 4), ('k2', 10), ('k3', CAST(NULL AS INT))
+        |  t(key, code)""".stripMargin)
+    val out = Anomalies.detectInvalidCode(d, "f", "bad_code", "key",
+      col("code"), Seq(1L, 4L, 6L))
+    assert(rows(out.select("key", "anomalies_description")) == Set(
+      Seq("k1", "bad_code: code=4"), Seq("k3", "bad_code: code=NA")))
+  }
+
+  test("detectMappingMismatch reports rows disagreeing with the truth mapping") {
+    val d = df(
+      """SELECT * FROM VALUES
+        |  ('K1', 'pk1', 'e1'), ('K2', 'pk1', 'e2'), ('K3', 'pk2', 'e3')
+        |  t(key, pk_id, extid)""".stripMargin)
+    val truth = df(
+      "SELECT * FROM VALUES ('pk1', 'e1'), ('pk2', 'e3') t(pk_id, expected)")
+    val out = Anomalies.detectMappingMismatch(d, "pk", "map_mismatch",
+      col("key"), "pk_id", "extid", truth)
+    assert(rows(out.select("key", "anomalies_description")) == Set(
+      Seq("K2", "map_mismatch: pk_id=pk1 got=e2 expected=e1")))
+  }
+
   test("summarize counts by form and rule") {
     val d = df(
       """SELECT * FROM VALUES ('f1','a1'), ('f1','a1'), ('f1','a2')
