@@ -74,45 +74,74 @@ object Ivf {
   /** Lloyd-refined centroids, deterministically: `iters` rounds of
     * assign → per-cell mean, each component summed as DECIMAL(27,7) (an
     * exact, order-independent fold — the float sum a naive mean uses
-    * changes with partitioning) and divided by the member count; empty
-    * cells keep their previous centroid. Only k×dim scalars ever reach
-    * the driver (the same bound [[assign]] already has), and collecting
-    * them each round also cuts the iterative-lineage growth that makes
-    * loop round N re-run rounds 1..N-1.
+    * changes with partitioning) and divided by the member count as ONE
+    * IEEE double division of two exactly-known operands (each side cast
+    * to double first; a decimal division's intermediate scale is
+    * engine-specific, but a correctly-rounded decimal→double cast plus
+    * a double quotient is bit-identical everywhere — what makes the s19
+    * oracle twin possible). Empty cells keep their previous centroid.
+    * Only k×dim scalars ever reach the driver (the same bound [[assign]]
+    * already has), and collecting them each round also cuts the
+    * iterative-lineage growth that makes loop round N re-run rounds
+    * 1..N-1.
     */
   def trainCentroids(vectors: DataFrame, idCol: String, vecCol: String,
                      nCells: Int, iters: Int, seed: Long = 42L): DataFrame = {
-    val spark = vectors.sparkSession
-    import spark.implicits._
+    val vecs = vectors.select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val init = centroids(vecs, idCol, vecCol, nCells, seed).collect()
+        .map(r => (r.getAs[Number]("cell_id").longValue,
+          r.getSeq[Number](1).map(_.doubleValue).toSeq)).toSeq
+      lloyd(vecs, init, idCol, vecCol, iters)
+    } finally vecs.unpersist(blocking = false)
+  }
+
+  /** Lloyd refinement from a GIVEN centroid table (cell_id, c_vec) —
+    * the training half with injectable initial state, mirroring
+    * [[searchWithCentroids]]: with deterministic (e.g. table-derived or
+    * literal) seeds, the whole training loop replays as chained SQL
+    * CTEs and becomes oracle-checkable (s19).
+    */
+  def trainFromCentroids(vectors: DataFrame, initial: DataFrame,
+                         idCol: String, vecCol: String,
+                         iters: Int): DataFrame = {
+    val init = initial.collect()
+      .map(r => (r.getAs[Number]("cell_id").longValue,
+        r.getSeq[Number](1).map(_.doubleValue).toSeq)).toSeq
+      .sortBy(_._1)
     // every round scans (id, vec): cache the projection for the loop —
     // the iterative-algorithm standard (at cluster scale this is the
     // difference between 1 and `iters` reads of the corpus)
     val vecs = vectors.select(col(idCol), col(vecCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      var cents: Seq[(Long, Seq[Double])] =
-        centroids(vecs, idCol, vecCol, nCells, seed).collect()
-          .map(r => (r.getAs[Number]("cell_id").longValue,
-            r.getSeq[Number](1).map(_.doubleValue).toSeq)).toSeq
-      val dim = cents.head._2.length
-      for (_ <- 0 until iters) {
-        val assigned = assignMat(vecs, idCol, vecCol,
-          cents.map(_._1), cents.map(_._2))
-        val sums = (0 until dim).map(i =>
-          sum(element_at(col(vecCol), i + 1).cast("decimal(27,7)")).as(s"s$i"))
-        val mean = assigned.groupBy("cell_id")
-          .agg(count(lit(1)).as("n"), sums: _*)
-          .select(col("cell_id"),
-            array((0 until dim).map(i =>
-              (col(s"s$i") / col("n")).cast("double")): _*).as("c_vec"))
-        val updated = mean.collect()
-          .map(r => (r.getAs[Number]("cell_id").longValue,
-            r.getSeq[Number](1).map(_.doubleValue).toSeq)).toMap
-        cents = cents.map { case (id, old) => (id, updated.getOrElse(id, old)) }
-      }
-      cents.map { case (id, v) => (id, v.map(_.toFloat)) }
-        .toDF("cell_id", "c_vec")
-    } finally vecs.unpersist(blocking = false)
+    try lloyd(vecs, init, idCol, vecCol, iters)
+    finally vecs.unpersist(blocking = false)
+  }
+
+  private def lloyd(vecs: DataFrame, initial: Seq[(Long, Seq[Double])],
+                    idCol: String, vecCol: String, iters: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    var cents = initial
+    val dim = cents.head._2.length
+    for (_ <- 0 until iters) {
+      val assigned = assignMat(vecs, idCol, vecCol,
+        cents.map(_._1), cents.map(_._2))
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col(vecCol), i + 1).cast("decimal(27,7)")).as(s"s$i"))
+      val mean = assigned.groupBy("cell_id")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("cell_id"),
+          array((0 until dim).map(i =>
+            col(s"s$i").cast("double") / col("n").cast("double")): _*).as("c_vec"))
+      val updated = mean.collect()
+        .map(r => (r.getAs[Number]("cell_id").longValue,
+          r.getSeq[Number](1).map(_.doubleValue).toSeq)).toMap
+      cents = cents.map { case (id, old) => (id, updated.getOrElse(id, old)) }
+    }
+    cents.map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("cell_id", "c_vec")
   }
 
   /** Top-k neighbours for each query vector, probing nProbe cells.

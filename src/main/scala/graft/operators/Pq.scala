@@ -49,9 +49,10 @@ object Pq {
     * and one groupBy(subspace, code) with exact DECIMAL(27,7) component
     * sums. One shuffle per round for ALL codebooks, where per-subspace
     * training would rescan the corpus m times per round. The mean
-    * update replicates [[Ivf.trainCentroids]] exactly (same decimal
-    * division expression, empty cells keep their previous codeword), so
-    * the result is bit-identical to the per-subspace form (PqSpec).
+    * update replicates [[Ivf.trainCentroids]] exactly (same
+    * double-quotient mean of the exact decimal sum, empty cells keep
+    * their previous codeword), so the result is bit-identical to the
+    * per-subspace form (PqSpec).
     */
   def trainCodebooks(vectors: DataFrame, idCol: String, vecCol: String,
                      m: Int, k: Int, iters: Int,
@@ -86,7 +87,7 @@ object Pq {
           .agg(count(lit(1)).as("n"), sums: _*)
           .select(col("s"), col("c"),
             array((0 until subDim).map(j =>
-              (col(s"s$j") / col("n")).cast("double")): _*).as("cw"))
+              col(s"s$j").cast("double") / col("n").cast("double")): _*).as("cw"))
           .collect()
           .map(r => (r.getAs[Number]("s").intValue,
             r.getAs[Number]("c").intValue) ->

@@ -45,9 +45,23 @@ object Keys {
     // ---- approximate distinct (the 100 TB scale knob for A2) -----------------
     // HLL sketch — no SQL oracle (estimator-specific); accuracy contract
     // in ApproxSpec.
-    Query.noOracle("a17_approx_distinct") { (s, d) =>
+    // HLL sketches can't hash-match across engines (different registers),
+    // but the ERROR-BOUND contract can: the oracle computes the exact
+    // distinct count, the engine emits the sketch estimate's relative
+    // error as a boolean `within_5pct` — hash-matchable while the sketch
+    // itself stays engine-side. approx_count_distinct rsd=0.02 gives
+    // ~2% standard error; 5% is 2.5 sigma, deterministic-in-practice for
+    // the fixed testdata (the sketch is itself deterministic per input).
+    Query("a17_approx_distinct",
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
+        |       CAST(1 AS BOOLEAN) AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d).groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+             approx_count_distinct(col("l_orderkey"), 0.02).as("__approx"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("__approx").cast("double") - col("exact_orders").cast("double"))
+            / col("exact_orders").cast("double") <= 0.05).as("within_5pct"))
     },
 
     // ---- statistical aggregates ----------------------------------------------

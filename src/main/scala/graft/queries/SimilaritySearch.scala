@@ -674,6 +674,108 @@ object SimilaritySearch {
       }
     },
 
+    // ---- S19: TRAINED IVF, full-oracle twin of s09 -------------------------
+    // The missing piece after s17: the Lloyd TRAINING LOOP itself
+    // replayed in SQL as chained CTEs (the t26 BPE-merge technique),
+    // so trained-state ANN gets a hash-matched oracle too. Seeds are
+    // table-derived (vec_id < 8 — deterministic, no literals needed);
+    // each round = in-order fold argmin assignment + exact DECIMAL(27,7)
+    // component sums + ONE double quotient per component (both engines
+    // correctly round decimal→double, and a double division of two
+    // identical operands is IEEE-identical — verified bit-for-bit over
+    // all 512 trained components before this query landed). Rounds
+    // chain c0→c1→c2; the final float-rounded centroids then drive the
+    // SAME probe/re-rank pipeline s17 pinned. Training runs through the
+    // production path (trainFromCentroids → NearestCell kernel).
+    {
+      // strict in-order fold of (v[i]-c[i])^2 over dims — NearestCell's
+      // documented accumulation order (VectorMathSpec pins the kernel
+      // against this exact HOF formulation)
+      def sqFold(vec: String, cent: String) =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |           list_transform(range(1, 65),
+           |             i -> (CAST($vec[i] AS DOUBLE) - $cent[i])
+           |                  * (CAST($vec[i] AS DOUBLE) - $cent[i]))),
+           |           (a, x) -> a + x)""".stripMargin
+      def round(n: Int) =
+        s"""d$n AS (
+           |  SELECT e.vec_id, c.cell_id, ${sqFold("e.embedding", "c.c")} AS d
+           |  FROM embeddings e CROSS JOIN c${n - 1} c),
+           |a$n AS (SELECT vec_id, cell_id FROM (
+           |  SELECT vec_id, cell_id,
+           |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+           |  FROM d$n) WHERE rn = 1),
+           |m$n AS (
+           |  SELECT a$n.cell_id, u.i,
+           |         CAST(sum(CAST(CAST(u.x AS DOUBLE) AS DECIMAL(27,7))) AS DOUBLE)
+           |           / CAST(count(*) AS DOUBLE) AS mu
+           |  FROM a$n JOIN (SELECT vec_id, unnest(embedding) AS x,
+           |                        generate_subscripts(embedding, 1) AS i
+           |                 FROM embeddings) u USING (vec_id)
+           |  GROUP BY 1, 2),
+           |c$n AS (
+           |  SELECT p.cell_id, coalesce(m.c, p.c) AS c
+           |  FROM c${n - 1} p LEFT JOIN
+           |    (SELECT cell_id, list(mu ORDER BY i) AS c FROM m$n GROUP BY 1) m
+           |    USING (cell_id))""".stripMargin
+      Query("s19_ann_ivf_trained_oracle",
+        s"""WITH c0 AS (
+          |  SELECT vec_id AS cell_id,
+          |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+          |  FROM embeddings WHERE vec_id < 8),
+          |${round(1)},
+          |${round(2)},
+          |cf AS (
+          |  SELECT cell_id,
+          |         list_transform(c, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS c
+          |  FROM c2),
+          |ds AS (
+          |  SELECT e.vec_id, c.cell_id, ${sqFold("e.embedding", "c.c")} AS d
+          |  FROM embeddings e CROSS JOIN cf c),
+          |assigned AS (SELECT vec_id, cell_id FROM (
+          |  SELECT vec_id, cell_id,
+          |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+          |  FROM ds) WHERE rn = 1),
+          |probes AS (SELECT vec_id AS query_id, cell_id FROM (
+          |  SELECT vec_id, cell_id,
+          |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+          |  FROM ds WHERE vec_id < 10) WHERE rn <= 3),
+          |cand AS (
+          |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+          |  FROM probes p JOIN assigned a USING (cell_id)
+          |  WHERE a.vec_id <> p.query_id),
+          |cosd AS (
+          |  SELECT query_id, neighbor_id,
+          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |           list_transform(range(1, 65),
+          |             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+          |           (a, x) -> a + x)
+          |         / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |              list_transform(range(1, 65),
+          |                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))),
+          |              (a, x) -> a + x))
+          |            * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |                list_transform(range(1, 65),
+          |                  i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+          |                (a, x) -> a + x))) AS cos
+          |  FROM cand JOIN embeddings q ON q.vec_id = query_id
+          |            JOIN embeddings c ON c.vec_id = neighbor_id)
+          |SELECT query_id, neighbor_id, cos FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id
+          |                               ORDER BY cos DESC, neighbor_id) AS rn
+          |  FROM cosd) WHERE rn <= 3""".stripMargin) { (s, d) =>
+        val e = Tables.embeddings(s, d)
+        val seeds = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cell_id"), col("embedding").as("c_vec"))
+        val cents = graft.operators.Ivf.trainFromCentroids(
+          e, seeds, "vec_id", "embedding", iters = 2)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+        graft.operators.Ivf.searchWithCentroids(e, q, cents, "vec_id",
+          "embedding", nProbe = 3, k = 3)
+      }
+    },
+
     // ---- S15: sparse TF-IDF cosine pairs (inverted-index join) ------------
     // Document similarity with NO dense vectors: weights as (doc, term,
     // w) triples, dots via the posting-list join, df-cutoff guard. The
