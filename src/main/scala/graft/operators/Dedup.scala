@@ -194,13 +194,20 @@ object Dedup {
     * lineage is truncated (growing plan trees otherwise dominate
     * optimizer time in long chains). The compression join keys by label
     * value, so one giant component concentrates on one reducer late in
-    * the run — dedup-pair graphs (many small clusters) don't hit this;
-    * for adversarial graphs use alternating large-star/small-star
-    * contraction (Kiveris et al., "Connected Components in MapReduce").
+    * the run — dedup-pair graphs (many small clusters) don't hit this.
+    * When a round's max-label-frequency exceeds
+    * `starFallbackLabelFreq`, the loop hands over to
+    * [[connectedComponentsStars]] (alternating large-star/small-star
+    * contraction, Kiveris et al., "Connected Components in MapReduce
+    * and Beyond"), seeded with the progress already made — the star
+    * operations group by NODE and join with a 1-row-per-key side, the
+    * shape AQE skew-join can split, where the label-compression join
+    * cannot avoid funneling a mega-component's rows.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25,
-                          smallGraphEdges: Long = 100000L): DataFrame = {
+                          smallGraphEdges: Long = 100000L,
+                          starFallbackLabelFreq: Long = 5000000L): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
     require(smallGraphEdges < Int.MaxValue, "smallGraphEdges must fit in Int")
@@ -282,6 +289,25 @@ object Dedup {
           .hint("SHUFFLE_HASH"), "id")
         .filter(col("label") < col("__old"))
         .count()
+      // giant-component guard: when one label owns more rows than the
+      // bound, the NEXT compression join would funnel them through one
+      // reducer — hand over to the star contraction, seeding it with
+      // the progress made so far (id→label edges preserve components
+      // and shortcut already-propagated minima)
+      val maxFreq = next.groupBy("label").count()
+        .agg(max("count")).head().getLong(0)
+      if (maxFreq > starFallbackLabelFreq) {
+        if (debug)
+          System.err.println(s"[cc] round ${iter + 1} maxLabelFreq=$maxFreq > $starFallbackLabelFreq: star fallback")
+        val seeded = edges.select(col("src").as("a"), col("dst").as("b"))
+          .union(next.filter(col("id") =!= col("label"))
+            .select(col("id").as("a"), col("label").as("b")))
+        val out = connectedComponentsStars(seeded, "a", "b", maxIter)
+        freeCheckpoint(next)
+        freeCheckpoint(labels)
+        edges.unpersist(blocking = false)
+        return out
+      }
       // free the superseded round state NOW: checkpoint blocks are not
       // CacheManager entries, so clearCache() never reclaims them and the
       // async ContextCleaner only does after a GC notices the dropped
