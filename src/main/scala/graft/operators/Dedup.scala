@@ -207,8 +207,40 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25,
                           smallGraphEdges: Long = 100000L,
-                          starFallbackLabelFreq: Long = 5000000L): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+                          starFallbackLabelFreq: Long = 5000000L): DataFrame =
+    withoutConstraintPropagation(pairs.sparkSession) {
+      connectedComponentsImpl(pairs, aCol, bCol, maxIter, smallGraphEdges,
+        starFallbackLabelFreq)
+    }
+
+  /** Catalyst constraint propagation is OFF for the whole CC
+    * computation: every round state is an eagerly-materialized
+    * localCheckpoint, and a checkpoint's LogicalRDD carries the
+    * optimized plan's constraint set forward (`originConstraints`).
+    * Constraints inherited from the deep iterative lineages (filters
+    * over swapped-column self-unions over prior checkpoints) can
+    * reference attributes a later `Union.rewriteConstraints` has no
+    * mapping for — NoSuchElementException at plan time. Disabling the
+    * flag makes every constraint set (and thus every checkpoint's
+    * carried set) empty, which both sidesteps the rewrite and stops
+    * the optimizer re-deriving constraints over plans that are rebuilt
+    * every iteration anyway. Nothing in the loop relies on inferred
+    * filters — all predicates are explicit. */
+  private def withoutConstraintPropagation[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.constraintPropagation.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def connectedComponentsImpl(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int,
+                          smallGraphEdges: Long,
+                          starFallbackLabelFreq: Long): DataFrame = {
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
     require(smallGraphEdges < Int.MaxValue, "smallGraphEdges must fit in Int")
     // small-graph fast path: near-dup pair graphs are tiny relative to
@@ -245,13 +277,18 @@ object Dedup {
     // edges ⋈ labels join then reuses this layout every iteration
     // instead of re-shuffling the (biggest) edge table each round;
     // ids travel as longs on both paths so the output schema does not
-    // depend on which path ran
+    // depend on which path ran. Eagerly checkpointed rather than
+    // persisted: the flat LogicalRDD leaf (partitioning preserved)
+    // keeps every round's plan free of the caller's input lineage —
+    // a swapped-column self-union over an already-union-built input
+    // otherwise trips Catalyst union constraint rewriting downstream,
+    // and re-analyzing the deep tree each round is pure optimizer tax.
     val edges = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct()
       .repartition(col("src"))
-      .persist(lvl)
+      .localCheckpoint(true)
     // EVERY iteration state is eagerly localCheckpoint-ed: persist alone
     // keeps the full nested LOGICAL plan, so Catalyst/AQE re-analyze a
     // tree that grows per round and round cost climbs even though the
@@ -284,28 +321,45 @@ object Dedup {
           .hint("SHUFFLE_HASH"), Seq("label"))
         .select(col("id"), col("__hop").as("label"))
         .localCheckpoint(true)
-      changed = next.alias("n")
+      // ONE aggregate job feeds both the convergence test and the skew
+      // trip-wire: group the (new, old) label pairs by new label, emit
+      // per-label row counts and per-label changed counts, then reduce
+      // to (max frequency, total changed). Partial aggregation combines
+      // map-side, so the label exchange carries one row per distinct
+      // label per partition — not the full id table.
+      val roundStats = next.alias("n")
         .join(labels.select(col("id"), col("label").as("__old"))
           .hint("SHUFFLE_HASH"), "id")
-        .filter(col("label") < col("__old"))
-        .count()
+        .groupBy("label")
+        .agg(count(lit(1)).as("__cnt"),
+          sum(when(col("label") < col("__old"), 1L).otherwise(0L)).as("__chg"))
+        .agg(max("__cnt"), sum("__chg"))
+        .head()
+      changed = roundStats.getLong(1)
+      val maxFreq = roundStats.getLong(0)
       // giant-component guard: when one label owns more rows than the
       // bound, the NEXT compression join would funnel them through one
       // reducer — hand over to the star contraction, seeding it with
       // the progress made so far (id→label edges preserve components
-      // and shortcut already-propagated minima)
-      val maxFreq = next.groupBy("label").count()
-        .agg(max("count")).head().getLong(0)
-      if (maxFreq > starFallbackLabelFreq) {
+      // and shortcut already-propagated minima). Gated on changed > 0:
+      // a converged labeling is final — return it even if a component
+      // is giant, there is no further compression join to protect.
+      if (changed > 0 && maxFreq > starFallbackLabelFreq) {
         if (debug)
           System.err.println(s"[cc] round ${iter + 1} maxLabelFreq=$maxFreq > $starFallbackLabelFreq: star fallback")
+        // seeded is eagerly checkpointed BEFORE the round state is freed:
+        // it reads `next`'s checkpoint blocks (not recomputable once
+        // unpersisted), and the flat LogicalRDD also sidesteps Catalyst
+        // constraint rewriting over a union of filtered lineages
         val seeded = edges.select(col("src").as("a"), col("dst").as("b"))
           .union(next.filter(col("id") =!= col("label"))
             .select(col("id").as("a"), col("label").as("b")))
-        val out = connectedComponentsStars(seeded, "a", "b", maxIter)
+          .localCheckpoint(true)
         freeCheckpoint(next)
         freeCheckpoint(labels)
-        edges.unpersist(blocking = false)
+        freeCheckpoint(edges)
+        val out = connectedComponentsStars(seeded, "a", "b", maxIter)
+        freeCheckpoint(seeded)
         return out
       }
       // free the superseded round state NOW: checkpoint blocks are not
@@ -321,7 +375,7 @@ object Dedup {
       if (debug)
         System.err.println(s"[cc] round $iter changed=$changed @${System.nanoTime() / 1000000}ms")
     }
-    edges.unpersist(blocking = false)
+    freeCheckpoint(edges)
     labels.select(col("id"), col("label").as("component"))
   }
 
@@ -336,6 +390,128 @@ object Dedup {
         l.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14) — the skew-safe fallback
+    * [[connectedComponents]] hands over to when one component grows
+    * past `starFallbackLabelFreq`.
+    *
+    * Why it survives a giant component where label compression does
+    * not: both star operations key their shuffle by NODE, not by
+    * label. Large-star — for each node u with neighborhood Γ(u) and
+    * m = min(Γ(u) ∪ u), rewire every neighbor v > u to (v, m).
+    * Small-star — orient edges toward the larger endpoint, then for
+    * each node u with smaller-neighbor set N⁻(u) and m = min(N⁻(u) ∪ u),
+    * rewire N⁻(u) ∪ {u} to m. A mega-component never concentrates on
+    * one reducer: the per-node groupBy partial-aggregates map-side,
+    * and the rewire join's skewed hub keys are exactly the shape AQE
+    * skew-join splits. Converges in O(log² n) rounds (O(log n)
+    * observed); the fixpoint is a star forest rooted at each
+    * component's minimum id.
+    *
+    * Self-loops are dropped up front and every round's output is
+    * `distinct()`, so edge count is non-increasing. The input is
+    * eagerly checkpointed FIRST — callers may free the blocks backing
+    * `pairs` as soon as this function returns (the guard in
+    * [[connectedComponents]] relies on this to unpersist its round
+    * state after the handover).
+    *
+    * Output schema matches [[connectedComponents]]: (id: long,
+    * component: long), one row per distinct node in `pairs`, component
+    * = min id of the node's component (self-paired nodes map to
+    * themselves).
+    */
+  def connectedComponentsStars(pairs: DataFrame, aCol: String, bCol: String,
+                               maxIter: Int = 25): DataFrame =
+    withoutConstraintPropagation(pairs.sparkSession) {
+      connectedComponentsStarsImpl(pairs, aCol, bCol, maxIter)
+    }
+
+  private def connectedComponentsStarsImpl(pairs: DataFrame, aCol: String,
+                                           bCol: String, maxIter: Int): DataFrame = {
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    // nodes kept aside so the star loop can drop self-loops freely:
+    // a node whose component collapses to itself leaves the edge set,
+    // and the final left-join restores it as its own component root
+    val nodes = pairs
+      .select(col(aCol).cast("long").as("id"))
+      .union(pairs.select(col(bCol).cast("long").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    var edges = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true) // eager: input blocks are safe to free after this
+    var iter = 0
+    var done = edges.isEmpty
+    while (!done && iter < maxIter) {
+      val ls = largeStar(edges).localCheckpoint(true)
+      freeCheckpoint(edges)
+      val ss = smallStar(ls).localCheckpoint(true)
+      freeCheckpoint(ls)
+      edges = ss
+      done = isStarForest(edges)
+      iter += 1
+      if (debug)
+        System.err.println(s"[cc-stars] round $iter done=$done @${System.nanoTime() / 1000000}ms")
+    }
+    nodes
+      .join(edges.select(col("a").as("id"), col("b").as("__root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__root"), col("id")).as("component"))
+  }
+
+  /** Large-star: per node u, rewire all strictly-larger neighbors to
+    * the minimum of the closed neighborhood. Keyed by node on both the
+    * groupBy and the join — no per-label funnel. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val nbrs = edges
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+    val mins = nbrs.groupBy("a")
+      .agg(min("b").as("__mn"))
+      .select(col("a"), least(col("__mn"), col("a")).as("__m"))
+    nbrs.join(mins.hint("SHUFFLE_HASH"), "a")
+      .filter(col("b") > col("a"))
+      .select(col("b").as("a"), col("__m").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+  }
+
+  /** Small-star: orient each edge toward its larger endpoint, then per
+    * node u rewire the smaller-neighbor set (and u itself) to its
+    * minimum. Emitted edges always point high→low, so (a, b) keeps the
+    * child-on-the-left convention large-star expects. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val oriented = edges.select(
+      greatest(col("a"), col("b")).as("u"),
+      least(col("a"), col("b")).as("v"))
+    val mins = oriented.groupBy("u").agg(min("v").as("__m"))
+    oriented.join(mins.hint("SHUFFLE_HASH"), "u")
+      .select(col("v").as("a"), col("__m").as("b"))
+      .union(mins.select(col("u").as("a"), col("__m").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+  }
+
+  /** Star-forest fixpoint test in ONE aggregate job: the alternating
+    * contraction has converged iff no node appears as both a child and
+    * a parent (no chains) and no child has two parents. Both conditions
+    * reduce over a per-node groupBy with map-side combine; limit(1)
+    * stops the scan at the first violation. */
+  private def isStarForest(edges: DataFrame): Boolean = {
+    val roles = edges
+      .select(col("a").as("n"), lit(1).as("__child"), col("b").as("__p"))
+      .union(edges.select(col("b").as("n"), lit(0).as("__child"),
+        lit(null).cast("long").as("__p")))
+    roles.groupBy("n")
+      .agg(max("__child").as("__hasChild"), min("__child").as("__minChild"),
+        countDistinct("__p").as("__np"))
+      .filter((col("__hasChild") === 1 && col("__minChild") === 0) ||
+        col("__np") > 1)
+      .limit(1)
+      .count() == 0L
+  }
 
   /** MinHash+LSH near-dup pairs: k seeded min-hashes, `bands` bands of
     * k/bands rows, candidates from the band-bucket equi-join, exact

@@ -66,6 +66,48 @@ class ConnectedComponentsSpec extends SparkSpec {
       .foreach(_.unpersist(blocking = false))
   }
 
+  test("star contraction matches plain CC on every topology") {
+    val topologies = Seq(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L),
+        (20L, 21L)),
+      Seq((5L, 1L), (6L, 5L), (7L, 6L)),
+      (0L until 12L).map(i => (i, i + 1)),
+      Seq((42L, 42L)), // self-loop only: node must survive as its own root
+      Seq((9L, 3L), (3L, 9L), (9L, 9L), (2L, 9L))) // duplicates + reversal
+    topologies.foreach { pairs =>
+      val plain = cc(pairs)
+      val stars = Dedup.connectedComponentsStars(pairsDf(pairs), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(stars == plain, s"star contraction diverged on $pairs")
+    }
+  }
+
+  test("giant-component fallback: star handover equals plain CC labels") {
+    // Adversarial shape for label compression: one component of ~1e5
+    // nodes built as a long path (forces many propagation rounds) welded
+    // to a broad star (one hub with huge degree — the skew hazard), plus
+    // a second small component that must NOT be absorbed. Forced through
+    // the distributed branch (smallGraphEdges = 0) with the trip-wire set
+    // low enough that round 1 already exceeds it, so the run exercises
+    // the seeded handover path, not just connectedComponentsStars alone.
+    val n = 100000L
+    val s = spark; import s.implicits._
+    val path = s.range(0L, n / 2).select(
+      col("id").as("a"), (col("id") + 1L).as("b"))
+    val star = s.range(n / 2, n).select(
+      lit(n / 4).as("a"), col("id").as("b")) // hub mid-path, degree n/2
+    val other = Seq((n + 10L, n + 11L), (n + 11L, n + 12L)).toDF("a", "b")
+    val pairs = path.union(star).union(other)
+    val viaFallback = Dedup.connectedComponents(pairs, "a", "b",
+        smallGraphEdges = 0L, starFallbackLabelFreq = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaFallback.size == n.toInt + 3)
+    assert((0L until n).forall(viaFallback(_) == 0L),
+      "giant component must label to its min id 0")
+    assert(Seq(n + 10L, n + 11L, n + 12L).forall(viaFallback(_) == n + 10L),
+      "separate component must keep its own min label")
+  }
+
   test("deterministic under repartition of the pair input") {
     val pairs = Seq((3L, 9L), (9L, 4L), (100L, 7L), (7L, 3L))
     val a = Dedup.connectedComponents(pairsDf(pairs), "a", "b")
