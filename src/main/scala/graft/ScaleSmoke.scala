@@ -95,6 +95,25 @@ object ScaleSmoke {
         graft.operators.Dedup.connectedComponents(pairs, "a", "b")
           .write.format("noop").mode("overwrite").save()
       },
+      time("cc_star_fallback_1m_edge_giant") {
+        // adversarial CC shape: ~1.5M edges forming ONE giant component
+        // (750k-deep path welded to a 750k-degree hub) — the skewed
+        // graph the label-compression loop cannot finish without
+        // funneling the component through one reducer. Forced through
+        // the distributed branch (1.5M edges exceed the small-graph
+        // probe) with the trip-wire low so the measured path is the
+        // production shape: hash-min rounds → seeded handover →
+        // large-star/small-star contraction → driver union-find once
+        // the contracted set shrinks under the small-graph bound
+        val n = 1500000L
+        val path = spark.range(n / 2)
+          .select(col("id").as("a"), (col("id") + 1).as("b"))
+        val hub = spark.range(n / 2, n)
+          .select(lit(n / 4).as("a"), col("id").as("b"))
+        graft.operators.Dedup.connectedComponents(path.union(hub), "a", "b",
+            starFallbackLabelFreq = 100000L)
+          .write.format("noop").mode("overwrite").save()
+      },
       time("asof_join_6m_rows") {
         // as-of on the 10x orders table: union-form, one shuffle on the
         // key, no join amplification

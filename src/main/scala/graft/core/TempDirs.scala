@@ -11,10 +11,22 @@ import java.nio.file.{Files, Path}
   */
 object TempDirs {
 
+  // ONE shutdown hook draining a queue, not one hook thread per dir:
+  // st06 alone makes four scratch dirs per invocation, and a long
+  // Verify/Bench JVM re-running queries would otherwise accumulate
+  // unbounded registered hook threads.
+  private val pending = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+  private lazy val hookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var p = pending.poll()
+      while (p != null) { deleteRecursively(p); p = pending.poll() }
+    }))
+
   /** Create a temp dir that is recursively deleted at JVM exit. */
   def scratch(prefix: String): Path = {
+    hookInstalled
     val dir = Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(dir)))
+    pending.add(dir)
     dir
   }
 

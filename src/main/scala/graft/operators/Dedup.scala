@@ -255,23 +255,10 @@ object Dedup {
       else pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
         .limit(smallGraphEdges.toInt + 1).collect()
     if (smallGraphEdges > 0 && probe.length <= smallGraphEdges) {
-      val parent = scala.collection.mutable.Map[Long, Long]()
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        if (r != x) parent(x) = r // path compression
-        r
-      }
-      probe.foreach { row =>
-        val (a, b) = (row.getLong(0), row.getLong(1))
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      val out = parent.keys.toSeq.map(v => (v, find(v)))
+      val out = localUnionFind(probe.iterator.map(r => (r.getLong(0), r.getLong(1))))
       val sess = pairs.sparkSession
       import sess.implicits._
-      return out.toDF("id", "component")
+      return out.toSeq.toDF("id", "component")
     }
     // repartition by src AFTER the dedup shuffle: the per-round
     // edges ⋈ labels join then reuses this layout every iteration
@@ -358,7 +345,8 @@ object Dedup {
         freeCheckpoint(next)
         freeCheckpoint(labels)
         freeCheckpoint(edges)
-        val out = connectedComponentsStars(seeded, "a", "b", maxIter)
+        val out = connectedComponentsStars(seeded, "a", "b", maxIter,
+          smallGraphEdges)
         freeCheckpoint(seeded)
         return out
       }
@@ -390,6 +378,24 @@ object Dedup {
         l.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Driver-side union-find with path compression over a bounded edge
+    * iterator: id → min id of its component, one entry per node seen. */
+  private def localUnionFind(edges: Iterator[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      if (r != x) parent(x) = r // path compression
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(v => v -> find(v)).toMap
+  }
 
   /** Connected components by alternating large-star / small-star
     * contraction (Kiveris et al., "Connected Components in MapReduce
@@ -423,13 +429,15 @@ object Dedup {
     * themselves).
     */
   def connectedComponentsStars(pairs: DataFrame, aCol: String, bCol: String,
-                               maxIter: Int = 25): DataFrame =
+                               maxIter: Int = 25,
+                               smallGraphEdges: Long = 100000L): DataFrame =
     withoutConstraintPropagation(pairs.sparkSession) {
-      connectedComponentsStarsImpl(pairs, aCol, bCol, maxIter)
+      connectedComponentsStarsImpl(pairs, aCol, bCol, maxIter, smallGraphEdges)
     }
 
   private def connectedComponentsStarsImpl(pairs: DataFrame, aCol: String,
-                                           bCol: String, maxIter: Int): DataFrame = {
+                                           bCol: String, maxIter: Int,
+                                           smallGraphEdges: Long): DataFrame = {
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
     // nodes kept aside so the star loop can drop self-loops freely:
     // a node whose component collapses to itself leaves the edge set,
@@ -445,17 +453,44 @@ object Dedup {
       .distinct()
       .localCheckpoint(true) // eager: input blocks are safe to free after this
     var iter = 0
-    var done = edges.isEmpty
+    var prevCount = edges.count()
+    var done = prevCount == 0L
     while (!done && iter < maxIter) {
       val ls = largeStar(edges).localCheckpoint(true)
       freeCheckpoint(edges)
       val ss = smallStar(ls).localCheckpoint(true)
       freeCheckpoint(ls)
       edges = ss
-      done = isStarForest(edges)
+      // the edge count is non-increasing (every round ends distinct),
+      // and a fixpoint necessarily repeats the previous round's count —
+      // so the structural star-forest check (a shuffle job) only runs
+      // on count-stable rounds; a conversion that still shrank the
+      // count is caught one round later at the cost of one no-op round
+      val cnt = edges.count()
+      // contraction shrinks the edge set geometrically on the shapes
+      // that need many rounds (deep paths): once it fits the driver
+      // bound, a local union-find finishes in one collect instead of
+      // the remaining O(log n) distributed rounds. Every surviving node
+      // still appears in the contracted edges (children persist until
+      // their component collapses), so connectivity is fully preserved.
+      if (!done && smallGraphEdges > 0 && cnt <= smallGraphEdges) {
+        val uf = localUnionFind(edges.collect()
+          .iterator.map(r => (r.getLong(0), r.getLong(1))))
+        val sess = pairs.sparkSession
+        import sess.implicits._
+        freeCheckpoint(edges)
+        edges = uf.iterator.filter { case (v, r) => v != r }.toSeq
+          .toDF("a", "b").localCheckpoint(true)
+        done = true
+        if (debug)
+          System.err.println(s"[cc-stars] local finish at n=$cnt after round ${iter + 1}")
+      } else {
+        done = cnt == prevCount && isStarForest(edges)
+      }
+      prevCount = cnt
       iter += 1
       if (debug)
-        System.err.println(s"[cc-stars] round $iter done=$done @${System.nanoTime() / 1000000}ms")
+        System.err.println(s"[cc-stars] round $iter n=$cnt done=$done @${System.nanoTime() / 1000000}ms")
     }
     nodes
       .join(edges.select(col("a").as("id"), col("b").as("__root")), Seq("id"), "left")
@@ -471,11 +506,14 @@ object Dedup {
     val mins = nbrs.groupBy("a")
       .agg(min("b").as("__mn"))
       .select(col("a"), least(col("__mn"), col("a")).as("__m"))
+    // NOT distinct-ed: mid-round duplicates (two nodes rewiring the same
+    // neighbor to the same min) are absorbed by smallStar's map-side
+    // combine and end-of-round distinct — skipping the extra full
+    // shuffle here saves one exchange per contraction round
     nbrs.join(mins.hint("SHUFFLE_HASH"), "a")
       .filter(col("b") > col("a"))
       .select(col("b").as("a"), col("__m").as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
   }
 
   /** Small-star: orient each edge toward its larger endpoint, then per

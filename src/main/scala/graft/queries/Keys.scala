@@ -52,6 +52,10 @@ object Keys {
     // itself stays engine-side. approx_count_distinct rsd=0.02 gives
     // ~2% standard error; 5% is 2.5 sigma, deterministic-in-practice for
     // the fixed testdata (the sketch is itself deterministic per input).
+    // SPARK-VERSION COUPLING: the oracle pins within_5pct = true, so a
+    // Spark upgrade that changes the HLL++ register layout or hashing
+    // could flip this gate with nothing wrong in the engine — if this
+    // row fails right after an upgrade, diagnose as sketch drift first.
     Query("a17_approx_distinct",
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
         |       CAST(1 AS BOOLEAN) AS within_5pct
