@@ -9,12 +9,15 @@ import org.apache.spark.sql.types._
   * opaque BINARY columns with a typed metadata struct, batched
   * feature-extraction / resize / frame-sampling over `mapPartitions`.
   *
-  * The decode step is a STUB — real image/audio codecs are not available
-  * in this environment — implemented as a deterministic fake (byte
-  * histogram) so the Spark-side contract is fully real and testable:
-  * schema, null passthrough, batch iteration shape, partition
-  * independence, and the explode/window pattern for frame sampling.
-  * Swapping in a real codec changes only the body of [[decodeBytes]].
+  * The image path is REAL: PNG encode/decode via the JDK's pure-Java
+  * `javax.imageio` codec (headless-safe) and an integer box-filter
+  * resample. Test payloads are synthesized deterministically from the
+  * row id ([[synthPixels]]) so a SQL oracle can recompute every decoded
+  * pixel without a codec — the engine round-trips real PNG bytes while
+  * DuckDB replays the closed-form pixel formula (m02/m04). Non-image
+  * payloads (audio et al.) keep the deterministic byte-histogram
+  * fallback; a production audio codec changes only that branch of
+  * [[decodeBytes]].
   *
   * Scale notes: payloads never hit the driver; extraction is a narrow
   * mapPartitions (no shuffle) processing rows in bounded batches, the
@@ -24,6 +27,85 @@ import org.apache.spark.sql.types._
 object Multimodal {
 
   val FeatureDim = 8
+
+  // ---- real PNG kernels (JDK javax.imageio — no external deps) ----------
+
+  private[graft] def isPng(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length > 8 &&
+      (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
+
+  /** Deterministic RGB test pixels for an id — this formula IS the
+    * oracle contract: m02/m04's DuckDB side recomputes it per (x, y)
+    * with plain integer arithmetic, so the engine's real
+    * encode→decode→measure loop is checked value-exactly. Row-major,
+    * packed 0xRRGGBB. */
+  private[graft] def synthPixels(id: Long, w: Int, h: Int): Array[Int] = {
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 7 + 3L * x + 5L * y) % 256).toInt
+        val g = ((id * 11 + x + 2L * y) % 256).toInt
+        val b = ((id * 13 + 4L * x + y) % 256).toInt
+        px(y * w + x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
+  private[graft] def encodePng(px: Array[Int], w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, w, h, px, 0, w)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** (width, height, row-major 0xRRGGBB pixels). PNG is lossless, so
+    * decode(encode(px)) == px exactly. */
+  private[graft] def decodePng(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val (w, h) = (img.getWidth, img.getHeight)
+    (w, h, img.getRGB(0, 0, w, h, null, 0, w).map(_ & 0xFFFFFF))
+  }
+
+  /** Integer box-filter resample: output pixel (i, j) is the
+    * floor-mean over source block [i·sw/tw, (i+1)·sw/tw) ×
+    * [j·sh/th, (j+1)·sh/th) per channel — exact integer math end to
+    * end, so a SQL twin reproduces it with sum()//count. */
+  private[graft] def boxResize(px: Array[Int], sw: Int, sh: Int,
+                               tw: Int, th: Int): Array[Int] = {
+    val out = new Array[Int](tw * th)
+    var j = 0
+    while (j < th) {
+      val y0 = j * sh / th; val y1 = (j + 1) * sh / th
+      var i = 0
+      while (i < tw) {
+        val x0 = i * sw / tw; val x1 = (i + 1) * sw / tw
+        var rs = 0L; var gs = 0L; var bs = 0L; var n = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = px(y * sw + x)
+            rs += (p >> 16) & 0xFF; gs += (p >> 8) & 0xFF; bs += p & 0xFF
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        out(j * tw + i) =
+          ((rs / n).toInt << 16) | ((gs / n).toInt << 8) | (bs / n).toInt
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
 
   val metaType: StructType = StructType(Seq(
     StructField("media_type", StringType),
@@ -41,10 +123,49 @@ object Multimodal {
         (lit(16) + pmod(xxhash64(col(idCol)), lit(64))).cast("int").as("width"),
         (lit(16) + pmod(xxhash64(col(idCol), lit(1)), lit(64))).cast("int").as("height")))
 
-  /** STUB decode: normalized 8-bucket byte histogram as the "embedding".
-    * Replace with a real codec + model for production use.
+  /** Attach a REAL synthesized PNG payload: 32×32 (by default) RGB
+    * pixels from [[synthPixels]] encoded with the JDK PNG writer, plus
+    * typed metadata. The bytes are a genuine image file — downstream
+    * decode/resize exercise the real codec path.
+    */
+  def withImagePayload(df: DataFrame, idCol: String,
+                       w: Int = 32, h: Int = 32): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("payload", BinaryType), StructField("meta", metaType)))
+    implicit val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val id = row.get(idx).asInstanceOf[Number].longValue
+        val bytes = encodePng(synthPixels(id, w, h), w, h)
+        Row.fromSeq(row.toSeq ++ Seq(bytes, Row("image/png", w, h)))
+      }
+    }
+  }
+
+  /** Decode: PNG payloads get REAL pixel statistics from the decoded
+    * image — [width, height, rSum, gSum, bSum, rMin, rMax, nPixels],
+    * all integers ≤ 2^24 so the float32 lane is value-exact and a SQL
+    * oracle can match it. Non-image payloads keep the normalized
+    * 8-bucket byte histogram (deterministic stand-in for an audio
+    * codec — swapping a real one changes only that branch).
     */
   private[graft] def decodeBytes(bytes: Array[Byte]): Array[Float] = {
+    if (isPng(bytes)) {
+      val (w, h, px) = decodePng(bytes)
+      var rs = 0L; var gs = 0L; var bs = 0L; var rmin = 255; var rmax = 0
+      var i = 0
+      while (i < px.length) {
+        val r = (px(i) >> 16) & 0xFF
+        rs += r; gs += (px(i) >> 8) & 0xFF; bs += px(i) & 0xFF
+        if (r < rmin) rmin = r
+        if (r > rmax) rmax = r
+        i += 1
+      }
+      return Array(w.toFloat, h.toFloat, rs.toFloat, gs.toFloat, bs.toFloat,
+        rmin.toFloat, rmax.toFloat, px.length.toFloat)
+    }
     val h = new Array[Float](FeatureDim)
     if (bytes != null && bytes.nonEmpty) {
       var i = 0
@@ -93,13 +214,60 @@ object Multimodal {
       .withColumn("frame", expr(s"substring($payloadCol, frame_off, $frameBytes)"))
   }
 
-  /** STUB resize: declares the real signature (target w×h) but only
-    * truncates the fake payload proportionally — a real implementation
-    * decodes, resamples, re-encodes.
+  /** REAL resize: decode PNG → integer box-filter resample to w×h →
+    * re-encode PNG. Non-PNG payloads resize to null (a real pipeline
+    * would route by media_type first). Adds `payload_resized binary`
+    * and `meta_resized` metadata.
     */
-  def resize(df: DataFrame, payloadCol: String, w: Int, h: Int): DataFrame =
-    df.withColumn("payload_resized",
-        expr(s"substring($payloadCol, 1, greatest(octet_length($payloadCol) div 4, 1))"))
-      .withColumn("meta_resized", struct(lit("image/fake").as("media_type"),
-        lit(w).as("width"), lit(h).as("height")))
+  def resize(df: DataFrame, payloadCol: String, w: Int, h: Int): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("payload_resized", BinaryType),
+      StructField("meta_resized", metaType)))
+    implicit val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.get(idx).asInstanceOf[Array[Byte]]
+        val resized =
+          if (!isPng(bytes)) null
+          else {
+            val (sw, sh, px) = decodePng(bytes)
+            encodePng(boxResize(px, sw, sh, w, h), w, h)
+          }
+        Row.fromSeq(row.toSeq ++ Seq(resized, Row("image/png", w, h)))
+      }
+    }
+  }
+
+  /** Decoded-pixel fingerprint: lowercase hex `rrggbb` per pixel,
+    * row-major (y outer, x inner), as one string column — the
+    * cross-engine comparison form for image content (md5 it for a
+    * compact digest). Null for non-PNG payloads.
+    */
+  def pixelHex(df: DataFrame, payloadCol: String,
+               outCol: String = "px_hex"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(outCol, StringType))
+    implicit val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.get(idx).asInstanceOf[Array[Byte]]
+        val hexStr =
+          if (!isPng(bytes)) null
+          else {
+            val (_, _, px) = decodePng(bytes)
+            val sb = new java.lang.StringBuilder(px.length * 6)
+            var i = 0
+            while (i < px.length) {
+              sb.append(f"${px(i)}%06x")
+              i += 1
+            }
+            sb.toString
+          }
+        Row.fromSeq(row.toSeq :+ hexStr)
+      }
+    }
+  }
 }

@@ -4,10 +4,12 @@ import org.apache.spark.sql.functions._
 import graft.core.{Query, Tables}
 import graft.operators.Multimodal
 
-/** Multimodal binary-column queries over synthesized payloads (documents
-  * text as bytes). All three are oracle-checked, including the batched
-  * stub-decode path (its float features de-normalize to exact integer
-  * counts); value contracts live in MultimodalSpec.
+/** Multimodal binary-column queries. m01/m03 run over text-as-bytes
+  * payloads (ingest plumbing + frame windows); m02/m04 run REAL PNGs —
+  * synthesized per doc_id from a deterministic pixel formula, encoded
+  * and decoded with the JDK codec — so their oracles check actual
+  * decoded pixels while DuckDB replays the formula codec-free. Value
+  * contracts live in MultimodalSpec.
   */
 object MultimodalQueries {
 
@@ -23,55 +25,73 @@ object MultimodalQueries {
           md5(col("payload")).as("payload_md5"))
     },
 
-    // ---- M2: batched stub-decode feature extraction -------------------------
-    // The feature vector stays array<float> inside the pipeline
-    // (MultimodalSpec pins its values); the registry row de-normalizes it
-    // back to the exact integer byte-histogram counts (round(f*n) is exact:
-    // float32 relative error 2^-24 × payload bytes ≪ 0.5), which DuckDB
-    // recomputes byte-by-byte — bucket = high 3 bits = first hex nibbles/2.
+    // ---- M2: REAL PNG decode + pixel-statistics features ---------------------
+    // The engine synthesizes a real 32x32 PNG per doc_id (deterministic
+    // pixel formula), runs it through the batched decode path (a genuine
+    // javax.imageio decode), and emits integer pixel statistics carried
+    // in the float feature lanes (all < 2^24, value-exact). The oracle
+    // never touches a codec: it replays the pixel FORMULA per (x, y)
+    // with integer arithmetic — so a codec bug, a channel swap, or a
+    // row-order mistake on the engine side hash-mismatches.
     Query("m02_feature_extract",
-      """WITH base AS (
+      """WITH px AS (
         |  SELECT doc_id,
-        |         CASE WHEN doc_id % 2 = 0 THEN 'image/fake' ELSE 'audio/fake' END AS media_type,
-        |         hex(encode(text)) AS h, octet_length(encode(text)) AS n
-        |  FROM documents),
-        |by_byte AS (
-        |  SELECT doc_id, (strpos('0123456789ABCDEF', substr(h, CAST(2*u.i+1 AS INT), 1)) - 1) // 2 AS bucket
-        |  FROM base, LATERAL (SELECT unnest(range(n)) AS i) u),
-        |c AS (SELECT doc_id, bucket, count(*) AS cnt FROM by_byte GROUP BY 1, 2)
-        |SELECT b.doc_id, b.media_type,
-        |       coalesce(max(CASE WHEN bucket = 0 THEN cnt END), 0) AS b0,
-        |       coalesce(max(CASE WHEN bucket = 1 THEN cnt END), 0) AS b1,
-        |       coalesce(max(CASE WHEN bucket = 2 THEN cnt END), 0) AS b2,
-        |       coalesce(max(CASE WHEN bucket = 3 THEN cnt END), 0) AS b3,
-        |       coalesce(max(CASE WHEN bucket = 4 THEN cnt END), 0) AS b4,
-        |       coalesce(max(CASE WHEN bucket = 5 THEN cnt END), 0) AS b5,
-        |       coalesce(max(CASE WHEN bucket = 6 THEN cnt END), 0) AS b6,
-        |       coalesce(max(CASE WHEN bucket = 7 THEN cnt END), 0) AS b7
-        |FROM base b LEFT JOIN c USING (doc_id)
-        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
-      val withP = Multimodal.withPayload(Tables.documents(s, d), "doc_id", "text")
-      val n = octet_length(col("payload"))
-      val counts = (0 until Multimodal.FeatureDim).map(b =>
-        round(element_at(col("features"), b + 1) * n).cast("long").as(s"b$b"))
+        |         (doc_id*7 + 3*x.x + 5*y.y) % 256 AS r,
+        |         (doc_id*11 + x.x + 2*y.y) % 256 AS g,
+        |         (doc_id*13 + 4*x.x + y.y) % 256 AS b
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(range(32)) AS x) x,
+        |       LATERAL (SELECT unnest(range(32)) AS y) y)
+        |SELECT doc_id, CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+        |       CAST(sum(r) AS BIGINT) AS r_sum, CAST(sum(g) AS BIGINT) AS g_sum,
+        |       CAST(sum(b) AS BIGINT) AS b_sum,
+        |       CAST(min(r) AS INT) AS r_min, CAST(max(r) AS INT) AS r_max
+        |FROM px GROUP BY doc_id""".stripMargin) { (s, d) =>
+      val withP = Multimodal.withImagePayload(
+        Tables.documents(s, d).select("doc_id"), "doc_id")
       Multimodal.extractFeatures(withP, "payload")
-        .select(col("doc_id") +: col("meta.media_type").as("media_type") +: counts: _*)
+        .select(col("doc_id"),
+          element_at(col("features"), 1).cast("int").as("width"),
+          element_at(col("features"), 2).cast("int").as("height"),
+          element_at(col("features"), 3).cast("long").as("r_sum"),
+          element_at(col("features"), 4).cast("long").as("g_sum"),
+          element_at(col("features"), 5).cast("long").as("b_sum"),
+          element_at(col("features"), 6).cast("int").as("r_min"),
+          element_at(col("features"), 7).cast("int").as("r_max"))
     },
 
-    // ---- M4: resize stub (proportional binary truncation) --------------------
-    // The oracle slices VARCHAR where Spark slices BINARY — equivalent on
-    // this ASCII corpus (m03 precedent); md5 of the prefix pins the exact
-    // byte range on both engines.
+    // ---- M4: REAL box-filter resize with a decoded-pixel digest --------------
+    // Engine: synthesize PNG -> decode -> integer box-filter 32x32 -> 8x8
+    // -> re-encode PNG -> decode THAT -> hex fingerprint -> md5. The
+    // digest is over pixels decoded from the re-encoded file, so the
+    // oracle row pins the resample math AND the encode/decode round
+    // trip. Oracle: block floor-means from the pixel formula, printf'd
+    // to the same rrggbb hex, string_agg'd in (j, i) order.
     Query("m04_resize",
-      """SELECT doc_id,
-        |       md5(substring(text, 1, CAST(greatest(octet_length(encode(text)) // 4, 1) AS INT)))
+      """WITH px AS (
+        |  SELECT doc_id, x.x AS x, y.y AS y,
+        |         (doc_id*7 + 3*x.x + 5*y.y) % 256 AS r,
+        |         (doc_id*11 + x.x + 2*y.y) % 256 AS g,
+        |         (doc_id*13 + 4*x.x + y.y) % 256 AS b
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(range(32)) AS x) x,
+        |       LATERAL (SELECT unnest(range(32)) AS y) y),
+        |blk AS (
+        |  SELECT doc_id, y//4 AS j, x//4 AS i,
+        |         CAST(sum(r)//16 AS INT) AS r8, CAST(sum(g)//16 AS INT) AS g8,
+        |         CAST(sum(b)//16 AS INT) AS b8
+        |  FROM px GROUP BY 1, 2, 3)
+        |SELECT doc_id,
+        |       md5(string_agg(printf('%02x%02x%02x', r8, g8, b8), '' ORDER BY j, i))
         |         AS resized_md5,
-        |       greatest(octet_length(encode(text)) // 4, 1) AS n_bytes_resized
-        |FROM documents""".stripMargin) { (s, d) =>
-      val withP = Multimodal.withPayload(Tables.documents(s, d), "doc_id", "text")
-      Multimodal.resize(withP, "payload", 64, 64)
-        .select(col("doc_id"), md5(col("payload_resized")).as("resized_md5"),
-          octet_length(col("payload_resized")).cast("long").as("n_bytes_resized"))
+        |       CAST(8 AS INT) AS rw, CAST(8 AS INT) AS rh
+        |FROM blk GROUP BY doc_id""".stripMargin) { (s, d) =>
+      val withP = Multimodal.withImagePayload(
+        Tables.documents(s, d).select("doc_id"), "doc_id")
+      val resized = Multimodal.resize(withP, "payload", 8, 8)
+      Multimodal.pixelHex(resized, "payload_resized")
+        .select(col("doc_id"), md5(col("px_hex")).as("resized_md5"),
+          col("meta_resized.width").as("rw"), col("meta_resized.height").as("rh"))
     },
 
     // ---- M3: frame sampling (binary windows, no UDF) -------------------------

@@ -56,10 +56,77 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("resize stub keeps schema contract") {
+  test("resize keeps schema contract; non-PNG payloads resize to null") {
     val p = Multimodal.withPayload(docs.filter(col("doc_id") === 0), "doc_id", "text")
     val r = Multimodal.resize(p, "payload", 32, 32)
     assert(r.schema("payload_resized").dataType.typeName == "binary")
     assert(r.select("meta_resized.width").head().getInt(0) == 32)
+    assert(r.select("payload_resized").head().isNullAt(0),
+      "text payload is not an image; real resize must not invent bytes")
+  }
+
+  test("PNG encode/decode round-trips the synthesized pixels exactly") {
+    val px = Multimodal.synthPixels(7L, 32, 32)
+    val (w, h, back) = Multimodal.decodePng(Multimodal.encodePng(px, 32, 32))
+    assert((w, h) == (32, 32))
+    assert(back.sameElements(px), "PNG is lossless; decode(encode(px)) must equal px")
+    // and the formula itself where it's easy to eyeball: id=7, x=1, y=2
+    val p = px(2 * 32 + 1)
+    assert(((p >> 16) & 0xFF) == (7 * 7 + 3 * 1 + 5 * 2) % 256)
+    assert(((p >> 8) & 0xFF) == (7 * 11 + 1 + 2 * 2) % 256)
+    assert((p & 0xFF) == (7 * 13 + 4 * 1 + 2) % 256)
+  }
+
+  test("boxResize floor-means each block") {
+    // 2x2 -> 1x1: means (r,g,b) = floor of channel sums / 4
+    val px = Array(0x010203, 0x050607, 0x090A0B, 0x0D0E0F)
+    val out = Multimodal.boxResize(px, 2, 2, 1, 1)
+    assert(out.length == 1)
+    assert(out(0) == (((1 + 5 + 9 + 13) / 4) << 16 |
+      ((2 + 6 + 10 + 14) / 4) << 8 | (3 + 7 + 11 + 15) / 4))
+    // non-divisible shape: 3x1 -> 2x1 blocks are [0,1) and [1,3)
+    val px3 = Array(0x0A0000, 0x140000, 0x1E0000)
+    val out3 = Multimodal.boxResize(px3, 3, 1, 2, 1)
+    assert(((out3(0) >> 16) & 0xFF) == 10)
+    assert(((out3(1) >> 16) & 0xFF) == (20 + 30) / 2)
+  }
+
+  test("real decode features match direct pixel statistics") {
+    val ids = spark.range(5).select(col("id").as("doc_id"))
+    val p = Multimodal.withImagePayload(ids, "doc_id")
+    val f = Multimodal.extractFeatures(p, "payload", batchSize = 2)
+      .select("doc_id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    (0L until 5L).foreach { id =>
+      val px = Multimodal.synthPixels(id, 32, 32)
+      val rs = px.map(p => (p >> 16) & 0xFF)
+      assert(f(id) == Seq[Float](32f, 32f, rs.map(_.toLong).sum.toFloat,
+        px.map(p => ((p >> 8) & 0xFF).toLong).sum.toFloat,
+        px.map(p => (p & 0xFF).toLong).sum.toFloat,
+        rs.min.toFloat, rs.max.toFloat, 1024f), s"feature mismatch for id $id")
+    }
+  }
+
+  test("resize + pixelHex: engine digest equals formula-side block means") {
+    val ids = spark.range(3).select(col("id").as("doc_id"))
+    val p = Multimodal.withImagePayload(ids, "doc_id")
+    val got = Multimodal.pixelHex(
+        Multimodal.resize(p, "payload", 8, 8), "payload_resized")
+      .select("doc_id", "px_hex").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0L until 3L).foreach { id =>
+      val px = Multimodal.synthPixels(id, 32, 32)
+      val expect = (0 until 8).flatMap { j =>
+        (0 until 8).map { i =>
+          var rs = 0; var gs = 0; var bs = 0
+          for (y <- j * 4 until j * 4 + 4; x <- i * 4 until i * 4 + 4) {
+            val v = px(y * 32 + x)
+            rs += (v >> 16) & 0xFF; gs += (v >> 8) & 0xFF; bs += v & 0xFF
+          }
+          f"${rs / 16}%02x${gs / 16}%02x${bs / 16}%02x"
+        }
+      }.mkString
+      assert(got(id) == expect, s"resized digest mismatch for id $id")
+    }
   }
 }
