@@ -131,6 +131,93 @@ object Anomalies {
                lit(" got="), col(valueCol).cast("string"),
                lit(" expected="), col("expected").cast("string"))): _*)
 
+  /** Repeat-group cardinality vs parent-declared count: the parent form
+    * declares how many repeat rows should exist (`declaredCol`); the
+    * actual repeat-group row count disagrees (the reference's
+    * parent↔repeat_individual merge shape: safety.R:80-81 join +
+    * per-household member counting, safety.R:106-130). One shuffle:
+    * counts aggregate on the child fk, then join the parent on its key
+    * (co-partitioned when the fk IS the parent key); missing repeat
+    * groups count as 0.
+    */
+  def detectRepeatCountMismatch(parent: DataFrame, formId: String,
+                                anomaliesId: String, parentKey: String,
+                                declaredCol: Column, repeats: DataFrame,
+                                fkCol: String): DataFrame = {
+    val counts = repeats.groupBy(col(fkCol).as(parentKey))
+      .agg(count(lit(1)).as("__actual"))
+    parent.join(counts, Seq(parentKey), "left")
+      .withColumn("__actual", coalesce(col("__actual"), lit(0L)))
+      .withColumn("__declared", declaredCol.cast("long"))
+      .filter(col("__declared") =!= col("__actual"))
+      .select(uniform(formId, anomaliesId, col(parentKey),
+        concat(lit(s"$anomaliesId: declared="), col("__declared").cast("string"),
+               lit(" actual="), col("__actual").cast("string"))): _*)
+  }
+
+  /** Cross-form presence: child-form rows whose key has NO row in the
+    * parent/anchor form (the reference's pk-day0 anchoring — follow-up
+    * forms must reference a day-0 registration: pk.R:120-160, where
+    * every rule resolves through the day0-derived mapping). Left anti
+    * join on the fk — one shuffle, and the anti join carries only the
+    * key columns of the parent side.
+    */
+  def detectOrphans(child: DataFrame, formId: String, anomaliesId: String,
+                    keyCol: String, fkCol: String,
+                    parent: DataFrame, pkCol: String): DataFrame =
+    child.join(parent.select(col(pkCol).as(fkCol)).distinct(),
+        Seq(fkCol), "left_anti")
+      .select(uniform(formId, anomaliesId, col(keyCol),
+        concat(lit(s"$anomaliesId: $fkCol="), col(fkCol).cast("string"),
+               lit(" has no row in the parent form"))): _*)
+
+  /** Multi-predicate combo: rows where EVERY (label, value, hit)
+    * condition fires at once (the reference combines per-row GPS
+    * accuracy and RDT time-diff filters: safetynew.R:191-198 accuracy
+    * > 15, efficacy.R:86-93 rdt_time_diff < 10 — the combo form flags
+    * the intersection). Pure per-row projection, no shuffle; the
+    * description lists every value so the reviewer sees the whole
+    * conjunction.
+    */
+  def detectCombo(df: DataFrame, formId: String, anomaliesId: String,
+                  keyCol: String,
+                  conds: Seq[(String, Column, Column)]): DataFrame = {
+    val hit = conds.map(_._3).reduce(_ && _)
+    val descParts = conds.flatMap { case (label, value, _) =>
+      Seq(lit(s" $label="), value.cast("string"))
+    }
+    df.filter(hit).select(uniform(formId, anomaliesId, col(keyCol),
+      concat((lit(s"$anomaliesId:") +: descParts): _*)): _*)
+  }
+
+  /** OR'd conditional member counts: groups where ANY of the labeled
+    * conditions counts more than `threshold` DISTINCT members (the
+    * reference's "more than 3 members died OR migrated" pair:
+    * safety.R:164-180 computes both distinct counts in one pass and
+    * filters on the disjunction). One shuffle; every labeled count is
+    * reported in the description.
+    */
+  def detectConditionalCountMulti(df: DataFrame, formId: String,
+                                  anomaliesId: String, keys: Seq[String],
+                                  conds: Seq[(String, Column)],
+                                  memberCol: String,
+                                  threshold: Long): DataFrame = {
+    val groupKey = concat_ws("|", keys.map(k => col(k).cast("string")): _*)
+    val aggs = conds.map { case (label, cond) =>
+      countDistinct(when(cond, col(memberCol))).as(s"__n_$label")
+    }
+    val descParts = conds.flatMap { case (label, _) =>
+      Seq(lit(s" $label="), col(s"__n_$label").cast("string"))
+    }
+    val anyOver = conds.map { case (label, _) => col(s"__n_$label") > threshold }
+      .reduce(_ || _)
+    df.groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(anyOver)
+      .select(uniform(formId, anomaliesId, groupKey,
+        concat((lit(s"$anomaliesId:") +: descParts): _*)): _*)
+  }
+
   /** R6+R7 (consolidate): union detector outputs with bind_rows semantics —
     * align by name, missing columns null, everything cast to string, nulls
     * as ''. Ref: 05.run_anomaly_detection.R:52-56.

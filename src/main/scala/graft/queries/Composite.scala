@@ -92,7 +92,7 @@ object Composite {
     },
 
     // ---- a24: per-form anomaly-rule battery, end-to-end through the sink ----
-    // Eight concrete rule instances mirroring the reference's per-form
+    // Thirteen concrete rule instances mirroring the reference's per-form
     // detector scripts, consolidated (R6/R7) and routed through the
     // partitioned history sink (S6) before being read back — the full
     // 05.run_anomaly_detection.R composition in one query. Rule ↔ source:
@@ -105,7 +105,14 @@ object Composite {
     //   7 pk_id_duplicates             pk.R:97-108       drop_na(pk) then dup groups
     //   8 mapping_mismatch             pk.R:170-186      join to source-of-truth mapping
     //   9 rdt_time_diff                efficacy.R:86-94  implausibly fast ship after order
-    // (rule 4+5 share the threshold detector: both directions exercised.)
+    //  10 repeat_count_mismatch        safety.R:80-81,106-130 parent-declared vs repeat-group count
+    //  11 missing_day0_registration    pk.R:120-160      child rows with no anchor-form row
+    //  12 gps_time_combo               safetynew.R:191-198 x efficacy.R:86-93 conjunction
+    //  13 members_left                 safety.R:164-180  died OR migrated distinct counts
+    // (rule 4+5 share the threshold detector: both directions exercised.
+    //  Rules 10/11 inject deterministic discrepancies — +1 declared for
+    //  orderkey%97==0, anchor drops orderkey%101==7 — so each has a
+    //  known-truth anomaly set on the clean synthetic data.)
     // Scale: every rule is one shuffle on its own group keys (or a pure
     // projection); consolidate is a union, not an exchange; the mapping
     // truth side co-partitions with its source, and the history write
@@ -210,11 +217,60 @@ object Composite {
         |           || ' vs threshold=1.0' AS anomalies_description,
         |         'to_do' AS resolution_status
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |  WHERE date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) < 1)
+        |  WHERE date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) < 1),
+        |rc AS (
+        |  SELECT o_orderkey, coalesce(cnt, 0) AS actual,
+        |         coalesce(cnt, 0) + CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END AS declared
+        |  FROM orders LEFT JOIN (SELECT l_orderkey AS o_orderkey, count(*) AS cnt
+        |                         FROM lineitem GROUP BY 1) USING (o_orderkey)),
+        |r10 AS (
+        |  SELECT 'orders__' || CAST(o_orderkey AS VARCHAR) || '__repeat_count_mismatch' AS resolution_id,
+        |         CAST(o_orderkey AS VARCHAR) AS key, 'orders' AS form_id,
+        |         'repeat_count_mismatch' AS anomalies_id,
+        |         'repeat_count_mismatch: declared=' || CAST(declared AS VARCHAR)
+        |           || ' actual=' || CAST(actual AS VARCHAR) AS anomalies_description,
+        |         'to_do' AS resolution_status
+        |  FROM rc WHERE declared != actual),
+        |r11 AS (
+        |  SELECT 'lineitem__' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+        |           || '__missing_day0_registration' AS resolution_id,
+        |         CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS key,
+        |         'lineitem' AS form_id, 'missing_day0_registration' AS anomalies_id,
+        |         'missing_day0_registration: l_orderkey=' || CAST(l_orderkey AS VARCHAR)
+        |           || ' has no row in the parent form' AS anomalies_description,
+        |         'to_do' AS resolution_status
+        |  FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                    WHERE o.o_orderkey = l.l_orderkey AND o.o_orderkey % 101 != 7)),
+        |r12 AS (
+        |  SELECT 'lineitem__' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+        |           || '__gps_time_combo' AS resolution_id,
+        |         CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS key,
+        |         'lineitem' AS form_id, 'gps_time_combo' AS anomalies_id,
+        |         'gps_time_combo: accuracy=' || CAST(l_discount AS VARCHAR)
+        |           || ' time_diff=' || CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS VARCHAR)
+        |           AS anomalies_description,
+        |         'to_do' AS resolution_status
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_discount > 0.09
+        |    AND date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) < 3),
+        |r13 AS (
+        |  SELECT 'lineitem__' || CAST(l_orderkey AS VARCHAR) || '__members_left' AS resolution_id,
+        |         CAST(l_orderkey AS VARCHAR) AS key, 'lineitem' AS form_id,
+        |         'members_left' AS anomalies_id,
+        |         'members_left: died=' || CAST(count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_linenumber END) AS VARCHAR)
+        |           || ' migrated=' || CAST(count(DISTINCT CASE WHEN l_returnflag = 'A' THEN l_linenumber END) AS VARCHAR)
+        |           AS anomalies_description,
+        |         'to_do' AS resolution_status
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_linenumber END) > 3
+        |      OR count(DISTINCT CASE WHEN l_returnflag = 'A' THEN l_linenumber END) > 3)
         |SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
         |UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r5
         |UNION ALL SELECT * FROM r6 UNION ALL SELECT * FROM r7
-        |UNION ALL SELECT * FROM r8 UNION ALL SELECT * FROM r9""".stripMargin) {
+        |UNION ALL SELECT * FROM r8 UNION ALL SELECT * FROM r9
+        |UNION ALL SELECT * FROM r10 UNION ALL SELECT * FROM r11
+        |UNION ALL SELECT * FROM r12 UNION ALL SELECT * FROM r13""".stripMargin) {
       (s, d) => {
         val orders = Tables.orders(s, d)
         val li = Tables.lineitem(s, d)
@@ -254,8 +310,41 @@ object Composite {
               datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))),
           "lineitem", "rdt_time_diff", "__k", col("__days").cast("double"), 1.0,
           above = false)
+        // r10: repeat-group cardinality vs parent-declared count — the
+        // declared value is the actual count with a deterministic +1
+        // discrepancy injected for orderkey % 97 == 0 families, so the
+        // detector has a known-truth anomaly set
+        val actual = li.groupBy(col("l_orderkey").as("o_orderkey"))
+          .agg(count(lit(1)).as("__cnt"))
+        val declared = orders.join(actual, Seq("o_orderkey"), "left")
+          .withColumn("__declared", coalesce(col("__cnt"), lit(0L)) +
+            when(pmod(col("o_orderkey"), lit(97)) === 0, 1L).otherwise(0L))
+        val r10 = Anomalies.detectRepeatCountMismatch(declared, "orders",
+          "repeat_count_mismatch", "o_orderkey", col("__declared"),
+          li, "l_orderkey")
+        // r11: cross-form presence — anchor form drops orderkey % 101 == 7,
+        // so those lineitems become known orphans
+        val r11 = Anomalies.detectOrphans(
+          li.withColumn("__k", concat_ws("-", col("l_orderkey"), col("l_linenumber"))),
+          "lineitem", "missing_day0_registration", "__k", "l_orderkey",
+          orders.filter(pmod(col("o_orderkey"), lit(101)) =!= 7), "o_orderkey")
+        // r12: per-row conjunction (GPS-accuracy × time-diff analog)
+        val r12 = Anomalies.detectCombo(
+          li.join(orders, col("l_orderkey") === col("o_orderkey"))
+            .withColumn("__k", concat_ws("-", col("l_orderkey"), col("l_linenumber")))
+            .withColumn("__days",
+              datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))),
+          "lineitem", "gps_time_combo", "__k", Seq(
+            ("accuracy", col("l_discount"), col("l_discount") > 0.09),
+            ("time_diff", col("__days"), col("__days") < 3)))
+        // r13: OR'd conditional distinct counts (died/migrated pair)
+        val r13 = Anomalies.detectConditionalCountMulti(li, "lineitem",
+          "members_left", Seq("l_orderkey"), Seq(
+            ("died", col("l_returnflag") === "R"),
+            ("migrated", col("l_returnflag") === "A")),
+          "l_linenumber", 3L)
         val all = Anomalies.consolidate(
-          Seq(r1, r2, r3, r4, r5, r6, r7, r8, r9))
+          Seq(r1, r2, r3, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13))
         // end-to-end: through the daily-partitioned history sink and back
         val root = graft.core.TempDirs.scratch("graft_battery_").toString
         Anomalies.writeHistory(all, root, java.time.LocalDate.parse("2026-01-01"))

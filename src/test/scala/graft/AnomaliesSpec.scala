@@ -88,6 +88,58 @@ class AnomaliesSpec extends SparkSpec {
       Seq("K2", "map_mismatch: pk_id=pk1 got=e2 expected=e1")))
   }
 
+  test("detectRepeatCountMismatch compares declared vs actual, missing group = 0") {
+    val parent = df(
+      """SELECT * FROM VALUES ('h1', 2), ('h2', 1), ('h3', 2)
+        |  t(hhid, num_members)""".stripMargin)
+    val repeats = df(
+      """SELECT * FROM VALUES ('h1', 'p1'), ('h1', 'p2'), ('h2', 'p3'), ('h2', 'p4')
+        |  t(hhid, extid)""".stripMargin)
+    val out = Anomalies.detectRepeatCountMismatch(parent, "safety",
+      "repeat_count_mismatch", "hhid", col("num_members"), repeats, "hhid")
+    assert(rows(out.select("key", "anomalies_description")) == Set(
+      Seq("h2", "repeat_count_mismatch: declared=1 actual=2"),
+      Seq("h3", "repeat_count_mismatch: declared=2 actual=0")))
+  }
+
+  test("detectOrphans flags child rows absent from the parent form") {
+    val child = df(
+      """SELECT * FROM VALUES ('K1', 'h1'), ('K2', 'h2'), ('K3', 'h2'), ('K4', 'h9')
+        |  t(key, hhid)""".stripMargin)
+    val parent = df("SELECT * FROM VALUES ('h1'), ('h2') t(hhid)")
+    val out = Anomalies.detectOrphans(child, "followup", "missing_day0",
+      "key", "hhid", parent, "hhid")
+    assert(rows(out.select("key", "anomalies_description")) == Set(
+      Seq("K4", "missing_day0: hhid=h9 has no row in the parent form")))
+  }
+
+  test("detectCombo fires only when every condition holds and lists all values") {
+    val d = df(
+      """SELECT * FROM VALUES
+        |  ('K1', 20.0, 5), ('K2', 20.0, 15), ('K3', 9.0, 5)
+        |  t(key, accuracy, mins)""".stripMargin)
+    val out = Anomalies.detectCombo(d, "efficacy", "gps_time_combo", "key", Seq(
+      ("accuracy", col("accuracy"), col("accuracy") > 15.0),
+      ("time_diff", col("mins"), col("mins") < 10)))
+    assert(rows(out.select("key", "anomalies_description")) == Set(
+      Seq("K1", "gps_time_combo: accuracy=20.0 time_diff=5")))
+  }
+
+  test("detectConditionalCountMulti fires on ANY labeled count over threshold") {
+    val d = df(
+      """SELECT * FROM VALUES
+        |  ('h1', 'p1', 'Died'), ('h1', 'p2', 'Died'), ('h1', 'p3', 'Migrated'),
+        |  ('h2', 'p4', 'Migrated'), ('h2', 'p5', 'Migrated'), ('h2', 'p6', 'Absent')
+        |  t(hhid, extid, reason)""".stripMargin)
+    val out = Anomalies.detectConditionalCountMulti(d, "safety", "members_left",
+      Seq("hhid"), Seq(
+        ("died", col("reason") === "Died"),
+        ("migrated", col("reason") === "Migrated")), "extid", 1L)
+    assert(rows(out.select("key", "anomalies_description")) == Set(
+      Seq("h1", "members_left: died=2 migrated=1"),
+      Seq("h2", "members_left: died=0 migrated=2")))
+  }
+
   test("summarize counts by form and rule") {
     val d = df(
       """SELECT * FROM VALUES ('f1','a1'), ('f1','a1'), ('f1','a2')
