@@ -44,7 +44,10 @@ object Bench {
     // outgrow the window; the omitted remainder is summarized.
     def fmt(v: Double) = f"$v%.3f"
     val byCost = results.sortBy(-_._2)
-    val budget = 1500 // chars for the queries map; total line stays < 1700
+    val budget = 1200 // chars for the queries map; total line stays < 1450,
+    // leaving 550+ chars of slack inside the driver's 2000-char tail
+    // window (measured: a 1500 budget produced a 1745-char line — too
+    // close if anything ever prints after the JSON)
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var used = 2
     byCost.foreach { case (k, v) =>
