@@ -34,6 +34,11 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // Stop Spark BEFORE emitting the JSON: a driver that merges stderr
+    // into its tail capture would otherwise see the shutdown log lines
+    // AFTER the JSON and could push it out of the 2000-char window.
+    // With the context stopped, nothing prints after our own output.
+    try spark.stop() catch { case _: Throwable => () }
     // Per-query detail for humans/logs (scrolls out of the driver's tail).
     results.foreach { case (k, v) => println(f"[bench] $k $v%.3f") }
     val total = results.map(_._2).sum
@@ -61,6 +66,5 @@ object Bench {
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""n_queries":${results.size},"omitted":$omitted,"omitted_sec":${fmt(omittedSec)},"sf":"$sfDir"}""")
-    spark.stop()
   }
 }
