@@ -211,6 +211,18 @@ object ScaleSmoke {
         merged.select(col("doc_id"), size(col("toks")).as("n"))
           .write.format("noop").mode("overwrite").save()
       },
+      time("png_decode_50k_imgs") {
+        // real-codec multimodal path at 10x: 50k synthesized PNGs
+        // encoded + decoded + feature-extracted in one narrow
+        // mapPartitions pass — no shuffle, executor memory bounded by
+        // the batch, the shape an Arrow-batched decode UDF has
+        val ids = spark.range(50000).select(col("id").as("doc_id"))
+        graft.operators.Multimodal.extractFeatures(
+            graft.operators.Multimodal.withImagePayload(ids, "doc_id"),
+            "payload")
+          .select(col("doc_id"), element_at(col("features"), 3).as("r_sum"))
+          .write.format("noop").mode("overwrite").save()
+      },
       time("histogram_quantile_6m_rows") {
         // sort-free quantiles on the 10x lineitem: two narrow passes +
         // a 100-row reduction — the a18 exact percentile alternative

@@ -30,6 +30,11 @@ object Multimodal {
 
   // ---- real PNG kernels (JDK javax.imageio — no external deps) ----------
 
+  // ImageIO defaults to a disk-backed stream cache per encode/decode —
+  // pure overhead for in-memory byte arrays, and a temp-file write per
+  // image in the hot path. Off once, process-wide.
+  javax.imageio.ImageIO.setUseCache(false)
+
   private[graft] def isPng(bytes: Array[Byte]): Boolean =
     bytes != null && bytes.length > 8 &&
       (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'

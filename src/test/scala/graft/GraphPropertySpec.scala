@@ -35,6 +35,18 @@ class GraphPropertySpec extends SparkSpec {
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         assert(got == expected, s"seed $seed bound $bound mismatch")
       }
+      // forced star handover (trip-wire at 1 fires on round 1) with the
+      // driver bail-out disabled: the full distributed contraction must
+      // agree with union-find on the same random shapes
+      val viaStars = Dedup.connectedComponents(pairs.toDF("a", "b"), "a", "b",
+          smallGraphEdges = 0L, starFallbackLabelFreq = 1L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaStars == expected, s"seed $seed star-fallback mismatch")
+      // and the public star entry point directly
+      val direct = Dedup.connectedComponentsStars(pairs.toDF("a", "b"), "a", "b",
+          smallGraphEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(direct == expected, s"seed $seed stars-direct mismatch")
     }
   }
 
