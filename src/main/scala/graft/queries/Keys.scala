@@ -60,8 +60,17 @@ object Keys {
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
         |       CAST(1 AS BOOLEAN) AS within_5pct
         |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
-      Tables.lineitem(s, d).groupBy("l_returnflag")
-        .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+      // two-level aggregate instead of mixed exact+approx in one agg:
+      // the single-agg form Expands every row x2 (1.2M rows through the
+      // exchange at sf0.1); pre-distincting (flag, orderkey) map-side
+      // combines to ~the distinct-pair count, and the HLL sketch over
+      // the already-distinct keys is REGISTER-IDENTICAL to the raw-input
+      // sketch (duplicates never change HLL registers), so the
+      // within_5pct contract is unchanged
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_orderkey").agg(count(lit(1)).as("__dup"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("exact_orders"),
              approx_count_distinct(col("l_orderkey"), 0.02).as("__approx"))
         .select(col("l_returnflag"), col("exact_orders"),
           (abs(col("__approx").cast("double") - col("exact_orders").cast("double"))
