@@ -78,6 +78,25 @@ object Multimodal {
     (w, h, img.getRGB(0, 0, w, h, null, 0, w).map(_ & 0xFFFFFF))
   }
 
+  /** Null-safe decode for corpus data: a corrupt payload (bad magic,
+    * truncated stream, malformed chunks) yields None instead of killing
+    * the task — at corpus scale SOME rows are always broken, and one
+    * bad image must cost one null row, not the job. ImageIO signals
+    * corruption both ways (null return AND IIOException), so both are
+    * caught.
+    */
+  private[graft] def decodePngSafe(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    if (!isPng(bytes)) None
+    else
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          Some((w, h, img.getRGB(0, 0, w, h, null, 0, w).map(_ & 0xFFFFFF)))
+        }
+      } catch { case _: java.io.IOException | _: RuntimeException => None }
+
   /** Integer box-filter resample: output pixel (i, j) is the
     * floor-mean over source block [i·sw/tw, (i+1)·sw/tw) ×
     * [j·sh/th, (j+1)·sh/th) per channel — exact integer math end to
@@ -158,18 +177,21 @@ object Multimodal {
     */
   private[graft] def decodeBytes(bytes: Array[Byte]): Array[Float] = {
     if (isPng(bytes)) {
-      val (w, h, px) = decodePng(bytes)
-      var rs = 0L; var gs = 0L; var bs = 0L; var rmin = 255; var rmax = 0
-      var i = 0
-      while (i < px.length) {
-        val r = (px(i) >> 16) & 0xFF
-        rs += r; gs += (px(i) >> 8) & 0xFF; bs += px(i) & 0xFF
-        if (r < rmin) rmin = r
-        if (r > rmax) rmax = r
-        i += 1
-      }
-      return Array(w.toFloat, h.toFloat, rs.toFloat, gs.toFloat, bs.toFloat,
-        rmin.toFloat, rmax.toFloat, px.length.toFloat)
+      // corrupt image -> null features (identifiable downstream), never
+      // a fake histogram and never a task failure
+      return decodePngSafe(bytes).map { case (w, h, px) =>
+        var rs = 0L; var gs = 0L; var bs = 0L; var rmin = 255; var rmax = 0
+        var i = 0
+        while (i < px.length) {
+          val r = (px(i) >> 16) & 0xFF
+          rs += r; gs += (px(i) >> 8) & 0xFF; bs += px(i) & 0xFF
+          if (r < rmin) rmin = r
+          if (r > rmax) rmax = r
+          i += 1
+        }
+        Array(w.toFloat, h.toFloat, rs.toFloat, gs.toFloat, bs.toFloat,
+          rmin.toFloat, rmax.toFloat, px.length.toFloat)
+      }.orNull
     }
     val h = new Array[Float](FeatureDim)
     if (bytes != null && bytes.nonEmpty) {
@@ -198,7 +220,9 @@ object Multimodal {
         // Arrow RecordBatch / model-inference batch
         batch.iterator.map { row =>
           val bytes = row.get(idx).asInstanceOf[Array[Byte]]
-          val feats = if (bytes == null) null else decodeBytes(bytes).toSeq
+          val feats =
+            if (bytes == null) null
+            else Option(decodeBytes(bytes)).map(_.toSeq).orNull
           Row.fromSeq(row.toSeq :+ feats)
         }
       }
@@ -234,12 +258,9 @@ object Multimodal {
     df.mapPartitions { it =>
       it.map { row =>
         val bytes = row.get(idx).asInstanceOf[Array[Byte]]
-        val resized =
-          if (!isPng(bytes)) null
-          else {
-            val (sw, sh, px) = decodePng(bytes)
-            encodePng(boxResize(px, sw, sh, w, h), w, h)
-          }
+        val resized = decodePngSafe(bytes).map { case (sw, sh, px) =>
+          encodePng(boxResize(px, sw, sh, w, h), w, h)
+        }.orNull
         Row.fromSeq(row.toSeq ++ Seq(resized, Row("image/png", w, h)))
       }
     }
@@ -259,18 +280,15 @@ object Multimodal {
     df.mapPartitions { it =>
       it.map { row =>
         val bytes = row.get(idx).asInstanceOf[Array[Byte]]
-        val hexStr =
-          if (!isPng(bytes)) null
-          else {
-            val (_, _, px) = decodePng(bytes)
-            val sb = new java.lang.StringBuilder(px.length * 6)
-            var i = 0
-            while (i < px.length) {
-              sb.append(f"${px(i)}%06x")
-              i += 1
-            }
-            sb.toString
+        val hexStr = decodePngSafe(bytes).map { case (_, _, px) =>
+          val sb = new java.lang.StringBuilder(px.length * 6)
+          var i = 0
+          while (i < px.length) {
+            sb.append(f"${px(i)}%06x")
+            i += 1
           }
+          sb.toString
+        }.orNull
         Row.fromSeq(row.toSeq :+ hexStr)
       }
     }

@@ -107,6 +107,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("corrupt PNG payloads yield null features/resize/hex, not task failure") {
+    // PNG magic followed by garbage: ImageIO must not kill the task —
+    // at corpus scale some rows are always broken
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10,
+      42, 42, 42, 42, 42, 42, 42, 42)
+    assert(Multimodal.isPng(corrupt), "fixture must look like a PNG")
+    assert(Multimodal.decodePngSafe(corrupt).isEmpty)
+    val s = spark
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val good = Multimodal.encodePng(Multimodal.synthPixels(1L, 32, 32), 32, 32)
+    val d = s.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(0L, corrupt),
+        org.apache.spark.sql.Row(1L, good)), schema)
+    val feats = Multimodal.extractFeatures(d, "payload")
+      .select("doc_id", "features").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(feats(0L).isEmpty, "corrupt image -> null features")
+    assert(feats(1L).isDefined, "good image decodes")
+    val rz = Multimodal.pixelHex(Multimodal.resize(d, "payload", 8, 8),
+        "payload_resized")
+      .select("doc_id", "payload_resized", "px_hex").collect()
+      .map(r => r.getLong(0) -> (r.isNullAt(1), r.isNullAt(2))).toMap
+    assert(rz(0L) == ((true, true)), "corrupt image -> null resize + hex")
+    assert(rz(1L) == ((false, false)))
+  }
+
   test("resize + pixelHex: engine digest equals formula-side block means") {
     val ids = spark.range(3).select(col("id").as("doc_id"))
     val p = Multimodal.withImagePayload(ids, "doc_id")
