@@ -456,10 +456,13 @@ object Dedup {
     var prevCount = edges.count()
     var done = prevCount == 0L
     while (!done && iter < maxIter) {
-      val ls = largeStar(edges).localCheckpoint(true)
+      // ONE materialization per round: small-star over large-star in a
+      // single plan. smallStar reads its input twice (mins + rewire
+      // join), but both reads shuffle the identical large-star subtree
+      // on the same key, so ReuseExchange serves the second read from
+      // the first's shuffle files — cheaper than a second checkpoint.
+      val ss = smallStar(largeStar(edges)).localCheckpoint(true)
       freeCheckpoint(edges)
-      val ss = smallStar(ls).localCheckpoint(true)
-      freeCheckpoint(ls)
       edges = ss
       // the edge count is non-increasing (every round ends distinct),
       // and a fixpoint necessarily repeats the previous round's count —
