@@ -495,8 +495,17 @@ object Dedup {
       if (debug)
         System.err.println(s"[cc-stars] round $iter n=$cnt done=$done @${System.nanoTime() / 1000000}ms")
     }
+    // on normal convergence the edge set is a star forest (single parent
+    // per child) and the join is 1:1; if maxIter exhausted first, a
+    // multi-parent child would fan the join out — min-aggregate in that
+    // degenerate branch only, keeping the output one row per id with
+    // best-effort labels (the main loop's maxIter contract)
+    val starEdges = edges.select(col("a").as("id"), col("b").as("__root"))
+    val resolved =
+      if (done) starEdges
+      else starEdges.groupBy("id").agg(min("__root").as("__root"))
     nodes
-      .join(edges.select(col("a").as("id"), col("b").as("__root")), Seq("id"), "left")
+      .join(resolved, Seq("id"), "left")
       .select(col("id"), coalesce(col("__root"), col("id")).as("component"))
   }
 

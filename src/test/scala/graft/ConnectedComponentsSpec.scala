@@ -82,6 +82,18 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("stars with exhausted maxIter still emits one row per id") {
+    // maxIter=0: loop never runs, the raw (deduped) edges stand in for
+    // the star forest — node 3 has two parents (1 and 2), which must
+    // NOT fan out into duplicate output rows
+    val out = Dedup.connectedComponentsStars(
+        pairsDf(Seq((3L, 1L), (3L, 2L), (1L, 2L))), "a", "b", maxIter = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.map(_._1).sorted.toSeq == Seq(1L, 2L, 3L),
+      "exactly one row per node even when unconverged")
+    assert(out.toMap.apply(3L) == 1L, "degenerate branch takes the min parent")
+  }
+
   test("giant-component fallback: star handover equals plain CC labels") {
     // Adversarial shape for label compression: one component of ~1e5
     // nodes built as a long path (forces many propagation rounds) welded
