@@ -281,6 +281,72 @@ object StreamingQueries {
           col("valid_from").cast("string").as("valid_from"),
           col("valid_to").cast("string").as("valid_to"))
       }
+    },
+
+    // ---- ST7: the anomaly battery's shapes in incremental mode --------------
+    // The reference detects anomalies in scheduled batch re-runs
+    // (05.run_anomaly_detection.R); this surface runs the SAME detector
+    // operators over the landed events incrementally — a stateless
+    // threshold rule (append mode, pure projection per micro-batch) and
+    // a stateful duplication rule (complete-mode aggregation with the
+    // sorted member list) — then consolidates both uniform-schema
+    // streams exactly like the batch battery. The finished result must
+    // hash-match the plain batch SQL: the switch from scheduled re-runs
+    // to incremental detection changes WHEN anomalies surface, never
+    // WHICH.
+    Query("st07_stream_anomalies",
+      """WITH thr AS (
+        |  SELECT 'events__' || CAST(event_id AS VARCHAR) || '__value_too_high' AS resolution_id,
+        |         CAST(event_id AS VARCHAR) AS key, 'events' AS form_id,
+        |         'value_too_high' AS anomalies_id,
+        |         'value_too_high: value=' || CAST(value AS VARCHAR)
+        |           || ' vs threshold=300.0' AS anomalies_description,
+        |         'to_do' AS resolution_status
+        |  FROM events WHERE value > 300),
+        |dup AS (
+        |  SELECT 'events__' || k || '__user_hour_burst' AS resolution_id,
+        |         k AS key, 'events' AS form_id, 'user_hour_burst' AS anomalies_id,
+        |         'user_hour_burst: ' || CAST(count(*) AS VARCHAR)
+        |           || ' rows for key, ids='
+        |           || string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY CAST(event_id AS VARCHAR))
+        |           AS anomalies_description,
+        |         'to_do' AS resolution_status
+        |  FROM (SELECT *, CAST(user_id AS VARCHAR) || '|' ||
+        |               CAST(CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS VARCHAR) AS k
+        |        FROM events)
+        |  GROUP BY k HAVING count(*) >= 2)
+        |SELECT * FROM thr UNION ALL SELECT * FROM dup""".stripMargin) {
+      (s, d) => {
+        val dir = graft.core.TempDirs.scratch("st07_landing")
+        java.nio.file.Files.createSymbolicLink(
+          dir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val raw = ss.read.parquet(s"$d/events.parquet")
+        def src = Streams.fileSource(ss, dir.toString, raw.schema)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        // stateless rule: pure per-row projection, append mode
+        val thrSink = "st07_thr_" + System.nanoTime()
+        val qThr = graft.operators.Anomalies.detectThreshold(
+            src.withColumn("__k", col("event_id")),
+            "events", "value_too_high", "__k", col("value"), 300.0)
+          .writeStream.format("memory").queryName(thrSink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        // stateful rule: complete-mode aggregation (collect_list member
+        // ids survive across micro-batches in the aggregation state)
+        val dupSink = "st07_dup_" + System.nanoTime()
+        val qDup = graft.operators.Anomalies.detectDuplication(
+            src.withColumn("__hr", date_trunc("hour", col("ts")).cast("long")),
+            "events", "user_hour_burst", Seq("user_id", "__hr"), "event_id",
+            threshold = 2L)
+          .writeStream.format("memory").queryName(dupSink)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        qThr.awaitTermination()
+        qDup.awaitTermination()
+        graft.operators.Anomalies.consolidate(
+          Seq(ss.table(thrSink), ss.table(dupSink)))
+      }
     }
   )
 }
