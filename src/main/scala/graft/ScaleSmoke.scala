@@ -244,6 +244,30 @@ object ScaleSmoke {
             minGapMicros = 1800000000L)
           .write.format("noop").mode("overwrite").save()
       },
+      time("stream_counts_1m_events") {
+        // streaming at 10x: 1M event rows land as 10 files; the
+        // watermarked windowed aggregation processes them incrementally
+        // (AvailableNow) with 4 state stores and must finish in one
+        // bounded run — the landing-zone throughput shape
+        val dir = graft.core.TempDirs.scratch("scale_st_landing")
+        for (i <- 0 until 10)
+          java.nio.file.Files.createSymbolicLink(
+            dir.resolve(s"events_$i.parquet"),
+            java.nio.file.Paths.get(s"$sfDir/events.parquet").toAbsolutePath)
+        val ss = spark.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val raw = ss.read.parquet(s"$sfDir/events.parquet")
+        val src = graft.streaming.Streams.fileSource(ss, dir.toString, raw.schema)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val agg = graft.streaming.Streams.windowedCounts(src, "ts", "event_type",
+          windowLen = "1 hour", watermark = "2 hours")
+        val sink = "scale_counts_" + System.nanoTime()
+        val q = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        ss.table(sink).write.format("noop").mode("overwrite").save()
+      },
       time("scd2_merge_150k_keys") {
         // SCD2 at 10x customer volume: one full-outer join + explode
         val c0 = graft.core.Tables.customer(spark, sfDir)
