@@ -295,28 +295,34 @@ object Dedup {
       // collect it to the driver on EVERY join of EVERY round
       val offers = edges.join(
           labels.withColumnRenamed("id", "src").hint("SHUFFLE_HASH"), "src")
-        .select(col("dst").as("id"), col("label"))
-      // checkpointed before the self-join below reads it TWICE (the
-      // rename makes the exchange keys differ, so reuse cannot fire)
-      val propagated = labels.union(offers)
-        .groupBy("id").agg(min("label").as("label"))
+        .select(col("dst").as("id"), col("label"),
+          lit(null).cast("long").as("__old"))
+      // the PREVIOUS label rides through the round as __old: the labels
+      // branch carries it, offers carry null, and max() recovers it
+      // after the min-aggregation (each id has exactly one labels row).
+      // That lets the round-stats aggregation below run WITHOUT joining
+      // back to the label table — the join cost two exchanges per round.
+      // Checkpointed before the self-join below reads it TWICE (the
+      // rename makes the exchange keys differ, so reuse cannot fire).
+      val propagated = labels.withColumn("__old", col("label"))
+        .union(offers)
+        .groupBy("id").agg(min("label").as("label"), max("__old").as("__old"))
         .localCheckpoint(true)
       // pointer jump: follow the label one hop (labels always name a
       // node of the graph, so the join always finds its row)
       val next = propagated
         .join(propagated.select(col("id").as("label"), col("label").as("__hop"))
           .hint("SHUFFLE_HASH"), Seq("label"))
-        .select(col("id"), col("__hop").as("label"))
+        .select(col("id"), col("__hop").as("label"), col("__old"))
         .localCheckpoint(true)
       // ONE aggregate job feeds both the convergence test and the skew
-      // trip-wire: group the (new, old) label pairs by new label, emit
-      // per-label row counts and per-label changed counts, then reduce
-      // to (max frequency, total changed). Partial aggregation combines
+      // trip-wire: group by new label, emit per-label row counts and
+      // per-label changed counts (new < carried old), then reduce to
+      // (max frequency, total changed). Partial aggregation combines
       // map-side, so the label exchange carries one row per distinct
-      // label per partition — not the full id table.
-      val roundStats = next.alias("n")
-        .join(labels.select(col("id"), col("label").as("__old"))
-          .hint("SHUFFLE_HASH"), "id")
+      // label per partition — not the full id table. No join: __old
+      // arrived with the row.
+      val roundStats = next
         .groupBy("label")
         .agg(count(lit(1)).as("__cnt"),
           sum(when(col("label") < col("__old"), 1L).otherwise(0L)).as("__chg"))
