@@ -92,6 +92,27 @@ object Keys {
         round(stddev_samp(col("l_extendedprice")), 4).as("sd"))
     },
 
+    // ---- approximate percentile (the 100 TB scale knob for A18) --------------
+    // Same error-bound oracle technique as a17: the sketch itself
+    // (KLL/GK-style, engine-specific) can't hash-match across engines,
+    // but the bound can — the oracle computes the exact interpolated
+    // median (a18's pinned parity) and the engine asserts the
+    // percentile_approx estimate lands within ±1 of it. l_quantity is
+    // integral 1..50, so accuracy=10000 makes the bound deterministic
+    // for the fixed testdata.
+    Query("a25_approx_percentile",
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50_exact,
+        |  CAST(1 AS BOOLEAN) AS within_1
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_exact"),
+        expr("percentile_approx(l_quantity, 0.5, 10000)").as("__approx"))
+        .select(col("l_returnflag"), col("p50_exact"),
+          (abs(col("__approx").cast("double") - col("p50_exact")) <= 1.0)
+            .as("within_1"))
+    },
+
     // ---- exact percentile / median ------------------------------------------
     Query("a18_percentile",
       """SELECT l_returnflag,
