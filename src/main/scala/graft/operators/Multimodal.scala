@@ -106,10 +106,15 @@ object Multimodal {
     val out = new Array[Int](tw * th)
     var j = 0
     while (j < th) {
-      val y0 = j * sh / th; val y1 = (j + 1) * sh / th
+      // upscale guard: a target larger than the source yields empty
+      // blocks (x1 == x0) — widen to one source pixel, which makes the
+      // floor-mean collapse to nearest-neighbor sampling
+      val y0r = j * sh / th; val y1r = (j + 1) * sh / th
+      val y0 = math.min(y0r, sh - 1); val y1 = math.max(y1r, y0 + 1)
       var i = 0
       while (i < tw) {
-        val x0 = i * sw / tw; val x1 = (i + 1) * sw / tw
+        val x0r = i * sw / tw; val x1r = (i + 1) * sw / tw
+        val x0 = math.min(x0r, sw - 1); val x1 = math.max(x1r, x0 + 1)
         var rs = 0L; var gs = 0L; var bs = 0L; var n = 0L
         var y = y0
         while (y < y1) {

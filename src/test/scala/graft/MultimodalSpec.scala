@@ -89,6 +89,10 @@ class MultimodalSpec extends SparkSpec {
     val out3 = Multimodal.boxResize(px3, 3, 1, 2, 1)
     assert(((out3(0) >> 16) & 0xFF) == 10)
     assert(((out3(1) >> 16) & 0xFF) == (20 + 30) / 2)
+    // upscale: 2x1 -> 4x1 must not divide by an empty block — it
+    // degrades to nearest-neighbor (pixels 0,0,1,1)
+    val up = Multimodal.boxResize(Array(0x0A0000, 0x140000), 2, 1, 4, 1)
+    assert(up.map(p => (p >> 16) & 0xFF).toSeq == Seq(10, 10, 20, 20))
   }
 
   test("real decode features match direct pixel statistics") {
