@@ -43,6 +43,49 @@ object SinkQueries {
           sum(col("c_acctbal").cast("decimal(18,4)")).cast("double").as("bal"))
     },
 
+    // ---- io06: small-file compaction of a partitioned sink -------------------
+    // A fragmented history (20 shuffle partitions per daily append → 20
+    // files per date) is rewritten side-by-side to one file per
+    // partition; the oracle pins CONTENT invariance (per-date counts
+    // and decimal-routed sums unchanged) while the engine additionally
+    // emits the achieved file count and the was-fragmented flag, both
+    // pinned as literals in the oracle — a compaction that loses rows,
+    // fails to reach one file, or starts un-fragmented hash-mismatches.
+    Query("io06_compaction",
+      """SELECT CAST(DATE '2026-01-01' + CAST(o_orderkey % 3 AS INT) AS VARCHAR) AS pd,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |       CAST(1 AS INT) AS files_after,
+        |       CAST(1 AS BOOLEAN) AS was_fragmented
+        |FROM orders
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val src = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          (col("o_orderkey") % 3).as("day_off"))
+      val frag = graft.core.TempDirs.scratch("graft_frag_").toString
+      val day0 = java.time.LocalDate.of(2026, 1, 1)
+      for (off <- 0 to 2)
+        Anomalies.writeHistory(
+          src.filter(col("day_off") === off).drop("day_off").repartition(20),
+          frag, day0.plusDays(off))
+      val compacted = graft.core.TempDirs.scratch("graft_compact_").toString
+      graft.operators.Compaction.compact(s, frag, compacted, "partition_date")
+      val before = graft.operators.Compaction
+        .partitionFileCounts(s, frag, "partition_date").toMap
+      val after = graft.operators.Compaction
+        .partitionFileCounts(s, compacted, "partition_date").toMap
+      import s.implicits._
+      val stats = after.toSeq.map { case (pd, nAfter) =>
+        (pd, nAfter, before(pd) > nAfter)
+      }.toDF("pd", "files_after", "was_fragmented")
+      s.read.parquet(compacted)
+        .groupBy(col("partition_date").cast("string").as("pd"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total"))
+        .join(broadcast(stats), "pd")
+        .select("pd", "n", "total", "files_after", "was_fragmented")
+    },
+
     // ---- S6/S7: partitioned history write + pruned read ---------------------
     Query("io01_history_roundtrip",
       """SELECT CAST(DATE '2026-01-01' + CAST(o_orderkey % 3 AS INT) AS VARCHAR) AS pd,
