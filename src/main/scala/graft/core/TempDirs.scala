@@ -22,10 +22,27 @@ object TempDirs {
       while (p != null) { deleteRecursively(p); p = pending.poll() }
     }))
 
-  /** Create a temp dir that is recursively deleted at JVM exit. */
+  // Sink scratch goes to tmpfs when available so the io/st gate and
+  // bench rows time the engine, not neighbor disk I/O — the round-3/4/5
+  // driver benches all showed the FS-write rows (io04/io05/io06, SCD2 and
+  // history sinks) inflating 3–5x under host load while pure-compute rows
+  // held ~1.2x (BASELINE.md quiet-run tables). /dev/shm is the
+  // POSIX-standard tmpfs mount on Linux; fall back to java.io.tmpdir
+  // elsewhere.
+  private lazy val scratchRoot: Option[Path] = {
+    val shm = Path.of("/dev/shm")
+    if (Files.isDirectory(shm) && Files.isWritable(shm)) Some(shm) else None
+  }
+
+  /** Create a temp dir (on tmpfs when present) that is recursively
+    * deleted at JVM exit.
+    */
   def scratch(prefix: String): Path = {
     hookInstalled
-    val dir = Files.createTempDirectory(prefix)
+    val dir = scratchRoot match {
+      case Some(root) => Files.createTempDirectory(root, prefix)
+      case None       => Files.createTempDirectory(prefix)
+    }
     pending.add(dir)
     dir
   }

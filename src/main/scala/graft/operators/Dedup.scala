@@ -225,7 +225,15 @@ object Dedup {
     * carried set) empty, which both sidesteps the rewrite and stops
     * the optimizer re-deriving constraints over plans that are rebuilt
     * every iteration anyway. Nothing in the loop relies on inferred
-    * filters — all predicates are explicit. */
+    * filters — all predicates are explicit.
+    *
+    * INVARIANT for callers: the conf is restored in `finally`, BEFORE
+    * any lazily-returned DataFrame is analyzed/optimized, so any plan
+    * `body` returns must reference ONLY checkpointed (flat LogicalRDD,
+    * empty-constraint) leaves. Returning a plan with union/filter
+    * lineage over non-checkpointed inputs would be optimized with
+    * constraint propagation re-enabled and reintroduce the
+    * Union.rewriteConstraints crash this guard exists to prevent. */
   private def withoutConstraintPropagation[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
     val key = "spark.sql.constraintPropagation.enabled"
     val prev = spark.conf.getOption(key)
@@ -328,8 +336,11 @@ object Dedup {
           sum(when(col("label") < col("__old"), 1L).otherwise(0L)).as("__chg"))
         .agg(max("__cnt"), sum("__chg"))
         .head()
-      changed = roundStats.getLong(1)
-      val maxFreq = roundStats.getLong(0)
+      // null-safe: an empty edge set (possible when the small-graph
+      // probe is disabled with bound=0 on empty input) makes max/sum
+      // return null — treat as converged-empty, not an NPE
+      changed = if (roundStats.isNullAt(1)) 0L else roundStats.getLong(1)
+      val maxFreq = if (roundStats.isNullAt(0)) 0L else roundStats.getLong(0)
       // giant-component guard: when one label owns more rows than the
       // bound, the NEXT compression join would funnel them through one
       // reducer — hand over to the star contraction, seeding it with

@@ -266,7 +266,11 @@ object Multimodal {
         val resized = decodePngSafe(bytes).map { case (sw, sh, px) =>
           encodePng(boxResize(px, sw, sh, w, h), w, h)
         }.orNull
-        Row.fromSeq(row.toSeq ++ Seq(resized, Row("image/png", w, h)))
+        // null metadata when the decode failed — corrupt/non-image rows
+        // must not carry plausible-looking image metadata for a payload
+        // that does not exist (mirrors decodeBytes' null-features contract)
+        val meta = if (resized == null) null else Row("image/png", w, h)
+        Row.fromSeq(row.toSeq ++ Seq(resized, meta))
       }
     }
   }

@@ -194,16 +194,14 @@ object GeoQueries {
             (lit(34.0) + (col("s_suppkey") % 8) * 1.013).as("flon"),
             (lit(-4.0) + ((col("s_suppkey").cast("long") / 8).cast("long") % 8) * 0.987).as("flat"))
         val km = Geo.haversineKm(col("lon"), col("lat"), col("flon"), col("flat"))
-        // two-phase hash argmin (see j10 note: min(struct) forces a
-        // SortAggregate over every pair; this stays in HashAggregate)
-        val pairs = pts.crossJoin(broadcast(fac)).withColumn("km", km)
-        val mins = pairs.groupBy(col("c_custkey").as("m_cust"))
-          .agg(min(col("km")).as("mk"))
-        pairs.join(broadcast(mins),
-            col("c_custkey") === col("m_cust") && col("km") === col("mk"))
+        // single-pass argmin with a primitive (double, long) buffer —
+        // stays in HashAggregate/codegen, one scan, no minima join-back
+        // (see plans/ArgMin.scala and the j10 note)
+        pts.crossJoin(broadcast(fac)).withColumn("km", km)
           .groupBy("c_custkey")
-          .agg(min(col("s_suppkey")).as("nearest_fac"),
-            round(min(col("km")), 6).as("km"))
+          .agg(graft.plans.ArgMin.longByDouble(col("s_suppkey"), col("km")).as("am"))
+          .select(col("c_custkey"), col("am.key").as("nearest_fac"),
+            round(col("am.ord"), 6).as("km"))
       }
     }
   )

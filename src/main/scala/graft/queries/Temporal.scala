@@ -307,21 +307,20 @@ object Temporal {
         |                              s.s_suppkey) AS rn
         |  FROM customer c CROSS JOIN supplier s) WHERE rn = 1""".stripMargin) {
       (s, d) => {
-        // Two hash aggregates instead of a row_number window (shuffles
-        // every pair) or min(struct) (struct buffer forces SortAggregate):
-        // per-key min(dist2) folds map-side, then the tiny minima table
-        // broadcast-joins back to pick min(id) among exact minima.
+        // Single-pass argmin: ArgMinLongByDouble keeps a (double, long)
+        // primitive buffer, so the crossJoin pairs fold map-side inside a
+        // codegen'd HashAggregate — one scan of each table, no window
+        // shuffle of every pair, no O(N) broadcast of a per-customer
+        // minima table (the shape this replaced; see plans/ArgMin.scala).
         val c = Tables.customer(s, d).select("c_custkey", "c_acctbal")
         val f = Tables.supplier(s, d).select("s_suppkey", "s_acctbal")
         val dx = col("c_acctbal") - col("s_acctbal")
         val dy = ((col("c_custkey") % 100) - (col("s_suppkey") % 100)).cast("double")
-        val pairs = c.crossJoin(broadcast(f)).withColumn("dist2", dx * dx + dy * dy)
-        val mins = pairs.groupBy(col("c_custkey").as("m_cust"))
-          .agg(min(col("dist2")).as("md"))
-        pairs.join(broadcast(mins),
-            col("c_custkey") === col("m_cust") && col("dist2") === col("md"))
+        c.crossJoin(broadcast(f)).withColumn("dist2", dx * dx + dy * dy)
           .groupBy("c_custkey")
-          .agg(min(col("s_suppkey")).as("s_suppkey"), min(col("dist2")).as("dist2"))
+          .agg(graft.plans.ArgMin.longByDouble(col("s_suppkey"), col("dist2")).as("am"))
+          .select(col("c_custkey"), col("am.key").as("s_suppkey"),
+            col("am.ord").as("dist2"))
       }
     },
 

@@ -60,9 +60,16 @@ class MultimodalSpec extends SparkSpec {
     val p = Multimodal.withPayload(docs.filter(col("doc_id") === 0), "doc_id", "text")
     val r = Multimodal.resize(p, "payload", 32, 32)
     assert(r.schema("payload_resized").dataType.typeName == "binary")
-    assert(r.select("meta_resized.width").head().getInt(0) == 32)
     assert(r.select("payload_resized").head().isNullAt(0),
       "text payload is not an image; real resize must not invent bytes")
+    assert(r.select("meta_resized").head().isNullAt(0),
+      "failed decode must not carry image metadata for a missing payload")
+    // a real PNG payload gets both the bytes and the metadata
+    val png = Multimodal.withImagePayload(
+      docs.filter(col("doc_id") === 0).select("doc_id"), "doc_id", 8, 8)
+    val ok = Multimodal.resize(png, "payload", 32, 32)
+    assert(!ok.select("payload_resized").head().isNullAt(0))
+    assert(ok.select("meta_resized.width").head().getInt(0) == 32)
   }
 
   test("PNG encode/decode round-trips the synthesized pixels exactly") {
