@@ -156,15 +156,50 @@ object Pq {
       .map(r => (r.getAs[Number]("cell_id").longValue,
         r.getSeq[Number](1).map(_.doubleValue).toSeq)).toSeq
     val centsDf = cents.toDF("cell_id", "c_vec")
-    val resid = (v: Column, c: Column) =>
-      zip_with(v, c, (x, y) => x.cast("double") - y.cast("double"))
-    // corpus residuals: narrow assign projection + broadcast centroid dim
-    val assigned = Ivf
-      .assign(vectors, centsDf, idCol, vecCol)
+    val assigned = residuals(vectors, centsDf, idCol, vecCol)
+    val books = trainCodebooks(assigned, idCol, "__res", m, k, itersPq, seed)
+    searchResiduals(vectors, queries, centsDf, books, assigned, idCol,
+      vecCol, nProbe, shortlist, topK)
+  }
+
+  /** Residual IVF-PQ search against GIVEN coarse centroids and residual
+    * codebooks — the search half of [[searchIvf]] with injectable state,
+    * mirroring [[Ivf.searchWithCentroids]]/[[searchWithBooks]]: with
+    * literal state the whole composed pipeline (assignment, residuals,
+    * encode, probe, per-cell distance tables, ADC, re-rank) replays in
+    * SQL and becomes oracle-checkable (training stays s14's job).
+    */
+  def searchIvfWithState(vectors: DataFrame, queries: DataFrame,
+                         cents: Seq[(Long, Seq[Double])],
+                         books: Seq[Seq[Seq[Double]]], idCol: String,
+                         vecCol: String, nProbe: Int, shortlist: Int,
+                         topK: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val centsDf = cents.toDF("cell_id", "c_vec")
+    val assigned = residuals(vectors, centsDf, idCol, vecCol)
+    searchResiduals(vectors, queries, centsDf, books, assigned, idCol,
+      vecCol, nProbe, shortlist, topK)
+  }
+
+  private def resid(v: Column, c: Column): Column =
+    zip_with(v, c, (x, y) => x.cast("double") - y.cast("double"))
+
+  /** (id, cell_id, __res): narrow assign projection + broadcast
+    * centroid dim — each vector's residual against its own cell. */
+  private def residuals(vectors: DataFrame, centsDf: DataFrame,
+                        idCol: String, vecCol: String): DataFrame =
+    Ivf.assign(vectors, centsDf, idCol, vecCol)
       .join(broadcast(centsDf), "cell_id")
       .select(col(idCol), col("cell_id"),
         resid(col(vecCol), col("c_vec")).as("__res"))
-    val books = trainCodebooks(assigned, idCol, "__res", m, k, itersPq, seed)
+
+  private def searchResiduals(vectors: DataFrame, queries: DataFrame,
+                              centsDf: DataFrame, books: Seq[Seq[Seq[Double]]],
+                              assigned: DataFrame, idCol: String,
+                              vecCol: String, nProbe: Int, shortlist: Int,
+                              topK: Int): DataFrame = {
+    val m = books.length
     val subDim = books.head.head.length
     val codes = assigned.select(col(idCol), col("cell_id"),
       graft.plans.PqEncode(col("__res"), books).as("codes"))

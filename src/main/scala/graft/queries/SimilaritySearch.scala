@@ -776,6 +776,184 @@ object SimilaritySearch {
       }
     },
 
+    // ---- S20: embedding near-dup LSH, full-oracle twin of s07 --------------
+    // The corpus-wide near-dup PIPELINE (not just the ANN kernel s16
+    // twins): sign-bucket in 2 literal hyperplane tables, bucket-size
+    // cap, candidate id-pair dedup, exact-cosine verify — every stage
+    // replayed in SQL with the SAME 12x64 plane literals. Runs through
+    // the production operator (Dedup.embeddingNearDupLsh); s07 stays
+    // the production row (12 tables — too many literals for an oracle).
+    {
+      val (tables, bits, dims) = (2, 6, 64)
+      val cap = 40
+      val planes = Similarity.hyperplanes(tables, bits, dims)
+      val planeValues = planes.zipWithIndex
+        .map { case (p, r) => s"($r, [${p.mkString(", ")}])" }
+        .mkString(",\n        ")
+      Query("s20_embedding_neardup_oracle",
+        s"""WITH planes(r, p) AS (VALUES
+          |        $planeValues),
+          |dots AS (
+          |  SELECT vec_id, r // $bits AS t, r % $bits AS j,
+          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |           list_transform(range(1, $dims + 1),
+          |             i -> CAST(embedding[i] AS DOUBLE) * p[i])),
+          |           (a, x) -> a + x) AS d
+          |  FROM embeddings CROSS JOIN planes),
+          |buck AS (
+          |  SELECT vec_id, t,
+          |         sum(CASE WHEN d > 0 THEN CASE j WHEN 0 THEN 1 WHEN 1 THEN 2
+          |              WHEN 2 THEN 4 WHEN 3 THEN 8 WHEN 4 THEN 16 ELSE 32 END
+          |             ELSE 0 END) AS b
+          |  FROM dots GROUP BY 1, 2),
+          |big AS (SELECT t, b FROM buck GROUP BY t, b HAVING count(*) > $cap),
+          |capped AS (SELECT * FROM buck bu WHERE NOT EXISTS (
+          |  SELECT 1 FROM big WHERE big.t = bu.t AND big.b = bu.b)),
+          |cand AS (
+          |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+          |  FROM capped x JOIN capped y
+          |    ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id),
+          |cosd AS (
+          |  SELECT vec_a, vec_b,
+          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |           list_transform(range(1, $dims + 1),
+          |             i -> CAST(va.embedding[i] AS DOUBLE) * CAST(vb.embedding[i] AS DOUBLE))),
+          |           (a, x) -> a + x)
+          |         / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |              list_transform(range(1, $dims + 1),
+          |                i -> CAST(va.embedding[i] AS DOUBLE) * CAST(va.embedding[i] AS DOUBLE))),
+          |              (a, x) -> a + x))
+          |            * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |                list_transform(range(1, $dims + 1),
+          |                  i -> CAST(vb.embedding[i] AS DOUBLE) * CAST(vb.embedding[i] AS DOUBLE))),
+          |                (a, x) -> a + x))) AS cos
+          |  FROM cand JOIN embeddings va ON va.vec_id = vec_a
+          |            JOIN embeddings vb ON vb.vec_id = vec_b)
+          |SELECT vec_a, vec_b, cos FROM cosd WHERE cos >= 0.35""".stripMargin) {
+        (s, d) =>
+          graft.operators.Dedup.embeddingNearDupLsh(Tables.embeddings(s, d),
+            "vec_id", "embedding", tables = tables, bits = bits, dims = dims,
+            threshold = 0.35, maxBucketSize = cap)
+      }
+    },
+
+    // ---- S21: residual IVF-PQ, full-oracle twin of s14 ---------------------
+    // The COMPOSED FAISS-IVFPQ pipeline with literal state — s17's
+    // coarse centroids and s18's codebooks chained through the residual
+    // path: coarse assignment argmin, per-vector residual, residual PQ
+    // encode, probe ranking, per-(query, cell) residual distance
+    // tables, ADC fold, shortlist, exact re-rank — every stage replays
+    // in SQL bit-for-bit. Runs through the production search half
+    // (Pq.searchIvfWithState); training remains s14's job.
+    {
+      val (nCells, nProbe) = (8, 3)
+      val (m, k, subDim) = (4, 4, 16)
+      val (shortlist, topK) = (20, 3)
+      val cvecs = Similarity.hyperplanes(1, nCells, 64)
+      val centValues = cvecs.zipWithIndex
+        .map { case (c, r) => s"($r, [${c.mkString(", ")}])" }
+        .mkString(",\n        ")
+      val books = Similarity.hyperplanes(1, m * k, subDim)
+        .grouped(k).toSeq // (m)(k)(subDim)
+      val bookLit = "[" + books.map(b =>
+        "[" + b.map(cw => "[" + cw.mkString(", ") + "]").mkString(", ") + "]")
+        .mkString(", ") + "]"
+      // strict in-order fold of (res[s*subDim+j] - codeword[j])^2 —
+      // PqEncode's documented accumulation order (residuals are already
+      // DOUBLE, so no inner cast)
+      def foldRes(vec: String, s: String) =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |             list_transform(range(1, ${subDim + 1}),
+           |               j -> ($vec[$s*$subDim + j] - b[$s+1][c][j])
+           |                    * ($vec[$s*$subDim + j] - b[$s+1][c][j]))),
+           |             (a, x) -> a + x)""".stripMargin
+      Query("s21_ann_ivfpq_oracle",
+        s"""WITH cents(cell_id, cv) AS (VALUES
+          |        $centValues),
+          |books(b) AS (VALUES ($bookLit)),
+          |dist AS (
+          |  SELECT vec_id, cell_id,
+          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |           list_transform(range(1, 65),
+          |             i -> (CAST(embedding[i] AS DOUBLE) - cv[i])
+          |                  * (CAST(embedding[i] AS DOUBLE) - cv[i]))),
+          |           (a, x) -> a + x) AS d
+          |  FROM embeddings CROSS JOIN cents),
+          |assigned AS (SELECT vec_id, cell_id FROM (
+          |  SELECT vec_id, cell_id,
+          |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+          |  FROM dist) WHERE rn = 1),
+          |res AS (
+          |  SELECT e.vec_id, a.cell_id,
+          |         list_transform(range(1, 65),
+          |           i -> CAST(e.embedding[i] AS DOUBLE) - ct.cv[i]) AS rv
+          |  FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id
+          |                    JOIN cents ct ON ct.cell_id = a.cell_id),
+          |d0 AS (
+          |  SELECT vec_id, cell_id, list_transform(range(0, $m), s ->
+          |           list_transform(range(1, ${k + 1}), c ->
+          |             ${foldRes("rv", "s")})) AS ds
+          |  FROM res, books),
+          |enc AS (SELECT vec_id, cell_id,
+          |          list_transform(ds, l -> list_position(l, list_min(l)) - 1) AS codes
+          |        FROM d0),
+          |probes AS (SELECT vec_id AS query_id, cell_id FROM (
+          |  SELECT vec_id, cell_id,
+          |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+          |  FROM dist WHERE vec_id < 10) WHERE rn <= $nProbe),
+          |qres AS (
+          |  SELECT p.query_id, p.cell_id,
+          |         list_transform(range(1, 65),
+          |           i -> CAST(e.embedding[i] AS DOUBLE) - ct.cv[i]) AS rv
+          |  FROM probes p JOIN embeddings e ON e.vec_id = p.query_id
+          |                JOIN cents ct ON ct.cell_id = p.cell_id),
+          |qd AS (
+          |  SELECT query_id, cell_id, list_transform(range(0, $m), s ->
+          |           list_transform(range(1, ${k + 1}), c ->
+          |             ${foldRes("rv", "s")})) AS dt
+          |  FROM qres, books),
+          |adc AS (
+          |  SELECT q.query_id, e.vec_id AS neighbor_id,
+          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |           list_transform(range(1, ${m + 1}),
+          |             s -> q.dt[s][e.codes[s] + 1])),
+          |           (a, x) -> a + x) AS adc
+          |  FROM enc e JOIN qd q
+          |    ON e.cell_id = q.cell_id AND e.vec_id <> q.query_id),
+          |short AS (SELECT query_id, neighbor_id FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id
+          |                               ORDER BY adc, neighbor_id) AS rn
+          |  FROM adc) WHERE rn <= $shortlist),
+          |cosd AS (
+          |  SELECT query_id, neighbor_id,
+          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |           list_transform(range(1, 65),
+          |             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+          |           (a, x) -> a + x)
+          |         / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |              list_transform(range(1, 65),
+          |                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))),
+          |              (a, x) -> a + x))
+          |            * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |                list_transform(range(1, 65),
+          |                  i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+          |                (a, x) -> a + x))) AS cos
+          |  FROM short JOIN embeddings q ON q.vec_id = query_id
+          |             JOIN embeddings c ON c.vec_id = neighbor_id)
+          |SELECT query_id, neighbor_id, cos FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id
+          |                               ORDER BY cos DESC, neighbor_id) AS rn
+          |  FROM cosd) WHERE rn <= $topK""".stripMargin) { (s, d) =>
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+        graft.operators.Pq.searchIvfWithState(e, q,
+          cvecs.indices.map(i => (i.toLong, cvecs(i))), books,
+          "vec_id", "embedding", nProbe = nProbe, shortlist = shortlist,
+          topK = topK)
+      }
+    },
+
     // ---- S15: sparse TF-IDF cosine pairs (inverted-index join) ------------
     // Document similarity with NO dense vectors: weights as (doc, term,
     // w) triples, dots via the posting-list join, df-cutoff guard. The
