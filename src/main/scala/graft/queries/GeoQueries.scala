@@ -24,7 +24,7 @@ object GeoQueries {
     * integer coordinates, circumradius 1 — concavity-free but
     * non-axis-aligned, so containment exercises real ray casting.
     */
-  private def diamonds: Seq[Geo.Poly] =
+  private[queries] def diamonds: Seq[Geo.Poly] =
     (for (ci <- 0 until 5; cj <- 0 until 5) yield {
       val (cx, cy) = (ci * 2 + 1.0, cj * 2 + 1.0)
       Geo.Poly(ci * 5 + cj,

