@@ -106,7 +106,7 @@ object Anomalies {
     */
   def detectInvalidCode(df: DataFrame, formId: String, anomaliesId: String,
                         keyCol: String, codeCol: Column,
-                        invalid: Seq[Long]): DataFrame =
+                        invalid: Seq[Any]): DataFrame =
     df.filter(codeCol.isNull || codeCol.isin(invalid: _*))
       .select(uniform(formId, anomaliesId, col(keyCol),
         concat(lit(s"$anomaliesId: code="),

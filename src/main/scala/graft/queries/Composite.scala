@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.{Query, Tables}
-import graft.operators.{Anomalies, Standardize, Windows}
+import graft.operators.{Anomalies, Resolution, Standardize, Windows}
 
 /** Composite operators: multi-hop lookup chains (SURVEY §2.3 J12), the
   * threshold detector in the uniform anomaly schema (A12), and the
@@ -348,6 +348,98 @@ object Composite {
         // end-to-end: through the daily-partitioned history sink and back
         val root = graft.core.TempDirs.scratch("graft_battery_").toString
         Anomalies.writeHistory(all, root, java.time.LocalDate.parse("2026-01-01"))
+        s.read.parquet(root).drop("partition_date")
+      }
+    },
+
+    // ---- G5: the cleaning DAG as ONE composite -----------------------------
+    // The reference's per-form cleaning chain (SURVEY §3.1,
+    // 01.run_form_cleaning.R:99-178 → 02 → 05) end to end in a single
+    // oracle row: resolution DELETE-then-SET → standardize (pad ids,
+    // case/whitespace, derived fractional age) → detector battery over
+    // the CLEANED data → consolidate → daily-partitioned history sink
+    // and back. Every stage is load-bearing for the output: the DELETEs
+    // shrink duplication groups, the SETs create every invalid_priority
+    // anomaly, and the age detector reads the standardized derived
+    // column — a chain break at any stage hash-mismatches.
+    // (The resolution fixture derives deterministically from the data —
+    // orderkey % 211 == 5 DELETE, % 193 == 3 SET '9-BOGUS' — standing
+    // in for the human-authored sheet, which is bounded ≤20k rows by
+    // the reference's tracker contract and therefore broadcast.)
+    // CleaningPipelineSpec remains the heterogeneous-schema spec
+    // companion (conditional stages over forms lacking GPS columns).
+    Query("g05_cleaning_dag",
+      """WITH resolved AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate,
+        |         CASE WHEN o_orderkey % 193 = 3 THEN '9-BOGUS'
+        |              ELSE o_orderpriority END AS prio
+        |  FROM orders WHERE o_orderkey % 211 <> 5),
+        |std AS (
+        |  SELECT o_orderkey,
+        |         lpad(CAST(o_custkey AS VARCHAR), 8, '0') AS hhid,
+        |         upper(regexp_replace(trim('  ' || prio || ' '), ' +', ' ', 'g')) AS prio_std,
+        |         datediff('day', CAST(o_orderdate AS DATE), DATE '2026-08-01')
+        |           / CAST(365.25 AS DOUBLE) AS age_years,
+        |         CAST(o_orderdate AS DATE) AS dt
+        |  FROM resolved),
+        |d1 AS (
+        |  SELECT 'orders__' || k || '__hh_visit_already_in_dataset' AS resolution_id,
+        |         k AS key, 'orders' AS form_id,
+        |         'hh_visit_already_in_dataset' AS anomalies_id,
+        |         'hh_visit_already_in_dataset: ' || CAST(count(*) AS VARCHAR)
+        |           || ' rows for key, ids='
+        |           || string_agg(CAST(o_orderkey AS VARCHAR), ','
+        |                         ORDER BY CAST(o_orderkey AS VARCHAR))
+        |           AS anomalies_description,
+        |         'to_do' AS resolution_status
+        |  FROM (SELECT *, hhid || '|' || CAST(dt AS VARCHAR) AS k FROM std)
+        |  GROUP BY k HAVING count(*) >= 2),
+        |d2 AS (
+        |  SELECT 'orders__' || CAST(o_orderkey AS VARCHAR) || '__invalid_priority' AS resolution_id,
+        |         CAST(o_orderkey AS VARCHAR) AS key, 'orders' AS form_id,
+        |         'invalid_priority' AS anomalies_id,
+        |         'invalid_priority: code=' || coalesce(prio_std, 'NA') AS anomalies_description,
+        |         'to_do' AS resolution_status
+        |  FROM std WHERE prio_std IS NULL OR prio_std = '9-BOGUS'),
+        |d3 AS (
+        |  SELECT 'orders__' || CAST(o_orderkey AS VARCHAR) || '__age_out_of_range' AS resolution_id,
+        |         CAST(o_orderkey AS VARCHAR) AS key, 'orders' AS form_id,
+        |         'age_out_of_range' AS anomalies_id,
+        |         'age_out_of_range: value=' || CAST(age_years AS VARCHAR)
+        |           || ' vs threshold=33.0' AS anomalies_description,
+        |         'to_do' AS resolution_status
+        |  FROM std WHERE age_years > 33.0)
+        |SELECT * FROM d1 UNION ALL SELECT * FROM d2
+        |UNION ALL SELECT * FROM d3""".stripMargin) {
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+          .withColumn("__k", col("o_orderkey").cast("string"))
+        // the "human" resolution sheet, derived deterministically
+        val delRes = orders.filter(pmod(col("o_orderkey"), lit(211)) === 5)
+          .select(col("__k").as("key"), lit(null).cast("string").as("column"),
+            lit(null).cast("string").as("setTo"), lit("DELETE").as("operation"))
+        val setRes = orders.filter(pmod(col("o_orderkey"), lit(193)) === 3)
+          .select(col("__k").as("key"), lit("o_orderpriority").as("column"),
+            lit("9-BOGUS").as("setTo"), lit("SET").as("operation"))
+        val resolved = Resolution.applyResolution(orders,
+          delRes.unionByName(setRes), "__k")
+        val standardized = resolved
+          .withColumn("hhid", Standardize.padHhid(col("o_custkey"), 8))
+          .withColumn("prio_std", Standardize.standardizeCase(
+            concat(lit("  "), col("o_orderpriority"), lit(" "))))
+          .withColumn("age_years", Standardize.correctedAge(col("o_orderdate"),
+            lit("2026-08-01").cast("date")))
+          .withColumn("__dt", col("o_orderdate").cast("date"))
+        val d1 = Anomalies.detectDuplication(standardized, "orders",
+          "hh_visit_already_in_dataset", Seq("hhid", "__dt"), "o_orderkey")
+        val d2 = Anomalies.detectInvalidCode(standardized, "orders",
+          "invalid_priority", "o_orderkey", col("prio_std"), Seq("9-BOGUS"))
+        val d3 = Anomalies.detectThreshold(standardized, "orders",
+          "age_out_of_range", "o_orderkey", col("age_years"), 33.0)
+        val all = Anomalies.consolidate(Seq(d1, d2, d3))
+        // through the daily-partitioned history sink and back (io01 shape)
+        val root = graft.core.TempDirs.scratch("graft_cleandag_").toString
+        Anomalies.writeHistory(all, root, java.time.LocalDate.parse("2026-01-02"))
         s.read.parquet(root).drop("partition_date")
       }
     },
