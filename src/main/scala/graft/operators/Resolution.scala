@@ -63,6 +63,45 @@ object Resolution {
                       resKey: String = "key"): DataFrame =
     applySets(applyDeletes(df, resolution, dataKey, resKey), resolution, dataKey, resKey)
 
+  /** Gsheets round-trip half 1 (aws_src/get_ever_resolved.py:7-9): the
+    * accumulated resolution history, deduplicated to the FIRST-seen row
+    * per resolution_id (pandas drop_duplicates keep='first' over runs
+    * concatenated in run order). One shuffle on resolution_id; history
+    * grows with run count, so no broadcast — AQE picks the join strategy
+    * downstream.
+    */
+  def everResolved(history: DataFrame, runCol: String = "run_time"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("resolution_id").orderBy(col(runCol))
+    history.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Gsheets round-trip half 2 (gsheets_src/anomalies_populate.py:17-25):
+    * the next run's tracker sheet = freshly detected anomalies MINUS the
+    * ever-resolved ids whose status is confirmed_correct (manual
+    * resolutions stay visible until the anomaly actually disappears),
+    * carrying forward in_progress/blocked statuses from the previous
+    * sheet and defaulting everything else to to_do.
+    *
+    * Scale: anti join shuffles on resolution_id (ever-resolved grows
+    * without bound across runs); the carried-status side is bounded by
+    * the ≤20k live-tracker contract, left to AQE to broadcast.
+    */
+  def populateTracker(anomalies: DataFrame, everResolved: DataFrame,
+                      otherStatus: DataFrame): DataFrame = {
+    val confirmed = everResolved
+      .filter(col("resolution_status") === "confirmed_correct")
+      .select("resolution_id")
+    anomalies.drop("resolution_status")
+      .join(confirmed, Seq("resolution_id"), "left_anti")
+      .join(otherStatus.select(col("resolution_id"),
+          col("resolution_status").as("__carried")),
+        Seq("resolution_id"), "left")
+      .withColumn("resolution_status", coalesce(col("__carried"), lit("to_do")))
+      .drop("__carried")
+  }
+
   /** R8 (cascade expansion): SET rows on a source column are copied to its
     * "connected" columns per a small mapping table, optionally rewriting the
     * value. Ref: processing_utils.R:512-552.

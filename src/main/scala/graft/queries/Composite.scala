@@ -444,6 +444,85 @@ object Composite {
       }
     },
 
+    // ---- G7: gsheets resolution round-trip ----------------------------------
+    // The tracker lifecycle across runs (gsheets_src/anomalies_update.py:
+    // 17-24 status split, aws_src/get_ever_resolved.py:7-9 history dedup,
+    // gsheets_src/anomalies_populate.py:17-25 next-sheet assembly): two
+    // simulated human-input rounds over the threshold detector's
+    // anomalies, resolved exports accumulated into history, ever-resolved
+    // = first-seen per resolution_id, and the NEXT sheet = anomalies
+    // minus confirmed_correct ids with in_progress/blocked carried
+    // forward, default to_do. The human statuses are md5-derived from
+    // the resolution_id (seeds :h1/:h2) so the fixture is deterministic
+    // and both engines replay it identically.
+    Query("g07_resolution_roundtrip",
+      """WITH anom AS (
+        |  SELECT 'orders__' || CAST(o_orderkey AS VARCHAR) || '__totalprice_too_high' AS resolution_id,
+        |         CAST(o_orderkey AS VARCHAR) AS key, 'orders' AS form_id,
+        |         'totalprice_too_high' AS anomalies_id,
+        |         'totalprice_too_high: value=' || CAST(o_totalprice AS VARCHAR)
+        |           || ' vs threshold=350000.0' AS anomalies_description
+        |  FROM orders WHERE o_totalprice > 350000),
+        |st1 AS (
+        |  SELECT resolution_id,
+        |         CASE WHEN h < '20' THEN 'confirmed_correct'
+        |              WHEN h < '30' THEN 'manual_resolution_done'
+        |              WHEN h < '48' THEN 'in_progress'
+        |              WHEN h < '58' THEN 'blocked' ELSE 'to_do' END AS resolution_status
+        |  FROM (SELECT resolution_id, substring(md5(resolution_id || ':h1'), 1, 2) AS h FROM anom)),
+        |st2 AS (
+        |  SELECT resolution_id,
+        |         CASE WHEN h < '20' THEN 'confirmed_correct'
+        |              WHEN h < '30' THEN 'manual_resolution_done'
+        |              WHEN h < '48' THEN 'in_progress'
+        |              WHEN h < '58' THEN 'blocked' ELSE 'to_do' END AS resolution_status
+        |  FROM (SELECT resolution_id, substring(md5(resolution_id || ':h2'), 1, 2) AS h FROM anom)),
+        |hist AS (
+        |  SELECT resolution_id, resolution_status, 1 AS run_time FROM st1
+        |  WHERE resolution_status IN ('confirmed_correct', 'manual_resolution_done')
+        |  UNION ALL
+        |  SELECT resolution_id, resolution_status, 2 FROM st2
+        |  WHERE resolution_status IN ('confirmed_correct', 'manual_resolution_done')),
+        |ever AS (
+        |  SELECT resolution_id, resolution_status FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY resolution_id ORDER BY run_time) AS rn
+        |    FROM hist) WHERE rn = 1),
+        |other AS (
+        |  SELECT resolution_id, resolution_status FROM st2
+        |  WHERE resolution_status IN ('in_progress', 'blocked'))
+        |SELECT a.resolution_id, a.key, a.form_id, a.anomalies_id, a.anomalies_description,
+        |       coalesce(o.resolution_status, 'to_do') AS resolution_status
+        |FROM anom a
+        |LEFT JOIN other o USING (resolution_id)
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM ever e
+        |  WHERE e.resolution_id = a.resolution_id
+        |    AND e.resolution_status = 'confirmed_correct')""".stripMargin) {
+      (s, d) => {
+        val anom = Anomalies.detectThreshold(Tables.orders(s, d), "orders",
+          "totalprice_too_high", "o_orderkey", col("o_totalprice"), 350000.0)
+        // two rounds of md5-derived "human" statuses over the same sheet
+        def statuses(salt: String) = {
+          val h = substring(md5(concat(col("resolution_id"), lit(salt))), 1, 2)
+          anom.select(col("resolution_id"),
+            when(h < "20", "confirmed_correct")
+              .when(h < "30", "manual_resolution_done")
+              .when(h < "48", "in_progress")
+              .when(h < "58", "blocked").otherwise("to_do").as("resolution_status"))
+        }
+        val resolvedStatuses = Seq("confirmed_correct", "manual_resolution_done")
+        val hist = statuses(":h1")
+          .filter(col("resolution_status").isin(resolvedStatuses: _*))
+          .withColumn("run_time", lit(1))
+          .unionByName(statuses(":h2")
+            .filter(col("resolution_status").isin(resolvedStatuses: _*))
+            .withColumn("run_time", lit(2)))
+        val other = statuses(":h2")
+          .filter(col("resolution_status").isin("in_progress", "blocked"))
+        Resolution.populateTracker(anom, Resolution.everResolved(hist), other)
+      }
+    },
+
     Query("a16_flagship_dup_pipeline",
       """WITH latest AS (
         |  SELECT * FROM (

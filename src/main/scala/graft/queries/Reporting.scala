@@ -134,6 +134,190 @@ object Reporting {
         format_string("%05d", col("p_size")).as("padded"))
     },
 
+    // ---- G6: pharmacy stock ledger as ONE composite --------------------------
+    // The reference's main report-table consumer surface in one oracle
+    // row (monitoring/pharmacy.Rmd:231-247 unpivot ledger, :828-833 dose
+    // banding): wide per-drug count columns → pivot_longer with
+    // replace_na(0) and str_detect name→item mapping → per (week, item)
+    // arrivals/dispatches → net balance → running as-of balance (window
+    // prefix sum per item) → stock-age buckets + coartem-ladder dose
+    // banding. Chains r03 + w12's prefix-sum shape + w13 + r07 in one
+    // result; a break in any stage hash-mismatches.
+    // Scale: unpivot is a narrow 3× row expansion (no shuffle); the
+    // ledger is one hash aggregate on (week, item); the running balance
+    // windows over ~360 rows per item — sums are decimal-routed so the
+    // prefix sum is exact cross-engine.
+    Query("g06_stock_ledger",
+      """WITH wide AS (
+        |  SELECT CAST(date_trunc('week', CAST(l_shipdate AS DATE)) AS DATE) AS run_week,
+        |         CASE WHEN l_returnflag = 'N' THEN 'supplier' ELSE 'dispatch' END AS operation,
+        |         l_quantity AS alb_tabno,
+        |         CASE WHEN l_discount > 0.05 THEN NULL ELSE l_quantity * 2 END AS ivm_tabno,
+        |         CAST(l_linenumber AS DOUBLE) AS prdt_kitsno
+        |  FROM lineitem),
+        |long AS (
+        |  SELECT run_week, operation, 'alb_tabno' AS name, alb_tabno AS value FROM wide
+        |  UNION ALL SELECT run_week, operation, 'ivm_tabno', ivm_tabno FROM wide
+        |  UNION ALL SELECT run_week, operation, 'prdt_kitsno', prdt_kitsno FROM wide),
+        |mapped AS (
+        |  SELECT run_week, operation,
+        |         CASE WHEN name LIKE '%alb%' THEN 'alb'
+        |              WHEN name LIKE '%ivm%' THEN 'ivm'
+        |              ELSE 'prdt' END AS item,
+        |         coalesce(value, 0) AS value
+        |  FROM long),
+        |ledger AS (
+        |  SELECT run_week, item,
+        |         sum(CAST(CASE WHEN operation = 'supplier' THEN value ELSE 0 END AS DECIMAL(18,4))) AS arr_d,
+        |         sum(CAST(CASE WHEN operation = 'dispatch' THEN value ELSE 0 END AS DECIMAL(18,4))) AS dis_d
+        |  FROM mapped GROUP BY 1, 2)
+        |SELECT run_week, item,
+        |       CAST(arr_d AS DOUBLE) AS arrivals,
+        |       CAST(dis_d AS DOUBLE) AS dispatched,
+        |       CAST(arr_d - dis_d AS DOUBLE) AS balance,
+        |       CAST(sum(arr_d - dis_d) OVER (PARTITION BY item ORDER BY run_week) AS DOUBLE)
+        |         AS running_balance,
+        |       CASE WHEN datediff('day', run_week, DATE '2002-01-07') < 360 THEN '0-12m'
+        |            WHEN datediff('day', run_week, DATE '2002-01-07') < 1440 THEN '12-48m'
+        |            ELSE '>48m' END AS age_bucket,
+        |       CASE WHEN arr_d < 500 THEN 6 WHEN arr_d < 1000 THEN 12
+        |            WHEN arr_d < 2000 THEN 18 ELSE 24 END AS dose_tablets
+        |FROM ledger""".stripMargin) {
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wide = Tables.lineitem(s, d).select(
+          date_trunc("week", to_date(col("l_shipdate"))).cast("date").as("run_week"),
+          when(col("l_returnflag") === "N", "supplier").otherwise("dispatch").as("operation"),
+          col("l_quantity").as("alb_tabno"),
+          when(col("l_discount") > 0.05, lit(null).cast("double"))
+            .otherwise(col("l_quantity") * 2).as("ivm_tabno"),
+          col("l_linenumber").cast("double").as("prdt_kitsno"))
+        val long = graft.operators.Reshape.unpivot(wide, Seq("run_week", "operation"),
+          Seq("alb_tabno", "ivm_tabno", "prdt_kitsno"))
+        val mapped = long.select(col("run_week"), col("operation"),
+          when(col("name").contains("alb"), "alb")
+            .when(col("name").contains("ivm"), "ivm")
+            .otherwise("prdt").as("item"),
+          coalesce(col("value"), lit(0.0)).as("value"))
+        val ledger = mapped.groupBy("run_week", "item").agg(
+          sum(when(col("operation") === "supplier", col("value")).otherwise(0.0)
+            .cast("decimal(18,4)")).as("arr_d"),
+          sum(when(col("operation") === "dispatch", col("value")).otherwise(0.0)
+            .cast("decimal(18,4)")).as("dis_d"))
+        val w = Window.partitionBy("item").orderBy("run_week")
+        val age = datediff(lit("2002-01-07").cast("date"), col("run_week"))
+        ledger
+          .withColumn("bal_d", col("arr_d") - col("dis_d"))
+          .withColumn("run_d", sum(col("bal_d")).over(w))
+          .select(col("run_week"), col("item"),
+            col("arr_d").cast("double").as("arrivals"),
+            col("dis_d").cast("double").as("dispatched"),
+            col("bal_d").cast("double").as("balance"),
+            col("run_d").cast("double").as("running_balance"),
+            when(age < 360, "0-12m").when(age < 1440, "12-48m")
+              .otherwise(">48m").as("age_bucket"),
+            when(col("arr_d") < 500, 6).when(col("arr_d") < 1000, 12)
+              .when(col("arr_d") < 2000, 18).otherwise(24).as("dose_tablets"))
+      }
+    },
+
+    // ---- G8: lab sample-reconciliation snapshots -----------------------------
+    // The lab monitoring report (monitoring/lab.Rmd:305-365): field
+    // submissions vs lab receipts reconciled at weekly snapshots —
+    // samples submitted as-of the snapshot with no receipt as-of the
+    // snapshot are "pending"; pending >10 days is the escalation
+    // metric; grouped per (run_date, study). The oracle states the
+    // reference's semantics literally (purrr::map_dfr snapshot
+    // cross join + anti join per run_date); the engine plan never
+    // multiplies the fact table by the snapshot count: each sample
+    // contributes ≤4 delta rows (+1 at its pending-entry week, −1 at
+    // its receipt week, same pair for the >10-day clock), the deltas
+    // hash-aggregate to (week, study), and two prefix sums over the
+    // 13×5 grid reconstruct every snapshot — w12's trick extended to
+    // INTERVAL membership (enter AND exit), the only shape that
+    // survives daily snapshots over years of history at 100 TB.
+    Query("g08_lab_reconciliation",
+      """WITH wk AS (
+        |  SELECT unnest(generate_series(DATE '1996-01-06', DATE '1996-03-30',
+        |                                INTERVAL 7 DAY)) AS run_date),
+        |sub AS (
+        |  SELECT o_orderkey AS sample, o_orderpriority AS study,
+        |         CAST(o_orderdate AS DATE) AS submit
+        |  FROM orders),
+        |rec AS (
+        |  SELECT l_orderkey AS sample, min(CAST(l_shipdate AS DATE)) AS received
+        |  FROM lineitem WHERE l_linenumber = 1 GROUP BY 1),
+        |pend AS (
+        |  SELECT CAST(w.run_date AS DATE) AS run_date, s.study, s.sample,
+        |         datediff('day', s.submit, CAST(w.run_date AS DATE)) AS age
+        |  FROM wk w
+        |  JOIN sub s ON s.submit <= CAST(w.run_date AS DATE)
+        |  LEFT JOIN rec r ON r.sample = s.sample AND r.received <= CAST(w.run_date AS DATE)
+        |  WHERE r.sample IS NULL),
+        |counts AS (
+        |  SELECT run_date, study,
+        |         CAST(count(*) AS BIGINT) AS n_pending,
+        |         CAST(count(CASE WHEN age > 10 THEN 1 END) AS BIGINT) AS n_pending_gt10
+        |  FROM pend GROUP BY 1, 2)
+        |SELECT CAST(w.run_date AS DATE) AS run_date, st.study,
+        |       coalesce(c.n_pending, 0) AS n_pending,
+        |       coalesce(c.n_pending_gt10, 0) AS n_pending_gt10
+        |FROM wk w
+        |CROSS JOIN (SELECT DISTINCT o_orderpriority AS study FROM orders) st
+        |LEFT JOIN counts c
+        |  ON c.run_date = CAST(w.run_date AS DATE) AND c.study = st.study""".stripMargin) {
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = lit("1996-01-06").cast("date")
+        val nWeeks = 13
+        val sub = Tables.orders(s, d).select(
+          col("o_orderkey").as("sample"), col("o_orderpriority").as("study"),
+          col("o_orderdate").cast("date").as("submit"))
+        val rec = Tables.lineitem(s, d).filter(col("l_linenumber") === 1)
+          .groupBy(col("l_orderkey").as("sample"))
+          .agg(min(col("l_shipdate").cast("date")).as("received"))
+        // per-sample week indices on the snapshot grid: first grid week
+        // >= submit (pending entry), >= received (exit), >= submit+11
+        // (the >10-day clock); exit clamped to entry so a receipt
+        // preceding its submission nets to zero, matching the oracle
+        val ks = greatest(lit(0), ceil(datediff(col("submit"), base) / 7.0)).cast("int")
+        val k10 = greatest(lit(0), ceil((datediff(col("submit"), base) + 11) / 7.0)).cast("int")
+        val krRaw = ceil(datediff(col("received"), base) / 7.0).cast("int")
+        val deltas = sub.join(rec, Seq("sample"), "left")
+          .select(col("study"), ks.as("ks"), k10.as("k10"),
+            when(col("received").isNull, nWeeks).otherwise(greatest(ks, krRaw)).as("kr"))
+          .select(col("study"), explode(concat(
+            when(col("ks") < nWeeks,
+              array(struct(col("ks").as("k"), lit(1L).as("dp"), lit(0L).as("dg"))))
+              .otherwise(array()),
+            when(col("kr") < nWeeks,
+              array(struct(col("kr").as("k"), lit(-1L).as("dp"), lit(0L).as("dg"))))
+              .otherwise(array()),
+            when(greatest(col("ks"), col("k10")) < least(col("kr"), lit(nWeeks)),
+              array(struct(greatest(col("ks"), col("k10")).as("k"),
+                lit(0L).as("dp"), lit(1L).as("dg"))))
+              .otherwise(array()),
+            when(greatest(col("ks"), col("k10")) < col("kr") && col("kr") < nWeeks,
+              array(struct(col("kr").as("k"), lit(0L).as("dp"), lit(-1L).as("dg"))))
+              .otherwise(array()))).as("dlt"))
+          .select(col("study"), col("dlt.k").as("k"),
+            col("dlt.dp").as("dp"), col("dlt.dg").as("dg"))
+          .groupBy("k", "study")
+          .agg(sum("dp").as("dp"), sum("dg").as("dg"))
+        val studies = Tables.orders(s, d)
+          .select(col("o_orderpriority").as("study")).distinct()
+        val grid = s.range(0, nWeeks).select(col("id").cast("int").as("k"))
+          .crossJoin(broadcast(studies))
+        val w = Window.partitionBy("study").orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        grid.join(deltas, Seq("k", "study"), "left")
+          .withColumn("n_pending", sum(coalesce(col("dp"), lit(0L))).over(w))
+          .withColumn("n_pending_gt10", sum(coalesce(col("dg"), lit(0L))).over(w))
+          .select(date_add(base, col("k") * 7).as("run_date"), col("study"),
+            col("n_pending"), col("n_pending_gt10"))
+      }
+    },
+
     // ---- shared-base metric fan-out (§4.2 exchange reuse) --------------------
     // One filtered/joined base feeds several metric rows — the reference
     // reuses one merged tibble across ~10 report metrics; here the base
