@@ -258,7 +258,7 @@ object ScaleSmoke {
         ss.conf.set("spark.sql.shuffle.partitions", "4")
         val raw = ss.read.parquet(s"$sfDir/events.parquet")
         val src = graft.streaming.Streams.fileSource(ss, dir.toString, raw.schema)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .withColumn("ts", graft.core.Tables.canonTs(raw.schema))
         val agg = graft.streaming.Streams.windowedCounts(src, "ts", "event_type",
           windowLen = "1 hour", watermark = "2 hours")
         val sink = "scale_counts_" + System.nanoTime()

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import graft.core.Query
+import graft.core.{Query, Tables}
 import graft.streaming.Streams
 
 /** Structured Streaming surface exercised under the batch oracle gate:
@@ -41,7 +41,7 @@ object StreamingQueries {
         ss.conf.set("spark.sql.shuffle.partitions", "4")
         val raw = ss.read.parquet(s"$d/events.parquet")
         val src = Streams.fileSource(ss, dir.toString, raw.schema)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .withColumn("ts", Tables.canonTs(raw.schema))
         val agg = Streams.windowedCounts(src, "ts", "event_type",
           windowLen = "1 hour", watermark = "2 hours")
         // complete mode: every window is emitted at end-of-stream, so the
@@ -80,7 +80,7 @@ object StreamingQueries {
         val src = Streams.fileSource(ss, dir.toString, raw.schema)
           .select(col("user_id").cast("long").as("userId"),
             col("event_id").cast("long").as("eventId"),
-            expr("ts div 1000").as("tsMicros"))
+            Tables.tsMicros(raw.schema).as("tsMicros"))
           .as[Streams.SessionEvent]
         val out = Streams.sessionizeStream(src, gapMicros = 1800L * 1000000)
         val sink = "st02_sessions_" + System.nanoTime()
@@ -110,7 +110,7 @@ object StreamingQueries {
         ss.conf.set("spark.sql.shuffle.partitions", "4")
         val raw = ss.read.parquet(s"$d/events.parquet")
         val src = Streams.fileSource(ss, dir.toString, raw.schema)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .withColumn("ts", Tables.canonTs(raw.schema))
         val out = Streams.streamingDedup(src, "event_id", "ts",
           watermark = "10 days")
         val sink = "st03_dedup_" + System.nanoTime()
@@ -140,7 +140,7 @@ object StreamingQueries {
         ss.conf.set("spark.sql.shuffle.partitions", "4")
         val raw = ss.read.parquet(s"$d/events.parquet")
         def src() = Streams.fileSource(ss, dir.toString, raw.schema)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .withColumn("ts", Tables.canonTs(raw.schema))
         val imps = src().filter(col("event_type") === "click")
           .select(col("user_id"), col("event_id").as("imp_id"),
             col("ts").as("imp_ts"))
@@ -325,7 +325,7 @@ object StreamingQueries {
         ss.conf.set("spark.sql.shuffle.partitions", "4")
         val raw = ss.read.parquet(s"$d/events.parquet")
         def src = Streams.fileSource(ss, dir.toString, raw.schema)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .withColumn("ts", Tables.canonTs(raw.schema))
         // stateless rule: pure per-row projection, append mode
         val thrSink = "st07_thr_" + System.nanoTime()
         val qThr = graft.operators.Anomalies.detectThreshold(
