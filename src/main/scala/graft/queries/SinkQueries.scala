@@ -86,6 +86,28 @@ object SinkQueries {
         .select("pd", "n", "total", "files_after", "was_fragmented")
     },
 
+    // ---- io07: JSON-lines export/import roundtrip ----------------------------
+    // The interchange format of crawl-era corpora: write documents as
+    // JSONL, re-read with an EXPLICIT schema (no inference job — at 100 TB
+    // schema inference is a full extra scan), aggregate per language with
+    // an md5-derived content digest. The oracle recomputes straight from
+    // the parquet table, so any escaping/encoding/parse defect on the
+    // JSON path breaks the digest hash, not just the row counts.
+    Query("io07_jsonl_roundtrip",
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
+        |       CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT) AS digest
+        |FROM documents GROUP BY lang""".stripMargin) { (s, d) =>
+      val dir = graft.core.TempDirs.scratch("graft_jsonl_").toString
+      val docs = Tables.documents(s, d).select("doc_id", "text", "lang", "n_chars")
+      docs.write.mode("overwrite").json(dir)
+      s.read.schema(docs.schema).json(dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("chars"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+            .as("digest"))
+    },
+
     // ---- S6/S7: partitioned history write + pruned read ---------------------
     Query("io01_history_roundtrip",
       """SELECT CAST(DATE '2026-01-01' + CAST(o_orderkey % 3 AS INT) AS VARCHAR) AS pd,

@@ -25,6 +25,21 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "de", "y"),
     "de" -> Seq("der", "die", "das", "und"))
 
+  /** Dialect-shared messy-URL fixture (parses as both Spark SQL and DuckDB
+    * SQL): 2·3·5·4 messiness variants per (source, item) that all
+    * canonicalize to the same URL. Interpolated into t28's oracle with $$
+    * escaping for the regex anchors. */
+  private val UrlFixtureSql: String =
+    """'HtTpS://WWW.' || source || '.Example.COM' ||
+      |CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END ||
+      |'/Alpha' || CASE WHEN doc_id % 5 = 0 THEN '//' ELSE '/' END ||
+      |'Item-' || CAST(doc_id % 7 AS STRING) ||
+      |CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+      |CASE WHEN doc_id % 4 = 0 THEN '?b=2&utm_source=feed&a=1'
+      |     WHEN doc_id % 4 = 1 THEN '?a=1&b=2&gclid=XyZ123'
+      |     WHEN doc_id % 4 = 2 THEN '?b=2&a=1#frag'
+      |     ELSE '?a=1&ref=home&b=2' END""".stripMargin.replace("\n", " ")
+
   val queries: Seq[Query] = Seq(
 
     // ---- T1: token counting (whitespace + regex/BPE-ish) ------------------
@@ -639,6 +654,77 @@ object TextAnalysis {
           (ceil(tokenCount(col("text")) / 10.0).cast("long")
             - size(kept)).as("n_dropped"))
       }
+    },
+
+    // ---- T28: URL canonicalization + canonical keep-first -----------------
+    // The crawl-curation stage BEFORE content dedup (C4/ccnet practice):
+    // normalize each document's URL to a canonical dedup key, derive the
+    // registrable domain, keep the first doc per canonical URL. URLs are
+    // synthesized from (doc_id, source) by a dialect-shared SQL fixture
+    // (mixed-case scheme/host, default port, www., duplicate slashes,
+    // trailing slash, fragment, shuffled + tracking query params), so the
+    // oracle replays the EXACT normalization function-by-function — any
+    // divergence in regex/array semantics hash-mismatches. Plan: one
+    // narrow codegen'd projection + one shuffle (the per-URL window);
+    // nothing grows with the corpus except the scan.
+    Query("t28_url_canonicalize",
+      s"""WITH u AS (SELECT doc_id, $UrlFixtureSql AS url FROM documents),
+        |x AS (SELECT doc_id,
+        |        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+        |        lower(regexp_extract(url, '^[^:]+://([^/?#]+)', 1)) AS rawhost,
+        |        regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1) AS rawpath,
+        |        regexp_extract(url, '\\?([^#]*)', 1) AS rawq
+        |      FROM u),
+        |y AS (SELECT doc_id, sch,
+        |        regexp_replace(CASE WHEN sch = 'https' THEN regexp_replace(rawhost, ':443$$', '')
+        |                            WHEN sch = 'http'  THEN regexp_replace(rawhost, ':80$$', '')
+        |                            ELSE rawhost END, '^www\\.', '') AS dom,
+        |        regexp_replace(regexp_replace(rawpath, '/{2,}', '/', 'g'), '/$$', '') AS pth,
+        |        array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+        |          p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|msclkid|ref)='))), '&') AS q
+        |      FROM x),
+        |c AS (SELECT doc_id, dom,
+        |        sch || '://' || dom || (CASE WHEN pth = '' THEN '/' ELSE pth END) ||
+        |        (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS url_canon
+        |      FROM y)
+        |SELECT doc_id, url_canon, dom AS domain,
+        |       doc_id = min(doc_id) OVER (PARTITION BY url_canon) AS kept
+        |FROM c""".stripMargin) {
+      (s, d) => {
+        import graft.functions.Web
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("url_canon")
+        Tables.documents(s, d)
+          .select(col("doc_id"), expr(UrlFixtureSql).as("url"))
+          .select(col("doc_id"),
+            Web.canonicalUrl(col("url")).as("url_canon"),
+            Web.urlHost(col("url")).as("domain"))
+          .withColumn("kept", col("doc_id") === min("doc_id").over(w))
+      }
+    },
+
+    // ---- T29: hashed-feature linear classifier (quality-model gate) -------
+    // fastText-style model application at corpus scale: tokens hash into a
+    // fixed 4096-bucket space, the (bucket, weight) table broadcasts, and
+    // each doc's score is one explode + broadcast join + hash agg. The
+    // registry instance uses the md5 bucket family so the oracle LEARNS
+    // nothing — it regenerates the same weight table from range(4096) and
+    // replays the same bucketing; integer weights make the score exact on
+    // both engines. Production bucketing (xxhash64) is the same operator
+    // with bucketOf swapped — ClassifierSpec pins that path.
+    Query("t29_hashed_classifier",
+      """WITH w AS (SELECT printf('%03x', i) AS bucket, i % 21 - 10 AS wt FROM range(4096) t(i)),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tb AS (SELECT doc_id, substr(md5(t), 1, 3) AS bucket FROM tok),
+        |s AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS s FROM tb JOIN w USING (bucket) GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(s.s, 0) + 3 AS BIGINT) AS score,
+        |       coalesce(s.s, 0) + 3 >= 0 AS kept
+        |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin) {
+      (s, d) => graft.operators.Classifier.scoreHashed(
+        Tables.documents(s, d), "doc_id", "text",
+        graft.operators.Classifier.md5DemoWeights(s), "bucket", "weight",
+        graft.operators.Classifier.md5Bucket, bias = 3L)
     }
   )
+
+
 }
