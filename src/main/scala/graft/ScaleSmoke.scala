@@ -268,6 +268,54 @@ object ScaleSmoke {
         q.awaitTermination()
         ss.table(sink).write.format("noop").mode("overwrite").save()
       },
+      time("url_canonicalize_50k_docs") {
+        // URL canonicalization + canonical keep-first at 10x: the whole
+        // normalization is one codegen'd narrow projection; the only
+        // shuffle is the per-canonical-URL window
+        val docs0 = graft.core.Tables.documents(spark, sfDir)
+        val maxDoc = docs0.agg(max("doc_id")).as[Long].head() + 1
+        val docs = docs0.crossJoin(copies)
+          .withColumn("doc_id", col("doc_id") + col("rep") * maxDoc).drop("rep")
+        val url = concat(lit("HtTpS://WWW."), col("source"), lit(".Example.COM:443//Docs/"),
+          (col("doc_id") % 1000).cast("string"), lit("/?b=2&utm_source=feed&a=1#frag"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("url_canon")
+        docs.select(col("doc_id"),
+            graft.functions.Web.canonicalUrl(url).as("url_canon"),
+            graft.functions.Web.urlHost(url).as("domain"))
+          .withColumn("kept", col("doc_id") === min("doc_id").over(w))
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("hashed_classifier_50k_docs") {
+        // hashed linear model over 10x documents with the PRODUCTION
+        // bucketing (xxhash64, 65536 buckets): explode -> broadcast join
+        // -> one agg; weights derive from the bucket id (integer model)
+        val docs0 = graft.core.Tables.documents(spark, sfDir)
+        val maxDoc = docs0.agg(max("doc_id")).as[Long].head() + 1
+        val docs = docs0.crossJoin(copies)
+          .withColumn("doc_id", col("doc_id") + col("rep") * maxDoc).drop("rep")
+        val weights = spark.range(65536).select(
+          col("id").cast("string").as("bucket"), (col("id") % 41 - 20).as("weight"))
+        graft.operators.Classifier.scoreHashed(docs, "doc_id", "text",
+            weights, "bucket", "weight",
+            graft.operators.Classifier.xxBucket(65536), bias = 3L)
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("salted_skew_join_6m_rows") {
+        // adversarial skew: 6M-row big side where 60% of rows share ONE
+        // key, small side too big to broadcast comfortably at real scale
+        // — the salted join spreads the hot key over 32 reducers; the
+        // plain shuffle join would funnel 3.6M rows through one task
+        val n = 6000000L
+        val big = spark.range(n).select(col("id").as("row_id"),
+          when(pmod(col("id"), lit(10)) < 6, lit(0L))
+            .otherwise(pmod(col("id"), lit(100000L))).as("k"),
+          (col("id") % 97).as("v"))
+        val small = spark.range(100000L).select(col("id").as("k"),
+          (col("id") % 13).as("grp"))
+        graft.operators.Skew.saltedJoin(big, small, "k", "row_id", factor = 32)
+          .groupBy("grp").agg(count(lit(1)), sum("v"))
+          .write.format("noop").mode("overwrite").save()
+      },
       time("scd2_merge_150k_keys") {
         // SCD2 at 10x customer volume: one full-outer join + explode
         val c0 = graft.core.Tables.customer(spark, sfDir)

@@ -595,7 +595,6 @@ object Dedup {
                       n: Int, k: Int, bands: Int, threshold: Double,
                       maxBucketSize: Int = 0): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    val r = k / bands
     // whole (signature, distinct-count) sketch as a SCALAR expression —
     // one fused byte scan per doc, a narrow projection with NO shuffle
     // (the former explode → groupBy → signature-aggregate chain moved
@@ -603,28 +602,11 @@ object Dedup {
     // Docs with no shingles get n = 0 and are dropped, matching the
     // aggregate path where they had no rows to group. Persisted: band
     // explode runs once per self-join side plus the sizes read.
-    val sigs = df.select(col(idCol).as("__id"),
-        graft.plans.MinHashSketch(col(textCol), n, k).as("__sk"))
-      .select(col("__id"), col("__sk.sig").as("sig"), col("__sk.n").as("n"))
-      .filter(col("n") > 0)
+    val sigs = minhashSignatures(df, idCol, textCol, n, k)
+      .withColumnRenamed(idCol, "__id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandStructs = array((0 until bands).map { band =>
-      struct(lit(band).as("band"),
-        xxhash64((band * r until (band + 1) * r)
-          .map(i => element_at(col("sig"), i + 1)): _*).as("bucket"))
-    }: _*)
-    val buckets = sigs
-      .select(col("__id"), explode(bandStructs).as("bk"))
-      .select(col("__id"), col("bk.band"), col("bk.bucket"))
-    val capped =
-      if (maxBucketSize <= 0) buckets
-      else {
-        // the oversized-bucket list is tiny by construction → broadcast anti
-        val big = buckets.groupBy("band", "bucket")
-          .agg(count(lit(1)).as("__bn")).filter(col("__bn") > maxBucketSize)
-          .select("band", "bucket")
-        buckets.join(broadcast(big), Seq("band", "bucket"), "left_anti")
-      }
+    val buckets = minhashBandBuckets(sigs, "__id", k, bands)
+    val capped = cappedBuckets(buckets, maxBucketSize)
     val cand = capped.alias("x")
       .join(capped.alias("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -649,6 +631,90 @@ object Dedup {
       .select(col("__id"), explode(col("__shs")).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     verified(sh, cand, sigs.select(col("__id"), col("n")), threshold)
+  }
+
+  /** MinHash signature table for a corpus slice: (idCol, sig: array<long>,
+    * n: distinct-shingle count), xxhash64 family, one fused byte scan per
+    * doc. Compute ONCE per corpus slice and persist it as a table — every
+    * later incremental batch (see incrementalNearDupPairs) reuses the
+    * stored signatures instead of re-sketching the corpus. Docs with no
+    * shingles are dropped (they cannot near-dup). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int): DataFrame =
+    df.select(col(idCol), graft.plans.MinHashSketch(col(textCol), n, k).as("__sk"))
+      .select(col(idCol), col("__sk.sig").as("sig"), col("__sk.n").as("n"))
+      .filter(col("n") > 0)
+
+  /** Band-bucket rows from a signature table: (idCol, band, bucket) —
+    * `bands` rows per doc, bucket = xxhash64 of the band's signature rows. */
+  def minhashBandBuckets(sigs: DataFrame, idCol: String, k: Int,
+                         bands: Int): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    val bandStructs = array((0 until bands).map { band =>
+      struct(lit(band).as("band"),
+        xxhash64((band * r until (band + 1) * r)
+          .map(i => element_at(col("sig"), i + 1)): _*).as("bucket"))
+    }: _*)
+    sigs.select(col(idCol), explode(bandStructs).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.bucket"))
+  }
+
+  /** LSH bucket hygiene: drop every (band, bucket) with more than
+    * `maxBucketSize` members (0 = uncapped). The oversized list is tiny by
+    * construction → broadcast anti-join. */
+  private def cappedBuckets(buckets: DataFrame, maxBucketSize: Int): DataFrame =
+    if (maxBucketSize <= 0) buckets
+    else {
+      val big = buckets.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("__bn")).filter(col("__bn") > maxBucketSize)
+        .select("band", "bucket")
+      buckets.join(broadcast(big), Seq("band", "bucket"), "left_anti")
+    }
+
+  /** Incremental near-dup: a NEW crawl batch against an already-sketched
+    * corpus — the continuously-growing-corpus shape. The corpus side
+    * arrives as its STORED signature table (minhashSignatures, computed
+    * once when each earlier batch landed); only the new batch is sketched
+    * here, candidates come from joining the batch's band buckets against
+    * the corpus buckets (never corpus x corpus — adding a batch costs
+    * O(batch + candidates), not O(corpus)), and exact-Jaccard verification
+    * re-reads TEXT for candidate docs only (semi-join pushed below the
+    * shingle explode on both sides). Returns (new_id, old_id, jaccard) —
+    * within-batch pairs are minhashLshPairs(newDocs)'s job.
+    *
+    * `maxBucketSize` caps each side's buckets independently: the stored
+    * corpus knows its own degenerate (boilerplate) buckets, and a batch
+    * can go degenerate on its own; both lists stay broadcast-small. */
+  def incrementalNearDupPairs(
+      newDocs: DataFrame, oldDocs: DataFrame, oldSigs: DataFrame,
+      idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int, threshold: Double,
+      maxBucketSize: Int = 0): DataFrame = {
+    val newSigs = minhashSignatures(newDocs, idCol, textCol, n, k)
+      .withColumnRenamed(idCol, "__id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newBk = cappedBuckets(
+      minhashBandBuckets(newSigs, "__id", k, bands), maxBucketSize)
+    val oldBk = cappedBuckets(
+      minhashBandBuckets(oldSigs.withColumnRenamed(idCol, "__id"), "__id", k, bands),
+      maxBucketSize)
+    val cand = newBk.toDF("__new", "band", "bucket")
+      .join(oldBk.toDF("__old", "band", "bucket"), Seq("band", "bucket"))
+      .select(col("__new").as("doc_a"), col("__old").as("doc_b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def candShingles(docs: DataFrame, side: String) =
+      docs.select(col(idCol).as("__id"),
+          graft.plans.ShingleHashes(col(textCol), n).as("__shs"))
+        .join(cand.select(col(side).as("__id")).distinct(), Seq("__id"), "left_semi")
+        .select(col("__id"), explode(col("__shs")).as("s"))
+    val sh = candShingles(newDocs, "doc_a").union(candShingles(oldDocs, "doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = newSigs.select(col("__id"), col("n"))
+      .union(oldSigs.select(col(idCol).as("__id"), col("n")))
+    verified(sh, cand, sizes, threshold)
+      .select(col("doc_a").as("new_id"), col("doc_b").as("old_id"), col("jaccard"))
   }
 
   /** SimHash near-dup pairs, Manku-style: split each 64-bit simhash

@@ -986,6 +986,73 @@ object SimilaritySearch {
       (s, d) => graft.operators.SparseSim.tfidfCosinePairs(
         Tables.documents(s, d).filter(col("doc_id") < 300),
         "doc_id", "text", maxDf = 100, minCos = 0.5)
+    },
+
+    // ---- S22: incremental near-dup (new batch vs stored corpus) -----------
+    // The continuously-growing-corpus shape: the corpus (doc_id % 5 != 0)
+    // was sketched when it landed; a new batch (doc_id % 5 = 0) sketches
+    // only itself and joins its band buckets against the STORED corpus
+    // buckets — never corpus x corpus. This row is the md5-family oracle
+    // twin (s13's recipe with the asymmetric new-vs-old band join); the
+    // xxhash64 production operator (Dedup.incrementalNearDupPairs) is
+    // pinned by IncrementalDedupSpec's cross-pair equivalence against
+    // minhashLshPairs over the union.
+    Query("s22_incremental_neardup",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(t)),
+        |                                             i -> t[i] || ' ' || t[i+1]))) AS s
+        |       FROM toks WHERE len(t) >= 2),
+        |mh AS (SELECT doc_id, f,
+        |         min(substring(md5(s || ':' || CAST(f AS VARCHAR)), 1, 16)) AS m
+        |       FROM sh CROSS JOIN generate_series(0, 15) g(f) GROUP BY 1, 2),
+        |bnd AS (SELECT doc_id, f // 4 AS band, string_agg(m, '|' ORDER BY f) AS bkey
+        |        FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+        |         FROM bnd a JOIN bnd b ON a.band = b.band AND a.bkey = b.bkey
+        |         WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT c.new_id, c.old_id, count(*) AS i
+        |          FROM cand c JOIN sh a ON a.doc_id = c.new_id
+        |                      JOIN sh b ON b.doc_id = c.old_id AND b.s = a.s
+        |          GROUP BY 1, 2)
+        |SELECT new_id, old_id, i * 1.0 / (sa.n + sb.n - i) AS jaccard
+        |FROM inter JOIN sizes sa ON new_id = sa.doc_id
+        |           JOIN sizes sb ON old_id = sb.doc_id
+        |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.3""".stripMargin) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sh = docs.select(col("doc_id"),
+          explode(TextFunctions.shingles(col("text"), 2)).as("s"))
+        val sigAggs = count(lit(1)).as("n") +: (0 until 16).map(i =>
+          min(substring(md5(concat(col("s"), lit(":" + i))), 1, 16)).as(s"m$i"))
+        val sig = sh.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+        val bandRows = sig.select(col("doc_id"),
+          posexplode(array((0 until 4).map(b =>
+            concat_ws("|", (0 until 4).map(r => col(s"m${4 * b + r}")): _*)): _*))
+            .as(Seq("band", "bkey")))
+        // asymmetric band join: new-batch buckets probe the corpus buckets
+        val cand = bandRows.filter(col("doc_id") % 5 === 0)
+          .toDF("new_id", "band", "bkey")
+          .join(bandRows.filter(col("doc_id") % 5 =!= 0)
+            .toDF("old_id", "band", "bkey"), Seq("band", "bkey"))
+          .select("new_id", "old_id").dropDuplicates("new_id", "old_id")
+        val candIds = cand
+          .select(explode(array(col("new_id"), col("old_id"))).as("doc_id"))
+          .distinct()
+        val shc = sh.join(candIds, Seq("doc_id"), "left_semi")
+        val inter = shc.toDF("new_id", "s")
+          .join(shc.toDF("old_id", "s2"), col("s") === col("s2"))
+          .join(cand, Seq("new_id", "old_id"))
+          .groupBy("new_id", "old_id").agg(count(lit(1)).as("i"))
+        val sizes = sig.select(col("doc_id"), col("n"))
+        val jac = col("i") * lit(1.0) / (col("na") + col("nb") - col("i"))
+        inter
+          .join(sizes.toDF("new_id", "na"), "new_id")
+          .join(sizes.toDF("old_id", "nb"), "old_id")
+          .select(col("new_id"), col("old_id"), jac.as("jaccard"))
+          .filter(col("jaccard") >= 0.3)
+      }
     }
   )
 }
