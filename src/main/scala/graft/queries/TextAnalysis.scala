@@ -648,11 +648,19 @@ object TextAnalysis {
         |       len(segs) - len(kept) AS n_dropped
         |FROM k""".stripMargin) {
       (s, d) => {
-        val kept = keptSegments(col("text"), segTokens = 10, minDistinct = 3)
-        Tables.documents(s, d).select(col("doc_id"),
-          array_join(kept, " ").as("clean_text"),
-          (ceil(tokenCount(col("text")) / 10.0).cast("long")
-            - size(kept)).as("n_dropped"))
+        // materialize the kept array in its own projection: two output
+        // columns reference it, and CollapseProject keeps the boundary
+        // (non-cheap expression, multiple references) so the HOF chain
+        // runs once per row instead of once per referencing column
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            keptSegments(col("text"), segTokens = 10, minDistinct = 3)
+              .as("__kept"),
+            tokenCount(col("text")).as("__ntok"))
+          .select(col("doc_id"),
+            array_join(col("__kept"), " ").as("clean_text"),
+            (ceil(col("__ntok") / 10.0).cast("long")
+              - size(col("__kept"))).as("n_dropped"))
       }
     },
 

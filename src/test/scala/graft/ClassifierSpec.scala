@@ -56,6 +56,21 @@ class ClassifierSpec extends SparkSpec {
     assert(out.forall { case (s, k) => k == (s >= 1L) })
   }
 
+  test("null-text doc scores exactly the bias even with full bucket coverage") {
+    // xxhash64 of an all-null input returns the seed, so an unguarded
+    // bucket expression maps the explode_outer null token to a REAL
+    // bucket; with every bucket carrying a weight, that doc would score
+    // bias+weight. The guard keeps the bucket NULL -> left join miss.
+    val s = spark; import s.implicits._
+    val withNull = Seq((1L, "good words"), (2L, null: String))
+      .toDF("doc_id", "text")
+    val out = Classifier.scoreHashed(withNull, "doc_id", "text",
+      xxWeights(64), "bucket", "weight", Classifier.xxBucket(64), bias = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(2L) == 100L,
+      s"null-text doc must score the bias, got ${out(2L)}")
+  }
+
   test("plan shape: weights join is a broadcast, not a shuffle join") {
     val plan = Classifier.scoreHashed(docs, "doc_id", "text",
       xxWeights(64), "bucket", "weight", Classifier.xxBucket(64), bias = 0L)
