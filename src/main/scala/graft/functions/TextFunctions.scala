@@ -62,14 +62,17 @@ object TextFunctions {
   /** Word n-gram shingles (distinct), n >= 2; rows with fewer than n
     * tokens produce an empty list.
     */
-  def shingles(text: Column, n: Int = 2): Column = {
-    val t = tokens(text)
-    val gram = (i: Column) =>
-      concat_ws(" ", (0 until n).map(k => element_at(t, i + lit(k + 1))): _*)
-    array_distinct(
-      when(size(t) >= n, transform(sequence(lit(0), size(t) - n), gram))
-        .otherwise(array()))
-  }
+  def shingles(text: Column, n: Int = 2): Column =
+    // bind the token array once per row: element_at(t, ..) appears n
+    // times inside the gram lambda, and a val-named subtree would
+    // re-tokenize at every reference (see keptSegments note)
+    bind1(tokens(text)) { t =>
+      val gram = (i: Column) =>
+        concat_ws(" ", (0 until n).map(k => element_at(t, i + lit(k + 1))): _*)
+      array_distinct(
+        when(size(t) >= n, transform(sequence(lit(0), size(t) - n), gram))
+          .otherwise(array()))
+    }
 
   /** PII scrubbing for training corpora: replace emails, IPv4 addresses,
     * and phone-like digit runs with typed placeholder tags. Order matters —
@@ -101,13 +104,13 @@ object TextFunctions {
     * driver-side iteration around a global pair count). One-token and
     * empty docs yield an empty array.
     */
-  def adjacentPairs(text: Column): Column = {
-    val t = tokens(text)
-    zip_with(
-      slice(t, lit(1), size(t) - 1),
-      slice(t, lit(2), size(t) - 1),
-      (l, r) => concat(l, lit(" "), r))
-  }
+  def adjacentPairs(text: Column): Column =
+    bind1(tokens(text)) { t =>
+      zip_with(
+        slice(t, lit(1), size(t) - 1),
+        slice(t, lit(2), size(t) - 1),
+        (l, r) => concat(l, lit(" "), r))
+    }
 
   /** Within-document boilerplate filter (repetition-removal rules in the
     * Gopher/C4 family): chop the doc into `segTokens`-token segments and
