@@ -753,4 +753,68 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * cluster embeddings to k centroids, then prune within clusters only
+    * — a vector is dropped when a SMALLER-id vector in the SAME cluster
+    * has cosine >= `minCos` (deterministic keep-first form of the
+    * paper's one-per-group pruning). Near-dup pairs that land in
+    * different clusters are the method's accepted miss, exactly like
+    * LSH banding misses.
+    *
+    * Output: (idCol, cell_id, kept) for EVERY vector.
+    *
+    * Scale: the self-join is keyed by cell_id, so the quadratic term is
+    * sum(|cluster|^2) — k grows with the corpus (n/k docs per cluster
+    * held constant, the paper's regime) and the shuffle stays one
+    * exchange of (id, vec, norm) rows. Centroids are bounded driver
+    * state shipped as one constant matrix (NearestCell kernel); norms
+    * are computed once per vector, not once per pair.
+    */
+  def semanticDedup(vectors: DataFrame, cents: DataFrame, idCol: String,
+                    vecCol: String, minCos: Double): DataFrame = {
+    val asg = Ivf.assign(vectors, cents, idCol, vecCol)
+      .select(col(idCol), col(vecCol), col("cell_id"),
+        Similarity.l2norm(col(vecCol)).as("__nrm"))
+    val a = asg.select(col("cell_id"), col(idCol).as("__a"),
+      col(vecCol).as("__va"), col("__nrm").as("__na"))
+    val b = asg.select(col("cell_id"), col(idCol).as("__b"),
+      col(vecCol).as("__vb"), col("__nrm").as("__nb"))
+    val dropped = a.join(b, Seq("cell_id"))
+      .filter(col("__a") < col("__b"))
+      .filter(Similarity.dot(col("__va"), col("__vb"))
+        / (col("__na") * col("__nb")) >= minCos)
+      .select(col("__b").as(idCol)).distinct()
+    asg.join(dropped.withColumn("__d", lit(1)), Seq(idCol), "left")
+      .select(col(idCol), col("cell_id"), col("__d").isNull.as("kept"))
+  }
+
+  /** md5-family MinHash signature table: (idCol, n, m0..m{k-1}) with
+    * each min-hash the first 16 hex chars of md5(shingle || ":" || i) —
+    * fixed-width lowercase hex is monotonic, so string MIN == numeric
+    * MIN and any SQL engine with md5 replays the signature exactly.
+    * The ORACLE hash family (16 md5s per distinct shingle is its
+    * price); production sketching is minhashSignatures (xxhash64).
+    */
+  def md5Signatures(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int, k: Int): DataFrame = {
+    val sh = docs.select(col(idCol),
+      explode(TextFunctions.shingles(col(textCol), n)).as("s"))
+    val aggs = count(lit(1)).as("n") +: (0 until k).map(i =>
+      min(substring(md5(concat(col("s"), lit(":" + i))), 1, 16)).as(s"m$i"))
+    sh.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Band rows for [[md5Signatures]] output: (idCol, band, bkey) with
+    * bkey the "|"-joined signature rows of the band. */
+  def md5BandRows(sig: DataFrame, idCol: String, k: Int,
+                  bands: Int): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    sig.select(col(idCol),
+      posexplode(array((0 until bands).map(b =>
+        concat_ws("|", (0 until r).map(j => col(s"m${r * b + j}")): _*)): _*))
+        .as(Seq("band", "bkey")))
+  }
 }

@@ -20,6 +20,33 @@ import graft.functions.{Similarity, TextFunctions}
   */
 object SimilaritySearch {
 
+  /** s22's oracle, shared verbatim by st08 (the streaming run of the
+    * same incremental shape must hash-match the batch SQL). */
+  private[queries] val IncrementalNearDupOracleSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(t)),
+        |                                             i -> t[i] || ' ' || t[i+1]))) AS s
+        |       FROM toks WHERE len(t) >= 2),
+        |mh AS (SELECT doc_id, f,
+        |         min(substring(md5(s || ':' || CAST(f AS VARCHAR)), 1, 16)) AS m
+        |       FROM sh CROSS JOIN generate_series(0, 15) g(f) GROUP BY 1, 2),
+        |bnd AS (SELECT doc_id, f // 4 AS band, string_agg(m, '|' ORDER BY f) AS bkey
+        |        FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+        |         FROM bnd a JOIN bnd b ON a.band = b.band AND a.bkey = b.bkey
+        |         WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT c.new_id, c.old_id, count(*) AS i
+        |          FROM cand c JOIN sh a ON a.doc_id = c.new_id
+        |                      JOIN sh b ON b.doc_id = c.old_id AND b.s = a.s
+        |          GROUP BY 1, 2)
+        |SELECT new_id, old_id, i * 1.0 / (sa.n + sb.n - i) AS jaccard
+        |FROM inter JOIN sizes sa ON new_id = sa.doc_id
+        |           JOIN sizes sb ON old_id = sb.doc_id
+        |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.3""".stripMargin
+
+
   val queries: Seq[Query] = Seq(
 
     // ---- S1: brute-force cosine top-k (exact ANN baseline) ----------------
@@ -998,39 +1025,15 @@ object SimilaritySearch {
     // pinned by IncrementalDedupSpec's cross-pair equivalence against
     // minhashLshPairs over the union.
     Query("s22_incremental_neardup",
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT doc_id,
-        |         unnest(list_distinct(list_transform(range(1, len(t)),
-        |                                             i -> t[i] || ' ' || t[i+1]))) AS s
-        |       FROM toks WHERE len(t) >= 2),
-        |mh AS (SELECT doc_id, f,
-        |         min(substring(md5(s || ':' || CAST(f AS VARCHAR)), 1, 16)) AS m
-        |       FROM sh CROSS JOIN generate_series(0, 15) g(f) GROUP BY 1, 2),
-        |bnd AS (SELECT doc_id, f // 4 AS band, string_agg(m, '|' ORDER BY f) AS bkey
-        |        FROM mh GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
-        |         FROM bnd a JOIN bnd b ON a.band = b.band AND a.bkey = b.bkey
-        |         WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |inter AS (SELECT c.new_id, c.old_id, count(*) AS i
-        |          FROM cand c JOIN sh a ON a.doc_id = c.new_id
-        |                      JOIN sh b ON b.doc_id = c.old_id AND b.s = a.s
-        |          GROUP BY 1, 2)
-        |SELECT new_id, old_id, i * 1.0 / (sa.n + sb.n - i) AS jaccard
-        |FROM inter JOIN sizes sa ON new_id = sa.doc_id
-        |           JOIN sizes sb ON old_id = sb.doc_id
-        |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.3""".stripMargin) {
+      IncrementalNearDupOracleSql) {
       (s, d) => {
         val docs = Tables.documents(s, d)
         val sh = docs.select(col("doc_id"),
           explode(TextFunctions.shingles(col("text"), 2)).as("s"))
-        val sigAggs = count(lit(1)).as("n") +: (0 until 16).map(i =>
-          min(substring(md5(concat(col("s"), lit(":" + i))), 1, 16)).as(s"m$i"))
-        val sig = sh.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
-        val bandRows = sig.select(col("doc_id"),
-          posexplode(array((0 until 4).map(b =>
-            concat_ws("|", (0 until 4).map(r => col(s"m${4 * b + r}")): _*)): _*))
-            .as(Seq("band", "bkey")))
+        val sig = graft.operators.Dedup.md5Signatures(docs, "doc_id", "text",
+          n = 2, k = 16)
+        val bandRows = graft.operators.Dedup.md5BandRows(sig, "doc_id",
+          k = 16, bands = 4)
         // asymmetric band join: new-batch buckets probe the corpus buckets
         val cand = bandRows.filter(col("doc_id") % 5 === 0)
           .toDF("new_id", "band", "bkey")
@@ -1052,6 +1055,167 @@ object SimilaritySearch {
           .join(sizes.toDF("old_id", "nb"), "old_id")
           .select(col("new_id"), col("old_id"), jac.as("jaccard"))
           .filter(col("jaccard") >= 0.3)
+      }
+    },
+
+    // ---- S23: semantic dedup (SemDeDup) -----------------------------------
+    // Embedding-space dedup at cluster granularity: assign every vector
+    // to its nearest of 8 literal centroids (s17's recipe — the same
+    // splitmix64 hyperplane fixture embedded as VALUES), then drop any
+    // vector whose cluster holds a smaller-id vector with cosine >= 0.4.
+    // Full oracle: assignment argmin, the within-cluster pair cosine,
+    // and the keep rule all replay in SQL with in-order float folds.
+    // The production shape trains centroids with Ivf.train (s09's
+    // Lloyd path) — literal centroids here make the pipeline
+    // hash-checkable end-to-end, the s17/s20 technique.
+    {
+      val nCells = 8
+      val cvecs = Similarity.hyperplanes(1, nCells, 64)
+      val centValues = cvecs.zipWithIndex
+        .map { case (c, r) => s"($r, [${c.mkString(", ")}])" }
+        .mkString(",\n        ")
+      Query("s23_semantic_dedup",
+        s"""WITH cents(cell_id, c) AS (VALUES
+          |        $centValues),
+          |dist AS (
+          |  SELECT vec_id, cell_id,
+          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |           list_transform(range(1, 65),
+          |             i -> (CAST(embedding[i] AS DOUBLE) - c[i])
+          |                  * (CAST(embedding[i] AS DOUBLE) - c[i]))),
+          |           (a, x) -> a + x) AS d
+          |  FROM embeddings CROSS JOIN cents),
+          |assigned AS (SELECT vec_id, cell_id FROM (
+          |  SELECT vec_id, cell_id,
+          |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+          |  FROM dist) WHERE rn = 1),
+          |nrm AS (SELECT vec_id,
+          |          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |            list_transform(range(1, 65),
+          |              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+          |            (a, x) -> a + x)) AS nrm
+          |        FROM embeddings),
+          |dropped AS (
+          |  SELECT DISTINCT b.vec_id
+          |  FROM assigned a JOIN assigned b
+          |         ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+          |       JOIN embeddings ea ON ea.vec_id = a.vec_id
+          |       JOIN embeddings eb ON eb.vec_id = b.vec_id
+          |       JOIN nrm na ON na.vec_id = a.vec_id
+          |       JOIN nrm nb ON nb.vec_id = b.vec_id
+          |  WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |          list_transform(range(1, 65),
+          |            i -> CAST(ea.embedding[i] AS DOUBLE)
+          |                 * CAST(eb.embedding[i] AS DOUBLE))),
+          |          (a, x) -> a + x) / (na.nrm * nb.nrm) >= 0.4)
+          |SELECT a.vec_id, a.cell_id, d.vec_id IS NULL AS kept
+          |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id""".stripMargin) {
+        (s, d) =>
+          import s.implicits._
+          val cents = cvecs.zipWithIndex.map { case (c, r) => (r.toLong, c) }
+            .toDF("cell_id", "c_vec")
+          graft.operators.Dedup.semanticDedup(
+            Tables.embeddings(s, d), cents, "vec_id", "embedding", minCos = 0.4)
+      }
+    },
+
+    // ---- S24: ANN recall evaluation harness -------------------------------
+    // The metric every ANN deployment ships with: recall@5 of the IVF
+    // path (8 literal centroids, nProbe = 2 of 8 — deliberately lossy so
+    // the metric is non-trivial) against the brute-force exact top-5
+    // (s01's shape). Both paths and the per-query hit count replay in
+    // SQL; recall is hits / 5.0. At scale the exact side runs on a
+    // SAMPLE of queries (it is the evaluation, not the serving path) —
+    // the plan shape (broadcast query side, one corpus scan per path)
+    // is unchanged.
+    {
+      val nCells = 8
+      val cvecs = Similarity.hyperplanes(1, nCells, 64)
+      val centValues = cvecs.zipWithIndex
+        .map { case (c, r) => s"($r, [${c.mkString(", ")}])" }
+        .mkString(",\n        ")
+      Query("s24_ann_recall",
+        s"""WITH cents(cell_id, c) AS (VALUES
+          |        $centValues),
+          |dist AS (
+          |  SELECT vec_id, cell_id,
+          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |           list_transform(range(1, 65),
+          |             i -> (CAST(embedding[i] AS DOUBLE) - c[i])
+          |                  * (CAST(embedding[i] AS DOUBLE) - c[i]))),
+          |           (a, x) -> a + x) AS d
+          |  FROM embeddings CROSS JOIN cents),
+          |assigned AS (SELECT vec_id, cell_id FROM (
+          |  SELECT vec_id, cell_id,
+          |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+          |  FROM dist) WHERE rn = 1),
+          |probes AS (SELECT vec_id AS query_id, cell_id FROM (
+          |  SELECT vec_id, cell_id,
+          |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+          |  FROM dist WHERE vec_id < 10) WHERE rn <= 2),
+          |cos_all AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |           list_transform(range(1, 65),
+          |             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+          |           (a, x) -> a + x)
+          |         / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |              list_transform(range(1, 65),
+          |                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))),
+          |              (a, x) -> a + x))
+          |            * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |                list_transform(range(1, 65),
+          |                  i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+          |                (a, x) -> a + x))) AS cos
+          |  FROM embeddings q JOIN embeddings c
+          |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+          |exact AS (SELECT query_id, neighbor_id FROM (
+          |  SELECT query_id, neighbor_id,
+          |         row_number() OVER (PARTITION BY query_id
+          |                            ORDER BY cos DESC, neighbor_id) AS rn
+          |  FROM cos_all) WHERE rn <= 5),
+          |ivf AS (SELECT query_id, neighbor_id FROM (
+          |  SELECT ca.query_id, ca.neighbor_id,
+          |         row_number() OVER (PARTITION BY ca.query_id
+          |                            ORDER BY ca.cos DESC, ca.neighbor_id) AS rn
+          |  FROM cos_all ca JOIN probes p ON ca.query_id = p.query_id
+          |                  JOIN assigned a ON a.vec_id = ca.neighbor_id
+          |                                 AND a.cell_id = p.cell_id) WHERE rn <= 5)
+          |SELECT e.query_id, count(i.neighbor_id) AS n_hit,
+          |       count(i.neighbor_id) / 5.0 AS recall
+          |FROM exact e LEFT JOIN ivf i
+          |  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+          |GROUP BY e.query_id""".stripMargin) {
+        (s, d) => {
+          import s.implicits._
+          val e = Tables.embeddings(s, d)
+          val cents = cvecs.zipWithIndex.map { case (c, r) => (r.toLong, c) }
+            .toDF("cell_id", "c_vec")
+          val q = e.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+          val ivf = graft.operators.Ivf.searchWithCentroids(e, q, cents,
+              "vec_id", "embedding", nProbe = 2, k = 5)
+            .select(col("query_id"), col("neighbor_id"), lit(1).as("__h"))
+          val c = e.select(col("vec_id"), col("embedding"),
+            Similarity.l2norm(col("embedding")).as("c_norm"))
+          val qn = c.filter(col("vec_id") < 10).select(
+            col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+            col("c_norm").as("q_norm"))
+          val cos = Similarity.dot(col("q_emb"), col("embedding")) /
+            (col("q_norm") * col("c_norm"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+          val exact = c.crossJoin(broadcast(qn))
+            .filter(col("vec_id") =!= col("query_id"))
+            .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cos"))
+            .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+            .select("query_id", "neighbor_id")
+          exact.join(ivf, Seq("query_id", "neighbor_id"), "left")
+            .groupBy("query_id")
+            .agg(count(col("__h")).as("n_hit"))
+            .select(col("query_id"), col("n_hit"),
+              (col("n_hit") / lit(5.0)).as("recall"))
+        }
       }
     }
   )

@@ -347,6 +347,89 @@ object StreamingQueries {
         graft.operators.Anomalies.consolidate(
           Seq(ss.table(thrSink), ss.table(dupSink)))
       }
+    },
+
+    // ---- ST8: incremental near-dup as a STREAM -------------------------------
+    // s22's continuously-growing-corpus shape running the way it runs in
+    // production: the corpus (doc_id % 5 != 0) was sketched when it
+    // landed (signature + band-bucket + shingle tables persist across
+    // batches); new crawl batches arrive as files (two landed parquet
+    // files, mtime-pinned order, one per micro-batch) and each
+    // micro-batch sketches ONLY itself, probes the stored corpus
+    // buckets, verifies candidates, and appends its pairs to the result
+    // store. Batches partition the new docs and every emitted pair is
+    // new-vs-corpus, so batch-wise union == the one-shot batch run: the
+    // finished store must hash-match s22's ORACLE SQL verbatim.
+    Query("st08_stream_incremental_neardup",
+      SimilaritySearch.IncrementalNearDupOracleSql) {
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        import graft.operators.Dedup
+        import graft.functions.TextFunctions
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val docs = Tables.documents(ss, d)
+        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        // stored-corpus artifacts: computed once, reused by every batch
+        val corpusSh = corpus.select(col("doc_id").as("old_id"),
+            explode(TextFunctions.shingles(col("text"), 2)).as("s"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val corpusSig = Dedup.md5Signatures(corpus, "doc_id", "text",
+            n = 2, k = 16)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val corpusBands = Dedup.md5BandRows(corpusSig, "doc_id",
+            k = 16, bands = 4)
+          .toDF("old_id", "band", "bkey")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // two landed new-crawl batches, arrival order pinned via mtime
+        val newDocs = docs.filter(col("doc_id") % 5 === 0)
+        val landing = graft.core.TempDirs.scratch("st08_landing_")
+        val out = graft.core.TempDirs.scratch("st08_pairs_").toString
+        def stage(df: org.apache.spark.sql.DataFrame, name: String,
+                  mtime: Long): Unit = {
+          val tmp = graft.core.TempDirs.scratch("st08_b_").toString
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val f = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+            .filter(_.endsWith(".parquet")).head
+          val dst = landing.resolve(name)
+          Files.copy(Paths.get(f), dst)
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+        }
+        stage(newDocs.filter(col("doc_id") % 10 === 0), "b1.parquet", 1000000L)
+        stage(newDocs.filter(col("doc_id") % 10 =!= 0), "b2.parquet", 2000000L)
+        val src = Streams.fileSource(ss, landing.toString, docs.schema,
+          maxFilesPerTrigger = Some(1))
+        val q = src.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val bSig = Dedup.md5Signatures(batch, "doc_id", "text",
+              n = 2, k = 16).localCheckpoint(true)
+            val cand = Dedup.md5BandRows(bSig, "doc_id", k = 16, bands = 4)
+              .toDF("new_id", "band", "bkey")
+              .join(corpusBands, Seq("band", "bkey"))
+              .select("new_id", "old_id").dropDuplicates("new_id", "old_id")
+            val bSh = batch.select(col("doc_id").as("new_id"),
+              explode(TextFunctions.shingles(col("text"), 2)).as("s"))
+            val inter = bSh
+              .join(corpusSh.withColumnRenamed("s", "s2"), col("s") === col("s2"))
+              .join(cand, Seq("new_id", "old_id"))
+              .groupBy("new_id", "old_id").agg(count(lit(1)).as("i"))
+            val jac = col("i") * lit(1.0) / (col("na") + col("nb") - col("i"))
+            inter
+              .join(bSig.select(col("doc_id").as("new_id"), col("n").as("na")),
+                "new_id")
+              .join(corpusSig.select(col("doc_id").as("old_id"),
+                col("n").as("nb")), "old_id")
+              .select(col("new_id"), col("old_id"), jac.as("jaccard"))
+              .filter(col("jaccard") >= 0.3)
+              .write.mode("append").parquet(out)
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        Seq(corpusSh, corpusSig, corpusBands).foreach(_.unpersist(false))
+        ss.read.parquet(out)
+      }
     }
   )
 }

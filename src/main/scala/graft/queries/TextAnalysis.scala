@@ -731,6 +731,66 @@ object TextAnalysis {
         Tables.documents(s, d), "doc_id", "text",
         graft.operators.Classifier.md5DemoWeights(s), "bucket", "weight",
         graft.operators.Classifier.md5Bucket, bias = 3L)
+    },
+
+    // ---- T30: per-domain quality-percentile curriculum filter -------------
+    // CCNet/RefinedWeb practice: quality cutoffs are set PER SOURCE so
+    // dropping each domain's worst tail preserves domain diversity.
+    // Composes t28's domain derivation + an integer quality score (the
+    // only float step is the percentile interpolation — a18's proven
+    // cross-engine contract). Plan: one domain-keyed hash aggregate +
+    // broadcast threshold join back; the corpus never globally sorts.
+    // At 100 TB the exact percentile swaps for percentile_approx (a25)
+    // with the identical two-pass plan.
+    Query("t30_quality_curriculum",
+      s"""WITH u AS (SELECT doc_id, $UrlFixtureSql AS url,
+        |  len(string_split(text, ' '))
+        |    + 3*len(list_filter(string_split(text, ' '),
+        |            t -> t IN ('the','a','of','and','in')))
+        |    - length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS score
+        |FROM documents),
+        |d AS (SELECT doc_id, score,
+        |  regexp_replace(regexp_replace(lower(regexp_extract(url,
+        |    '^[^:]+://([^/?#]+)', 1)), ':443$$', ''), '^www\\.', '') AS domain
+        |FROM u),
+        |t AS (SELECT domain, quantile_cont(score, 0.75) AS p_thr
+        |      FROM d GROUP BY 1)
+        |SELECT doc_id, domain, score, p_thr,
+        |       CAST(score AS DOUBLE) >= p_thr AS kept
+        |FROM d JOIN t USING (domain)""".stripMargin) {
+      (s, d) => {
+        import graft.functions.Web
+        val scored = Tables.documents(s, d).select(
+          col("doc_id"),
+          Web.urlHost(expr(UrlFixtureSql)).as("domain"),
+          graft.operators.Curriculum.integerQualityScore(col("text"), stop)
+            .as("score"))
+        graft.operators.Curriculum.domainPercentileKeep(
+          scored, "doc_id", "domain", "score", p = 0.75)
+      }
+    },
+
+    // ---- T31: corpus-frequency boilerplate coverage -----------------------
+    // Gopher's repetition family at CORPUS granularity: fraction of a
+    // doc's distinct 3-grams that are corpus-frequent (df > 5). High
+    // coverage = the doc is assembled from boilerplate even when
+    // nothing repeats within it (t15/t25 cover the within-doc rules).
+    // The frequent-gram list is the df tail — broadcast-small at any
+    // cutoff that means "frequent"; AQE picks the broadcast.
+    Query("t31_dup_ngram_coverage",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        |       FROM t WHERE len(t) >= 3),
+        |df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+        |f AS (SELECT s FROM df WHERE df > 5)
+        |SELECT doc_id, count(*) AS n_grams, count(f.s) AS n_freq,
+        |       CAST(count(f.s) AS DOUBLE) / count(*) AS coverage
+        |FROM sh LEFT JOIN f ON sh.s = f.s
+        |GROUP BY 1""".stripMargin) {
+      (s, d) => graft.operators.Curriculum.dupNgramCoverage(
+        Tables.documents(s, d), "doc_id", "text", n = 3, minDf = 5L)
     }
   )
 
