@@ -316,6 +316,69 @@ object ScaleSmoke {
           .groupBy("grp").agg(count(lit(1)), sum("v"))
           .write.format("noop").mode("overwrite").save()
       },
+      time("semantic_dedup_50k_vecs") {
+        // SemDeDup at 10x with k raised 8 -> 256 per the n/k-constant
+        // regime: ~200 vectors per cluster keeps sum(|cluster|^2)
+        // linear-ish in n; assignment is the narrow NearestCell
+        // projection, the pair join is keyed by cell_id
+        val e0 = graft.core.Tables.embeddings(spark, sfDir)
+        val maxVec = e0.agg(max("vec_id")).as[Long].head() + 1
+        val e = e0.crossJoin(copies)
+          .withColumn("vec_id", col("vec_id") + col("rep") * maxVec).drop("rep")
+        val cvecs = graft.functions.Similarity.hyperplanes(1, 256, 64)
+        val cents = cvecs.zipWithIndex.map { case (c, r) => (r.toLong, c) }
+          .toDF("cell_id", "c_vec")
+        graft.operators.Dedup.semanticDedup(e, cents, "vec_id", "embedding",
+            minCos = 0.4)
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("incremental_neardup_50k_docs") {
+        // the continuously-growing-corpus claim at 10x: 45k-doc corpus
+        // pre-sketched (signature table persisted, as in production),
+        // 5k-doc batch sketches only itself — cost must track the
+        // BATCH, not the corpus
+        val docs0 = graft.core.Tables.documents(spark, sfDir)
+        val maxDoc = docs0.agg(max("doc_id")).as[Long].head() + 1
+        val docs = docs0.crossJoin(copies)
+          .withColumn("doc_id", col("doc_id") + col("rep") * maxDoc).drop("rep")
+        val newDocs = docs.filter(col("doc_id") % 10 === 0)
+        val oldDocs = docs.filter(col("doc_id") % 10 =!= 0)
+        val oldSigs = graft.operators.Dedup.minhashSignatures(
+            oldDocs, "doc_id", "text", 2, 32)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        oldSigs.count() // corpus sketched "when it landed" — untimed store
+        graft.operators.Dedup.incrementalNearDupPairs(newDocs, oldDocs,
+            oldSigs, "doc_id", "text", n = 2, k = 32, bands = 8,
+            threshold = 0.3, maxBucketSize = 100)
+          .write.format("noop").mode("overwrite").save()
+        oldSigs.unpersist(false)
+      },
+      time("quality_curriculum_50k_docs") {
+        // per-domain percentile filter at 10x: one domain-keyed
+        // aggregate + broadcast threshold join — nothing sorts the
+        // corpus
+        val docs0 = graft.core.Tables.documents(spark, sfDir)
+        val maxDoc = docs0.agg(max("doc_id")).as[Long].head() + 1
+        val docs = docs0.crossJoin(copies)
+          .withColumn("doc_id", col("doc_id") + col("rep") * maxDoc).drop("rep")
+        val scored = docs.select(col("doc_id"), col("source").as("domain"),
+          graft.operators.Curriculum.integerQualityScore(col("text"),
+            Seq("the", "a", "of", "and", "in")).as("score"))
+        graft.operators.Curriculum.domainPercentileKeep(
+            scored, "doc_id", "domain", "score", p = 0.75)
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("ngram_coverage_50k_docs") {
+        // corpus-frequency coverage at 10x (minDf scaled with the
+        // corpus): gram df agg + frequent-tail join back
+        val docs0 = graft.core.Tables.documents(spark, sfDir)
+        val maxDoc = docs0.agg(max("doc_id")).as[Long].head() + 1
+        val docs = docs0.crossJoin(copies)
+          .withColumn("doc_id", col("doc_id") + col("rep") * maxDoc).drop("rep")
+        graft.operators.Curriculum.dupNgramCoverage(docs, "doc_id", "text",
+            n = 3, minDf = 50L)
+          .write.format("noop").mode("overwrite").save()
+      },
       time("scd2_merge_150k_keys") {
         // SCD2 at 10x customer volume: one full-outer join + explode
         val c0 = graft.core.Tables.customer(spark, sfDir)
