@@ -1217,6 +1217,75 @@ object SimilaritySearch {
               (col("n_hit") / lit(5.0)).as("recall"))
         }
       }
+    },
+
+    // ---- S25: quality-aware dedup (keep the BEST doc per cluster) ---------
+    // Production dedup keeps the highest-quality member of each near-dup
+    // cluster, not an arbitrary one (keep-first by id discards quality
+    // signal). Composes three oracle-proven pieces: exact Jaccard pairs
+    // (t06, bounded slice — the oracle must run the same all-pairs
+    // join), connected components (s08's recursive-CTE technique), and
+    // the integer quality score (t30). Singletons are their own
+    // component and always kept. The winner rule (max score, then min
+    // id) is one row_number window keyed by component — the same single
+    // shuffle the cluster assignment already pays.
+    Query("s25_quality_aware_dedup",
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 300
+        |), sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS s
+        |  FROM toks WHERE len(t) >= 2
+        |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.3),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+        |q AS (SELECT doc_id,
+        |        len(string_split(text, ' '))
+        |          + 3*len(list_filter(string_split(text, ' '),
+        |                  t -> t IN ('the','a','of','and','in')))
+        |          - length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS score
+        |      FROM documents WHERE doc_id < 300),
+        |allc AS (SELECT q.doc_id, coalesce(c.component, q.doc_id) AS component,
+        |                q.score
+        |         FROM q LEFT JOIN comp c ON q.doc_id = c.doc_id)
+        |SELECT doc_id, component, score, rn = 1 AS kept FROM (
+        |  SELECT doc_id, component, score,
+        |         row_number() OVER (PARTITION BY component
+        |                            ORDER BY score DESC, doc_id) AS rn
+        |  FROM allc)""".stripMargin) {
+      (s, d) => {
+        val slice = Tables.documents(s, d).filter(col("doc_id") < 300)
+        val pairs = graft.operators.Dedup.exactJaccardPairs(
+          slice, "doc_id", "text", n = 2, threshold = 0.3)
+        val comp = graft.operators.Dedup.connectedComponents(
+            pairs, "doc_a", "doc_b")
+          .select(col("id").as("doc_id"), col("component"))
+        val scored = slice.select(col("doc_id"),
+          graft.operators.Curriculum.integerQualityScore(col("text"),
+            Seq("the", "a", "of", "and", "in")).as("score"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("component").orderBy(col("score").desc, col("doc_id"))
+        scored.join(comp, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("component"),
+            col("score"))
+          .withColumn("kept", row_number().over(w) === 1)
+      }
     }
   )
 }
