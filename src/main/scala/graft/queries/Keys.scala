@@ -113,6 +113,34 @@ object Keys {
             .as("within_1"))
     },
 
+    // ---- mergeable distinct sketches (the 100 TB incremental knob for A2) ----
+    // The warehouse pattern exact count(DISTINCT) cannot follow at
+    // scale: per-shard Datasketches HLL sketches (hll_sketch_agg) are
+    // STORED STATE — a new shard's sketch unions in (hll_union_agg)
+    // without touching old shards, the a22 incremental-maintenance
+    // pattern for the one aggregate that isn't decomposable exactly.
+    // Error-bound oracle (a17/a25 technique): lgConfigK=14 gives ~0.8%
+    // relative standard error; the gate asserts the merged estimate
+    // lands within 5% of the exact distinct, which the oracle computes.
+    Query("a26_sketch_union",
+      """SELECT 16 AS n_shards,
+        |       count(DISTINCT l_orderkey) AS exact_distinct,
+        |       CAST(1 AS BOOLEAN) AS within_5pct
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val perShard = li
+        .groupBy(pmod(col("l_suppkey"), lit(16)).as("__shard"))
+        .agg(expr("hll_sketch_agg(l_orderkey, 14)").as("__sk"))
+      val merged = perShard.agg(
+        count(lit(1)).cast("int").as("n_shards"),
+        expr("hll_sketch_estimate(hll_union_agg(__sk))").as("__est"))
+      val exact = li.agg(count_distinct(col("l_orderkey")).as("exact_distinct"))
+      merged.crossJoin(exact).select(
+        col("n_shards"), col("exact_distinct"),
+        (abs(col("__est").cast("double") - col("exact_distinct").cast("double"))
+          <= col("exact_distinct").cast("double") * 0.05).as("within_5pct"))
+    },
+
     // ---- exact percentile / median ------------------------------------------
     Query("a18_percentile",
       """SELECT l_returnflag,
