@@ -40,6 +40,15 @@ object TextAnalysis {
       |     WHEN doc_id % 4 = 2 THEN '?b=2&a=1#frag'
       |     ELSE '?a=1&ref=home&b=2' END""".stripMargin.replace("\n", " ")
 
+  /** g09's variant of the URL fixture: the item id is doc_id rounded
+    * down to even (dialect-shared arithmetic — no integer-division
+    * operator differences), so every two adjacent docs collide on one
+    * canonical URL and the keep-first stage scales WITH the corpus
+    * instead of collapsing to the fixture's 140 static URLs. */
+  private val G09UrlSql: String =
+    UrlFixtureSql.replace("CAST(doc_id % 7 AS STRING)",
+      "CAST(doc_id - doc_id % 2 AS STRING)")
+
   val queries: Seq[Query] = Seq(
 
     // ---- T1: token counting (whitespace + regex/BPE-ish) ------------------
@@ -791,6 +800,110 @@ object TextAnalysis {
         |GROUP BY 1""".stripMargin) {
       (s, d) => graft.operators.Curriculum.dupNgramCoverage(
         Tables.documents(s, d), "doc_id", "text", n = 3, minDf = 5L)
+    },
+
+    // ---- G9: corpus manifest — the whole curation chain in ONE query ------
+    // What g05 is to the reference's cleaning DAG, this is to the
+    // LLM-curation extension: five individually-proven stages chained
+    // into the query a training run would actually consume. (1) URL
+    // canonical keep-first (t28) -> (2) exact-content keep-first (t05)
+    // -> (3) benchmark decontamination: eval set (doc_id % 40 = 0) held
+    // out AND any corpus doc sharing a distinct 3-gram with it dropped
+    // (t14's rule; engine side is the hashed-shingle broadcast, oracle
+    // replays with string shingles — agreement doubles as the collision
+    // check) -> (4) per-domain p75 quality gate over the SURVIVORS
+    // (t30) -> (5) manifest projection: token counts + deterministic
+    // md5 shard assignment. Every stage's shuffle was already audited
+    // alone; the chain adds no new exchange class.
+    Query("g09_corpus_manifest",
+      s"""WITH u AS (SELECT doc_id, text, $G09UrlSql AS url FROM documents),
+        |x AS (SELECT doc_id,
+        |        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+        |        lower(regexp_extract(url, '^[^:]+://([^/?#]+)', 1)) AS rawhost,
+        |        regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1) AS rawpath,
+        |        regexp_extract(url, '\\?([^#]*)', 1) AS rawq
+        |      FROM u),
+        |y AS (SELECT doc_id, sch,
+        |        regexp_replace(CASE WHEN sch = 'https' THEN regexp_replace(rawhost, ':443$$', '')
+        |                            WHEN sch = 'http'  THEN regexp_replace(rawhost, ':80$$', '')
+        |                            ELSE rawhost END, '^www\\.', '') AS dom,
+        |        regexp_replace(regexp_replace(rawpath, '/{2,}', '/', 'g'), '/$$', '') AS pth,
+        |        array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+        |          p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|msclkid|ref)='))), '&') AS q
+        |      FROM x),
+        |c AS (SELECT doc_id, dom,
+        |        sch || '://' || dom || (CASE WHEN pth = '' THEN '/' ELSE pth END) ||
+        |        (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS url_canon
+        |      FROM y),
+        |s1 AS (SELECT * FROM (
+        |         SELECT u.doc_id, u.text, c.dom AS domain, c.url_canon,
+        |                min(u.doc_id) OVER (PARTITION BY c.url_canon) AS w1
+        |         FROM u JOIN c ON u.doc_id = c.doc_id)
+        |       WHERE doc_id = w1),
+        |s2 AS (SELECT * FROM (
+        |         SELECT doc_id, text, domain, url_canon,
+        |                min(doc_id) OVER (PARTITION BY md5(text)) AS w2
+        |         FROM s1)
+        |       WHERE doc_id = w2),
+        |bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+        |           range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        |       FROM (SELECT string_split(text, ' ') AS t FROM documents
+        |             WHERE doc_id % 40 = 0)
+        |       WHERE len(t) >= 3),
+        |cg AS (SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        |       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM s2
+        |             WHERE doc_id % 40 <> 0)
+        |       WHERE len(t) >= 3),
+        |dirty AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg ON cg.s = bg.s),
+        |s3 AS (SELECT s2.* FROM s2 LEFT JOIN dirty ON s2.doc_id = dirty.doc_id
+        |       WHERE s2.doc_id % 40 <> 0 AND dirty.doc_id IS NULL),
+        |sc AS (SELECT doc_id, domain, url_canon, text,
+        |         len(string_split(text, ' '))
+        |           + 3*len(list_filter(string_split(text, ' '),
+        |                   t -> t IN ('the','a','of','and','in')))
+        |           - length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS score
+        |       FROM s3),
+        |thr AS (SELECT domain, quantile_cont(score, 0.75) AS p_thr
+        |        FROM sc GROUP BY 1)
+        |SELECT sc.doc_id, sc.domain, sc.url_canon, sc.score,
+        |       len(string_split(sc.text, ' ')) AS n_tokens,
+        |       ascii(substring(md5(CAST(sc.doc_id AS VARCHAR)), 1, 1)) % 8 AS shard
+        |FROM sc JOIN thr ON sc.domain = thr.domain
+        |WHERE CAST(sc.score AS DOUBLE) >= thr.p_thr""".stripMargin) {
+      (s, d) => {
+        import graft.functions.Web
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val url = docs.select(col("doc_id"), col("text"),
+          Web.canonicalUrl(expr(G09UrlSql)).as("url_canon"),
+          Web.urlHost(expr(G09UrlSql)).as("domain"))
+        val s1 = url
+          .withColumn("__w1", min("doc_id").over(Window.partitionBy("url_canon")))
+          .filter(col("doc_id") === col("__w1")).drop("__w1")
+        val s2 = s1
+          .withColumn("__w2",
+            min("doc_id").over(Window.partitionBy(md5(col("text")))))
+          .filter(col("doc_id") === col("__w2")).drop("__w2")
+        val corpus = s2.filter(col("doc_id") % 40 =!= 0)
+        val dirty = graft.operators.Decontaminate.benchmarkOverlap(
+          corpus, docs.filter(col("doc_id") % 40 === 0),
+          "doc_id", "text", n = 3, minOverlap = 1)
+        val s3 = corpus.join(dirty.select("doc_id"), Seq("doc_id"), "left_anti")
+        val sc = s3.select(col("doc_id"), col("domain"), col("url_canon"),
+          col("text"),
+          graft.operators.Curriculum.integerQualityScore(col("text"), stop)
+            .as("score"))
+        val thr = sc.groupBy("domain")
+          .agg(expr("percentile(score, 0.75)").as("p_thr"))
+        sc.join(broadcast(thr), Seq("domain"))
+          .filter(col("score").cast("double") >= col("p_thr"))
+          .select(col("doc_id"), col("domain"), col("url_canon"), col("score"),
+            tokenCount(col("text")).as("n_tokens"),
+            (ascii(substring(md5(col("doc_id").cast("string")), 1, 1)) % 8)
+              .cast("long").as("shard"))
+      }
     }
   )
 
