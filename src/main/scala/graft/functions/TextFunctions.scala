@@ -140,6 +140,29 @@ object TextFunctions {
     }
   }
 
+  /** Fixed-token context windows at a stride (training-sequence prep):
+    * window w starting every `stride` tokens, short final window kept,
+    * docs with <= (window - stride) tokens produce one window when they
+    * have any token beyond... concretely: n windows = ceil((len -
+    * overlap) / stride) for len > overlap, where overlap = window -
+    * stride. Intermediates bound once per row (see keptSegments note).
+    */
+  def contextChunks(text: Column, window: Int, stride: Int): Column = {
+    require(stride > 0 && window >= stride, "need window >= stride > 0")
+    val overlap = window - stride
+    bind1(tokens(text)) { t =>
+      val n = ceil((size(t) - lit(overlap)) / lit(stride.toDouble))
+        .cast("long")
+      // guard: sequence(0, n-1) with n <= 0 would generate a DESCENDING
+      // sequence (Spark's default step is sign-inferred), not an empty one
+      when(size(t) > overlap,
+        transform(sequence(lit(0L), n - 1),
+          i => array_join(
+            slice(t, (i * stride + 1).cast("int"), lit(window)), " ")))
+        .otherwise(array())
+    }
+  }
+
   /** Evaluate `e` once per row and pass the bound value to `body` — the
     * expression-DAG escape hatch for array-valued common subexpressions
     * referenced from inside higher-order-function lambdas (where codegen

@@ -802,6 +802,31 @@ object TextAnalysis {
         Tables.documents(s, d), "doc_id", "text", n = 3, minDf = 5L)
     },
 
+    // ---- T32: context-window chunking (sequence prep) ---------------------
+    // The "cut documents into training sequences" operator: fixed
+    // 20-token windows at stride 15 (5-token overlap, standard LM
+    // practice so no boundary context is lost), short final windows
+    // kept. Pure per-row array algebra via the bind1 pattern — zero
+    // exchanges, the t25 lesson applied from the start; t12's packing
+    // then assigns chunks to shards by token budget.
+    Query("t32_context_chunks",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id,
+        |        list_transform(range(0, CAST(ceil((len(w) - 5) / 15.0) AS BIGINT)),
+        |                       i -> array_to_string(w[(i*15 + 1):(i*15 + 20)], ' '))
+        |          AS chunks
+        |      FROM t WHERE len(w) > 5)
+        |SELECT doc_id, i - 1 AS chunk_idx, chunks[i] AS chunk_text,
+        |       len(string_split(chunks[i], ' ')) AS n_tokens
+        |FROM c, unnest(range(1, len(chunks) + 1)) AS u(i)""".stripMargin) {
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(contextChunks(col("text"), window = 20, stride = 15))
+            .as(Seq("chunk_idx", "chunk_text")))
+        .select(col("doc_id"), col("chunk_idx").cast("long"),
+          col("chunk_text"), tokenCount(col("chunk_text")).as("n_tokens"))
+    },
+
     // ---- G9: corpus manifest — the whole curation chain in ONE query ------
     // What g05 is to the reference's cleaning DAG, this is to the
     // LLM-curation extension: five individually-proven stages chained
