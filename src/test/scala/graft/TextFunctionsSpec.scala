@@ -104,4 +104,38 @@ class TextFunctionsSpec extends SparkSpec {
         minOverlap = 2, expectedShingles = 8, fpp = 0.5))
     assert(noisy == exact, "false positives must not survive the exact join")
   }
+
+  test("contextChunks: stride/overlap arithmetic and short-doc guard") {
+    val sess = spark; import sess.implicits._
+    def chunksOf(text: String): Seq[Seq[String]] =
+      Seq(Tuple1(text)).toDF("t")
+        .select(contextChunks(col("t"), window = 4, stride = 3))
+        .head().getSeq[String](0).map(_.split(" ").toSeq)
+    // 10 tokens, window 4, stride 3, overlap 1 -> ceil(9/3) = 3 chunks
+    val c = chunksOf((1 to 10).map("w" + _).mkString(" "))
+    assert(c.map(_.length) == Seq(4, 4, 4))
+    assert(c(0) == Seq("w1", "w2", "w3", "w4"))
+    assert(c(1) == Seq("w4", "w5", "w6", "w7"))   // 1-token overlap
+    assert(c(2) == Seq("w7", "w8", "w9", "w10"))
+    // 5 tokens -> ceil(4/3) = 2, short final window kept
+    val c5 = chunksOf("a b c d e")
+    assert(c5 == Seq(Seq("a", "b", "c", "d"), Seq("d", "e")))
+    // exactly window tokens -> one chunk
+    assert(chunksOf("a b c d") == Seq(Seq("a", "b", "c", "d")))
+    // at/below overlap tokens -> EMPTY (len > overlap gate), and never
+    // a descending-sequence blowup from sequence(0, n-1) with n <= 0
+    assert(chunksOf("a").isEmpty)
+    // just above the overlap -> one short chunk
+    assert(chunksOf("a b") == Seq(Seq("a", "b")))
+  }
+
+  test("contextChunks: null text yields empty, never a task failure") {
+    val sess = spark; import sess.implicits._
+    val out = Seq((1L, null: String), (2L, "a b c d e f"))
+      .toDF("id", "t")
+      .select(col("id"), contextChunks(col("t"), window = 4, stride = 3).as("c"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[String](1))).toMap
+    assert(out(2L).get.nonEmpty)
+    assert(out(1L).isEmpty || out(1L).get.isEmpty)
+  }
 }
