@@ -108,6 +108,37 @@ object SinkQueries {
             .as("digest"))
     },
 
+    // ---- IO8: schema evolution under a partitioned store --------------------
+    // The long-lived-warehouse reality: a later batch adds a column.
+    // Batch 1 lands (c_custkey, seg); batch 2 lands (c_custkey, seg,
+    // tier). A mergeSchema read reconciles the union schema and
+    // back-fills NULL tier for the pre-evolution partition — the oracle
+    // replays the union-with-nulls. Schema merge is a FOOTER-level
+    // operation (one footer per file at planning time); data files are
+    // never rewritten — the 100 TB answer to "we added a column".
+    Query("io08_schema_evolution",
+      """SELECT c_custkey, c_mktsegment AS seg, CAST(NULL AS VARCHAR) AS tier,
+        |       1 AS batch
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment AS seg,
+        |       CASE WHEN c_custkey % 3 = 0 THEN 'gold' ELSE 'std' END AS tier,
+        |       2 AS batch
+        |FROM customer WHERE c_custkey % 2 = 1""".stripMargin) { (s, d) =>
+      val root = graft.core.TempDirs.scratch("graft_evolve_").toString
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+      cust.filter(col("c_custkey") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$root/batch=1")
+      cust.filter(col("c_custkey") % 2 === 1)
+        .withColumn("tier",
+          when(col("c_custkey") % 3 === 0, "gold").otherwise("std"))
+        .write.mode("overwrite").parquet(s"$root/batch=2")
+      s.read.option("mergeSchema", "true").parquet(root)
+        .select(col("c_custkey"), col("seg"), col("tier"),
+          col("batch").cast("int").as("batch"))
+    },
+
     // ---- S6/S7: partitioned history write + pruned read ---------------------
     Query("io01_history_roundtrip",
       """SELECT CAST(DATE '2026-01-01' + CAST(o_orderkey % 3 AS INT) AS VARCHAR) AS pd,
