@@ -89,6 +89,29 @@ object Sessionize {
     }
   }
 
+  /** Per-key exponentially-weighted moving average — the monitoring
+    * smoother: y_1 = x_1, y_i = alpha*x_i + (1-alpha)*y_(i-1), ordered
+    * by (tsCol, tieBreak) within keyCol. A TRUE linear recurrence (no
+    * window function expresses it), so it rides the same secondary-sort
+    * scan as debounce/sessionize: one shuffle on the key, O(1) state
+    * per key. The oracle replays the identical fold as a recursive CTE
+    * with the SAME operation order (alpha*x + (1-alpha)*y), so IEEE
+    * rounding matches bit-for-bit.
+    */
+  def ewma(df: DataFrame, keyCol: String, tsCol: String, tieBreak: String,
+           valCol: String, alpha: Double, as: String = "ewma"): DataFrame = {
+    val vIdx = df.schema.fieldIndex(valCol)
+    scanPerKey[Double](df, Seq(keyCol), Seq(tsCol, tieBreak),
+      StructType(Seq(StructField(as, DoubleType, nullable = false)))) {
+      case (None, row) =>
+        val x = row.getAs[Number](vIdx).doubleValue; (x, Seq(x))
+      case (Some(prev), row) =>
+        val x = row.getAs[Number](vIdx).doubleValue
+        val y = alpha * x + (1 - alpha) * prev
+        (y, Seq(y))
+    }
+  }
+
   private def micros(row: Row, i: Int): Long = row.get(i) match {
     case t: java.sql.Timestamp => t.getTime * 1000 + (t.getNanos / 1000) % 1000
     case t: java.time.Instant  => t.getEpochSecond * 1000000L + t.getNano / 1000

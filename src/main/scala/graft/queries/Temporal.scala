@@ -225,6 +225,31 @@ object Temporal {
     // timestamp; the oracle replays it with a row-stepping recursive
     // CTE. The event-throttling shape every alerting/notification
     // pipeline needs.
+    // ---- W18: per-key EWMA (a second true recurrence on the scan) -----------
+    // Exponential smoothing of each user's value stream: y_1 = x_1,
+    // y_i = 0.5*x_i + 0.5*y_(i-1). No window frame expresses a value
+    // recurrence, so it rides the debounce/RDT secondary-sort scan; the
+    // oracle replays the fold with the identical operation order, so
+    // the IEEE doubles hash-match exactly.
+    Query("w18_ewma",
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |scan AS (
+        |  SELECT user_id, rn, event_id, CAST(value AS DOUBLE) AS y
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, e.event_id,
+        |         0.5 * CAST(e.value AS DOUBLE) + 0.5 * s.y
+        |  FROM ev e JOIN scan s ON e.user_id = s.user_id AND e.rn = s.rn + 1)
+        |SELECT user_id, event_id, y AS ewma FROM scan""".stripMargin) {
+      (s, d) => graft.operators.Sessionize.ewma(
+          Tables.events(s, d).select("user_id", "event_id", "ts", "value"),
+          "user_id", "ts", "event_id", "value", alpha = 0.5)
+        .select("user_id", "event_id", "ewma")
+    },
+
     Query("w17_debounce",
       """WITH RECURSIVE ev AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS t,

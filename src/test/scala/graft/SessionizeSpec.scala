@@ -82,4 +82,24 @@ class SessionizeSpec extends SparkSpec {
       .filter(col("kept")).count()
     assert(kept == 1)
   }
+
+  test("ewma matches a driver-side fold and resets per key") {
+    val sess = spark; import sess.implicits._
+    val rows = Seq(
+      (1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 40.0),
+      (2L, 4L, 100.0), (2L, 5L, 0.0))
+      .map { case (u, e, v) =>
+        (u, e, java.sql.Timestamp.valueOf(f"2026-01-01 00:00:0$e%d"), v) }
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = graft.operators.Sessionize.ewma(rows, "user_id", "ts",
+        "event_id", "value", alpha = 0.25)
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("ewma"))
+      .toMap
+    def fold(xs: Seq[Double]): Seq[Double] =
+      xs.tail.scanLeft(xs.head)((y, x) => 0.25 * x + 0.75 * y)
+    val u1 = fold(Seq(10.0, 20.0, 40.0))
+    assert(out(1L) == u1(0) && out(2L) == u1(1) && out(3L) == u1(2))
+    val u2 = fold(Seq(100.0, 0.0))
+    assert(out(4L) == u2(0) && out(5L) == u2(1), "state resets at key change")
+  }
 }
