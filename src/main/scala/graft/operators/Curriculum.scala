@@ -49,9 +49,12 @@ object Curriculum {
                            p: Double): DataFrame = {
     val thr = scored.groupBy(domainCol)
       .agg(expr(s"percentile($scoreCol, $p)").as("p_thr"))
+    // null-safe keep: a row with no score is NOT kept (three-valued
+    // `null >= thr` would leak a null flag into downstream filters)
     scored.join(broadcast(thr), Seq(domainCol))
       .select(col(idCol), col(domainCol), col(scoreCol), col("p_thr"),
-        (col(scoreCol).cast("double") >= col("p_thr")).as("kept"))
+        coalesce(col(scoreCol).cast("double") >= col("p_thr"), lit(false))
+          .as("kept"))
   }
 
   /** Per-doc fraction of distinct n-grams that are corpus-frequent

@@ -75,4 +75,24 @@ class CurriculumSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(ids == Set(2L))
   }
+
+  test("null score is never kept (null-safe keep flag)") {
+    val s = spark; import s.implicits._
+    val sc = Seq((1L, "d", java.lang.Long.valueOf(5L)),
+        (2L, "d", null.asInstanceOf[java.lang.Long]))
+      .toDF("doc_id", "domain", "score")
+    val out = Curriculum.domainPercentileKeep(sc, "doc_id", "domain",
+        "score", 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(out(1L) && !out(2L))
+  }
+
+  test("null text drops cleanly from coverage (no crash, no row)") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "a b c d e"), (2L, null: String))
+      .toDF("doc_id", "text")
+    val ids = Curriculum.dupNgramCoverage(docs, "doc_id", "text", 3, 0L)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L))
+  }
 }

@@ -78,4 +78,19 @@ class SemanticDedupSpec extends SparkSpec {
   test("deterministic across runs") {
     assert(run().sortBy(_._1).toSeq == run().sortBy(_._1).toSeq)
   }
+
+  test("null embedding passes through unjudged: null cell, kept, harmless") {
+    val s = spark; import s.implicits._
+    val vs = Seq((1L, Seq(1.0f, 0.0f)), (2L, null.asInstanceOf[Seq[Float]]),
+        (3L, Seq(1.0f, 0.001f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("cell_id", "c_vec")
+    val out = Dedup.semanticDedup(vs, cents, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getBoolean(2)))
+    val m = out.map(r => r._1 -> r).toMap
+    assert(m(2L)._2.isEmpty && m(2L)._3,
+      "null vector: no cell, kept (undecodable rows are upstream filters' job)")
+    assert(m(1L)._3 && !m(3L)._3, "real rows still judged around the null")
+  }
 }
