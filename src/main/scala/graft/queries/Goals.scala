@@ -389,6 +389,64 @@ object Goals {
           .agg(countDistinct(col("hhid_f")).as("hh_target"),
             countDistinct(col("extid")).as("ind_target"))
       }
+    },
+
+    // ---- g10: fixed-iteration PageRank (iterative join-agg, exact ints) ---
+    // Graph analytics as pure join+aggregate rounds — the Pregel shape
+    // without GraphX: edges are materialized ONCE pre-partitioned by src
+    // (localCheckpoint cuts the lineage so round k doesn't replay rounds
+    // 1..k-1), and each iteration moves only the O(nodes) rank table —
+    // contribution = rank/outdeg is computed per NODE before the edge
+    // join, so the big edge side never carries a division or a wide row.
+    // Arithmetic is integer fixed-point (rank in millionths, damping
+    // 0.85 = 17/20 via truncating div) so both engines are bit-exact —
+    // no float-sum ordering hazard across 3 unrolled iterations.
+    // Graph: bipartite customer <-> supplier trade edges (supplier ids
+    // offset by 1e6 to disambiguate); bidirectional, so no dangling mass.
+    Query("g10_pagerank",
+      """WITH base AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS s2
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT c AS src, s2 AS dst FROM base
+        |      UNION ALL SELECT s2, c FROM base),
+        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+        |i1 AS (SELECT e.dst AS node,
+        |              150000 + (17 * sum(r.rank // d.outdeg)) // 20 AS rank
+        |       FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |i2 AS (SELECT e.dst AS node,
+        |              150000 + (17 * sum(r.rank // d.outdeg)) // 20 AS rank
+        |       FROM e JOIN i1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |i3 AS (SELECT e.dst AS node,
+        |              150000 + (17 * sum(r.rank // d.outdeg)) // 20 AS rank
+        |       FROM e JOIN i2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank
+        |FROM i3""".stripMargin) {
+      (s, d) => {
+        val base = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+          .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"),
+            (col("l_suppkey") + 1000000L).as("s2"))
+          .distinct()
+        val edges = base.select(col("c").as("src"), col("s2").as("dst"))
+          .unionAll(base.select(col("s2").as("src"), col("c").as("dst")))
+          .repartition(col("src"))
+          .localCheckpoint()
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        var ranks = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
+        for (_ <- 1 to 3) {
+          val contrib = ranks.join(deg, col("node") === col("src"))
+            .select(col("node").as("cn"), expr("rank div outdeg").as("contrib"))
+          ranks = edges.join(contrib, col("src") === col("cn"))
+            .groupBy(col("dst").as("node"))
+            .agg(expr("150000 + (17 * sum(contrib)) div 20").as("rank"))
+        }
+        ranks
+      }
     }
   )
 }

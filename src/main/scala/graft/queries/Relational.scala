@@ -441,6 +441,39 @@ object Relational {
           col("o_totalprice").cast("decimal(18,4)"), "running")
         .withColumn("running", col("running").cast("double"))
         .select("o_custkey", "o_orderkey", "running")
+    },
+
+    // ---- blocked fuzzy join (entity resolution / record linkage) ----------
+    // The record-linkage shape the reference's manual household-matching
+    // implies: near-identical name variants reconciled by edit distance.
+    // Scale design, in order: (1) canonicalize FIRST — fuzzy-match runs
+    // over DISTINCT names, never over rows, so the quadratic term is
+    // bounded by vocabulary size, not table size (names repeat heavily in
+    // any real registry); (2) block on the first token so candidate pairs
+    // only form inside a block (classic blocking — the standard recall
+    // tradeoff: a typo in token 1 escapes the block, documented); (3) the
+    // codegen'd levenshtein only runs on within-block candidates. The
+    // distinct side is small after canonicalization → Spark broadcasts
+    // the self-join; at a vocabulary too big to broadcast, the equi-join
+    // on the block key shuffles both sides by block — still never all-pairs.
+    Query("j18_fuzzy_blocked",
+      """WITH names AS (SELECT DISTINCT p_name FROM part),
+        |b AS (SELECT p_name, string_split(p_name, ' ')[1] AS blk FROM names)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |       levenshtein(a.p_name, b.p_name) AS dist
+        |FROM b a JOIN b b ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin) {
+      (s, d) => {
+        val names = Tables.part(s, d).select("p_name").distinct()
+          .withColumn("blk", split(col("p_name"), " ").getItem(0))
+        val left = names.select(col("p_name").as("name_a"), col("blk"))
+        val right = names.select(col("p_name").as("name_b"), col("blk"))
+        left.join(right, Seq("blk"))
+          .filter(col("name_a") < col("name_b"))
+          .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+          .filter(col("dist") <= 3)
+          .select("name_a", "name_b", "dist")
+      }
     }
   )
 

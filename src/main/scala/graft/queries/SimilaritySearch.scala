@@ -1286,6 +1286,78 @@ object SimilaritySearch {
             col("score"))
           .withColumn("kept", row_number().over(w) === 1)
       }
+    },
+
+    // ---- s26: BM25 full-text retrieval (inverted-stats, no explode) -------
+    // Okapi BM25 (k1=1.2, b=0.75) top-10 for a literal term query. Scale
+    // design: per-doc term frequencies come from a NARROW projection
+    // (size(filter(tokens, _ == term)) per literal term — no explode, no
+    // shuffle to build postings); corpus statistics (N, avgdl, per-term
+    // df) are ONE tiny hash aggregate whose single row broadcasts back
+    // over the probe side; the final top-k is TakeOrderedAndProject, not
+    // a global sort. The documents scan runs twice (stats pass + score
+    // pass) reading only `text` — at 100 TB that beats caching an O(N)
+    // per-doc tf table, and a production run would persist the tf
+    // projection only if the cluster had the memory for it.
+    // Float discipline: both engines evaluate the same literal-ordered
+    // IEEE double expression; the libm `ln` ulp is absorbed by
+    // round(score, 6) (the r11 precedent).
+    Query("s26_bm25_topk",
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+        |         CAST(len(list_filter(t, x -> x = 'spark')) AS DOUBLE) AS tf1,
+        |         CAST(len(list_filter(t, x -> x = 'vector')) AS DOUBLE) AS tf2,
+        |         CAST(len(list_filter(t, x -> x = 'window')) AS DOUBLE) AS tf3,
+        |         CAST(len(list_filter(t, x -> x = 'customer')) AS DOUBLE) AS tf4
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+        |         CAST(count(CASE WHEN tf1 > 0 THEN 1 END) AS DOUBLE) AS df1,
+        |         CAST(count(CASE WHEN tf2 > 0 THEN 1 END) AS DOUBLE) AS df2,
+        |         CAST(count(CASE WHEN tf3 > 0 THEN 1 END) AS DOUBLE) AS df3,
+        |         CAST(count(CASE WHEN tf4 > 0 THEN 1 END) AS DOUBLE) AS df4
+        |  FROM d),
+        |sc AS (
+        |  SELECT doc_id, round(
+        |      ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * 2.2)
+        |        / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * 2.2)
+        |        / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    + ln((n - df3 + 0.5) / (df3 + 0.5) + 1.0) * (tf3 * 2.2)
+        |        / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    + ln((n - df4 + 0.5) / (df4 + 0.5) + 1.0) * (tf4 * 2.2)
+        |        / (tf4 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS score
+        |  FROM d, st)
+        |SELECT doc_id, score FROM (
+        |  SELECT doc_id, score,
+        |         row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+        |  FROM sc) WHERE rn <= 10""".stripMargin) {
+      (s, d) => {
+        val terms = Seq("spark", "vector", "window", "customer")
+        val toks = TextFunctions.tokens(col("text"))
+        val perDoc = Tables.documents(s, d).select(
+          col("doc_id") +: size(toks).cast("double").as("dl") +:
+            terms.zipWithIndex.map { case (t, i) =>
+              size(filter(toks, x => x === lit(t))).cast("double").as(s"tf${i + 1}")
+            }: _*)
+        val aggCols = count(lit(1)).cast("double").as("n") +:
+          avg(col("dl")).as("avgdl") +:
+          terms.indices.map(i =>
+            count(when(col(s"tf${i + 1}") > 0, 1)).cast("double").as(s"df${i + 1}"))
+        val stats = perDoc.agg(aggCols.head, aggCols.tail: _*)
+        val scored = perDoc.crossJoin(broadcast(stats))
+        def contrib(i: Int): org.apache.spark.sql.Column = {
+          val tf = col(s"tf${i + 1}"); val df = col(s"df${i + 1}")
+          log((col("n") - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0)) *
+            (tf * lit(2.2)) /
+            (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+        }
+        scored
+          .select(col("doc_id"),
+            round(contrib(0) + contrib(1) + contrib(2) + contrib(3), 6).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(10)
+      }
     }
   )
 }

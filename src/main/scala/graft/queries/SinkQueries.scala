@@ -296,6 +296,33 @@ object SinkQueries {
         .groupBy(col("c_mktsegment").as("segment"))
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total"))
+    },
+
+    // ---- ORC roundtrip: columnar sink beside parquet -----------------------
+    // The second columnar format the engine speaks (Spark's built-in ORC
+    // source). Write a partitioned ORC store, read it back through
+    // partition discovery with a pruning filter + column projection, and
+    // aggregate; the oracle recomputes from the parquet source, so a
+    // codec/type-mapping defect (decimal widths, date encoding, partition
+    // value parse) breaks the hash. Plan note: the pruning filter lands in
+    // the ORC scan's PartitionFilters, and ORC predicate pushdown covers
+    // the quantity filter — same scan discipline as the parquet path.
+    Query("io09_orc_roundtrip",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_returnflag <> 'A' AND l_quantity < 30
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val root = graft.core.TempDirs.scratch("graft_orc_").toString
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity"), col("l_extendedprice"))
+        .write.mode("overwrite").partitionBy("l_returnflag").orc(root)
+      s.read.orc(root)
+        .filter(col("l_returnflag") =!= "A" && col("l_quantity") < 30)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("revenue"))
     }
   )
 }
