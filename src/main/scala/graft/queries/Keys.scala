@@ -150,6 +150,39 @@ object Keys {
       (s, d) => Tables.lineitem(s, d).groupBy("l_returnflag").agg(
         expr("percentile(l_quantity, 0.5)").as("p50"),
         expr("percentile(l_quantity, 0.9)").as("p90"))
+    },
+
+    // ---- a27: exact heavy hitters via a Misra-Gries candidate pass ----------
+    // Frequent items over the token stream WITHOUT shuffling the item
+    // space: phase 1 is one Misra-Gries sketch aggregate fed the token
+    // ARRAYS (no explode — update loops elements in-JVM), whose ≤ k
+    // partial states merge to a single row; its keys are a PROVABLE
+    // superset of every item with share > 1/(k+1). Phase 2 counts only
+    // those ≤ k candidates exactly (broadcast isin filter on a narrow
+    // re-scan) and applies the share > 1/30 threshold against the exact
+    // token total — so the result is bit-exact, which is what lets a
+    // sketch-based plan sit under a plain GROUP BY/HAVING oracle. The
+    // candidate collect is bounded driver state (≤ k strings, the IVF
+    // centroid precedent). The naive plan this replaces shuffles every
+    // distinct token; this one's only wide op is the ≤ k-row phase-2
+    // aggregate.
+    Query("a27_heavy_hitters",
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |tot AS (SELECT count(*) AS n FROM w)
+        |SELECT word, count(*) AS cnt FROM w, tot
+        |GROUP BY word, n HAVING count(*) * 30 > n""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val toks = graft.functions.TextFunctions.tokens(col("text"))
+      val cands: Seq[String] = docs
+        .agg(graft.plans.MisraGriesTopK(toks, 64).as("cand"))
+        .head().getSeq[String](0)
+      val total = docs.agg(sum(size(toks)).as("n"))
+      docs.select(explode(toks).as("word"))
+        .filter(col("word").isin(cands: _*))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .filter(col("cnt") * 30 > col("n"))
+        .select("word", "cnt")
     }
   )
 }

@@ -430,6 +430,62 @@ object StreamingQueries {
         Seq(corpusSh, corpusSig, corpusBands).foreach(_.unpersist(false))
         ss.read.parquet(out)
       }
+    },
+
+    // ---- ST9: LEFT-OUTER stream-stream join (watermark null emission) ------
+    // The outer half of st04's attribution join: clicks with no purchase
+    // inside the 30-minute window must still be emitted — with a null
+    // conv_id — once the watermark proves no match can arrive. That
+    // emission is pure state-eviction semantics: a left row is released
+    // when its match window's upper bound (imp_ts + 30 min) falls behind
+    // the global watermark = min(max click ts, max purchase ts) - 1 h,
+    // truncated to ms (Spark tracks event-time stats in ms). Under
+    // Trigger.AvailableNow the final no-data batch (scheduled because the
+    // watermark advanced) flushes the evictable state, so the finished
+    // result is deterministic: all matches, plus null rows for every
+    // unmatched click strictly older than the final watermark - 30 min.
+    // The oracle restates exactly that — a streaming semantics pin no
+    // batch join can express.
+    Query("st09_stream_outer_join",
+      """WITH wm AS (SELECT date_trunc('millisecond', least(
+        |    (SELECT max(ts) FROM events WHERE event_type = 'click'),
+        |    (SELECT max(ts) FROM events WHERE event_type = 'purchase')))
+        |    - INTERVAL 1 HOUR AS w),
+        |m AS (SELECT a.event_id AS imp_id, b.event_id AS conv_id
+        |      FROM events a JOIN events b ON a.user_id = b.user_id
+        |        AND a.event_type = 'click' AND b.event_type = 'purchase'
+        |        AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE)
+        |SELECT imp_id, conv_id FROM m
+        |UNION ALL
+        |SELECT a.event_id, CAST(NULL AS BIGINT) FROM events a, wm
+        |WHERE a.event_type = 'click'
+        |  AND a.ts + INTERVAL 30 MINUTE < wm.w
+        |  AND NOT EXISTS (SELECT 1 FROM m WHERE m.imp_id = a.event_id)""".stripMargin) {
+      (s, d) => {
+        val dir = graft.core.TempDirs.scratch("st09_landing")
+        java.nio.file.Files.createSymbolicLink(
+          dir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val raw = ss.read.parquet(s"$d/events.parquet")
+        def src() = Streams.fileSource(ss, dir.toString, raw.schema)
+          .withColumn("ts", Tables.canonTs(raw.schema))
+        val imps = src().filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("imp_id"),
+            col("ts").as("imp_ts"))
+        val convs = src().filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("conv_id"),
+            col("ts").as("conv_ts"))
+        val joined = Streams.intervalJoin(imps, convs, "user_id",
+          "imp_ts", "conv_ts", maxDelay = "30 minutes",
+          watermark = "1 hour", joinType = "leftOuter")
+        val sink = "st09_attr_" + System.nanoTime()
+        val q = joined.writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        ss.table(sink).select("imp_id", "conv_id")
+      }
     }
   )
 }

@@ -929,8 +929,129 @@ object TextAnalysis {
             (ascii(substring(md5(col("doc_id").cast("string")), 1, 1)) % 8)
               .cast("long").as("shard"))
       }
+    },
+
+    // ---- t33: tokenizer application (greedy longest-match encode) ---------
+    // WordPiece-style greedy encode against a literal piece vocabulary,
+    // fused into one codegen expression (plans/GreedyPieceEncode): per
+    // word, take the longest matching piece (>= 2 chars) else one char.
+    // The oracle replays the identical greedy rule as a recursive CTE —
+    // the length-descending CASE is exactly "longest match at cursor" —
+    // and re-aggregates words in order, so a single divergent split
+    // anywhere in the corpus breaks the hash. n_pieces is recomputed
+    // from the encoded string by separator arithmetic on BOTH sides
+    // (pieces = bars + spaces + 1), never from engine internals.
+    Query("t33_tokenizer_apply", TokenizerOracleSql) { (s, d) =>
+      val enc = graft.plans.GreedyPieceEncode(col("text"), PieceVocab)
+      Tables.documents(s, d)
+        .select(col("doc_id"), enc.as("enc"))
+        .select(col("doc_id"), col("enc"),
+          (length(col("enc")) - length(regexp_replace(col("enc"), "\\|", ""))
+            + length(col("enc")) - length(regexp_replace(col("enc"), " ", ""))
+            + 1).cast("bigint").as("n_pieces"))
+    },
+
+    // ---- t34: bigram LM perplexity scoring (CCNet-style quality signal) ----
+    // Train an add-one-smoothed bigram model on 90% of the corpus, score
+    // the held-out 10% by average log-probability — the
+    // language-model-perplexity filter of a web-curation pipeline.
+    // Numeric discipline is t18's: each term ln P(w|prev) rounds to 6dp
+    // and sums as DECIMAL(18,6), so the per-doc reduction is exact and
+    // order-free. Scale shape: the model is two hash aggregates (context
+    // counts DERIVED from the bigram counts — no second explode of the
+    // train corpus); scoring is an equi-join on the bigram key (shuffle
+    // or broadcast by model size, AQE's call) + one per-doc aggregate.
+    Query("t34_lm_perplexity",
+      """WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+        |test AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |bgt AS (SELECT doc_id,
+        |          unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM train)
+        |        WHERE len(t) >= 2),
+        |bgs AS (SELECT doc_id,
+        |          unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM test)
+        |        WHERE len(t) >= 2),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM bgt GROUP BY 1),
+        |c1 AS (SELECT string_split(bg, ' ')[1] AS prev, sum(c2) AS c1
+        |       FROM c2 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tk) AS v FROM
+        |        (SELECT unnest(string_split(text, ' ')) AS tk FROM train)),
+        |sc AS (SELECT s.doc_id,
+        |         CAST(round(ln((coalesce(c2.c2, 0) + 1.0)
+        |                       / (coalesce(c1.c1, 0) + v.v)), 6)
+        |              AS DECIMAL(18,6)) AS nll
+        |       FROM bgs s LEFT JOIN c2 ON s.bg = c2.bg
+        |         LEFT JOIN c1 ON string_split(s.bg, ' ')[1] = c1.prev
+        |         CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_logprob
+        |FROM sc GROUP BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val test = docs.filter(col("doc_id") % 10 === 0)
+      def bigramsOf(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"), explode(adjacentPairs(col("text"))).as("bg"))
+      val c2 = bigramsOf(train).groupBy("bg").agg(count(lit(1)).as("c2"))
+      val c1 = c2
+        .select(split(col("bg"), " ").getItem(0).as("prev"), col("c2"))
+        .groupBy("prev").agg(sum(col("c2")).as("c1"))
+      val vDf = train.select(explode(tokens(col("text"))).as("tk"))
+        .agg(count_distinct(col("tk")).as("v"))
+      bigramsOf(test)
+        .withColumn("prev", split(col("bg"), " ").getItem(0))
+        .join(c2, Seq("bg"), "left")
+        .join(c1, Seq("prev"), "left")
+        .crossJoin(broadcast(vDf))
+        .withColumn("nll",
+          round(log((coalesce(col("c2"), lit(0)) + lit(1.0))
+            / (coalesce(col("c1"), lit(0)) + col("v"))), 6)
+            .cast("decimal(18,6)"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("snll"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("snll").cast("double") / col("n_bigrams"), 6)
+            .as("avg_logprob"))
     }
   )
 
+  /** t33's piece vocabulary (lengths 2-4), chosen to split the corpus
+    * vocabulary into multi-piece encodings. Shared with the oracle. */
+  private[queries] lazy val PieceVocab: Seq[String] = Seq(
+    "wind", "cust", "omer", "quer", "tabl", "valu", "filt", "colu",
+    "dow", "tch", "ery", "ble", "umn", "eam", "oup", "ort",
+    "ow", "er", "st", "re", "am", "ba", "sc", "an", "jo", "in",
+    "ha", "sh", "me", "rg", "gr", "li", "ne", "va", "lu", "so",
+    "rt", "pa", "cu", "mn", "da", "ta", "ro", "sl", "fa", "bi", "ke")
 
+  private def inList(len: Int): String =
+    PieceVocab.filter(_.length == len).map("'" + _ + "'").mkString(", ")
+
+  private[queries] lazy val TokenizerOracleSql: String =
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |w0 AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS widx FROM toks),
+       |w AS (SELECT doc_id, widx, t[widx] AS word FROM w0),
+       |enc AS (
+       |  SELECT doc_id, widx, word, 0 AS pos, CAST('' AS VARCHAR) AS acc FROM w
+       |  UNION ALL
+       |  SELECT doc_id, widx, word, pos + length(p),
+       |         CASE WHEN acc = '' THEN p ELSE acc || '|' || p END
+       |  FROM (
+       |    SELECT doc_id, widx, word, pos, acc,
+       |      CASE WHEN substring(word, pos + 1, 4) IN (${inList(4)})
+       |             THEN substring(word, pos + 1, 4)
+       |           WHEN substring(word, pos + 1, 3) IN (${inList(3)})
+       |             THEN substring(word, pos + 1, 3)
+       |           WHEN substring(word, pos + 1, 2) IN (${inList(2)})
+       |             THEN substring(word, pos + 1, 2)
+       |           ELSE substring(word, pos + 1, 1) END AS p
+       |    FROM enc WHERE pos < length(word))),
+       |done AS (SELECT doc_id, widx, acc FROM enc WHERE pos = length(word)),
+       |agg AS (SELECT doc_id, string_agg(acc, ' ' ORDER BY widx) AS enc
+       |        FROM done GROUP BY doc_id)
+       |SELECT doc_id, enc,
+       |       length(enc) - length(replace(enc, '|', ''))
+       |         + length(enc) - length(replace(enc, ' ', '')) + 1 AS n_pieces
+       |FROM agg""".stripMargin
 }

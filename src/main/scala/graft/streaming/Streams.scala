@@ -57,14 +57,16 @@ object Streams {
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
                    leftTs: String, rightTs: String,
                    maxDelay: String = "30 minutes",
-                   watermark: String = "1 hour"): DataFrame = {
+                   watermark: String = "1 hour",
+                   joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
       .withColumnRenamed(keyCol, s"__r_$keyCol")
     l.join(r,
       col(keyCol) === col(s"__r_$keyCol") &&
         col(rightTs) > col(leftTs) &&
-        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"))
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"),
+      joinType)
       .drop(s"__r_$keyCol")
   }
 
