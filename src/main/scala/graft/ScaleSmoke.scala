@@ -396,6 +396,85 @@ object ScaleSmoke {
         graft.operators.Scd2.merge(cur, inc, Seq("c_custkey"), Seq("seg"),
             lit("2026-02-01"))
           .write.format("noop").mode("overwrite").save()
+      },
+      time("pagerank_12m_edges") {
+        // g10's shape at 10x lineitem volume (distinct trade pairs both
+        // directions): 3 Pregel-style rounds, per-round motion is the
+        // O(nodes) rank table against checkpointed src-partitioned edges
+        val base = or.select("o_orderkey", "o_custkey")
+          .join(li.select("l_orderkey", "l_suppkey"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"),
+            (col("l_suppkey") + 1000000L).as("s2"))
+          .distinct()
+        val edges = base.select(col("c").as("src"), col("s2").as("dst"))
+          .unionAll(base.select(col("s2").as("src"), col("c").as("dst")))
+          .repartition(col("src"))
+          .localCheckpoint()
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        var ranks = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
+        for (_ <- 1 to 3) {
+          val contrib = ranks.join(deg, col("node") === col("src"))
+            .select(col("node").as("cn"), expr("rank div outdeg").as("contrib"))
+          ranks = edges.join(contrib, col("src") === col("cn"))
+            .groupBy(col("dst").as("node"))
+            .agg(expr("150000 + (17 * sum(contrib)) div 20").as("rank"))
+        }
+        ranks.write.format("noop").mode("overwrite").save()
+      },
+      time("bm25_50k_docs") {
+        // s26 at 10x: two pruned text scans + 1-row stats broadcast +
+        // TakeOrdered; the narrow tf projection is the whole cost
+        val docs0 = graft.core.Tables.documents(spark, sfDir)
+        val maxDoc = docs0.agg(max("doc_id")).as[Long].head() + 1
+        val docs = docs0.crossJoin(copies)
+          .withColumn("doc_id", col("doc_id") + col("rep") * maxDoc).drop("rep")
+        val terms = Seq("spark", "vector", "window", "customer")
+        val toks = split(col("text"), " ")
+        val perDoc = docs.select(
+          col("doc_id") +: size(toks).cast("double").as("dl") +:
+            terms.zipWithIndex.map { case (t, i) =>
+              size(filter(toks, x => x === lit(t))).cast("double").as(s"tf${i + 1}")
+            }: _*)
+        val aggCols = count(lit(1)).cast("double").as("n") +:
+          avg(col("dl")).as("avgdl") +:
+          terms.indices.map(i =>
+            count(when(col(s"tf${i + 1}") > 0, 1)).cast("double").as(s"df${i + 1}"))
+        val stats = perDoc.agg(aggCols.head, aggCols.tail: _*)
+        perDoc.crossJoin(broadcast(stats))
+          .select(col("doc_id"),
+            (col("tf1") / (col("tf1") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+              + col("tf2") / (col("tf2") + lit(1.2))).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(10)
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("tokenizer_encode_50k_docs") {
+        // t33's codegen trie at 10x: pure narrow projection, the number
+        // is the per-byte encode cost and nothing else
+        val docs0 = graft.core.Tables.documents(spark, sfDir)
+        val docs = docs0.crossJoin(copies).drop("rep")
+        docs.select(graft.plans.GreedyPieceEncode(col("text"), Seq(
+            "wind", "cust", "omer", "quer", "tabl", "valu", "filt", "colu",
+            "dow", "tch", "ery", "ble", "umn", "eam", "oup", "ort",
+            "ow", "er", "st", "re", "am", "ba", "sc", "an", "jo", "in"))
+            .as("enc"))
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("heavy_hitters_3m_tokens") {
+        // a27's two-phase at 10x: MG sketch pass (no item-space shuffle)
+        // + exact count of <= k candidates
+        val docs0 = graft.core.Tables.documents(spark, sfDir)
+        val docs = docs0.crossJoin(copies).drop("rep")
+        val toks = split(col("text"), " ")
+        val cands = docs.agg(graft.plans.MisraGriesTopK(toks, 64).as("cand"))
+          .head().getSeq[String](0)
+        val total = docs.agg(sum(size(toks)).as("n"))
+        docs.select(explode(toks).as("word"))
+          .filter(col("word").isin(cands: _*))
+          .groupBy("word").agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(total))
+          .filter(col("cnt") * 30 > col("n"))
+          .write.format("noop").mode("overwrite").save()
       })
 
     val rows = li.count()
