@@ -59,6 +59,30 @@ object Dedup {
     verified(sh, cand, sh.groupBy("__id").agg(count(lit(1)).as("n")), threshold)
   }
 
+  /** Asymmetric containment pairs: C(a→b) = |sh(a) ∩ sh(b)| / |sh(a)| —
+    * the quote/inclusion detector Jaccard misses (a short doc fully
+    * embedded in a long one has high containment but low Jaccard). Same
+    * posting-list plan as the Jaccard baseline — one shingle self-join on
+    * the shingle key, never all-pairs — but both orders of each pair are
+    * scored since the measure is directional. Bounded-input exact
+    * baseline by the same contract as exactJaccardPairs; the LSH
+    * candidate route composes identically when the corpus outgrows it.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy("__id").agg(count(lit(1)).as("n"))
+    sh.toDF("doc_a", "s")
+      .join(sh.toDF("doc_b", "s2"),
+        col("s") === col("s2") && col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .withColumn("containment", col("i") * lit(1.0) / col("na"))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+  }
+
   /** Exact duplicated char-window detection, hashed form — the scale
     * path for t20's raw-text registry row: every `width`-char window
     * appearing in >= `minDocs` documents, keyed by a 64-bit hash

@@ -1288,6 +1288,32 @@ object SimilaritySearch {
       }
     },
 
+    // ---- s27: asymmetric containment pairs (quote/inclusion detector) -----
+    // C(a→b) = |sh(a) ∩ sh(b)| / |sh(a)| — catches a short doc embedded
+    // in a long one, which Jaccard's symmetric denominator dilutes below
+    // any useful threshold. Directional, so both orders are scored.
+    // Same bounded-slice contract as the t06 exact baseline; the plan is
+    // the posting-list join (shingle-key equi-join), never all-pairs.
+    Query("s27_containment_pairs",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE doc_id < 300),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(t)),
+        |                                             i -> t[i] || ' ' || t[i+1]))) AS s
+        |       FROM toks WHERE len(t) >= 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, i * 1.0 / sa.n AS containment
+        |FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+        |WHERE i * 1.0 / sa.n >= 0.4""".stripMargin) {
+      (s, d) => graft.operators.Dedup.containmentPairs(
+        Tables.documents(s, d).filter(col("doc_id") < 300), "doc_id", "text",
+        n = 2, threshold = 0.4)
+    },
+
     // ---- s26: BM25 full-text retrieval (inverted-stats, no explode) -------
     // Okapi BM25 (k1=1.2, b=0.75) top-10 for a literal term query. Scale
     // design: per-doc term frequencies come from a NARROW projection

@@ -951,6 +951,34 @@ object TextAnalysis {
             + 1).cast("bigint").as("n_pieces"))
     },
 
+    // ---- t35: Unicode NFC normalization (canonical composition) -----------
+    // The multilingual-corpus canonicalization step: byte-different but
+    // canonically-equal strings must collide before any hash/dedup sees
+    // them. Fixture: a decomposed variant of each doc's prefix (combining
+    // acute U+0301 injected after every vowel) built identically in both
+    // engines, then composed back — the engine through the codegen
+    // NfcNormalize expression (java.text.Normalizer), the oracle through
+    // DuckDB's utf8proc nfc_normalize; both implement Unicode canonical
+    // composition, so the strings AND the codepoint-length contraction
+    // must agree exactly.
+    Query("t35_unicode_nfc",
+      """SELECT doc_id,
+        |  nfc_normalize(regexp_replace(substring(text, 1, 40),
+        |                '([aeiou])', '\1' || chr(769), 'g')) AS nfc,
+        |  length(regexp_replace(substring(text, 1, 40),
+        |         '([aeiou])', '\1' || chr(769), 'g')) AS len_dec,
+        |  length(nfc_normalize(regexp_replace(substring(text, 1, 40),
+        |         '([aeiou])', '\1' || chr(769), 'g'))) AS len_nfc
+        |FROM documents""".stripMargin) { (s, d) =>
+      val dec = regexp_replace(substring(col("text"), 1, 40),
+        "([aeiou])", "$1\u0301")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        graft.plans.NfcNormalize(dec).as("nfc"),
+        length(dec).cast("bigint").as("len_dec"),
+        length(graft.plans.NfcNormalize(dec)).cast("bigint").as("len_nfc"))
+    },
+
     // ---- t34: bigram LM perplexity scoring (CCNet-style quality signal) ----
     // Train an add-one-smoothed bigram model on 90% of the corpus, score
     // the held-out 10% by average log-probability — the
