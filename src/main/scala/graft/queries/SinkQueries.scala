@@ -323,6 +323,51 @@ object SinkQueries {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"),
           sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("revenue"))
+    },
+
+    // ---- corrupt-record JSONL ingest (PERMISSIVE resilience contract) ------
+    // The landed-crawl reality: some JSONL lines are truncated garbage.
+    // A deterministic 1-in-13 slice of rows is written as unterminated
+    // JSON; the PERMISSIVE read with columnNameOfCorruptRecord must land
+    // each bad line as one null-fielded row carrying the raw text — not
+    // a task failure, not a dropped row. The oracle recomputes which rows
+    // WOULD be corrupt straight from the source table, so a parser that
+    // drops, double-counts, or mis-attributes corrupt lines breaks the
+    // hash. Per-file cost is a streaming line parse — the 100 TB shape is
+    // unchanged from io07.
+    Query("io10_corrupt_jsonl",
+      """SELECT count(CASE WHEN c_custkey % 13 <> 5 THEN 1 END) AS n_valid,
+        |       count(CASE WHEN c_custkey % 13 = 5 THEN 1 END) AS n_corrupt,
+        |       CAST(sum(CASE WHEN c_custkey % 13 <> 5
+        |                     THEN CAST(c_acctbal AS DECIMAL(18,4)) END)
+        |            AS DOUBLE) AS bal
+        |FROM customer""".stripMargin) { (s, d) =>
+      val dir = graft.core.TempDirs.scratch("graft_cjson_").toString
+      val c = Tables.customer(s, d)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      c.select(
+          when(col("c_custkey") % 13 === 5,
+            concat(lit("{\"c_custkey\":"), col("c_custkey").cast("string")))
+            .otherwise(to_json(struct(col("c_custkey"), col("c_mktsegment"),
+              col("c_acctbal")))).as("value"))
+        .write.mode("overwrite").text(dir)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("c_custkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("c_mktsegment",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("c_acctbal",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("_corrupt",
+          org.apache.spark.sql.types.StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(dir)
+        .agg(count(when(col("_corrupt").isNull, 1)).as("n_valid"),
+          count(col("_corrupt")).as("n_corrupt"),
+          sum(when(col("_corrupt").isNull,
+            col("c_acctbal").cast("decimal(18,4)"))).cast("double").as("bal"))
     }
   )
 }

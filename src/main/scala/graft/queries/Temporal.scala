@@ -425,6 +425,53 @@ object Temporal {
             col("days_at_risk").cast("string").as("days_at_risk"),
             col("incident_case").cast("string").as("incident_case"))
       }
+    },
+
+    // ---- w19: ordered conversion funnel (MATCH_RECOGNIZE-lite) ------------
+    // Stage cascade view -> click -> purchase where each stage's earliest
+    // timestamp must come strictly after the previous stage's — the
+    // funnel/conversion operator of product analytics. Plan: ONE shuffle
+    // on user_id feeds three chained Window nodes (each stage's min is a
+    // conditional window over the SAME partitioning — no re-exchange; a
+    // null previous stage nulls the condition, so the cascade
+    // short-circuits for free) and the per-user aggregate reuses the
+    // partitioning too. The join-per-stage formulation the oracle uses
+    // would cost one shuffle per stage at scale.
+    Query("w19_funnel_stages",
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
+        |t1 AS (SELECT user_id, min(tu) AS v FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(tu) AS c FROM e JOIN t1 USING (user_id)
+        |       WHERE event_type = 'click' AND tu > t1.v GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(tu) AS p FROM e JOIN t2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND tu > t2.c GROUP BY 1)
+        |SELECT u.user_id, t1.v AS view_ts, t2.c AS click_ts, t3.p AS purchase_ts,
+        |       CASE WHEN t3.p IS NOT NULL THEN 3 WHEN t2.c IS NOT NULL THEN 2
+        |            WHEN t1.v IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |FROM (SELECT DISTINCT user_id FROM e) u
+        |LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+        |LEFT JOIN t3 USING (user_id)""".stripMargin) {
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val e = ev.select(col("user_id"), col("event_type"),
+          Tables.tsMicros(ev.schema).as("tu"))
+        val w = Window.partitionBy("user_id")
+        e.withColumn("t1",
+            min(when(col("event_type") === "view", col("tu"))).over(w))
+          .withColumn("t2",
+            min(when(col("event_type") === "click" && col("tu") > col("t1"),
+              col("tu"))).over(w))
+          .withColumn("t3",
+            min(when(col("event_type") === "purchase" && col("tu") > col("t2"),
+              col("tu"))).over(w))
+          .groupBy("user_id")
+          .agg(max("t1").as("view_ts"), max("t2").as("click_ts"),
+            max("t3").as("purchase_ts"))
+          .withColumn("stage",
+            when(col("purchase_ts").isNotNull, 3)
+              .when(col("click_ts").isNotNull, 2)
+              .when(col("view_ts").isNotNull, 1).otherwise(0))
+      }
     }
   )
 }
