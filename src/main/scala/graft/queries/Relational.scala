@@ -443,6 +443,47 @@ object Relational {
         .select("o_custkey", "o_orderkey", "running")
     },
 
+    // ---- j19: interval-overlap join (bucketed, no nested loop) -------------
+    // Overlap join between two interval sets (a.start <= b.end AND
+    // b.start <= a.end) as a pure EQUI-join: each interval explodes to
+    // the 30-day buckets it touches, candidates meet on the bucket key,
+    // and the exact predicate filters inside the join. Duplicate
+    // candidates (pairs sharing several buckets) are eliminated
+    // allocation-free by counting a pair ONLY in the bucket containing
+    // greatest(start_a, start_b) — a day both intervals cover, so the
+    // bucket is always shared — no distinct, no post-join shuffle. The
+    // oracle is the plain theta join; at scale the theta join is a
+    // nested loop, this is a shuffle on the bucket key with fan-out
+    // bounded by interval_len/30 + 1.
+    Query("j19_interval_overlap",
+      """WITH o AS (SELECT o_orderkey AS k,
+        |         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS sd
+        |       FROM orders WHERE o_custkey < 300),
+        |i AS (SELECT k, sd, sd + k % 20 AS ed FROM o),
+        |a AS (SELECT k AS ka, sd AS sa, ed AS ea FROM i WHERE k % 2 = 0),
+        |b AS (SELECT k AS kb, sd AS sb, ed AS eb FROM i WHERE k % 2 = 1)
+        |SELECT ka, kb, least(ea, eb) - greatest(sa, sb) + 1 AS overlap_days
+        |FROM a JOIN b ON sa <= eb AND sb <= ea""".stripMargin) {
+      (s, d) => {
+        val o = Tables.orders(s, d).filter(col("o_custkey") < 300)
+          .select(col("o_orderkey").as("k"),
+            unix_date(to_date(col("o_orderdate"))).cast("bigint").as("sd"))
+          .withColumn("ed", col("sd") + col("k") % 20)
+        val a = o.filter(col("k") % 2 === 0)
+          .select(col("k").as("ka"), col("sd").as("sa"), col("ed").as("ea"),
+            explode(expr("sequence(sd div 30, ed div 30)")).as("bkt"))
+        val b = o.filter(col("k") % 2 =!= 0)
+          .select(col("k").as("kb"), col("sd").as("sb"), col("ed").as("eb"),
+            explode(expr("sequence(sd div 30, ed div 30)")).as("bkt"))
+        a.join(b, Seq("bkt"))
+          .filter(col("sa") <= col("eb") && col("sb") <= col("ea") &&
+            col("bkt") === expr("greatest(sa, sb) div 30"))
+          .select(col("ka"), col("kb"),
+            (least(col("ea"), col("eb")) - greatest(col("sa"), col("sb")) + 1)
+              .as("overlap_days"))
+      }
+    },
+
     // ---- blocked fuzzy join (entity resolution / record linkage) ----------
     // The record-linkage shape the reference's manual household-matching
     // implies: near-identical name variants reconciled by edit distance.

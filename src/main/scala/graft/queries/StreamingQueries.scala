@@ -432,6 +432,73 @@ object StreamingQueries {
       }
     },
 
+    // ---- ST10: late-data drop semantics under the watermark ---------------
+    // The OTHER half of the watermark contract st01 doesn't pin: rows
+    // arriving BEHIND the watermark are dropped, not aggregated. Spark's
+    // two-watermark model (3.4+) filters batch N's late events with the
+    // EVICTION watermark of batch N-1 — one batch of lag — so the drop
+    // needs THREE mtime-ordered landed files: (1) all even-id events
+    // (the clock: commits an eviction watermark near end-of-stream),
+    // (2) odd-id events of the last calendar day (arrive under a zero
+    // late-filter, all kept), (3) the odd-id backfill of earlier days —
+    // every row now sits in an hourly window that closed a day before
+    // the late-filter watermark, so ALL of batch 3 is discarded. The
+    // final no-data batch emits the windows the end-of-stream watermark
+    // closed. The oracle replays exactly that: evens + last-day odds,
+    // windows ending at or before trunc_ms(max ts) - 1 h. A runtime that
+    // buffered the backfill, double-counted resent state, or emitted
+    // open windows hash-mismatches.
+    Query("st10_stream_late_data",
+      """WITH keep AS (
+        |  SELECT ts, event_type FROM events
+        |  WHERE event_id % 2 = 0
+        |     OR ts >= (SELECT date_trunc('day', max(ts)) FROM events)),
+        |wmf AS (SELECT date_trunc('millisecond', max(ts)) - INTERVAL 1 HOUR AS w
+        |        FROM events),
+        |agg AS (SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n
+        |        FROM keep GROUP BY 1, 2)
+        |SELECT epoch_us(ws) AS window_start, event_type, n
+        |FROM agg, wmf WHERE ws + INTERVAL 1 HOUR <= wmf.w""".stripMargin) {
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val raw = ss.read.parquet(s"$d/events.parquet")
+        val tsCol = Tables.canonTs(raw.schema)
+        val lastDay = raw.select(date_trunc("DAY", max(tsCol))).head().getTimestamp(0)
+        val landing = graft.core.TempDirs.scratch("st10_landing_")
+        def stage(df: org.apache.spark.sql.DataFrame, name: String,
+                  mtime: Long): Unit = {
+          val tmp = graft.core.TempDirs.scratch("st10_b_").toString
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val f = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+            .filter(_.endsWith(".parquet")).head
+          val dst = landing.resolve(name)
+          Files.copy(Paths.get(f), dst)
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+        }
+        stage(raw.filter(col("event_id") % 2 === 0), "b1.parquet", 1000000L)
+        stage(raw.filter(col("event_id") % 2 =!= 0 && tsCol >= lit(lastDay)),
+          "b2.parquet", 2000000L)
+        stage(raw.filter(col("event_id") % 2 =!= 0 && tsCol < lit(lastDay)),
+          "b3.parquet", 3000000L)
+        val src = Streams.fileSource(ss, landing.toString, raw.schema,
+            maxFilesPerTrigger = Some(1))
+          .withColumn("ts", Tables.canonTs(raw.schema))
+        val out = src.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(unix_micros(col("window.start")).as("window_start"),
+            col("event_type"), col("n"))
+        val sink = "st10_late_" + System.nanoTime()
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        ss.table(sink)
+      }
+    },
+
     // ---- ST9: LEFT-OUTER stream-stream join (watermark null emission) ------
     // The outer half of st04's attribution join: clicks with no purchase
     // inside the 30-minute window must still be emitted — with a null

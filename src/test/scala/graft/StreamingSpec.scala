@@ -110,4 +110,45 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 15,
       "restart must process exactly the newly landed files")
   }
+
+  test("windowed-aggregation STATE survives a checkpoint restart") {
+    // run 1 builds open-window state (watermark too low to emit), the
+    // query stops; run 2 is a NEW query on the same checkpoint whose
+    // later data pushes the watermark past the old window — the emitted
+    // counts must include run 1's rows exactly once, which is only
+    // possible if the state store recovered from the checkpoint.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ste").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_steo").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stec").toString
+    def land(minutes: Seq[Int]): Unit =
+      spark.createDataFrame(minutes.map(m =>
+          (new java.sql.Timestamp(1700000000000L + m * 60000L), "k")))
+        .toDF("ts", "k")
+        .write.mode("append").parquet(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.StringType)))
+    def runOnce(): Unit = {
+      val q = Streams.windowedCounts(
+          Streams.fileSource(spark, dir, schema), "ts", "k",
+          windowLen = "10 minutes", watermark = "10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    land(Seq(0, 1, 3)) // window [0,10): 3 rows; watermark stays below 0
+    runOnce()
+    assert(spark.read.parquet(out).count() == 0,
+      "no window can close in run 1")
+    land(Seq(60, 61)) // run 2: watermark -> ~50min, closes window [0,10)
+    runOnce()
+    val got = spark.read.parquet(out).select("k", "n").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toList
+    assert(got == List(("k", 3L)),
+      s"window [0,10) must emit run-1's 3 rows exactly once, got $got")
+  }
 }
