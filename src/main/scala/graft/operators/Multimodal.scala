@@ -302,4 +302,51 @@ object Multimodal {
       }
     }
   }
+
+  /** Perceptual difference hash (dHash): decode → integer box-resize to
+    * 9×8 → integer BT.601 luma (×299/587/114 ÷ 1000, floor) → one bit
+    * per horizontal gradient (gray[i] > gray[i+1], 8 bits × 8 rows) →
+    * 16-char lowercase hex. The near-duplicate-image detector: identical
+    * content hashes equal, small recompressions/resizes flip few bits.
+    * Null for undecodable payloads (the corrupt-row contract). Every
+    * step is integer-exact, so the m05 oracle replays it from the pixel
+    * formula in SQL.
+    */
+  def dHash(df: DataFrame, payloadCol: String,
+            outCol: String = "dhash"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(outCol, StringType))
+    implicit val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.get(idx).asInstanceOf[Array[Byte]]
+        val hash = decodePngSafe(bytes).map { case (sw, sh, px) =>
+          val rp = boxResize(px, sw, sh, 9, 8)
+          val gray = new Array[Int](72)
+          var k = 0
+          while (k < 72) {
+            val p = rp(k)
+            gray(k) = (((p >> 16) & 0xFF) * 299 + ((p >> 8) & 0xFF) * 587 +
+              (p & 0xFF) * 114) / 1000
+            k += 1
+          }
+          val sb = new java.lang.StringBuilder(16)
+          var j = 0
+          while (j < 8) {
+            var rb = 0
+            var i = 0
+            while (i < 8) {
+              if (gray(j * 9 + i) > gray(j * 9 + i + 1)) rb |= (1 << i)
+              i += 1
+            }
+            sb.append(f"$rb%02x")
+            j += 1
+          }
+          sb.toString
+        }.orNull
+        Row.fromSeq(row.toSeq :+ hash)
+      }
+    }
+  }
 }

@@ -108,6 +108,56 @@ object MultimodalQueries {
           Multimodal.withPayload(Tables.documents(s, d), "doc_id", "text"),
           "payload", k = 4, frameBytes = 32)
         .select(col("doc_id"), col("frame_no"), md5(col("frame")).as("frame_md5"))
+    },
+
+    // ---- M5: perceptual image hash (dHash) + cluster sizes ----------------
+    // The image-dedup primitive: decode the REAL PNG, box-resize to 9×8,
+    // integer BT.601 luma, one bit per horizontal gradient → 16-hex-char
+    // dHash, then group to content clusters. The oracle never touches a
+    // codec: it replays block floor-means from the pixel formula, the
+    // same luma integers, and rebuilds each row byte with shifts — so a
+    // codec regression, channel swap, or resample off-by-one flips a
+    // gradient bit somewhere in the corpus and hash-mismatches.
+    Query("m05_perceptual_dhash",
+      """WITH px AS (
+        |  SELECT doc_id, x.x AS x, y.y AS y,
+        |         (doc_id*7 + 3*x.x + 5*y.y) % 256 AS r,
+        |         (doc_id*11 + x.x + 2*y.y) % 256 AS g,
+        |         (doc_id*13 + 4*x.x + y.y) % 256 AS b
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(range(32)) AS x) x,
+        |       LATERAL (SELECT unnest(range(32)) AS y) y),
+        |cells AS (
+        |  SELECT doc_id, i.i AS i, j.j AS j,
+        |         CAST(sum(r) // count(*) AS BIGINT) AS rm,
+        |         CAST(sum(g) // count(*) AS BIGINT) AS gm,
+        |         CAST(sum(b) // count(*) AS BIGINT) AS bm
+        |  FROM px,
+        |       LATERAL (SELECT unnest(range(9)) AS i) i,
+        |       LATERAL (SELECT unnest(range(8)) AS j) j
+        |  WHERE x >= (i*32)//9 AND x < ((i+1)*32)//9
+        |    AND y >= j*4 AND y < (j+1)*4
+        |  GROUP BY 1, 2, 3),
+        |gr AS (SELECT doc_id, i, j,
+        |              (rm*299 + gm*587 + bm*114) // 1000 AS lum FROM cells),
+        |rb AS (SELECT a.doc_id, a.j,
+        |         CAST(sum(CASE WHEN a.lum > b.lum
+        |                       THEN (CAST(1 AS BIGINT) << a.i) ELSE 0 END)
+        |              AS BIGINT) AS rowbyte
+        |       FROM gr a JOIN gr b
+        |         ON a.doc_id = b.doc_id AND a.j = b.j AND b.i = a.i + 1
+        |       WHERE a.i < 8
+        |       GROUP BY 1, 2),
+        |h AS (SELECT doc_id, string_agg(printf('%02x', rowbyte), '' ORDER BY j)
+        |             AS dhash
+        |      FROM rb GROUP BY 1)
+        |SELECT dhash, count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM h GROUP BY 1""".stripMargin) { (s, d) =>
+      val withP = Multimodal.withImagePayload(
+        Tables.documents(s, d).select("doc_id"), "doc_id")
+      Multimodal.dHash(withP, "payload")
+        .groupBy("dhash")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
     }
   )
 }

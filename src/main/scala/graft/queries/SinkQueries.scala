@@ -368,6 +368,37 @@ object SinkQueries {
           count(col("_corrupt")).as("n_corrupt"),
           sum(when(col("_corrupt").isNull,
             col("c_acctbal").cast("decimal(18,4)"))).cast("double").as("bal"))
+    },
+
+    // ---- dynamic partition pruning (runtime scan elimination) --------------
+    // The 100 TB star-join essential io01's STATIC pruning can't show:
+    // the partitions to read are only known after filtering the dim, so
+    // the fact scan must receive a runtime dynamicpruning subquery from
+    // the broadcast side and skip 3 of 5 partitions AT EXECUTION. The
+    // oracle recomputes from the source table; SourcesSpec pins the
+    // dynamicpruningexpression in the fact scan's PartitionFilters so a
+    // config/plan regression that silently full-scans cannot stay green.
+    Query("io11_dynamic_partition_pruning",
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders WHERE substring(o_orderpriority, 1, 1) < '3'
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val root = graft.core.TempDirs.scratch("graft_dpp_").toString
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority").as("prio"))
+        .write.mode("overwrite").partitionBy("prio").parquet(root)
+      val fact = s.read.parquet(root)
+      // dim carries the selective attribute; the filter is on the dim,
+      // not the fact, so only DPP can prune the fact partitions
+      val dim = Tables.orders(s, d).select(col("o_orderpriority").as("prio"))
+        .distinct()
+        .withColumn("flag",
+          when(substring(col("prio"), 1, 1) < "3", "keep").otherwise("drop"))
+      fact.join(broadcast(dim.filter(col("flag") === "keep")), Seq("prio"))
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total"))
     }
   )
 }

@@ -427,6 +427,39 @@ object Temporal {
       }
     },
 
+    // ---- w20: rank-family cohort bucketing --------------------------------
+    // The remaining ordered-rank surface in one row: decile assignment
+    // (ntile), relative rank (percent_rank), and cumulative distribution
+    // (cume_dist) per customer spend — the cohort/segmentation shape.
+    // Unique (total, custkey) tiebreak makes all three deterministic.
+    // One exchange: the three functions share a single window spec. The
+    // unpartitioned window is a deliberate post-aggregation shape — it
+    // ranks the per-customer rollup (orders of magnitude smaller than
+    // the fact table), the same single-reducer budget as a global
+    // ORDER BY report; ranking the raw corpus would instead go through
+    // a23's histogram-quantile route.
+    Query("w20_ntile_cohorts",
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY 1)
+        |SELECT o_custkey, total,
+        |       ntile(10) OVER w AS decile,
+        |       round(percent_rank() OVER w, 9) AS pr,
+        |       round(cume_dist() OVER w, 9) AS cd
+        |FROM spend WINDOW w AS (ORDER BY total DESC, o_custkey)""".stripMargin) {
+      (s, d) => {
+        val w = Window.orderBy(col("total").desc, col("o_custkey"))
+        Tables.orders(s, d).groupBy("o_custkey")
+          .agg(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
+            .as("total"))
+          .select(col("o_custkey"), col("total"),
+            ntile(10).over(w).as("decile"),
+            round(percent_rank().over(w), 9).as("pr"),
+            round(cume_dist().over(w), 9).as("cd"))
+      }
+    },
+
     // ---- w19: ordered conversion funnel (MATCH_RECOGNIZE-lite) ------------
     // Stage cascade view -> click -> purchase where each stage's earliest
     // timestamp must come strictly after the previous stage's — the

@@ -46,6 +46,20 @@ class SourcesSpec extends SparkSpec {
       plan.contains("partition_date"), s"expected partition filter in:\n$plan")
   }
 
+  test("io11 fact scan receives a dynamicpruning subquery (DPP fires)") {
+    // the io11 registry row's oracle proves the VALUES; this pins the
+    // PLAN — a config or shape regression that silently full-scans the
+    // fact table would keep the oracle green and fail here
+    val q = SparkEntry.queries("io11_dynamic_partition_pruning")(
+      spark, "/root/testdata/sf0.001")
+    q.collect() // finalize the adaptive plan so the subquery is visible
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"expected a dynamicpruning PartitionFilter in:\n${plan.take(4000)}")
+    assert(plan.contains("SubqueryBroadcast"),
+      "the pruning subquery must reuse the broadcast side")
+  }
+
   test("empty-schema placeholder preserves schema with zero rows (S12)") {
     val d = graft.core.Tables.orders(spark, "/root/testdata/sf0.001")
     val empty = d.limit(0)
