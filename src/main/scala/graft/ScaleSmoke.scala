@@ -460,6 +460,37 @@ object ScaleSmoke {
             .as("enc"))
           .write.format("noop").mode("overwrite").save()
       },
+      time("interval_overlap_150k_intervals") {
+        // j19 at 10x orders volume: bucketed equi-join with the
+        // bucket-of-max-start dedup; fan-out bounded by len/30 + 1
+        val o = or.filter(col("o_custkey") < 3000)
+          .select(col("o_orderkey").as("k"),
+            unix_date(to_date(col("o_orderdate"))).cast("bigint").as("sd"))
+          .withColumn("ed", col("sd") + col("k") % 20)
+        val a = o.filter(col("k") % 2 === 0)
+          .select(col("k").as("ka"), col("sd").as("sa"), col("ed").as("ea"),
+            explode(expr("sequence(sd div 30, ed div 30)")).as("bkt"))
+        val b = o.filter(col("k") % 2 =!= 0)
+          .select(col("k").as("kb"), col("sd").as("sb"), col("ed").as("eb"),
+            explode(expr("sequence(sd div 30, ed div 30)")).as("bkt"))
+        a.join(b, Seq("bkt"))
+          .filter(col("sa") <= col("eb") && col("sb") <= col("ea") &&
+            col("bkt") === expr("greatest(sa, sb) div 30"))
+          .groupBy("bkt").agg(count(lit(1)))
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("dhash_50k_imgs") {
+        // m05 at 10x: real PNG decode + 9x8 resize + gradient hash
+        val docs0 = graft.core.Tables.documents(spark, sfDir)
+        val maxDoc = docs0.agg(max("doc_id")).as[Long].head() + 1
+        val docs = docs0.select("doc_id").crossJoin(copies)
+          .withColumn("doc_id", col("doc_id") + col("rep") * maxDoc).drop("rep")
+        graft.operators.Multimodal.dHash(
+            graft.operators.Multimodal.withImagePayload(docs, "doc_id"),
+            "payload")
+          .groupBy("dhash").agg(count(lit(1)))
+          .write.format("noop").mode("overwrite").save()
+      },
       time("heavy_hitters_3m_tokens") {
         // a27's two-phase at 10x: MG sketch pass (no item-space shuffle)
         // + exact count of <= k candidates

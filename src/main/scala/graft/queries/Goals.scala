@@ -391,6 +391,45 @@ object Goals {
       }
     },
 
+    // ---- g12: cohort retention matrix -------------------------------------
+    // The signup-cohort retention table: users grouped by the week of
+    // their FIRST event, counted distinctly in each later week they were
+    // active, keyed by week offset. Two shuffles total: the per-user
+    // first-event aggregate and the (cohort, offset) count — the
+    // activity dedup rides the same user_id partitioning as the first
+    // aggregate. Weeks are Monday-floored epoch-day integers in both
+    // engines, so the offset arithmetic is exact.
+    Query("g12_retention_cohorts",
+      """WITH firstw AS (
+        |  SELECT user_id,
+        |         datediff('day', DATE '1970-01-01',
+        |                  CAST(date_trunc('week', min(ts)) AS DATE)) AS cw
+        |  FROM events GROUP BY 1),
+        |activity AS (
+        |  SELECT DISTINCT user_id,
+        |         datediff('day', DATE '1970-01-01',
+        |                  CAST(date_trunc('week', ts) AS DATE)) AS aw
+        |  FROM events)
+        |SELECT f.cw AS cohort_week, (a.aw - f.cw) // 7 AS week_offset,
+        |       count(DISTINCT f.user_id) AS n_users
+        |FROM firstw f JOIN activity a ON f.user_id = a.user_id
+        |GROUP BY 1, 2""".stripMargin) {
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val e = ev.select(col("user_id"), Tables.canonTs(ev.schema).as("cts"))
+        val wk = unix_date(to_date(date_trunc("week", col("cts"))))
+        val firstw = e.groupBy("user_id")
+          .agg(min(col("cts")).as("first_ts"))
+          .select(col("user_id"),
+            unix_date(to_date(date_trunc("week", col("first_ts")))).as("cw"))
+        val activity = e.select(col("user_id"), wk.as("aw")).distinct()
+        firstw.join(activity, Seq("user_id"))
+          .groupBy(col("cw").cast("bigint").as("cohort_week"),
+            expr("(aw - cw) div 7").cast("bigint").as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+      }
+    },
+
     // ---- g10: fixed-iteration PageRank (iterative join-agg, exact ints) ---
     // Graph analytics as pure join+aggregate rounds — the Pregel shape
     // without GraphX: edges are materialized ONCE pre-partitioned by src

@@ -350,6 +350,43 @@ object Reporting {
           .unionByName(metric("total_value",
             sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")))
       }
+    },
+
+    // ---- r15: calendar-spine densification (gap-filled daily series) ------
+    // The report-table shape w07's forward fill does NOT cover: rows
+    // must EXIST for days with no data (zero-filled), so charts and
+    // as-of joins see a dense series. The spine is generated, not
+    // scanned: one 1-row bounds aggregate explodes into the day range
+    // (sequence), cross-joins the small dimension (broadcast), and the
+    // actuals LEFT-join onto it — the fact table is never exploded. At
+    // 100 TB the spine is |days| x |dims| rows regardless of fact size.
+    Query("r15_date_spine",
+      """WITH bounds AS (
+        |  SELECT datediff('day', DATE '1970-01-01', min(CAST(o_orderdate AS DATE))) AS lo,
+        |         datediff('day', DATE '1970-01-01', max(CAST(o_orderdate AS DATE))) AS hi
+        |  FROM orders),
+        |spine AS (SELECT p.o_orderpriority AS prio, g.d AS day
+        |          FROM (SELECT DISTINCT o_orderpriority FROM orders) p,
+        |               bounds, LATERAL (SELECT unnest(generate_series(lo, hi)) AS d) g),
+        |actual AS (
+        |  SELECT o_orderpriority AS prio,
+        |         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+        |         count(*) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT s.prio, s.day, coalesce(a.n, 0) AS n
+        |FROM spine s LEFT JOIN actual a ON s.prio = a.prio AND s.day = a.day""".stripMargin) {
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .select(col("o_orderpriority").as("prio"),
+            unix_date(to_date(col("o_orderdate"))).cast("bigint").as("day"))
+        val bounds = o.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        val spine = o.select("prio").distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col("prio"), explode(expr("sequence(lo, hi)")).as("day"))
+        val actual = o.groupBy("prio", "day").agg(count(lit(1)).as("n"))
+        spine.join(actual, Seq("prio", "day"), "left")
+          .select(col("prio"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+      }
     }
   )
 }
