@@ -951,6 +951,45 @@ object TextAnalysis {
             + 1).cast("bigint").as("n_pieces"))
     },
 
+    // ---- t36: leakage-safe train/val/test split ---------------------------
+    // Split assignment hashed on the DOMAIN, not the document: every doc
+    // from one site lands in the same split, so near-duplicates that
+    // live on the same domain can never straddle train and eval — the
+    // contamination mode a per-doc random split invites. 75/12.5/12.5 by
+    // the first md5 nibble of the domain; deterministic, rerun-stable,
+    // and requiring no coordination (each row decides alone — a narrow
+    // projection at any scale). The leak_free column re-derives the
+    // invariant in-band: distinct splits per domain == 1, hashed into
+    // the oracle comparison.
+    Query("t36_leakage_safe_split",
+      s"""WITH u AS (SELECT doc_id, $UrlFixtureSql AS url FROM documents),
+         |d AS (SELECT doc_id,
+         |        regexp_replace(regexp_replace(lower(regexp_extract(url,
+         |          '^[^:]+://([^/?#]*)', 1)), ':(443|80)$$', ''), '^www\\.', '')
+         |          AS domain
+         |      FROM u),
+         |sp AS (SELECT doc_id, domain,
+         |         CASE WHEN CAST('0x' || substr(md5(domain), 1, 1) AS BIGINT) < 12
+         |                THEN 'train'
+         |              WHEN CAST('0x' || substr(md5(domain), 1, 1) AS BIGINT) < 14
+         |                THEN 'val'
+         |              ELSE 'test' END AS split
+         |       FROM d)
+         |SELECT doc_id, domain, split,
+         |       count(DISTINCT split) OVER (PARTITION BY domain) = 1 AS leak_free
+         |FROM sp""".stripMargin) {
+      (s, d) => {
+        import graft.functions.Web
+        val nib = conv(substring(md5(col("domain")), 1, 1), 16, 10).cast("int")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("domain")
+        Tables.documents(s, d)
+          .select(col("doc_id"), Web.urlHost(expr(UrlFixtureSql)).as("domain"))
+          .withColumn("split",
+            when(nib < 12, "train").when(nib < 14, "val").otherwise("test"))
+          .withColumn("leak_free", size(collect_set(col("split")).over(w)) === 1)
+      }
+    },
+
     // ---- t35: Unicode NFC normalization (canonical composition) -----------
     // The multilingual-corpus canonicalization step: byte-different but
     // canonically-equal strings must collide before any hash/dedup sees

@@ -23,6 +23,33 @@ class SkewSpec extends SparkSpec {
     assert(rows(saltedLeft) == rows(plainLeft))
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (OptimizeSkewedJoin)") {
+    // the OTHER skew answer beside manual salting: AQE detects the hot
+    // partition from runtime stats and splits it. Pin that it actually
+    // fires (isSkew=true reads in the final plan) so a config regression
+    // can't silently fall back to one monster reducer. Thresholds are
+    // lowered to make a test-sized skew eligible; session confs restored.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    ss.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    import ss.implicits._
+    val big = ss.range(200000).select(
+      when(col("id") % 20 === 0, col("id") % 7).otherwise(lit(42L)).as("k"),
+      concat(lit("padpadpadpadpadpadpadpad-"), col("id")).as("payload"))
+    val right = ss.range(200).select(col("id").as("k"), (col("id") * 2).as("dim"))
+    val joined = big.join(right, Seq("k"))
+      .select(sum(length(col("payload")) + col("dim")).as("n")) // payload survives pruning; tiny result
+    // materialize THIS queryExecution (count() would execute a clone and
+    // leave this plan isFinalPlan=false)
+    assert(joined.collect().head.getLong(0) > 0)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("isSkew=true") || plan.contains("skew=true"),
+      s"expected OptimizeSkewedJoin to split the hot partition:\n${plan.take(3000)}")
+  }
+
   test("salt distributes the hot key across the factor") {
     val big = spark.range(1000).select(col("id").as("rid"), lit(42L).as("k"))
     val salted = big.withColumn("__salt",
