@@ -163,8 +163,20 @@ object Ivf {
     */
   def searchWithCentroids(vectors: DataFrame, queries: DataFrame,
                           cents: DataFrame, idCol: String, vecCol: String,
-                          nProbe: Int, k: Int): DataFrame = {
-    val assigned = assign(vectors, cents, idCol, vecCol)
+                          nProbe: Int, k: Int): DataFrame =
+    searchAssigned(assign(vectors, cents, idCol, vecCol), queries, cents,
+      idCol, vecCol, nProbe, k)
+
+  /** Search against an ALREADY-ASSIGNED index table (idCol, vecCol,
+    * cell_id) — the persisted-index path: assignments built once, stored
+    * partitioned BY cell, and probed without re-assignment. When
+    * `assigned` is a parquet read partitioned by cell_id, the candidate
+    * join's broadcast probe side dynamically prunes the scan to the
+    * probed cells (the io11 DPP mechanism applied to ANN serving).
+    */
+  def searchAssigned(assigned: DataFrame, queries: DataFrame,
+                     cents: DataFrame, idCol: String, vecCol: String,
+                     nProbe: Int, k: Int): DataFrame = {
     // probe cells per query: queries × centroids is tiny — window is fine
     val wq = Window.partitionBy("query_id").orderBy(col("__d"), col("cell_id"))
     val probes = queries.crossJoin(broadcast(cents))

@@ -628,6 +628,86 @@ object SimilaritySearch {
       }
     },
 
+    // ---- S28: persisted ANN index lifecycle (index-as-partitioned-table) ---
+    // The production serving path s17's in-memory twin doesn't cover:
+    // BUILD assigns every vector to its cell and writes the index as a
+    // parquet table PARTITIONED BY cell_id; RELOAD is a plain partition-
+    // discovery read (a later session needs no retraining and no
+    // re-assignment); SEARCH probes nProbe cells per query and joins the
+    // broadcast probe list against the partitioned read — the same DPP
+    // mechanism io11 pins prunes the index scan to the probed cells, so
+    // serving cost tracks cells touched, not index size. Math and output
+    // are identical to s17 (same literal centroids, same in-order
+    // cosine folds), so the SAME oracle recipe hash-checks the whole
+    // build→persist→reload→search chain.
+    {
+      val nCells = 8
+      val cvecs = Similarity.hyperplanes(1, nCells, 64)
+      val centValues = cvecs.zipWithIndex
+        .map { case (c, r) => s"($r, [${c.mkString(", ")}])" }
+        .mkString(",\n        ")
+      Query("s28_ann_index_persist",
+        s"""WITH cents(cell_id, c) AS (VALUES
+          |        $centValues),
+          |dist AS (
+          |  SELECT vec_id, cell_id,
+          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |           list_transform(range(1, 65),
+          |             i -> (CAST(embedding[i] AS DOUBLE) - c[i])
+          |                  * (CAST(embedding[i] AS DOUBLE) - c[i]))),
+          |           (a, x) -> a + x) AS d
+          |  FROM embeddings CROSS JOIN cents),
+          |assigned AS (SELECT vec_id, cell_id FROM (
+          |  SELECT vec_id, cell_id,
+          |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+          |  FROM dist) WHERE rn = 1),
+          |probes AS (SELECT vec_id AS query_id, cell_id FROM (
+          |  SELECT vec_id, cell_id,
+          |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+          |  FROM dist WHERE vec_id < 10) WHERE rn <= 3),
+          |cand AS (
+          |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+          |  FROM probes p JOIN assigned a USING (cell_id)
+          |  WHERE a.vec_id <> p.query_id),
+          |cosd AS (
+          |  SELECT query_id, neighbor_id,
+          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |           list_transform(range(1, 65),
+          |             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+          |           (a, x) -> a + x)
+          |         / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |              list_transform(range(1, 65),
+          |                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))),
+          |              (a, x) -> a + x))
+          |            * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |                list_transform(range(1, 65),
+          |                  i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+          |                (a, x) -> a + x))) AS cos
+          |  FROM cand JOIN embeddings q ON q.vec_id = query_id
+          |            JOIN embeddings c ON c.vec_id = neighbor_id)
+          |SELECT query_id, neighbor_id, cos FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id
+          |                               ORDER BY cos DESC, neighbor_id) AS rn
+          |  FROM cosd) WHERE rn <= 3""".stripMargin) { (s, d) =>
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+        val cents = cvecs.zipWithIndex.map { case (c, r) => (r.toLong, c) }
+          .toDF("cell_id", "c_vec")
+        // BUILD + PERSIST: one assignment pass, stored partitioned by cell
+        val root = graft.core.TempDirs.scratch("graft_ivfidx_").toString
+        graft.operators.Ivf.assign(e, cents, "vec_id", "embedding")
+          .write.mode("overwrite").partitionBy("cell_id").parquet(root)
+        // RELOAD: partition discovery; the partition value parses as int
+        val index = s.read.parquet(root)
+          .withColumn("cell_id", col("cell_id").cast("long"))
+        // SEARCH: stored assignments, no re-assignment
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+        graft.operators.Ivf.searchAssigned(index, q, cents, "vec_id",
+          "embedding", nProbe = 3, k = 3)
+      }
+    },
+
     // ---- S18: PQ-ADC, full-oracle twin of s11 ------------------------------
     // Product quantization with LITERAL codebooks: encode argmins, the
     // per-query distance tables, the ADC fold, shortlist, and the exact
