@@ -1394,6 +1394,119 @@ object SimilaritySearch {
         n = 2, threshold = 0.4)
     },
 
+    // ---- s29: hybrid retrieval — reciprocal rank fusion (RRF) -------------
+    // The hybrid-search composition every modern retrieval stack runs:
+    // a lexical ranking (s26's BM25, top-20) and a dense ranking (cosine
+    // vs the query vector, top-20) fuse by RRF — score = Σ 1/(60+rank),
+    // missing-from-a-list contributes nothing — and the fused top-10 is
+    // the answer. Ranks come from 6dp-rounded scores with doc_id
+    // tiebreaks, so ordering is cross-engine deterministic; the fused
+    // score is two fixed-order double terms, rounded at 9dp. Plan: both
+    // rankings are TakeOrdered into 20-row sets, so the fusion join and
+    // final sort are driver-trivial; everything upstream is the s26/s01
+    // scan shapes.
+    Query("s29_rrf_fusion",
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+        |         CAST(len(list_filter(t, x -> x = 'spark')) AS DOUBLE) AS tf1,
+        |         CAST(len(list_filter(t, x -> x = 'vector')) AS DOUBLE) AS tf2,
+        |         CAST(len(list_filter(t, x -> x = 'window')) AS DOUBLE) AS tf3,
+        |         CAST(len(list_filter(t, x -> x = 'customer')) AS DOUBLE) AS tf4
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+        |         CAST(count(CASE WHEN tf1 > 0 THEN 1 END) AS DOUBLE) AS df1,
+        |         CAST(count(CASE WHEN tf2 > 0 THEN 1 END) AS DOUBLE) AS df2,
+        |         CAST(count(CASE WHEN tf3 > 0 THEN 1 END) AS DOUBLE) AS df3,
+        |         CAST(count(CASE WHEN tf4 > 0 THEN 1 END) AS DOUBLE) AS df4
+        |  FROM d),
+        |bm AS (
+        |  SELECT doc_id, round(
+        |      ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * 2.2)
+        |        / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * 2.2)
+        |        / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    + ln((n - df3 + 0.5) / (df3 + 0.5) + 1.0) * (tf3 * 2.2)
+        |        / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    + ln((n - df4 + 0.5) / (df4 + 0.5) + 1.0) * (tf4 * 2.2)
+        |        / (tf4 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS score
+        |  FROM d, st),
+        |bmr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+        |        FROM bm QUALIFY r <= 20),
+        |cs AS (
+        |  SELECT c.vec_id AS doc_id,
+        |         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list_transform(range(1, len(q.embedding) + 1),
+        |             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+        |           (a, x) -> a + x)
+        |         / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |              list_transform(range(1, len(q.embedding) + 1),
+        |                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))),
+        |              (a, x) -> a + x))
+        |            * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |                list_transform(range(1, len(c.embedding) + 1),
+        |                  i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+        |                (a, x) -> a + x))), 6) AS cos
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id = 0 AND c.vec_id <> 0),
+        |csr AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r
+        |        FROM cs QUALIFY r <= 20),
+        |fused AS (
+        |  SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+        |         round(coalesce(CAST(1.0 AS DOUBLE) / (60 + b.r), 0.0)
+        |             + coalesce(CAST(1.0 AS DOUBLE) / (60 + c.r), 0.0), 9) AS rrf
+        |  FROM bmr b FULL OUTER JOIN csr c ON b.doc_id = c.doc_id)
+        |SELECT doc_id, rrf FROM (
+        |  SELECT doc_id, rrf, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn
+        |  FROM fused) WHERE rn <= 10""".stripMargin) {
+      (s, d) => {
+        // lexical leg: s26's no-explode BM25, 6dp-rounded, top-20
+        val terms = Seq("spark", "vector", "window", "customer")
+        val toks = TextFunctions.tokens(col("text"))
+        val perDoc = Tables.documents(s, d).select(
+          col("doc_id") +: size(toks).cast("double").as("dl") +:
+            terms.zipWithIndex.map { case (t, i) =>
+              size(filter(toks, x => x === lit(t))).cast("double").as(s"tf${i + 1}")
+            }: _*)
+        val aggCols = count(lit(1)).cast("double").as("n") +:
+          avg(col("dl")).as("avgdl") +:
+          terms.indices.map(i =>
+            count(when(col(s"tf${i + 1}") > 0, 1)).cast("double").as(s"df${i + 1}"))
+        val stats = perDoc.agg(aggCols.head, aggCols.tail: _*)
+        def contrib(i: Int): org.apache.spark.sql.Column = {
+          val tf = col(s"tf${i + 1}"); val df = col(s"df${i + 1}")
+          log((col("n") - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0)) *
+            (tf * lit(2.2)) /
+            (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+        }
+        val bmTop = perDoc.crossJoin(broadcast(stats))
+          .select(col("doc_id"),
+            round(contrib(0) + contrib(1) + contrib(2) + contrib(3), 6).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+          .select(col("doc_id"),
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("score").desc, col("doc_id"))).as("r_bm"))
+        // dense leg: cosine vs the query vector (vec_id 0), top-20
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_vec"))
+        val csTop = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id").as("doc_id"),
+            round(Similarity.cosine(col("q_vec"), col("embedding")), 6).as("cos"))
+          .orderBy(col("cos").desc, col("doc_id")).limit(20)
+          .select(col("doc_id"),
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("cos").desc, col("doc_id"))).as("r_cs"))
+        bmTop.join(csTop, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            round(coalesce(lit(1.0) / (lit(60) + col("r_bm")), lit(0.0))
+              + coalesce(lit(1.0) / (lit(60) + col("r_cs")), lit(0.0)), 9)
+              .as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+      }
+    },
+
     // ---- s26: BM25 full-text retrieval (inverted-stats, no explode) -------
     // Okapi BM25 (k1=1.2, b=0.75) top-10 for a literal term query. Scale
     // design: per-doc term frequencies come from a NARROW projection

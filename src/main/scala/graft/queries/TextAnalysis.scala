@@ -951,6 +951,42 @@ object TextAnalysis {
             + 1).cast("bigint").as("n_pieces"))
     },
 
+    // ---- t37: markup strip + entity decode (HTML boilerplate removal) -----
+    // The first transform of any web-crawl pipeline: tags out, entities
+    // decoded, whitespace re-collapsed. The fixture wraps each doc in
+    // deterministic markup (id-bearing div, per-word <b> tags, trailing
+    // entities) built IDENTICALLY in both engines, so the strip chain —
+    // tag regex, entity decode, whitespace collapse, trim — is verified
+    // end-to-end including the tag count. Pure narrow regexp projection;
+    // no UDF, stays in codegen.
+    Query("t37_markup_strip",
+      """WITH h AS (SELECT doc_id,
+        |  '<div id="d' || doc_id || '"><p>' ||
+        |  regexp_replace(text, '\b(the)\b', '<b>\1</b>', 'g') ||
+        |  '</p>&nbsp;&amp;tail</div>' AS html
+        |FROM documents),
+        |s AS (SELECT doc_id, html,
+        |  regexp_replace(html, '<[^>]*>', '', 'g') AS no_tags FROM h)
+        |SELECT doc_id,
+        |  trim(regexp_replace(replace(replace(no_tags, '&nbsp;', ' '),
+        |       '&amp;', '&'), ' {2,}', ' ', 'g')) AS clean,
+        |  CAST(length(html) - length(replace(html, '<', '')) AS BIGINT) AS n_tags
+        |FROM s""".stripMargin) { (s, d) =>
+      val html = concat(lit("<div id=\"d"), col("doc_id").cast("string"),
+        lit("\"><p>"),
+        regexp_replace(col("text"), "\\b(the)\\b", "<b>$1</b>"),
+        lit("</p>&nbsp;&amp;tail</div>"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), html.as("html"))
+        .select(col("doc_id"),
+          trim(regexp_replace(
+            expr("replace(replace(regexp_replace(html, '<[^>]*>', ''), " +
+              "'&nbsp;', ' '), '&amp;', '&')"),
+            " {2,}", " ")).as("clean"),
+          (length(col("html")) -
+            length(expr("replace(html, '<', '')"))).cast("bigint").as("n_tags"))
+    },
+
     // ---- t36: leakage-safe train/val/test split ---------------------------
     // Split assignment hashed on the DOMAIN, not the document: every doc
     // from one site lands in the same split, so near-duplicates that
