@@ -427,6 +427,37 @@ object Temporal {
       }
     },
 
+    // ---- w21: cumulative distinct via first-occurrence --------------------
+    // Running "customers ever seen" by week WITHOUT an expanding
+    // count(DISTINCT) window (that naive form recounts the whole history
+    // per week — O(weeks × customers) and an unbounded-frame shuffle
+    // monster). The identity: a key joins the cumulative set exactly
+    // once, at its FIRST occurrence — so two hash aggregates (first week
+    // per key, new keys per week) and one tiny running sum over the
+    // ~|weeks| rollup produce the same curve at any scale.
+    Query("w21_cumulative_distinct",
+      """WITH f AS (SELECT o_custkey,
+        |         min(date_trunc('week', CAST(o_orderdate AS DATE))) AS fw
+        |       FROM orders GROUP BY 1),
+        |w AS (SELECT CAST(fw AS DATE) AS wk, count(*) AS new_cust FROM f GROUP BY 1)
+        |SELECT datediff('day', DATE '1970-01-01', wk) AS week_day, new_cust,
+        |       CAST(sum(new_cust) OVER (ORDER BY wk) AS BIGINT) AS cum_distinct
+        |FROM w""".stripMargin) {
+      (s, d) => {
+        val firstWk = Tables.orders(s, d)
+          .groupBy("o_custkey")
+          .agg(min(unix_date(to_date(date_trunc("week", col("o_orderdate")))))
+            .as("week_day"))
+        val weekly = firstWk.groupBy("week_day")
+          .agg(count(lit(1)).as("new_cust"))
+        val w = Window.orderBy("week_day")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        weekly.select(col("week_day").cast("bigint").as("week_day"),
+          col("new_cust"),
+          sum(col("new_cust")).over(w).as("cum_distinct"))
+      }
+    },
+
     // ---- w20: rank-family cohort bucketing --------------------------------
     // The remaining ordered-rank surface in one row: decile assignment
     // (ntile), relative rank (percent_rank), and cumulative distribution
