@@ -255,6 +255,58 @@ object Cleaning {
         |FROM part GROUP BY p_brand""".stripMargin) {
       (s, d) => Tables.part(s, d).groupBy("p_brand")
         .agg(concat_ws("; ", array_sort(collect_list(col("p_type")))).as("types"))
+    },
+
+    // ---- p13: tolerant cast + bad-record quarantine -----------------------
+    // The dirty-CSV reality the cleaning DAG meets first: numeric fields
+    // arriving as strings, some unparseable. try_cast parses the clean
+    // ones and yields null (never a task failure) for garbage; the
+    // quarantine flag preserves every bad row for triage instead of
+    // silently dropping it. The dirty fixture is built identically in
+    // both engines (printf('%.2f') of a 2-decimal money value is
+    // tie-free, so C and Java formatting agree); the oracle replays the
+    // parse rule, so a cast that dropped rows, threw, or mis-parsed a
+    // locale breaks the hash.
+    Query("p13_quarantine_cast",
+      """WITH dirty AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 7 = 3 THEN 'N/A-' || c_mktsegment
+        |              ELSE printf('%.2f', c_acctbal) END AS raw
+        |  FROM customer)
+        |SELECT c_custkey, TRY_CAST(raw AS DOUBLE) AS parsed,
+        |       TRY_CAST(raw AS DOUBLE) IS NULL AS quarantined,
+        |       CASE WHEN TRY_CAST(raw AS DOUBLE) IS NULL THEN raw END AS raw_kept
+        |FROM dirty""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 7 === 3,
+            concat(lit("N/A-"), col("c_mktsegment")))
+            .otherwise(format_string("%.2f", col("c_acctbal"))).as("raw"))
+        .select(col("c_custkey"),
+          expr("try_cast(raw AS DOUBLE)").as("parsed"),
+          expr("try_cast(raw AS DOUBLE)").isNull.as("quarantined"),
+          when(expr("try_cast(raw AS DOUBLE)").isNull, col("raw")).as("raw_kept"))
+    },
+
+    // ---- a28: per-group mode (most frequent value) ------------------------
+    // Mode imputation's core aggregate: the most common status per
+    // priority, as TWO hash aggregates — count per (group, value), then
+    // max(struct(cnt, value)) per group — never a sort. Tiebreak is
+    // struct ordering (largest value at equal count), replayed in the
+    // oracle's row_number.
+    Query("a28_mode_per_group",
+      """SELECT o_orderpriority, status AS mode_status, cnt FROM (
+        |  SELECT o_orderpriority, o_orderstatus AS status, count(*) AS cnt,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY count(*) DESC, o_orderstatus DESC) AS rn
+        |  FROM orders GROUP BY 1, 2) WHERE rn = 1""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("o_orderpriority")
+        .agg(max(struct(col("cnt"), col("o_orderstatus"))).as("m"))
+        .select(col("o_orderpriority"), col("m.o_orderstatus").as("mode_status"),
+          col("m.cnt").as("cnt"))
     }
   )
 }

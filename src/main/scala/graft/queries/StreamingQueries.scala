@@ -432,6 +432,52 @@ object StreamingQueries {
       }
     },
 
+    // ---- ST11: complete-mode global aggregation ---------------------------
+    // The third output mode (st01 pins append, st06 update-style
+    // foreachBatch): a global unwindowed aggregate can never emit
+    // finalized rows under append, so the dashboard-counter shape runs
+    // in COMPLETE mode — every trigger rewrites the whole (small)
+    // result. Run to completion it must equal the batch GROUP BY; a
+    // runtime that dropped state between micro-batches (two landed
+    // files) or emitted deltas instead of totals hash-mismatches.
+    Query("st11_stream_complete_totals",
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1""".stripMargin) {
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val raw = ss.read.parquet(s"$d/events.parquet")
+        val landing = graft.core.TempDirs.scratch("st11_landing_")
+        def stage(df: org.apache.spark.sql.DataFrame, name: String,
+                  mtime: Long): Unit = {
+          val tmp = graft.core.TempDirs.scratch("st11_b_").toString
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val f = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+            .filter(_.endsWith(".parquet")).head
+          val dst = landing.resolve(name)
+          Files.copy(Paths.get(f), dst)
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+        }
+        stage(raw.filter(col("event_id") % 2 === 0), "b1.parquet", 1000000L)
+        stage(raw.filter(col("event_id") % 2 =!= 0), "b2.parquet", 2000000L)
+        val src = Streams.fileSource(ss, landing.toString, raw.schema,
+          maxFilesPerTrigger = Some(1))
+        val sink = "st11_tot_" + System.nanoTime()
+        // note: count(DISTINCT) is unsupported in streaming aggregations —
+        // the decimal-routed sum is the second metric instead
+        val q = src.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        ss.table(sink)
+      }
+    },
+
     // ---- ST10: late-data drop semantics under the watermark ---------------
     // The OTHER half of the watermark contract st01 doesn't pin: rows
     // arriving BEHIND the watermark are dropped, not aggregated. Spark's
