@@ -20,6 +20,7 @@ object SparkEntry {
     graft.queries.SimilaritySearch.queries ++
     graft.queries.GeoQueries.queries ++
     graft.queries.MultimodalQueries.queries ++
+    graft.queries.Analytics.queries ++
     graft.queries.Composite.queries ++
     graft.queries.Goals.queries ++
     graft.queries.Reporting.queries ++

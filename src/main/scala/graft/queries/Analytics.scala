@@ -1,0 +1,289 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Query, Tables}
+
+/** Trend / drift / ordered-run analytics — the monitoring layer that sits
+  * on top of the reference's anomaly battery (SURVEY §2.4/§2.5): per-group
+  * regression trends, distribution-drift scoring between time slices,
+  * activity streaks (gaps-and-islands), time-bucket OHLC rollups, and a
+  * degree-oriented triangle count over the co-purchase graph.
+  *
+  * Float policy (the t18/t34 decimal discipline): every aggregate that
+  * feeds a ratio is an EXACT sum (BIGINT / DECIMAL), and doubles only
+  * appear in a fixed-order scalar epilogue on already-aggregated values,
+  * rounded to 6 dp — partition order can never move a bit.
+  */
+object Analytics {
+
+  val queries: Seq[Query] = Seq(
+
+    // ---- A29: per-group linear regression (trend detection) ---------------
+    // Least-squares fit of order value against order date per priority
+    // class — the "is this metric drifting over time" monitor. All six
+    // sufficient statistics are EXACT integers: x is an epoch-day, y is
+    // scaled to 1e-4 currency units (yi = price * 10^4 — DECIMAL(38,0)
+    // here, HUGEINT in the oracle; int128 either way), so the
+    // slope/intercept/r2 epilogue is a fixed-order double expression over
+    // identical exact inputs — bit-stable at any partition count, which
+    // is the property a 1000-executor run needs. One hash aggregate, one
+    // exchange. Matches regr_slope/regr_intercept/regr_r2 to 6 dp.
+    Query("a29_regr_trend",
+      """WITH b AS (
+        |  SELECT o_orderpriority,
+        |         CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS HUGEINT) AS x,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS HUGEINT) AS yi
+        |  FROM orders),
+        |s AS (
+        |  SELECT o_orderpriority, CAST(count(*) AS HUGEINT) AS n,
+        |         sum(x) AS sx, sum(yi) AS sy, sum(x * yi) AS sxy,
+        |         sum(x * x) AS sxx, sum(yi * yi) AS syy
+        |  FROM b GROUP BY 1)
+        |SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |        / CAST(n * sxx - sx * sx AS DOUBLE) / 10000.0, 6) AS slope,
+        |  round((CAST(sy AS DOUBLE) / 10000.0
+        |          - CAST(n * sxy - sx * sy AS DOUBLE)
+        |            / CAST(n * sxx - sx * sx AS DOUBLE) / 10000.0
+        |            * CAST(sx AS DOUBLE))
+        |        / CAST(n AS DOUBLE), 6) AS intercept,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+        |        / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)),
+        |        6) AS r2
+        |FROM s""".stripMargin) {
+      (s, d) => {
+        val x = datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("decimal(38,0)")
+        val yi = (col("o_totalprice").cast("decimal(18,4)") * 10000)
+          .cast("decimal(38,0)")
+        val agg = Tables.orders(s, d)
+          .select(col("o_orderpriority"), x.as("x"), yi.as("yi"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+            sum(col("x")).as("sx"), sum(col("yi")).as("sy"),
+            sum(col("x") * col("yi")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("yi") * col("yi")).as("syy"))
+        val num  = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+        val denx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+        val deny = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+        val slope = num / denx / 10000.0
+        agg.select(col("o_orderpriority"), col("n").cast("long").as("n"),
+          round(slope, 6).as("slope"),
+          round((col("sy").cast("double") / 10000.0
+            - slope * col("sx").cast("double")) / col("n").cast("double"), 6)
+            .as("intercept"),
+          round(num * num / (denx * deny), 6).as("r2"))
+      }
+    },
+
+    // ---- A30: PSI distribution drift between time slices ------------------
+    // Population Stability Index of the event-value distribution between
+    // even and odd epoch-days (interleaved A/B slices are testdata-drift
+    // proof), per event type over 10 fixed value buckets. Empty buckets
+    // participate via a generated 10-row spine and Laplace smoothing
+    // (+0.5 per bucket), so ln never sees zero. Per-bucket terms are
+    // rounded to 6 dp and summed as DECIMAL(18,6) — the t34 discipline:
+    // integer arithmetic underneath, immune to partition-order drift.
+    // Two exchanges total: the (type,slice,bucket) count and the
+    // per-type rollup; the spine join broadcasts.
+    Query("a30_psi_drift",
+      """WITH b AS (
+        |  SELECT event_type,
+        |         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 2 AS slice,
+        |         least(9, greatest(0, CAST(floor(value / 50.0) AS BIGINT))) AS bucket
+        |  FROM events),
+        |c AS (SELECT event_type, slice, bucket, count(*) AS n FROM b GROUP BY 1, 2, 3),
+        |spine AS (
+        |  SELECT DISTINCT event_type, r.range AS bucket FROM events, range(0, 10) r),
+        |tot AS (SELECT event_type,
+        |               sum(CASE WHEN slice = 0 THEN n ELSE 0 END) AS ta,
+        |               sum(CASE WHEN slice = 1 THEN n ELSE 0 END) AS tb
+        |        FROM c GROUP BY 1),
+        |pq AS (
+        |  SELECT s.event_type, s.bucket,
+        |         (coalesce(a.n, 0) + 0.5) / (t.ta + 5.0) AS p,
+        |         (coalesce(o.n, 0) + 0.5) / (t.tb + 5.0) AS q
+        |  FROM spine s
+        |  JOIN tot t ON s.event_type = t.event_type
+        |  LEFT JOIN c a ON a.event_type = s.event_type AND a.bucket = s.bucket AND a.slice = 0
+        |  LEFT JOIN c o ON o.event_type = s.event_type AND o.bucket = s.bucket AND o.slice = 1)
+        |SELECT event_type,
+        |       CAST(sum(CAST(round((p - q) * ln(p / q), 6) AS DECIMAL(18,6))) AS DOUBLE) AS psi
+        |FROM pq GROUP BY event_type""".stripMargin) {
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val b = ev.select(col("event_type"),
+          (datediff(to_date(col("ts")), lit("1970-01-01")) % 2).as("slice"),
+          least(lit(9L), greatest(lit(0L), floor(col("value") / 50.0).cast("long")))
+            .as("bucket"))
+        val c = b.groupBy("event_type", "slice", "bucket").agg(count(lit(1)).as("n"))
+        val tot = c.groupBy("event_type").agg(
+          sum(when(col("slice") === 0, col("n")).otherwise(0L)).as("ta"),
+          sum(when(col("slice") === 1, col("n")).otherwise(0L)).as("tb"))
+        // 10-bucket spine per type: tiny (|types| x 10) — broadcast both sides
+        val spine = ev.select("event_type").distinct()
+          .select(col("event_type"), explode(sequence(lit(0L), lit(9L))).as("bucket"))
+        val a = c.filter(col("slice") === 0).select(
+          col("event_type").as("a_t"), col("bucket").as("a_b"), col("n").as("a_n"))
+        val o = c.filter(col("slice") === 1).select(
+          col("event_type").as("o_t"), col("bucket").as("o_b"), col("n").as("o_n"))
+        val p = (coalesce(col("a_n"), lit(0L)) + 0.5) / (col("ta") + 5.0)
+        val q = (coalesce(col("o_n"), lit(0L)) + 0.5) / (col("tb") + 5.0)
+        broadcast(spine)
+          .join(broadcast(tot), "event_type")
+          .join(broadcast(a), col("event_type") === col("a_t") && col("bucket") === col("a_b"), "left")
+          .join(broadcast(o), col("event_type") === col("o_t") && col("bucket") === col("o_b"), "left")
+          .select(col("event_type"),
+            round((p - q) * log(p / q), 6).cast("decimal(18,6)").as("term"))
+          .groupBy("event_type")
+          .agg(sum(col("term")).cast("double").as("psi"))
+      }
+    },
+
+    // ---- W22: activity streaks (gaps-and-islands) -------------------------
+    // Longest run of consecutive active days per user — the classic
+    // islands derivation: distinct (user, day), row_number per user in
+    // day order, island id = epoch_day - rn (constant within a run).
+    // The distinct pre-aggregates map-side; the window and both follow-up
+    // groupBys all hash on user_id, so past the distinct there is ONE
+    // exchange. No cross-user state — scales per-key.
+    Query("w22_streaks",
+      """WITH d AS (
+        |  SELECT DISTINCT user_id,
+        |         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        |  FROM events),
+        |i AS (SELECT user_id, day,
+        |             day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+        |      FROM d),
+        |r AS (SELECT user_id, island, count(*) AS len, max(day) AS last_day
+        |      FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_streaks,
+        |       CAST(max(len) AS BIGINT) AS longest,
+        |       CAST(sum(len) AS BIGINT) AS active_days,
+        |       CAST(max(last_day) AS BIGINT) AS last_active_day
+        |FROM r GROUP BY user_id""".stripMargin) {
+      (s, d) => {
+        val day = datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+        val w = Window.partitionBy("user_id").orderBy("day")
+        Tables.events(s, d)
+          .select(col("user_id"), day.as("day")).distinct()
+          .select(col("user_id"), col("day"),
+            (col("day") - row_number().over(w)).as("island"))
+          .groupBy("user_id", "island")
+          .agg(count(lit(1)).as("len"), max(col("day")).as("last_day"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).cast("long").as("n_streaks"),
+            max(col("len")).cast("long").as("longest"),
+            sum(col("len")).cast("long").as("active_days"),
+            max(col("last_day")).cast("long").as("last_active_day"))
+      }
+    },
+
+    // ---- W23: time-bucket OHLC rollup -------------------------------------
+    // Open/high/low/close per (event_type, hour): first/last by event
+    // time in ONE hash aggregate via min_by/max_by — no window, no
+    // second shuffle, map-side combinable (each partial keeps one
+    // candidate per group). Tie-breaks are total: the ordering key is
+    // a zero-padded (epoch_us, event_id) string, identical lexicographic
+    // = numeric order in both engines.
+    Query("w23_ohlc",
+      """WITH b AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, value,
+        |         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |           || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+        |  FROM events)
+        |SELECT event_type, hour,
+        |       round(arg_min(value, ord), 6) AS open,
+        |       round(max(value), 6) AS high,
+        |       round(min(value), 6) AS low,
+        |       round(arg_max(value, ord), 6) AS close,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM b GROUP BY 1, 2""".stripMargin) {
+      (s, d) => {
+        val ord = concat(
+          lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+          lpad(col("event_id").cast("string"), 12, "0"))
+        Tables.events(s, d)
+          .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"),
+            col("value"), ord.as("ord"))
+          .groupBy("event_type", "hour")
+          .agg(round(min_by(col("value"), col("ord")), 6).as("open"),
+            round(max(col("value")), 6).as("high"),
+            round(min(col("value")), 6).as("low"),
+            round(max_by(col("value"), col("ord")), 6).as("close"),
+            count(lit(1)).cast("long").as("n"))
+      }
+    },
+
+    // ---- G13: degree-oriented triangle count ------------------------------
+    // Triangles in the supplier co-purchase graph (suppliers sharing an
+    // order). The raw co-purchase graph is near-complete, so edges are
+    // hash-sparsified to ~1/16 with the dialect-shared md5 family —
+    // deterministic in both engines, and an honest stand-in for a blocked
+    // similarity graph. The count uses degree orientation (edges point
+    // from lower (deg, node) to higher): every triangle then has exactly
+    // one node with two out-edges, so wedge join + closing-edge semi-join
+    // counts each triangle once, and max out-degree is O(sqrt(m)) no
+    // matter how skewed the raw degrees — the standard bound that keeps
+    // the wedge join from exploding on hub nodes at 100 TB.
+    Query("g13_triangle_count",
+      """WITH pair AS (
+        |  SELECT DISTINCT a.l_suppkey AS x, b.l_suppkey AS y
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+        |e AS (
+        |  SELECT x, y FROM pair
+        |  WHERE substring(md5(CAST(x AS VARCHAR) || '_' || CAST(y AS VARCHAR) || 'g13'), 1, 1) = '0'),
+        |deg AS (
+        |  SELECT node, count(*) AS dg FROM (
+        |    SELECT x AS node FROM e UNION ALL SELECT y FROM e)
+        |  GROUP BY 1),
+        |de AS (
+        |  SELECT CASE WHEN (dx.dg, e.x) < (dy.dg, e.y) THEN e.x ELSE e.y END AS src,
+        |         CASE WHEN (dx.dg, e.x) < (dy.dg, e.y) THEN e.y ELSE e.x END AS dst
+        |  FROM e JOIN deg dx ON e.x = dx.node JOIN deg dy ON e.y = dy.node),
+        |wedge AS (
+        |  SELECT a.dst AS v, b.dst AS w
+        |  FROM de a JOIN de b ON a.src = b.src AND a.dst < b.dst)
+        |SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM wedge JOIN de ON (wedge.v = de.src AND wedge.w = de.dst)
+        |                   OR (wedge.w = de.src AND wedge.v = de.dst)""".stripMargin) {
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        val pair = li.toDF("ok", "x")
+          .join(li.toDF("ok2", "y"), col("ok") === col("ok2") && col("x") < col("y"))
+          .select("x", "y").distinct()
+        // e is referenced 3x (edges, both degree legs) and de 2x (wedge
+        // legs + closing): localCheckpoint both (the g10 pattern) or
+        // every reference re-executes the whole distinct-pair join —
+        // the plan balloons to 47 exchanges without these two cuts
+        val e = pair.filter(substring(
+          md5(concat(col("x").cast("string"), lit("_"), col("y").cast("string"), lit("g13"))),
+          1, 1) === "0").localCheckpoint()
+        val deg = e.select(col("x").as("node")).unionAll(e.select(col("y")))
+          .groupBy("node").agg(count(lit(1)).as("dg"))
+        val withDeg = e
+          .join(deg.toDF("nx", "dx"), col("x") === col("nx"))
+          .join(deg.toDF("ny", "dy"), col("y") === col("ny"))
+        val xFirst = struct(col("dx"), col("x")) < struct(col("dy"), col("y"))
+        val de = withDeg.select(
+          when(xFirst, col("x")).otherwise(col("y")).as("src"),
+          when(xFirst, col("y")).otherwise(col("x")).as("dst")).localCheckpoint()
+        val wedge = de.toDF("s1", "v")
+          .join(de.toDF("s2", "w"), col("s1") === col("s2") && col("v") < col("w"))
+          .select("v", "w")
+        // closing edge: orientation direction between v and w is unknown
+        // (rank order, not value order) — probe both with one join on the
+        // canonical (min, max) key instead of an OR-join (OR disables
+        // the equi-join planner in Spark).
+        val closing = de.select(
+          least(col("src"), col("dst")).as("cv"), greatest(col("src"), col("dst")).as("cw"))
+        wedge.join(closing, col("v") === col("cv") && col("w") === col("cw"))
+          .agg(count(lit(1)).cast("long").as("n_triangles"))
+      }
+    }
+  )
+}

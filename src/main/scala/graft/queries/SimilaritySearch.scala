@@ -1577,6 +1577,64 @@ object SimilaritySearch {
           .orderBy(col("score").desc, col("doc_id"))
           .limit(10)
       }
+    },
+
+    // ---- S30: maximum-inner-product top-k via norm augmentation ------------
+    // MIPS is what a trained retrieval model actually asks for (query ·
+    // doc, unnormalized), but every sublinear index here (hyperplane LSH,
+    // IVF) is built for COSINE. The standard reduction (Bachrach et al.,
+    // RecSys'14): augment corpus vectors to [x/M, sqrt(1 - |x/M|^2)] with
+    // M = max corpus norm and queries to [q/|q|, 0] — augmented cosine
+    // then ranks exactly like raw inner product, so the cosine index
+    // serves MIPS unchanged. The engine path runs the REAL augmentation
+    // (narrow projections: a per-corpus max broadcast, no shuffle) and
+    // ranks by augmented dot; the oracle ranks by raw inner product —
+    // a ranking divergence anywhere in the transform hash-mismatches.
+    // The reported score is the raw inner product (left-fold order shared
+    // with the oracle, bit-identical like s01).
+    Query("s30_mips_topk",
+      """WITH ip AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list_transform(range(1, len(q.embedding) + 1),
+        |             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+        |           (a, x) -> a + x) AS score
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rn, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+        |  FROM ip) WHERE rn <= 5""".stripMargin) {
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val withNorm = e.select(col("vec_id"), col("embedding"),
+          Similarity.l2norm(col("embedding")).as("nrm"))
+        // M: one-row corpus aggregate, broadcast — bounded driver state
+        val m = withNorm.agg(max(col("nrm")).as("m"))
+        // corpus augmentation: [x/M, sqrt(max(0, 1 - (n/M)^2))] — the
+        // guard absorbs n==M rounding; one codegen'd projection per row
+        val aug = withNorm.crossJoin(broadcast(m)).select(
+          col("vec_id"), col("embedding"),
+          concat(
+            transform(col("embedding"), x => x.cast("double") / col("m")),
+            array(sqrt(greatest(lit(0.0),
+              lit(1.0) - (col("nrm") / col("m")) * (col("nrm") / col("m"))))))
+            .as("aug"))
+        val q = withNorm.filter(col("vec_id") < 10).select(
+          col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          concat(
+            transform(col("embedding"), x => x.cast("double") / col("nrm")),
+            array(lit(0.0))).as("q_aug"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("aug_cos").desc, col("neighbor_id"))
+        aug.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            col("q_emb"), col("embedding"),
+            Similarity.dot(col("q_aug"), col("aug")).as("aug_cos"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select(col("query_id"), col("neighbor_id"), col("rn").cast("long").as("rn"),
+            Similarity.dot(col("q_emb"), col("embedding")).as("score"))
+      }
     }
   )
 }

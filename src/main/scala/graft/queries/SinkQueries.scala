@@ -399,6 +399,47 @@ object SinkQueries {
         .groupBy("prio")
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total"))
+    },
+
+    // ---- IO12: Z-order (Morton) layout key for multi-dim data skipping ----
+    // At 100 TB a table filtered on EITHER customer OR date cannot be
+    // partition-pruned on both from one sort order — unless the layout
+    // key interleaves the bits of both dimensions (Morton order), which
+    // keeps rows close in EACH dimension close in the file order, so
+    // parquet row-group min/max stats prune on either predicate. This row
+    // computes the 32-bit interleave of (custkey, epoch-day), buckets by
+    // its top 4 bits (16 "files"), and reports per-bucket spans of both
+    // raw dimensions — the locality the skipping argument rests on, and
+    // a bit error anywhere in the interleave hash-mismatches. ZOrderSpec
+    // pins the bijection + quadrant properties and the physical write.
+    Query("io12_zorder_layout", {
+      val terms = (0 until 16).flatMap { i =>
+        Seq(s"((xk // ${1L << i}) % 2) * ${1L << (2 * i)}",
+            s"((yk // ${1L << i}) % 2) * ${1L << (2 * i + 1)}")
+      }.mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT o_custkey % 65536 AS xk,
+         |         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 65536 AS yk
+         |  FROM orders),
+         |z AS (SELECT xk, yk, $terms AS z FROM b)
+         |SELECT CAST(z // ${1L << 28} AS BIGINT) AS bucket,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       CAST(min(xk) AS BIGINT) AS min_cust, CAST(max(xk) AS BIGINT) AS max_cust,
+         |       CAST(min(yk) AS BIGINT) AS min_day, CAST(max(yk) AS BIGINT) AS max_day
+         |FROM z GROUP BY 1""".stripMargin
+    }) { (s, d) =>
+      val b = Tables.orders(s, d).select(
+        (col("o_custkey") % 65536).as("xk"),
+        (datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long") % 65536)
+          .as("yk"))
+      val z = graft.operators.ZOrder.interleave16(col("xk"), col("yk"))
+      b.select(col("xk"), col("yk"), shiftright(z, 28).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).cast("long").as("n"),
+          min(col("xk")).cast("long").as("min_cust"),
+          max(col("xk")).cast("long").as("max_cust"),
+          min(col("yk")).cast("long").as("min_day"),
+          max(col("yk")).cast("long").as("max_day"))
     }
   )
 }

@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Analytics
+
+/** Pins for the trend/drift/streak/OHLC/triangle analytics pack —
+  * hand-computable fixtures plus the partition-count invariance that the
+  * exact-sums design guarantees.
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  private def byName(n: String) = Analytics.queries.find(_.name == n).get.fn
+
+  // ---- a29 regression ------------------------------------------------------
+
+  test("a29 recovers an exact linear trend (slope 2, intercept 5, r2 1)") {
+    // y = 2x + 5 on x in 0..4 via a synthetic orders table
+    val t = df("""SELECT 'P' AS o_orderpriority,
+                 |  CAST(concat('1970-01-0', CAST(x + 1 AS STRING)) AS TIMESTAMP) AS o_orderdate,
+                 |  CAST(2 * x + 5 AS DOUBLE) AS o_totalprice
+                 |FROM VALUES (0),(1),(2),(3),(4) v(x)""".stripMargin)
+    t.createOrReplaceTempView("__a29fix")
+    val x = datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("decimal(38,0)")
+    val yi = (col("o_totalprice").cast("decimal(18,4)") * 10000).cast("decimal(38,0)")
+    val agg = t.select(col("o_orderpriority"), x.as("x"), yi.as("yi"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("yi")).as("sy"),
+        sum(col("x") * col("yi")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("yi") * col("yi")).as("syy"))
+    val num  = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val denx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val deny = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val slope = num / denx / 10000.0
+    val r = agg.select(round(slope, 6).as("slope"),
+      round((col("sy").cast("double") / 10000.0 - slope * col("sx").cast("double"))
+        / col("n").cast("double"), 6).as("intercept"),
+      round(num * num / (denx * deny), 6).as("r2")).head()
+    assert(r.getDouble(0) == 2.0 && r.getDouble(1) == 5.0 && r.getDouble(2) == 1.0)
+  }
+
+  test("a29 is bit-stable under a different partition layout (exact sums)") {
+    val orders = graft.core.Tables.orders(spark, "/root/testdata/sf0.001")
+    def run(src: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] = {
+      val x = datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("decimal(38,0)")
+      val yi = (col("o_totalprice").cast("decimal(18,4)") * 10000).cast("decimal(38,0)")
+      val agg = src.select(col("o_orderpriority"), x.as("x"), yi.as("yi"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("x")).as("sx"), sum(col("yi")).as("sy"),
+          sum(col("x") * col("yi")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("yi") * col("yi")).as("syy"))
+      val num  = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+      val denx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      val slope = num / denx / 10000.0
+      sortedRows(agg.select(col("o_orderpriority"), round(slope, 6).as("slope")))
+    }
+    assert(run(orders) == run(orders.repartition(7)))
+  }
+
+  // ---- w22 streaks ---------------------------------------------------------
+
+  test("w22 splits runs at gaps and reports longest/count/total") {
+    val t = df("""SELECT CAST(u AS BIGINT) AS user_id, CAST(ts AS TIMESTAMP) AS ts
+                 |FROM VALUES
+                 |  (1, '2024-01-01 10:00:00'), (1, '2024-01-01 11:00:00'),
+                 |  (1, '2024-01-02 09:00:00'), (1, '2024-01-05 08:00:00'),
+                 |  (1, '2024-01-06 08:00:00'), (1, '2024-01-07 08:00:00'),
+                 |  (2, '2024-01-10 00:00:00') v(u, ts)""".stripMargin)
+    val day = datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("day")
+    val r = t.select(col("user_id"), day.as("day")).distinct()
+      .select(col("user_id"), col("day"),
+        (col("day") - row_number().over(w)).as("island"))
+      .groupBy("user_id", "island").agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_streaks"), max("len").as("longest"),
+        sum("len").as("active_days"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // user 1: days {1,2} and {5,6,7} -> 2 streaks, longest 3, 5 active days
+    assert(r(1L) == ((2L, 3L, 5L)))
+    assert(r(2L) == ((1L, 1L, 1L)))
+  }
+
+  // ---- w23 OHLC ------------------------------------------------------------
+
+  test("w23 open/close tie-break on equal timestamps falls to event_id") {
+    val t = df("""SELECT CAST(id AS BIGINT) AS event_id, CAST(ts AS TIMESTAMP) AS ts,
+                 |  'x' AS event_type, CAST(v AS DOUBLE) AS value
+                 |FROM VALUES
+                 |  (2, '2024-01-01 10:00:00', 20.0),
+                 |  (1, '2024-01-01 10:00:00', 10.0),
+                 |  (3, '2024-01-01 10:30:00', 5.0) v(id, ts, v)""".stripMargin)
+    val ord = concat(
+      lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+      lpad(col("event_id").cast("string"), 12, "0"))
+    val r = t.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(min_by(col("value"), ord).as("open"),
+        max_by(col("value"), ord).as("close"),
+        max("value").as("high"), min("value").as("low"))
+      .head()
+    // equal ts 10:00 -> event_id 1 wins open; close is the later event 3
+    assert(r.getAs[Double]("open") == 10.0)
+    assert(r.getAs[Double]("close") == 5.0)
+    assert(r.getAs[Double]("high") == 20.0 && r.getAs[Double]("low") == 5.0)
+  }
+
+  // ---- g13 triangles -------------------------------------------------------
+
+  test("degree-oriented wedge count finds exactly the hand-built triangles") {
+    // K4 on {1,2,3,4} (4 triangles) plus a pendant 4-5 (no new triangle)
+    val e = df("""SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y FROM VALUES
+                 |  (1,2),(1,3),(1,4),(2,3),(2,4),(3,4),(4,5) v(x,y)""".stripMargin)
+    val deg = e.select(col("x").as("node")).unionAll(e.select(col("y")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    val withDeg = e
+      .join(deg.toDF("nx", "dx"), col("x") === col("nx"))
+      .join(deg.toDF("ny", "dy"), col("y") === col("ny"))
+    val xFirst = struct(col("dx"), col("x")) < struct(col("dy"), col("y"))
+    val de = withDeg.select(
+      when(xFirst, col("x")).otherwise(col("y")).as("src"),
+      when(xFirst, col("y")).otherwise(col("x")).as("dst"))
+    val wedge = de.toDF("s1", "v")
+      .join(de.toDF("s2", "w"), col("s1") === col("s2") && col("v") < col("w"))
+      .select("v", "w")
+    val closing = de.select(
+      least(col("src"), col("dst")).as("cv"), greatest(col("src"), col("dst")).as("cw"))
+    val n = wedge.join(closing, col("v") === col("cv") && col("w") === col("cw")).count()
+    assert(n == 4)
+  }
+
+  test("orientation bounds out-degree even on a star graph") {
+    // hub 0 connected to 1..20: every edge must point AWAY from the
+    // leaves into the hub (leaves have lower degree), so the hub has
+    // out-degree 0 and no wedge forms at it
+    val values = (1 to 20).map(i => s"(0, $i)").mkString(", ")
+    val e = df(s"SELECT CAST(a AS BIGINT) AS x, CAST(b AS BIGINT) AS y FROM VALUES $values v(a, b)")
+    val deg = e.select(col("x").as("node")).unionAll(e.select(col("y")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    val withDeg = e
+      .join(deg.toDF("nx", "dx"), col("x") === col("nx"))
+      .join(deg.toDF("ny", "dy"), col("y") === col("ny"))
+    val xFirst = struct(col("dx"), col("x")) < struct(col("dy"), col("y"))
+    val de = withDeg.select(
+      when(xFirst, col("x")).otherwise(col("y")).as("src"),
+      when(xFirst, col("y")).otherwise(col("x")).as("dst"))
+    val outDeg = de.groupBy("src").agg(count(lit(1)).as("od"))
+      .agg(max("od")).head().getLong(0)
+    assert(outDeg == 1L) // every leaf points at the hub exactly once
+  }
+
+  // ---- a30 PSI -------------------------------------------------------------
+
+  test("a30 PSI is ~0 when both slices share one distribution") {
+    // identical counts on even/odd days -> p == q in every bucket -> 0
+    val t = df("""SELECT 'e' AS event_type, CAST(ts AS TIMESTAMP) AS ts,
+                 |  CAST(v AS DOUBLE) AS value FROM VALUES
+                 |  ('2024-01-01 01:00:00', 10.0), ('2024-01-02 01:00:00', 10.0),
+                 |  ('2024-01-01 02:00:00', 260.0), ('2024-01-02 02:00:00', 260.0)
+                 |  v(ts, v)""".stripMargin)
+    val b = t.select(col("event_type"),
+      (datediff(to_date(col("ts")), lit("1970-01-01")) % 2).as("slice"),
+      least(lit(9L), greatest(lit(0L), floor(col("value") / 50.0).cast("long")))
+        .as("bucket"))
+    val c = b.groupBy("event_type", "slice", "bucket").agg(count(lit(1)).as("n"))
+    // p == q bucket-by-bucket including the smoothed empty ones -> psi 0:
+    // every occupied bucket appears in BOTH slices (ns = 2) with ONE
+    // shared count value (nv = 1)
+    val perSlice = c.groupBy("event_type", "bucket")
+      .agg(countDistinct("slice").as("ns"), countDistinct("n").as("nv"))
+      .collect()
+    assert(perSlice.forall(r => r.getLong(2) == 2L && r.getLong(3) == 1L))
+  }
+}
