@@ -506,6 +506,101 @@ object ScaleSmoke {
           .crossJoin(broadcast(total))
           .filter(col("cnt") * 30 > col("n"))
           .write.format("noop").mode("overwrite").save()
+      },
+      time("triangles_6m_lineitem") {
+        // g13's shape at 10x input: the distinct-pair self-join chews
+        // 10x the lineitem volume (the dominant stage; replicated orders
+        // repeat supplier combos, so the EDGE set stays sf0.1-sized —
+        // wedge cost constant, scan+distinct cost 10x)
+        val pair = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("x"))
+          .join(li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("y")),
+            col("ok") === col("ok2") && col("x") < col("y"))
+          .select("x", "y").distinct()
+        val e = pair.filter(substring(md5(concat(col("x").cast("string"), lit("_"),
+          col("y").cast("string"), lit("g13"))), 1, 1) === "0").localCheckpoint()
+        val deg = e.select(col("x").as("node")).unionAll(e.select(col("y")))
+          .groupBy("node").agg(count(lit(1)).as("dg"))
+        val withDeg = e
+          .join(deg.toDF("nx", "dx"), col("x") === col("nx"))
+          .join(deg.toDF("ny", "dy"), col("y") === col("ny"))
+        val xFirst = struct(col("dx"), col("x")) < struct(col("dy"), col("y"))
+        val de = withDeg.select(
+          when(xFirst, col("x")).otherwise(col("y")).as("src"),
+          when(xFirst, col("y")).otherwise(col("x")).as("dst")).localCheckpoint()
+        val wedge = de.toDF("s1", "v")
+          .join(de.toDF("s2", "w"), col("s1") === col("s2") && col("v") < col("w"))
+          .select("v", "w")
+        val closing = de.select(least(col("src"), col("dst")).as("cv"),
+          greatest(col("src"), col("dst")).as("cw"))
+        wedge.join(closing, col("v") === col("cv") && col("w") === col("cw"))
+          .agg(count(lit(1)))
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("streaks_ohlc_1m_events") {
+        // w22 + w23 shapes over 1M events (10x, users shifted so the
+        // key space also grows 10x): per-user islands then the one-agg
+        // OHLC — both hash on bounded keys, no global state
+        val ev0 = graft.core.Tables.events(spark, sfDir)
+        val maxU = ev0.agg(max("user_id")).as[Long].head() + 1
+        val ev = ev0.crossJoin(copies)
+          .withColumn("user_id", col("user_id") + col("rep") * maxU).drop("rep")
+        val day = datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("day")
+        ev.select(col("user_id"), day.as("day")).distinct()
+          .select(col("user_id"), col("day"),
+            (col("day") - row_number().over(w)).as("island"))
+          .groupBy("user_id", "island").agg(count(lit(1)).as("len"))
+          .groupBy("user_id").agg(count(lit(1)), max("len"))
+          .write.format("noop").mode("overwrite").save()
+        val ord = concat(lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+          lpad(col("event_id").cast("string"), 12, "0"))
+        ev.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+          .agg(min_by(col("value"), ord), max("value"), min("value"),
+            max_by(col("value"), ord))
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("zorder_write_1p5m_rows") {
+        // the io12 write path at 10x: Morton key + range partition +
+        // in-partition sort + parquet write of 1.5M orders
+        val dir = graft.core.TempDirs.scratch("scale_zorder").toString
+        graft.operators.ZOrder.writeZOrdered(
+          or.select((col("o_custkey") % 65536).as("cust"),
+            (datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long")
+              % 65536).as("day"),
+            col("o_orderkey"), col("o_totalprice")),
+          "cust", "day", dir, numFiles = 32)
+      },
+      time("mips_50k_vecs") {
+        // s30's augmentation + brute-force top-k against a 10x corpus:
+        // the transform is a narrow projection; the quadratic leg is the
+        // bounded 10-query baseline (the sublinear path is LSH/IVF over
+        // the same augmented vectors)
+        val e0 = graft.core.Tables.embeddings(spark, sfDir)
+        val maxVec = e0.agg(max("vec_id")).as[Long].head() + 1
+        val e = e0.crossJoin(copies)
+          .withColumn("vec_id", col("vec_id") + col("rep") * maxVec).drop("rep")
+        val withNorm = e.select(col("vec_id"), col("embedding"),
+          graft.functions.Similarity.l2norm(col("embedding")).as("nrm"))
+        val m = withNorm.agg(max(col("nrm")).as("m"))
+        val aug = withNorm.crossJoin(broadcast(m)).select(
+          col("vec_id"),
+          concat(transform(col("embedding"), x => x.cast("double") / col("m")),
+            array(sqrt(greatest(lit(0.0),
+              lit(1.0) - (col("nrm") / col("m")) * (col("nrm") / col("m"))))))
+            .as("aug"))
+        val q = withNorm.filter(col("vec_id") < 10).select(
+          col("vec_id").as("query_id"),
+          concat(transform(col("embedding"), x => x.cast("double") / col("nrm")),
+            array(lit(0.0))).as("q_aug"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("sc").desc, col("neighbor_id"))
+        aug.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            graft.plans.DotProduct(col("q_aug"), col("aug")).as("sc"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .write.format("noop").mode("overwrite").save()
       })
 
     val rows = li.count()
