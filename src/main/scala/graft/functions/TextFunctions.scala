@@ -167,6 +167,6 @@ object TextFunctions {
     * expression-DAG escape hatch for array-valued common subexpressions
     * referenced from inside higher-order-function lambdas (where codegen
     * subexpression elimination cannot reach). */
-  private def bind1(e: Column)(body: Column => Column): Column =
+  private[graft] def bind1(e: Column)(body: Column => Column): Column =
     element_at(transform(array(e), body), 1)
 }

@@ -24,12 +24,20 @@ import org.apache.spark.sql.functions._
   * (right sorts before left on ties). `strict = true`: only ts < left
   * ts (left sorts first). Right rows must be unique per (key, ts) for
   * deterministic output — pre-aggregate otherwise.
+  *
+  * `toleranceSecs`: maximum staleness — a match older than the left
+  * timestamp by more than this many seconds is rejected (payload goes
+  * null), the guard that stops a year-old snapshot silently enriching
+  * today's rows when a key went quiet. Same single-exchange plan: the
+  * matched timestamp rides inside the payload struct and the check is
+  * a post-fill projection.
   */
 object AsOfJoin {
 
   def asOf(left: DataFrame, right: DataFrame, key: String,
            leftTs: String, rightTs: String,
-           strict: Boolean = false): DataFrame = {
+           strict: Boolean = false,
+           toleranceSecs: Option[Long] = None): DataFrame = {
     val payload = right.columns.filter(c => c != key && c != rightTs).toSeq
     require(payload.nonEmpty, "right side needs at least one payload column")
     val conflict = payload.intersect(left.columns.toSeq)
@@ -52,15 +60,26 @@ object AsOfJoin {
     val r = right
       .filter(col(key).isNotNull && col(rightTs).isNotNull)
       .select(col(key), col(rightTs).as("__ts"),
-        struct(payload.map(col): _*).as("__pay"))
+        struct(col(rightTs).as("__rts") +: payload.map(col): _*).as("__pay"))
       .withColumn("__side", lit(rightTag))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(key).orderBy(col("__ts").asc_nulls_first, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    unioned
+    val filled = unioned
       .withColumn("__pay", last(col("__pay"), ignoreNulls = true).over(w))
       .filter(col("__side") === leftTag)
-      .select(left.columns.map(col) ++
-        payload.map(c => col(s"__pay.$c").as(c)): _*)
+    val gated = toleranceSecs match {
+      case Some(tol) =>
+        // reject stale matches: null the whole payload struct when the
+        // matched right timestamp trails the left one by more than tol
+        filled.withColumn("__pay",
+          when(unix_micros(col(leftTs).cast("timestamp"))
+                 - unix_micros(col("__pay.__rts").cast("timestamp"))
+                 <= tol * 1000000L,
+            col("__pay")))
+      case None => filled
+    }
+    gated.select(left.columns.map(col) ++
+      payload.map(c => col(s"__pay.$c").as(c)): _*)
   }
 }

@@ -218,6 +218,132 @@ object Analytics {
       }
     },
 
+    // ---- W24: two-sample Kolmogorov-Smirnov drift statistic ---------------
+    // The nonparametric partner of a30's PSI: per event type, the KS
+    // distance between the even-day and odd-day value distributions —
+    // max over observed values of |ECDF_a - ECDF_b|. ENTIRELY exact:
+    // per-value cumulative counts are integers, the max is taken over
+    // the integer cross-products |ca*nb - cb*na| (common denominator
+    // na*nb deferred), and the only double op is one final division —
+    // no per-row float ever crosses an engine boundary. Plan: one
+    // (type, value) hash aggregate, one type-keyed window (same
+    // exchange), broadcast totals join, final agg — per-type state only.
+    Query("w24_ks_drift",
+      """WITH b AS (
+        |  SELECT event_type, value,
+        |         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 2 AS slice
+        |  FROM events),
+        |g AS (SELECT event_type, value,
+        |             count(CASE WHEN slice = 0 THEN 1 END) AS da,
+        |             count(CASE WHEN slice = 1 THEN 1 END) AS db
+        |      FROM b GROUP BY 1, 2),
+        |c AS (SELECT event_type, value,
+        |             sum(da) OVER (PARTITION BY event_type ORDER BY value
+        |                           ROWS UNBOUNDED PRECEDING) AS ca,
+        |             sum(db) OVER (PARTITION BY event_type ORDER BY value
+        |                           ROWS UNBOUNDED PRECEDING) AS cb
+        |      FROM g),
+        |t AS (SELECT event_type, sum(da) AS na, sum(db) AS nb
+        |      FROM g GROUP BY 1)
+        |SELECT c.event_type, CAST(t.na AS BIGINT) AS na, CAST(t.nb AS BIGINT) AS nb,
+        |       round(CAST(max(abs(c.ca * t.nb - c.cb * t.na)) AS DOUBLE)
+        |             / CAST(t.na * t.nb AS DOUBLE), 6) AS ks
+        |FROM c JOIN t ON c.event_type = t.event_type
+        |GROUP BY c.event_type, t.na, t.nb""".stripMargin) {
+      (s, d) => {
+        val b = Tables.events(s, d).select(col("event_type"), col("value"),
+          (datediff(to_date(col("ts")), lit("1970-01-01")) % 2).as("slice"))
+        val g = b.groupBy("event_type", "value").agg(
+          count(when(col("slice") === 0, 1)).as("da"),
+          count(when(col("slice") === 1, 1)).as("db"))
+        val w = Window.partitionBy("event_type").orderBy("value")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val c = g.select(col("event_type"), col("value"),
+          sum(col("da")).over(w).as("ca"), sum(col("db")).over(w).as("cb"))
+        val t = g.groupBy("event_type")
+          .agg(sum(col("da")).as("na"), sum(col("db")).as("nb"))
+        c.join(broadcast(t), "event_type")
+          .groupBy(col("event_type"), col("na"), col("nb"))
+          .agg(round(max(abs(col("ca") * col("nb") - col("cb") * col("na")))
+            .cast("double") / (col("na") * col("nb")).cast("double"), 6).as("ks"))
+          .select(col("event_type"), col("na").cast("long").as("na"),
+            col("nb").cast("long").as("nb"), col("ks"))
+      }
+    },
+
+    // ---- G14: data-quality expectation battery ----------------------------
+    // The dbt-tests / Great-Expectations layer as one engine pass: each
+    // TABLE's rules fuse into a single aggregate (one scan per table, a
+    // 100 TB necessity — never one scan per rule), the referential rule
+    // is a broadcast anti-join count, and the result stacks into one
+    // (rule, n_violations, pass) contract table the pipeline gates on.
+    Query("g14_expectations",
+      """SELECT rule, n_violations, n_violations = 0 AS pass FROM (
+        |  SELECT 'orders_custkey_not_null' AS rule,
+        |         CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT) AS n_violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_orderkey_unique',
+        |         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_price_positive',
+        |         CAST(count(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 1 END) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_customer_fk',
+        |         CAST(count(*) AS BIGINT)
+        |  FROM orders o WHERE o.o_custkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |  UNION ALL
+        |  SELECT 'lineitem_quantity_range',
+        |         CAST(count(CASE WHEN l_quantity IS NULL OR l_quantity < 0 OR l_quantity > 60
+        |                    THEN 1 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'events_ts_bounds',
+        |         CAST(count(CASE WHEN ts IS NULL OR ts < TIMESTAMP '2000-01-01' THEN 1 END) AS BIGINT)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'documents_text_nonempty',
+        |         CAST(count(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 END) AS BIGINT)
+        |  FROM documents) t""".stripMargin) {
+      (s, d) => {
+        def one(rule: String, c: Column): Column =
+          struct(lit(rule).as("rule"), c.cast("long").as("n_violations"))
+        val orders = Tables.orders(s, d)
+        // orders rules: ONE scan, three counters
+        val o = orders.agg(
+          one("orders_custkey_not_null",
+            count(when(col("o_custkey").isNull, 1))).as("r1"),
+          one("orders_orderkey_unique",
+            count(lit(1)) - countDistinct(col("o_orderkey"))).as("r2"),
+          one("orders_price_positive",
+            count(when(col("o_totalprice").isNull || col("o_totalprice") <= 0, 1)))
+            .as("r3"))
+          .select(explode(array(col("r1"), col("r2"), col("r3"))).as("r"))
+        val fk = orders.filter(col("o_custkey").isNotNull)
+          .join(broadcast(Tables.customer(s, d).select(col("c_custkey"))),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(one("orders_customer_fk", count(lit(1))).as("r"))
+          .select(col("r"))
+        val li = Tables.lineitem(s, d).agg(
+          one("lineitem_quantity_range",
+            count(when(col("l_quantity").isNull || col("l_quantity") < 0
+              || col("l_quantity") > 60, 1))).as("r")).select(col("r"))
+        val ev = Tables.events(s, d).agg(
+          one("events_ts_bounds",
+            count(when(col("ts").isNull || col("ts") < lit("2000-01-01").cast("timestamp"), 1)))
+            .as("r")).select(col("r"))
+        val doc = Tables.documents(s, d).agg(
+          one("documents_text_nonempty",
+            count(when(col("text").isNull || length(col("text")) === 0, 1)))
+            .as("r")).select(col("r"))
+        o.unionAll(fk).unionAll(li).unionAll(ev).unionAll(doc)
+          .select(col("r.rule").as("rule"), col("r.n_violations").as("n_violations"),
+            (col("r.n_violations") === 0).as("pass"))
+      }
+    },
+
     // ---- G13: degree-oriented triangle count ------------------------------
     // Triangles in the supplier co-purchase graph (suppliers sharing an
     // order). The raw co-purchase graph is near-complete, so edges are

@@ -134,6 +134,36 @@ object Temporal {
       }
     },
 
+    // ---- J20: as-of join with staleness tolerance ---------------------------
+    // j17's union-form as-of plus the production guard: a matched
+    // snapshot older than 7 days is rejected (payload nulls) — the rule
+    // that stops a key that went quiet a year ago from silently
+    // enriching today's rows with fossil state. Same one-exchange plan;
+    // the matched timestamp rides inside the payload struct and the
+    // gate is a post-fill projection.
+    Query("j20_asof_tolerance",
+      """WITH snap AS (
+        |  SELECT o_custkey AS k, o_orderdate AS d, max(o_totalprice) AS prev_price
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o.o_orderkey, o.o_custkey,
+        |       CASE WHEN o.o_orderdate - s.d <= INTERVAL 7 DAY
+        |            THEN s.prev_price END AS prev_price
+        |FROM orders o ASOF LEFT JOIN snap s
+        |  ON o.o_custkey = s.k AND o.o_orderdate > s.d""".stripMargin) {
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val snap = o.select(col("o_custkey"), col("o_orderdate").as("snap_d"),
+            col("o_totalprice"))
+          .groupBy("o_custkey", "snap_d")
+          .agg(max("o_totalprice").as("prev_price"))
+        graft.operators.AsOfJoin.asOf(
+            o.select("o_orderkey", "o_custkey", "o_orderdate"), snap,
+            key = "o_custkey", leftTs = "o_orderdate", rightTs = "snap_d",
+            strict = true, toleranceSecs = Some(7L * 86400))
+          .select("o_orderkey", "o_custkey", "prev_price")
+      }
+    },
+
     // ---- W11b: native session_window (idiomatic counterpart of w11) ---------
     // Spark's built-in session aggregation; the oracle derives the same
     // sessions via the gap-flag running sum and aggregates per session.

@@ -1115,6 +1115,81 @@ object TextAnalysis {
         .select(col("doc_id"), col("n_bigrams"),
           round(col("snll").cast("double") / col("n_bigrams"), 6)
             .as("avg_logprob"))
+    },
+
+    // ---- T38: DSIR importance weights (hashed n-gram LM ratio) ------------
+    // Data Selection via Importance Resampling (Xie et al. 2023): score
+    // every raw document by how target-like it is — the log-ratio of a
+    // TARGET hashed-bigram unigram model (here: the English slice) to
+    // the RAW corpus model. Both models are bucket-count tables over a
+    // fixed 4096-bucket md5 hash space (t29's family), so model state is
+    // O(4096) per side no matter the corpus size: one broadcast join, no
+    // vocabulary explosion. Per-bucket log terms are 6dp-rounded
+    // DECIMALs multiplied by exact per-doc counts (t34 discipline) —
+    // partition-order proof. Plan: explode -> (doc, bucket) hash agg ->
+    // broadcast term join -> doc hash agg; docs with <2 tokens surface
+    // with weight 0 via the left join back to documents.
+    Query("t38_dsir_weights",
+      """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |big AS (SELECT doc_id, lang,
+        |               unnest(list_transform(range(1, len(w)),
+        |                                     i -> w[i] || '_' || w[i+1])) AS g
+        |        FROM tok),
+        |tb AS (SELECT doc_id, lang, substr(md5(g), 1, 3) AS bucket FROM big),
+        |db AS (SELECT doc_id, bucket, count(*) AS cnt FROM tb GROUP BY 1, 2),
+        |bs AS (SELECT bucket, count(CASE WHEN lang = 'en' THEN 1 END) AS ct,
+        |              count(*) AS cr
+        |       FROM tb GROUP BY 1),
+        |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM bs),
+        |term AS (SELECT bucket,
+        |                CAST(round(ln((ct + 0.5) / (nt + 2048.0))
+        |                           - ln((cr + 0.5) / (nr + 2048.0)), 6)
+        |                     AS DECIMAL(18,6)) AS term
+        |         FROM bs, tot),
+        |ws AS (SELECT db.doc_id, sum(db.cnt * term.term) AS wsum
+        |       FROM db JOIN term USING (bucket) GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(ws.wsum, 0) AS DOUBLE) AS weight,
+        |       coalesce(ws.wsum, 0) > 0 AS kept
+        |FROM documents d LEFT JOIN ws USING (doc_id)""".stripMargin) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // bind the split ONCE per row: element_at(w, i) inside the HOF
+        // lambda would otherwise re-split the text per element (the t25
+        // expression-DAG trap — HOFs are interpreted, no codegen CSE)
+        val bigrams = graft.functions.TextFunctions.bind1(
+          split(col("text"), " ")) { w =>
+          // sequence(1, 0) would generate DESCENDING — guard short docs
+          when(size(w) >= 2,
+            transform(sequence(lit(1), size(w) - 1),
+              i => concat(element_at(w, i), lit("_"), element_at(w, i + 1))))
+            .otherwise(array().cast("array<string>"))
+        }
+        val tb = docs.select(col("doc_id"), col("lang"),
+          explode(bigrams).as("g"))
+          .select(col("doc_id"), col("lang"),
+            substring(md5(col("g")), 1, 3).as("bucket"))
+        // lang rides the group key (functionally dependent on doc_id,
+        // zero extra groups) so the bucket stats derive from the SMALL
+        // aggregated table, and db feeds both legs (model stats + doc
+        // scores) — localCheckpoint it or the explode+md5 pass runs
+        // once per reference
+        val db = tb.groupBy("doc_id", "lang", "bucket")
+          .agg(count(lit(1)).as("cnt")).localCheckpoint()
+        val bs = db.groupBy("bucket").agg(
+          sum(when(col("lang") === "en", col("cnt")).otherwise(0L)).as("ct"),
+          sum(col("cnt")).as("cr"))
+        val tot = bs.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+        val term = bs.crossJoin(broadcast(tot)).select(col("bucket"),
+          round(log((col("ct") + 0.5) / (col("nt") + 2048.0))
+            - log((col("cr") + 0.5) / (col("nr") + 2048.0)), 6)
+            .cast("decimal(18,6)").as("term"))
+        val ws = db.join(broadcast(term), "bucket")
+          .groupBy("doc_id").agg(sum(col("cnt") * col("term")).as("wsum"))
+        docs.select(col("doc_id")).join(ws, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("wsum"), lit(0)).cast("double").as("weight"),
+            (coalesce(col("wsum"), lit(0)) > 0).as("kept"))
+      }
     }
   )
 

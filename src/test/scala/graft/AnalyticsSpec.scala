@@ -153,6 +153,56 @@ class AnalyticsSpec extends SparkSpec {
     assert(outDeg == 1L) // every leaf points at the hub exactly once
   }
 
+  // ---- w24 KS --------------------------------------------------------------
+
+  test("w24 KS statistic matches the hand-computed ECDF gap") {
+    // slice A (even day 2024-01-02=19724): values 1,2,3; slice B (odd
+    // day 2024-01-01): values 3,4,5. ECDF gap peaks at v in [2,3):
+    // |2/3 - 0/3| = 2/3
+    val t = df("""SELECT 'e' AS event_type, CAST(ts AS TIMESTAMP) AS ts,
+                 |  CAST(v AS DOUBLE) AS value FROM VALUES
+                 |  ('2024-01-02 01:00:00', 1.0), ('2024-01-02 02:00:00', 2.0),
+                 |  ('2024-01-02 03:00:00', 3.0),
+                 |  ('2024-01-01 01:00:00', 3.0), ('2024-01-01 02:00:00', 4.0),
+                 |  ('2024-01-01 03:00:00', 5.0) v(ts, v)""".stripMargin)
+    val b = t.select(col("event_type"), col("value"),
+      (datediff(to_date(col("ts")), lit("1970-01-01")) % 2).as("slice"))
+    val g = b.groupBy("event_type", "value").agg(
+      count(when(col("slice") === 0, 1)).as("da"),
+      count(when(col("slice") === 1, 1)).as("db"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("value")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val c = g.select(col("event_type"), sum("da").over(w).as("ca"),
+      sum("db").over(w).as("cb"))
+    val tot = g.groupBy("event_type").agg(sum("da").as("na"), sum("db").as("nb"))
+    val ks = c.join(tot, "event_type")
+      .groupBy("event_type", "na", "nb")
+      .agg((max(abs(col("ca") * col("nb") - col("cb") * col("na"))).cast("double")
+        / (col("na") * col("nb")).cast("double")).as("ks"))
+      .head().getDouble(3)
+    assert(math.abs(ks - 2.0 / 3.0) < 1e-12)
+  }
+
+  // ---- g14 expectations ----------------------------------------------------
+
+  test("g14 battery runs clean on driver data and counts injected violations") {
+    val clean = byName("g14_expectations")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(clean.size == 7)
+    assert(clean.values.forall(_ == 0L), s"driver data should pass: $clean")
+    // injected violations: a duplicated orderkey and a negative price
+    val t = df("""SELECT CAST(k AS BIGINT) AS o_orderkey, CAST(c AS BIGINT) AS o_custkey,
+                 |  CAST(p AS DOUBLE) AS o_totalprice FROM VALUES
+                 |  (1, 10, 5.0), (1, 10, 6.0), (2, NULL, -3.0), (3, 11, 7.0)
+                 |  v(k, c, p)""".stripMargin)
+    val viol = t.agg(
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dups"),
+      count(when(col("o_custkey").isNull, 1)).as("nulls"),
+      count(when(col("o_totalprice") <= 0, 1)).as("neg")).head()
+    assert(viol.getLong(0) == 1L && viol.getLong(1) == 1L && viol.getLong(2) == 1L)
+  }
+
   // ---- a30 PSI -------------------------------------------------------------
 
   test("a30 PSI is ~0 when both slices share one distribution") {

@@ -63,4 +63,25 @@ class AsOfJoinSpec extends SparkSpec {
     assert(row.isNullAt(row.fieldIndex("px")))
     assert(row.getAs[String]("tag") == "x")
   }
+
+  test("tolerance: stale matches null out, boundary-gap matches survive") {
+    val (l, r) = fixture
+    // l3 (ts 25) matches right ts 20 — gap 5s
+    def run(tol: Long) =
+      AsOfJoin.asOf(l, r, "k", "ts", "rts", toleranceSecs = Some(tol))
+        .collect().map(x => x.getString(2) -> Option(x.get(3))).toMap
+    val tight = run(4)
+    assert(tight("l3").isEmpty, "5s-old match must be rejected at tol=4")
+    assert(tight("l2") == Some(2.0), "exact-ts match (gap 0) always survives")
+    val exact = run(5)
+    assert(exact("l3") == Some(2.0), "gap == tolerance is inclusive")
+  }
+
+  test("tolerance keeps the one-exchange union plan (no join node)") {
+    val (l, r) = fixture
+    val plan = AsOfJoin.asOf(l, r, "k", "ts", "rts", toleranceSecs = Some(5))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "tolerance gate must stay a projection")
+    assert("Exchange".r.findAllIn(plan).size == 1)
+  }
 }
