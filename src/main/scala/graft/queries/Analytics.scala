@@ -18,6 +18,36 @@ import graft.core.{Query, Tables}
   */
 object Analytics {
 
+  /** PSI tail shared by a30 (batch) and st12 (streaming): from a
+    * pre-bucketed (event_type, slice, bucket) frame — or its already-
+    * counted (…, n) form via `preCounted` — to one PSI row per type.
+    * All joins broadcast (every side is O(|types| x 10)).
+    */
+  private[queries] def psiOfSlices(b: org.apache.spark.sql.DataFrame,
+      preCounted: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val c = if (preCounted) b
+      else b.groupBy("event_type", "slice", "bucket").agg(count(lit(1)).as("n"))
+    val tot = c.groupBy("event_type").agg(
+      sum(when(col("slice") === 0, col("n")).otherwise(0L)).as("ta"),
+      sum(when(col("slice") === 1, col("n")).otherwise(0L)).as("tb"))
+    val spine = c.select("event_type").distinct()
+      .select(col("event_type"), explode(sequence(lit(0L), lit(9L))).as("bucket"))
+    val a = c.filter(col("slice") === 0).select(
+      col("event_type").as("a_t"), col("bucket").as("a_b"), col("n").as("a_n"))
+    val o = c.filter(col("slice") === 1).select(
+      col("event_type").as("o_t"), col("bucket").as("o_b"), col("n").as("o_n"))
+    val p = (coalesce(col("a_n"), lit(0L)) + 0.5) / (col("ta") + 5.0)
+    val q = (coalesce(col("o_n"), lit(0L)) + 0.5) / (col("tb") + 5.0)
+    broadcast(spine)
+      .join(broadcast(tot), "event_type")
+      .join(broadcast(a), col("event_type") === col("a_t") && col("bucket") === col("a_b"), "left")
+      .join(broadcast(o), col("event_type") === col("o_t") && col("bucket") === col("o_b"), "left")
+      .select(col("event_type"),
+        round((p - q) * log(p / q), 6).cast("decimal(18,6)").as("term"))
+      .groupBy("event_type")
+      .agg(sum(col("term")).cast("double").as("psi"))
+  }
+
   val queries: Seq[Query] = Seq(
 
     // ---- A29: per-group linear regression (trend detection) ---------------
@@ -114,32 +144,11 @@ object Analytics {
         |       CAST(sum(CAST(round((p - q) * ln(p / q), 6) AS DECIMAL(18,6))) AS DOUBLE) AS psi
         |FROM pq GROUP BY event_type""".stripMargin) {
       (s, d) => {
-        val ev = Tables.events(s, d)
-        val b = ev.select(col("event_type"),
+        val b = Tables.events(s, d).select(col("event_type"),
           (datediff(to_date(col("ts")), lit("1970-01-01")) % 2).as("slice"),
           least(lit(9L), greatest(lit(0L), floor(col("value") / 50.0).cast("long")))
             .as("bucket"))
-        val c = b.groupBy("event_type", "slice", "bucket").agg(count(lit(1)).as("n"))
-        val tot = c.groupBy("event_type").agg(
-          sum(when(col("slice") === 0, col("n")).otherwise(0L)).as("ta"),
-          sum(when(col("slice") === 1, col("n")).otherwise(0L)).as("tb"))
-        // 10-bucket spine per type: tiny (|types| x 10) — broadcast both sides
-        val spine = ev.select("event_type").distinct()
-          .select(col("event_type"), explode(sequence(lit(0L), lit(9L))).as("bucket"))
-        val a = c.filter(col("slice") === 0).select(
-          col("event_type").as("a_t"), col("bucket").as("a_b"), col("n").as("a_n"))
-        val o = c.filter(col("slice") === 1).select(
-          col("event_type").as("o_t"), col("bucket").as("o_b"), col("n").as("o_n"))
-        val p = (coalesce(col("a_n"), lit(0L)) + 0.5) / (col("ta") + 5.0)
-        val q = (coalesce(col("o_n"), lit(0L)) + 0.5) / (col("tb") + 5.0)
-        broadcast(spine)
-          .join(broadcast(tot), "event_type")
-          .join(broadcast(a), col("event_type") === col("a_t") && col("bucket") === col("a_b"), "left")
-          .join(broadcast(o), col("event_type") === col("o_t") && col("bucket") === col("o_b"), "left")
-          .select(col("event_type"),
-            round((p - q) * log(p / q), 6).cast("decimal(18,6)").as("term"))
-          .groupBy("event_type")
-          .agg(sum(col("term")).cast("double").as("psi"))
+        psiOfSlices(b)
       }
     },
 
@@ -341,6 +350,93 @@ object Analytics {
         o.unionAll(fk).unionAll(li).unionAll(ev).unionAll(doc)
           .select(col("r.rule").as("rule"), col("r.n_violations").as("n_violations"),
             (col("r.n_violations") === 0).as("pass"))
+      }
+    },
+
+    // ---- W25: period-over-period (MoM) metric deltas ----------------------
+    // Monthly revenue per priority with previous-month value and percent
+    // change — the report staple. Revenue sums are DECIMAL (exact); the
+    // pct is one double division on already-exact values. The lag is
+    // calendar-aware: joined on the PREVIOUS CALENDAR MONTH, not the
+    // previous row, so a month with zero orders breaks the chain (a
+    // lag() over present rows would silently compare across the gap).
+    // Plan: one hash aggregate + a self-join on (prio, month-1) — both
+    // sides the same small aggregate, localCheckpointed once.
+    Query("w25_period_over_period",
+      """WITH m AS (
+        |  SELECT o_orderpriority AS prio, date_trunc('month', o_orderdate) AS month,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT c.prio, CAST(c.month AS TIMESTAMP) AS month,
+        |       CAST(c.rev AS DOUBLE) AS rev,
+        |       CAST(p.rev AS DOUBLE) AS prev_rev,
+        |       round((CAST(c.rev AS DOUBLE) - CAST(p.rev AS DOUBLE))
+        |             / CAST(p.rev AS DOUBLE), 6) AS mom_pct
+        |FROM m c LEFT JOIN m p
+        |  ON c.prio = p.prio AND p.month = c.month - INTERVAL 1 MONTH""".stripMargin) {
+      (s, d) => {
+        val m = Tables.orders(s, d)
+          .groupBy(col("o_orderpriority").as("prio"),
+            date_trunc("month", col("o_orderdate")).as("month"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+          .localCheckpoint()
+        val p = m.select(col("prio").as("p_prio"), col("month").as("p_month"),
+          col("rev").as("p_rev"))
+        m.join(broadcast(p),
+            col("prio") === col("p_prio") &&
+              col("p_month") === add_months(col("month"), -1), "left")
+          .select(col("prio"), col("month"), col("rev").cast("double").as("rev"),
+            col("p_rev").cast("double").as("prev_rev"),
+            round((col("rev").cast("double") - col("p_rev").cast("double"))
+              / col("p_rev").cast("double"), 6).as("mom_pct"))
+      }
+    },
+
+    // ---- R16: run-length encoding of ordered sequences --------------------
+    // Per-user event-type journey compressed to runs ("view:3,click:1,
+    // …") — the sequence-compression reshape sessions/journeys feed on.
+    // Island derivation as in w22 but keyed on value changes (lag !=
+    // current); ordering is total via (ts, event_id). One exchange on
+    // user_id serves the lag window, the run grouping, and the final
+    // string_agg.
+    Query("r16_runlength",
+      """WITH o AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (SELECT user_id, event_type,
+        |             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                            ROWS UNBOUNDED PRECEDING) AS run_id,
+        |             ts, event_id
+        |      FROM o),
+        |g AS (SELECT user_id, run_id, event_type, count(*) AS len,
+        |             min(ts) AS run_start
+        |      FROM r GROUP BY 1, 2, 3)
+        |SELECT user_id,
+        |       string_agg(event_type || ':' || CAST(len AS VARCHAR), ','
+        |                  ORDER BY run_id) AS runs,
+        |       CAST(count(*) AS BIGINT) AS n_runs
+        |FROM g GROUP BY user_id""".stripMargin) {
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val wc = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val r = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("brk",
+            when(not(lag(col("event_type"), 1).over(w) <=> col("event_type")), 1)
+              .otherwise(0))
+          .withColumn("run_id", sum(col("brk")).over(wc))
+        r.groupBy("user_id", "run_id", "event_type")
+          .agg(count(lit(1)).as("len"))
+          .groupBy("user_id")
+          .agg(concat_ws(",",
+            array_sort(collect_list(struct(col("run_id"),
+              concat(col("event_type"), lit(":"), col("len")).as("s"))))
+              .getField("s")).as("runs"),
+            count(lit(1)).cast("long").as("n_runs"))
       }
     },
 

@@ -1635,6 +1635,63 @@ object SimilaritySearch {
           .select(col("query_id"), col("neighbor_id"), col("rn").cast("long").as("rn"),
             Similarity.dot(col("q_emb"), col("embedding")).as("score"))
       }
+    },
+
+    // ---- S31: k-NN classification (majority vote over cosine top-k) --------
+    // The labels column put to work: predict each query vector's label
+    // as the mode of its 5 nearest neighbors' labels (cosine, self
+    // excluded), ties to the smaller label — nonparametric classification
+    // served by the SAME candidate machinery as s01/s05/s06, so at scale
+    // the top-k comes from whichever sublinear index is provisioned and
+    // the vote is a per-query 5-row aggregate on top.
+    Query("s31_knn_classify",
+      """WITH dotp AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list_transform(range(1, len(q.embedding) + 1),
+        |             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+        |           (a, x) -> a + x)
+        |         / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |              list_transform(range(1, len(q.embedding) + 1),
+        |                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))),
+        |              (a, x) -> a + x))
+        |            * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |                list_transform(range(1, len(c.embedding) + 1),
+        |                  i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+        |                (a, x) -> a + x))) AS cos
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |top5 AS (SELECT query_id, label FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+        |  FROM dotp) WHERE rn <= 5),
+        |votes AS (SELECT query_id, label, count(*) AS votes
+        |          FROM top5 GROUP BY 1, 2)
+        |SELECT query_id, CAST(label AS BIGINT) AS pred_label, CAST(votes AS BIGINT) AS votes
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                   ORDER BY votes DESC, label) AS vr
+        |      FROM votes) WHERE vr = 1""".stripMargin) {
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val c = e.select(col("vec_id"), col("embedding"), col("label"),
+          Similarity.l2norm(col("embedding")).as("c_norm"))
+        val q = c.filter(col("vec_id") < 10).select(
+          col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("c_norm").as("q_norm"))
+        val cos = Similarity.dot(col("q_emb"), col("embedding")) /
+          (col("q_norm") * col("c_norm"))
+        val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+        val top5 = c.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            col("label"), cos.as("cos"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        val vw = Window.partitionBy("query_id")
+          .orderBy(col("votes").desc, col("label"))
+        top5.groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
+          .withColumn("vr", row_number().over(vw)).filter(col("vr") === 1)
+          .select(col("query_id"), col("label").cast("long").as("pred_label"),
+            col("votes").cast("long").as("votes"))
+      }
     }
   )
 }

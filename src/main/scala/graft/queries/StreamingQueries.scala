@@ -599,6 +599,67 @@ object StreamingQueries {
         q.awaitTermination()
         ss.table(sink).select("imp_id", "conv_id")
       }
+    },
+
+    // ---- ST12: streaming distribution-drift monitor (PSI) ------------------
+    // a30's PSI served incrementally: the stream maintains ONLY the
+    // (type, slice, bucket) counters (bounded state: |types| x 2 x 10
+    // rows, whatever the event volume), and the PSI epilogue runs as a
+    // tiny batch computation over the finished counter table — the
+    // monitor pattern where the heavy streaming state is a fixed-size
+    // histogram, not raw events. Complete mode: the final table equals
+    // the batch aggregation, so the row hash-matches a30's oracle.
+    Query("st12_stream_drift",
+      """WITH b AS (
+        |  SELECT event_type,
+        |         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 2 AS slice,
+        |         least(9, greatest(0, CAST(floor(value / 50.0) AS BIGINT))) AS bucket
+        |  FROM events),
+        |c AS (SELECT event_type, slice, bucket, count(*) AS n FROM b GROUP BY 1, 2, 3),
+        |spine AS (
+        |  SELECT DISTINCT event_type, r.range AS bucket FROM events, range(0, 10) r),
+        |tot AS (SELECT event_type,
+        |               sum(CASE WHEN slice = 0 THEN n ELSE 0 END) AS ta,
+        |               sum(CASE WHEN slice = 1 THEN n ELSE 0 END) AS tb
+        |        FROM c GROUP BY 1),
+        |pq AS (
+        |  SELECT s.event_type, s.bucket,
+        |         (coalesce(a.n, 0) + 0.5) / (t.ta + 5.0) AS p,
+        |         (coalesce(o.n, 0) + 0.5) / (t.tb + 5.0) AS q
+        |  FROM spine s
+        |  JOIN tot t ON s.event_type = t.event_type
+        |  LEFT JOIN c a ON a.event_type = s.event_type AND a.bucket = s.bucket AND a.slice = 0
+        |  LEFT JOIN c o ON o.event_type = s.event_type AND o.bucket = s.bucket AND o.slice = 1)
+        |SELECT event_type,
+        |       CAST(sum(CAST(round((p - q) * ln(p / q), 6) AS DECIMAL(18,6))) AS DOUBLE) AS psi
+        |FROM pq GROUP BY event_type""".stripMargin) {
+      (s, d) => {
+        val dir = graft.core.TempDirs.scratch("st12_landing")
+        java.nio.file.Files.createSymbolicLink(
+          dir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val raw = ss.read.parquet(s"$d/events.parquet")
+        val src = Streams.fileSource(ss, dir.toString, raw.schema)
+          .withColumn("ts", Tables.canonTs(raw.schema))
+        val counts = src.select(col("event_type"),
+            (datediff(to_date(col("ts")), lit("1970-01-01")) % 2).as("slice"),
+            least(lit(9L), greatest(lit(0L), floor(col("value") / 50.0).cast("long")))
+              .as("bucket"))
+          .groupBy("event_type", "slice", "bucket")
+          .agg(count(lit(1)).as("n"))
+        val sink = "st12_psi_" + System.nanoTime()
+        val q = counts.writeStream.format("memory").queryName(sink)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        // the memory-sink view cannot self-join (MemoryPlan re-references
+        // keep the SAME attribute ids -> "conflicting references"); cut
+        // to a LogicalRDD first — it's the finished counter table,
+        // |types| x 2 x 10 rows
+        graft.queries.Analytics.psiOfSlices(
+          ss.table(sink).localCheckpoint(), preCounted = true)
+      }
     }
   )
 }

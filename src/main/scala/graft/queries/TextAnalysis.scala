@@ -1190,6 +1190,44 @@ object TextAnalysis {
             coalesce(col("wsum"), lit(0)).cast("double").as("weight"),
             (coalesce(col("wsum"), lit(0)) > 0).as("kept"))
       }
+    },
+
+    // ---- T39: token-distribution entropy per document ---------------------
+    // Shannon entropy of each doc's token histogram — the gibberish/
+    // boilerplate axis quality filters cut on (low entropy = repeated
+    // boilerplate, max entropy = all-distinct tokens). Identity used:
+    // H = ln(n) - (1/n) * sum_t cnt_t * ln(cnt_t), so the only floats
+    // are per-DISTINCT-token ln terms, 6dp-rounded and DECIMAL-summed
+    // (t34 discipline) — the per-doc epilogue is fixed-order on exact
+    // aggregates. Plan: explode -> (doc, token) hash agg -> doc hash
+    // agg; docs with no tokens surface via the left join with H = 0.
+    Query("t39_token_entropy",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tc AS (SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, sum(cnt) AS n, count(*) AS n_distinct,
+        |               sum(CAST(round(cnt * ln(cnt), 6) AS DECIMAL(18,6))) AS terms
+        |        FROM tc GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(a.n_distinct, 0) AS BIGINT) AS n_distinct,
+        |       CASE WHEN a.n IS NULL THEN 0.0
+        |            ELSE round(ln(a.n) - CAST(a.terms AS DOUBLE) / a.n, 6) END AS entropy
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tc = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+          .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+        val agg = tc.groupBy("doc_id").agg(
+          sum(col("cnt")).as("n"), count(lit(1)).as("n_distinct"),
+          sum(round(col("cnt") * log(col("cnt")), 6).cast("decimal(18,6)"))
+            .as("terms"))
+        docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n"), lit(0L)).cast("long").as("n_tokens"),
+            coalesce(col("n_distinct"), lit(0L)).cast("long").as("n_distinct"),
+            when(col("n").isNull, 0.0)
+              .otherwise(round(log(col("n")) - col("terms").cast("double") / col("n"), 6))
+              .as("entropy"))
+      }
     }
   )
 

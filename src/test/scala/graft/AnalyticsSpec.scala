@@ -203,6 +203,70 @@ class AnalyticsSpec extends SparkSpec {
     assert(viol.getLong(0) == 1L && viol.getLong(1) == 1L && viol.getLong(2) == 1L)
   }
 
+  // ---- w25 period-over-period ----------------------------------------------
+
+  test("w25 calendar alignment: a gap month breaks the MoM chain") {
+    val t = df("""SELECT 'P' AS prio, CAST(m AS TIMESTAMP) AS month,
+                 |  CAST(r AS DECIMAL(18,4)) AS rev FROM VALUES
+                 |  ('2024-01-01 00:00:00', 100.0),
+                 |  ('2024-02-01 00:00:00', 150.0),
+                 |  ('2024-04-01 00:00:00', 80.0) v(m, r)""".stripMargin)
+    val p = t.select(col("prio").as("p_prio"), col("month").as("p_month"),
+      col("rev").as("p_rev"))
+    val got = t.join(p, col("prio") === col("p_prio") &&
+        col("p_month") === add_months(col("month"), -1), "left")
+      .select(date_format(col("month"), "yyyy-MM").as("m"),
+        col("p_rev").isNotNull.as("has_prev"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    // Feb sees Jan; April's previous CALENDAR month (March) is absent —
+    // a row-lag would have wrongly compared April to February
+    assert(got == Map("2024-01" -> false, "2024-02" -> true, "2024-04" -> false))
+  }
+
+  // ---- r16 run-length --------------------------------------------------------
+
+  test("r16 collapses consecutive runs and keeps sequence order") {
+    val got = byName("r16_runlength")(spark, "/root/testdata/sf0.001")
+    val row = got.filter(col("n_runs") >= 2).orderBy("user_id").limit(1).head()
+    val runs = row.getString(1).split(",")
+    assert(runs.length == row.getLong(2))
+    // adjacent runs never share a type (else they'd be one run)
+    val types = runs.map(_.split(":")(0))
+    assert(types.sliding(2).forall(p => p.length < 2 || p(0) != p(1)))
+    // lengths are positive ints and sum to the user's event count
+    assert(runs.map(_.split(":")(1).toInt).forall(_ >= 1))
+  }
+
+  // ---- t39 entropy -----------------------------------------------------------
+
+  test("t39 entropy: repeated text scores 0, all-distinct scores ln(n)") {
+    val t = df("""SELECT CAST(id AS BIGINT) AS doc_id, text FROM VALUES
+                 |  (1, 'a a a a'), (2, 'a b c d') v(id, text)""".stripMargin)
+    val tc = t.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+    val got = tc.groupBy("doc_id").agg(
+      sum("cnt").as("n"),
+      sum(round(col("cnt") * log(col("cnt")), 6).cast("decimal(18,6)")).as("terms"))
+      .select(col("doc_id"),
+        round(log(col("n")) - col("terms").cast("double") / col("n"), 6).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 0.0)
+    assert(math.abs(got(2L) - math.log(4)) < 1e-5)
+  }
+
+  // ---- s31 kNN vote ----------------------------------------------------------
+
+  test("s31 majority vote breaks ties toward the smaller label") {
+    val votes = df("""SELECT CAST(q AS BIGINT) AS query_id, CAST(l AS INT) AS label
+                     |FROM VALUES (1, 7), (1, 7), (1, 3), (1, 3), (1, 9) v(q, l)""".stripMargin)
+    val vw = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("label"))
+    val r = votes.groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(vw)).filter(col("vr") === 1)
+      .head()
+    assert(r.getInt(1) == 3 && r.getLong(2) == 2L) // 3 beats 7 on the tie
+  }
+
   // ---- a30 PSI -------------------------------------------------------------
 
   test("a30 PSI is ~0 when both slices share one distribution") {
