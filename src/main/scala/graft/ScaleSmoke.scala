@@ -12,22 +12,34 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // replication factor (10 => ~sf1; 100 => ~sf10, 60M lineitem rows)
+    // and an optional comma-separated entry-prefix filter, so the 100x
+    // posture run can target the core shapes without the full battery
+    val nCopies = sys.env.getOrElse("SPARK_GRAFT_COPIES", "10").toInt
+    val only: String => Boolean =
+      sys.env.get("SPARK_GRAFT_ONLY") match {
+        case Some(ps) => val p = ps.split(',').toSeq; n => p.exists(n.startsWith)
+        case None => _ => true
+      }
     val spark = graft.core.Sessions.local(cpus, "graft-scale")
     import spark.implicits._
 
     val li0 = graft.core.Tables.lineitem(spark, sfDir)
     val or0 = graft.core.Tables.orders(spark, sfDir)
     val maxOk = or0.agg(max("o_orderkey")).as[Long].head() + 1
-    val copies = spark.range(10).select(col("id").as("rep"))
+    val copies = spark.range(nCopies).select(col("id").as("rep"))
     val li = li0.crossJoin(copies)
       .withColumn("l_orderkey", col("l_orderkey") + col("rep") * maxOk).drop("rep")
     val or = or0.crossJoin(copies)
       .withColumn("o_orderkey", col("o_orderkey") + col("rep") * maxOk).drop("rep")
 
     def time(name: String)(f: => Unit): (String, Double) = {
-      val t0 = System.nanoTime()
-      f
-      name -> (System.nanoTime() - t0) / 1e9
+      if (!only(name)) name -> -1.0 // filtered out below
+      else {
+        val t0 = System.nanoTime()
+        f
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
 
     val results = Seq(
@@ -604,8 +616,9 @@ object ScaleSmoke {
       })
 
     val rows = li.count()
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale10x","rows":$rows,"unit":"sec","queries":$qs}""")
+    val kept = results.filter(_._2 >= 0)
+    val qs = kept.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale${nCopies}x","rows":$rows,"unit":"sec","queries":$qs}""")
     spark.stop()
   }
 }

@@ -440,6 +440,59 @@ object Analytics {
       }
     },
 
+    // ---- W26: rolling z-score outlier bands -------------------------------
+    // Streaming-style anomaly bands in batch: each event scored against
+    // the trailing 6-hour window of its OWN type — z = (x - mean)/sd
+    // from EXACT windowed moments (decimal sum + sum-of-squares, the
+    // w16 discipline extended to the second moment), so the flag is
+    // partition-order stable. Output: the flagged outliers only. sd = 0
+    // windows (constant values) and n < 12 windows never flag. (The
+    // window is 6 h because event density is a few rows/type/hour at
+    // test SFs — a 30-min window never reaches n = 12 — and Spark
+    // evaluates sliding RANGE frames by re-aggregating per row, so
+    // frame size is a direct cost multiplier: 24 h measured 12.5 s at
+    // sf0.1, 6 h ~3 s, same flags semantics.)
+    Query("w26_rolling_zscore",
+      """WITH m AS (
+        |  SELECT event_id, event_type, value,
+        |         sum(CAST(value AS DECIMAL(18,4))) OVER w AS s1,
+        |         sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) OVER w AS s2,
+        |         count(*) OVER w AS n
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+        |               RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)),
+        |z AS (
+        |  SELECT event_id, event_type, value, n,
+        |         CAST(s1 AS DOUBLE) / n AS mean,
+        |         sqrt(greatest(CAST(s2 AS DOUBLE) / n
+        |              - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 0.0)) AS sd
+        |  FROM m)
+        |SELECT event_id, event_type, round(value, 6) AS value,
+        |       CAST(n AS BIGINT) AS n_window,
+        |       round((value - mean) / sd, 6) AS z
+        |FROM z WHERE n >= 12 AND sd > 0 AND abs((value - mean) / sd) > 2.5""".stripMargin) {
+      (s, d) => {
+        val w = Window.partitionBy("event_type").orderBy(unix_micros(col("ts")))
+          .rangeBetween(-21600000000L, 0L)
+        val vd = col("value").cast("decimal(18,4)")
+        val m = Tables.events(s, d).select(col("event_id"), col("event_type"),
+          col("value"),
+          sum(vd).over(w).as("s1"), sum(vd * vd).over(w).as("s2"),
+          count(lit(1)).over(w).as("n"))
+        val mean = col("s1").cast("double") / col("n")
+        val sd = sqrt(greatest(col("s2").cast("double") / col("n") - mean * mean,
+          lit(0.0)))
+        m.select(col("event_id"), col("event_type"), col("value"), col("n"),
+            mean.as("mean"), sd.as("sd"))
+          .filter(col("n") >= 12 && col("sd") > 0 &&
+            abs((col("value") - col("mean")) / col("sd")) > 2.5)
+          .select(col("event_id"), col("event_type"),
+            round(col("value"), 6).as("value"),
+            col("n").cast("long").as("n_window"),
+            round((col("value") - col("mean")) / col("sd"), 6).as("z"))
+      }
+    },
+
     // ---- G13: degree-oriented triangle count ------------------------------
     // Triangles in the supplier co-purchase graph (suppliers sharing an
     // order). The raw co-purchase graph is near-complete, so edges are

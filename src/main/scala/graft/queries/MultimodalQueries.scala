@@ -158,6 +158,104 @@ object MultimodalQueries {
       Multimodal.dHash(withP, "payload")
         .groupBy("dhash")
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+    },
+
+    // ---- M6: near-duplicate images via banded dHash -----------------------
+    // The image arm of near-dup detection: decode real PNGs, dHash each,
+    // then find pairs within Hamming distance 3 of the 64-bit hash
+    // WITHOUT all-pairs — 4 x 16-bit bands, pigeonhole (3 errors cannot
+    // dirty 4 bands), candidates only from shared-band buckets, exact
+    // Hamming verify. Same Manku construction as s12's SimHash text
+    // path, driven from binary payloads. The oracle brute-forces the
+    // full pair space from the closed-form pixel formula — banding
+    // completeness itself is under the hash compare.
+    Query("m06_image_neardup",
+      """WITH px AS (
+        |  SELECT doc_id, x.x AS x, y.y AS y,
+        |         (doc_id*7 + 3*x.x + 5*y.y) % 256 AS r,
+        |         (doc_id*11 + x.x + 2*y.y) % 256 AS g,
+        |         (doc_id*13 + 4*x.x + y.y) % 256 AS b
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(range(32)) AS x) x,
+        |       LATERAL (SELECT unnest(range(32)) AS y) y),
+        |cells AS (
+        |  SELECT doc_id, i.i AS i, j.j AS j,
+        |         CAST(sum(r) // count(*) AS BIGINT) AS rm,
+        |         CAST(sum(g) // count(*) AS BIGINT) AS gm,
+        |         CAST(sum(b) // count(*) AS BIGINT) AS bm
+        |  FROM px,
+        |       LATERAL (SELECT unnest(range(9)) AS i) i,
+        |       LATERAL (SELECT unnest(range(8)) AS j) j
+        |  WHERE x >= (i*32)//9 AND x < ((i+1)*32)//9
+        |    AND y >= j*4 AND y < (j+1)*4
+        |  GROUP BY 1, 2, 3),
+        |gr AS (SELECT doc_id, i, j,
+        |              (rm*299 + gm*587 + bm*114) // 1000 AS lum FROM cells),
+        |rb AS (SELECT a.doc_id, a.j,
+        |         CAST(sum(CASE WHEN a.lum > b.lum
+        |                       THEN (CAST(1 AS BIGINT) << a.i) ELSE 0 END)
+        |              AS BIGINT) AS rowbyte
+        |       FROM gr a JOIN gr b
+        |         ON a.doc_id = b.doc_id AND a.j = b.j AND b.i = a.i + 1
+        |       WHERE a.i < 8
+        |       GROUP BY 1, 2),
+        |h AS (SELECT doc_id, string_agg(printf('%02x', rowbyte), '' ORDER BY j)
+        |             AS dhash
+        |      FROM rb GROUP BY 1),
+        |ham AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         bit_count(xor(CAST('0x' || substr(a.dhash, 1, 4) AS BIGINT),
+        |                       CAST('0x' || substr(b.dhash, 1, 4) AS BIGINT)))
+        |       + bit_count(xor(CAST('0x' || substr(a.dhash, 5, 4) AS BIGINT),
+        |                       CAST('0x' || substr(b.dhash, 5, 4) AS BIGINT)))
+        |       + bit_count(xor(CAST('0x' || substr(a.dhash, 9, 4) AS BIGINT),
+        |                       CAST('0x' || substr(b.dhash, 9, 4) AS BIGINT)))
+        |       + bit_count(xor(CAST('0x' || substr(a.dhash, 13, 4) AS BIGINT),
+        |                       CAST('0x' || substr(b.dhash, 13, 4) AS BIGINT))) AS hamming
+        |  FROM h a JOIN h b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM ham WHERE hamming <= 3""".stripMargin) { (s, d) =>
+      val withP = Multimodal.withImagePayload(
+        Tables.documents(s, d).select("doc_id"), "doc_id")
+      val h = Multimodal.dHash(withP, "payload").select("doc_id", "dhash")
+        .localCheckpoint() // decode once: three consumers below
+      def bandVal(c: org.apache.spark.sql.Column, i: Int) =
+        conv(substring(c, i * 4 + 1, 4), 16, 10).cast("long")
+      // exact-dup collapse FIRST: banding runs over DISTINCT hashes only
+      // (duplicate-heavy corpora otherwise explode the band buckets —
+      // at sf0.1 this is 5000 docs but only ~256 distinct images, and
+      // banding the raw docs cost 10x the whole decode), then candidate
+      // hash pairs expand back to doc pairs by joining the doc lists
+      val distinctH = h.select("dhash").distinct().localCheckpoint()
+      val banded = distinctH.select(col("dhash"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("band"), bandVal(col("dhash"), i).as("bv"))): _*))
+          .as("bb"))
+        .select(col("dhash"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+      val hamming = (0 until 4)
+        .map(i => bit_count(bandVal(col("dhash"), i)
+          .bitwiseXOR(bandVal(col("dhash_b"), i))))
+        .reduce(_ + _)
+      val candPairs = banded
+        .join(banded.toDF("dhash_b", "band_b", "bv_b"),
+          col("band") === col("band_b") && col("bv") === col("bv_b") &&
+            col("dhash") < col("dhash_b"))
+        .select("dhash", "dhash_b").distinct() // a pair may share bands
+        .select(col("dhash"), col("dhash_b"), hamming.as("hamming"))
+        .filter(col("hamming") <= 3)
+      // within-group pairs: identical images, hamming 0
+      val within = h.join(h.toDF("doc_b", "dhash_b2"),
+          col("dhash") === col("dhash_b2") && col("doc_id") < col("doc_b"))
+        .select(col("doc_id").as("doc_a"), col("doc_b"),
+          lit(0L).as("hamming"))
+      // cross-group pairs: expand each near-dup hash pair to its docs
+      val cross = candPairs
+        .join(h.toDF("da", "ha"), col("ha") === col("dhash"))
+        .join(h.toDF("db", "hb"), col("hb") === col("dhash_b"))
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"),
+          col("hamming").cast("long").as("hamming"))
+      within.unionAll(cross)
     }
   )
 }

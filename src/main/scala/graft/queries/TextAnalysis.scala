@@ -1228,6 +1228,74 @@ object TextAnalysis {
               .otherwise(round(log(col("n")) - col("terms").cast("double") / col("n"), 6))
               .as("entropy"))
       }
+    },
+
+    // ---- T40: cross-split contamination audit (chunk granularity) ---------
+    // The AUDIT for t36's leakage-safe split: domain-coherent assignment
+    // protects whole domains, but identical PASSAGES recur across
+    // domains and land in different splits — the substring-level leak
+    // that inflates eval numbers (the reason decontamination runs at
+    // n-gram, not document, granularity). Composes t36's split rule
+    // with t22's 12-token chunking: for every (split_a, split_b) pair,
+    // how many distinct chunk hashes span the pair and how many
+    // cross-split doc pairs they induce. Plan: chunk explode -> one
+    // (chunk-hash, split) aggregate (distinct docs per cell), pair join
+    // on hash (multi-split hashes only — tiny), exact counts.
+    Query("t40_split_contamination",
+      s"""WITH u AS (SELECT doc_id, text, $UrlFixtureSql AS url FROM documents),
+         |d AS (SELECT doc_id, text,
+         |        regexp_replace(regexp_replace(lower(regexp_extract(url,
+         |          '^[^:]+://([^/?#]*)', 1)), ':(443|80)$$', ''), '^www\\.', '')
+         |          AS domain
+         |      FROM u),
+         |sp AS (SELECT doc_id, text,
+         |         CASE WHEN CAST('0x' || substr(md5(domain), 1, 1) AS BIGINT) < 12
+         |                THEN 'train'
+         |              WHEN CAST('0x' || substr(md5(domain), 1, 1) AS BIGINT) < 14
+         |                THEN 'val'
+         |              ELSE 'test' END AS split
+         |       FROM d),
+         |tk AS (SELECT doc_id, split, string_split(text, ' ') AS w FROM sp),
+         |ix AS (SELECT doc_id, split, w,
+         |              unnest(range(0, CAST(ceil(len(w) / 12.0) AS BIGINT))) AS ci
+         |       FROM tk),
+         |ch AS (SELECT doc_id, split,
+         |              md5(array_to_string(w[(ci*12 + 1):(ci*12 + 12)], ' ')) AS h
+         |       FROM ix),
+         |hs AS (SELECT h, split, count(DISTINCT doc_id) AS n FROM ch GROUP BY 1, 2)
+         |SELECT a.split AS split_a, b.split AS split_b,
+         |       CAST(count(*) AS BIGINT) AS n_leaked_chunks,
+         |       CAST(sum(a.n * b.n) AS BIGINT) AS n_doc_pairs
+         |FROM hs a JOIN hs b ON a.h = b.h AND a.split < b.split
+         |GROUP BY 1, 2""".stripMargin) {
+      (s, d) => {
+        import graft.functions.Web
+        val nib = conv(substring(md5(col("domain")), 1, 1), 16, 10).cast("int")
+        // null text -> no chunks (size(null) = -1 would flip sequence()
+        // into descending); split("") -> [""] -> one md5("") chunk, both
+        // matching the oracle's range()/unnest semantics
+        val chunks = bind1(split(col("text"), " ")) { w =>
+          when(size(w) >= 1,
+            transform(sequence(lit(0L), ceil(size(w) / 12.0).cast("long") - 1),
+              ci => md5(array_join(
+                slice(w, (ci * 12 + 1).cast("int"), lit(12)), " "))))
+            .otherwise(array().cast("array<string>"))
+        }
+        val hs = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"),
+            Web.urlHost(expr(UrlFixtureSql)).as("domain"))
+          .withColumn("split",
+            when(nib < 12, "train").when(nib < 14, "val").otherwise("test"))
+          .select(col("doc_id"), col("split"), explode(chunks).as("h"))
+          .groupBy("h", "split").agg(countDistinct(col("doc_id")).as("n"))
+          .localCheckpoint() // referenced by both legs of the pair join
+        val b = hs.select(col("h").as("bh"), col("split").as("split_b"),
+          col("n").as("bn"))
+        hs.join(b, col("h") === col("bh") && col("split") < col("split_b"))
+          .groupBy(col("split").as("split_a"), col("split_b"))
+          .agg(count(lit(1)).cast("long").as("n_leaked_chunks"),
+            sum(col("n") * col("bn")).cast("long").as("n_doc_pairs"))
+      }
     }
   )
 

@@ -267,6 +267,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getInt(1) == 3 && r.getLong(2) == 2L) // 3 beats 7 on the tie
   }
 
+  // ---- w26 rolling z-score ---------------------------------------------------
+
+  test("w26 flags the planted spike and nothing else") {
+    // 14 calm points at 10 +/- 1 every 20 min, then one 100 spike —
+    // all inside the trailing 6h window
+    val vals = (1 to 14).map(i => s"('2024-01-01 10:${"%02d".format(i * 4)}:00', ${if (i % 2 == 0) 11.0 else 9.0})") :+
+      "('2024-01-01 11:00:00', 100.0)"
+    val t = df(s"""SELECT CAST(row_number() OVER (ORDER BY ts) AS BIGINT) AS event_id,
+                  |  'x' AS event_type, CAST(ts AS TIMESTAMP) AS ts, CAST(v AS DOUBLE) AS value
+                  |FROM VALUES ${vals.mkString(", ")} v(ts, v)""".stripMargin)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(unix_micros(col("ts")))
+      .rangeBetween(-21600000000L, 0L)
+    val vd = col("value").cast("decimal(18,4)")
+    val m = t.select(col("event_id"), col("value"),
+      sum(vd).over(w).as("s1"), sum(vd * vd).over(w).as("s2"),
+      count(lit(1)).over(w).as("n"))
+    val mean = col("s1").cast("double") / col("n")
+    val sd = sqrt(greatest(col("s2").cast("double") / col("n") - mean * mean, lit(0.0)))
+    val flagged = m.filter(col("n") >= 12 && sd > 0 &&
+        abs((col("value") - mean) / sd) > 2.5)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(15L), s"only the spike should flag, got $flagged")
+  }
+
   // ---- a30 PSI -------------------------------------------------------------
 
   test("a30 PSI is ~0 when both slices share one distribution") {
