@@ -63,11 +63,26 @@ object ScaleSmoke {
       },
       time("distinct_count") {
         // mixed exact+approx Expands (2 distinct groups); measured here
-        // it still beats two separate full shuffles — the pattern to
-        // avoid is adding approx to an otherwise Expand-FREE aggregate
-        // (pure approx never Expands: ApproxBucketSpec guard)
+        // at 10x it still beats two separate full shuffles — but at
+        // 100x (60M rows) the 2x-Expanded exchange goes spill-bound
+        // (370 s vs 33 s for the two-level rewrite below): the a17
+        // rewrite is not an optimization, it's the scale path
         li.groupBy("l_returnflag")
           .agg(countDistinct("l_orderkey"), approx_count_distinct("l_partkey"))
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("distinct_count_twolevel") {
+        // the Expand-free form of the SAME result: exact leg as
+        // pre-distinct (flag, orderkey) pairs (map-side combine
+        // collapses before the exchange) then a count; approx leg as a
+        // pure-HLL single pass (pure approx never Expands); 3-row join.
+        // Two scans, but each is an ordinary shuffle — no 2x-Expanded
+        // exchange to spill
+        val exact = li.select("l_returnflag", "l_orderkey").distinct()
+          .groupBy("l_returnflag").agg(count(lit(1)).as("n_orders"))
+        val approx = li.groupBy("l_returnflag")
+          .agg(approx_count_distinct("l_partkey").as("n_parts_approx"))
+        exact.join(approx, "l_returnflag")
           .write.format("noop").mode("overwrite").save()
       },
       time("lsh_neardup_50k_docs") {
