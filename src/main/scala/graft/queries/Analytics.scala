@@ -493,6 +493,141 @@ object Analytics {
       }
     },
 
+    // ---- W27: time-weighted average (TWAP) --------------------------------
+    // Metrics pipelines can't average sensor/price samples row-wise —
+    // irregular arrival means each value must be weighted by how long
+    // it was current. Per (type, day): value integrated over the
+    // segment to the next event of the same type-day, TWAP =
+    // sum(value * dt) / sum(dt). EXACT arithmetic: dt is integer µs,
+    // value scales to DECIMAL(18,4); the one double division is the
+    // epilogue. Last event of each day contributes no segment (no
+    // successor — open-ended weight is undefined), segments never
+    // cross days. One exchange: the lead window and the (type, day)
+    // aggregate share the partitioning.
+    Query("w27_twap",
+      """WITH seg AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(value AS DECIMAL(18,4)) AS v,
+        |         lead(epoch_us(ts)) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |                                  ORDER BY ts, event_id)
+        |           - epoch_us(ts) AS dt
+        |  FROM events)
+        |SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+        |       CAST(count(dt) AS BIGINT) AS n_segments,
+        |       CAST(sum(dt) AS BIGINT) AS covered_us,
+        |       round(CAST(sum(v * dt) AS DOUBLE) / CAST(sum(dt) AS DOUBLE), 6) AS twap
+        |FROM seg WHERE dt IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin) {
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type"), to_date(col("ts")))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d).select(col("event_type"),
+            to_date(col("ts")).as("day"),
+            col("value").cast("decimal(18,4)").as("v"),
+            (lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
+              .as("dt"))
+          .filter(col("dt").isNotNull)
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(col("dt")).cast("long").as("n_segments"),
+            sum(col("dt")).cast("long").as("covered_us"),
+            round(sum(col("v") * col("dt")).cast("double")
+              / sum(col("dt")).cast("double"), 6).as("twap"))
+          .select(col("event_type"), col("day").cast("timestamp").as("day"),
+            col("n_segments"), col("covered_us"), col("twap"))
+      }
+    },
+
+    // ---- J21: overlapping-interval merge (interval union) -----------------
+    // Coalesce each customer's order-activity windows (start = order
+    // date, end = start + orderkey%20 days) into maximal disjoint
+    // intervals — the islands derivation on RANGES: an interval starts
+    // a new island when its start exceeds the running max end of
+    // everything before it. Two windows + two aggregates, all
+    // partitioned on the same key — one exchange, per-key state only.
+    Query("j21_interval_merge",
+      """WITH iv AS (
+        |  SELECT o_custkey AS k,
+        |         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS s,
+        |         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |           + o_orderkey % 20 AS e
+        |  FROM orders),
+        |m AS (
+        |  SELECT k, s, e,
+        |         max(e) OVER (PARTITION BY k ORDER BY s, e
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS prev_max
+        |  FROM iv),
+        |fl AS (SELECT k, s, e,
+        |              CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END AS brk
+        |       FROM m),
+        |isl AS (SELECT k, s, e,
+        |               sum(brk) OVER (PARTITION BY k ORDER BY s, e
+        |                              ROWS UNBOUNDED PRECEDING) AS island
+        |        FROM fl),
+        |mg AS (SELECT k, island, min(s) AS ms, max(e) AS me
+        |       FROM isl GROUP BY 1, 2)
+        |SELECT k AS o_custkey, CAST(count(*) AS BIGINT) AS n_intervals,
+        |       CAST(sum(me - ms + 1) AS BIGINT) AS covered_days,
+        |       CAST(max(me) AS BIGINT) AS last_day
+        |FROM mg GROUP BY k""".stripMargin) {
+      (s, d) => {
+        val day = datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long")
+        val iv = Tables.orders(s, d).select(col("o_custkey").as("k"),
+          day.as("s"), (day + col("o_orderkey") % 20).as("e"))
+        val wPrev = Window.partitionBy("k").orderBy(col("s"), col("e"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wRun = Window.partitionBy("k").orderBy(col("s"), col("e"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        iv.withColumn("prev_max", max(col("e")).over(wPrev))
+          .withColumn("brk",
+            when(col("prev_max").isNull || col("s") > col("prev_max"), 1).otherwise(0))
+          .withColumn("island", sum(col("brk")).over(wRun))
+          .groupBy("k", "island")
+          .agg(min(col("s")).as("ms"), max(col("e")).as("me"))
+          .groupBy(col("k").as("o_custkey"))
+          .agg(count(lit(1)).cast("long").as("n_intervals"),
+            sum(col("me") - col("ms") + 1).cast("long").as("covered_days"),
+            max(col("me")).cast("long").as("last_day"))
+      }
+    },
+
+    // ---- A31: weighted median per group -----------------------------------
+    // Median order size weighted by revenue — "the quantity at which
+    // half the money sits below" — per return flag. Lower weighted
+    // median: the first value (ascending) whose running weight reaches
+    // half the total; weights are exact DECIMALs, the comparison is
+    // decimal-vs-decimal (2*cum >= tot avoids the half-division), so
+    // the pick is exact — no interpolation, no float compare.
+    Query("a31_weighted_median",
+      """WITH b AS (
+        |  SELECT l_returnflag AS flag, l_quantity AS q,
+        |         CAST(l_extendedprice AS DECIMAL(18,4)) AS wt
+        |  FROM lineitem),
+        |g AS (SELECT flag, q, sum(wt) AS w FROM b GROUP BY 1, 2),
+        |c AS (SELECT flag, q, w,
+        |             sum(w) OVER (PARTITION BY flag ORDER BY q
+        |                          ROWS UNBOUNDED PRECEDING) AS cum,
+        |             sum(w) OVER (PARTITION BY flag) AS tot
+        |      FROM g)
+        |SELECT flag, CAST(min(q) AS DOUBLE) AS weighted_median
+        |FROM c WHERE 2 * cum >= tot
+        |GROUP BY flag""".stripMargin) {
+      (s, d) => {
+        val g = Tables.lineitem(s, d)
+          .select(col("l_returnflag").as("flag"), col("l_quantity").as("q"),
+            col("l_extendedprice").cast("decimal(18,4)").as("wt"))
+          .groupBy("flag", "q").agg(sum(col("wt")).as("w"))
+        val wc = Window.partitionBy("flag").orderBy("q")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wt = Window.partitionBy("flag")
+        g.select(col("flag"), col("q"),
+            sum(col("w")).over(wc).as("cum"), sum(col("w")).over(wt).as("tot"))
+          .filter(col("cum") * 2 >= col("tot"))
+          .groupBy("flag")
+          .agg(min(col("q")).cast("double").as("weighted_median"))
+      }
+    },
+
     // ---- G13: degree-oriented triangle count ------------------------------
     // Triangles in the supplier co-purchase graph (suppliers sharing an
     // order). The raw co-purchase graph is near-complete, so edges are

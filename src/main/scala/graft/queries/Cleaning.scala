@@ -307,6 +307,56 @@ object Cleaning {
         .agg(max(struct(col("cnt"), col("o_orderstatus"))).as("m"))
         .select(col("o_orderpriority"), col("m.o_orderstatus").as("mode_status"),
           col("m.cnt").as("cnt"))
+    },
+
+    // ---- P14: mixed-unit normalization -------------------------------------
+    // Field forms record the same measure in whatever unit the
+    // enumerator typed ("5 kg" / "5000 g" / "0.005 t"); analysis needs
+    // one canonical unit. The dirty fixture is synthesized identically
+    // in both engines from lineitem (integer quantities, so every
+    // printf is tie-free), the parse is regex + unit lookup, the
+    // normalization is exact integer grams. Unknown units quarantine
+    // as NULL rather than guessing — same contract as p13.
+    Query("p14_unit_normalize",
+      """WITH dirty AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS line_id,
+        |         CASE l_orderkey % 4
+        |           WHEN 0 THEN printf('%d kg', CAST(l_quantity AS BIGINT))
+        |           WHEN 1 THEN printf('%d g', CAST(l_quantity AS BIGINT) * 1000)
+        |           WHEN 2 THEN printf('%d mg', CAST(l_quantity AS BIGINT) * 1000000)
+        |           ELSE printf('%d stone', CAST(l_quantity AS BIGINT))
+        |         END AS raw
+        |  FROM lineitem),
+        |p AS (
+        |  SELECT line_id, raw,
+        |         TRY_CAST(regexp_extract(raw, '^([0-9]+) ', 1) AS BIGINT) AS num,
+        |         regexp_extract(raw, ' ([a-z]+)$', 1) AS unit
+        |  FROM dirty)
+        |SELECT line_id,
+        |       num * CASE unit WHEN 'kg' THEN 1000000
+        |                       WHEN 'g' THEN 1000
+        |                       WHEN 'mg' THEN 1 END AS canonical_mg,
+        |       num * CASE unit WHEN 'kg' THEN 1000000
+        |                       WHEN 'g' THEN 1000
+        |                       WHEN 'mg' THEN 1 END IS NULL AS quarantined
+        |FROM p""".stripMargin) { (s, d) =>
+      val q = col("l_quantity").cast("long")
+      Tables.lineitem(s, d)
+        .select((col("l_orderkey") * 10 + col("l_linenumber")).as("line_id"),
+          when(col("l_orderkey") % 4 === 0, format_string("%d kg", q))
+            .when(col("l_orderkey") % 4 === 1, format_string("%d g", q * 1000))
+            .when(col("l_orderkey") % 4 === 2, format_string("%d mg", q * 1000000L))
+            .otherwise(format_string("%d stone", q)).as("raw"))
+        .select(col("line_id"),
+          expr("try_cast(regexp_extract(raw, '^([0-9]+) ', 1) AS BIGINT)").as("num"),
+          regexp_extract(col("raw"), " ([a-z]+)$", 1).as("unit"))
+        .select(col("line_id"),
+          (col("num") * when(col("unit") === "kg", 1000000L)
+            .when(col("unit") === "g", 1000L)
+            .when(col("unit") === "mg", 1L)).as("canonical_mg"),
+          (col("num") * when(col("unit") === "kg", 1000000L)
+            .when(col("unit") === "g", 1000L)
+            .when(col("unit") === "mg", 1L)).isNull.as("quarantined"))
     }
   )
 }

@@ -292,6 +292,89 @@ class AnalyticsSpec extends SparkSpec {
     assert(flagged == Set(15L), s"only the spike should flag, got $flagged")
   }
 
+  // ---- j21 interval merge ----------------------------------------------------
+
+  test("j21 merges overlapping and touching intervals, keeps disjoint ones") {
+    // [1,5] overlaps [3,8]; [8,10] touches (closed intervals merge);
+    // [15,16] is disjoint -> 2 merged intervals, 10+2=12 covered days
+    val iv = df("""SELECT CAST(1 AS BIGINT) AS k, CAST(s AS BIGINT) AS s,
+                  |  CAST(e AS BIGINT) AS e
+                  |FROM VALUES (1,5),(3,8),(8,10),(15,16) v(s,e)""".stripMargin)
+    val wPrev = org.apache.spark.sql.expressions.Window.partitionBy("k")
+      .orderBy(col("s"), col("e"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wRun = org.apache.spark.sql.expressions.Window.partitionBy("k")
+      .orderBy(col("s"), col("e"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val r = iv.withColumn("prev_max", max(col("e")).over(wPrev))
+      .withColumn("brk",
+        when(col("prev_max").isNull || col("s") > col("prev_max"), 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(wRun))
+      .groupBy("k", "island").agg(min("s").as("ms"), max("e").as("me"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("me") - col("ms") + 1).as("cov"))
+      .head()
+    assert(r.getLong(1) == 2L && r.getLong(2) == 12L)
+  }
+
+  // ---- w27 TWAP --------------------------------------------------------------
+
+  test("w27 weights each value by its holding time, drops the open tail") {
+    // value 10 held 30s, value 20 held 10s -> twap 12.5; final event
+    // (value 99) has no successor and contributes nothing
+    val t = df("""SELECT CAST(id AS BIGINT) AS event_id, 'x' AS event_type,
+                 |  CAST(ts AS TIMESTAMP) AS ts, CAST(v AS DOUBLE) AS value
+                 |FROM VALUES
+                 |  (1, '2024-01-01 00:00:00', 10.0),
+                 |  (2, '2024-01-01 00:00:30', 20.0),
+                 |  (3, '2024-01-01 00:00:40', 99.0) v(id, ts, v)""".stripMargin)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), to_date(col("ts")))
+      .orderBy(col("ts"), col("event_id"))
+    val r = t.select(col("event_type"), to_date(col("ts")).as("day"),
+        col("value").cast("decimal(18,4)").as("v"),
+        (lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts"))).as("dt"))
+      .filter(col("dt").isNotNull)
+      .groupBy("event_type", "day")
+      .agg((sum(col("v") * col("dt")).cast("double")
+        / sum(col("dt")).cast("double")).as("twap"))
+      .head()
+    assert(math.abs(r.getAs[Double]("twap") - 12.5) < 1e-12)
+  }
+
+  // ---- a31 weighted median ---------------------------------------------------
+
+  test("a31 lower weighted median lands where half the weight accrues") {
+    // values 1,2,3 with weights 1,1,6: half of 8 is 4 -> median 3;
+    // unweighted median would be 2
+    val g = df("""SELECT 'f' AS flag, CAST(q AS BIGINT) AS q,
+                 |  CAST(w AS DECIMAL(18,4)) AS w
+                 |FROM VALUES (1, 1.0), (2, 1.0), (3, 6.0) v(q, w)""".stripMargin)
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("flag").orderBy("q")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wt = org.apache.spark.sql.expressions.Window.partitionBy("flag")
+    val r = g.select(col("flag"), col("q"),
+        sum(col("w")).over(wc).as("cum"), sum(col("w")).over(wt).as("tot"))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy("flag").agg(min("q").as("wm")).head()
+    assert(r.getLong(1) == 3L)
+  }
+
+  // ---- p14 units -------------------------------------------------------------
+
+  test("p14 normalizes known units exactly and quarantines unknown ones") {
+    val t = df("""SELECT raw FROM VALUES ('5 kg'), ('5000 g'), ('17 stone') v(raw)""")
+    val parsed = t.select(
+      expr("try_cast(regexp_extract(raw, '^([0-9]+) ', 1) AS BIGINT)").as("num"),
+      regexp_extract(col("raw"), " ([a-z]+)$", 1).as("unit"))
+      .select((col("num") * when(col("unit") === "kg", 1000000L)
+        .when(col("unit") === "g", 1000L)
+        .when(col("unit") === "mg", 1L)).as("mg"))
+      .collect().map(r => Option(r.get(0)))
+    assert(parsed(0) == Some(5000000L) && parsed(1) == Some(5000000L)
+      && parsed(2).isEmpty)
+  }
+
   // ---- a30 PSI -------------------------------------------------------------
 
   test("a30 PSI is ~0 when both slices share one distribution") {
