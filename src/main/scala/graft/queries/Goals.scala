@@ -486,6 +486,70 @@ object Goals {
         }
         ranks
       }
+    },
+
+    // ---- G15: curation funnel report ---------------------------------------
+    // The ablation table every corpus release ships with: docs and
+    // tokens surviving each cumulative filter stage (language -> length
+    // -> near-dup-free), computed in ONE scan — per-doc stage flags in
+    // a projection, then conditional sums stacked to (stage, n_docs,
+    // n_tokens) rows. At 100 TB this is the difference between one pass
+    // and one pass per stage. The dedup stage uses the corpus-global
+    // keep-first rule over normalized-content hashes (the only stage
+    // needing a shuffle; the window and the base share no key, so the
+    // plan is hash-join back on doc_id).
+    Query("g15_curation_funnel",
+      """WITH f AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS toks,
+        |         lang = 'en' AS f_lang,
+        |         n_chars >= 150 AS f_len,
+        |         row_number() OVER (PARTITION BY md5(lower(text))
+        |                            ORDER BY doc_id) = 1 AS f_dedup
+        |  FROM documents)
+        |SELECT stage, CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(n_tokens AS BIGINT) AS n_tokens FROM (
+        |  SELECT 0 AS ord, 'all' AS stage, count(*) AS n_docs,
+        |         sum(toks) AS n_tokens FROM f
+        |  UNION ALL
+        |  SELECT 1, 'lang', count(CASE WHEN f_lang THEN 1 END),
+        |         sum(CASE WHEN f_lang THEN toks ELSE 0 END) FROM f
+        |  UNION ALL
+        |  SELECT 2, 'lang+len', count(CASE WHEN f_lang AND f_len THEN 1 END),
+        |         sum(CASE WHEN f_lang AND f_len THEN toks ELSE 0 END) FROM f
+        |  UNION ALL
+        |  SELECT 3, 'lang+len+dedup',
+        |         count(CASE WHEN f_lang AND f_len AND f_dedup THEN 1 END),
+        |         sum(CASE WHEN f_lang AND f_len AND f_dedup THEN toks ELSE 0 END)
+        |  FROM f) t""".stripMargin) {
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(lower(col("text")))).orderBy("doc_id")
+        val f = Tables.documents(s, d).select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("toks"),
+          (col("lang") === "en").as("f_lang"),
+          (col("n_chars") >= 150).as("f_len"),
+          (row_number().over(w) === 1).as("f_dedup"))
+        def stage(name: String, cond: org.apache.spark.sql.Column) = Seq(
+          count(when(cond, 1)).cast("long"),
+          sum(when(cond, col("toks")).otherwise(0L)).cast("long"))
+        val agg = f.agg(
+          count(lit(1)).cast("long").as("d0"),
+          sum(col("toks")).cast("long").as("t0"),
+          stage("lang", col("f_lang"))(0).as("d1"),
+          stage("lang", col("f_lang"))(1).as("t1"),
+          stage("ll", col("f_lang") && col("f_len"))(0).as("d2"),
+          stage("ll", col("f_lang") && col("f_len"))(1).as("t2"),
+          stage("lld", col("f_lang") && col("f_len") && col("f_dedup"))(0).as("d3"),
+          stage("lld", col("f_lang") && col("f_len") && col("f_dedup"))(1).as("t3"))
+        agg.select(explode(array(
+            struct(lit("all").as("stage"), col("d0").as("n_docs"), col("t0").as("n_tokens")),
+            struct(lit("lang").as("stage"), col("d1").as("n_docs"), col("t1").as("n_tokens")),
+            struct(lit("lang+len").as("stage"), col("d2").as("n_docs"), col("t2").as("n_tokens")),
+            struct(lit("lang+len+dedup").as("stage"), col("d3").as("n_docs"), col("t3").as("n_tokens"))))
+            .as("r"))
+          .select(col("r.stage").as("stage"), col("r.n_docs").as("n_docs"),
+            col("r.n_tokens").as("n_tokens"))
+      }
     }
   )
 }

@@ -708,6 +708,87 @@ object SimilaritySearch {
       }
     },
 
+    // ---- S32: FILTERED vector search over the persisted index --------------
+    // The vector-DB hard case: top-k under a metadata predicate. Naive
+    // post-filtering of an unfiltered top-k silently under-returns when
+    // the predicate is selective; the correct order is filter-then-rank
+    // over the probed cells. Here the label rides INSIDE the partitioned
+    // index store, the predicate reaches the index's parquet scan
+    // (row-group stats skip label-pure groups), and the rank runs over
+    // surviving candidates only — s28's store serving a constrained
+    // query. Same literal centroids as s28, so the oracle replays the
+    // whole chain with the label join added.
+    {
+      val nCells = 8
+      val cvecs = Similarity.hyperplanes(1, nCells, 64)
+      val centValues = cvecs.zipWithIndex
+        .map { case (c, r) => s"($r, [${c.mkString(", ")}])" }
+        .mkString(",\n        ")
+      Query("s32_filtered_ann",
+        s"""WITH cents(cell_id, c) AS (VALUES
+          |        $centValues),
+          |dist AS (
+          |  SELECT vec_id, cell_id,
+          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |           list_transform(range(1, 65),
+          |             i -> (CAST(embedding[i] AS DOUBLE) - c[i])
+          |                  * (CAST(embedding[i] AS DOUBLE) - c[i]))),
+          |           (a, x) -> a + x) AS d
+          |  FROM embeddings CROSS JOIN cents),
+          |assigned AS (SELECT d.vec_id, d.cell_id, e.label FROM (
+          |  SELECT vec_id, cell_id,
+          |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+          |  FROM dist) d JOIN embeddings e ON e.vec_id = d.vec_id
+          |  WHERE d.rn = 1),
+          |probes AS (SELECT vec_id AS query_id, cell_id FROM (
+          |  SELECT vec_id, cell_id,
+          |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+          |  FROM dist WHERE vec_id < 10) WHERE rn <= 3),
+          |cand AS (
+          |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+          |  FROM probes p JOIN assigned a USING (cell_id)
+          |  WHERE a.vec_id <> p.query_id AND a.label = 1),
+          |cosd AS (
+          |  SELECT query_id, neighbor_id,
+          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |           list_transform(range(1, 65),
+          |             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+          |           (a, x) -> a + x)
+          |         / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |              list_transform(range(1, 65),
+          |                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))),
+          |              (a, x) -> a + x))
+          |            * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |                list_transform(range(1, 65),
+          |                  i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+          |                (a, x) -> a + x))) AS cos
+          |  FROM cand JOIN embeddings q ON q.vec_id = query_id
+          |            JOIN embeddings c ON c.vec_id = neighbor_id)
+          |SELECT query_id, neighbor_id, cos FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id
+          |                               ORDER BY cos DESC, neighbor_id) AS rn
+          |  FROM cosd) WHERE rn <= 3""".stripMargin) { (s, d) =>
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+        val cents = cvecs.zipWithIndex.map { case (c, r) => (r.toLong, c) }
+          .toDF("cell_id", "c_vec")
+        val root = graft.core.TempDirs.scratch("graft_fltidx_").toString
+        // the label is part of the INDEX ROW — filtered search must not
+        // re-join the base table per query
+        graft.operators.Ivf.assign(e, cents, "vec_id", "embedding")
+          .join(e.select(col("vec_id").as("lv"), col("label")),
+            col("vec_id") === col("lv")).drop("lv")
+          .write.mode("overwrite").partitionBy("cell_id").parquet(root)
+        val index = s.read.parquet(root)
+          .withColumn("cell_id", col("cell_id").cast("long"))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+        graft.operators.Ivf.searchAssigned(
+          index.filter(col("label") === 1).drop("label"),
+          q, cents, "vec_id", "embedding", nProbe = 3, k = 3)
+      }
+    },
+
     // ---- S18: PQ-ADC, full-oracle twin of s11 ------------------------------
     // Product quantization with LITERAL codebooks: encode argmins, the
     // per-query distance tables, the ADC fold, shortlist, and the exact

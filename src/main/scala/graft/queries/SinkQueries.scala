@@ -440,6 +440,58 @@ object SinkQueries {
           max(col("xk")).cast("long").as("max_cust"),
           min(col("yk")).cast("long").as("min_day"),
           max(col("yk")).cast("long").as("max_day"))
+    },
+
+    // ---- IO13: snapshot manifests (poor-man's time travel) ----------------
+    // Reproducibility demands reading the table AS OF a training run,
+    // while ingestion keeps appending — the lakehouse snapshot-isolation
+    // contract, built here from plain parquet + a manifest listing the
+    // files of each version (an append writes new files and a new
+    // manifest; nothing is rewritten, so old versions stay readable
+    // forever). v1 = early orders, v2 = v1 + the rest; the query reads
+    // BOTH versions through their manifests and aggregates each — a
+    // file leaking across versions, or a reader seeing uncommitted
+    // files, breaks the hash. The manifest is file PATHS (driver-side
+    // list bounded by file count, the same bound every table format's
+    // planning phase has).
+    Query("io13_snapshot_read",
+      """WITH v1 AS (
+        |  SELECT 1 AS version, count(*) AS n,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,4))) AS s
+        |  FROM orders
+        |  WHERE datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 3 = 0),
+        |v2 AS (
+        |  SELECT 2 AS version, count(*) AS n,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,4))) AS s
+        |  FROM orders)
+        |SELECT version, CAST(n AS BIGINT) AS n_rows, CAST(s AS DOUBLE) AS total
+        |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2) t""".stripMargin) {
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        import scala.jdk.CollectionConverters._
+        val root = graft.core.TempDirs.scratch("graft_snap_").toString
+        val day = datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        val orders = Tables.orders(s, d)
+          .select(col("o_totalprice"), (day % 3).as("m"))
+        def listParquet(dir: String): Seq[String] =
+          Files.list(Paths.get(dir)).iterator.asScala.map(_.toString)
+            .filter(_.endsWith(".parquet")).toSeq.sorted
+        // commit 1: the day%3==0 slice
+        orders.filter(col("m") === 0).drop("m")
+          .write.mode("overwrite").parquet(s"$root/batch1")
+        val manifestV1 = listParquet(s"$root/batch1")
+        // commit 2: append the remainder as NEW files; v1 files untouched
+        orders.filter(col("m") =!= 0).drop("m")
+          .write.mode("overwrite").parquet(s"$root/batch2")
+        val manifestV2 = manifestV1 ++ listParquet(s"$root/batch2")
+        def readVersion(v: Int, manifest: Seq[String]) =
+          s.read.parquet(manifest: _*)
+            .agg(count(lit(1)).cast("long").as("n_rows"),
+              sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
+                .as("total"))
+            .select(lit(v).as("version"), col("n_rows"), col("total"))
+        readVersion(1, manifestV1).unionAll(readVersion(2, manifestV2))
+      }
     }
   )
 }

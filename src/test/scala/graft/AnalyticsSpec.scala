@@ -375,6 +375,34 @@ class AnalyticsSpec extends SparkSpec {
       && parsed(2).isEmpty)
   }
 
+  // ---- g15 funnel ------------------------------------------------------------
+
+  test("g15 funnel stages are monotonically non-increasing") {
+    val fn = graft.queries.Goals.queries.find(_.name == "g15_curation_funnel").get.fn
+    val rows = fn(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val order = Seq("all", "lang", "lang+len", "lang+len+dedup")
+    val docs = order.map(rows(_)._1)
+    val toks = order.map(rows(_)._2)
+    assert(docs == docs.sorted.reverse && toks == toks.sorted.reverse,
+      s"funnel must shrink: $docs / $toks")
+    assert(docs.head > docs.last, "filters must actually remove something")
+  }
+
+  // ---- s32 filtered ANN ------------------------------------------------------
+
+  test("s32 returns only label-1 neighbors (filter-then-rank, not post-filter)") {
+    val fn = graft.queries.SimilaritySearch.queries
+      .find(_.name == "s32_filtered_ann").get.fn
+    val got = fn(spark, "/root/testdata/sf0.001")
+    val labels = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("neighbor_id"), col("label"))
+    val offLabel = got.join(labels, "neighbor_id")
+      .filter(col("label") =!= 1).count()
+    assert(offLabel == 0L)
+    assert(got.count() > 0)
+  }
+
   // ---- a30 PSI -------------------------------------------------------------
 
   test("a30 PSI is ~0 when both slices share one distribution") {
