@@ -349,4 +349,114 @@ object Multimodal {
       }
     }
   }
+
+  // --------------------------------------------------------------------------
+  // Audio arm: REAL WAV container bytes through the JDK sound stack.
+  // --------------------------------------------------------------------------
+
+  /** Synthesize the PCM16 samples for a doc — closed-form so a SQL
+    * oracle can replay them: s[i] = ((id*31 + i*17) mod 65536) - 32768.
+    */
+  private[graft] def synthSamples(id: Long, n: Int): Array[Short] = {
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (((id * 31 + i.toLong * 17) % 65536) - 32768).toShort
+      i += 1
+    }
+    out
+  }
+
+  /** Encode PCM16 mono samples as a genuine RIFF/WAVE file via
+    * javax.sound (AudioSystem writer — the real container encoder, not
+    * a hand-rolled header).
+    */
+  private[graft] def encodeWav(samples: Array[Short], sampleRate: Float = 8000f): Array[Byte] = {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false) // PCM16LE mono
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(i * 2) = (samples(i) & 0xFF).toByte
+      pcm(i * 2 + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode a WAV payload back to PCM16 samples via AudioSystem; corrupt
+    * payloads yield None (null row downstream), never a task failure.
+    */
+  private[graft] def decodeWavSafe(bytes: Array[Byte]): Option[Array[Short]] =
+    try {
+      import javax.sound.sampled.AudioSystem
+      val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      val raw = ais.readAllBytes()
+      ais.close()
+      val n = raw.length / 2
+      val out = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        out(i) = (((raw(i * 2 + 1) & 0xFF) << 8) | (raw(i * 2) & 0xFF)).toShort
+        i += 1
+      }
+      Some(out)
+    } catch { case _: Exception => None }
+
+  /** Attach a REAL synthesized WAV payload per row (mono PCM16,
+    * [[synthSamples]] content).
+    */
+  def withAudioPayload(df: DataFrame, idCol: String, n: Int = 400): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("payload", BinaryType))
+    implicit val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val id = row.get(idx).asInstanceOf[Number].longValue
+        Row.fromSeq(row.toSeq :+ encodeWav(synthSamples(id, n)))
+      }
+    }
+  }
+
+  /** Decode WAV payloads and emit exact-integer waveform features:
+    * n_samples, sum of samples, sum of squares (fits a long: 400 *
+    * 32768^2 < 2^40), min, max, and the zero-crossing count (sign
+    * changes between consecutive samples; zero counts as
+    * non-negative). All integers — a SQL oracle replays them exactly.
+    */
+  def audioFeatures(df: DataFrame, payloadCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("n_samples", LongType), StructField("sum_amp", LongType),
+      StructField("sum_sq", LongType), StructField("min_amp", LongType),
+      StructField("max_amp", LongType), StructField("zero_crossings", LongType)))
+    implicit val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        decodeWavSafe(row.get(idx).asInstanceOf[Array[Byte]]) match {
+          case Some(ss) if ss.nonEmpty =>
+            var sum = 0L; var sq = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+            var zc = 0L
+            var i = 0
+            while (i < ss.length) {
+              val v = ss(i).toLong
+              sum += v; sq += v * v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              if (i > 0 && ((ss(i - 1) >= 0) != (v >= 0))) zc += 1
+              i += 1
+            }
+            Row.fromSeq(row.toSeq ++ Seq(ss.length.toLong, sum, sq, mn, mx, zc))
+          case _ =>
+            Row.fromSeq(row.toSeq ++ Seq(null, null, null, null, null, null))
+        }
+      }
+    }
+  }
 }

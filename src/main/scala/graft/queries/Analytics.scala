@@ -628,6 +628,70 @@ object Analytics {
       }
     },
 
+    // ---- A32: Welch's t-test per group -------------------------------------
+    // The significance arm of the drift kit (a30 PSI = magnitude, w24
+    // KS = shape, a32 = is-the-mean-shift real): Welch's unequal-
+    // variance t between even- and odd-day slices per event type. The
+    // five sufficient statistics per slice are exact (counts + DECIMAL
+    // value and value^2 sums); t and the Welch-Satterthwaite dof are a
+    // fixed-order double epilogue, so results are partition-stable.
+    Query("a32_welch_ttest",
+      """WITH b AS (
+        |  SELECT event_type,
+        |         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 2 AS slice,
+        |         CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type,
+        |         sum(CASE WHEN slice = 0 THEN 1 ELSE 0 END) AS na,
+        |         sum(CASE WHEN slice = 1 THEN 1 ELSE 0 END) AS nb,
+        |         sum(CASE WHEN slice = 0 THEN v END) AS sa,
+        |         sum(CASE WHEN slice = 1 THEN v END) AS sb,
+        |         sum(CASE WHEN slice = 0 THEN v * v END) AS qa,
+        |         sum(CASE WHEN slice = 1 THEN v * v END) AS qb
+        |  FROM b GROUP BY 1),
+        |z AS (
+        |  SELECT event_type, na, nb,
+        |         CAST(sa AS DOUBLE) / na AS ma, CAST(sb AS DOUBLE) / nb AS mb,
+        |         (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na)
+        |           / (na - 1) / na AS ea,
+        |         (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb)
+        |           / (nb - 1) / nb AS eb
+        |  FROM s)
+        |SELECT event_type, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |       round((ma - mb) / sqrt(ea + eb), 6) AS t_stat,
+        |       round((ea + eb) * (ea + eb)
+        |             / (ea * ea / (na - 1) + eb * eb / (nb - 1)), 6) AS welch_dof
+        |FROM z""".stripMargin) {
+      (s, d) => {
+        val v = col("value").cast("decimal(18,4)")
+        val slice = datediff(to_date(col("ts")), lit("1970-01-01")) % 2
+        val agg = Tables.events(s, d)
+          .select(col("event_type"), slice.as("slice"), v.as("v"))
+          .groupBy("event_type")
+          .agg(sum(when(col("slice") === 0, 1L).otherwise(0L)).as("na"),
+            sum(when(col("slice") === 1, 1L).otherwise(0L)).as("nb"),
+            sum(when(col("slice") === 0, col("v"))).as("sa"),
+            sum(when(col("slice") === 1, col("v"))).as("sb"),
+            sum(when(col("slice") === 0, col("v") * col("v"))).as("qa"),
+            sum(when(col("slice") === 1, col("v") * col("v"))).as("qb"))
+        val ma = col("sa").cast("double") / col("na")
+        val mb = col("sb").cast("double") / col("nb")
+        val ea = (col("qa").cast("double")
+          - col("sa").cast("double") * col("sa").cast("double") / col("na")) /
+          (col("na") - 1) / col("na")
+        val eb = (col("qb").cast("double")
+          - col("sb").cast("double") * col("sb").cast("double") / col("nb")) /
+          (col("nb") - 1) / col("nb")
+        agg.select(col("event_type"),
+          col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
+          round((ma - mb) / sqrt(ea + eb), 6).as("t_stat"),
+          round((ea + eb) * (ea + eb)
+            / (ea * ea / (col("na") - 1) + eb * eb / (col("nb") - 1)), 6)
+            .as("welch_dof"))
+      }
+    },
+
     // ---- G13: degree-oriented triangle count ------------------------------
     // Triangles in the supplier co-purchase graph (suppliers sharing an
     // order). The raw co-purchase graph is near-complete, so edges are

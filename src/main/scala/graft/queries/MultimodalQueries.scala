@@ -160,6 +160,40 @@ object MultimodalQueries {
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
     },
 
+    // ---- M7: audio decode + waveform features -----------------------------
+    // The audio arm made REAL (the image arm's m02/m04 recipe): per doc
+    // a genuine RIFF/WAVE file is synthesized from a closed-form PCM16
+    // formula and ENCODED with javax.sound's AudioSystem writer; the
+    // operator under test decodes it back through AudioSystem and emits
+    // exact-integer waveform features (sum, energy, min/max, zero
+    // crossings). The oracle replays the sample formula in SQL — an
+    // endianness slip, header misparse, or sample drop anywhere in the
+    // encode→decode chain hash-mismatches. Corrupt payloads yield null
+    // rows, never task failures (spec-pinned).
+    Query("m07_audio_features",
+      """WITH sm AS (
+        |  SELECT doc_id, i.i AS i,
+        |         ((doc_id * 31 + i.i * 17) % 65536) - 32768 AS s
+        |  FROM documents, LATERAL (SELECT unnest(range(400)) AS i) i),
+        |z AS (SELECT doc_id, s,
+        |             lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS p
+        |      FROM sm)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_samples,
+        |       CAST(sum(s) AS BIGINT) AS sum_amp,
+        |       CAST(sum(s * s) AS BIGINT) AS sum_sq,
+        |       CAST(min(s) AS BIGINT) AS min_amp,
+        |       CAST(max(s) AS BIGINT) AS max_amp,
+        |       CAST(sum(CASE WHEN p IS NOT NULL AND (p >= 0) <> (s >= 0)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        |FROM z GROUP BY doc_id""".stripMargin) { (s, d) =>
+      val withA = Multimodal.withAudioPayload(
+        Tables.documents(s, d).select("doc_id"), "doc_id", n = 400)
+      Multimodal.audioFeatures(withA, "payload")
+        .select("doc_id", "n_samples", "sum_amp", "sum_sq",
+          "min_amp", "max_amp", "zero_crossings")
+    },
+
     // ---- M6: near-duplicate images via banded dHash -----------------------
     // The image arm of near-dup detection: decode real PNGs, dHash each,
     // then find pairs within Hamming distance 3 of the 64-bit hash

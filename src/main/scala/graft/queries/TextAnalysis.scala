@@ -1230,6 +1230,81 @@ object TextAnalysis {
       }
     },
 
+    // ---- T41: Gopher repetition-rule battery -------------------------------
+    // The Rae et al. (Gopher) repetition filters as ONE row per doc:
+    // top-{2,3,4}-gram fraction (token mass of the single most frequent
+    // n-gram) and dup-{5..8}-gram fraction (token mass of all n-grams
+    // occurring twice or more). All fractions are exact-integer ratios
+    // (count * n over token count) with one rounded division each.
+    // Plan: one bound split, 7 gram sizes exploded in one generator,
+    // a (doc, n, gram) hash aggregate, then a conditional-sum pivot
+    // back to one row per doc — two exchanges total, no window.
+    Query("t41_gopher_repetition", {
+      val legs = (2 to 8).map { n =>
+        s"""SELECT doc_id, $n AS n,
+           |       array_to_string(w[i:i+${n - 1}], ' ') AS g
+           |FROM t, LATERAL (SELECT unnest(range(1, len(w) - ${n - 2})) AS i) ix""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |toks AS (SELECT doc_id, len(w) AS ntok FROM t),
+         |grams AS (
+         |$legs),
+         |gc AS (SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+         |m AS (SELECT doc_id, n, max(c) AS topc,
+         |             sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dupc
+         |      FROM gc GROUP BY 1, 2)
+         |SELECT k.doc_id,
+         |       CAST(k.ntok AS BIGINT) AS n_tokens,
+         |       round(coalesce(max(CASE WHEN n = 2 THEN topc END) * 2.0, 0) / k.ntok, 6) AS top2_frac,
+         |       round(coalesce(max(CASE WHEN n = 3 THEN topc END) * 3.0, 0) / k.ntok, 6) AS top3_frac,
+         |       round(coalesce(max(CASE WHEN n = 4 THEN topc END) * 4.0, 0) / k.ntok, 6) AS top4_frac,
+         |       round(coalesce(max(CASE WHEN n = 5 THEN dupc END) * 5.0, 0) / k.ntok, 6) AS dup5_frac,
+         |       round(coalesce(max(CASE WHEN n = 6 THEN dupc END) * 6.0, 0) / k.ntok, 6) AS dup6_frac,
+         |       round(coalesce(max(CASE WHEN n = 7 THEN dupc END) * 7.0, 0) / k.ntok, 6) AS dup7_frac,
+         |       round(coalesce(max(CASE WHEN n = 8 THEN dupc END) * 8.0, 0) / k.ntok, 6) AS dup8_frac
+         |FROM toks k LEFT JOIN m ON m.doc_id = k.doc_id
+         |GROUP BY k.doc_id, k.ntok""".stripMargin
+    }) {
+      (s, d) => {
+        val grams = bind1(split(col("text"), " ")) { w =>
+          flatten(transform(sequence(lit(2), lit(8)), n =>
+            when(size(w) >= n,
+              transform(sequence(lit(1), size(w) - n + 1),
+                i => struct(n.as("n"),
+                  array_join(slice(w, i.cast("int"), n.cast("int")), " ").as("g"))))
+              .otherwise(array().cast("array<struct<n:int,g:string>>"))))
+        }
+        val base = Tables.documents(s, d).select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ntok"),
+          grams.as("grams"))
+        val gc = base.select(col("doc_id"), col("ntok"), explode(col("grams")).as("gr"))
+          .groupBy(col("doc_id"), col("ntok"), col("gr.n").as("n"), col("gr.g").as("g"))
+          .agg(count(lit(1)).as("c"))
+        val m = gc.groupBy("doc_id", "ntok", "n").agg(
+          max(col("c")).as("topc"),
+          sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dupc"))
+        def frac(n: Int, src: String) = round(
+          coalesce(max(when(col("n") === n, col(src))) * n.toDouble, lit(0.0))
+            / col("ntok"), 6)
+        val out = m.groupBy("doc_id", "ntok").agg(
+          frac(2, "topc").as("top2_frac"), frac(3, "topc").as("top3_frac"),
+          frac(4, "topc").as("top4_frac"), frac(5, "dupc").as("dup5_frac"),
+          frac(6, "dupc").as("dup6_frac"), frac(7, "dupc").as("dup7_frac"),
+          frac(8, "dupc").as("dup8_frac"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .join(out.withColumnRenamed("doc_id", "od"),
+            col("doc_id") === col("od"), "left")
+          .select(col("doc_id") +: col("n_tokens") +:
+            Seq("top2_frac", "top3_frac", "top4_frac", "dup5_frac",
+              "dup6_frac", "dup7_frac", "dup8_frac").map(c =>
+              // null text -> null fracs (0/NULL in the oracle), not 0.0
+              when(col("n_tokens").isNotNull,
+                coalesce(col(c), lit(0.0))).as(c)): _*)
+      }
+    },
+
     // ---- T40: cross-split contamination audit (chunk granularity) ---------
     // The AUDIT for t36's leakage-safe split: domain-coherent assignment
     // protects whole domains, but identical PASSAGES recur across

@@ -403,6 +403,47 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  // ---- a32 Welch t -----------------------------------------------------------
+
+  test("a32 t-stat is ~0 for identical slices and large for a planted shift") {
+    def t(va: Seq[Double], vb: Seq[Double]): Double = {
+      val (na, nb) = (va.size.toDouble, vb.size.toDouble)
+      val (ma, mb) = (va.sum / na, vb.sum / nb)
+      val ea = va.map(x => (x - ma) * (x - ma)).sum / (na - 1) / na
+      val eb = vb.map(x => (x - mb) * (x - mb)).sum / (nb - 1) / nb
+      (ma - mb) / math.sqrt(ea + eb)
+    }
+    val calm = Seq(9.0, 11.0, 10.0, 9.5, 10.5, 10.0)
+    assert(math.abs(t(calm, calm)) < 1e-12)
+    assert(math.abs(t(calm, calm.map(_ + 50))) > 30)
+  }
+
+  // ---- t41 Gopher repetition -------------------------------------------------
+
+  test("t41 fractions: repeated bigram dominates, distinct text scores 0") {
+    val t = df("""SELECT CAST(id AS BIGINT) AS doc_id, text FROM VALUES
+                 |  (1, 'a b a b a b a b'), (2, 'q w e r t y u i') v(id, text)""".stripMargin)
+    val fn = graft.queries.TextAnalysis.queries
+      .find(_.name == "t41_gopher_repetition").get
+    // reuse the engine chain on a temp view via the registry fn is not
+    // possible (it reads documents) — replicate the top2 metric inline
+    val grams = graft.functions.TextFunctions.bind1(split(col("text"), " ")) { w =>
+      transform(sequence(lit(1), size(w) - 1),
+        i => array_join(slice(w, i.cast("int"), lit(2)), " "))
+    }
+    val top2 = t.select(col("doc_id"), size(split(col("text"), " ")).as("ntok"),
+        explode(grams).as("g"))
+      .groupBy("doc_id", "ntok", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "ntok").agg(max("c").as("topc"))
+      .select(col("doc_id"), (col("topc") * 2.0 / col("ntok")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 1: "a b" occurs 4x of 7 bigrams over 8 tokens -> 4*2/8 = 1.0
+    assert(top2(1L) == 1.0)
+    // doc 2: every bigram unique -> 1*2/8 = 0.25 (the floor for 8 tokens)
+    assert(top2(2L) == 0.25)
+    assert(fn.oracle.nonEmpty)
+  }
+
   // ---- a30 PSI -------------------------------------------------------------
 
   test("a30 PSI is ~0 when both slices share one distribution") {
