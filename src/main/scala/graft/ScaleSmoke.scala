@@ -598,6 +598,84 @@ object ScaleSmoke {
             col("o_orderkey"), col("o_totalprice")),
           "cust", "day", dir, numFiles = 32)
       },
+      time("gopher_repetition_50k_docs") {
+        // t41's 7-gram-size battery at 10x docs: the string-gram
+        // exchange is the cost driver (the hashed-gram variant is the
+        // 100 TB path; this measures the oracle-replayable form)
+        val docs0 = graft.core.Tables.documents(spark, sfDir)
+        val maxDoc = docs0.agg(max("doc_id")).as[Long].head() + 1
+        val docs = docs0.select("doc_id", "text").crossJoin(copies)
+          .withColumn("doc_id", col("doc_id") + col("rep") * maxDoc).drop("rep")
+          // replication multiplies ROWS, not partitions: without this the
+          // per-row gram generation runs on the source file's 1-2 splits
+          .repartition(cpus.toInt)
+        val grams = graft.functions.TextFunctions.bind1(split(col("text"), " ")) { w =>
+          flatten(transform(sequence(lit(2), lit(8)), n =>
+            when(size(w) >= n,
+              transform(sequence(lit(1), size(w) - n + 1),
+                i => struct(n.as("n"),
+                  array_join(slice(w, i.cast("int"), n.cast("int")), " ").as("g"))))
+              .otherwise(array().cast("array<struct<n:int,g:string>>"))))
+        }
+        docs.select(col("doc_id"), size(split(col("text"), " ")).as("ntok"),
+            explode(grams).as("gr"))
+          .groupBy(col("doc_id"), col("ntok"), col("gr.n").as("n"), col("gr.g").as("g"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy("doc_id", "ntok", "n")
+          .agg(max("c").as("topc"),
+            sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dupc"))
+          .groupBy("doc_id", "ntok")
+          .agg(max(when(col("n") === 2, col("topc"))).as("t2"),
+            max(when(col("n") === 5, col("dupc"))).as("d5"))
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("gopher_repetition_hashed_50k_docs") {
+        // the production form of t41: gram strings hash to 8-byte keys
+        // BEFORE the exchange (counts are identical modulo 64-bit
+        // collisions); the string form above goes super-linear at 10x —
+        // this is the same two-exchange plan with ~6x less shuffle bytes
+        val docs0 = graft.core.Tables.documents(spark, sfDir)
+        val maxDoc = docs0.agg(max("doc_id")).as[Long].head() + 1
+        val docs = docs0.select("doc_id", "text").crossJoin(copies)
+          .withColumn("doc_id", col("doc_id") + col("rep") * maxDoc).drop("rep")
+          // replication multiplies ROWS, not partitions: without this the
+          // per-row gram generation runs on the source file's 1-2 splits
+          .repartition(cpus.toInt)
+        val grams = graft.functions.TextFunctions.bind1(split(col("text"), " ")) { w =>
+          flatten(transform(sequence(lit(2), lit(8)), n =>
+            when(size(w) >= n,
+              transform(sequence(lit(1), size(w) - n + 1),
+                i => struct(n.as("n"),
+                  xxhash64(array_join(slice(w, i.cast("int"), n.cast("int")), " "))
+                    .as("g"))))
+              .otherwise(array().cast("array<struct<n:int,g:bigint>>"))))
+        }
+        docs.select(col("doc_id"), size(split(col("text"), " ")).as("ntok"),
+            explode(grams).as("gr"))
+          .groupBy(col("doc_id"), col("ntok"), col("gr.n").as("n"), col("gr.g").as("g"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy("doc_id", "ntok", "n")
+          .agg(max("c").as("topc"),
+            sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dupc"))
+          .groupBy("doc_id", "ntok")
+          .agg(max(when(col("n") === 2, col("topc"))).as("t2"),
+            max(when(col("n") === 5, col("dupc"))).as("d5"))
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("audio_features_50k_wavs") {
+        // m07 at 10x: 50k real WAV encode+decode round trips through
+        // javax.sound in bounded-batch mapPartitions
+        val docs0 = graft.core.Tables.documents(spark, sfDir)
+        val maxDoc = docs0.agg(max("doc_id")).as[Long].head() + 1
+        val docs = docs0.select("doc_id").crossJoin(copies)
+          .withColumn("doc_id", col("doc_id") + col("rep") * maxDoc).drop("rep")
+          .repartition(cpus.toInt)
+        graft.operators.Multimodal.audioFeatures(
+            graft.operators.Multimodal.withAudioPayload(docs, "doc_id", n = 400),
+            "payload")
+          .groupBy().agg(sum("sum_sq"), sum("zero_crossings"))
+          .write.format("noop").mode("overwrite").save()
+      },
       time("mips_50k_vecs") {
         // s30's augmentation + brute-force top-k against a 10x corpus:
         // the transform is a narrow projection; the quadratic leg is the
