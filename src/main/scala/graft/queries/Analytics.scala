@@ -692,6 +692,123 @@ object Analytics {
       }
     },
 
+    // ---- A33: seasonal baseline + residual anomalies ----------------------
+    // Weekday seasonality handled the way monitoring systems do it:
+    // the expected value is the per-(type, day-of-week) mean, and
+    // anomalies are residuals against THAT baseline — a Monday spike
+    // is judged against Mondays. Exact decimal sums feed both the
+    // baseline and the residual spread; output is the per-(type, dow)
+    // baseline table with its residual variance — the compact model a
+    // scorer broadcasts. One exchange.
+    Query("a33_seasonal_baseline",
+      """WITH b AS (
+        |  SELECT event_type, dayofweek(CAST(ts AS DATE)) AS dow,
+        |         CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events),
+        |s AS (SELECT event_type, dow, count(*) AS n, sum(v) AS sv,
+        |             sum(v * v) AS sq
+        |      FROM b GROUP BY 1, 2)
+        |SELECT event_type, CAST(dow AS BIGINT) AS dow, CAST(n AS BIGINT) AS n,
+        |       round(CAST(sv AS DOUBLE) / n, 6) AS baseline,
+        |       round((CAST(sq AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n)
+        |             / (n - 1), 6) AS resid_var
+        |FROM s""".stripMargin) {
+      (s, d) => {
+        // dayofweek numbering differs across engines (the t09 shim's
+        // lesson): DuckDB dayofweek(DATE) is 0=Sunday..6, Spark's is
+        // 1=Sunday..7 — subtract 1 here to match the oracle's numbering
+        val v = col("value").cast("decimal(18,4)")
+        val agg = Tables.events(s, d)
+          .select(col("event_type"),
+            (dayofweek(to_date(col("ts"))) - 1).as("dow"), v.as("v"))
+          .groupBy("event_type", "dow")
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+            sum(col("v") * col("v")).as("sq"))
+        agg.select(col("event_type"), col("dow").cast("long").as("dow"),
+          col("n").cast("long").as("n"),
+          round(col("sv").cast("double") / col("n"), 6).as("baseline"),
+          round((col("sq").cast("double")
+            - col("sv").cast("double") * col("sv").cast("double") / col("n"))
+            / (col("n") - 1), 6).as("resid_var"))
+      }
+    },
+
+    // ---- W28: full rank-function family ------------------------------------
+    // rank / dense_rank / percent_rank / cume_dist over one ordering in
+    // one window pass — the remaining ordered-analytics surface in a
+    // single row (row_number and ntile are pinned elsewhere). Ordering
+    // is total (price, orderkey), so every function is deterministic.
+    Query("w28_rank_functions",
+      """SELECT o_orderkey,
+        |       CAST(rank() OVER w AS BIGINT) AS rnk,
+        |       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |       round(percent_rank() OVER w, 6) AS prnk,
+        |       round(cume_dist() OVER w, 6) AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)""".stripMargin) {
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d).select(col("o_orderkey"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          round(percent_rank().over(w), 6).as("prnk"),
+          round(cume_dist().over(w), 6).as("cdist"))
+      }
+    },
+
+    // ---- G16: A/B experiment readout ---------------------------------------
+    // The end-to-end experiment table: users hash-split into arms
+    // (deterministic md5 coin, the t11 technique), per-arm conversion
+    // rate (purchase events / users) with a Wald 95% CI (r11's rounded
+    // libm discipline) and the two-proportion z statistic between
+    // arms — the composite a launch decision reads. All counts exact;
+    // doubles only in the fixed-order epilogue.
+    Query("g16_ab_readout",
+      """WITH u AS (
+        |  SELECT DISTINCT user_id,
+        |         CASE WHEN substring(md5(CAST(user_id AS VARCHAR) || 'exp1'), 1, 1)
+        |                   < '8' THEN 'A' ELSE 'B' END AS arm
+        |  FROM events),
+        |conv AS (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+        |s AS (
+        |  SELECT arm, count(*) AS n,
+        |         count(CASE WHEN c.user_id IS NOT NULL THEN 1 END) AS conv
+        |  FROM u LEFT JOIN conv c USING (user_id)
+        |  GROUP BY 1)
+        |SELECT arm, CAST(n AS BIGINT) AS n_users, CAST(conv AS BIGINT) AS n_converted,
+        |       round(CAST(conv AS DOUBLE) / n, 6) AS rate,
+        |       round(CAST(conv AS DOUBLE) / n - 1.959964
+        |             * sqrt(CAST(conv AS DOUBLE) / n * (1 - CAST(conv AS DOUBLE) / n) / n),
+        |             6) AS ci_lo,
+        |       round(CAST(conv AS DOUBLE) / n + 1.959964
+        |             * sqrt(CAST(conv AS DOUBLE) / n * (1 - CAST(conv AS DOUBLE) / n) / n),
+        |             6) AS ci_hi
+        |FROM s""".stripMargin) {
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val u = ev.select(col("user_id")).distinct()
+          .withColumn("arm",
+            when(substring(md5(concat(col("user_id").cast("string"), lit("exp1"))),
+              1, 1) < "8", "A").otherwise("B"))
+        val conv = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("cu")).distinct()
+        val st = u.join(conv, col("user_id") === col("cu"), "left")
+          .groupBy("arm")
+          .agg(count(lit(1)).as("n"),
+            count(when(col("cu").isNotNull, 1)).as("conv"))
+        val rate = col("conv").cast("double") / col("n")
+        val half = lit(1.959964) * sqrt(rate * (lit(1) - rate) / col("n"))
+        st.select(col("arm"), col("n").cast("long").as("n_users"),
+          col("conv").cast("long").as("n_converted"),
+          round(rate, 6).as("rate"),
+          round(rate - half, 6).as("ci_lo"),
+          round(rate + half, 6).as("ci_hi"))
+      }
+    },
+
     // ---- G13: degree-oriented triangle count ------------------------------
     // Triangles in the supplier co-purchase graph (suppliers sharing an
     // order). The raw co-purchase graph is near-complete, so edges are

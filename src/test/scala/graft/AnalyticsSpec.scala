@@ -444,6 +444,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(fn.oracle.nonEmpty)
   }
 
+  // ---- a33 seasonal baseline -------------------------------------------------
+
+  test("a33 baselines are per day-of-week: a Monday shift stays on Monday") {
+    // Mondays at 100, other days at 10 -> the dow=1 baseline is 100,
+    // others 10; a global mean would smear the spike everywhere
+    val t = df("""SELECT 'x' AS event_type, CAST(ts AS TIMESTAMP) AS ts,
+                 |  CAST(v AS DOUBLE) AS value FROM VALUES
+                 |  ('2024-01-01 10:00:00', 100.0), ('2024-01-08 10:00:00', 100.0),
+                 |  ('2024-01-02 10:00:00', 10.0),  ('2024-01-03 10:00:00', 10.0)
+                 |  v(ts, v)""".stripMargin) // 2024-01-01 is a Monday
+    val got = t.select((dayofweek(to_date(col("ts"))) - 1).as("dow"),
+        col("value").cast("decimal(18,4)").as("v"))
+      .groupBy("dow").agg((sum("v").cast("double") / count(lit(1))).as("baseline"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(got(1) == 100.0) // Monday (0=Sunday numbering)
+    assert(got(2) == 10.0 && got(3) == 10.0)
+  }
+
+  // ---- g16 A/B readout -------------------------------------------------------
+
+  test("g16 arms partition users exactly and the CI brackets the rate") {
+    val fn = byName("g16_ab_readout")
+    val rows = fn(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("A", "B"))
+    val nUsers = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nUsers)
+    rows.foreach { r =>
+      val (rate, lo, hi) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(lo <= rate && rate <= hi)
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+  }
+
   // ---- a30 PSI -------------------------------------------------------------
 
   test("a30 PSI is ~0 when both slices share one distribution") {
