@@ -809,6 +809,114 @@ object Analytics {
       }
     },
 
+    // ---- A34: Mann-Whitney U (rank-sum) test per group ---------------------
+    // The nonparametric mean-shift test (closes the drift kit next to
+    // a32's t: no normality assumption). Average ranks for ties are
+    // kept EXACT by working in doubled-rank units (first + last of the
+    // tie run — always an integer), so U2 = 2U is an exact integer,
+    // and the tie-corrected normal approximation is the usual double
+    // epilogue over exact tie-group sums. Same (type, value) aggregate
+    // + type-window shape as w24 — the whole drift kit shares one
+    // physical pattern.
+    Query("a34_mann_whitney",
+      """WITH b AS (
+        |  SELECT event_type, value,
+        |         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 2 AS slice
+        |  FROM events),
+        |g AS (SELECT event_type, value,
+        |             count(CASE WHEN slice = 0 THEN 1 END) AS da,
+        |             count(CASE WHEN slice = 1 THEN 1 END) AS db
+        |      FROM b GROUP BY 1, 2),
+        |c AS (SELECT event_type, da, db, da + db AS t,
+        |             sum(da + db) OVER (PARTITION BY event_type ORDER BY value
+        |                                ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM g),
+        |s AS (SELECT event_type,
+        |             sum(da) AS na, sum(db) AS nb,
+        |             sum(da * (2 * cum - t + 1)) AS r2a,
+        |             sum(t * t * t - t) AS ties
+        |      FROM c GROUP BY 1)
+        |SELECT event_type, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |       CAST(r2a - na * (na + 1) AS BIGINT) AS u2,
+        |       round((CAST(r2a - na * (na + 1) AS DOUBLE) / 2 - CAST(na * nb AS DOUBLE) / 2)
+        |             / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12
+        |                    * ((na + nb + 1)
+        |                       - CAST(ties AS DOUBLE)
+        |                         / ((na + nb) * (na + nb - 1.0)))), 6) AS z
+        |FROM s""".stripMargin) {
+      (s, d) => {
+        val b = Tables.events(s, d).select(col("event_type"), col("value"),
+          (datediff(to_date(col("ts")), lit("1970-01-01")) % 2).as("slice"))
+        val g = b.groupBy("event_type", "value").agg(
+          count(when(col("slice") === 0, 1)).as("da"),
+          count(when(col("slice") === 1, 1)).as("db"))
+        val w = Window.partitionBy("event_type").orderBy("value")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val c = g.select(col("event_type"), col("da"), col("db"),
+          (col("da") + col("db")).as("t"),
+          sum(col("da") + col("db")).over(w).as("cum"))
+        val st = c.groupBy("event_type").agg(
+          sum(col("da")).as("na"), sum(col("db")).as("nb"),
+          sum(col("da") * (lit(2) * col("cum") - col("t") + 1)).as("r2a"),
+          sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+        val u2 = (col("r2a") - col("na") * (col("na") + 1)).cast("double")
+        val z = (u2 / 2 - (col("na") * col("nb")).cast("double") / 2) /
+          sqrt(col("na").cast("double") * col("nb").cast("double") / 12 *
+            ((col("na") + col("nb") + 1) -
+              col("ties").cast("double") /
+                ((col("na") + col("nb")) * (col("na") + col("nb") - 1.0))))
+        st.select(col("event_type"),
+          col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
+          (col("r2a") - col("na") * (col("na") + 1)).cast("long").as("u2"),
+          round(z, 6).as("z"))
+      }
+    },
+
+    // ---- J22: numeric band join (|a - b| <= delta, no nested loop) ---------
+    // Pairs of events whose values are within 0.05 of each other across
+    // DIFFERENT event types — the similarity-band join that naively
+    // plans as a BroadcastNestedLoop. Bucketize at the band width: the
+    // left row keeps its own bucket, the right row replicates to
+    // {b-1, b, b+1}, and the equi-join on bucket finds every qualifying
+    // pair exactly once (the right appears once per target bucket) —
+    // 3x replication instead of O(n^2), AQE-splittable. Exact-count
+    // output per type pair. Band width is sized to data density: the
+    // qualifying-pair mass is inherently n * (rows within +/-delta),
+    // so delta picks the output scale, not the plan (0.5 produced
+    // ~20M pairs at sf0.1 = 15 s of pure pair counting).
+    Query("j22_band_join",
+      """WITH l AS (
+        |  SELECT event_id, event_type, value,
+        |         CAST(floor(value / 0.05) AS BIGINT) AS bkt
+        |  FROM events),
+        |r AS (
+        |  SELECT event_id, event_type, value, bkt + d.d AS bkt
+        |  FROM l, (SELECT unnest([-1, 0, 1]) AS d) d),
+        |p AS (
+        |  SELECT l.event_type AS type_a, r.event_type AS type_b
+        |  FROM l JOIN r ON l.bkt = r.bkt
+        |    AND l.event_type < r.event_type
+        |    AND abs(l.value - r.value) <= 0.05)
+        |SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM p GROUP BY 1, 2""".stripMargin) {
+      (s, d) => {
+        val base = Tables.events(s, d).select(col("event_id"), col("event_type"),
+          col("value"), floor(col("value") / 0.05).cast("long").as("bkt"))
+        val l = base
+        val r = base.select(col("event_id").as("r_id"), col("event_type").as("r_type"),
+            col("value").as("r_value"),
+            explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"))
+        // type inequality alone orients each cross-type pair uniquely;
+        // an additional id ordering would DROP pairs where the two
+        // orderings disagree
+        l.join(r, Seq("bkt"))
+          .filter(col("event_type") < col("r_type") &&
+            abs(col("value") - col("r_value")) <= 0.05)
+          .groupBy(col("event_type").as("type_a"), col("r_type").as("type_b"))
+          .agg(count(lit(1)).cast("long").as("n_pairs"))
+      }
+    },
+
     // ---- G13: degree-oriented triangle count ------------------------------
     // Triangles in the supplier co-purchase graph (suppliers sharing an
     // order). The raw co-purchase graph is near-complete, so edges are

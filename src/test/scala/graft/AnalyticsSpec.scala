@@ -478,6 +478,52 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  // ---- a34 Mann-Whitney ------------------------------------------------------
+
+  test("a34 doubled-rank U matches the textbook value with ties") {
+    // A = {1, 2, 2}, B = {2, 3}: ranks 1, 3, 3, 3, 5 (avg for the
+    // 2-tie run of three) -> R_A = 7, U_A = R_A - 3*4/2 = 1 -> u2 = 2
+    val t = df("""SELECT 'x' AS event_type, CAST(v AS DOUBLE) AS value,
+                 |  CAST(sl AS INT) AS slice FROM VALUES
+                 |  (1.0, 0), (2.0, 0), (2.0, 0), (2.0, 1), (3.0, 1) v(v, sl)""".stripMargin)
+    val g = t.groupBy("event_type", "value").agg(
+      count(when(col("slice") === 0, 1)).as("da"),
+      count(when(col("slice") === 1, 1)).as("db"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("value")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val u2 = g.select(col("event_type"), col("da"),
+        (col("da") + col("db")).as("t"),
+        sum(col("da") + col("db")).over(w).as("cum"))
+      .groupBy("event_type")
+      .agg((sum(col("da") * (lit(2) * col("cum") - col("t") + 1))
+        - sum(col("da")) * (sum(col("da")) + 1)).as("u2"))
+      .head().getLong(1)
+    assert(u2 == 2L)
+  }
+
+  // ---- j22 band join ---------------------------------------------------------
+
+  test("j22 bucketed band join finds exactly the |diff| <= 0.5 pairs") {
+    // values 1.0/1.4 (pair), 1.4/1.9 (pair, crosses buckets 2|3),
+    // 1.0/1.9 (gap 0.9 - no), 5.0 isolated
+    val t = df("""SELECT CAST(id AS BIGINT) AS event_id, ty AS event_type,
+                 |  CAST(v AS DOUBLE) AS value FROM VALUES
+                 |  (1, 'a', 1.0), (2, 'b', 1.4), (3, 'c', 1.9), (4, 'd', 5.0)
+                 |  v(id, ty, v)""".stripMargin)
+    val base = t.select(col("event_id"), col("event_type"), col("value"),
+      floor(col("value") / 0.5).cast("long").as("bkt"))
+    val r = base.select(col("event_id").as("r_id"), col("event_type").as("r_type"),
+      col("value").as("r_value"),
+      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"))
+    val pairs = base.join(r, Seq("bkt"))
+      .filter(col("event_type") < col("r_type") &&
+        abs(col("value") - col("r_value")) <= 0.5)
+      .select("event_type", "r_type")
+      .collect().map(x => (x.getString(0), x.getString(1))).toSet
+    assert(pairs == Set(("a", "b"), ("b", "c")))
+  }
+
   // ---- a30 PSI -------------------------------------------------------------
 
   test("a30 PSI is ~0 when both slices share one distribution") {
