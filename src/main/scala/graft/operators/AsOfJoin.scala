@@ -42,6 +42,8 @@ object AsOfJoin {
     require(payload.nonEmpty, "right side needs at least one payload column")
     val conflict = payload.intersect(left.columns.toSeq)
     require(conflict.isEmpty, s"payload columns collide with left: $conflict")
+    require(!payload.contains("__rts"),
+      "right side may not have a column named __rts (reserved for the tolerance gate)")
     // side tag ordering encodes the tie rule: non-strict puts right
     // first at equal ts (its payload is visible to the fill), strict
     // puts left first (same-ts right rows excluded)
