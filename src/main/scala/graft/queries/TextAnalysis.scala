@@ -911,7 +911,14 @@ object TextAnalysis {
           .withColumn("__w2",
             min("doc_id").over(Window.partitionBy(md5(col("text")))))
           .filter(col("doc_id") === col("__w2")).drop("__w2")
-        val corpus = s2.filter(col("doc_id") % 40 =!= 0)
+        // `corpus` feeds BOTH the decontamination leg (via benchmarkOverlap)
+        // and the anti-join back; `sc` feeds BOTH the per-domain threshold
+        // aggregate and the final join. Catalyst replays a val's whole
+        // subtree per reference ("vals name plans, not results" — the g13
+        // lesson), which re-ran the two window-dedup stages twice and blew
+        // the plan to 18 exchanges. Cut both diamonds with an eager
+        // localCheckpoint so each upstream executes exactly once.
+        val corpus = s2.filter(col("doc_id") % 40 =!= 0).localCheckpoint(true)
         val dirty = graft.operators.Decontaminate.benchmarkOverlap(
           corpus, docs.filter(col("doc_id") % 40 === 0),
           "doc_id", "text", n = 3, minOverlap = 1)
@@ -920,6 +927,7 @@ object TextAnalysis {
           col("text"),
           graft.operators.Curriculum.integerQualityScore(col("text"), stop)
             .as("score"))
+          .localCheckpoint(true)
         val thr = sc.groupBy("domain")
           .agg(expr("percentile(score, 0.75)").as("p_thr"))
         sc.join(broadcast(thr), Seq("domain"))
