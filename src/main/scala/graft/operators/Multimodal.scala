@@ -390,11 +390,24 @@ object Multimodal {
 
   /** Decode a WAV payload back to PCM16 samples via AudioSystem; corrupt
     * payloads yield None (null row downstream), never a task failure.
+    *
+    * The format is CHECKED, not assumed (ADVICE r7): a structurally
+    * valid WAV in another encoding (8-bit PCM, big-endian, float,
+    * stereo) would decode without exception and the raw-byte
+    * reinterpretation below would yield garbage samples — so anything
+    * that is not 16-bit little-endian signed mono PCM returns None,
+    * honoring the "corrupt/unsupported payload -> null row" contract.
     */
   private[graft] def decodeWavSafe(bytes: Array[Byte]): Option[Array[Short]] =
     try {
-      import javax.sound.sampled.AudioSystem
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
       val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      val f = ais.getFormat
+      if (f.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+          f.getSampleSizeInBits != 16 || f.isBigEndian || f.getChannels != 1) {
+        ais.close()
+        return None
+      }
       val raw = ais.readAllBytes()
       ais.close()
       val n = raw.length / 2

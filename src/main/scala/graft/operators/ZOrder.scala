@@ -18,14 +18,21 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
-  /** 32-bit Morton interleave of two 16-bit non-negative keys: x occupies
-    * even bits, y odd bits. Pure shift/and/add — stays inside
-    * WholeStageCodegen.
+  /** 32-bit Morton interleave of two 16-bit keys: x occupies even bits,
+    * y odd bits. Pure shift/and/add — stays inside WholeStageCodegen.
+    *
+    * Inputs are normalized with pmod(_, 65536) first: without the mask,
+    * a negative input (Scala % keeps the sign) or a value over 16 bits
+    * would shiftleft negative bit-terms into garbage Morton codes with
+    * no error (ADVICE r7). Callers with wider domains should quantize
+    * into 16 bits themselves (the mask wraps, it does not clamp).
     */
   def interleave16(x: Column, y: Column): Column = {
+    val xm = pmod(x.cast("long"), lit(65536L))
+    val ym = pmod(y.cast("long"), lit(65536L))
     val terms = (0 until 16).flatMap { i =>
-      Seq(shiftleft(shiftright(x.cast("long"), i) % 2, 2 * i),
-          shiftleft(shiftright(y.cast("long"), i) % 2, 2 * i + 1))
+      Seq(shiftleft(shiftright(xm, i) % 2, 2 * i),
+          shiftleft(shiftright(ym, i) % 2, 2 * i + 1))
     }
     terms.reduce(_ + _)
   }

@@ -197,12 +197,15 @@ object Analytics {
     // second shuffle, map-side combinable (each partial keeps one
     // candidate per group). Tie-breaks are total: the ordering key is
     // a zero-padded (epoch_us, event_id) string, identical lexicographic
-    // = numeric order in both engines.
+    // = numeric order in both engines. Both pads are 20 chars: a
+    // non-negative BIGINT is at most 19 digits, so neither key can
+    // truncate at any id/timestamp scale (ADVICE r7 — the old 12-char
+    // id pad silently truncated ids >= 10^12).
     Query("w23_ohlc",
       """WITH b AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hour, value,
         |         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-        |           || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+        |           || lpad(CAST(event_id AS VARCHAR), 20, '0') AS ord
         |  FROM events)
         |SELECT event_type, hour,
         |       round(arg_min(value, ord), 6) AS open,
@@ -214,7 +217,7 @@ object Analytics {
       (s, d) => {
         val ord = concat(
           lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
-          lpad(col("event_id").cast("string"), 12, "0"))
+          lpad(col("event_id").cast("string"), 20, "0"))
         Tables.events(s, d)
           .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"),
             col("value"), ord.as("ord"))
@@ -247,9 +250,9 @@ object Analytics {
         |             count(CASE WHEN slice = 1 THEN 1 END) AS db
         |      FROM b GROUP BY 1, 2),
         |c AS (SELECT event_type, value,
-        |             sum(da) OVER (PARTITION BY event_type ORDER BY value
+        |             sum(da) OVER (PARTITION BY event_type ORDER BY value NULLS LAST
         |                           ROWS UNBOUNDED PRECEDING) AS ca,
-        |             sum(db) OVER (PARTITION BY event_type ORDER BY value
+        |             sum(db) OVER (PARTITION BY event_type ORDER BY value NULLS LAST
         |                           ROWS UNBOUNDED PRECEDING) AS cb
         |      FROM g),
         |t AS (SELECT event_type, sum(da) AS na, sum(db) AS nb
@@ -265,7 +268,10 @@ object Analytics {
         val g = b.groupBy("event_type", "value").agg(
           count(when(col("slice") === 0, 1)).as("da"),
           count(when(col("slice") === 1, 1)).as("db"))
-        val w = Window.partitionBy("event_type").orderBy("value")
+        // Spark's default asc = NULLS FIRST but DuckDB's ORDER BY defaults
+        // NULLS LAST; pin NULLS LAST explicitly on BOTH sides so a null
+        // value can never silently shift the cumulative counts (ADVICE r7)
+        val w = Window.partitionBy("event_type").orderBy(col("value").asc_nulls_last)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val c = g.select(col("event_type"), col("value"),
           sum(col("da")).over(w).as("ca"), sum(col("db")).over(w).as("cb"))
@@ -605,7 +611,7 @@ object Analytics {
         |  FROM lineitem),
         |g AS (SELECT flag, q, sum(wt) AS w FROM b GROUP BY 1, 2),
         |c AS (SELECT flag, q, w,
-        |             sum(w) OVER (PARTITION BY flag ORDER BY q
+        |             sum(w) OVER (PARTITION BY flag ORDER BY q NULLS LAST
         |                          ROWS UNBOUNDED PRECEDING) AS cum,
         |             sum(w) OVER (PARTITION BY flag) AS tot
         |      FROM g)
@@ -617,7 +623,7 @@ object Analytics {
           .select(col("l_returnflag").as("flag"), col("l_quantity").as("q"),
             col("l_extendedprice").cast("decimal(18,4)").as("wt"))
           .groupBy("flag", "q").agg(sum(col("wt")).as("w"))
-        val wc = Window.partitionBy("flag").orderBy("q")
+        val wc = Window.partitionBy("flag").orderBy(col("q").asc_nulls_last)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val wt = Window.partitionBy("flag")
         g.select(col("flag"), col("q"),
@@ -828,7 +834,7 @@ object Analytics {
         |             count(CASE WHEN slice = 1 THEN 1 END) AS db
         |      FROM b GROUP BY 1, 2),
         |c AS (SELECT event_type, da, db, da + db AS t,
-        |             sum(da + db) OVER (PARTITION BY event_type ORDER BY value
+        |             sum(da + db) OVER (PARTITION BY event_type ORDER BY value NULLS LAST
         |                                ROWS UNBOUNDED PRECEDING) AS cum
         |      FROM g),
         |s AS (SELECT event_type,
@@ -850,7 +856,10 @@ object Analytics {
         val g = b.groupBy("event_type", "value").agg(
           count(when(col("slice") === 0, 1)).as("da"),
           count(when(col("slice") === 1, 1)).as("db"))
-        val w = Window.partitionBy("event_type").orderBy("value")
+        // Spark's default asc = NULLS FIRST but DuckDB's ORDER BY defaults
+        // NULLS LAST; pin NULLS LAST explicitly on BOTH sides so a null
+        // value can never silently shift the cumulative counts (ADVICE r7)
+        val w = Window.partitionBy("event_type").orderBy(col("value").asc_nulls_last)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val c = g.select(col("event_type"), col("da"), col("db"),
           (col("da") + col("db")).as("t"),
@@ -880,38 +889,46 @@ object Analytics {
     // {b-1, b, b+1}, and the equi-join on bucket finds every qualifying
     // pair exactly once (the right appears once per target bucket) —
     // 3x replication instead of O(n^2), AQE-splittable. Exact-count
-    // output per type pair. Band width is sized to data density: the
-    // qualifying-pair mass is inherently n * (rows within +/-delta),
-    // so delta picks the output scale, not the plan (0.5 produced
-    // ~20M pairs at sf0.1 = 15 s of pure pair counting).
+    // output per type pair. The band is integer end-to-end (ADVICE r7):
+    // values quantize once to 1e-4 micro-units (exact in double up to
+    // 2^53), the bucket is floor(units/500) and the predicate is
+    // |u_l - u_r| <= 500 — so "every qualifying pair exactly once" is
+    // exactly true (a 500-unit gap spans at most one bucket boundary),
+    // with no FP boundary case where floor(value/0.05) could land a
+    // true pair two buckets apart. Band width is sized to data density:
+    // the qualifying-pair mass is inherently n * (rows within
+    // +/-delta), so delta picks the output scale, not the plan (0.5
+    // produced ~20M pairs at sf0.1 = 15 s of pure pair counting).
     Query("j22_band_join",
       """WITH l AS (
-        |  SELECT event_id, event_type, value,
-        |         CAST(floor(value / 0.05) AS BIGINT) AS bkt
+        |  SELECT event_id, event_type,
+        |         CAST(round(value * 10000) AS BIGINT) AS u,
+        |         CAST(floor(CAST(round(value * 10000) AS BIGINT) / 500.0) AS BIGINT) AS bkt
         |  FROM events),
         |r AS (
-        |  SELECT event_id, event_type, value, bkt + d.d AS bkt
+        |  SELECT event_id, event_type, u, bkt + d.d AS bkt
         |  FROM l, (SELECT unnest([-1, 0, 1]) AS d) d),
         |p AS (
         |  SELECT l.event_type AS type_a, r.event_type AS type_b
         |  FROM l JOIN r ON l.bkt = r.bkt
         |    AND l.event_type < r.event_type
-        |    AND abs(l.value - r.value) <= 0.05)
+        |    AND abs(l.u - r.u) <= 500)
         |SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_pairs
         |FROM p GROUP BY 1, 2""".stripMargin) {
       (s, d) => {
+        val u = round(col("value") * 10000).cast("long")
         val base = Tables.events(s, d).select(col("event_id"), col("event_type"),
-          col("value"), floor(col("value") / 0.05).cast("long").as("bkt"))
+          u.as("u"), floor(u / 500.0).cast("long").as("bkt"))
         val l = base
         val r = base.select(col("event_id").as("r_id"), col("event_type").as("r_type"),
-            col("value").as("r_value"),
+            col("u").as("r_u"),
             explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"))
         // type inequality alone orients each cross-type pair uniquely;
         // an additional id ordering would DROP pairs where the two
         // orderings disagree
         l.join(r, Seq("bkt"))
           .filter(col("event_type") < col("r_type") &&
-            abs(col("value") - col("r_value")) <= 0.05)
+            abs(col("u") - col("r_u")) <= 500)
           .groupBy(col("event_type").as("type_a"), col("r_type").as("type_b"))
           .agg(count(lit(1)).cast("long").as("n_pairs"))
       }
