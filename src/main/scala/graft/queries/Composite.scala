@@ -545,6 +545,82 @@ object Composite {
         Anomalies.detectDuplication(latest, "orders", "dup_priority",
           Seq("o_custkey"), "o_orderkey")
       }
+    },
+
+    // ---- G17: XLSForm → data dictionary ------------------------------------
+    // The reference's seventh module (pipeline-data-dict/R/generate.R:
+    // 19-56) as one composite: survey sheet ⟕ per-list option
+    // group-concat (select_one/select_multiple list_name extraction,
+    // options in SHEET order), structural rows (group/note/calculate/
+    // repeat) filtered, type reduced to its first word. The sheets are
+    // human-authored (≤ a few thousand rows), so the fixture derives
+    // them deterministically from part on BOTH sides: every branch is
+    // exercised — selects with populated lists, selects whose list has
+    // no surviving options (null choices), null list_name/name choice
+    // rows dropped, every structural filter hit. The options join is a
+    // broadcast (bounded list count); the oracle replays the exact
+    // chain with ORDER BY ord inside string_agg.
+    Query("g17_data_dictionary",
+      """WITH survey AS (
+        |  SELECT p_partkey AS ord,
+        |         CASE p_partkey % 12
+        |           WHEN 0 THEN 'begin group' WHEN 1 THEN 'text'
+        |           WHEN 2 THEN 'select_one l' || CAST(p_partkey % 5 AS VARCHAR)
+        |           WHEN 3 THEN 'integer' WHEN 4 THEN 'note'
+        |           WHEN 5 THEN 'select_multiple l' || CAST(p_partkey % 5 AS VARCHAR)
+        |           WHEN 6 THEN 'calculate' WHEN 7 THEN 'date'
+        |           WHEN 8 THEN 'end group' WHEN 9 THEN 'begin repeat'
+        |           WHEN 10 THEN 'decimal' ELSE 'end repeat' END AS type,
+        |         'q_' || CAST(p_partkey AS VARCHAR) AS name,
+        |         p_name AS label
+        |  FROM part),
+        |choices AS (
+        |  SELECT p_partkey AS ord,
+        |         CASE WHEN p_partkey % 13 = 0 THEN NULL
+        |              ELSE 'l' || CAST(CAST(floor(p_partkey / 3.0) AS BIGINT) % 5 AS VARCHAR) END AS list_name,
+        |         CASE WHEN p_partkey % 17 = 0 THEN NULL
+        |              ELSE 'opt_' || CAST(p_partkey % 23 AS VARCHAR) END AS name
+        |  FROM part WHERE p_partkey % 3 = 0),
+        |opts AS (
+        |  SELECT list_name, string_agg(name, '; ' ORDER BY ord) AS choices
+        |  FROM choices WHERE list_name IS NOT NULL AND name IS NOT NULL
+        |  GROUP BY 1),
+        |sl AS (
+        |  SELECT type, name, label,
+        |         CASE WHEN type LIKE '%select%' THEN
+        |           regexp_replace(type, 'select_one |select_multiple ', '', 'g') END AS list_name
+        |  FROM survey)
+        |SELECT split_part(sl.type, ' ', 1) AS type, sl.name AS variable,
+        |       sl.label AS question, o.choices
+        |FROM sl LEFT JOIN opts o ON sl.list_name = o.list_name
+        |WHERE sl.type NOT LIKE '%group%' AND sl.type <> 'note'
+        |  AND sl.type <> 'calculate' AND sl.type NOT LIKE '%repeat%'""".stripMargin) {
+      (s, d) => {
+        val part = Tables.part(s, d)
+        val m = (col("p_partkey") % 12).cast("int")
+        val surveyType =
+          when(m === 0, "begin group").when(m === 1, "text")
+            .when(m === 2, concat(lit("select_one l"), (col("p_partkey") % 5).cast("string")))
+            .when(m === 3, "integer").when(m === 4, "note")
+            .when(m === 5, concat(lit("select_multiple l"), (col("p_partkey") % 5).cast("string")))
+            .when(m === 6, "calculate").when(m === 7, "date")
+            .when(m === 8, "end group").when(m === 9, "begin repeat")
+            .when(m === 10, "decimal").otherwise("end repeat")
+        val survey = part.select(col("p_partkey").as("ord"),
+          surveyType.as("type"),
+          concat(lit("q_"), col("p_partkey").cast("string")).as("name"),
+          col("p_name").as("label"))
+        val choices = part.filter(col("p_partkey") % 3 === 0)
+          .select(col("p_partkey").as("ord"),
+            when(col("p_partkey") % 13 === 0, lit(null).cast("string"))
+              .otherwise(concat(lit("l"),
+                (floor(col("p_partkey") / 3.0).cast("long") % 5).cast("string")))
+              .as("list_name"),
+            when(col("p_partkey") % 17 === 0, lit(null).cast("string"))
+              .otherwise(concat(lit("opt_"), (col("p_partkey") % 23).cast("string")))
+              .as("name"))
+        graft.operators.DataDictionary.build(survey, choices)
+      }
     }
   )
 }
