@@ -560,42 +560,87 @@ object TextAnalysis {
 
     // ---- T26: BPE merge loop (3 rounds, full oracle) -----------------------
     // The iterative half of BPE vocab induction: 3 driver-coordinated
-    // rounds of [global top pair -> corpus-wide greedy merge]. The
-    // oracle LEARNS the same pairs via chained CTEs and applies the
-    // same order-free rewrite, so pair selection, tie-breaks, and merge
-    // semantics are all hash-pinned cross-engine.
+    // rounds of [global top pair -> corpus-wide greedy merge], self-
+    // pairs included (run-length fold in the engine, Bpe.selfMergeExpr).
+    // The oracle LEARNS the same pairs via chained CTEs and replays the
+    // greedy rewrite in its uniform gaps-and-islands form: candidate
+    // positions (t[i],t[i+1])=(l,r) group into consecutive islands,
+    // odd island-positions merge, the following position drops — for
+    // l ≠ r islands are singletons (the old non-overlap rule), for
+    // l = r this is exactly floor(k/2)+parity run arithmetic. Pair
+    // selection, tie-breaks, and merge semantics stay hash-pinned
+    // cross-engine either way.
     Query("t26_bpe_merges",
       """WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |p1 AS (SELECT p[1] AS l, p[2] AS r FROM (
         |   SELECT unnest(list_transform(range(1, len(t)), i -> [t[i], t[i+1]])) AS p
         |   FROM d0)
-        |   WHERE p[1] <> p[2]
         |   GROUP BY 1, 2 ORDER BY count(*) DESC, l, r LIMIT 1),
-        |d1 AS (SELECT doc_id, list_filter(list_transform(t, (x, i) -> CASE
-        |         WHEN x = l AND t[i+1] = r THEN x || '+' || r
-        |         WHEN i > 1 AND t[i-1] = l AND x = r THEN NULL
-        |         ELSE x END), y -> y IS NOT NULL) AS t
-        |       FROM d0, p1),
+        |e1 AS (SELECT doc_id, i, t[i] AS x,
+        |        coalesce(t[i] = p1.l AND t[i+1] = p1.r, false) AS c,
+        |        p1.l AS l, p1.r AS r
+        |  FROM (SELECT doc_id, unnest(range(1, len(t)+1)) AS i, t FROM d0), p1),
+        |w1 AS (SELECT *, CASE WHEN c THEN i - row_number()
+        |            OVER (PARTITION BY doc_id, c ORDER BY i) END AS isl
+        |  FROM e1),
+        |k1 AS (SELECT *, CASE WHEN c THEN row_number()
+        |            OVER (PARTITION BY doc_id, isl ORDER BY i) % 2 = 1
+        |           ELSE false END AS taken
+        |  FROM w1),
+        |o1 AS (SELECT doc_id, i,
+        |        CASE WHEN taken THEN l || '+' || r
+        |             WHEN lag(taken, 1, false) OVER (PARTITION BY doc_id ORDER BY i)
+        |               THEN NULL
+        |             ELSE x END AS tok
+        |  FROM k1),
+        |d1 AS (SELECT doc_id, list(tok ORDER BY i) AS t
+        |  FROM o1 WHERE tok IS NOT NULL GROUP BY doc_id),
         |p2 AS (SELECT p[1] AS l, p[2] AS r FROM (
         |   SELECT unnest(list_transform(range(1, len(t)), i -> [t[i], t[i+1]])) AS p
         |   FROM d1)
-        |   WHERE p[1] <> p[2]
         |   GROUP BY 1, 2 ORDER BY count(*) DESC, l, r LIMIT 1),
-        |d2 AS (SELECT doc_id, list_filter(list_transform(t, (x, i) -> CASE
-        |         WHEN x = l AND t[i+1] = r THEN x || '+' || r
-        |         WHEN i > 1 AND t[i-1] = l AND x = r THEN NULL
-        |         ELSE x END), y -> y IS NOT NULL) AS t
-        |       FROM d1, p2),
+        |e2 AS (SELECT doc_id, i, t[i] AS x,
+        |        coalesce(t[i] = p2.l AND t[i+1] = p2.r, false) AS c,
+        |        p2.l AS l, p2.r AS r
+        |  FROM (SELECT doc_id, unnest(range(1, len(t)+1)) AS i, t FROM d1), p2),
+        |w2 AS (SELECT *, CASE WHEN c THEN i - row_number()
+        |            OVER (PARTITION BY doc_id, c ORDER BY i) END AS isl
+        |  FROM e2),
+        |k2 AS (SELECT *, CASE WHEN c THEN row_number()
+        |            OVER (PARTITION BY doc_id, isl ORDER BY i) % 2 = 1
+        |           ELSE false END AS taken
+        |  FROM w2),
+        |o2 AS (SELECT doc_id, i,
+        |        CASE WHEN taken THEN l || '+' || r
+        |             WHEN lag(taken, 1, false) OVER (PARTITION BY doc_id ORDER BY i)
+        |               THEN NULL
+        |             ELSE x END AS tok
+        |  FROM k2),
+        |d2 AS (SELECT doc_id, list(tok ORDER BY i) AS t
+        |  FROM o2 WHERE tok IS NOT NULL GROUP BY doc_id),
         |p3 AS (SELECT p[1] AS l, p[2] AS r FROM (
         |   SELECT unnest(list_transform(range(1, len(t)), i -> [t[i], t[i+1]])) AS p
         |   FROM d2)
-        |   WHERE p[1] <> p[2]
         |   GROUP BY 1, 2 ORDER BY count(*) DESC, l, r LIMIT 1),
-        |d3 AS (SELECT doc_id, list_filter(list_transform(t, (x, i) -> CASE
-        |         WHEN x = l AND t[i+1] = r THEN x || '+' || r
-        |         WHEN i > 1 AND t[i-1] = l AND x = r THEN NULL
-        |         ELSE x END), y -> y IS NOT NULL) AS t
-        |       FROM d2, p3)
+        |e3 AS (SELECT doc_id, i, t[i] AS x,
+        |        coalesce(t[i] = p3.l AND t[i+1] = p3.r, false) AS c,
+        |        p3.l AS l, p3.r AS r
+        |  FROM (SELECT doc_id, unnest(range(1, len(t)+1)) AS i, t FROM d2), p3),
+        |w3 AS (SELECT *, CASE WHEN c THEN i - row_number()
+        |            OVER (PARTITION BY doc_id, c ORDER BY i) END AS isl
+        |  FROM e3),
+        |k3 AS (SELECT *, CASE WHEN c THEN row_number()
+        |            OVER (PARTITION BY doc_id, isl ORDER BY i) % 2 = 1
+        |           ELSE false END AS taken
+        |  FROM w3),
+        |o3 AS (SELECT doc_id, i,
+        |        CASE WHEN taken THEN l || '+' || r
+        |             WHEN lag(taken, 1, false) OVER (PARTITION BY doc_id ORDER BY i)
+        |               THEN NULL
+        |             ELSE x END AS tok
+        |  FROM k3),
+        |d3 AS (SELECT doc_id, list(tok ORDER BY i) AS t
+        |  FROM o3 WHERE tok IS NOT NULL GROUP BY doc_id)
         |SELECT doc_id, array_to_string(t, ' ') AS merged_text,
         |       CAST(len(t) AS BIGINT) AS n_tokens FROM d3""".stripMargin) {
       (s, d) => {

@@ -42,19 +42,42 @@ class BpeSpec extends SparkSpec {
     assert(m(2L) == "a a+b")
   }
 
-  test("learned merges are deterministic and skip self-pairs") {
+  test("self-pair merge: run-length greedy pairing per maximal run") {
     val df = toksDf(
-      1L -> "x x x x y z",   // 'x x' is the most frequent pair but self
+      1L -> "a a a a",        // even run: all pair up
+      2L -> "a a a",          // odd run: trailing single survives
+      3L -> "a a a a a",      // odd run of 5
+      4L -> "a b a a b a a a",// runs split by other tokens
+      5L -> "b c d",          // no a at all
+      6L -> "a")              // single a
+    val m = df.select(col("doc_id"),
+      array_join(Bpe.selfMergeExpr(col("toks"), "a"), " ").as("m"))
+      .collect().map(rw => rw.getLong(0) -> rw.getString(1)).toMap
+    assert(m(1L) == "a+a a+a")
+    assert(m(2L) == "a+a a")
+    assert(m(3L) == "a+a a+a a")
+    assert(m(4L) == "a b a+a b a+a a")
+    assert(m(5L) == "b c d")
+    assert(m(6L) == "a")
+  }
+
+  test("learned merges are deterministic and take self-pairs by count") {
+    val df = toksDf(
+      1L -> "x x x x x x y z", // 'x x': 5 adjacents > 4 'y z' adjacents
       2L -> "y z y z",
       3L -> "y z w")
     val (ms, out) = Bpe.applyMerges(df, "toks", 2)
-    assert(ms.head == ("y", "z"))                 // self-pair x,x skipped
-    assert(ms.forall { case (l, r) => l != r })
+    assert(ms.head == ("x", "x"))                 // self-pair wins on count
     val (ms2, _) = Bpe.applyMerges(df.repartition(5), "toks", 2)
     assert(ms == ms2)
-    // round-2 pair may build on the round-1 token
-    val texts = out.select(array_join(col("toks"), " ")).collect().map(_.getString(0)).toSet
-    assert(texts.contains("y+z y+z") || texts.contains("y+z+y+z") ||
-      texts.exists(_.contains("y+z")))
+    val texts = out.select(col("doc_id"),
+        array_join(col("toks"), " ").as("t"))
+      .collect().map(rw => rw.getLong(0) -> rw.getString(1)).toMap
+    // doc 1 after round 1: 'x+x x+x y z'; round 2 merges the next top pair
+    assert(texts(1L).startsWith("x+x x+x"))
+    // legacy behavior stays available behind the flag
+    val (msLegacy, _) = Bpe.applyMerges(df, "toks", 2, allowSelfPairs = false)
+    assert(msLegacy.head == ("y", "z"))
+    assert(msLegacy.forall { case (l, r) => l != r })
   }
 }
