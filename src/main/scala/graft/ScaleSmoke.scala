@@ -587,6 +587,39 @@ object ScaleSmoke {
             max_by(col("value"), ord))
           .write.format("noop").mode("overwrite").save()
       },
+      time("rolling_zscore_range_1m_events") {
+        // w26's direct sliding RANGE frame at 10x DENSITY (types NOT
+        // shifted, so each (type, 6 h) frame holds ~10x the rows):
+        // Spark re-aggregates the frame per row, so cost scales with
+        // rows * frame_rows — this is the shape that cliffs
+        val ev0 = graft.core.Tables.events(spark, sfDir)
+        val maxE = ev0.agg(max("event_id")).as[Long].head() + 1
+        val ev = ev0.crossJoin(copies)
+          .withColumn("event_id", col("event_id") + col("rep") * maxE).drop("rep")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy(unix_micros(col("ts")))
+          .rangeBetween(-21600000000L, 0L)
+        val vd = col("value").cast("decimal(18,4)")
+        ev.select(col("event_id"), col("event_type"), col("value"),
+            sum(vd).over(w).as("s1"), sum(vd * vd).over(w).as("s2"),
+            count(lit(1)).over(w).as("n"))
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("rolling_zscore_bucketed_1m_events") {
+        // the two-level escape (RollingMoments.trailingMoments): same
+        // exact moments, cost O(rows) + two bucket-table exchanges —
+        // frame-density independent, the 100 TB form of w26
+        val ev0 = graft.core.Tables.events(spark, sfDir)
+        val maxE = ev0.agg(max("event_id")).as[Long].head() + 1
+        val ev = ev0.crossJoin(copies)
+          .withColumn("event_id", col("event_id") + col("rep") * maxE).drop("rep")
+          .select(col("event_id"), col("event_type"), col("value"),
+            unix_micros(col("ts")).as("us"))
+          .repartition(cpus.toInt)
+        graft.operators.RollingMoments.trailingMoments(
+            ev, "event_type", "us", "value", 21600000000L, 3600000000L)
+          .write.format("noop").mode("overwrite").save()
+      },
       time("zorder_write_1p5m_rows") {
         // the io12 write path at 10x: Morton key + range partition +
         // in-partition sort + parquet write of 1.5M orders

@@ -458,6 +458,12 @@ object Analytics {
     // evaluates sliding RANGE frames by re-aggregating per row, so
     // frame size is a direct cost multiplier: 24 h measured 12.5 s at
     // sf0.1, 6 h ~3 s, same flags semantics.)
+    // SPARK_GRAFT_BUCKETED_MOMENTS=1 switches the moments to the
+    // two-level hour-bucket decomposition (RollingMoments) — exact
+    // same results (RollingMomentsSpec pins equivalence incl. frame-
+    // edge ties), cost independent of frame density: 7.4 s vs 17.5 s
+    // for the RANGE form at 10x density, already even at sf0.1. The
+    // RANGE form stays the gate default (its baseline governs).
     Query("w26_rolling_zscore",
       """WITH m AS (
         |  SELECT event_id, event_type, value,
@@ -478,13 +484,22 @@ object Analytics {
         |       round((value - mean) / sd, 6) AS z
         |FROM z WHERE n >= 12 AND sd > 0 AND abs((value - mean) / sd) > 2.5""".stripMargin) {
       (s, d) => {
-        val w = Window.partitionBy("event_type").orderBy(unix_micros(col("ts")))
-          .rangeBetween(-21600000000L, 0L)
-        val vd = col("value").cast("decimal(18,4)")
-        val m = Tables.events(s, d).select(col("event_id"), col("event_type"),
-          col("value"),
-          sum(vd).over(w).as("s1"), sum(vd * vd).over(w).as("s2"),
-          count(lit(1)).over(w).as("n"))
+        val m = if (sys.env.get("SPARK_GRAFT_BUCKETED_MOMENTS").contains("1")) {
+          graft.operators.RollingMoments.trailingMoments(
+              Tables.events(s, d).select(col("event_id"), col("event_type"),
+                col("value"), unix_micros(col("ts")).as("us")),
+              "event_type", "us", "value", 21600000000L, 3600000000L)
+            .select(col("event_id"), col("event_type"), col("value"),
+              col("s1"), col("s2"), col("n"))
+        } else {
+          val w = Window.partitionBy("event_type").orderBy(unix_micros(col("ts")))
+            .rangeBetween(-21600000000L, 0L)
+          val vd = col("value").cast("decimal(18,4)")
+          Tables.events(s, d).select(col("event_id"), col("event_type"),
+            col("value"),
+            sum(vd).over(w).as("s1"), sum(vd * vd).over(w).as("s2"),
+            count(lit(1)).over(w).as("n"))
+        }
         val mean = col("s1").cast("double") / col("n")
         val sd = sqrt(greatest(col("s2").cast("double") / col("n") - mean * mean,
           lit(0.0)))
