@@ -19,6 +19,17 @@ import graft.functions.TextFunctions._
   */
 object TextAnalysis {
 
+  /** SPARK_GRAFT_HASHED_GRAMS=1 switches t20/t41 to their hashed-key
+    * production variants: gram/window STRINGS hash to 8-byte keys
+    * map-side, so the exchange moves 8 bytes instead of the text —
+    * the 100 TB form (results identical modulo 64-bit collisions;
+    * HashedGramTwinSpec pins string ≡ hashed on real data). The
+    * string forms stay the gate default because the DuckDB oracle
+    * needs a cross-engine key.
+    */
+  private def hashedGrams: Boolean =
+    sys.env.get("SPARK_GRAFT_HASHED_GRAMS").contains("1")
+
   private val stop = Seq("the", "a", "of", "and", "in")
   private val markerLists = Seq(
     "en" -> Seq("the", "a", "of", "and"),
@@ -435,13 +446,23 @@ object TextAnalysis {
         |  FROM documents)
         |SELECT md5(win) AS win_md5, count(*) AS n_docs
         |FROM w GROUP BY 1 HAVING count(*) >= 2""".stripMargin) {
-      (s, d) => Tables.documents(s, d)
-        .select(explode(array_distinct(transform(
-            sequence(lit(1), greatest(length(col("text")) - 39, lit(1))),
-            i => col("text").substr(i, lit(40))))).as("win"))
-        .groupBy("win").agg(count(lit(1)).as("n_docs"))
-        .filter(col("n_docs") >= 2)
-        .select(md5(col("win")).as("win_md5"), col("n_docs"))
+      (s, d) =>
+        if (hashedGrams)
+          // prod path: fused CharWindowHashes kernel, 8-byte exchange.
+          // The key column carries the 64-bit window hash as hex (NOT
+          // md5) — rows-only comparable; n_docs multiset is identical
+          // to the string form modulo 64-bit collisions.
+          graft.operators.Dedup.dupSubstringsHashed(
+              Tables.documents(s, d), "doc_id", "text", 40, 2)
+            .select(lpad(hex(col("win_h")), 16, "0").as("win_md5"),
+              col("n_docs"))
+        else Tables.documents(s, d)
+          .select(explode(array_distinct(transform(
+              sequence(lit(1), greatest(length(col("text")) - 39, lit(1))),
+              i => col("text").substr(i, lit(40))))).as("win"))
+          .groupBy("win").agg(count(lit(1)).as("n_docs"))
+          .filter(col("n_docs") >= 2)
+          .select(md5(col("win")).as("win_md5"), col("n_docs"))
     },
 
     // ---- T7: delimited multi-value cells: split → explode → re-aggregate ----
@@ -1319,7 +1340,20 @@ object TextAnalysis {
          |GROUP BY k.doc_id, k.ntok""".stripMargin
     }) {
       (s, d) => {
-        val grams = bind1(split(col("text"), " ")) { w =>
+        // flag: hash each gram to its 8-byte key map-side — identical
+        // counts (mod 64-bit collisions), SAME output schema + values,
+        // ~6x less shuffle (the gram strings never cross the exchange)
+        val grams = if (hashedGrams)
+          bind1(split(col("text"), " ")) { w =>
+            flatten(transform(sequence(lit(2), lit(8)), n =>
+              when(size(w) >= n,
+                transform(sequence(lit(1), size(w) - n + 1),
+                  i => struct(n.as("n"),
+                    xxhash64(array_join(slice(w, i.cast("int"), n.cast("int")), " "))
+                      .as("g"))))
+                .otherwise(array().cast("array<struct<n:int,g:bigint>>"))))
+          }
+        else bind1(split(col("text"), " ")) { w =>
           flatten(transform(sequence(lit(2), lit(8)), n =>
             when(size(w) >= n,
               transform(sequence(lit(1), size(w) - n + 1),
