@@ -387,6 +387,165 @@ object Reporting {
         spine.join(actual, Seq("prio", "day"), "left")
           .select(col("prio"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
       }
+    },
+
+    // ---- g18: ICF aging monitoring composite -------------------------------
+    // The reference's last uncovered report surface (VERDICT r7 "What's
+    // missing" #2): pipeline-reporting/R/monitoring/icf.Rmd:380-520 builds
+    // weekly as-of snapshots of ICF verification records
+    // (create_snapshot_tbl, monitoring-issues-ui/cra_site_ui.Rmd:87-103:
+    // every record with SubmissionDate <= week is "in" that week), splits
+    // them into Unresolved ('Rectification') / Archived-Resolved /
+    // Missing ('Lost-Not Found') / Unverified (roster anti-join icf per
+    // week) legs, ages each record against the snapshot date, regroups by
+    // the >20/>30-day case_when (icf.Rmd:505-519), and counts DISTINCT
+    // extids per (week, study, aging group).
+    //
+    // The oracle states those semantics literally (weeks x records join +
+    // per-week anti-join). The engine never multiplies the fact tables by
+    // the snapshot count: each record's membership in each aging group is
+    // a contiguous WEEK-INDEX INTERVAL (entry at its submission week,
+    // regrade at submit+21d / submit+31d, unverified-exit at the extid's
+    // first verification week), so a record contributes <=3 interval rows.
+    // count(DISTINCT extid) survives the delta trick because per
+    // (extid, study, group) the intervals are first unioned into disjoint
+    // islands (one tiny per-key window) — after that, +1/-1 deltas and a
+    // prefix sum over the 13-week x group grid reconstruct every
+    // snapshot's distinct count exactly. g08's interval-membership shape
+    // extended to DISTINCT aggregation — the only form that survives
+    // weekly snapshots over years of history at 100 TB.
+    Query("g18_icf_aging",
+      """WITH wk0 AS (
+        |  SELECT unnest(generate_series(DATE '1996-01-06', DATE '1996-03-30',
+        |                                INTERVAL 7 DAY)) AS rd),
+        |wk AS (SELECT CAST(rd AS DATE) AS run_date FROM wk0),
+        |roster AS (
+        |  SELECT o_orderkey AS extid,
+        |         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |              THEN 'safety' ELSE 'efficacy' END AS study,
+        |         CASE WHEN o_orderstatus = 'O' THEN '' ELSE o_orderstatus END AS status,
+        |         CAST(o_orderdate AS DATE) AS submit
+        |  FROM orders),
+        |icf AS (
+        |  SELECT l.l_orderkey AS extid, r.study, r.status,
+        |         CASE l.l_returnflag WHEN 'R' THEN 'Rectification'
+        |                             WHEN 'A' THEN 'Archived'
+        |                             ELSE 'Lost-Not Found' END AS icf_stat,
+        |         CAST(l.l_shipdate AS DATE) AS submit
+        |  FROM lineitem l JOIN roster r ON r.extid = l.l_orderkey),
+        |icf_legs AS (
+        |  SELECT w.run_date, i.study, i.extid,
+        |         CASE WHEN i.icf_stat = 'Rectification'
+        |                   AND datediff('day', i.submit, w.run_date) > 20
+        |                THEN 'ICF Unresolved >20days'
+        |              WHEN i.icf_stat = 'Rectification' THEN 'ICF Unresolved'
+        |              WHEN i.icf_stat = 'Lost-Not Found' THEN 'ICF Missing'
+        |              ELSE 'ICF Archived/Resolved' END AS metric_group
+        |  FROM wk w JOIN icf i ON i.submit <= w.run_date
+        |  WHERE i.study = 'safety' OR i.status <> ''),
+        |unv AS (
+        |  SELECT w.run_date, r.study, r.extid,
+        |         CASE WHEN datediff('day', r.submit, w.run_date) > 30
+        |                THEN 'ICF Missing (Unverified >30 days)'
+        |              WHEN datediff('day', r.submit, w.run_date) > 20
+        |                THEN 'ICF Unverified >20days'
+        |              ELSE 'ICF Unverified' END AS metric_group
+        |  FROM wk w JOIN roster r ON r.submit <= w.run_date
+        |  WHERE NOT EXISTS (SELECT 1 FROM icf i
+        |                    WHERE i.extid = r.extid AND i.study = r.study
+        |                      AND i.submit <= w.run_date))
+        |SELECT run_date, study, metric_group, CAST(count(DISTINCT extid) AS BIGINT) AS n
+        |FROM (SELECT * FROM icf_legs UNION ALL SELECT * FROM unv)
+        |GROUP BY 1, 2, 3""".stripMargin) {
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = lit("1996-01-06").cast("date")
+        val nWeeks = 13
+        // first grid week index whose run_date >= dt (clamped into [0, 13])
+        def kOf(dt: org.apache.spark.sql.Column) =
+          least(lit(nWeeks), greatest(lit(0), ceil(datediff(dt, base) / 7.0)).cast("int"))
+        val roster = Tables.orders(s, d).select(
+          col("o_orderkey").as("extid"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "safety")
+            .otherwise("efficacy").as("study"),
+          when(col("o_orderstatus") === "O", "").otherwise(col("o_orderstatus")).as("status"),
+          col("o_orderdate").cast("date").as("submit"))
+        val icf = Tables.lineitem(s, d).select(
+            col("l_orderkey").as("extid"),
+            when(col("l_returnflag") === "R", "Rectification")
+              .when(col("l_returnflag") === "A", "Archived")
+              .otherwise("Lost-Not Found").as("icf_stat"),
+            col("l_shipdate").cast("date").as("isubmit"))
+          .join(roster.select("extid", "study", "status"), Seq("extid"))
+        // verification records: entry at kOf(submit), Rectification regrades
+        // at kOf(submit+21d) (aging > 20 <=> run_date >= submit+21)
+        val iks = kOf(col("isubmit"))
+        val ik20 = kOf(date_add(col("isubmit"), 21))
+        val icfLegs = icf
+          .filter(col("study") === "safety" || col("status") =!= "")
+          .select(col("study"), col("extid"), explode(
+            when(col("icf_stat") === "Rectification", array(
+              struct(lit("ICF Unresolved").as("m"), iks.as("ks"), ik20.as("ke")),
+              struct(lit("ICF Unresolved >20days").as("m"), ik20.as("ks"),
+                lit(nWeeks).as("ke"))))
+            .when(col("icf_stat") === "Lost-Not Found", array(
+              struct(lit("ICF Missing").as("m"), iks.as("ks"), lit(nWeeks).as("ke"))))
+            .otherwise(array(
+              struct(lit("ICF Archived/Resolved").as("m"), iks.as("ks"),
+                lit(nWeeks).as("ke")))).as("ivs")).as("iv"))
+        // the per-week anti-join is an interval too: a roster row is
+        // unverified until the extid's FIRST verification week (min is
+        // exchanged through kOf — monotone — so the agg ships ints).
+        // Computed from the bare lineitem scan, NOT the icf join: the
+        // min needs no roster columns, and reusing `icf` here would
+        // replay the join subtree (the g09/g13 lesson)
+        val firstIcf = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey").as("extid"))
+          .agg(min(kOf(col("l_shipdate").cast("date"))).as("kv"))
+        val rks = kOf(col("submit"))
+        val rk20 = kOf(date_add(col("submit"), 21))
+        val rk30 = kOf(date_add(col("submit"), 31))
+        val unvLegs = roster.join(firstIcf, Seq("extid"), "left")
+          .withColumn("kv", coalesce(col("kv"), lit(nWeeks)))
+          .select(col("study"), col("extid"), explode(array(
+            struct(lit("ICF Unverified").as("m"), rks.as("ks"),
+              least(rk20, col("kv")).as("ke")),
+            struct(lit("ICF Unverified >20days").as("m"), rk20.as("ks"),
+              least(rk30, col("kv")).as("ke")),
+            struct(lit("ICF Missing (Unverified >30 days)").as("m"), rk30.as("ks"),
+              col("kv").as("ke")))).as("iv"))
+        val legs = icfLegs.unionByName(unvLegs)
+          .select(col("study"), col("extid"), col("iv.m").as("m"),
+            col("iv.ks").as("ks"), col("iv.ke").as("ke"))
+          .filter(col("ks") < col("ke"))
+        // union overlapping intervals per (extid, study, m) so the same
+        // extid never double-counts a week: only 'ICF Unresolved' (bounded
+        // windows from multiple records) strictly needs the merge, but the
+        // uniform islands pass is one tiny per-key window
+        val byKey = Window.partitionBy("extid", "study", "m").orderBy("ks", "ke")
+        val prevMax = max("ke").over(byKey.rowsBetween(Window.unboundedPreceding, -1))
+        val islands = legs
+          .withColumn("isNew", when(prevMax.isNull || col("ks") >= prevMax, 1).otherwise(0))
+          .withColumn("isl", sum("isNew").over(byKey.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("extid", "study", "m", "isl")
+          .agg(min("ks").as("ks"), max("ke").as("ke"))
+        val deltas = islands.select(col("study"), col("m"), explode(concat(
+            array(struct(col("ks").as("k"), lit(1L).as("d"))),
+            when(col("ke") < nWeeks, array(struct(col("ke").as("k"), lit(-1L).as("d"))))
+              .otherwise(array()))).as("dl"))
+          .select(col("study"), col("m"), col("dl.k").as("k"), col("dl.d").as("d"))
+          .groupBy("k", "study", "m").agg(sum("d").as("d"))
+        val groups = deltas.select("study", "m").distinct()
+        val grid = s.range(0, nWeeks).select(col("id").cast("int").as("k"))
+          .crossJoin(broadcast(groups))
+        val w = Window.partitionBy("study", "m").orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        grid.join(deltas, Seq("k", "study", "m"), "left")
+          .withColumn("n", sum(coalesce(col("d"), lit(0L))).over(w))
+          .filter(col("n") > 0)
+          .select(date_add(base, col("k") * 7).as("run_date"), col("study"),
+            col("m").as("metric_group"), col("n"))
+      }
     }
   )
 }
