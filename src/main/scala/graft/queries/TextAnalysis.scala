@@ -1458,6 +1458,66 @@ object TextAnalysis {
           .agg(count(lit(1)).cast("long").as("n_leaked_chunks"),
             sum(col("n") * col("bn")).cast("long").as("n_doc_pairs"))
       }
+    },
+
+    // ---- t42: C4-style duplicate-span REMOVAL (corpus rewrite) -------------
+    // The C4 pipeline (Raffel et al. 2020, "Exploring the Limits of
+    // Transfer Learning", §2.2) discards all but one occurrence of any
+    // three-sentence span repeated across the corpus and keeps the
+    // surviving text. t20/t31 DETECT duplicated windows; this is the
+    // REWRITE: the corpus comes back out with the duplicated spans cut
+    // and documents reconstructed from the surviving pieces. The
+    // punctuation-free synthetic corpus has no sentences, so the unit is
+    // a fixed 10-token block ("sentence"), span = 3 consecutive blocks.
+    // Keeper = first occurrence by (doc_id, block) — later occurrences
+    // drop all 3 blocks (C4's greedy removal: an overlapping kept span
+    // may still lose blocks to a different duplicated span, exactly like
+    // the reference implementation's lazy cut).
+    //
+    // Plan: block construction is a per-row HOF (slice/transform — no
+    // token-level shuffle); spans via two lead()s on a doc-partitioned
+    // window (concat null-propagates past the doc tail on both engines);
+    // keeper pick shuffles 16-byte md5 span keys once; only DUPLICATE
+    // occurrences explode into removal rows (tiny under low dup rates);
+    // anti-join + one ordered doc re-agg. Every shuffle is keyed by
+    // doc_id or span hash — the shape is linear in corpus size at 100 TB.
+    Query("t42_span_dedup_rewrite",
+      """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t
+        |              FROM documents),
+        |units AS (
+        |  SELECT doc_id, u,
+        |         array_to_string(list_slice(t, CAST(u * 10 + 1 AS BIGINT),
+        |                                    CAST(u * 10 + 10 AS BIGINT)), ' ') AS ut
+        |  FROM (SELECT doc_id, t,
+        |          unnest(range(0, CAST(ceil(len(t) / 10.0) AS BIGINT))) AS u
+        |        FROM toks)),
+        |spans AS (
+        |  SELECT doc_id, u,
+        |         md5(ut || chr(1)
+        |             || lead(ut, 1) OVER (PARTITION BY doc_id ORDER BY u) || chr(1)
+        |             || lead(ut, 2) OVER (PARTITION BY doc_id ORDER BY u)) AS k
+        |  FROM units),
+        |occ AS (
+        |  SELECT doc_id, u,
+        |         row_number() OVER (PARTITION BY k ORDER BY doc_id, u) AS rn
+        |  FROM spans WHERE k IS NOT NULL),
+        |rem AS (
+        |  SELECT DISTINCT doc_id, u + g.d AS ru
+        |  FROM occ CROSS JOIN generate_series(0, 2) g(d) WHERE rn > 1),
+        |keep AS (
+        |  SELECT un.doc_id, un.u, un.ut
+        |  FROM units un LEFT JOIN rem r ON r.doc_id = un.doc_id AND r.ru = un.u
+        |  WHERE r.doc_id IS NULL),
+        |agg AS (
+        |  SELECT doc_id, string_agg(ut, ' ' ORDER BY u) AS clean_text,
+        |         count(*) AS n_kept
+        |  FROM keep GROUP BY 1)
+        |SELECT tk.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |       CAST(CAST(ceil(len(tk.t) / 10.0) AS BIGINT)
+        |            - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM toks tk LEFT JOIN agg a ON a.doc_id = tk.doc_id""".stripMargin) {
+      (s, d) => graft.operators.SpanDedup.rewrite(
+        Tables.documents(s, d).select("doc_id", "text"), 10)
     }
   )
 
