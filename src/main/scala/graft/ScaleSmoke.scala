@@ -739,6 +739,33 @@ object ScaleSmoke {
             graft.plans.DotProduct(col("q_aug"), col("aug")).as("sc"))
           .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
           .write.format("noop").mode("overwrite").save()
+      },
+      time("span_dedup_rewrite_50k_docs") {
+        // t42's corpus rewrite at 10x: replicated docs make every span
+        // a 10-way duplicate, so the removal explode runs at its WORST
+        // case (~90% of spans are non-keepers) — if the greedy cut
+        // survives here, real corpora (low dup rates) are strictly
+        // cheaper
+        val docs0 = graft.core.Tables.documents(spark, sfDir)
+        val maxDoc = docs0.agg(max("doc_id")).as[Long].head() + 1
+        val docs = docs0.crossJoin(copies)
+          .withColumn("doc_id", col("doc_id") + col("rep") * maxDoc).drop("rep")
+          .repartition(cpus.toInt)
+        graft.operators.SpanDedup.rewrite(docs.select("doc_id", "text"), w = 10)
+          .groupBy().agg(sum("n_removed"), count(lit(1)))
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("icf_aging_intervals_6m_rows") {
+        // g18's interval/delta/prefix-sum shape on the 10x roster+records
+        // tables: per-record work is constant (<=3 intervals), the
+        // islands window keys on (extid, group) — linear in fact size,
+        // never snapshot-count x fact-size
+        graft.queries.Reporting.icfAging(
+            or.select(col("o_orderkey"), col("o_orderpriority"),
+              col("o_orderstatus"), col("o_orderdate")),
+            li.select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate")))
+          .groupBy().agg(sum("n"), count(lit(1)))
+          .write.format("noop").mode("overwrite").save()
       })
 
     val rows = li.count()

@@ -457,95 +457,108 @@ object Reporting {
         |SELECT run_date, study, metric_group, CAST(count(DISTINCT extid) AS BIGINT) AS n
         |FROM (SELECT * FROM icf_legs UNION ALL SELECT * FROM unv)
         |GROUP BY 1, 2, 3""".stripMargin) {
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val base = lit("1996-01-06").cast("date")
-        val nWeeks = 13
-        // first grid week index whose run_date >= dt (clamped into [0, 13])
-        def kOf(dt: org.apache.spark.sql.Column) =
-          least(lit(nWeeks), greatest(lit(0), ceil(datediff(dt, base) / 7.0)).cast("int"))
-        val roster = Tables.orders(s, d).select(
-          col("o_orderkey").as("extid"),
-          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "safety")
-            .otherwise("efficacy").as("study"),
-          when(col("o_orderstatus") === "O", "").otherwise(col("o_orderstatus")).as("status"),
-          col("o_orderdate").cast("date").as("submit"))
-        val icf = Tables.lineitem(s, d).select(
-            col("l_orderkey").as("extid"),
-            when(col("l_returnflag") === "R", "Rectification")
-              .when(col("l_returnflag") === "A", "Archived")
-              .otherwise("Lost-Not Found").as("icf_stat"),
-            col("l_shipdate").cast("date").as("isubmit"))
-          .join(roster.select("extid", "study", "status"), Seq("extid"))
-        // verification records: entry at kOf(submit), Rectification regrades
-        // at kOf(submit+21d) (aging > 20 <=> run_date >= submit+21)
-        val iks = kOf(col("isubmit"))
-        val ik20 = kOf(date_add(col("isubmit"), 21))
-        val icfLegs = icf
-          .filter(col("study") === "safety" || col("status") =!= "")
-          .select(col("study"), col("extid"), explode(
-            when(col("icf_stat") === "Rectification", array(
-              struct(lit("ICF Unresolved").as("m"), iks.as("ks"), ik20.as("ke")),
-              struct(lit("ICF Unresolved >20days").as("m"), ik20.as("ks"),
-                lit(nWeeks).as("ke"))))
-            .when(col("icf_stat") === "Lost-Not Found", array(
-              struct(lit("ICF Missing").as("m"), iks.as("ks"), lit(nWeeks).as("ke"))))
-            .otherwise(array(
-              struct(lit("ICF Archived/Resolved").as("m"), iks.as("ks"),
-                lit(nWeeks).as("ke")))).as("ivs")).as("iv"))
-        // the per-week anti-join is an interval too: a roster row is
-        // unverified until the extid's FIRST verification week (min is
-        // exchanged through kOf — monotone — so the agg ships ints).
-        // Computed from the bare lineitem scan, NOT the icf join: the
-        // min needs no roster columns, and reusing `icf` here would
-        // replay the join subtree (the g09/g13 lesson)
-        val firstIcf = Tables.lineitem(s, d)
-          .groupBy(col("l_orderkey").as("extid"))
-          .agg(min(kOf(col("l_shipdate").cast("date"))).as("kv"))
-        val rks = kOf(col("submit"))
-        val rk20 = kOf(date_add(col("submit"), 21))
-        val rk30 = kOf(date_add(col("submit"), 31))
-        val unvLegs = roster.join(firstIcf, Seq("extid"), "left")
-          .withColumn("kv", coalesce(col("kv"), lit(nWeeks)))
-          .select(col("study"), col("extid"), explode(array(
-            struct(lit("ICF Unverified").as("m"), rks.as("ks"),
-              least(rk20, col("kv")).as("ke")),
-            struct(lit("ICF Unverified >20days").as("m"), rk20.as("ks"),
-              least(rk30, col("kv")).as("ke")),
-            struct(lit("ICF Missing (Unverified >30 days)").as("m"), rk30.as("ks"),
-              col("kv").as("ke")))).as("iv"))
-        val legs = icfLegs.unionByName(unvLegs)
-          .select(col("study"), col("extid"), col("iv.m").as("m"),
-            col("iv.ks").as("ks"), col("iv.ke").as("ke"))
-          .filter(col("ks") < col("ke"))
-        // union overlapping intervals per (extid, study, m) so the same
-        // extid never double-counts a week: only 'ICF Unresolved' (bounded
-        // windows from multiple records) strictly needs the merge, but the
-        // uniform islands pass is one tiny per-key window
-        val byKey = Window.partitionBy("extid", "study", "m").orderBy("ks", "ke")
-        val prevMax = max("ke").over(byKey.rowsBetween(Window.unboundedPreceding, -1))
-        val islands = legs
-          .withColumn("isNew", when(prevMax.isNull || col("ks") >= prevMax, 1).otherwise(0))
-          .withColumn("isl", sum("isNew").over(byKey.rowsBetween(Window.unboundedPreceding, 0)))
-          .groupBy("extid", "study", "m", "isl")
-          .agg(min("ks").as("ks"), max("ke").as("ke"))
-        val deltas = islands.select(col("study"), col("m"), explode(concat(
-            array(struct(col("ks").as("k"), lit(1L).as("d"))),
-            when(col("ke") < nWeeks, array(struct(col("ke").as("k"), lit(-1L).as("d"))))
-              .otherwise(array()))).as("dl"))
-          .select(col("study"), col("m"), col("dl.k").as("k"), col("dl.d").as("d"))
-          .groupBy("k", "study", "m").agg(sum("d").as("d"))
-        val groups = deltas.select("study", "m").distinct()
-        val grid = s.range(0, nWeeks).select(col("id").cast("int").as("k"))
-          .crossJoin(broadcast(groups))
-        val w = Window.partitionBy("study", "m").orderBy("k")
-          .rowsBetween(Window.unboundedPreceding, 0)
-        grid.join(deltas, Seq("k", "study", "m"), "left")
-          .withColumn("n", sum(coalesce(col("d"), lit(0L))).over(w))
-          .filter(col("n") > 0)
-          .select(date_add(base, col("k") * 7).as("run_date"), col("study"),
-            col("m").as("metric_group"), col("n"))
-      }
+      (s, d) => icfAging(
+        Tables.orders(s, d).select("o_orderkey", "o_orderpriority",
+          "o_orderstatus", "o_orderdate"),
+        Tables.lineitem(s, d).select("l_orderkey", "l_returnflag", "l_shipdate"))
     }
   )
+
+  /** g18's engine: weekly ICF aging snapshots reconstructed from
+    * per-record week-index intervals (entry / +21d / +31d regrades,
+    * first-verification exit), island-unioned per (extid, group) so the
+    * prefix sum yields exact DISTINCT counts. ordersDf/lineitemDf keep
+    * their source column names so ScaleSmoke can feed replicated 10x
+    * tables through the same code. */
+  def icfAging(ordersDf: org.apache.spark.sql.DataFrame,
+               lineitemDf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = ordersDf.sparkSession
+    val base = lit("1996-01-06").cast("date")
+    val nWeeks = 13
+    // first grid week index whose run_date >= dt (clamped into [0, 13])
+    def kOf(dt: org.apache.spark.sql.Column) =
+      least(lit(nWeeks), greatest(lit(0), ceil(datediff(dt, base) / 7.0)).cast("int"))
+    val roster = ordersDf.select(
+      col("o_orderkey").as("extid"),
+      when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "safety")
+        .otherwise("efficacy").as("study"),
+      when(col("o_orderstatus") === "O", "").otherwise(col("o_orderstatus")).as("status"),
+      col("o_orderdate").cast("date").as("submit"))
+    val icf = lineitemDf.select(
+        col("l_orderkey").as("extid"),
+        when(col("l_returnflag") === "R", "Rectification")
+          .when(col("l_returnflag") === "A", "Archived")
+          .otherwise("Lost-Not Found").as("icf_stat"),
+        col("l_shipdate").cast("date").as("isubmit"))
+      .join(roster.select("extid", "study", "status"), Seq("extid"))
+    // verification records: entry at kOf(submit), Rectification regrades
+    // at kOf(submit+21d) (aging > 20 <=> run_date >= submit+21)
+    val iks = kOf(col("isubmit"))
+    val ik20 = kOf(date_add(col("isubmit"), 21))
+    val icfLegs = icf
+      .filter(col("study") === "safety" || col("status") =!= "")
+      .select(col("study"), col("extid"), explode(
+        when(col("icf_stat") === "Rectification", array(
+          struct(lit("ICF Unresolved").as("m"), iks.as("ks"), ik20.as("ke")),
+          struct(lit("ICF Unresolved >20days").as("m"), ik20.as("ks"),
+            lit(nWeeks).as("ke"))))
+        .when(col("icf_stat") === "Lost-Not Found", array(
+          struct(lit("ICF Missing").as("m"), iks.as("ks"), lit(nWeeks).as("ke"))))
+        .otherwise(array(
+          struct(lit("ICF Archived/Resolved").as("m"), iks.as("ks"),
+            lit(nWeeks).as("ke")))).as("ivs")).as("iv"))
+    // the per-week anti-join is an interval too: a roster row is
+    // unverified until the extid's FIRST verification week (min is
+    // exchanged through kOf — monotone — so the agg ships ints).
+    // Computed from the bare lineitem scan, NOT the icf join: the
+    // min needs no roster columns, and reusing `icf` here would
+    // replay the join subtree (the g09/g13 lesson)
+    val firstIcf = lineitemDf
+      .groupBy(col("l_orderkey").as("extid"))
+      .agg(min(kOf(col("l_shipdate").cast("date"))).as("kv"))
+    val rks = kOf(col("submit"))
+    val rk20 = kOf(date_add(col("submit"), 21))
+    val rk30 = kOf(date_add(col("submit"), 31))
+    val unvLegs = roster.join(firstIcf, Seq("extid"), "left")
+      .withColumn("kv", coalesce(col("kv"), lit(nWeeks)))
+      .select(col("study"), col("extid"), explode(array(
+        struct(lit("ICF Unverified").as("m"), rks.as("ks"),
+          least(rk20, col("kv")).as("ke")),
+        struct(lit("ICF Unverified >20days").as("m"), rk20.as("ks"),
+          least(rk30, col("kv")).as("ke")),
+        struct(lit("ICF Missing (Unverified >30 days)").as("m"), rk30.as("ks"),
+          col("kv").as("ke")))).as("iv"))
+    val legs = icfLegs.unionByName(unvLegs)
+      .select(col("study"), col("extid"), col("iv.m").as("m"),
+        col("iv.ks").as("ks"), col("iv.ke").as("ke"))
+      .filter(col("ks") < col("ke"))
+    // union overlapping intervals per (extid, study, m) so the same
+    // extid never double-counts a week: only 'ICF Unresolved' (bounded
+    // windows from multiple records) strictly needs the merge, but the
+    // uniform islands pass is one tiny per-key window
+    val byKey = Window.partitionBy("extid", "study", "m").orderBy("ks", "ke")
+    val prevMax = max("ke").over(byKey.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = legs
+      .withColumn("isNew", when(prevMax.isNull || col("ks") >= prevMax, 1).otherwise(0))
+      .withColumn("isl", sum("isNew").over(byKey.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("extid", "study", "m", "isl")
+      .agg(min("ks").as("ks"), max("ke").as("ke"))
+    val deltas = islands.select(col("study"), col("m"), explode(concat(
+        array(struct(col("ks").as("k"), lit(1L).as("d"))),
+        when(col("ke") < nWeeks, array(struct(col("ke").as("k"), lit(-1L).as("d"))))
+          .otherwise(array()))).as("dl"))
+      .select(col("study"), col("m"), col("dl.k").as("k"), col("dl.d").as("d"))
+      .groupBy("k", "study", "m").agg(sum("d").as("d"))
+    val groups = deltas.select("study", "m").distinct()
+    val grid = s.range(0, nWeeks).select(col("id").cast("int").as("k"))
+      .crossJoin(broadcast(groups))
+    val w = Window.partitionBy("study", "m").orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(deltas, Seq("k", "study", "m"), "left")
+      .withColumn("n", sum(coalesce(col("d"), lit(0L))).over(w))
+      .filter(col("n") > 0)
+      .select(date_add(base, col("k") * 7).as("run_date"), col("study"),
+        col("m").as("metric_group"), col("n"))
+  }
 }
