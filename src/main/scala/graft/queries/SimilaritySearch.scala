@@ -1773,6 +1773,55 @@ object SimilaritySearch {
           .select(col("query_id"), col("label").cast("long").as("pred_label"),
             col("votes").cast("long").as("votes"))
       }
+    },
+
+    // ---- S33: Johnson–Lindenstrauss random projection ----------------------
+    // Achlioptas 2003 ("Database-friendly random projections"): a ±1
+    // sign matrix scaled by 1/sqrt(k) preserves pairwise L2 distances in
+    // expectation — the standard dimensionality cut (64 -> 16 here)
+    // before the expensive ANN stages; at 100 TB it is a pure narrow
+    // map (no shuffle at all) that shrinks every downstream
+    // distance/bucket computation 4x. Signs are deterministic
+    // (Knuth-multiplied index parity) and EMBEDDED as literals in both
+    // engines (the s16/s17 convention); the per-dim fold is a strict
+    // in-order left fold, products are exact sign flips and the 1/sqrt(16)
+    // scale is an exact power of two — bit-identical cross-engine with
+    // no rounding step.
+    {
+      val jlK = 16
+      val jlDims = 64
+      val signValues = JlSigns.zipWithIndex
+        .map { case (row, j) => s"($j, [${row.mkString(", ")}])" }
+        .mkString(",\n        ")
+      Query("s33_jl_projection",
+        s"""WITH signs(j, sv) AS (VALUES
+          |        $signValues)
+          |SELECT vec_id, j,
+          |       0.25 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |         list_transform(range(1, $jlDims + 1),
+          |           i -> CAST(embedding[i] AS DOUBLE) * sv[i])),
+          |         (a, x) -> a + x) AS value
+          |FROM embeddings CROSS JOIN signs""".stripMargin) {
+        (s, d) => {
+          val folds = JlSigns.map { row =>
+            val sArr = array(row.map(lit): _*)
+            aggregate(sequence(lit(1), lit(jlDims)), lit(0.0),
+              (acc, i) => acc + element_at(col("embedding"), i).cast("double")
+                * element_at(sArr, i))
+          }
+          Tables.embeddings(s, d)
+            .select(col("vec_id"), posexplode(array(folds: _*)).as(Seq("j", "v")))
+            .select(col("vec_id"), col("j"), (lit(0.25) * col("v")).as("value"))
+        }
+      }
     }
   )
+
+  /** s33's 16x64 ±1 JL sign matrix, shared verbatim with its oracle. */
+  private[graft] lazy val JlSigns: Seq[Seq[Double]] =
+    Seq.tabulate(16) { j =>
+      Seq.tabulate(64) { i =>
+        if ((((j * 64 + i) * 2654435761L) >>> 13) % 2 == 0) 1.0 else -1.0
+      }
+    }
 }
