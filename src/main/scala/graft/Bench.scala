@@ -8,9 +8,18 @@ package graft
   * Queries run in sorted name order for stable cache behavior.
   */
 object Bench {
+  /** 1-minute load average, stamped into the JSON so a bench reading can
+    * be adjudicated for host contention after the fact (the recurring
+    * verdict question: drift or noisy neighbor?). */
+  private def loadAvg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val loadStart = loadAvg()
     val spark = graft.core.Sessions.local(cpus, "graft-bench")
     // keep stderr quiet so a driver that merges streams still sees the
     // JSON line last (Sessions defaults to WARN; ERROR for the bench)
@@ -76,17 +85,19 @@ object Bench {
     val fullPath = "BENCH_full.json"
     val fullQs = results.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val loadEnd = loadAvg()
+    val loads = s""""load_start":$loadStart,"load_end":$loadEnd"""
     try {
       val w = new java.io.PrintWriter(fullPath, "UTF-8")
       try w.println(
         s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,""" +
-        s""""n_queries":${results.size},"sf":"$sfDir"}""")
+        s""""n_queries":${results.size},$loads,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] full-map write failed: ${e.getMessage}")
     }
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-      s""""n_queries":${results.size},"omitted":$omitted,"omitted_sec":${fmt(omittedSec)},"full":"$fullPath","sf":"$sfDir"}""")
+      s""""n_queries":${results.size},"omitted":$omitted,"omitted_sec":${fmt(omittedSec)},$loads,"full":"$fullPath","sf":"$sfDir"}""")
   }
 }
