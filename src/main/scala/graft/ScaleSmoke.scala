@@ -755,6 +755,26 @@ object ScaleSmoke {
           .groupBy().agg(sum("n_removed"), count(lit(1)))
           .write.format("noop").mode("overwrite").save()
       },
+      time("winnowing_overlap_50k_docs") {
+        // t43 at 10x: ~15M k-gram md5s, ALL inside per-row HOFs (bind1 —
+        // see the operator: unbound, the inlined hash array re-evaluates
+        // per window and the same entry measured 487 s) — the only
+        // exchanged rows are the ~12% selected fingerprints. The
+        // replicated corpus is also the pair-volume worst case: every
+        // content hash sits in >= 10 replicas, so df^2 pair rows per
+        // surviving hash; the stop-fingerprint cap (maxDocs=20, the
+        // registry row's setting) bounds that at 190 pairs/hash — an
+        // all-duplicate corpus is exactly what the cap exists for.
+        val docs0 = graft.core.Tables.documents(spark, sfDir)
+        val maxDoc = docs0.agg(max("doc_id")).as[Long].head() + 1
+        val docs = docs0.crossJoin(copies)
+          .withColumn("doc_id", col("doc_id") + col("rep") * maxDoc).drop("rep")
+          .repartition(cpus.toInt)
+        graft.operators.Winnowing.overlapPairs(
+            docs.select("doc_id", "text"), maxDocs = 20, minShared = 8)
+          .groupBy().agg(count(lit(1)), sum("n_shared"))
+          .write.format("noop").mode("overwrite").save()
+      },
       time("icf_aging_intervals_6m_rows") {
         // g18's interval/delta/prefix-sum shape on the 10x roster+records
         // tables: per-record work is constant (<=3 intervals), the
