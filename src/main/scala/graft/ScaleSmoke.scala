@@ -775,6 +775,21 @@ object ScaleSmoke {
           .groupBy().agg(count(lit(1)), sum("n_shared"))
           .write.format("noop").mode("overwrite").save()
       },
+      time("winnowing_hashed_50k_docs") {
+        // the production kernel for the same selection: fused XXH64 +
+        // O(n) monotonic-deque sliding min inside WholeStageCodegen —
+        // no md5 strings, no O(n*w) slices; same downstream pairing
+        val docs0 = graft.core.Tables.documents(spark, sfDir)
+        val maxDoc = docs0.agg(max("doc_id")).as[Long].head() + 1
+        val docs = docs0.crossJoin(copies)
+          .withColumn("doc_id", col("doc_id") + col("rep") * maxDoc).drop("rep")
+          .repartition(cpus.toInt)
+        graft.operators.Winnowing.overlapPairs(
+            docs.select("doc_id", "text"), maxDocs = 20, minShared = 8,
+            hashed = true)
+          .groupBy().agg(count(lit(1)), sum("n_shared"))
+          .write.format("noop").mode("overwrite").save()
+      },
       time("icf_aging_intervals_6m_rows") {
         // g18's interval/delta/prefix-sum shape on the 10x roster+records
         // tables: per-record work is constant (<=3 intervals), the

@@ -39,14 +39,28 @@ object Winnowing {
       .select(col("doc_id"), explode(selected).as("h"))
   }
 
+  /** Production fingerprint path: the fused WinnowingHashes codegen
+    * kernel — one byte scan, XXH64 grams, O(n) monotonic-deque sliding
+    * min (vs the md5/HOF form's O(n*w)), 8-byte hashes end-to-end. A
+    * different (equally valid) hash family than the md5-string oracle
+    * form, so positions selected differ; the detection guarantee and
+    * ~2/(w+1) density are family-independent (WinnowingSpec pins both
+    * on this path too). */
+  def fingerprintsHashed(docs: DataFrame, k: Int = 8, w: Int = 16): DataFrame =
+    docs.filter(length(col("text")) >= k + w - 1)
+      .select(col("doc_id"),
+        explode(graft.plans.WinnowingHashes(col("text"), k, w)).as("h"))
+
   /** Cross-document overlap pairs over the fingerprint sets, with a
     * stop-fingerprint cap (hashes in > maxDocs docs are boilerplate and
     * dropped before pairing — the LSH bucket-cap convention). */
   def overlapPairs(docs: DataFrame, k: Int = 8, w: Int = 16,
-                   maxDocs: Int = 20, minShared: Int = 8): DataFrame = {
+                   maxDocs: Int = 20, minShared: Int = 8,
+                   hashed: Boolean = false): DataFrame = {
     // the cap window and the self-join both read the survivor set:
     // checkpoint it once (vals name plans, not results — the g09 rule)
-    val kept = fingerprints(docs, k, w)
+    val fp = if (hashed) fingerprintsHashed(docs, k, w) else fingerprints(docs, k, w)
+    val kept = fp
       .withColumn("nd", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("nd") <= maxDocs).drop("nd")
       .localCheckpoint()

@@ -63,6 +63,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CharWindowHashes(args(0), intLit(args(1), "char_window_hashes", "width"))
       }))
     ext.injectFunction((
+      FunctionIdentifier("winnowing_hashes"),
+      info("winnowing_hashes",
+        "winnowing_hashes(text, k, w) - distinct winnowing-selected xxhash64 fingerprints (k-byte grams, w-hash windows)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "winnowing_hashes(text, k, w) takes 3 arguments")
+        WinnowingHashes(args(0),
+          intLit(args(1), "winnowing_hashes", "k"),
+          intLit(args(2), "winnowing_hashes", "w"))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("minhash_signature"),
       info("minhash_signature",
         "minhash_signature(shingleHash, k) - aggregate: k-minhash signature as array<long>"),

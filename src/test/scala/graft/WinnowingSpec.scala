@@ -51,6 +51,51 @@ class WinnowingSpec extends SparkSpec {
     assert(Winnowing.fingerprints(docs(1 -> "tiny text")).isEmpty)
   }
 
+  test("kernel: selected set matches a brute-force reference (both paths)") {
+    // independent O(n*w) reimplementation of the selection rule:
+    // per window min by (unsigned hash, rightmost pos), distinct
+    import org.apache.spark.unsafe.types.UTF8String
+    def ref(t: String, k: Int, w: Int): Set[Long] = {
+      val u = UTF8String.fromString(t)
+      val n = u.numBytes - k + 1
+      val h = (0 until n).map(p =>
+        org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset + p, k, 42L))
+      (0 to n - w).map { s =>
+        (s until s + w).reduceLeft { (a, b) =>
+          val c = java.lang.Long.compareUnsigned(h(a), h(b))
+          if (c < 0) a else if (c > 0) b else b // rightmost on ties
+        }
+      }.map(h).toSet
+    }
+    val texts = Seq(randText(200), randText(50), "ab" * 40, randText(23))
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val got = Winnowing.fingerprintsHashed(docs(i -> t))
+        .collect().map(_.getLong(1)).toSet
+      assert(got == ref(t, 8, 16), s"text $i mismatch")
+    }
+    // interpreted eval agrees with the codegen'd path exercised above
+    val e = graft.plans.WinnowingHashes(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        UTF8String.fromString(texts.head),
+        org.apache.spark.sql.types.StringType), 8, 16)
+    val ev = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(ev.toLongArray().toSet == ref(texts.head, 8, 16))
+  }
+
+  test("kernel path keeps the detection guarantee and density") {
+    val shared = randText(23)
+    val a = randText(150) + shared + randText(150)
+    val b = randText(140) + shared + randText(160)
+    val fp = Winnowing.fingerprintsHashed(docs(1 -> a, 2 -> b))
+    assert(fp.filter(col("doc_id") === 1)
+      .join(fp.filter(col("doc_id") === 2), "h").count() >= 1)
+    val n = 2000
+    val dens = Winnowing.fingerprintsHashed(docs(1 -> randText(n)))
+      .count().toDouble / (n - 8 + 1)
+    assert(dens > 0.06 && dens < 0.18, s"density $dens")
+  }
+
   test("overlap pairs: near-duplicate docs dominate the pair list") {
     val core = randText(400)
     val d = docs(
