@@ -112,6 +112,33 @@ object Sessionize {
     }
   }
 
+  /** Per-key Holt double-exponential smoothing (level + linear trend):
+    * l_1 = x_1, b_1 = 0; then l_i = alpha*x_i + (1-alpha)*(l_(i-1) +
+    * b_(i-1)) and b_i = beta*(l_i - l_(i-1)) + (1-beta)*b_(i-1). The
+    * one-step forecast is l_i + b_i. Extends w18's EWMA with a trend
+    * state — the monitoring forecaster for drifting series; same
+    * secondary-sort scan, O(1) state per key. Dyadic alpha/beta keep
+    * (1-alpha)/(1-beta) exact in binary; the oracle replays the fold
+    * with the IDENTICAL operation order, so IEEE rounding matches
+    * bit-for-bit (the w18 contract).
+    */
+  def holt(df: DataFrame, keyCol: String, tsCol: String, tieBreak: String,
+           valCol: String, alpha: Double, beta: Double): DataFrame = {
+    val vIdx = df.schema.fieldIndex(valCol)
+    scanPerKey[(Double, Double)](df, Seq(keyCol), Seq(tsCol, tieBreak),
+      StructType(Seq(StructField("level", DoubleType, nullable = false),
+        StructField("trend", DoubleType, nullable = false)))) {
+      case (None, row) =>
+        val x = row.getAs[Number](vIdx).doubleValue
+        ((x, 0.0), Seq(x, 0.0))
+      case (Some((l0, b0)), row) =>
+        val x = row.getAs[Number](vIdx).doubleValue
+        val l = alpha * x + (1 - alpha) * (l0 + b0)
+        val b = beta * (l - l0) + (1 - beta) * b0
+        ((l, b), Seq(l, b))
+    }
+  }
+
   private def micros(row: Row, i: Int): Long = row.get(i) match {
     case t: java.sql.Timestamp => t.getTime * 1000 + (t.getNanos / 1000) % 1000
     case t: java.time.Instant  => t.getEpochSecond * 1000000L + t.getNano / 1000

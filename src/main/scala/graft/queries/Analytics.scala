@@ -914,6 +914,65 @@ object Analytics {
     // the qualifying-pair mass is inherently n * (rows within
     // +/-delta), so delta picks the output scale, not the plan (0.5
     // produced ~20M pairs at sf0.1 = 15 s of pure pair counting).
+    // ---- a35: chi-square test of independence ------------------------------
+    // The categorical-association member the stats battery lacked
+    // (Welch/MWU compare numeric groups, KS/PSI compare distributions
+    // of ONE variable): are two categorical columns independent? Grid =
+    // all r x c cells (zero-observed cells INCLUDED — chi-square sums
+    // over the full grid), expected = row_total * col_total / N from
+    // exact integer margins (products < 2^53, so the doubles are
+    // exact), per-cell term (o-e)^2/e written as (o-e)*(o-e) — never
+    // pow(), whose libm rounding is not pinned — rounded to 6dp DECIMAL
+    // and summed exactly (the a30/a32 recipe: order-independent sum).
+    // One scan for cells; margins derive from the cell aggregate, not
+    // re-scans.
+    Query("a35_chi_square",
+      """WITH obs AS (
+        |  SELECT o_orderpriority AS p, o_orderstatus AS s, count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT p, sum(n) AS rn FROM obs GROUP BY 1),
+        |ct AS (SELECT s, sum(n) AS cn FROM obs GROUP BY 1),
+        |tot AS (SELECT sum(n) AS nn FROM obs),
+        |grid AS (
+        |  SELECT rt.p, ct.s, rt.rn, ct.cn, coalesce(o.n, 0) AS n
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN obs o ON o.p = rt.p AND o.s = ct.s),
+        |terms AS (
+        |  SELECT CAST(round(
+        |           (n - rn * cn * 1.0 / nn) * (n - rn * cn * 1.0 / nn)
+        |             / (rn * cn * 1.0 / nn), 6) AS DECIMAL(18,6)) AS term
+        |  FROM grid, tot)
+        |SELECT CAST(sum(term) AS DOUBLE) AS chi2,
+        |       CAST(((SELECT count(*) FROM rt) - 1)
+        |            * ((SELECT count(*) FROM ct) - 1) AS BIGINT) AS dof,
+        |       (SELECT CAST(nn AS BIGINT) FROM tot) AS n
+        |FROM terms""".stripMargin) {
+      (s, d) => {
+        val obs = Tables.orders(s, d)
+          .groupBy(col("o_orderpriority").as("p"), col("o_orderstatus").as("st"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint() // margins + grid all derive from this one agg
+        val rt = obs.groupBy("p").agg(sum("n").as("rn"))
+        val ct = obs.groupBy("st").agg(sum("n").as("cn"))
+        val tot = obs.agg(sum("n").as("nn"))
+        val e = col("rn") * col("cn") * lit(1.0) / col("nn")
+        val o = coalesce(col("n"), lit(0L))
+        val grid = rt.crossJoin(broadcast(ct)).crossJoin(broadcast(tot))
+          .join(obs.select(col("p").as("op"), col("st").as("ost"), col("n")),
+            col("p") === col("op") && col("st") === col("ost"), "left")
+        val terms = grid.select(
+          round((o - e) * (o - e) / e, 6).cast("decimal(18,6)").as("term"))
+        val rdof = rt.agg(count(lit(1)).as("r"))
+        val cdof = ct.agg(count(lit(1)).as("c"))
+        terms.agg(sum("term").cast("double").as("chi2"))
+          .crossJoin(broadcast(rdof)).crossJoin(broadcast(cdof))
+          .crossJoin(broadcast(tot))
+          .select(col("chi2"),
+            ((col("r") - 1) * (col("c") - 1)).cast("long").as("dof"),
+            col("nn").cast("long").as("n"))
+      }
+    },
+
     Query("j22_band_join",
       """WITH l AS (
         |  SELECT event_id, event_type,

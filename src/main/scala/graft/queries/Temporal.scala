@@ -280,6 +280,39 @@ object Temporal {
         .select("user_id", "event_id", "ewma")
     },
 
+    // ---- W29: Holt double-exponential smoothing (level + trend) -----------
+    // w18's EWMA with a trend state: the one-step forecaster for
+    // drifting series (Holt 1957 — the standard before seasonal
+    // Holt-Winters, whose seasonal half a33 covers). A coupled TWO-state
+    // recurrence — strictly beyond lag()/windows — riding the same
+    // secondary-sort scan; the oracle replays the identical fold order
+    // step by step (recursive CTE), so doubles match bit-for-bit.
+    // alpha=0.5, beta=0.25 are dyadic: (1-alpha)/(1-beta) are exact.
+    Query("w29_holt_smoothing",
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |scan AS (
+        |  SELECT user_id, rn, event_id,
+        |         CAST(value AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, e.event_id,
+        |         0.5 * CAST(e.value AS DOUBLE) + 0.5 * (s.l + s.b),
+        |         0.25 * ((0.5 * CAST(e.value AS DOUBLE) + 0.5 * (s.l + s.b)) - s.l)
+        |           + 0.75 * s.b
+        |  FROM ev e JOIN scan s ON e.user_id = s.user_id AND e.rn = s.rn + 1)
+        |SELECT user_id, event_id, l AS level, b AS trend,
+        |       l + b AS forecast
+        |FROM scan""".stripMargin) {
+      (s, d) => graft.operators.Sessionize.holt(
+          Tables.events(s, d).select("user_id", "event_id", "ts", "value"),
+          "user_id", "ts", "event_id", "value", alpha = 0.5, beta = 0.25)
+        .select(col("user_id"), col("event_id"), col("level"), col("trend"),
+          (col("level") + col("trend")).as("forecast"))
+    },
+
     Query("w17_debounce",
       """WITH RECURSIVE ev AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS t,
