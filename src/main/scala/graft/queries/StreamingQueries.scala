@@ -660,6 +660,41 @@ object StreamingQueries {
         graft.queries.Analytics.psiOfSlices(
           ss.table(sink).localCheckpoint(), preCounted = true)
       }
+    },
+
+    // ---- ST13: streaming Holt forecaster (two-state recurrence) ------------
+    // w29's level+trend recurrence served incrementally: per-key state
+    // is TWO DOUBLES whatever the event volume, batches fold in event
+    // order with the identical operation order — the stream's final
+    // output hash-matches the batch recursive-CTE oracle bit-for-bit
+    // (the st02/st08 equivalence discipline, now for a coupled
+    // two-state float recurrence).
+    Query("st13_stream_holt", Temporal.HoltOracleSql) {
+      (s, d) => {
+        val dir = graft.core.TempDirs.scratch("st13_landing")
+        java.nio.file.Files.createSymbolicLink(
+          dir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        import ss.implicits._
+        val raw = ss.read.parquet(s"$d/events.parquet")
+        val src = Streams.fileSource(ss, dir.toString, raw.schema)
+          .select(col("user_id").cast("long").as("userId"),
+            col("event_id").cast("long").as("eventId"),
+            Tables.tsMicros(raw.schema).as("tsMicros"),
+            col("value").cast("double").as("value"))
+          .as[Streams.ValueEvent]
+        val out = Streams.holtStream(src, alpha = 0.5, beta = 0.25)
+        val sink = "st13_holt_" + System.nanoTime()
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        ss.table(sink)
+          .select(col("userId").as("user_id"), col("eventId").as("event_id"),
+            col("level"), col("trend"),
+            (col("level") + col("trend")).as("forecast"))
+      }
     }
   )
 }

@@ -22,6 +22,27 @@ import graft.operators.{Sessionize, Windows}
   */
 object Temporal {
 
+  /** w29's oracle, shared verbatim by st13 (the streaming run of the
+    * same two-state recurrence must hash-match the batch SQL). */
+  private[queries] val HoltOracleSql: String =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, event_id, value,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |scan AS (
+      |  SELECT user_id, rn, event_id,
+      |         CAST(value AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b
+      |  FROM ev WHERE rn = 1
+      |  UNION ALL
+      |  SELECT e.user_id, e.rn, e.event_id,
+      |         0.5 * CAST(e.value AS DOUBLE) + 0.5 * (s.l + s.b),
+      |         0.25 * ((0.5 * CAST(e.value AS DOUBLE) + 0.5 * (s.l + s.b)) - s.l)
+      |           + 0.75 * s.b
+      |  FROM ev e JOIN scan s ON e.user_id = s.user_id AND e.rn = s.rn + 1)
+      |SELECT user_id, event_id, l AS level, b AS trend,
+      |       l + b AS forecast
+      |FROM scan""".stripMargin
+
   val queries: Seq[Query] = Seq(
 
     // ---- W2: seeded stable shuffle -----------------------------------------
@@ -288,24 +309,7 @@ object Temporal {
     // secondary-sort scan; the oracle replays the identical fold order
     // step by step (recursive CTE), so doubles match bit-for-bit.
     // alpha=0.5, beta=0.25 are dyadic: (1-alpha)/(1-beta) are exact.
-    Query("w29_holt_smoothing",
-      """WITH RECURSIVE ev AS (
-        |  SELECT user_id, event_id, value,
-        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-        |  FROM events),
-        |scan AS (
-        |  SELECT user_id, rn, event_id,
-        |         CAST(value AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b
-        |  FROM ev WHERE rn = 1
-        |  UNION ALL
-        |  SELECT e.user_id, e.rn, e.event_id,
-        |         0.5 * CAST(e.value AS DOUBLE) + 0.5 * (s.l + s.b),
-        |         0.25 * ((0.5 * CAST(e.value AS DOUBLE) + 0.5 * (s.l + s.b)) - s.l)
-        |           + 0.75 * s.b
-        |  FROM ev e JOIN scan s ON e.user_id = s.user_id AND e.rn = s.rn + 1)
-        |SELECT user_id, event_id, l AS level, b AS trend,
-        |       l + b AS forecast
-        |FROM scan""".stripMargin) {
+    Query("w29_holt_smoothing", HoltOracleSql) {
       (s, d) => graft.operators.Sessionize.holt(
           Tables.events(s, d).select("user_id", "event_id", "ts", "value"),
           "user_id", "ts", "event_id", "value", alpha = 0.5, beta = 0.25)

@@ -110,4 +110,46 @@ object Streams {
     events.groupByKey(_.userId)
       .flatMapGroupsWithState(OutputMode.Append, timeout)(update)
   }
+
+  final case class ValueEvent(userId: Long, eventId: Long, tsMicros: Long,
+                              value: Double)
+  final case class HoltState(level: Double, trend: Double)
+  final case class HoltOut(userId: Long, eventId: Long, level: Double,
+                           trend: Double)
+
+  /** Streaming Holt double-exponential smoothing: the st-twin of w29's
+    * batch recurrence. Per-key (level, trend) state carries across
+    * micro-batches; within a batch each group's events fold in
+    * (tsMicros, eventId) order with the IDENTICAL operation order as
+    * Sessionize.holt, so a stream whose batches arrive in event-time
+    * order (the landing-zone contract the other st rows pin) emits
+    * bit-for-bit the batch result. State is two doubles per key. */
+  def holtStream(events: Dataset[ValueEvent], alpha: Double, beta: Double,
+                 stateTtl: Option[String] = None): Dataset[HoltOut] = {
+    import events.sparkSession.implicits._
+    def update(userId: Long, it: Iterator[ValueEvent],
+               state: GroupState[HoltState]): Iterator[HoltOut] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        var st = state.getOption
+        val out = it.toSeq.sortBy(e => (e.tsMicros, e.eventId)).map { e =>
+          val (l, b) = st match {
+            case None => (e.value, 0.0)
+            case Some(HoltState(l0, b0)) =>
+              val l1 = alpha * e.value + (1 - alpha) * (l0 + b0)
+              (l1, beta * (l1 - l0) + (1 - beta) * b0)
+          }
+          st = Some(HoltState(l, b))
+          HoltOut(userId, e.eventId, l, b)
+        }
+        st.foreach(state.update)
+        stateTtl.foreach(state.setTimeoutDuration)
+        out.iterator
+      }
+    }
+    val timeout = if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+                  else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(update)
+  }
 }

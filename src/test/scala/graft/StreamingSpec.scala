@@ -50,6 +50,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("holtStream carries (level, trend) state across micro-batches") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.ValueEvent]
+    val q = Streams.holtStream(in.toDS(), alpha = 0.5, beta = 0.25)
+      .writeStream.format("memory").queryName("holt").outputMode("append").start()
+    try {
+      in.addData(Streams.ValueEvent(1, 1, 0, 4.0), Streams.ValueEvent(1, 2, 1, 8.0))
+      q.processAllAvailable()
+      in.addData(Streams.ValueEvent(1, 3, 2, 6.0))
+      q.processAllAvailable()
+      val got = spark.table("holt").as[Streams.HoltOut].collect()
+        .map(o => o.eventId -> (o.level, o.trend)).toMap
+      // replay the exact fold: l1=4,b1=0; l2=.5*8+.5*4=6, b2=.25*2=.5;
+      // l3=.5*6+.5*6.5=6.25, b3=.25*.25+.75*.5=.4375 — batch 2 only
+      // matches if state crossed the batch boundary
+      assert(got(1L) == ((4.0, 0.0)))
+      assert(got(2L) == ((6.0, 0.5)))
+      assert(got(3L) == ((6.25, 0.4375)))
+      // identical to the batch operator on the same rows
+      val batch = graft.operators.Sessionize.holt(
+        Seq((1L, 0L, 1L, 4.0), (1L, 1L, 2L, 8.0), (1L, 2L, 3L, 6.0))
+          .toDF("user_id", "ts", "event_id", "value"),
+        "user_id", "ts", "event_id", "value", alpha = 0.5, beta = 0.25)
+        .select("event_id", "level", "trend").collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("streamingDedup drops duplicate ids within the watermark") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = spark.sqlContext
