@@ -16,10 +16,30 @@ object Bench {
       .split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** (host busy jiffies, own-process jiffies): the difference's growth
+    * over the run is CPU burned by OTHER processes — the direct
+    * neighbor-contention measure. Load averages cannot give this: the
+    * bench's own 32 threads dominate the 1-min load in every healthy
+    * run, and a mid-run neighbor burst hides between the start/end
+    * stamps (it did: seven a-rows at 7-48x in an otherwise quiet
+    * round-8 run). */
+  private def cpuJiffies(): (Long, Long) =
+    try {
+      val host = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        .trim.split("\\s+").drop(1).map(_.toLong)
+      // user+nice+system+irq+softirq+steal — everything but idle/iowait
+      val busy = host(0) + host(1) + host(2) + host(5) + host(6) +
+        (if (host.length > 7) host(7) else 0L)
+      val self = scala.io.Source.fromFile("/proc/self/stat").mkString
+        .split("\\s+")
+      (busy, self(13).toLong + self(14).toLong)
+    } catch { case _: Throwable => (-1L, -1L) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val loadStart = loadAvg()
+    val (busy0, self0) = cpuJiffies()
     val spark = graft.core.Sessions.local(cpus, "graft-bench")
     // keep stderr quiet so a driver that merges streams still sees the
     // JSON line last (Sessions defaults to WARN; ERROR for the bench)
@@ -86,7 +106,13 @@ object Bench {
     val fullQs = results.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val loadEnd = loadAvg()
-    val loads = s""""load_start":$loadStart,"load_end":$loadEnd"""
+    val (busy1, self1) = cpuJiffies()
+    // CPU-seconds other processes burned while the bench ran (USER_HZ=100)
+    val otherCpu =
+      if (busy0 < 0 || busy1 < 0) -1.0
+      else ((busy1 - busy0) - (self1 - self0)) / 100.0
+    val loads = s""""load_start":$loadStart,"load_end":$loadEnd,""" +
+      f""""other_cpu_sec":$otherCpu%.1f"""
     try {
       val w = new java.io.PrintWriter(fullPath, "UTF-8")
       try w.println(
