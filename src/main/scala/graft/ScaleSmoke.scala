@@ -790,6 +790,21 @@ object ScaleSmoke {
           .groupBy().agg(count(lit(1)), sum("n_shared"))
           .write.format("noop").mode("overwrite").save()
       },
+      time("holt_scan_1m_events") {
+        // the secondary-sort recurrence scan (w11/w17/w18/w29 all ride
+        // it) at 10x events: repartition by key + in-partition sort +
+        // one streaming fold, two doubles of state per key
+        val ev0 = graft.core.Tables.events(spark, sfDir)
+        val maxE = ev0.agg(max("event_id")).as[Long].head() + 1
+        val ev = ev0.select("user_id", "event_id", "ts", "value")
+          .crossJoin(copies)
+          .withColumn("event_id", col("event_id") + col("rep") * maxE)
+          .drop("rep")
+        graft.operators.Sessionize.holt(ev, "user_id", "ts", "event_id",
+            "value", alpha = 0.5, beta = 0.25)
+          .groupBy().agg(sum("level"), sum("trend"))
+          .write.format("noop").mode("overwrite").save()
+      },
       time("icf_aging_intervals_6m_rows") {
         // g18's interval/delta/prefix-sum shape on the 10x roster+records
         // tables: per-record work is constant (<=3 intervals), the
