@@ -139,6 +139,43 @@ object Sessionize {
     }
   }
 
+  /** Per-key additive Holt-Winters (level + trend + period-p seasonal):
+    * the full classical smoother (w18 EWMA -> w29 Holt -> this).
+    * Seasonal state is a p-slot array keyed by `idxCol % p` (day
+    * number, so calendar gaps keep their slot); slots start at 0 and
+    * learn through the gamma update:
+    *   l_t = alpha*(x_t - S[i]) + (1-alpha)*(l + b)
+    *   b_t = beta*(l_t - l) + (1-beta)*b
+    *   S'[i] = gamma*(x_t - l_t) + (1-gamma)*S[i]
+    * First row of a key: l = x, b = 0, S untouched (the gamma update
+    * is exactly 0 there). The oracle replays the identical operation
+    * order with a LIST column carried through the recursive CTE, so
+    * doubles match bit-for-bit. State per key: p+2 doubles.
+    */
+  def holtWinters(df: DataFrame, keyCol: String, idxCol: String,
+                  valCol: String, period: Int,
+                  alpha: Double, beta: Double, gamma: Double): DataFrame = {
+    val vIdx = df.schema.fieldIndex(valCol)
+    val iIdx = df.schema.fieldIndex(idxCol)
+    scanPerKey[(Double, Double, Vector[Double])](df, Seq(keyCol), Seq(idxCol),
+      StructType(Seq(StructField("level", DoubleType, nullable = false),
+        StructField("trend", DoubleType, nullable = false),
+        StructField("seasonal", DoubleType, nullable = false)))) {
+      case (st, row) =>
+        val x = row.getAs[Number](vIdx).doubleValue
+        val slot = (row.getAs[Number](iIdx).longValue % period).toInt
+        val (l0, b0, sv) = st.getOrElse((x, 0.0, Vector.fill(period)(0.0)))
+        val (l, b) = st match {
+          case None => (x, 0.0)
+          case Some(_) =>
+            val l1 = alpha * (x - sv(slot)) + (1 - alpha) * (l0 + b0)
+            (l1, beta * (l1 - l0) + (1 - beta) * b0)
+        }
+        val sNew = gamma * (x - l) + (1 - gamma) * sv(slot)
+        ((l, b, sv.updated(slot, sNew)), Seq(l, b, sNew))
+    }
+  }
+
   private def micros(row: Row, i: Int): Long = row.get(i) match {
     case t: java.sql.Timestamp => t.getTime * 1000 + (t.getNanos / 1000) % 1000
     case t: java.time.Instant  => t.getEpochSecond * 1000000L + t.getNano / 1000

@@ -309,6 +309,54 @@ object Temporal {
     // secondary-sort scan; the oracle replays the identical fold order
     // step by step (recursive CTE), so doubles match bit-for-bit.
     // alpha=0.5, beta=0.25 are dyadic: (1-alpha)/(1-beta) are exact.
+    // ---- W30: additive Holt-Winters (level + trend + weekly seasonal) ------
+    // The full classical smoother, completing w18 (EWMA) and w29
+    // (Holt): a coupled THREE-part recurrence whose seasonal state is a
+    // 7-slot array keyed by epoch-day % 7 (calendar slots survive
+    // gaps). The oracle carries the array through the recursive CTE as
+    // a LIST column, updating one slot per step with list_transform —
+    // same operation order as the scan, bit-identical doubles. Daily
+    // inputs are exact DECIMAL sums cast once to double (avg would not
+    // be order-stable cross-engine). Output is |types| x |days| rows
+    // regardless of event volume.
+    Query("w30_holt_winters",
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type,
+        |         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2),
+        |ev AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |       FROM d),
+        |scan AS (
+        |  SELECT event_type, rn, day, x AS l, CAST(0 AS DOUBLE) AS b,
+        |         list_transform(range(1, 8), i -> CAST(0 AS DOUBLE)) AS sv
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.event_type, e.rn, e.day,
+        |         0.5 * (e.x - s.sv[CAST(e.day % 7 + 1 AS INT)]) + 0.5 * (s.l + s.b),
+        |         0.25 * ((0.5 * (e.x - s.sv[CAST(e.day % 7 + 1 AS INT)])
+        |                    + 0.5 * (s.l + s.b)) - s.l) + 0.75 * s.b,
+        |         list_transform(range(1, 8), i ->
+        |           CASE WHEN i = e.day % 7 + 1
+        |                THEN 0.25 * (e.x - (0.5 * (e.x - s.sv[CAST(e.day % 7 + 1 AS INT)])
+        |                                      + 0.5 * (s.l + s.b)))
+        |                     + 0.75 * s.sv[CAST(e.day % 7 + 1 AS INT)]
+        |                ELSE s.sv[i] END)
+        |  FROM ev e JOIN scan s ON e.event_type = s.event_type AND e.rn = s.rn + 1)
+        |SELECT event_type, day, l AS level, b AS trend,
+        |       sv[CAST(day % 7 + 1 AS INT)] AS seasonal
+        |FROM scan""".stripMargin) {
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+          .agg(sum(col("value").cast("decimal(18,4)")).cast("double").as("x"))
+        graft.operators.Sessionize.holtWinters(daily, "event_type", "day", "x",
+            period = 7, alpha = 0.5, beta = 0.25, gamma = 0.25)
+          .select("event_type", "day", "level", "trend", "seasonal")
+      }
+    },
+
     Query("w29_holt_smoothing", HoltOracleSql) {
       (s, d) => graft.operators.Sessionize.holt(
           Tables.events(s, d).select("user_id", "event_id", "ts", "value"),

@@ -47,6 +47,54 @@ class StatsBatterySpec extends SparkSpec {
     assert(h.toSeq == e.toSeq)
   }
 
+  private def days(vals: Seq[Double]) =
+    spark.createDataFrame(vals.zipWithIndex.map { case (v, i) =>
+      ("t", i.toLong, v)
+    }).toDF("event_type", "day", "x")
+
+  test("holt-winters: constant series is exactly level=c, trend=0, seasonal=0") {
+    val out = graft.operators.Sessionize.holtWinters(days(Seq.fill(30)(5.0)),
+      "event_type", "day", "x", period = 7,
+      alpha = 0.5, beta = 0.25, gamma = 0.25)
+      .select("level", "trend", "seasonal").collect()
+    out.foreach { r =>
+      assert(r.getDouble(0) == 5.0 && r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0)
+    }
+  }
+
+  test("holt-winters: weekly spike lands in its seasonal slot") {
+    // day % 7 == 0 carries +7 on a base of 10, five full cycles
+    val vals = (0 until 35).map(i => if (i % 7 == 0) 17.0 else 10.0)
+    val out = graft.operators.Sessionize.holtWinters(days(vals),
+      "event_type", "day", "x", period = 7,
+      alpha = 0.5, beta = 0.25, gamma = 0.25)
+      .orderBy("day").select("day", "seasonal").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val last = out.takeRight(7).toMap
+    val spike = last.find(_._1 % 7 == 0).get._2
+    val rest = last.filter(_._1 % 7 != 0).values
+    assert(spike > 2.0, s"spike slot learned only $spike")
+    assert(rest.forall(v => v < spike - 1.5),
+      s"spike $spike not separated from ${rest.mkString(",")}")
+  }
+
+  test("holt-winters: gamma = 0 degenerates exactly to Holt") {
+    val vals = Seq(3.0, 9.0, 1.0, 4.0, 4.0, 8.0, 2.0, 6.0)
+    val hw = graft.operators.Sessionize.holtWinters(days(vals),
+      "event_type", "day", "x", period = 7,
+      alpha = 0.5, beta = 0.25, gamma = 0.0)
+      .orderBy("day").select("level", "trend").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    val h = Sessionize.holt(
+      spark.createDataFrame(vals.zipWithIndex.map { case (v, i) =>
+        (1L, i.toLong, i.toLong, v)
+      }).toDF("user_id", "ts", "event_id", "value"),
+      "user_id", "ts", "event_id", "value", alpha = 0.5, beta = 0.25)
+      .orderBy("event_id").select("level", "trend").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(hw.toSeq == h.toSeq)
+  }
+
   test("chi-square: registry row matches a driver-side recompute") {
     val row = SparkEntry.queries("a35_chi_square")(spark, "/root/testdata/sf0.001")
       .collect()(0)
