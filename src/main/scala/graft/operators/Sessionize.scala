@@ -155,6 +155,7 @@ object Sessionize {
   def holtWinters(df: DataFrame, keyCol: String, idxCol: String,
                   valCol: String, period: Int,
                   alpha: Double, beta: Double, gamma: Double): DataFrame = {
+    require(period > 0, s"holtWinters period must be positive, got $period")
     val vIdx = df.schema.fieldIndex(valCol)
     val iIdx = df.schema.fieldIndex(idxCol)
     scanPerKey[(Double, Double, Vector[Double])](df, Seq(keyCol), Seq(idxCol),
@@ -163,7 +164,9 @@ object Sessionize {
         StructField("seasonal", DoubleType, nullable = false)))) {
       case (st, row) =>
         val x = row.getAs[Number](vIdx).doubleValue
-        val slot = (row.getAs[Number](iIdx).longValue % period).toInt
+        // floorMod: a negative index (pre-epoch days) must still land in
+        // [0, period), where % would throw on the array access
+        val slot = java.lang.Math.floorMod(row.getAs[Number](iIdx).longValue, period.toLong).toInt
         val (l0, b0, sv) = st.getOrElse((x, 0.0, Vector.fill(period)(0.0)))
         val (l, b) = st match {
           case None => (x, 0.0)

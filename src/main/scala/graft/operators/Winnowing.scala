@@ -24,9 +24,12 @@ object Winnowing {
   def fingerprints(docs: DataFrame, k: Int = 8, w: Int = 16): DataFrame = {
     val txt = col("text")
     val n = length(txt)
+    // 12-digit pad: fixed-width (min hash, RIGHTMOST pos) ordering holds to
+    // 1e12-char documents (an 8-digit pad broke lexicographic order past
+    // ~100M chars — ADVICE r8); the constant stays exactly representable
     val keys = transform(sequence(lit(0), n - k),
       u => concat(substring(md5(txt.substr(u + 1, lit(k))), 1, 16),
-        format_string("%08d", lit(99999999) - u)))
+        format_string("%012d", lit(999999999999L) - u)))
     // keys MUST be lambda-bound (bind1): referenced bare inside the
     // window transform, Catalyst inlines the whole k-gram hash array
     // into every slice() — O(n^2) md5 per doc (measured: 487 s vs 11.6 s
@@ -47,7 +50,9 @@ object Winnowing {
     * ~2/(w+1) density are family-independent (WinnowingSpec pins both
     * on this path too). */
   def fingerprintsHashed(docs: DataFrame, k: Int = 8, w: Int = 16): DataFrame =
-    docs.filter(length(col("text")) >= k + w - 1)
+    // octet_length, not length: the kernel windows BYTES, so a multi-byte
+    // doc with >= w+k-1 bytes but fewer characters must not be skipped
+    docs.filter(octet_length(col("text")) >= k + w - 1)
       .select(col("doc_id"),
         explode(graft.plans.WinnowingHashes(col("text"), k, w)).as("h"))
 

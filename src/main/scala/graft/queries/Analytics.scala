@@ -458,60 +458,25 @@ object Analytics {
     // evaluates sliding RANGE frames by re-aggregating per row, so
     // frame size is a direct cost multiplier: 24 h measured 12.5 s at
     // sf0.1, 6 h ~3 s, same flags semantics.)
-    // SPARK_GRAFT_BUCKETED_MOMENTS=1 switches the moments to the
-    // two-level hour-bucket decomposition (RollingMoments) — exact
-    // same results (RollingMomentsSpec pins equivalence incl. frame-
-    // edge ties), cost independent of frame density: 7.4 s vs 17.5 s
-    // for the RANGE form at 10x density, already even at sf0.1. The
-    // RANGE form stays the gate default (its baseline governs).
-    Query("w26_rolling_zscore",
-      """WITH m AS (
-        |  SELECT event_id, event_type, value,
-        |         sum(CAST(value AS DECIMAL(18,4))) OVER w AS s1,
-        |         sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) OVER w AS s2,
-        |         count(*) OVER w AS n
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
-        |               RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)),
-        |z AS (
-        |  SELECT event_id, event_type, value, n,
-        |         CAST(s1 AS DOUBLE) / n AS mean,
-        |         sqrt(greatest(CAST(s2 AS DOUBLE) / n
-        |              - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 0.0)) AS sd
-        |  FROM m)
-        |SELECT event_id, event_type, round(value, 6) AS value,
-        |       CAST(n AS BIGINT) AS n_window,
-        |       round((value - mean) / sd, 6) AS z
-        |FROM z WHERE n >= 12 AND sd > 0 AND abs((value - mean) / sd) > 2.5""".stripMargin) {
-      (s, d) => {
-        val m = if (sys.env.get("SPARK_GRAFT_BUCKETED_MOMENTS").contains("1")) {
-          graft.operators.RollingMoments.trailingMoments(
-              Tables.events(s, d).select(col("event_id"), col("event_type"),
-                col("value"), unix_micros(col("ts")).as("us")),
-              "event_type", "us", "value", 21600000000L, 3600000000L)
-            .select(col("event_id"), col("event_type"), col("value"),
-              col("s1"), col("s2"), col("n"))
-        } else {
-          val w = Window.partitionBy("event_type").orderBy(unix_micros(col("ts")))
-            .rangeBetween(-21600000000L, 0L)
-          val vd = col("value").cast("decimal(18,4)")
-          Tables.events(s, d).select(col("event_id"), col("event_type"),
-            col("value"),
-            sum(vd).over(w).as("s1"), sum(vd * vd).over(w).as("s2"),
-            count(lit(1)).over(w).as("n"))
-        }
-        val mean = col("s1").cast("double") / col("n")
-        val sd = sqrt(greatest(col("s2").cast("double") / col("n") - mean * mean,
-          lit(0.0)))
-        m.select(col("event_id"), col("event_type"), col("value"), col("n"),
-            mean.as("mean"), sd.as("sd"))
-          .filter(col("n") >= 12 && col("sd") > 0 &&
-            abs((col("value") - col("mean")) / col("sd")) > 2.5)
-          .select(col("event_id"), col("event_type"),
-            round(col("value"), 6).as("value"),
-            col("n").cast("long").as("n_window"),
-            round((col("value") - col("mean")) / col("sd"), 6).as("z"))
-      }
+    // DEFAULT = the two-level hour-bucket decomposition (RollingMoments,
+    // round-9 flip of the round-8 SPARK_GRAFT_BUCKETED_MOMENTS flag) —
+    // exact same results (RollingMomentsSpec pins equivalence incl.
+    // frame-edge ties), cost independent of frame density: 7.4 s vs
+    // 17.5 s for the RANGE form at 10x density (Spark re-aggregates a
+    // sliding RANGE frame per row, so frame size is a direct cost
+    // multiplier). The RANGE form stays in the gate as the w31 twin
+    // below, under this same oracle.
+    Query("w26_rolling_zscore", RollingZscoreOracleSql) {
+      (s, d) => rollingZscore(s, d, bucketed = true)
+    },
+
+    // ---- W31: rolling z-score RANGE-frame oracle twin ----------------------
+    // The straightforward per-row sliding-RANGE formulation of w26, kept
+    // in the gate under the same oracle: if the two-level decomposition
+    // ever diverged from the definitional frame algebra, exactly one of
+    // the two rows would hash-mismatch.
+    Query("w31_rolling_zscore_range", RollingZscoreOracleSql) {
+      (s, d) => rollingZscore(s, d, bucketed = false)
     },
 
     // ---- W27: time-weighted average (TWAP) --------------------------------
@@ -1076,4 +1041,61 @@ object Analytics {
       }
     }
   )
+
+  /** w26/w31 shared oracle: trailing-6h exact-moment z-score outliers. */
+  private[queries] lazy val RollingZscoreOracleSql: String =
+    """WITH m AS (
+        |  SELECT event_id, event_type, value,
+        |         sum(CAST(value AS DECIMAL(18,4))) OVER w AS s1,
+        |         sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) OVER w AS s2,
+        |         count(*) OVER w AS n
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+        |               RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)),
+        |z AS (
+        |  SELECT event_id, event_type, value, n,
+        |         CAST(s1 AS DOUBLE) / n AS mean,
+        |         sqrt(greatest(CAST(s2 AS DOUBLE) / n
+        |              - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 0.0)) AS sd
+        |  FROM m)
+        |SELECT event_id, event_type, round(value, 6) AS value,
+        |       CAST(n AS BIGINT) AS n_window,
+        |       round((value - mean) / sd, 6) AS z
+        |FROM z WHERE n >= 12 AND sd > 0 AND abs((value - mean) / sd) > 2.5""".stripMargin
+
+  /** w26/w31 shared engine body: trailing moments either via the
+    * two-level hour-bucket decomposition (bucketed = the production
+    * path, frame-density-independent cost) or the definitional sliding
+    * RANGE frame (per-row re-aggregation). Identical results —
+    * RollingMomentsSpec pins the equivalence including frame-edge ties. */
+  private def rollingZscore(s: org.apache.spark.sql.SparkSession, d: String,
+                            bucketed: Boolean): org.apache.spark.sql.DataFrame = {
+        val m = if (bucketed) {
+          graft.operators.RollingMoments.trailingMoments(
+              Tables.events(s, d).select(col("event_id"), col("event_type"),
+                col("value"), unix_micros(col("ts")).as("us")),
+              "event_type", "us", "value", 21600000000L, 3600000000L)
+            .select(col("event_id"), col("event_type"), col("value"),
+              col("s1"), col("s2"), col("n"))
+        } else {
+          val w = Window.partitionBy("event_type").orderBy(unix_micros(col("ts")))
+            .rangeBetween(-21600000000L, 0L)
+          val vd = col("value").cast("decimal(18,4)")
+          Tables.events(s, d).select(col("event_id"), col("event_type"),
+            col("value"),
+            sum(vd).over(w).as("s1"), sum(vd * vd).over(w).as("s2"),
+            count(lit(1)).over(w).as("n"))
+        }
+        val mean = col("s1").cast("double") / col("n")
+        val sd = sqrt(greatest(col("s2").cast("double") / col("n") - mean * mean,
+          lit(0.0)))
+        m.select(col("event_id"), col("event_type"), col("value"), col("n"),
+            mean.as("mean"), sd.as("sd"))
+          .filter(col("n") >= 12 && col("sd") > 0 &&
+            abs((col("value") - col("mean")) / col("sd")) > 2.5)
+          .select(col("event_id"), col("event_type"),
+            round(col("value"), 6).as("value"),
+            col("n").cast("long").as("n_window"),
+            round((col("value") - col("mean")) / col("sd"), 6).as("z"))
+  }
 }

@@ -19,16 +19,13 @@ import graft.functions.TextFunctions._
   */
 object TextAnalysis {
 
-  /** SPARK_GRAFT_HASHED_GRAMS=1 switches t20/t41 to their hashed-key
-    * production variants: gram/window STRINGS hash to 8-byte keys
-    * map-side, so the exchange moves 8 bytes instead of the text —
-    * the 100 TB form (results identical modulo 64-bit collisions;
-    * HashedGramTwinSpec pins string ≡ hashed on real data). The
-    * string forms stay the gate default because the DuckDB oracle
-    * needs a cross-engine key.
-    */
-  private def hashedGrams: Boolean =
-    sys.env.get("SPARK_GRAFT_HASHED_GRAMS").contains("1")
+  // t20/t41 run their hashed-key production variants BY DEFAULT (round-9
+  // flip of the round-8 SPARK_GRAFT_HASHED_GRAMS flag): gram/window
+  // STRINGS hash to 8-byte keys map-side, so the exchange moves 8 bytes
+  // instead of the text — the 100 TB form (results identical modulo
+  // 64-bit collisions; HashedGramTwinSpec pins string ≡ hashed on real
+  // data). The string/md5 forms stay in the gate as separate oracle-twin
+  // rows (t45/t46 — the s03↔s13 precedent).
 
   private val stop = Seq("the", "a", "of", "and", "in")
   private val markerLists = Seq(
@@ -431,14 +428,37 @@ object TextAnalysis {
     // The windowed form of suffix-array substring dedup: every 40-char
     // window occurring in >= 2 documents, with its document frequency —
     // the signal used to strip boilerplate/licence blocks that word-level
-    // shingle Jaccard misses. Per-doc distinct happens map-side
-    // (array_distinct before the explode), the aggregation is map-side
-    // combinable, and md5 is deferred to the (small) >= 2 output. At
-    // corpus scale, substitute a 64-bit hash for the raw window as the
-    // group key (ShingleHashes pattern) to shuffle 8 bytes instead of the
-    // window text — done here as raw text only because the DuckDB oracle
-    // needs a cross-engine key.
+    // shingle Jaccard misses. DEFAULT = the production path (VERDICT r8
+    // item 1): the fused CharWindowHashes kernel hashes each window to
+    // 8 bytes map-side, so the exchange moves 8-byte keys instead of the
+    // window text (~6x less shuffle). The gate projection aggregates to
+    // the duplication-frequency histogram (n_docs -> how many windows),
+    // which is IDENTICAL to the string-keyed form modulo a 2^-64
+    // collision — so the production kernel sits under a full DuckDB
+    // hash-match, not a rows-only check. Key-level semantics stay in the
+    // gate via the t45 string/md5 oracle twin below + HashedGramTwinSpec.
     Query("t20_dup_substrings",
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, greatest(length(text) - 39, 1) + 1),
+        |           i -> substr(text, CAST(i AS INT), 40)))) AS win
+        |  FROM documents),
+        |g AS (SELECT win, count(*) AS n_docs FROM w GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT n_docs, CAST(count(*) AS BIGINT) AS n_wins
+        |FROM g GROUP BY 1""".stripMargin) {
+      (s, d) =>
+        graft.operators.Dedup.dupSubstringsHashed(
+            Tables.documents(s, d), "doc_id", "text", 40, 2)
+          .groupBy("n_docs").agg(count(lit(1)).cast("long").as("n_wins"))
+    },
+
+    // ---- T45: duplicated-substrings oracle twin (string keys) --------------
+    // t20's key-level semantics under a cross-engine key: the window
+    // TEXT is the group key and md5 identifies each surviving window, so
+    // DuckDB replays the whole operator including which windows
+    // duplicate. This row pins the algorithm; t20 above is the scale
+    // path (8-byte hashed exchange).
+    Query("t45_dup_substrings_oracle",
       """WITH w AS (
         |  SELECT doc_id,
         |         unnest(list_distinct(list_transform(range(1, greatest(length(text) - 39, 1) + 1),
@@ -447,16 +467,7 @@ object TextAnalysis {
         |SELECT md5(win) AS win_md5, count(*) AS n_docs
         |FROM w GROUP BY 1 HAVING count(*) >= 2""".stripMargin) {
       (s, d) =>
-        if (hashedGrams)
-          // prod path: fused CharWindowHashes kernel, 8-byte exchange.
-          // The key column carries the 64-bit window hash as hex (NOT
-          // md5) — rows-only comparable; n_docs multiset is identical
-          // to the string form modulo 64-bit collisions.
-          graft.operators.Dedup.dupSubstringsHashed(
-              Tables.documents(s, d), "doc_id", "text", 40, 2)
-            .select(lpad(hex(col("win_h")), 16, "0").as("win_md5"),
-              col("n_docs"))
-        else Tables.documents(s, d)
+        Tables.documents(s, d)
           .select(explode(array_distinct(transform(
               sequence(lit(1), greatest(length(col("text")) - 39, lit(1))),
               i => col("text").substr(i, lit(40))))).as("win"))
@@ -1313,83 +1324,18 @@ object TextAnalysis {
     // Plan: one bound split, 7 gram sizes exploded in one generator,
     // a (doc, n, gram) hash aggregate, then a conditional-sum pivot
     // back to one row per doc — two exchanges total, no window.
-    Query("t41_gopher_repetition", {
-      val legs = (2 to 8).map { n =>
-        s"""SELECT doc_id, $n AS n,
-           |       array_to_string(w[i:i+${n - 1}], ' ') AS g
-           |FROM t, LATERAL (SELECT unnest(range(1, len(w) - ${n - 2})) AS i) ix""".stripMargin
-      }.mkString("\nUNION ALL\n")
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |toks AS (SELECT doc_id, len(w) AS ntok FROM t),
-         |grams AS (
-         |$legs),
-         |gc AS (SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY 1, 2, 3),
-         |m AS (SELECT doc_id, n, max(c) AS topc,
-         |             sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dupc
-         |      FROM gc GROUP BY 1, 2)
-         |SELECT k.doc_id,
-         |       CAST(k.ntok AS BIGINT) AS n_tokens,
-         |       round(coalesce(max(CASE WHEN n = 2 THEN topc END) * 2.0, 0) / k.ntok, 6) AS top2_frac,
-         |       round(coalesce(max(CASE WHEN n = 3 THEN topc END) * 3.0, 0) / k.ntok, 6) AS top3_frac,
-         |       round(coalesce(max(CASE WHEN n = 4 THEN topc END) * 4.0, 0) / k.ntok, 6) AS top4_frac,
-         |       round(coalesce(max(CASE WHEN n = 5 THEN dupc END) * 5.0, 0) / k.ntok, 6) AS dup5_frac,
-         |       round(coalesce(max(CASE WHEN n = 6 THEN dupc END) * 6.0, 0) / k.ntok, 6) AS dup6_frac,
-         |       round(coalesce(max(CASE WHEN n = 7 THEN dupc END) * 7.0, 0) / k.ntok, 6) AS dup7_frac,
-         |       round(coalesce(max(CASE WHEN n = 8 THEN dupc END) * 8.0, 0) / k.ntok, 6) AS dup8_frac
-         |FROM toks k LEFT JOIN m ON m.doc_id = k.doc_id
-         |GROUP BY k.doc_id, k.ntok""".stripMargin
-    }) {
-      (s, d) => {
-        // flag: hash each gram to its 8-byte key map-side — identical
-        // counts (mod 64-bit collisions), SAME output schema + values,
-        // ~6x less shuffle (the gram strings never cross the exchange)
-        val grams = if (hashedGrams)
-          bind1(split(col("text"), " ")) { w =>
-            flatten(transform(sequence(lit(2), lit(8)), n =>
-              when(size(w) >= n,
-                transform(sequence(lit(1), size(w) - n + 1),
-                  i => struct(n.as("n"),
-                    xxhash64(array_join(slice(w, i.cast("int"), n.cast("int")), " "))
-                      .as("g"))))
-                .otherwise(array().cast("array<struct<n:int,g:bigint>>"))))
-          }
-        else bind1(split(col("text"), " ")) { w =>
-          flatten(transform(sequence(lit(2), lit(8)), n =>
-            when(size(w) >= n,
-              transform(sequence(lit(1), size(w) - n + 1),
-                i => struct(n.as("n"),
-                  array_join(slice(w, i.cast("int"), n.cast("int")), " ").as("g"))))
-              .otherwise(array().cast("array<struct<n:int,g:string>>"))))
-        }
-        val base = Tables.documents(s, d).select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("ntok"),
-          grams.as("grams"))
-        val gc = base.select(col("doc_id"), col("ntok"), explode(col("grams")).as("gr"))
-          .groupBy(col("doc_id"), col("ntok"), col("gr.n").as("n"), col("gr.g").as("g"))
-          .agg(count(lit(1)).as("c"))
-        val m = gc.groupBy("doc_id", "ntok", "n").agg(
-          max(col("c")).as("topc"),
-          sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dupc"))
-        def frac(n: Int, src: String) = round(
-          coalesce(max(when(col("n") === n, col(src))) * n.toDouble, lit(0.0))
-            / col("ntok"), 6)
-        val out = m.groupBy("doc_id", "ntok").agg(
-          frac(2, "topc").as("top2_frac"), frac(3, "topc").as("top3_frac"),
-          frac(4, "topc").as("top4_frac"), frac(5, "dupc").as("dup5_frac"),
-          frac(6, "dupc").as("dup6_frac"), frac(7, "dupc").as("dup7_frac"),
-          frac(8, "dupc").as("dup8_frac"))
-        Tables.documents(s, d)
-          .select(col("doc_id"),
-            size(split(col("text"), " ")).cast("long").as("n_tokens"))
-          .join(out.withColumnRenamed("doc_id", "od"),
-            col("doc_id") === col("od"), "left")
-          .select(col("doc_id") +: col("n_tokens") +:
-            Seq("top2_frac", "top3_frac", "top4_frac", "dup5_frac",
-              "dup6_frac", "dup7_frac", "dup8_frac").map(c =>
-              // null text -> null fracs (0/NULL in the oracle), not 0.0
-              when(col("n_tokens").isNotNull,
-                coalesce(col(c), lit(0.0))).as(c)): _*)
-      }
+    // DEFAULT = hashed-gram production path; t46 below is the string-gram
+    // twin under the SAME oracle (the fractions are computed from gram
+    // COUNTS, so the two forms emit identical output — the twin keeps the
+    // straightforward algebra in the gate while this row exercises the
+    // 8-byte exchange the 100 TB plan needs).
+    Query("t41_gopher_repetition", GopherOracleSql) {
+      (s, d) => gopherBattery(s, d, hashed = true)
+    },
+
+    // ---- T46: Gopher battery string-gram oracle twin ------------------------
+    Query("t46_gopher_strgram_twin", GopherOracleSql) {
+      (s, d) => gopherBattery(s, d, hashed = false)
     },
 
     // ---- T40: cross-split contamination audit (chunk granularity) ---------
@@ -1535,7 +1481,27 @@ object TextAnalysis {
     // survivors explode. Stop-fingerprints (df > 20 docs — the tiny
     // synthetic vocabulary's analog of common boilerplate) are dropped
     // before pairing, the LSH bucket-cap convention.
-    Query("t43_winnowing_overlap",
+    // DEFAULT row = the production path (VERDICT r8 item 1): the fused
+    // WinnowingHashes codegen kernel — one byte scan, XXH64 grams, O(n)
+    // monotonic-deque sliding min, 8-byte hashes end-to-end. A different
+    // (equally valid) hash family than md5, so the selected positions —
+    // and hence the overlap pairs — are not SQL-replayable: rows-only in
+    // the gate, with (a) t44 below as the full md5-oracle twin of the
+    // pipeline semantics (the s03↔s13 precedent) and (b) WinnowingSpec
+    // pinning the family-independent contracts (detection guarantee,
+    // ~2/(w+1) density) on THIS path.
+    Query.noOracle("t43_winnowing_overlap") {
+      (s, d) => graft.operators.Winnowing.overlapPairs(
+        Tables.documents(s, d).select("doc_id", "text"),
+        k = 8, w = 16, maxDocs = 20, minShared = 8, hashed = true)
+    },
+
+    // ---- T44: winnowing oracle twin (md5 family) ---------------------------
+    // t43's pipeline semantics under a cross-engine hash family: every
+    // stage (k-gram hash, rightmost-tie sliding min, distinct, stop-
+    // fingerprint cap, pairing) replays in DuckDB bit-for-bit. This row
+    // pins the ALGORITHM in the gate; t43 above is the scale path.
+    Query("t44_winnowing_oracle",
       """WITH pos AS (
         |  SELECT doc_id, u AS p,
         |         substring(md5(substring(text, u + 1, 8)), 1, 16) AS h,
@@ -1543,7 +1509,7 @@ object TextAnalysis {
         |  FROM documents, LATERAL unnest(range(0, len(text) - 7)) AS g(u)),
         |sel AS (
         |  SELECT doc_id,
-        |         min(h || printf('%08d', 99999999 - p))
+        |         min(h || printf('%012d', 999999999999 - p))
         |           OVER (PARTITION BY doc_id ORDER BY p
         |                 ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS key,
         |         p, n
@@ -1565,6 +1531,91 @@ object TextAnalysis {
         k = 8, w = 16, maxDocs = 20, minShared = 8)
     }
   )
+
+  /** t41/t46 shared oracle: the Gopher repetition battery in SQL.
+    * Both gram-key forms (hashed/string) compute identical fractions —
+    * gram keys never reach the output — so one oracle serves both rows. */
+  private[queries] lazy val GopherOracleSql: String = {
+    val legs = (2 to 8).map { n =>
+      s"""SELECT doc_id, $n AS n,
+         |       array_to_string(w[i:i+${n - 1}], ' ') AS g
+         |FROM t, LATERAL (SELECT unnest(range(1, len(w) - ${n - 2})) AS i) ix""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |toks AS (SELECT doc_id, len(w) AS ntok FROM t),
+         |grams AS (
+         |$legs),
+         |gc AS (SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+         |m AS (SELECT doc_id, n, max(c) AS topc,
+         |             sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dupc
+         |      FROM gc GROUP BY 1, 2)
+         |SELECT k.doc_id,
+         |       CAST(k.ntok AS BIGINT) AS n_tokens,
+         |       round(coalesce(max(CASE WHEN n = 2 THEN topc END) * 2.0, 0) / k.ntok, 6) AS top2_frac,
+         |       round(coalesce(max(CASE WHEN n = 3 THEN topc END) * 3.0, 0) / k.ntok, 6) AS top3_frac,
+         |       round(coalesce(max(CASE WHEN n = 4 THEN topc END) * 4.0, 0) / k.ntok, 6) AS top4_frac,
+         |       round(coalesce(max(CASE WHEN n = 5 THEN dupc END) * 5.0, 0) / k.ntok, 6) AS dup5_frac,
+         |       round(coalesce(max(CASE WHEN n = 6 THEN dupc END) * 6.0, 0) / k.ntok, 6) AS dup6_frac,
+         |       round(coalesce(max(CASE WHEN n = 7 THEN dupc END) * 7.0, 0) / k.ntok, 6) AS dup7_frac,
+         |       round(coalesce(max(CASE WHEN n = 8 THEN dupc END) * 8.0, 0) / k.ntok, 6) AS dup8_frac
+         |FROM toks k LEFT JOIN m ON m.doc_id = k.doc_id
+         |GROUP BY k.doc_id, k.ntok""".stripMargin
+  }
+
+  /** t41/t46 shared engine body: the Gopher battery with hashed (8-byte
+    * xxhash64, the production exchange) or string gram keys. */
+  private def gopherBattery(s: org.apache.spark.sql.SparkSession, d: String,
+                            hashed: Boolean): org.apache.spark.sql.DataFrame = {
+        // hashed: each gram keys the exchange as 8 bytes map-side — identical
+        // counts (mod 64-bit collisions), SAME output schema + values,
+        // ~6x less shuffle (the gram strings never cross the exchange)
+        val grams = if (hashed)
+          bind1(split(col("text"), " ")) { w =>
+            flatten(transform(sequence(lit(2), lit(8)), n =>
+              when(size(w) >= n,
+                transform(sequence(lit(1), size(w) - n + 1),
+                  i => struct(n.as("n"),
+                    xxhash64(array_join(slice(w, i.cast("int"), n.cast("int")), " "))
+                      .as("g"))))
+                .otherwise(array().cast("array<struct<n:int,g:bigint>>"))))
+          }
+        else bind1(split(col("text"), " ")) { w =>
+          flatten(transform(sequence(lit(2), lit(8)), n =>
+            when(size(w) >= n,
+              transform(sequence(lit(1), size(w) - n + 1),
+                i => struct(n.as("n"),
+                  array_join(slice(w, i.cast("int"), n.cast("int")), " ").as("g"))))
+              .otherwise(array().cast("array<struct<n:int,g:string>>"))))
+        }
+        val base = Tables.documents(s, d).select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ntok"),
+          grams.as("grams"))
+        val gc = base.select(col("doc_id"), col("ntok"), explode(col("grams")).as("gr"))
+          .groupBy(col("doc_id"), col("ntok"), col("gr.n").as("n"), col("gr.g").as("g"))
+          .agg(count(lit(1)).as("c"))
+        val m = gc.groupBy("doc_id", "ntok", "n").agg(
+          max(col("c")).as("topc"),
+          sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dupc"))
+        def frac(n: Int, src: String) = round(
+          coalesce(max(when(col("n") === n, col(src))) * n.toDouble, lit(0.0))
+            / col("ntok"), 6)
+        val out = m.groupBy("doc_id", "ntok").agg(
+          frac(2, "topc").as("top2_frac"), frac(3, "topc").as("top3_frac"),
+          frac(4, "topc").as("top4_frac"), frac(5, "dupc").as("dup5_frac"),
+          frac(6, "dupc").as("dup6_frac"), frac(7, "dupc").as("dup7_frac"),
+          frac(8, "dupc").as("dup8_frac"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .join(out.withColumnRenamed("doc_id", "od"),
+            col("doc_id") === col("od"), "left")
+          .select(col("doc_id") +: col("n_tokens") +:
+            Seq("top2_frac", "top3_frac", "top4_frac", "dup5_frac",
+              "dup6_frac", "dup7_frac", "dup8_frac").map(c =>
+              // null text -> null fracs (0/NULL in the oracle), not 0.0
+              when(col("n_tokens").isNotNull,
+                coalesce(col(c), lit(0.0))).as(c)): _*)
+  }
 
   /** t33's piece vocabulary (lengths 2-4), chosen to split the corpus
     * vocabulary into multi-piece encodings. Shared with the oracle. */
