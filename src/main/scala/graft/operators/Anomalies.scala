@@ -218,6 +218,71 @@ object Anomalies {
         concat((lit(s"$anomaliesId:") +: descParts): _*)): _*)
   }
 
+  /** Fused stateless-rule battery (VERDICT r8 item 4): N per-row
+    * predicate rules evaluated in ONE scan/projection of `df` — the
+    * staged-flags pattern (g15). Each rule is (anomaliesId, description
+    * WITHOUT the "id: " prefix, predicate); a row contributes one
+    * conditional struct per rule to an array, nulls (non-hits) are
+    * dropped row-side, and the survivors explode into the uniform
+    * anomaly schema. Replaces one scan PER rule with one scan per
+    * TABLE — at 100 TB the difference between k passes and one. Rules
+    * that aggregate or join on their own keys stay separate detectors;
+    * this fuses only the genuinely stateless ones (the reference runs
+    * its per-row filters the same way: one data.frame pass per form,
+    * the pipeline-cleaning anomalies_detector scripts).
+    */
+  def detectRowBattery(df: DataFrame, formId: String, keyCol: Column,
+                       rules: Seq[(String, Column, Column)]): DataFrame = {
+    val slots = array(rules.map { case (aid, desc, pred) =>
+      when(pred, struct(lit(aid).as("a"),
+        concat(lit(s"$aid: "), desc).as("d")))
+    }: _*)
+    // prune FIRST on the predicate disjunction — a plain pushable filter
+    // that drops the (vast) non-anomalous majority before the per-row
+    // struct array + generate run; building the slot array for every
+    // source row measured +70% on the joined-rules leg
+    val anyHit = rules.map(_._3).reduce(_ || _)
+    df.filter(anyHit)
+      .select(keyCol.cast("string").as("__key"),
+        explode(filter(slots, x => x.isNotNull)).as("__r"))
+      .select(
+        concat_ws("__", lit(formId), col("__key"), col("__r").getField("a"))
+          .as("resolution_id"),
+        col("__key").as("key"),
+        lit(formId).as("form_id"),
+        col("__r").getField("a").as("anomalies_id"),
+        col("__r").getField("d").as("anomalies_description"),
+        lit("to_do").as("resolution_status"))
+  }
+
+  /** Shared substrate for conditional distinct-member rules over ONE
+    * group key: per group, for every labeled condition, the DISTINCT
+    * count of members matching it and the sorted member list — computed
+    * two-level (level 1 groups by (keys..., member) with one boolean
+    * flag per condition; level 2 folds counts and lists), so k
+    * conditions cost ONE scan and NO Expand, where k independent
+    * countDistinct aggregates would Expand the scan x(k+1) (the g14
+    * cliff). Downstream rules (r3/r13-style) read this one frame as
+    * per-row predicates — feed it to detectRowBattery.
+    * Output: keys..., n_<label> (long), ids_<label> (sorted comma list).
+    */
+  def memberStats(df: DataFrame, keys: Seq[String],
+                  conds: Seq[(String, Column)], memberCol: String): DataFrame = {
+    val flags = conds.map { case (label, cond) =>
+      max(when(cond, lit(1)).otherwise(lit(0))).as(s"__f_$label")
+    }
+    val l1 = df.groupBy((keys :+ memberCol).map(col): _*)
+      .agg(flags.head, flags.tail: _*)
+    val l2aggs = conds.flatMap { case (label, _) => Seq(
+      count(when(col(s"__f_$label") === 1 && col(memberCol).isNotNull, 1))
+        .as(s"n_$label"),
+      concat_ws(",", array_sort(collect_list(
+        when(col(s"__f_$label") === 1, col(memberCol).cast("string")))))
+        .as(s"ids_$label"))
+    }
+    l1.groupBy(keys.map(col): _*).agg(l2aggs.head, l2aggs.tail: _*)
+  }
+
   /** R6+R7 (consolidate): union detector outputs with bind_rows semantics —
     * align by name, missing columns null, everything cast to string, nulls
     * as ''. Ref: 05.run_anomaly_detection.R:52-56.

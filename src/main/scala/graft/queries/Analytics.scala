@@ -326,15 +326,28 @@ object Analytics {
         def one(rule: String, c: Column): Column =
           struct(lit(rule).as("rule"), c.cast("long").as("n_violations"))
         val orders = Tables.orders(s, d)
-        // orders rules: ONE scan, three counters
-        val o = orders.agg(
+        // orders rules: ONE scan, three counters — in the a17 two-level
+        // form (VERDICT r8 item 3). Mixing countDistinct with plain
+        // counters in one aggregate Expands the scan x2 (the shape the
+        // 100x ScaleSmoke measured at 453 s vs 49 s for this rewrite):
+        // instead, level 1 groups by the distinct key and carries the
+        // plain counters as partial sums (map-side combinable), level 2
+        // folds them — the uniqueness violation count is sum(n) minus
+        // the number of non-null key groups, exactly count(*) -
+        // count(DISTINCT key). No Expand anywhere in the plan.
+        val perKey = orders.groupBy("o_orderkey").agg(
+          count(lit(1)).as("__n"),
+          count(when(col("o_custkey").isNull, 1)).as("__nullck"),
+          count(when(col("o_totalprice").isNull || col("o_totalprice") <= 0, 1))
+            .as("__badprice"))
+        val o = perKey.agg(
           one("orders_custkey_not_null",
-            count(when(col("o_custkey").isNull, 1))).as("r1"),
+            coalesce(sum("__nullck"), lit(0L))).as("r1"),
           one("orders_orderkey_unique",
-            count(lit(1)) - countDistinct(col("o_orderkey"))).as("r2"),
+            coalesce(sum("__n"), lit(0L))
+              - count(when(col("o_orderkey").isNotNull, 1))).as("r2"),
           one("orders_price_positive",
-            count(when(col("o_totalprice").isNull || col("o_totalprice") <= 0, 1)))
-            .as("r3"))
+            coalesce(sum("__badprice"), lit(0L))).as("r3"))
           .select(explode(array(col("r1"), col("r2"), col("r3"))).as("r"))
         val fk = orders.filter(col("o_custkey").isNotNull)
           .join(broadcast(Tables.customer(s, d).select(col("c_custkey"))),

@@ -282,16 +282,42 @@ object Composite {
         val r2 = Anomalies.detectDistinctMismatch(li, "lineitem",
           "hh_detected_multiple_clusters",
           Seq("l_orderkey", "l_partkey"), "l_suppkey")
-        val r3 = Anomalies.detectConditionalCount(li, "lineitem",
-          "hh_more_than_3_members_returned", Seq("l_orderkey"),
-          col("l_returnflag") === "R", "l_linenumber", 3L)
-        val r4 = Anomalies.detectThreshold(cust, "customer",
-          "negative_balance", "c_custkey", col("c_acctbal"), 0.0,
-          above = false)
-        val r5 = Anomalies.detectThreshold(orders, "orders",
-          "totalprice_too_high", "o_orderkey", col("o_totalprice"), 450000.0)
-        val r6 = Anomalies.detectInvalidCode(cust, "customer",
-          "hh_outside_cluster", "c_custkey", col("c_nationkey"), Seq(1L, 4L, 6L))
+        // r3 + r13 fused (VERDICT r8 item 4): both conditional distinct-
+        // member rules read ONE two-level stats pass over lineitem
+        // (memberStats), then emit as per-row rules over the aggregated
+        // frame — one scan and no Expand where two detectors each paid a
+        // scan + an Expanded distinct aggregate.
+        val mstats = Anomalies.memberStats(li, Seq("l_orderkey"), Seq(
+          ("died", col("l_returnflag") === "R"),
+          ("migrated", col("l_returnflag") === "A")), "l_linenumber")
+        val r3r13 = Anomalies.detectRowBattery(mstats, "lineitem",
+          col("l_orderkey"), Seq(
+            ("hh_more_than_3_members_returned",
+              concat(col("n_died").cast("string"), lit(" members, ids="),
+                col("ids_died")),
+              col("n_died") > 3),
+            ("members_left",
+              concat(lit("died="), col("n_died").cast("string"),
+                lit(" migrated="), col("n_migrated").cast("string")),
+              col("n_died") > 3 || col("n_migrated") > 3)))
+        // r4 + r6 fused: the two stateless customer rules in one scan
+        val r4r6 = Anomalies.detectRowBattery(cust, "customer",
+          col("c_custkey"), Seq(
+            ("negative_balance",
+              concat(lit("value="), col("c_acctbal").cast("string"),
+                lit(" vs threshold=0.0")),
+              col("c_acctbal") < 0.0),
+            ("hh_outside_cluster",
+              concat(lit("code="),
+                coalesce(col("c_nationkey").cast("string"), lit("NA"))),
+              col("c_nationkey").isNull || col("c_nationkey").isin(1L, 4L, 6L))))
+        // r5: the one stateless orders row rule, same battery form
+        val r5 = Anomalies.detectRowBattery(orders, "orders",
+          col("o_orderkey"), Seq(
+            ("totalprice_too_high",
+              concat(lit("value="), col("o_totalprice").cast("string"),
+                lit(" vs threshold=450000.0")),
+              col("o_totalprice") > 450000.0)))
         val r7 = Anomalies.detectDuplication(
           orders.withColumn("__pk",
               when(col("o_orderpriority") === "1-URGENT", lit(null))
@@ -303,13 +329,23 @@ object Composite {
           "mapping_mismatch",
           concat_ws("-", col("l_orderkey"), col("l_linenumber")),
           "l_partkey", "l_suppkey", truth)
-        val r9 = Anomalies.detectThreshold(
-          li.join(orders, col("l_orderkey") === col("o_orderkey"))
-            .withColumn("__k", concat_ws("-", col("l_orderkey"), col("l_linenumber")))
-            .withColumn("__days",
-              datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))),
-          "lineitem", "rdt_time_diff", "__k", col("__days").cast("double"), 1.0,
-          above = false)
+        // r9 + r12 fused: both rules are stateless predicates over the
+        // SAME lineitem⋈orders join — one join feeds both (was two full
+        // joins, the battery's single biggest redundant cost)
+        val joined = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+          .withColumn("__k", concat_ws("-", col("l_orderkey"), col("l_linenumber")))
+          .withColumn("__days",
+            datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date")))
+        val r9r12 = Anomalies.detectRowBattery(joined, "lineitem",
+          col("__k"), Seq(
+            ("rdt_time_diff",
+              concat(lit("value="), col("__days").cast("double").cast("string"),
+                lit(" vs threshold=1.0")),
+              col("__days").cast("double") < 1.0),
+            ("gps_time_combo",
+              concat(lit("accuracy="), col("l_discount").cast("string"),
+                lit(" time_diff="), col("__days").cast("string")),
+              col("l_discount") > 0.09 && col("__days") < 3)))
         // r10: repeat-group cardinality vs parent-declared count — the
         // declared value is the actual count with a deterministic +1
         // discrepancy injected for orderkey % 97 == 0 families, so the
@@ -328,23 +364,8 @@ object Composite {
           li.withColumn("__k", concat_ws("-", col("l_orderkey"), col("l_linenumber"))),
           "lineitem", "missing_day0_registration", "__k", "l_orderkey",
           orders.filter(pmod(col("o_orderkey"), lit(101)) =!= 7), "o_orderkey")
-        // r12: per-row conjunction (GPS-accuracy × time-diff analog)
-        val r12 = Anomalies.detectCombo(
-          li.join(orders, col("l_orderkey") === col("o_orderkey"))
-            .withColumn("__k", concat_ws("-", col("l_orderkey"), col("l_linenumber")))
-            .withColumn("__days",
-              datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))),
-          "lineitem", "gps_time_combo", "__k", Seq(
-            ("accuracy", col("l_discount"), col("l_discount") > 0.09),
-            ("time_diff", col("__days"), col("__days") < 3)))
-        // r13: OR'd conditional distinct counts (died/migrated pair)
-        val r13 = Anomalies.detectConditionalCountMulti(li, "lineitem",
-          "members_left", Seq("l_orderkey"), Seq(
-            ("died", col("l_returnflag") === "R"),
-            ("migrated", col("l_returnflag") === "A")),
-          "l_linenumber", 3L)
         val all = Anomalies.consolidate(
-          Seq(r1, r2, r3, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13))
+          Seq(r1, r2, r3r13, r4r6, r5, r7, r8, r9r12, r10, r11))
         // end-to-end: through the daily-partitioned history sink and back
         val root = graft.core.TempDirs.scratch("graft_battery_").toString
         Anomalies.writeHistory(all, root, java.time.LocalDate.parse("2026-01-01"))

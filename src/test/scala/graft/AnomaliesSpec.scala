@@ -148,4 +148,38 @@ class AnomaliesSpec extends SparkSpec {
     assert(rows(out) == Set(
       Seq("f1", "a1", 2L, "2026-01-01"), Seq("f1", "a2", 1L, "2026-01-01")))
   }
+
+  test("detectRowBattery == union of the single-rule detectors it fuses") {
+    val d = df(
+      """SELECT * FROM VALUES
+        |  (1, -5.0, 4), (2, 10.0, 2), (3, -1.0, 1), (4, 3.0, CAST(NULL AS INT))
+        |  t(id, bal, code)""".stripMargin)
+    val fused = Anomalies.detectRowBattery(d, "f", col("id"), Seq(
+      ("neg", concat(lit("value="), col("bal").cast("string"),
+        lit(" vs threshold=0.0")), col("bal") < 0.0),
+      ("badcode", concat(lit("code="),
+        coalesce(col("code").cast("string"), lit("NA"))),
+        col("code").isNull || col("code").isin(1, 4))))
+    val single = Anomalies.detectThreshold(d, "f", "neg", "id", col("bal"),
+        0.0, above = false)
+      .unionByName(Anomalies.detectInvalidCode(d, "f", "badcode", "id",
+        col("code"), Seq(1, 4)))
+    assert(rows(fused) == rows(single) && fused.count() == 5)
+  }
+
+  test("memberStats matches the countDistinct definition incl. null members") {
+    val d = df(
+      """SELECT * FROM VALUES
+        |  ('g1', 'R', 'm1'), ('g1', 'R', 'm1'), ('g1', 'R', 'm2'),
+        |  ('g1', 'A', 'm9'), ('g1', 'R', CAST(NULL AS STRING)),
+        |  ('g2', 'X', 'm1')
+        |  t(g, flag, member)""".stripMargin)
+    val out = Anomalies.memberStats(d, Seq("g"), Seq(
+      ("died", col("flag") === "R"), ("migrated", col("flag") === "A")), "member")
+    assert(rows(out) == Set(
+      Seq("g1", 2L, "m1,m2", 1L, "m9"),
+      Seq("g2", 0L, "", 0L, "")))
+    // the plan must stay Expand-free (the whole point vs countDistinct)
+    assert(!out.queryExecution.executedPlan.toString.contains("Expand"))
+  }
 }

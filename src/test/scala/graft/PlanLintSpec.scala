@@ -21,4 +21,10 @@ class PlanLintSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  test("j06 resolution prep plans no SortAggregate (hash-agg argmax form)") {
+    val plan = SparkEntry.queries("j06_resolution_set_delete")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(!plan.contains("SortAggregate"), plan)
+  }
 }
