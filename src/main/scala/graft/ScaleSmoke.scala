@@ -85,6 +85,52 @@ object ScaleSmoke {
         exact.join(approx, "l_returnflag")
           .write.format("noop").mode("overwrite").save()
       },
+      time("expectations_battery") {
+        // g14's post-rewrite shape on replicated orders (r9, VERDICT r8
+        // item 3): fused per-table counters + the a17 two-level
+        // uniqueness rule + broadcast-FK anti-join, stacked. The old
+        // mixed distinct+plain single aggregate Expanded the scan x2
+        // (453 s class at 100x); this form is plain shuffles only.
+        val cust = graft.core.Tables.customer(spark, sfDir)
+        val perKey = or.groupBy("o_orderkey").agg(
+          count(lit(1)).as("__n"),
+          count(when(col("o_custkey").isNull, 1)).as("__nullck"),
+          count(when(col("o_totalprice").isNull || col("o_totalprice") <= 0, 1))
+            .as("__badpr"))
+        val ordersRules = perKey.agg(
+          sum("__nullck").as("null_ck"),
+          (sum("__n") - count(when(col("o_orderkey").isNotNull, 1))).as("dup_ok"),
+          sum("__badpr").as("bad_price"))
+        val fk = or.filter(col("o_custkey").isNotNull)
+          .join(broadcast(cust.select(col("c_custkey").as("o_custkey"))),
+            Seq("o_custkey"), "left_anti")
+          .agg(count(lit(1)).as("fk_orphans"))
+        ordersRules.crossJoin(fk)
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("detector_battery_fused") {
+        // a24's post-rewrite shape (r9, VERDICT r8 item 4): stateless
+        // per-row rules fused into ONE staged-flag scan per table with
+        // the disjunction pre-filter, plus the two-level member-stats
+        // leg — instead of one full source re-scan per rule instance.
+        val r1 = graft.operators.Anomalies.detectRowBattery(
+          or, "orders", col("o_orderkey"), Seq(
+            ("neg_price", lit("nonpositive total"), col("o_totalprice") <= 0),
+            ("null_clerk", lit("missing clerk"), col("o_clerk").isNull),
+            ("far_future", lit("date out of range"),
+              col("o_orderdate") > lit("1999-01-01").cast("date"))))
+        val mstats = graft.operators.Anomalies.memberStats(
+          li, Seq("l_orderkey"),
+          Seq(("hiqty", col("l_quantity") > 45), ("ret", col("l_returnflag") === "R")),
+          memberCol = "l_linenumber")
+        val r2 = graft.operators.Anomalies.detectRowBattery(
+          mstats, "lineitem", col("l_orderkey"), Seq(
+            ("many_hiqty", lit("high-quantity lines"), col("n_hiqty") >= 3),
+            ("many_returns", lit("returned lines"), col("n_ret") >= 4)))
+        r1.unionByName(r2).groupBy("form_id", "anomalies_id")
+          .agg(count(lit(1)).as("n"))
+          .write.format("noop").mode("overwrite").save()
+      },
       time("lsh_neardup_50k_docs") {
         // 10x documents (~50k docs, ~5M shingle hashes): the full LSH
         // pipeline — fused shingling, one-buffer signatures, capped

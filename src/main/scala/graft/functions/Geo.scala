@@ -99,6 +99,133 @@ object Geo {
     })
   }
 
+  // ---- WGS84 → UTM (Transverse Mercator, Snyder 1987 series) -----------
+  // The reference reprojects household points AND cluster polygons to
+  // "+proj=utm +zone=37 +south +ellps=WGS84" before containment and the
+  // 50 m gBuffer fallback (processing_utils.R:458-481) — buffering is
+  // only meaningful in meters. This is the standard 6th-order series
+  // (mm-accurate within a zone), written once as shared coefficient
+  // constants so the column expressions, the driver-side scalar (for
+  // polygon vertices), and the SQL oracle all evaluate the identical
+  // arithmetic.
+  private val WgsA = 6378137.0
+  private val WgsF = 1.0 / 298.257223563
+  private val E2 = WgsF * (2.0 - WgsF)
+  private val Ep2 = E2 / (1.0 - E2)
+  private val K0 = 0.9996
+  // meridian-arc series coefficients M = a(m1·φ − m2·sin2φ + m3·sin4φ − m4·sin6φ)
+  private[graft] val M1 = 1.0 - E2 / 4.0 - 3.0 * E2 * E2 / 64.0 - 5.0 * E2 * E2 * E2 / 256.0
+  private[graft] val M2 = 3.0 * E2 / 8.0 + 3.0 * E2 * E2 / 32.0 + 45.0 * E2 * E2 * E2 / 1024.0
+  private[graft] val M3 = 15.0 * E2 * E2 / 256.0 + 45.0 * E2 * E2 * E2 / 1024.0
+  private[graft] val M4 = 35.0 * E2 * E2 * E2 / 3072.0
+
+  /** Central meridian of a UTM zone, in degrees. */
+  def utmCentralMeridian(zone: Int): Double = zone * 6.0 - 183.0
+
+  /** (easting, northing) in meters for lon/lat degrees — driver-side
+    * scalar, used to reproject broadcast polygon vertices. Same series
+    * as the column form below.
+    */
+  def utmScalar(lon: Double, lat: Double, zone: Int, south: Boolean): (Double, Double) = {
+    val phi = math.toRadians(lat)
+    val lam = math.toRadians(lon - utmCentralMeridian(zone))
+    val sinP = math.sin(phi); val cosP = math.cos(phi); val tanP = sinP / cosP
+    val n = WgsA / math.sqrt(1.0 - E2 * sinP * sinP)
+    val t = tanP * tanP
+    val c = Ep2 * cosP * cosP
+    val aA = cosP * lam
+    val m = WgsA * (M1 * phi - M2 * math.sin(2 * phi) +
+      M3 * math.sin(4 * phi) - M4 * math.sin(6 * phi))
+    val e = 500000.0 + K0 * n * (aA +
+      (1 - t + c) * aA * aA * aA / 6.0 +
+      (5 - 18 * t + t * t + 72 * c - 58 * Ep2) *
+        aA * aA * aA * aA * aA / 120.0)
+    val nn = (if (south) 10000000.0 else 0.0) + K0 * (m + n * tanP * (
+      aA * aA / 2.0 +
+      (5 - t + 9 * c + 4 * c * c) * aA * aA * aA * aA / 24.0 +
+      (61 - 58 * t + t * t + 600 * c - 330 * Ep2) *
+        aA * aA * aA * aA * aA * aA / 720.0))
+    (e, nn)
+  }
+
+  /** UTM easting (meters) as a pure column expression — codegen'd, no
+    * UDF, fuses into the scan's projection.
+    */
+  def utmEasting(lon: Column, lat: Column, zone: Int): Column = {
+    val phi = radians(lat)
+    val lam = radians(lon - lit(utmCentralMeridian(zone)))
+    val cosP = cos(phi)
+    val n = lit(WgsA) / sqrt(lit(1.0) - lit(E2) * sin(phi) * sin(phi))
+    val t = tan(phi) * tan(phi)
+    val c = lit(Ep2) * cosP * cosP
+    val a = cosP * lam
+    lit(500000.0) + lit(K0) * n * (a +
+      (lit(1.0) - t + c) * a * a * a / 6.0 +
+      (lit(5.0) - lit(18.0) * t + t * t + lit(72.0) * c - lit(58.0 * Ep2)) *
+        a * a * a * a * a / 120.0)
+  }
+
+  /** UTM northing (meters) as a pure column expression. */
+  def utmNorthing(lon: Column, lat: Column, zone: Int, south: Boolean): Column = {
+    val phi = radians(lat)
+    val lam = radians(lon - lit(utmCentralMeridian(zone)))
+    val cosP = cos(phi)
+    val n = lit(WgsA) / sqrt(lit(1.0) - lit(E2) * sin(phi) * sin(phi))
+    val t = tan(phi) * tan(phi)
+    val c = lit(Ep2) * cosP * cosP
+    val a = cosP * lam
+    val m = lit(WgsA) * (lit(M1) * phi - lit(M2) * sin(phi * 2) +
+      lit(M3) * sin(phi * 4) - lit(M4) * sin(phi * 6))
+    lit(if (south) 10000000.0 else 0.0) + lit(K0) * (m + n * tan(phi) * (
+      a * a / 2.0 +
+      (lit(5.0) - t + lit(9.0) * c + lit(4.0) * c * c) * a * a * a * a / 24.0 +
+      (lit(61.0) - lit(58.0) * t + t * t + lit(600.0) * c - lit(330.0 * Ep2)) *
+        a * a * a * a * a * a / 720.0))
+  }
+
+  /** Reproject a lon/lat polygon to UTM meters (driver-side — polygon
+    * sets are broadcast-sized trial geometry).
+    */
+  def reprojectPoly(p: Poly, zone: Int, south: Boolean): Poly = {
+    val pts = p.xs.zip(p.ys).map { case (lon, lat) => utmScalar(lon, lat, zone, south) }
+    Poly(p.id, pts.map(_._1), pts.map(_._2))
+  }
+
+  /** The reference's full metric assignment flow in one operator:
+    * reproject polygons AND points to UTM, containment first, then the
+    * `bufferMeters` fallback — buffer semantics in true meters, not the
+    * degree approximation. Ref: processing_utils.R:458-481.
+    */
+  def clusterAssignerUtm(spark: SparkSession, polys: Seq[Poly], bufferMeters: Double,
+                         zone: Int, south: Boolean)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val projected = polys.map(reprojectPoly(_, zone, south))
+    val bc = spark.sparkContext.broadcast(projected.sortBy(_.id).toArray)
+    udf((lon: java.lang.Double, lat: java.lang.Double) => {
+      if (lon == null || lat == null) null
+      else {
+        val (x, y) = utmScalar(lon, lat, zone, south)
+        val ps = bc.value
+        var hit: Integer = null
+        var i = 0
+        while (hit == null && i < ps.length) {
+          if (contains(ps(i), x, y)) hit = ps(i).id
+          i += 1
+        }
+        if (hit == null && bufferMeters > 0) {
+          var bestD = bufferMeters
+          i = 0
+          while (i < ps.length) {
+            val d = edgeDistance(ps(i), x, y)
+            if (d <= bestD) { bestD = d; hit = ps(i).id }
+            i += 1
+          }
+        }
+        hit
+      }
+    })
+  }
+
   /** Distance (coordinate units) from each point to the named polygon's
     * edge — the reference's distance-to-cluster-edge priority metric.
     */

@@ -59,6 +59,76 @@ object Dedup {
     verified(sh, cand, sh.groupBy("__id").agg(count(lit(1)).as("n")), threshold)
   }
 
+  /** Exact Jaccard pairs from a QUERY document subset against the whole
+    * corpus, by DIRECT intersection counting: the (query-shingle ⋈
+    * corpus-shingle) equality join emits exactly one row per shared
+    * shingle per pair — shingle lists are per-doc distinct — so
+    * `groupBy(pair).count` IS the intersection size, with no candidate
+    * materialization and no second verification join. One narrow
+    * shuffle of Σ df_q·df rows. The right exact-band shape when the
+    * vocabulary is small/dense (uniform doc frequencies defeat prefix
+    * filtering: with every shingle at df ≈ n_docs/20 the prefix buckets
+    * are as big as the corpus) or when truth is only needed for a
+    * bounded query slice. Pairs are (a, b) with a < b and a satisfying
+    * `queryPred`.
+    */
+  def exactJaccardPairsFrom(df: DataFrame, idCol: String, textCol: String,
+                            n: Int, threshold: Double,
+                            queryPred: Column => Column): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy("__id").agg(count(lit(1)).as("n"))
+    val inter = sh.filter(queryPred(col("__id"))).toDF("doc_a", "s")
+      .join(sh.toDF("doc_b", "s2"),
+        col("s") === col("s2") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+      .withColumn("jaccard", col("i") * lit(1.0) / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Exact Jaccard pairs with PREFIX FILTERING (the AllPairs/PPJoin
+    * candidate scheme — Bayardo et al. WWW'07, Xiao et al. WWW'08):
+    * identical output to [[exactJaccardPairs]], but candidates are
+    * generated only from each document's `⌊n·(1−t)⌋+1` globally RAREST
+    * shingles (rare-first total order = ascending doc-frequency, shingle
+    * value as tie-break). Two sets with J ≥ t must share a token within
+    * both prefixes of that length — sets sharing ZERO prefix tokens can
+    * overlap only in their suffixes, bounding the intersection below the
+    * J ≥ t requirement — so no qualifying pair is lost, while the
+    * candidate join touches ~(1−t) of the shingle volume and the
+    * rare-first order makes bucket sizes tiny. At t = 0.9 this is the
+    * scale path for exact-band truth at corpus size (measured 103.9 s →
+    * ~8 s on the 5k-doc corpus); verification is the same
+    * candidate-only semi-joined intersection count.
+    */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleTable(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy("__id").agg(count(lit(1)).as("n"))
+    // prefix length n − ⌈t·n⌉ + 1 (tight form of ⌊(1−t)n⌋+1); the 1e-6
+    // guard keeps IEEE noise in t·n from flipping the ceil at integer
+    // boundaries — erring only toward a one-longer (still correct) prefix
+    val prefLen = (col("n") - ceil(col("n") * threshold - 1e-6) + 1).cast("long")
+    val ranked = sh
+      .join(sh.groupBy("s").agg(count(lit(1)).as("__df")), "s")
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("__id").orderBy(col("__df"), col("s"))))
+    val pref = ranked.join(sizes, "__id")
+      .filter(col("__rk") <= prefLen)
+      .select(col("__id"), col("s"))
+    val cand = pref.toDF("doc_a", "s")
+      .join(pref.toDF("doc_b", "s2"),
+        col("s") === col("s2") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    verified(sh, cand, sizes, threshold)
+  }
+
   /** Asymmetric containment pairs: C(a→b) = |sh(a) ∩ sh(b)| / |sh(a)| —
     * the quote/inclusion detector Jaccard misses (a short doc fully
     * embedded in a long one has high containment but low Jaccard). Same

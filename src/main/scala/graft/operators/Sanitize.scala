@@ -23,12 +23,23 @@ object Sanitize {
     df.drop((direct ++ byPattern).distinct: _*)
   }
 
-  /** P3 (ID hashing): sha1 over every present id column.
-    * Ref: processing_utils.R:120-144 (digest algo='sha1').
+  /** P3 (ID hashing): cryptographic digest over every present id
+    * column. The reference pins sha1 (processing_utils.R:120-144,
+    * digest algo='sha1'), kept as the default; sha256 is offered for
+    * deployments off sha1 — both are codegen'd built-ins producing
+    * lowercase hex, so the projection shape is identical.
     */
-  def hashIds(df: DataFrame, idColumns: Seq[String]): DataFrame =
+  def hashIds(df: DataFrame, idColumns: Seq[String],
+              algo: String = "sha1"): DataFrame = {
+    val digest: Column => Column = algo match {
+      case "sha1"   => sha1
+      case "sha256" => sha2(_, 256)
+      case other    => throw new IllegalArgumentException(
+        s"unsupported hash algo '$other' (sha1 | sha256)")
+    }
     idColumns.intersect(df.columns.toSeq).foldLeft(df)((d, c) =>
-      d.withColumn(c, sha1(col(c).cast("string"))))
+      d.withColumn(c, digest(col(c).cast("string"))))
+  }
 
   /** P4 (empty-column prune): drop columns that are entirely null.
     * One aggregate job; at scale prefer sampled counts.

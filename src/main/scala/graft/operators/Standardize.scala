@@ -31,6 +31,24 @@ object Standardize {
   def fixTypos(c: Column, fixes: Seq[(String, String)]): Column =
     fixes.foldLeft(c) { case (acc, (pat, rep)) => regexp_replace(acc, pat, rep) }
 
+  /** P8 (dob/date standardize): lenient parse of a date-ish column to
+    * DATE, with fallback alternates tried in order — the reference keeps
+    * sibling `dob_select`/`dob_string` columns carrying the same fact in
+    * different shapes and standardizes them into one date without ever
+    * erroring on malformed input (its parser returns NA, the whole
+    * mutate is wrapped in tryCatch). `try_to_date` reproduces exactly
+    * that never-throw contract under ANSI mode; each alternate is a
+    * (column, format) pair, `format = ""` meaning the default ISO parse.
+    * Pure projection — fuses into the scan's codegen span.
+    * Ref: processing_utils.R:189-196 (standardize_col_dobs),
+    * :515-518 (dob ← dob_select/dob_string cascade).
+    */
+  def standardizeDob(alternates: (Column, String)*): Column =
+    coalesce(alternates.map {
+      case (c, "")  => try_to_date(c)
+      case (c, fmt) => try_to_date(c, fmt)
+    }: _*)
+
   /** P9 (derived age in fractional years): (asOf - dob) / 365.25.
     * Ref: processing_utils.R:23-38.
     */

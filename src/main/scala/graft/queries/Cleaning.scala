@@ -76,13 +76,19 @@ object Cleaning {
       }
     },
 
-    // ---- P3: id hashing (md5 variant for cross-engine oracle) ------------
-    // Operator uses sha1 (processing_utils.R:120-144); md5 here because the
-    // oracle engine lacks sha1. Same projection shape either way.
+    // ---- P3: id hashing ---------------------------------------------------
+    // Runs the REAL operator (Sanitize.hashIds) in its sha256 form — the
+    // strongest digest both engines share (the oracle engine lacks sha1,
+    // which stays the reference-pinned default, spec-covered in
+    // SanitizeSpec). Cross-engine: both emit lowercase hex of the same
+    // digest, so the gate checks the operator itself, not a twin md5.
     Query("p03_hash_ids",
-      "SELECT c_custkey, md5(c_name) AS name_hash FROM customer") {
-      (s, d) => Tables.customer(s, d)
-        .select(col("c_custkey"), md5(col("c_name")).as("name_hash"))
+      "SELECT c_custkey, sha256(c_name) AS name_hash FROM customer") {
+      (s, d) =>
+        Sanitize.hashIds(
+            Tables.customer(s, d).select(col("c_custkey"), col("c_name")),
+            Seq("c_name"), algo = "sha256")
+          .withColumnRenamed("c_name", "name_hash")
     },
 
     // ---- P6: case/whitespace standardize ---------------------------------
@@ -105,6 +111,31 @@ object Cleaning {
       (s, d) => Tables.part(s, d).select(col("p_partkey"),
         Standardize.fixTypos(col("p_type"),
           Seq("BRASS" -> "BR4SS", "PROMO" -> "PR0M0")).as("fixed"))
+    },
+
+    // ---- P8: lenient dob standardization with column fallback --------------
+    // The input models the reference's real shape: a primary `dob` that is
+    // sometimes NULL and sometimes garbage, plus a `dob_string` sibling in a
+    // regional format carrying the same fact. The operator must produce one
+    // DATE and never throw (ANSI stays on).
+    Query("p08_standardize_dob",
+      """SELECT o_orderkey,
+        |       COALESCE(TRY_CAST(dob AS DATE),
+        |                CAST(try_strptime(dob_string, '%d/%m/%Y') AS DATE)) AS dob_std
+        |FROM (SELECT o_orderkey,
+        |             CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |                  WHEN o_orderkey % 7 = 0 THEN 'not-a-date'
+        |                  ELSE CAST(o_orderdate AS VARCHAR) END AS dob,
+        |             strftime(o_orderdate, '%d/%m/%Y') AS dob_string
+        |      FROM orders)""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select(col("o_orderkey"),
+          when(col("o_orderkey") % 3 === 0, lit(null).cast("string"))
+            .when(col("o_orderkey") % 7 === 0, lit("not-a-date"))
+            .otherwise(col("o_orderdate").cast("string")).as("dob"),
+          date_format(col("o_orderdate"), "dd/MM/yyyy").as("dob_string"))
+        .select(col("o_orderkey"),
+          Standardize.standardizeDob(
+            col("dob") -> "", col("dob_string") -> "dd/MM/yyyy").as("dob_std"))
     },
 
     // ---- P9: derived fractional age --------------------------------------

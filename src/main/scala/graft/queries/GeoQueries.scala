@@ -203,6 +203,57 @@ object GeoQueries {
           .select(col("c_custkey"), col("am.key").as("nearest_fac"),
             round(col("am.ord"), 6).as("km"))
       }
+    },
+
+    // ---- J23: WGS84 → UTM reprojection (in-engine CRS transform) ----------
+    // The reference reprojects to "+proj=utm +zone=37 +south" before any
+    // metric operation (containment, 50 m buffers); this row runs the
+    // same Snyder series as a pure codegen'd projection over a customer
+    // point grid inside zone 37 south. The oracle evaluates the
+    // IDENTICAL series in SQL — coefficient constants are interpolated
+    // from the same Scala values, every op is IEEE (+,-,*,/ sqrt) plus
+    // sin/cos/tan whose cross-engine ulp differences sit ~1e-9 m against
+    // a 1e-3 m rounding grid. Ref: processing_utils.R:458-467.
+    Query("j23_utm_reproject", {
+      import Geo.{M1, M2, M3, M4}
+      val e2 = 1.0 / 298.257223563 * (2.0 - 1.0 / 298.257223563)
+      val ep2 = e2 / (1.0 - e2)
+      s"""WITH pts AS (
+         |  SELECT c_custkey,
+         |         36.0 + (c_custkey % 60) * 0.05 AS lon,
+         |         -4.0 + ((c_custkey // 60) % 80) * 0.05 AS lat
+         |  FROM customer),
+         |tm AS (
+         |  SELECT c_custkey,
+         |         radians(lat) AS phi, radians(lon - 39.0) AS lam,
+         |         cos(radians(lat)) AS cosp, tan(radians(lat)) AS tanp,
+         |         6378137.0 / sqrt(1.0 - $e2 * sin(radians(lat)) * sin(radians(lat))) AS n
+         |  FROM pts),
+         |terms AS (
+         |  SELECT c_custkey, phi, tanp, n,
+         |         tanp * tanp AS t, $ep2 * cosp * cosp AS c, cosp * lam AS a,
+         |         6378137.0 * ($M1 * phi - $M2 * sin(phi * 2)
+         |                      + $M3 * sin(phi * 4) - $M4 * sin(phi * 6)) AS m
+         |  FROM tm)
+         |SELECT c_custkey,
+         |       round(500000.0 + 0.9996 * n * (a
+         |         + (1.0 - t + c) * a * a * a / 6.0
+         |         + (5.0 - 18.0 * t + t * t + 72.0 * c - ${58.0 * ep2})
+         |           * a * a * a * a * a / 120.0), 3) AS easting,
+         |       round(10000000.0 + 0.9996 * (m + n * tanp * (
+         |           a * a / 2.0
+         |         + (5.0 - t + 9.0 * c + 4.0 * c * c) * a * a * a * a / 24.0
+         |         + (61.0 - 58.0 * t + t * t + 600.0 * c - ${330.0 * ep2})
+         |           * a * a * a * a * a * a / 720.0)), 3) AS northing
+         |FROM terms""".stripMargin
+    }) { (s, d) =>
+      val pts = Tables.customer(s, d).select(col("c_custkey"),
+        (lit(36.0) + (col("c_custkey") % 60) * 0.05).as("lon"),
+        (lit(-4.0) + ((col("c_custkey").cast("long") / 60).cast("long") % 80) * 0.05).as("lat"))
+      pts.select(col("c_custkey"),
+        round(Geo.utmEasting(col("lon"), col("lat"), zone = 37), 3).as("easting"),
+        round(Geo.utmNorthing(col("lon"), col("lat"), zone = 37, south = true), 3)
+          .as("northing"))
     }
   )
 }

@@ -179,8 +179,27 @@ object SimilaritySearch {
           posexplode(Similarity.hyperplaneBuckets(col("embedding"), tables, bits, dims))
             .as(Seq("t", "b")))
         .select("vec_id", "embedding", "t", "b")
+      // Multi-probe (Lv et al., VLDB'07): each query probes its own sign
+      // bucket plus every bucket within Hamming distance 2 — 56 probes per
+      // table, materialized by XOR masks on the QUERY side only. For a
+      // θ≈60° neighbor the per-table hit probability rises from
+      // p^10 ≈ 0.01 to Σ_{h≤2} C(10,h) p^(10-h) (1-p)^h ≈ 0.24, so 6
+      // tables reach ~0.8 family recall with zero extra corpus-side work:
+      // the corpus is still bucketed exactly once, only the tiny broadcast
+      // probe list grows ×56 (measured recall@3 0.10 → 0.73 at sf0.01,
+      // 0.07 → 0.87 at sf0.1).
+      val probeMasks = {
+        val m = 0 +: ((0 until bits).map(1 << _) ++
+          (for { i <- 0 until bits; j <- (i + 1) until bits }
+            yield (1 << i) | (1 << j)))
+        array(m.map(lit): _*)
+      }
       val q = bucketed.filter(col("vec_id") < 10)
-        .toDF("query_id", "q_emb", "t", "b")
+        .toDF("query_id", "q_emb", "t", "b0")
+        .select(col("query_id"), col("q_emb"), col("t"),
+          explode(probeMasks).as("m"), col("b0"))
+        .select(col("query_id"), col("q_emb"), col("t"),
+          col("b0").bitwiseXOR(col("m")).as("b"))
       // a (query, neighbor) pair colliding in several tables must score
       // once. Dedup via hash agg on the id pair with the corpus embedding
       // riding along as first() payload: the grouping keys are two longs
@@ -1814,8 +1833,186 @@ object SimilaritySearch {
             .select(col("vec_id"), col("j"), (lit(0.25) * col("v")).as("value"))
         }
       }
+    },
+
+    // ---- S34-S40: recall-bound ORACLE gates for the rows-only families ----
+    // (VERDICT r8 item 5.) Each rows-only ANN/LSH family gets a driver-
+    // gate row: the engine measures recall of the ACTUAL registry row
+    // (called through SparkEntry, so parameter drift is impossible)
+    // against the brute-force exact answer, and emits one row the
+    // DuckDB oracle states independently — (query-set/true-band size,
+    // recall_ok). A recall regression now fails CORRECTNESS, not just a
+    // spec. Floors (RecallFloors) sit at ~half the quiet measured
+    // values, far above any real regression and far below drift noise.
+    Query("s34_recall_gate_lsh", AnnGateOracleSql) { (s, d) =>
+      annRecallGate(s, d, graft.SparkEntry.queries("s05_ann_lsh")(s, d),
+        k = 3, floor = RecallFloors.lsh)
+    },
+
+    Query("s35_recall_gate_ivf", AnnGateOracleSql) { (s, d) =>
+      annRecallGate(s, d, graft.SparkEntry.queries("s06_ann_ivf")(s, d),
+        k = 3, floor = RecallFloors.ivf)
+    },
+
+    Query("s36_recall_gate_ivf_trained", AnnGateOracleSql) { (s, d) =>
+      annRecallGate(s, d, graft.SparkEntry.queries("s09_ann_ivf_trained")(s, d),
+        k = 3, floor = RecallFloors.ivfTrained)
+    },
+
+    Query("s37_recall_gate_pq", AnnGateOracleSql) { (s, d) =>
+      annRecallGate(s, d, graft.SparkEntry.queries("s11_ann_pq")(s, d),
+        k = 5, floor = RecallFloors.pq)
+    },
+
+    Query("s38_recall_gate_ivfpq", AnnGateOracleSql) { (s, d) =>
+      annRecallGate(s, d, graft.SparkEntry.queries("s14_ann_ivfpq")(s, d),
+        k = 5, floor = RecallFloors.ivfPq)
+    },
+
+    // s03's gate: the true band is the EXACT Jaccard >= 0.9 pair set
+    // (this corpus's duplicate families are all >= 0.9 — measured), a
+    // band where 8x4 banded minhash catches a pair w.p. ~1-3e-4 of
+    // missing, so the 0.7 floor only trips on a real pipeline break.
+    // The band count is itself cross-engine: DuckDB recomputes it from
+    // string shingles.
+    Query("s39_recall_gate_minhash",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(t)),
+        |                                             i -> t[i] || ' ' || t[i+1]))) AS s
+        |       FROM toks WHERE len(t) >= 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |                             AND a.doc_id % 5 = 0
+        |          GROUP BY 1, 2),
+        |band AS (SELECT da, db FROM inter
+        |         JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+        |         WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.9)
+        |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs, true AS recall_ok
+        |FROM band""".stripMargin) { (s, d) =>
+      // truth = the exact band restricted to the deterministic 20% query
+      // slice (smaller endpoint ≡ 0 mod 5) via direct intersection
+      // counting — this corpus's uniform ~300-df vocabulary defeats
+      // prefix filtering (see prefixJaccardPairs scaladoc), and the
+      // full-corpus band costs ~40 s at sf0.1 for no extra gate power
+      val trueBand = graft.operators.Dedup.exactJaccardPairsFrom(
+          Tables.documents(s, d), "doc_id", "text", n = 2, threshold = 0.9,
+          queryPred = _ % 5 === 0)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val found = graft.SparkEntry.queries("s03_minhash_lsh_neardup")(s, d)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      pairRecallGate(found, trueBand, floor = RecallFloors.minhashPairs)
+    },
+
+    // s07's gate: the exact cos >= 0.35 band (THIS corpus has no pairs
+    // above 0.6 — measured — so the gate runs where the data lives).
+    // At cos 0.35-0.6 a 10-bit sign bucket collides w.p. ~1-3% per
+    // table; 12 tables put family recall around 0.1-0.25 by design —
+    // the operator's regime is high-sim corpora, and bits shrink with
+    // target similarity. The floor is a trip-wire for a BROKEN pipeline
+    // (recall 0), not a quality claim; the band size itself is the
+    // cross-engine content.
+    Query("s40_recall_gate_emblsh",
+      """WITH nrm AS (SELECT vec_id, embedding,
+        |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list_transform(embedding, x -> CAST(x AS DOUBLE) * x)),
+        |           (a, b) -> a + b)) AS nm
+        |       FROM embeddings),
+        |band AS (SELECT a.vec_id, b.vec_id FROM nrm a JOIN nrm b
+        |         ON a.vec_id < b.vec_id
+        |         WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |                 list_transform(range(1, 65),
+        |                   i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])),
+        |                 (x, y) -> x + y) / (a.nm * b.nm) >= 0.35)
+        |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs, true AS recall_ok
+        |FROM band""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+        Similarity.l2norm(col("embedding")).as("nrm"))
+      val b = e.select(col("vec_id").as("vb"), col("embedding").as("b_emb"),
+        col("nrm").as("b_nrm"))
+      val cos = Similarity.dot(col("embedding"), col("b_emb")) /
+        (col("nrm") * col("b_nrm"))
+      val trueBand = e.join(broadcast(b), col("vec_id") < col("vb"))
+        .filter(cos >= 0.35)
+        .select(col("vec_id").as("a"), col("vb").as("b"))
+      val found = graft.SparkEntry.queries("s07_embedding_neardup_lsh")(s, d)
+        .select(col("vec_a").as("a"), col("vec_b").as("b"))
+      pairRecallGate(found, trueBand, floor = RecallFloors.embLshPairs)
     }
   )
+
+  /** Pinned recall floors for the s34-s40 gates — ~half the quiet
+    * measured values at sf0.01 AND sf0.1 (both recorded in NOTES.md
+    * round 9), so the gates trip on regressions, never on drift. */
+  private[graft] object RecallFloors {
+    val lsh = 0.35          // measured 0.733 (sf0.01) / 0.867 (sf0.1)
+    val ivf = 0.3           // measured 0.667 / 0.600
+    val ivfTrained = 0.3    // measured 0.633 / 0.733
+    val pq = 0.25           // measured 0.600 / 0.480
+    val ivfPq = 0.17        // measured 0.660 / 0.340
+    val minhashPairs = 0.7  // measured 1.000 / 1.000 (corpus dup families ≥0.9 Jaccard)
+    val embLshPairs = 0.03  // measured 0.155 / 0.108 (0.35-0.6 cos band; see s40 note)
+  }
+
+
+  /** Recall-gate substrate (VERDICT r8 item 5): engine-side mean
+    * recall@k of an approximate top-k result against the brute-force
+    * exact cosine top-k over the same queries, folded to ONE row the
+    * DuckDB oracle can state independently: (n_queries, recall_ok).
+    * The oracle enumerates the query set (so a silently-shrunk query
+    * side fails rows/hash) and asserts recall_ok = true; the engine
+    * only emits true when measured mean recall >= the pinned floor —
+    * a recall regression in any ANN family now fails the DRIVER gate,
+    * not just ScalaTest. The floors are pinned at roughly half the
+    * quiet measured values (see RecallFloors) so testdata drift never
+    * flakes the gate while a real regression (broken bucketing,
+    * mis-assigned cells, shortlist bug) lands far below them.
+    */
+  private def annRecallGate(s: org.apache.spark.sql.SparkSession, d: String,
+                            ann: org.apache.spark.sql.DataFrame, k: Int,
+                            floor: Double): org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val c = e.select(col("vec_id"), col("embedding"),
+      Similarity.l2norm(col("embedding")).as("c_norm"))
+    val qn = c.filter(col("vec_id") < 10).select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      col("c_norm").as("q_norm"))
+    val cos = Similarity.dot(col("q_emb"), col("embedding")) /
+      (col("q_norm") * col("c_norm"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    val exact = c.crossJoin(broadcast(qn))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "neighbor_id")
+    exact.join(ann.select(col("query_id"), col("neighbor_id"), lit(1).as("__h"))
+        .dropDuplicates("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left")
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        count(col("__h")).as("__hits"))
+      .select(col("n_queries").cast("long").as("n_queries"),
+        (col("__hits").cast("double")
+          / (col("n_queries") * k).cast("double") >= floor).as("recall_ok"))
+  }
+
+  private lazy val AnnGateOracleSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
+
+  /** Pair-family recall gate: |found ∩ trueBand| / |trueBand| >= floor,
+    * with |trueBand| ALSO computed by the oracle — the truth count is a
+    * real cross-engine check, the floor is the regression trip-wire. */
+  private def pairRecallGate(found: org.apache.spark.sql.DataFrame,
+                             trueBand: org.apache.spark.sql.DataFrame,
+                             floor: Double): org.apache.spark.sql.DataFrame =
+    trueBand.join(found.select(col("a"), col("b"), lit(1).as("__h"))
+        .dropDuplicates("a", "b"), Seq("a", "b"), "left")
+      .agg(count(lit(1)).as("n_true_pairs"), count(col("__h")).as("__hits"))
+      .select(col("n_true_pairs").cast("long").as("n_true_pairs"),
+        (col("__hits").cast("double") / col("n_true_pairs").cast("double")
+          >= floor).as("recall_ok"))
+
 
   /** s33's 16x64 ±1 JL sign matrix, shared verbatim with its oracle. */
   private[graft] lazy val JlSigns: Seq[Seq[Double]] =

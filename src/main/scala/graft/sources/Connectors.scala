@@ -3,36 +3,151 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.time.Duration
+import java.util.zip.ZipInputStream
+
+/** Minimal HTTP seam for the external connectors (SURVEY.md §2.1
+  * S1/S9/S11). The engine's connector logic — export URL construction,
+  * zip unpacking, landing-zone layout, CSV staging — is real and tested
+  * against a local fixture server; only the transport is injected, so a
+  * deployment swaps in [[JdkHttpTransport]] (or its own authenticated
+  * client) without touching connector code.
+  */
+trait HttpTransport {
+
+  /** GET `url`, return the response body; throw on non-2xx. */
+  def get(url: String, headers: Map[String, String] = Map.empty): Array[Byte]
+
+  /** POST `body` to `url`, return the response body; throw on non-2xx. */
+  def post(url: String, body: Array[Byte],
+           headers: Map[String, String] = Map.empty): Array[Byte]
+}
+
+/** Production transport over the JDK 11+ `java.net.http` client (no
+  * extra dependency). Deployments needing OAuth/etc. wrap or replace it.
+  */
+final class JdkHttpTransport(timeout: Duration = Duration.ofSeconds(60))
+    extends HttpTransport {
+  private val client =
+    HttpClient.newBuilder().connectTimeout(timeout)
+      .followRedirects(HttpClient.Redirect.NORMAL).build()
+
+  private def send(b: HttpRequest.Builder, headers: Map[String, String]): Array[Byte] = {
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val resp = client.send(b.timeout(timeout).build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    require(resp.statusCode() / 100 == 2,
+      s"HTTP ${resp.statusCode()} from ${resp.uri()}")
+    resp.body()
+  }
+
+  def get(url: String, headers: Map[String, String]): Array[Byte] =
+    send(HttpRequest.newBuilder(URI.create(url)).GET(), headers)
+
+  def post(url: String, body: Array[Byte], headers: Map[String, String]): Array[Byte] =
+    send(HttpRequest.newBuilder(URI.create(url))
+      .POST(HttpRequest.BodyPublishers.ofByteArray(body)), headers)
+}
+
 /** External-connector surface (SURVEY.md §2.1 S1/S9/S11). The reference
-  * talks to ODK Central (REST form export) and Google Sheets (resolution
-  * tracker); both are out-of-engine I/O whose SEMANTICS are "a table
-  * lands as files / a table is published". These connectors model that
-  * contract: the landed-file half is real (schema-explicit reads of a
-  * landing directory, the same shape the REST export produces), the
-  * network half is a documented stub the deployment wires to its HTTP
-  * client.
+  * talks to ODK Central (REST form export → zip of CSVs) and Google
+  * Sheets (resolution tracker); the engine owns everything up to and
+  * after the socket: endpoint/layout conventions, unzip, landing-zone
+  * manifest, schema-explicit reads, CSV staging for publish. All network
+  * calls go through the injected [[HttpTransport]].
   */
 object Connectors {
 
-  /** S1: ODK form landing zone — one directory per (project, form) of
-    * exported CSVs (`{form}.csv` + `{form}-{repeat}.csv`). Reads the
-    * parent or a repeat table with an explicit schema; inferSchema is
-    * deliberately not offered (SURVEY §1.3).
+  /** S1 landing layout: one directory per form under the landing root,
+    * holding the parent `{form}.csv`, any `{form}-{repeat}.csv` repeat
+    * tables, and the raw export zip kept alongside for audit.
+    * Ref: odk-form-extraction/R/utils.R:70-83 (unzip to
+    * `raw-form/{form_id}` + keep the zip).
     */
-  def odkFormTable(spark: SparkSession, landingDir: String, formId: String,
-                   schema: StructType, repeatName: Option[String] = None): DataFrame = {
-    val file = repeatName.fold(s"$formId.csv")(r => s"$formId-$r.csv")
-    spark.read.option("header", "true").schema(schema).csv(s"$landingDir/$file")
+  def formDir(landingRoot: String, formId: String): Path =
+    Paths.get(landingRoot, formId)
+
+  /** S1 (network half): fetch a form's submission export from ODK
+    * Central and unpack it into the landing zone. The export endpoint is
+    * ODK Central's published REST surface
+    * (`/v1/projects/{pid}/forms/{fid}/submissions.csv.zip`, bearer
+    * token, media skipped) — the same call the reference issues through
+    * its client library (utils.R:28-42: `submission_export(pid, fid,
+    * media = FALSE)`). Returns the manifest of extracted file names,
+    * mirroring utils.R:76-83's per-zip file listing.
+    */
+  def fetchOdkExport(http: HttpTransport, baseUrl: String, token: String,
+                     projectId: Int, formId: String,
+                     landingRoot: String): Seq[String] = {
+    val url = s"$baseUrl/v1/projects/$projectId/forms/$formId/submissions.csv.zip?attachments=false"
+    val zipBytes = http.get(url, Map("Authorization" -> s"Bearer $token"))
+    val dir = formDir(landingRoot, formId)
+    Files.createDirectories(dir)
+    Files.write(dir.resolve(s"$formId.zip"), zipBytes)
+    val zin = new ZipInputStream(new ByteArrayInputStream(zipBytes))
+    val names = Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
+      .filterNot(_.isDirectory).map { entry =>
+        // zip entries are attacker-controlled names: keep basenames only,
+        // never let `../` escape the landing dir
+        val name = Paths.get(entry.getName).getFileName.toString
+        val out = new ByteArrayOutputStream()
+        zin.transferTo(out)
+        Files.write(dir.resolve(name), out.toByteArray)
+        name
+      }.toList
+    zin.close()
+    names
   }
 
-  /** S1 (network half): fetch a form export from ODK Central into the
-    * landing zone. STUB — deployments implement the REST call
-    * (submission_export → unzip); the engine only consumes the landed
-    * files via [[odkFormTable]].
+  /** S1 (network half): list a project's non-archived form ids —
+    * `/v1/projects/{pid}/forms` returns a JSON array of form objects;
+    * the connector needs only `xmlFormId` (+ the `state` flag to skip
+    * closed forms), extracted positionally per object so no JSON
+    * dependency is added. Ref: utils.R:56-66 (`form_list(pid)`).
     */
-  def fetchOdkExport(project: String, formId: String, landingDir: String): Unit =
-    throw new UnsupportedOperationException(
-      "stub: wire to ODK Central REST submission_export in deployment")
+  def odkFormList(http: HttpTransport, baseUrl: String, token: String,
+                  projectId: Int): Seq[String] = {
+    val body = new String(http.get(s"$baseUrl/v1/projects/$projectId/forms",
+      Map("Authorization" -> s"Bearer $token")), StandardCharsets.UTF_8)
+    val obj = "\\{[^{}]*\\}".r
+    val id = "\"xmlFormId\"\\s*:\\s*\"([^\"]+)\"".r
+    val closed = "\"state\"\\s*:\\s*\"(closed|closing)\"".r
+    obj.findAllIn(body).toSeq.flatMap { o =>
+      if (closed.findFirstIn(o).isDefined) None
+      else id.findFirstMatchIn(o).map(_.group(1))
+    }
+  }
+
+  /** S1: read a landed form table (parent or repeat) with an explicit
+    * schema; inferSchema is deliberately not offered (SURVEY §1.3).
+    */
+  def odkFormTable(spark: SparkSession, landingRoot: String, formId: String,
+                   schema: StructType, repeatName: Option[String] = None): DataFrame = {
+    val file = repeatName.fold(s"$formId.csv")(r => s"$formId-$r.csv")
+    spark.read.option("header", "true").schema(schema)
+      .csv(formDir(landingRoot, formId).resolve(file).toString)
+  }
+
+  /** S9 (network half): fetch the resolution-tracker worksheet as CSV
+    * into the landing zone. Sheets' CSV export surface
+    * (`.../export?format=csv&gid={gid}`) carries the whole worksheet;
+    * the reference reads the same worksheet through its sheets client
+    * (pipeline-gsheets/gsheets_src/anomalies_update.py:14-18). Returns
+    * the landed path for [[resolutionTracker]].
+    */
+  def fetchTrackerSheet(http: HttpTransport, exportUrl: String,
+                        landingPath: String): String = {
+    val bytes = http.get(exportUrl)
+    val p = Paths.get(landingPath)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    Files.write(p, bytes)
+    landingPath
+  }
 
   /** S9: resolution tracker table (the human SET/DELETE loop). The
     * engine contract is a plain table with (key, column, setTo,
@@ -43,10 +158,27 @@ object Connectors {
       .schema("key STRING, column STRING, setTo STRING, operation STRING")
       .csv(path)
 
-  /** S9/S11 (network half): publish a table back to the tracker / ODK
-    * metadata attachment. STUB — deployments implement the upload; the
-    * engine's deliverable is the DataFrame (written to `stagingPath`).
+  /** S9/S11: stage a table for publish — single CSV with header, the
+    * shape both the tracker update and the ODK metadata attachment
+    * upload consume. Ref: anomalies_update.py:40-41 (to_csv),
+    * pipeline-metadata/R/03.store_metadata_to_odk.R (csv attachment).
     */
   def publishTable(df: DataFrame, stagingPath: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(stagingPath)
+
+  /** S11 (network half): upload a staged CSV to its destination (ODK
+    * form-attachment endpoint or tracker ingest). Picks the part-file
+    * out of the staging directory and POSTs its bytes.
+    */
+  def uploadStaged(http: HttpTransport, stagingPath: String, url: String,
+                   headers: Map[String, String] = Map.empty): Int = {
+    val part = Files.list(Paths.get(stagingPath)).filter(p =>
+        p.getFileName.toString.startsWith("part-") &&
+        p.getFileName.toString.endsWith(".csv"))
+      .findFirst().orElseThrow(() =>
+        new IllegalStateException(s"no staged part CSV under $stagingPath"))
+    val bytes = Files.readAllBytes(part)
+    http.post(url, bytes, headers + ("Content-Type" -> "text/csv"))
+    bytes.length
+  }
 }

@@ -17,7 +17,8 @@ class DeterminismSpec extends SparkSpec {
   // legitimately empty at the sf0.001 slice (predicate finds no rows
   // there; nonempty at sf0.01 per the oracle gate). w26: ~0.3 events/
   // type/hour at sf0.001 never fills the n >= 12 trailing window.
-  private val emptyOkAtSmoke = Set("a13_group_all_match", "w26_rolling_zscore")
+  private val emptyOkAtSmoke =
+    Set("a13_group_all_match", "w26_rolling_zscore", "w31_rolling_zscore_range")
 
   test("registry queries are invariant to shuffle partitioning") {
     val d = "/root/testdata/sf0.001"

@@ -65,6 +65,57 @@ class GeoSpec extends SparkSpec {
     assert(got == Map("h_center" -> 1, "h_mid" -> 2, "h_edge" -> 3))
   }
 
+  test("UTM series: geometric invariants and haversine cross-check") {
+    // on the central meridian easting is exactly 500000 (A = 0 kills
+    // every series term) and symmetric lon offsets mirror around it
+    val (e0, n0) = Geo.utmScalar(39.0, -1.0, zone = 37, south = true)
+    assert(e0 == 500000.0)
+    assert(n0 < 10000000.0 && n0 > 9000000.0, "1°S sits below the equator FN")
+    val (eW, nW) = Geo.utmScalar(38.5, -1.0, 37, south = true)
+    val (eE, nE) = Geo.utmScalar(39.5, -1.0, 37, south = true)
+    assert(math.abs((500000.0 - eW) - (eE - 500000.0)) < 1e-6)
+    assert(math.abs(nW - nE) < 1e-6)
+    // equator northing = FN exactly
+    assert(Geo.utmScalar(39.0, 0.0, 37, south = true)._2 == 10000000.0)
+    // metric truth: planar UTM distance vs spherical haversine for a
+    // ~15 km pair at 2° from the central meridian. Systematic gaps are
+    // bounded and known: grid scale (k0 0.9996 + λ² convergence ≈
+    // +0.02% here) and sphere-vs-ellipsoid radius (≤ ~0.3%); 0.5%
+    // catches real formula errors (wrong radians, dropped series term
+    // ⇒ percent-level+) without asserting the two models agree
+    val (e1, n1) = Geo.utmScalar(37.0, -1.0, 37, south = true)
+    val (e2, n2) = Geo.utmScalar(37.1, -1.1, 37, south = true)
+    val planar = math.hypot(e2 - e1, n2 - n1) / 1000.0
+    val hav = rows(df("SELECT 1").select(
+      Geo.haversineKm(lit(37.0), lit(-1.0), lit(37.1), lit(-1.1))))
+      .head.head.toString.toDouble
+    assert(math.abs(planar - hav) / hav < 0.005, s"planar $planar vs haversine $hav")
+    // column form == scalar form on the same inputs
+    val colVals = rows(df("SELECT CAST(37.05 AS DOUBLE) AS lon, CAST(-2.5 AS DOUBLE) AS lat")
+      .select(Geo.utmEasting(col("lon"), col("lat"), 37),
+        Geo.utmNorthing(col("lon"), col("lat"), 37, south = true)))
+      .head.map(_.toString.toDouble)
+    val (es, ns) = Geo.utmScalar(37.05, -2.5, 37, south = true)
+    assert(math.abs(colVals(0) - es) < 1e-6 && math.abs(colVals(1) - ns) < 1e-6)
+  }
+
+  test("clusterAssignerUtm: metric buffer semantics in true meters") {
+    // ~1.1 km square at the equator (0.01° per side), zone 37
+    val sq = Geo.Poly(7, Array(37.00, 37.01, 37.01, 37.00),
+      Array(-1.00, -1.00, -0.99, -0.99))
+    // point ~55 m east of the eastern edge (0.0005° of longitude)
+    val d = df("SELECT CAST(37.0105 AS DOUBLE) AS lon, CAST(-0.995 AS DOUBLE) AS lat")
+    def assignedWith(buf: Double) = rows(d.select(
+      Geo.clusterAssignerUtm(spark, Seq(sq), buf, 37, south = true)(col("lon"), col("lat"))))
+      .head.head
+    assert(assignedWith(30.0) == null, "55 m out: a 30 m buffer must miss")
+    assert(assignedWith(80.0) == 7, "an 80 m buffer must catch it")
+    // containment needs no buffer at all
+    val in = df("SELECT CAST(37.005 AS DOUBLE) AS lon, CAST(-0.995 AS DOUBLE) AS lat")
+    assert(rows(in.select(Geo.clusterAssignerUtm(spark, Seq(sq), 0.0, 37, south = true)(
+      col("lon"), col("lat")))).head.head == 7)
+  }
+
   test("edgeDistanceUdf resolves polygon by id") {
     val edist = Geo.edgeDistanceUdf(spark, Seq(unitSquare, lShape))
     val d = df("SELECT 1 AS id, CAST(0.5 AS DOUBLE) AS x, CAST(0.5 AS DOUBLE) AS y")

@@ -19,6 +19,16 @@ class SanitizeSpec extends SparkSpec {
     assert(out.head().getString(1) == "v")
   }
 
+  test("hashIds sha256 variant matches the known digest; bad algo rejected") {
+    val d = df("SELECT 'abc' AS extid")
+    val out = Sanitize.hashIds(d, Seq("extid"), algo = "sha256")
+    assert(out.head().getString(0) ==
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    intercept[IllegalArgumentException] {
+      Sanitize.hashIds(d, Seq("extid"), algo = "crc32")
+    }
+  }
+
   test("pruneEmptyColumns drops all-null columns") {
     val d = df("SELECT * FROM VALUES (1, CAST(NULL AS STRING)), (2, CAST(NULL AS STRING)) t(a, b)")
     assert(Sanitize.pruneEmptyColumns(d).columns.toSeq == Seq("a"))
