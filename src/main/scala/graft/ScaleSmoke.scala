@@ -92,7 +92,11 @@ object ScaleSmoke {
         // mixed distinct+plain single aggregate Expanded the scan x2
         // (453 s class at 100x); this form is plain shuffles only.
         val cust = graft.core.Tables.customer(spark, sfDir)
-        val perKey = or.groupBy("o_orderkey").agg(
+        // replication keeps the source file's few splits: spread the
+        // per-key aggregation by ITS OWN key so the one exchange both
+        // parallelizes the scan and is reused by the groupBy
+        val orP = or.repartition(cpus.toInt, col("o_orderkey"))
+        val perKey = orP.groupBy("o_orderkey").agg(
           count(lit(1)).as("__n"),
           count(when(col("o_custkey").isNull, 1)).as("__nullck"),
           count(when(col("o_totalprice").isNull || col("o_totalprice") <= 0, 1))
@@ -116,11 +120,14 @@ object ScaleSmoke {
         val r1 = graft.operators.Anomalies.detectRowBattery(
           or, "orders", col("o_orderkey"), Seq(
             ("neg_price", lit("nonpositive total"), col("o_totalprice") <= 0),
-            ("null_clerk", lit("missing clerk"), col("o_clerk").isNull),
+            ("null_cust", lit("missing customer"), col("o_custkey").isNull),
             ("far_future", lit("date out of range"),
               col("o_orderdate") > lit("1999-01-01").cast("date"))))
+        // key-aligned repartition: one exchange spreads the replicated
+        // scan across all cores AND satisfies memberStats' groupBy
+        // distribution, so no second shuffle is added
         val mstats = graft.operators.Anomalies.memberStats(
-          li, Seq("l_orderkey"),
+          li.repartition(cpus.toInt, col("l_orderkey")), Seq("l_orderkey"),
           Seq(("hiqty", col("l_quantity") > 45), ("ret", col("l_returnflag") === "R")),
           memberCol = "l_linenumber")
         val r2 = graft.operators.Anomalies.detectRowBattery(

@@ -11,6 +11,8 @@ import java.nio.file.{Files, Path, Paths}
 import java.time.Duration
 import java.util.zip.ZipInputStream
 
+import scala.jdk.CollectionConverters._
+
 /** Minimal HTTP seam for the external connectors (SURVEY.md §2.1
   * S1/S9/S11). The engine's connector logic — export URL construction,
   * zip unpacking, landing-zone layout, CSV staging — is real and tested
@@ -165,6 +167,38 @@ object Connectors {
     */
   def publishTable(df: DataFrame, stagingPath: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(stagingPath)
+
+  /** S10: zip packaging sink — package a staged form folder for
+    * download as `{dir}/{basename(dir)}.zip`, holding the folder's
+    * top-level files by basename (the reference zips with `-j`,
+    * junking paths, and R's non-recursive `dir()` listing). Entries
+    * are written in sorted-name order so the archive is byte-stable
+    * across runs; pre-existing `.zip` files are skipped so a re-run
+    * never swallows its own previous output. Returns the entry names.
+    * Ref: pipeline-cleaning/R/01.run_form_cleaning.R:181-192.
+    */
+  def zipFormDir(dir: String): Seq[String] = {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val d = Paths.get(dir)
+    val files = {
+      val s = Files.list(d)
+      try s.iterator().asScala.toList finally s.close()
+    }.filter(p => Files.isRegularFile(p) &&
+        !p.getFileName.toString.endsWith(".zip"))
+      .sortBy(_.getFileName.toString)
+    val zipPath = d.resolve(s"${d.getFileName}.zip")
+    val zout = new ZipOutputStream(Files.newOutputStream(zipPath))
+    try files.map { p =>
+      val name = p.getFileName.toString
+      val entry = new ZipEntry(name)
+      // pin the timestamp too: archives must not differ run-to-run
+      entry.setTime(0L)
+      zout.putNextEntry(entry)
+      zout.write(Files.readAllBytes(p))
+      zout.closeEntry()
+      name
+    } finally zout.close()
+  }
 
   /** S11 (network half): upload a staged CSV to its destination (ODK
     * form-attachment endpoint or tracker ingest). Picks the part-file

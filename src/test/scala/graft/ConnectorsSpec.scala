@@ -124,6 +124,34 @@ class ConnectorsSpec extends SparkSpec {
     } finally stop()
   }
 
+  test("S10: zipFormDir packages a staged folder by basename, byte-stable, re-run safe") {
+    import java.util.zip.ZipInputStream
+    val dir = Files.createTempDirectory("graft_zip")
+    Files.write(dir.resolve("b_form.csv"), "KEY,v\nuuid:1,2\n".getBytes(UTF_8))
+    Files.write(dir.resolve("a_form.csv"), "KEY\nuuid:2\n".getBytes(UTF_8))
+    Files.createDirectory(dir.resolve("sub")) // non-recursive, like R dir()
+    Files.write(dir.resolve("sub").resolve("nested.csv"), "x\n".getBytes(UTF_8))
+
+    val entries = Connectors.zipFormDir(dir.toString)
+    assert(entries == Seq("a_form.csv", "b_form.csv")) // sorted, no subdir
+    val zipPath = dir.resolve(s"${dir.getFileName}.zip")
+    val bytes1 = Files.readAllBytes(zipPath)
+
+    def readZip(p: java.nio.file.Path): Seq[(String, String)] = {
+      val zin = new ZipInputStream(Files.newInputStream(p))
+      try Iterator.continually(zin.getNextEntry).takeWhile(_ != null).map { e =>
+        val bos = new ByteArrayOutputStream(); zin.transferTo(bos)
+        e.getName -> new String(bos.toByteArray, UTF_8)
+      }.toList finally zin.close()
+    }
+    assert(readZip(zipPath) == Seq(
+      "a_form.csv" -> "KEY\nuuid:2\n", "b_form.csv" -> "KEY,v\nuuid:1,2\n"))
+
+    // re-run: the previous archive is skipped, output is byte-identical
+    assert(Connectors.zipFormDir(dir.toString) == entries)
+    assert(Files.readAllBytes(zipPath).sameElements(bytes1))
+  }
+
   test("transport seam: connector logic runs against any HttpTransport") {
     // a deployment-supplied fake — proves no JDK-client coupling
     val canned = new HttpTransport {
