@@ -232,6 +232,24 @@ object ScaleSmoke {
             width = 40, minDocs = 2)
           .write.format("noop").mode("overwrite").save()
       },
+      time("sequence_pack_50k_docs") {
+        // t47's two-level shape at replication: prefix-sum shards bound
+        // every FFD group to ~2000 tokens, so the sequential part never
+        // grows with the corpus — one shuffle by shard regardless of
+        // copies
+        val docs0 = graft.core.Tables.documents(spark, sfDir)
+        val maxDoc = docs0.agg(max("doc_id")).as[Long].head() + 1
+        val docs = docs0.select("doc_id", "text").crossJoin(copies)
+          .withColumn("doc_id", col("doc_id") + col("rep") * maxDoc).drop("rep")
+          .repartition(cpus.toInt)
+        val shards = graft.operators.Packing.tokenShards(
+          docs.select(col("doc_id"),
+            graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens")),
+          "doc_id", "n_tokens", budget = 2000, bucketWidth = 128)
+        graft.operators.Packing.packSequences(
+            shards, "doc_id", "n_tokens", "shard", seqLen = 128)
+          .write.format("noop").mode("overwrite").save()
+      },
       time("token_shards_50k_docs") {
         val docs0 = graft.core.Tables.documents(spark, sfDir)
         val maxDoc = docs0.agg(max("doc_id")).as[Long].head() + 1

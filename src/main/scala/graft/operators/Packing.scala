@@ -47,4 +47,43 @@ object Packing {
           - col(tokensCol)) / budget).cast("bigint"))
       .drop("__b", "__off")
   }
+
+  /** Sequence packing: first-fit-decreasing bin packing of documents
+    * into fixed-`seqLen`-token training sequences, within the shards
+    * [[tokenShards]] produced. Docs are never split (contrast the
+    * concat-and-chunk style t32+t12 compose to); FFD keeps padding
+    * waste near the 11/9-OPT bound, and confining it to a shard makes
+    * the sequential part of the algorithm O(shard) — each shard holds
+    * ~budget tokens by construction, so per-group state is bounded and
+    * the operator is one shuffle by `shardCol` no matter the corpus
+    * size. Output: (idCol, shardCol, bin) with bins numbered 1.. in
+    * creation order — deterministic for a given input regardless of
+    * partitioning, because docs are sorted (tokens desc, id asc)
+    * inside each group before the scan. A doc longer than `seqLen`
+    * opens its own (over-full) bin and nothing else joins it.
+    *
+    * mapGroups is the right tool here, not a window: first-fit needs
+    * the mutable bin-remainder list no SQL recurrence short of the
+    * full recursive-CTE form (the oracle replays exactly that).
+    */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+                    shardCol: String, seqLen: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(shardCol).cast("long"), col(idCol).cast("long"),
+        col(tokensCol).cast("long")).as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val docs = it.map(t => (t._2, t._3)).toArray
+          .sortBy { case (id, n) => (-n, id) }
+        val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+        docs.iterator.map { case (id, n) =>
+          var i = 0
+          while (i < rem.length && rem(i) < n) i += 1
+          if (i == rem.length) rem += (seqLen - n) else rem(i) -= n
+          (id, shard, (i + 1).toLong)
+        }
+      }
+      .toDF(idCol, shardCol, "bin")
+  }
 }
