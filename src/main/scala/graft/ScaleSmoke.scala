@@ -766,6 +766,45 @@ object ScaleSmoke {
             max(when(col("n") === 5, col("dupc"))).as("d5"))
           .write.format("noop").mode("overwrite").save()
       },
+      time("gopher_repetition_local_50k_docs") {
+        // t41's new registry default: sorted-gram run-length aggregate
+        // WITHIN the row — no explode, no exchange; the whole battery is
+        // a projection over the scan. 7 sorts of ~L-long arrays per doc.
+        val docs0 = graft.core.Tables.documents(spark, sfDir)
+        val maxDoc = docs0.agg(max("doc_id")).as[Long].head() + 1
+        val docs = docs0.select("doc_id", "text").crossJoin(copies)
+          .withColumn("doc_id", col("doc_id") + col("rep") * maxDoc).drop("rep")
+          .repartition(cpus.toInt)
+        val zero = struct(lit(0L).as("p"), lit(0L).as("r"),
+          lit(0L).as("m"), lit(0L).as("d"))
+        def step(acc: org.apache.spark.sql.Column, x: org.apache.spark.sql.Column) = {
+          val r = acc.getField("r"); val m = acc.getField("m"); val dd = acc.getField("d")
+          when(r === 0L, struct(x.as("p"), lit(1L).as("r"), lit(0L).as("m"), lit(0L).as("d")))
+            .when(x === acc.getField("p"),
+              struct(x.as("p"), (r + 1L).as("r"), m.as("m"), dd.as("d")))
+            .otherwise(struct(x.as("p"), lit(1L).as("r"), greatest(m, r).as("m"),
+              (dd + when(r >= 2L, r).otherwise(0L)).as("d")))
+        }
+        def fin(acc: org.apache.spark.sql.Column) = {
+          val r = acc.getField("r")
+          struct(greatest(acc.getField("m"), r).as("topc"),
+            (acc.getField("d") + when(r >= 2L, r).otherwise(0L)).as("dupc"))
+        }
+        val battery = graft.functions.TextFunctions.bind1(split(col("text"), " ")) { wb =>
+          struct((2 to 8).map { n =>
+            val grams = when(size(wb) >= n,
+                array_sort(transform(sequence(lit(1), size(wb) - n + 1),
+                  i => xxhash64(array_join(slice(wb, i.cast("int"), lit(n)), " ")))))
+              .otherwise(array().cast("array<bigint>"))
+            graft.functions.TextFunctions.bind1(grams)(g =>
+              aggregate(g, zero, step, fin)).as(s"s$n")
+          }: _*)
+        }
+        docs.select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("ntok"),
+            battery.as("b"))
+          .write.format("noop").mode("overwrite").save()
+      },
       time("audio_features_50k_wavs") {
         // m07 at 10x: 50k real WAV encode+decode round trips through
         // javax.sound in bounded-batch mapPartitions

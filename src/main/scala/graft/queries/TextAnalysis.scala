@@ -1324,13 +1324,14 @@ object TextAnalysis {
     // Plan: one bound split, 7 gram sizes exploded in one generator,
     // a (doc, n, gram) hash aggregate, then a conditional-sum pivot
     // back to one row per doc — two exchanges total, no window.
-    // DEFAULT = hashed-gram production path; t46 below is the string-gram
-    // twin under the SAME oracle (the fractions are computed from gram
-    // COUNTS, so the two forms emit identical output — the twin keeps the
-    // straightforward algebra in the gate while this row exercises the
-    // 8-byte exchange the 100 TB plan needs).
+    // DEFAULT = the zero-exchange local form (sorted-gram run-length
+    // aggregate within the row — see gopherBatteryLocal); t46 below is
+    // the string-gram groupBy twin under the SAME oracle (fractions are
+    // computed from gram COUNTS, so all three forms emit identical
+    // output). The hashed-exchange form stays measured in ScaleSmoke
+    // and equivalence-pinned in HashedGramTwinSpec.
     Query("t41_gopher_repetition", GopherOracleSql) {
-      (s, d) => gopherBattery(s, d, hashed = true)
+      (s, d) => gopherBatteryLocal(s, d)
     },
 
     // ---- T46: Gopher battery string-gram oracle twin ------------------------
@@ -1614,6 +1615,63 @@ object TextAnalysis {
 
   /** t41/t46 shared engine body: the Gopher battery with hashed (8-byte
     * xxhash64, the production exchange) or string gram keys. */
+  /** Zero-exchange Gopher battery: the same top-/dup-gram fractions
+    * computed entirely WITHIN each row — per gram size, hash the grams,
+    * array_sort, then one aggregate() pass over the sorted array
+    * tracking (prev, run, max-run, dup-mass). max-run is exactly the
+    * groupBy's max(count) and dup-mass exactly sum(count where >= 2),
+    * so the output is identical to the exchange forms (mod the same
+    * 64-bit collisions as the hashed twin) — but the plan is a pure
+    * projection: no explode, no shuffle, nothing leaves the scan. The
+    * per-row cost is 7 sorts of ~L-element long arrays (L = tokens),
+    * embarrassingly parallel at any corpus size; this is the form a
+    * 100 TB filter pass wants. The gram arrays are lambda-bound
+    * (bind1) at both levels — the t25/t43 inlining lesson.
+    */
+  private def gopherBatteryLocal(s: org.apache.spark.sql.SparkSession,
+                                 d: String): org.apache.spark.sql.DataFrame = {
+    val zero = struct(lit(0L).as("p"), lit(0L).as("r"),
+      lit(0L).as("m"), lit(0L).as("d"))
+    def step(acc: org.apache.spark.sql.Column, x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val r = acc.getField("r"); val m = acc.getField("m"); val dd = acc.getField("d")
+      val closedM = greatest(m, r)
+      val closedD = dd + when(r >= 2L, r).otherwise(0L)
+      when(r === 0L,
+          struct(x.as("p"), lit(1L).as("r"), lit(0L).as("m"), lit(0L).as("d")))
+        .when(x === acc.getField("p"),
+          struct(x.as("p"), (r + 1L).as("r"), m.as("m"), dd.as("d")))
+        .otherwise(
+          struct(x.as("p"), lit(1L).as("r"), closedM.as("m"), closedD.as("d")))
+    }
+    def finish(acc: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val r = acc.getField("r")
+      struct(greatest(acc.getField("m"), r).as("topc"),
+        (acc.getField("d") + when(r >= 2L, r).otherwise(0L)).as("dupc"))
+    }
+    def stats(wb: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+      val grams = when(size(wb) >= n,
+          array_sort(transform(sequence(lit(1), size(wb) - n + 1),
+            i => xxhash64(array_join(slice(wb, i.cast("int"), lit(n)), " ")))))
+        .otherwise(array().cast("array<bigint>"))
+      bind1(grams)(g => aggregate(g, zero, step, finish))
+    }
+    val battery = bind1(split(col("text"), " ")) { wb =>
+      struct((2 to 8).map(n => stats(wb, n).as(s"s$n")): _*)
+    }
+    val base = Tables.documents(s, d).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      battery.as("b"))
+    def topFrac(n: Int) = round(
+      col("b").getField(s"s$n").getField("topc") * n.toDouble / col("n_tokens"), 6)
+    def dupFrac(n: Int) = round(
+      col("b").getField(s"s$n").getField("dupc") * n.toDouble / col("n_tokens"), 6)
+    base.select(col("doc_id") +: col("n_tokens") +: (
+      Seq(2, 3, 4).map(n => when(col("n_tokens").isNotNull,
+        coalesce(topFrac(n), lit(0.0))).as(s"top${n}_frac")) ++
+      Seq(5, 6, 7, 8).map(n => when(col("n_tokens").isNotNull,
+        coalesce(dupFrac(n), lit(0.0))).as(s"dup${n}_frac"))): _*)
+  }
+
   private def gopherBattery(s: org.apache.spark.sql.SparkSession, d: String,
                             hashed: Boolean): org.apache.spark.sql.DataFrame = {
         // hashed: each gram keys the exchange as 8 bytes map-side — identical

@@ -70,4 +70,16 @@ class HashedGramTwinSpec extends SparkSpec {
     val h = battery(hashKeys = true)
     assert(s == h, s"diff keys: ${(s.keySet union h.keySet).filter(k => s.get(k) != h.get(k)).take(5)}")
   }
+
+  test("t41 local form: zero-exchange registry default == string-gram groupBy twin, all columns") {
+    // t41 (sorted-gram run-length aggregate within the row) and t46 (the
+    // exchange form) must be row-identical end to end
+    val local = rows(SparkEntry.queries("t41_gopher_repetition")(spark, sf))
+    val twin = rows(SparkEntry.queries("t46_gopher_strgram_twin")(spark, sf))
+    assert(local == twin)
+    // and the plan really is exchange-free
+    val plan = SparkEntry.queries("t41_gopher_repetition")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected a pure projection:\n$plan")
+  }
 }
