@@ -139,6 +139,47 @@ object Sessionize {
     }
   }
 
+  /** Per-key two-sided CUSUM change-point detection (Page 1954): the
+    * sequential drift detector that catches small persistent shifts a
+    * fixed threshold (a12) and a rolling z-score (w26) both miss,
+    * because deviations ACCUMULATE:
+    *   S+_t = max(0, S+_{t-1} + (x_t - ref - k))
+    *   S-_t = max(0, S-_{t-1} + (ref - x_t - k))
+    * with an alarm when either side exceeds h, after which both sides
+    * reset (restart detection). The in-control reference is the key's
+    * first observation; slack k = slackFrac*|ref| and threshold
+    * h = threshFrac*|ref| derive from it, so the operator is a single
+    * pass with O(1) state and no training scan. First row emits
+    * (0, 0, false) and only sets the reference.
+    *
+    * A true recurrence (the reset makes it non-windowable), same
+    * secondary-sort scan as holt/holtWinters; the w32 oracle replays
+    * the identical operation order through a recursive CTE, so doubles
+    * match bit-for-bit (slackFrac/threshFrac are dyadic literals in
+    * the registry row).
+    */
+  def cusum(df: DataFrame, keyCol: String, idxCol: String, valCol: String,
+            slackFrac: Double, threshFrac: Double): DataFrame = {
+    val vIdx = df.schema.fieldIndex(valCol)
+    scanPerKey[(Double, Double, Double)](df, Seq(keyCol), Seq(idxCol),
+      StructType(Seq(StructField("s_pos", DoubleType, nullable = false),
+        StructField("s_neg", DoubleType, nullable = false),
+        StructField("alarm", BooleanType, nullable = false)))) {
+      case (None, row) =>
+        val x = row.getAs[Number](vIdx).doubleValue
+        ((x, 0.0, 0.0), Seq(0.0, 0.0, false))
+      case (Some((ref, sp0, sn0)), row) =>
+        val x = row.getAs[Number](vIdx).doubleValue
+        val k = slackFrac * math.abs(ref)
+        val h = threshFrac * math.abs(ref)
+        val sp = math.max(0.0, sp0 + (x - ref - k))
+        val sn = math.max(0.0, sn0 + (ref - x - k))
+        val alarm = sp > h || sn > h
+        ((ref, if (alarm) 0.0 else sp, if (alarm) 0.0 else sn),
+          Seq(sp, sn, alarm))
+    }
+  }
+
   /** Per-key additive Holt-Winters (level + trend + period-p seasonal):
     * the full classical smoother (w18 EWMA -> w29 Holt -> this).
     * Seasonal state is a p-slot array keyed by `idxCol % p` (day

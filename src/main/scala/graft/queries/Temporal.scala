@@ -357,6 +357,66 @@ object Temporal {
       }
     },
 
+    // ---- W32: two-sided CUSUM change-point detection -----------------------
+    // Page's sequential drift detector over the per-type daily series
+    // (w30's decimal-sum daily prep): deviations from the key's first
+    // observation ACCUMULATE into S+/S- with slack k = 0.25|ref|, alarm
+    // at h = |ref|, reset after alarm — the small-persistent-shift
+    // detector a12's fixed threshold and w26's rolling z both miss. The
+    // recurrence (reset included) is non-windowable; the oracle replays
+    // the identical operation order through a recursive CTE (w29/w30
+    // precedent), dyadic 0.25 and abs keep the doubles bit-identical.
+    Query("w32_cusum",
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type,
+        |         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2),
+        |ev AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |       FROM d),
+        |scan AS (
+        |  SELECT event_type, rn, day, x AS ref,
+        |         CAST(0 AS DOUBLE) AS sp, CAST(0 AS DOUBLE) AS sn, FALSE AS alarm,
+        |         CAST(0 AS DOUBLE) AS spc, CAST(0 AS DOUBLE) AS snc
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.event_type, e.rn, e.day, s.ref,
+        |         greatest(CAST(0 AS DOUBLE),
+        |                  s.spc + (e.x - s.ref - 0.25 * abs(s.ref))),
+        |         greatest(CAST(0 AS DOUBLE),
+        |                  s.snc + (s.ref - e.x - 0.25 * abs(s.ref))),
+        |         greatest(CAST(0 AS DOUBLE),
+        |                  s.spc + (e.x - s.ref - 0.25 * abs(s.ref))) > abs(s.ref)
+        |           OR greatest(CAST(0 AS DOUBLE),
+        |                  s.snc + (s.ref - e.x - 0.25 * abs(s.ref))) > abs(s.ref),
+        |         CASE WHEN greatest(CAST(0 AS DOUBLE),
+        |                  s.spc + (e.x - s.ref - 0.25 * abs(s.ref))) > abs(s.ref)
+        |                OR greatest(CAST(0 AS DOUBLE),
+        |                  s.snc + (s.ref - e.x - 0.25 * abs(s.ref))) > abs(s.ref)
+        |              THEN CAST(0 AS DOUBLE)
+        |              ELSE greatest(CAST(0 AS DOUBLE),
+        |                  s.spc + (e.x - s.ref - 0.25 * abs(s.ref))) END,
+        |         CASE WHEN greatest(CAST(0 AS DOUBLE),
+        |                  s.spc + (e.x - s.ref - 0.25 * abs(s.ref))) > abs(s.ref)
+        |                OR greatest(CAST(0 AS DOUBLE),
+        |                  s.snc + (s.ref - e.x - 0.25 * abs(s.ref))) > abs(s.ref)
+        |              THEN CAST(0 AS DOUBLE)
+        |              ELSE greatest(CAST(0 AS DOUBLE),
+        |                  s.snc + (s.ref - e.x - 0.25 * abs(s.ref))) END
+        |  FROM ev e JOIN scan s ON e.event_type = s.event_type AND e.rn = s.rn + 1)
+        |SELECT event_type, day, sp AS s_pos, sn AS s_neg, alarm
+        |FROM scan""".stripMargin) {
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+          .agg(sum(col("value").cast("decimal(18,4)")).cast("double").as("x"))
+        graft.operators.Sessionize.cusum(daily, "event_type", "day", "x",
+            slackFrac = 0.25, threshFrac = 1.0)
+          .select("event_type", "day", "s_pos", "s_neg", "alarm")
+      }
+    },
+
     Query("w29_holt_smoothing", HoltOracleSql) {
       (s, d) => graft.operators.Sessionize.holt(
           Tables.events(s, d).select("user_id", "event_id", "ts", "value"),

@@ -102,4 +102,45 @@ class SessionizeSpec extends SparkSpec {
     val u2 = fold(Seq(100.0, 0.0))
     assert(out(4L) == u2(0) && out(5L) == u2(1), "state resets at key change")
   }
+
+  private def cusumOf(series: (String, Long, Double)*) = {
+    val sess = spark; import sess.implicits._
+    graft.operators.Sessionize.cusum(
+        series.toDF("k", "idx", "x"), "k", "idx", "x",
+        slackFrac = 0.25, threshFrac = 1.0)
+      .collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("idx")) ->
+        ((r.getAs[Double]("s_pos"), r.getAs[Double]("s_neg"),
+          r.getAs[Boolean]("alarm"))))
+      .toMap
+  }
+
+  test("cusum: in-control series stays at zero, no alarms") {
+    // ref = 8, k = 2: deviations within ±2 never accumulate
+    val out = cusumOf(("a", 1L, 8.0), ("a", 2L, 9.0), ("a", 3L, 7.0), ("a", 4L, 8.5))
+    out.values.foreach { case (sp, sn, al) =>
+      assert(sp == 0.0 && sn == 0.0 && !al)
+    }
+  }
+
+  test("cusum: persistent upward shift accumulates, alarms at h, then resets") {
+    // ref = 8 (k = 2, h = 8): shift to 13 adds 13-8-2 = 3 per step;
+    // S+ = 3, 6, 9 -> alarm at idx 4 (9 > 8), reset, then S+ = 3 again
+    val out = cusumOf(("a", 1L, 8.0), ("a", 2L, 13.0), ("a", 3L, 13.0),
+      ("a", 4L, 13.0), ("a", 5L, 13.0))
+    assert(out(("a", 2L)) == ((3.0, 0.0, false)))
+    assert(out(("a", 3L)) == ((6.0, 0.0, false)))
+    assert(out(("a", 4L)) == ((9.0, 0.0, true)), "alarm crosses h = |ref|")
+    assert(out(("a", 5L)) == ((3.0, 0.0, false)), "state restarted after alarm")
+  }
+
+  test("cusum: downward shift drives the negative side; keys independent") {
+    // key b: ref = 8, drop to 2 adds 8-2-2 = 4 per step on S-
+    val out = cusumOf(("a", 1L, 8.0), ("a", 2L, 8.0),
+      ("b", 1L, 8.0), ("b", 2L, 2.0), ("b", 3L, 2.0), ("b", 4L, 2.0))
+    assert(out(("b", 2L)) == ((0.0, 4.0, false)))
+    assert(out(("b", 3L)) == ((0.0, 8.0, false)), "boundary h is strict >")
+    assert(out(("b", 4L)) == ((0.0, 12.0, true)))
+    assert(out(("a", 2L)) == ((0.0, 0.0, false)), "key a untouched")
+  }
 }
