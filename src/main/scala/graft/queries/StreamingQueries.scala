@@ -695,6 +695,78 @@ object StreamingQueries {
             col("level"), col("trend"),
             (col("level") + col("trend")).as("forecast"))
       }
+    },
+
+    // ---- ST14: streaming CUSUM drift monitor (w32's st-twin) ---------------
+    // Page's two-sided CUSUM served live: per-user state is three
+    // doubles (reference + both cumulative sides), batches fold in
+    // event order with w32's identical operation order — alarms raised
+    // by the stream hash-match the offline recursive-CTE replay
+    // bit-for-bit. The monitor a production pipeline would actually
+    // run: st12 watches the DISTRIBUTION (PSI over bounded histograms),
+    // this watches the LEVEL (small persistent shifts), both with
+    // fixed-size state.
+    Query("st14_stream_cusum",
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |scan AS (
+        |  SELECT user_id, rn, event_id, x AS ref,
+        |         CAST(0 AS DOUBLE) AS sp, CAST(0 AS DOUBLE) AS sn, FALSE AS alarm,
+        |         CAST(0 AS DOUBLE) AS spc, CAST(0 AS DOUBLE) AS snc
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, e.event_id, s.ref,
+        |         greatest(CAST(0 AS DOUBLE),
+        |                  s.spc + (e.x - s.ref - 0.25 * abs(s.ref))),
+        |         greatest(CAST(0 AS DOUBLE),
+        |                  s.snc + (s.ref - e.x - 0.25 * abs(s.ref))),
+        |         greatest(CAST(0 AS DOUBLE),
+        |                  s.spc + (e.x - s.ref - 0.25 * abs(s.ref))) > abs(s.ref)
+        |           OR greatest(CAST(0 AS DOUBLE),
+        |                  s.snc + (s.ref - e.x - 0.25 * abs(s.ref))) > abs(s.ref),
+        |         CASE WHEN greatest(CAST(0 AS DOUBLE),
+        |                  s.spc + (e.x - s.ref - 0.25 * abs(s.ref))) > abs(s.ref)
+        |                OR greatest(CAST(0 AS DOUBLE),
+        |                  s.snc + (s.ref - e.x - 0.25 * abs(s.ref))) > abs(s.ref)
+        |              THEN CAST(0 AS DOUBLE)
+        |              ELSE greatest(CAST(0 AS DOUBLE),
+        |                  s.spc + (e.x - s.ref - 0.25 * abs(s.ref))) END,
+        |         CASE WHEN greatest(CAST(0 AS DOUBLE),
+        |                  s.spc + (e.x - s.ref - 0.25 * abs(s.ref))) > abs(s.ref)
+        |                OR greatest(CAST(0 AS DOUBLE),
+        |                  s.snc + (s.ref - e.x - 0.25 * abs(s.ref))) > abs(s.ref)
+        |              THEN CAST(0 AS DOUBLE)
+        |              ELSE greatest(CAST(0 AS DOUBLE),
+        |                  s.snc + (s.ref - e.x - 0.25 * abs(s.ref))) END
+        |  FROM ev e JOIN scan s ON e.user_id = s.user_id AND e.rn = s.rn + 1)
+        |SELECT user_id, event_id, sp AS s_pos, sn AS s_neg, alarm
+        |FROM scan""".stripMargin) {
+      (s, d) => {
+        val dir = graft.core.TempDirs.scratch("st14_landing")
+        java.nio.file.Files.createSymbolicLink(
+          dir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        import ss.implicits._
+        val raw = ss.read.parquet(s"$d/events.parquet")
+        val src = Streams.fileSource(ss, dir.toString, raw.schema)
+          .select(col("user_id").cast("long").as("userId"),
+            col("event_id").cast("long").as("eventId"),
+            Tables.tsMicros(raw.schema).as("tsMicros"),
+            col("value").cast("double").as("value"))
+          .as[Streams.ValueEvent]
+        val out = Streams.cusumStream(src, slackFrac = 0.25, threshFrac = 1.0)
+        val sink = "st14_cusum_" + System.nanoTime()
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        ss.table(sink)
+          .select(col("userId").as("user_id"), col("eventId").as("event_id"),
+            col("sPos").as("s_pos"), col("sNeg").as("s_neg"), col("alarm"))
+      }
     }
   )
 }

@@ -152,4 +152,51 @@ object Streams {
     events.groupByKey(_.userId)
       .flatMapGroupsWithState(OutputMode.Append, timeout)(update)
   }
+
+  final case class CusumState(ref: Double, sp: Double, sn: Double)
+  final case class CusumOut(userId: Long, eventId: Long, sPos: Double,
+                            sNeg: Double, alarm: Boolean)
+
+  /** Streaming two-sided CUSUM: the st-twin of w32's batch recurrence
+    * (Sessionize.cusum), served incrementally. Per-key state is THREE
+    * doubles (reference + both cumulative sides) whatever the event
+    * volume; within a batch each group folds in (tsMicros, eventId)
+    * order with the identical operation order, so an event-time-ordered
+    * stream emits bit-for-bit the batch recursive-CTE result — a live
+    * drift monitor whose alarms match the offline replay exactly. */
+  def cusumStream(events: Dataset[ValueEvent], slackFrac: Double,
+                  threshFrac: Double,
+                  stateTtl: Option[String] = None): Dataset[CusumOut] = {
+    import events.sparkSession.implicits._
+    def update(userId: Long, it: Iterator[ValueEvent],
+               state: GroupState[CusumState]): Iterator[CusumOut] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        var st = state.getOption
+        val out = it.toSeq.sortBy(e => (e.tsMicros, e.eventId)).map { e =>
+          st match {
+            case None =>
+              st = Some(CusumState(e.value, 0.0, 0.0))
+              CusumOut(userId, e.eventId, 0.0, 0.0, alarm = false)
+            case Some(CusumState(ref, sp0, sn0)) =>
+              val k = slackFrac * math.abs(ref)
+              val h = threshFrac * math.abs(ref)
+              val sp = math.max(0.0, sp0 + (e.value - ref - k))
+              val sn = math.max(0.0, sn0 + (ref - e.value - k))
+              val alarm = sp > h || sn > h
+              st = Some(CusumState(ref,
+                if (alarm) 0.0 else sp, if (alarm) 0.0 else sn))
+              CusumOut(userId, e.eventId, sp, sn, alarm)
+          }
+        }
+        st.foreach(state.update)
+        stateTtl.foreach(state.setTimeoutDuration)
+        out.iterator
+      }
+    }
+    val timeout = if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+                  else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(update)
+  }
 }

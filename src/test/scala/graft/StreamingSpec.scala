@@ -80,6 +80,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cusumStream carries (ref, S+, S-) and the alarm reset across micro-batches") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.ValueEvent]
+    val q = Streams.cusumStream(in.toDS(), slackFrac = 0.25, threshFrac = 1.0)
+      .writeStream.format("memory").queryName("cusum").outputMode("append").start()
+    try {
+      // ref = 8 (k = 2, h = 8); shift to 13 adds 3 per step
+      in.addData(Streams.ValueEvent(1, 1, 0, 8.0), Streams.ValueEvent(1, 2, 1, 13.0))
+      q.processAllAvailable()
+      in.addData(Streams.ValueEvent(1, 3, 2, 13.0),
+        Streams.ValueEvent(1, 4, 3, 13.0), Streams.ValueEvent(1, 5, 4, 13.0))
+      q.processAllAvailable()
+      val got = spark.table("cusum").as[Streams.CusumOut].collect()
+        .map(o => o.eventId -> ((o.sPos, o.sNeg, o.alarm))).toMap
+      assert(got(1L) == ((0.0, 0.0, false)))
+      assert(got(2L) == ((3.0, 0.0, false)), "S+ started in batch 1")
+      assert(got(3L) == ((6.0, 0.0, false)), "S+ crossed the batch boundary")
+      assert(got(4L) == ((9.0, 0.0, true)), "alarm at 9 > h = 8")
+      assert(got(5L) == ((3.0, 0.0, false)), "reset state also crossed batches")
+    } finally q.stop()
+  }
+
   test("streamingDedup drops duplicate ids within the watermark") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = spark.sqlContext
