@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph decomposition operators (the g10/g13 family:
+  * fixed-round Pregel-style join+agg loops over an edge table).
+  *
+  * Scale posture shared with pagerank/triangles: every round is one
+  * degree aggregate plus one semi-join back onto the edges, both keyed
+  * on node id (shuffle-partitionable, no driver state); each round's
+  * edge set is localCheckpoint-ed so round r+1 replays a materialized
+  * RDD instead of the whole lineage (the "vals name plans, not results"
+  * rule — without the cut the plan doubles per round).
+  */
+object Graphs {
+
+  /** k-core peeling: repeatedly drop nodes with degree < k (and their
+    * edges) for up to `rounds` rounds, then return each surviving
+    * node's degree within the surviving subgraph.
+    *
+    * Semantics are FIXED-ROUND (the g10 unrolled-iteration contract, so
+    * a SQL oracle can replay them exactly): if the peel reaches a fixed
+    * point early, remaining rounds are identities — the early-exit
+    * below is therefore unobservable in the result (each round's edge
+    * set is a subset of the previous, so equal COUNT implies equal
+    * set). True k-core = run with `rounds` >= the peel depth; the spec
+    * pins that the registry's 5 rounds reach the fixed point on the
+    * test graph.
+    *
+    * `edges` must be an undirected edge list with columns (x, y), one
+    * row per edge, no duplicates, x != y.
+    */
+  def kCorePeel(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var e = edges.select("x", "y").localCheckpoint()
+    var n = e.count()
+    var converged = false
+    var r = 0
+    while (r < rounds && !converged) {
+      val deg = e.select(col("x").as("node"))
+        .unionAll(e.select(col("y").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("dg"))
+      val keep = deg.filter(col("dg") >= k).select("node")
+      val e2 = e
+        .join(keep.withColumnRenamed("node", "kx"), col("x") === col("kx"))
+        .join(keep.withColumnRenamed("node", "ky"), col("y") === col("ky"))
+        .select("x", "y").localCheckpoint()
+      val n2 = e2.count()
+      converged = n2 == n // e2 is a subset of e: equal count == equal set
+      e = e2
+      n = n2
+      r += 1
+    }
+    e.select(col("x").as("node")).unionAll(e.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).cast("long").as("core_deg"))
+  }
+}

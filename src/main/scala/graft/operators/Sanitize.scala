@@ -84,4 +84,29 @@ object Sanitize {
       else when(hit, lit(null).cast(df.schema(c).dataType)).otherwise(col(c)).as(c)
     }.toIndexedSeq: _*)
   }
+
+  /** P15 (k-anonymity suppression): rows whose quasi-identifier
+    * combination occurs fewer than `k` times get those QI columns
+    * nulled ("suppressed"); every row carries its QI group size and a
+    * suppression flag. The release-gate companion to dropPii/hashIds:
+    * direct identifiers go through those, while rare QI combinations —
+    * re-identifiable by linkage even without direct ids — go through
+    * this. Plan shape: one hash aggregate over the QI columns (its
+    * cardinality is the number of QI combinations, not rows) joined
+    * back — AQE broadcasts it when small; no window sort. QI columns
+    * are assumed non-null (nulls form their own group only under a
+    * null-safe join; document per deployment).
+    * Ref: the same release-hygiene family as processing_utils.R:49-118.
+    */
+  def kAnonymize(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
+    require(qiCols.nonEmpty && qiCols.forall(df.columns.contains),
+      s"quasi-identifier columns ${qiCols.mkString(",")} must exist")
+    val sizes = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("qi_group_n"))
+    val ok = col("qi_group_n") >= k
+    val joined = df.join(sizes, qiCols)
+    val suppressed = qiCols.foldLeft(joined)((d, c) =>
+      d.withColumn(c, when(ok, col(c))))
+    suppressed.withColumn("suppressed", !ok)
+  }
 }

@@ -1052,6 +1052,187 @@ object Analytics {
         wedge.join(closing, col("v") === col("cv") && col("w") === col("cw"))
           .agg(count(lit(1)).cast("long").as("n_triangles"))
       }
+    },
+
+    // ---- A36: Benford first-digit drift ------------------------------------
+    // Fraud/synthesis detector the battery lacked: does the leading
+    // significant digit of order totals follow Benford's law? Digits are
+    // extracted in EXACT integer space (prices quantize to cents as
+    // BIGINT; the first digit is the first character of the integer's
+    // decimal rendering — no log10 on doubles, whose libm rounding at
+    // power-of-ten boundaries is not pinned cross-engine). The nine
+    // Benford probabilities are embedded as 6 dp literals (they sum to
+    // exactly 1.000000) rather than computed via log10 — both engines
+    // parse the same decimal string to the same double. Per-digit
+    // |observed - expected| terms round to 6 dp DECIMAL and sum exactly
+    // (the a30/a35 recipe); MAD = that sum / 9. A zero-count digit
+    // still contributes its full expected mass via the broadcast
+    // digit spine. One scan; every join side after the count is O(9).
+    Query("a36_benford",
+      """WITH u AS (
+        |  SELECT o_orderpriority AS p,
+        |         CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |                             AS VARCHAR), 1, 1) AS BIGINT) AS dg
+        |  FROM orders),
+        |obs AS (SELECT p, dg, count(*) AS n FROM u GROUP BY 1, 2),
+        |tot AS (SELECT p, sum(n) AS tn FROM obs GROUP BY 1),
+        |ben AS (
+        |  SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS bd,
+        |         unnest(CAST([0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
+        |                      0.066947, 0.057992, 0.051153, 0.045757]
+        |                AS DOUBLE[])) AS pb),
+        |grid AS (
+        |  SELECT tot.p, tot.tn, ben.pb, coalesce(obs.n, 0) AS n
+        |  FROM tot CROSS JOIN ben
+        |  LEFT JOIN obs ON obs.p = tot.p AND obs.dg = ben.bd),
+        |terms AS (
+        |  SELECT p, tn,
+        |         CAST(round(abs(n * 1.0 / tn - pb), 6) AS DECIMAL(18,6)) AS term
+        |  FROM grid)
+        |SELECT p AS o_orderpriority, CAST(max(tn) AS BIGINT) AS n_orders,
+        |       CAST(CAST(sum(term) AS DOUBLE) / 9 AS DOUBLE) AS benford_mad
+        |FROM terms GROUP BY 1""".stripMargin) {
+      (s, d) => {
+        val benfordP = Seq(0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
+          0.066947, 0.057992, 0.051153, 0.045757)
+        val u = round(col("o_totalprice") * 100).cast("long")
+        val obs = Tables.orders(s, d)
+          .select(col("o_orderpriority").as("p"),
+            substring(u.cast("string"), 1, 1).cast("long").as("dg"))
+          .groupBy("p", "dg").agg(count(lit(1)).as("n"))
+          .localCheckpoint() // tot + grid both derive from this one agg
+        val tot = obs.groupBy("p").agg(sum("n").as("tn"))
+        val ben = obs.sparkSession.range(1).select(explode(array(
+          benfordP.zipWithIndex.map { case (pb, i) =>
+            struct(lit((i + 1).toLong).as("bd"), lit(pb).as("pb"))
+          }: _*)).as("s")).select(col("s.bd").as("bd"), col("s.pb").as("pb"))
+        val grid = tot.crossJoin(broadcast(ben))
+          .join(obs.select(col("p").as("op"), col("dg"), col("n")),
+            col("p") === col("op") && col("bd") === col("dg"), "left")
+        val term = round(abs(coalesce(col("n"), lit(0L)) * lit(1.0) / col("tn")
+          - col("pb")), 6).cast("decimal(18,6)")
+        grid.select(col("p"), col("tn"), term.as("term"))
+          .groupBy(col("p").as("o_orderpriority"))
+          .agg(max("tn").cast("long").as("n_orders"),
+            (sum("term").cast("double") / 9).as("benford_mad"))
+      }
+    },
+
+    // ---- W33: Theil-Sen robust trend per key --------------------------------
+    // a29's least-squares slope is hijacked by a single outlier day; the
+    // Theil-Sen estimator (median of all pairwise slopes) has a 29.3%
+    // breakdown point. Series = w32's per-type daily decimal sums (~n
+    // days per key), pairs via an ORDERED self-join within the key —
+    // O(n^2) per key by definition, which is the documented bound: the
+    // operator targets per-entity series of bounded length (days,
+    // weeks), not raw event streams; at 100 TB the daily pre-aggregate
+    // IS the reduction (600k events -> 150 days here). Median without
+    // interpolation ambiguity: rank by slope, keep rank (m+1)/2 and
+    // (m+2)/2 (equal for odd m), avg — a 2-element fp mean is
+    // order-immune, so no decimal routing is needed. Slope doubles are
+    // single fixed-order ops on exact inputs (decimal-sum x, integer
+    // day gaps).
+    Query("w33_theil_sen",
+      """WITH d AS (
+        |  SELECT event_type,
+        |         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type, (b.x - a.x) / (b.day - a.day) AS sl
+        |  FROM d a JOIN d b
+        |    ON a.event_type = b.event_type AND a.day < b.day),
+        |r AS (
+        |  SELECT event_type, sl,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY sl) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS m
+        |  FROM p)
+        |SELECT event_type, CAST(max(m) AS BIGINT) AS n_pairs,
+        |       CAST(avg(sl) AS DOUBLE) AS ts_slope
+        |FROM r WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2
+        |GROUP BY 1""".stripMargin) {
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+          .agg(sum(col("value").cast("decimal(18,4)")).cast("double").as("x"))
+          .localCheckpoint() // both self-join legs read this one agg
+        val pairs = daily.toDF("et", "di", "xi")
+          .join(daily.toDF("et2", "dj", "xj"),
+            col("et") === col("et2") && col("di") < col("dj"))
+          .select(col("et").as("event_type"),
+            ((col("xj") - col("xi")) / (col("dj") - col("di"))).as("sl"))
+        val w = Window.partitionBy("event_type").orderBy("sl")
+        val ranked = pairs
+          .withColumn("rn", row_number().over(w))
+          .withColumn("m", count(lit(1)).over(Window.partitionBy("event_type")))
+        // Column `/` is double division: floor() recovers the integer
+        // median ranks that DuckDB's `//` computes.
+        ranked.filter(col("rn") === floor((col("m") + 1) / 2)
+            || col("rn") === floor((col("m") + 2) / 2))
+          .groupBy("event_type")
+          .agg(max("m").cast("long").as("n_pairs"),
+            avg("sl").cast("double").as("ts_slope"))
+      }
+    },
+
+    // ---- G19: k-core decomposition (iterative peel) -------------------------
+    // The cohesive-subgraph member the graph family (g10 pagerank, g13
+    // triangles, s08 connected components) lacked: repeatedly peel
+    // nodes of degree < k until the k-core remains. Same sparsified
+    // supplier co-purchase graph as g13 (independent 'g19' salt), k=4,
+    // FIXED 5 peel rounds so the oracle can unroll them as CTE stages
+    // (the g10 precedent); the engine's early-convergence exit is
+    // provably identity-equivalent (each round's edges are a subset of
+    // the last). GraphsSpec pins that 5 rounds reach the fixed point
+    // here, so the row IS the true 4-core.
+    Query("g19_kcore",
+      """WITH pair AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_suppkey AS x, b.l_suppkey AS y
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+        |e0 AS MATERIALIZED (
+        |  SELECT x, y FROM pair
+        |  WHERE substring(md5(CAST(x AS VARCHAR) || '_' || CAST(y AS VARCHAR)
+        |                       || 'g19'), 1, 1) = '0'),
+        |d1 AS MATERIALIZED (SELECT node, count(*) AS dg FROM (
+        |         SELECT x AS node FROM e0 UNION ALL SELECT y FROM e0) t GROUP BY 1),
+        |k1 AS MATERIALIZED (SELECT node FROM d1 WHERE dg >= 4),
+        |e1 AS MATERIALIZED (SELECT e.x, e.y FROM e0 e
+        |       JOIN k1 a ON e.x = a.node JOIN k1 b ON e.y = b.node),
+        |d2 AS MATERIALIZED (SELECT node, count(*) AS dg FROM (
+        |         SELECT x AS node FROM e1 UNION ALL SELECT y FROM e1) t GROUP BY 1),
+        |k2 AS MATERIALIZED (SELECT node FROM d2 WHERE dg >= 4),
+        |e2 AS MATERIALIZED (SELECT e.x, e.y FROM e1 e
+        |       JOIN k2 a ON e.x = a.node JOIN k2 b ON e.y = b.node),
+        |d3 AS MATERIALIZED (SELECT node, count(*) AS dg FROM (
+        |         SELECT x AS node FROM e2 UNION ALL SELECT y FROM e2) t GROUP BY 1),
+        |k3 AS MATERIALIZED (SELECT node FROM d3 WHERE dg >= 4),
+        |e3 AS MATERIALIZED (SELECT e.x, e.y FROM e2 e
+        |       JOIN k3 a ON e.x = a.node JOIN k3 b ON e.y = b.node),
+        |d4 AS MATERIALIZED (SELECT node, count(*) AS dg FROM (
+        |         SELECT x AS node FROM e3 UNION ALL SELECT y FROM e3) t GROUP BY 1),
+        |k4 AS MATERIALIZED (SELECT node FROM d4 WHERE dg >= 4),
+        |e4 AS MATERIALIZED (SELECT e.x, e.y FROM e3 e
+        |       JOIN k4 a ON e.x = a.node JOIN k4 b ON e.y = b.node),
+        |d5 AS MATERIALIZED (SELECT node, count(*) AS dg FROM (
+        |         SELECT x AS node FROM e4 UNION ALL SELECT y FROM e4) t GROUP BY 1),
+        |k5 AS MATERIALIZED (SELECT node FROM d5 WHERE dg >= 4),
+        |e5 AS MATERIALIZED (SELECT e.x, e.y FROM e4 e
+        |       JOIN k5 a ON e.x = a.node JOIN k5 b ON e.y = b.node),
+        |d6 AS MATERIALIZED (SELECT node, count(*) AS dg FROM (
+        |         SELECT x AS node FROM e5 UNION ALL SELECT y FROM e5) t GROUP BY 1)
+        |SELECT node, CAST(dg AS BIGINT) AS core_deg FROM d6""".stripMargin) {
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        val pair = li.toDF("ok", "x")
+          .join(li.toDF("ok2", "y"), col("ok") === col("ok2") && col("x") < col("y"))
+          .select("x", "y").distinct()
+        val e = pair.filter(substring(
+          md5(concat(col("x").cast("string"), lit("_"),
+            col("y").cast("string"), lit("g19"))), 1, 1) === "0")
+        graft.operators.Graphs.kCorePeel(e, k = 4L, rounds = 5)
+      }
     }
   )
 

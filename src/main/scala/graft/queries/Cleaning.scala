@@ -388,6 +388,31 @@ object Cleaning {
           (col("num") * when(col("unit") === "kg", 1000000L)
             .when(col("unit") === "g", 1000L)
             .when(col("unit") === "mg", 1L)).isNull.as("quarantined"))
+    },
+
+    // ---- P15: k-anonymity suppression ---------------------------------------
+    // Release-gate privacy audit: customers whose (nation, market
+    // segment) quasi-identifier combination occurs < k times are
+    // linkage-re-identifiable even after P2/P3 strip the direct ids, so
+    // those QI cells null out and the row is flagged. One hash agg
+    // (|QI combos| rows) broadcast-joined back — no window sort.
+    Query("p15_k_anonymize",
+      """WITH g AS (
+        |  SELECT c_nationkey AS nk, c_mktsegment AS seg, count(*) AS n
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT c_custkey,
+        |       CASE WHEN n >= 8 THEN c_nationkey END AS c_nationkey,
+        |       CASE WHEN n >= 8 THEN c_mktsegment END AS c_mktsegment,
+        |       CAST(n AS BIGINT) AS qi_group_n,
+        |       n < 8 AS suppressed
+        |FROM customer JOIN g
+        |  ON c_nationkey = g.nk AND c_mktsegment = g.seg""".stripMargin) {
+      (s, d) =>
+        graft.operators.Sanitize.kAnonymize(
+            Tables.customer(s, d).select("c_custkey", "c_nationkey", "c_mktsegment"),
+            Seq("c_nationkey", "c_mktsegment"), k = 8L)
+          .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+            col("qi_group_n").cast("long").as("qi_group_n"), col("suppressed"))
     }
   )
 }

@@ -492,6 +492,51 @@ object SinkQueries {
             .select(lit(v).as("version"), col("n_rows"), col("total"))
         readVersion(1, manifestV1).unionAll(readVersion(2, manifestV2))
       }
+    },
+
+    // ---- io14: CDC merge-apply (upserts + deletes onto a snapshot) ----------
+    // The merge-with-deletes half io03's SCD2 merge doesn't cover: a
+    // change feed (derived from orders — deterministic md5 coin splits
+    // ops into deletes and upserts, a 1-in-17 slice remaps to synthetic
+    // NEW keys so the insert path is exercised, order sequence =
+    // epoch-day * 1e8 + orderkey) compacts to its latest change per key
+    // via ONE max_by hash aggregate (no window sort) and full-outer
+    // merges onto the customer snapshot. Latest 'D' drops the key,
+    // latest 'U' replaces/inserts the balance, untouched rows pass
+    // through. The oracle replays compaction with arg_max.
+    Query("io14_cdc_apply",
+      """WITH ch AS (
+        |  SELECT CASE WHEN o_orderkey % 17 = 3 THEN o_custkey + 1000000
+        |              ELSE o_custkey END AS c_custkey,
+        |         CASE WHEN substring(md5(CAST(o_orderkey AS VARCHAR) || 'cdc'),
+        |                             1, 1) = '0' THEN 'D' ELSE 'U' END AS op,
+        |         o_totalprice AS bal,
+        |         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |           * 100000000 + o_orderkey AS ordk
+        |  FROM orders),
+        |latest AS (
+        |  SELECT c_custkey, arg_max(op, ordk) AS op, arg_max(bal, ordk) AS nb
+        |  FROM ch GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(b.c_custkey, l.c_custkey) AS k,
+        |         b.c_acctbal AS bb, l.op, l.nb
+        |  FROM customer b FULL JOIN latest l ON b.c_custkey = l.c_custkey)
+        |SELECT k AS c_custkey,
+        |       CASE WHEN op = 'U' THEN nb ELSE bb END AS bal,
+        |       CASE WHEN op IS NULL THEN 'base' ELSE 'upsert' END AS cdc_src
+        |FROM j WHERE op IS NULL OR op <> 'D'""".stripMargin) { (s, d) =>
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal").as("bal"))
+      val day = datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long")
+      val changes = Tables.orders(s, d).select(
+        when(col("o_orderkey") % 17 === 3, col("o_custkey") + 1000000L)
+          .otherwise(col("o_custkey")).as("c_custkey"),
+        when(substring(md5(concat(col("o_orderkey").cast("string"), lit("cdc"))),
+          1, 1) === "0", "D").otherwise("U").as("op"),
+        col("o_totalprice").as("bal"),
+        (day * 100000000L + col("o_orderkey")).as("ordk"))
+      graft.operators.Cdc.applyChanges(base, changes,
+        Seq("c_custkey"), opCol = "op", ordCol = "ordk")
     }
   )
 }

@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.Cdc
+
+/** Cdc.applyChanges pins: last-write-wins compaction, delete/upsert/
+  * insert/pass-through paths, and payload-name validation.
+  */
+class CdcSpec extends SparkSpec {
+
+  private def base = df(
+    """SELECT * FROM VALUES (1, 'a'), (2, 'b'), (3, 'c') t(k, v)""")
+
+  test("latest change wins; D deletes, U upserts, absent keys insert") {
+    val changes = df(
+      """SELECT * FROM VALUES
+        |  (1, 'U', 'x1', 10), (1, 'D', CAST(NULL AS STRING), 20),
+        |  (2, 'D', CAST(NULL AS STRING), 10), (2, 'U', 'y2', 20),
+        |  (4, 'U', 'z4', 10)
+        |t(k, op, v, ordk)""".stripMargin)
+    val out = Cdc.applyChanges(base, changes, Seq("k"), "op", "ordk")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(out == Set(
+      (2, "y2", "upsert"), // D then U: the later U resurrects the key
+      (3, "c", "base"),    // untouched
+      (4, "z4", "upsert")  // insert: key absent from base
+    ), s"got $out")        // key 1: U then D => deleted
+  }
+
+  test("empty feed passes the base through unchanged") {
+    val changes = df(
+      """SELECT * FROM VALUES (9, 'U', 'q', 1) t(k, op, v, ordk)
+        |WHERE FALSE""".stripMargin)
+    val out = Cdc.applyChanges(base, changes, Seq("k"), "op", "ordk")
+    assert(out.filter("cdc_src = 'base'").count() == 3L && out.count() == 3L)
+  }
+
+  test("payload columns missing from base are rejected") {
+    val changes = df("SELECT 1 AS k, 'U' AS op, 'x' AS nope, 1 AS ordk")
+    intercept[IllegalArgumentException] {
+      Cdc.applyChanges(base, changes, Seq("k"), "op", "ordk")
+    }
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graphs
+
+/** kCorePeel pins: hand-checkable cores, fixed-round == converged
+  * equivalence, and the registry graph's fixed point within 5 rounds.
+  */
+class GraphsSpec extends SparkSpec {
+
+  private def edges(pairs: (Int, Int)*) =
+    df("SELECT * FROM VALUES " +
+      pairs.map { case (a, b) => s"($a, $b)" }.mkString(", ") + " t(x, y)")
+
+  test("K4 with a pendant tail: 2-core drops the tail, keeps K4 at degree 3") {
+    // K4 on 1..4 plus tail 4-5-6 (degree-1 chain end peels back fully)
+    val e = edges((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6))
+    val out = Graphs.kCorePeel(e, k = 2L, rounds = 10).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == Map(1 -> 3L, 2 -> 3L, 3 -> 3L, 4 -> 3L),
+      s"expected bare K4, got $out")
+  }
+
+  test("k above the max core empties the graph") {
+    val e = edges((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4))
+    assert(Graphs.kCorePeel(e, k = 4L, rounds = 10).count() == 0L)
+  }
+
+  test("cascading peel needs multiple rounds: chain collapses under k=2") {
+    // path 1-2-3-4-5: every round peels the two current endpoints
+    val e = edges((1, 2), (2, 3), (3, 4), (4, 5))
+    assert(Graphs.kCorePeel(e, k = 2L, rounds = 10).count() == 0L)
+    // one round only removes edges touching the original endpoints
+    val oneRound = Graphs.kCorePeel(e, k = 2L, rounds = 1)
+    assert(oneRound.count() == 3L, "after round 1 the inner path 2-3-4 remains")
+  }
+
+  test("registry g19 graph reaches its fixed point within the pinned 5 rounds") {
+    val d = "/root/testdata/sf0.001"
+    val li = graft.core.Tables.lineitem(spark, d).select("l_orderkey", "l_suppkey")
+    val pair = li.toDF("ok", "x")
+      .join(li.toDF("ok2", "y"), col("ok") === col("ok2") && col("x") < col("y"))
+      .select("x", "y").distinct()
+    val e = pair.filter(substring(
+      md5(concat(col("x").cast("string"), lit("_"),
+        col("y").cast("string"), lit("g19"))), 1, 1) === "0")
+      .localCheckpoint()
+    val r5 = Graphs.kCorePeel(e, k = 4L, rounds = 5).collect()
+      .map(r => r.get(0) -> r.getLong(1)).toMap
+    val r8 = Graphs.kCorePeel(e, k = 4L, rounds = 8).collect()
+      .map(r => r.get(0) -> r.getLong(1)).toMap
+    assert(r5 == r8, "5 rounds must already be the fixed point (oracle unrolls 5)")
+    assert(r5.values.forall(_ >= 4L), "a converged 4-core has min degree 4")
+  }
+}

@@ -65,4 +65,19 @@ class SanitizeSpec extends SparkSpec {
     val out = Sanitize.maskExceptions(d, "key", Seq("k1"), keep = Seq("metric"))
     assert(rows(out) == Set(Seq("k1", null, 1), Seq("k2", "b", 2)))
   }
+
+  test("kAnonymize suppresses QI cells of sub-k groups and flags them") {
+    // group (10,'A') has 3 rows, (20,'B') has 1 — k=2 suppresses only the latter
+    val d = df(
+      """SELECT * FROM VALUES (1, 10, 'A'), (2, 10, 'A'), (3, 10, 'A'), (4, 20, 'B')
+        |t(id, nation, seg)""".stripMargin)
+    val out = Sanitize.kAnonymize(d, Seq("nation", "seg"), k = 2L)
+      .select("id", "nation", "seg", "qi_group_n", "suppressed")
+    assert(rows(out) == Set(
+      Seq(1, 10, "A", 3L, false), Seq(2, 10, "A", 3L, false),
+      Seq(3, 10, "A", 3L, false), Seq(4, null, null, 1L, true)))
+    intercept[IllegalArgumentException] {
+      Sanitize.kAnonymize(d, Seq("nope"), k = 2L)
+    }
+  }
 }

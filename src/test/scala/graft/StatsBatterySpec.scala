@@ -130,4 +130,72 @@ class StatsBatterySpec extends SparkSpec {
     }.sum
     assert(chi2 < 1e-9, s"proportional table gave chi2 $chi2")
   }
+
+  test("benford: registry row matches a driver-side digit recompute") {
+    val benford = Map(1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939,
+      4 -> 0.096910, 5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992,
+      8 -> 0.051153, 9 -> 0.045757)
+    assert(math.abs(benford.values.sum - 1.0) < 1e-12) // literals cover the mass
+    val got = SparkEntry.queries("a36_benford")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_orders"), r.getAs[Double]("benford_mad"))).toMap
+    val digits = graft.core.Tables.orders(spark, "/root/testdata/sf0.001")
+      .collect().map { r =>
+        val cents = math.round(r.getAs[Double]("o_totalprice") * 100)
+        r.getAs[String]("o_orderpriority") -> cents.toString.head.asDigit
+      }
+    digits.groupBy(_._1).foreach { case (p, xs) =>
+      val n = xs.length
+      val mad = (1 to 9).map { d =>
+        val obs = xs.count(_._2 == d).toDouble / n
+        BigDecimal(math.abs(obs - benford(d)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble / 9
+      assert(got(p)._1 == n.toLong, s"$p n mismatch")
+      assert(math.abs(got(p)._2 - mad) < 1e-9,
+        s"$p engine ${got(p)._2} vs recompute $mad")
+    }
+  }
+
+  test("theil-sen: registry row matches the median-of-pairwise-slopes rule") {
+    val got = SparkEntry.queries("w33_theil_sen")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("ts_slope"))).toMap
+    val daily = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+      .agg(sum(col("value").cast("decimal(18,4)")).cast("double").as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    daily.groupBy(_._1).foreach { case (t, xs) =>
+      val pts = xs.map(p => (p._2, p._3)).sortBy(_._1)
+      val slopes = (for {
+        i <- pts.indices; j <- pts.indices if pts(i)._1 < pts(j)._1
+      } yield (pts(j)._2 - pts(i)._2) / (pts(j)._1 - pts(i)._1)).sorted
+      val m = slopes.length
+      val med = (slopes((m + 1) / 2 - 1) + slopes((m + 2) / 2 - 1)) / 2
+      assert(got(t)._1 == m.toLong, s"$t pair count mismatch")
+      assert(math.abs(got(t)._2 - med) < 1e-12,
+        s"$t engine ${got(t)._2} vs recompute $med")
+    }
+  }
+
+  test("theil-sen rule is outlier-robust where least squares is not") {
+    // y = 3x on x=0..8 with y(8) replaced by 1000: the pairwise-slope
+    // median is still exactly 3 (>= 29% breakdown), while the LS slope
+    // is pulled far away (the outlier sits at an endpoint, not at
+    // mean(x) where LS is insensitive to it).
+    val pts = (0 to 8).map(x => (x.toDouble, if (x == 8) 1000.0 else 3.0 * x))
+    val slopes = (for {
+      i <- pts.indices; j <- pts.indices if i < j
+    } yield (pts(j)._2 - pts(i)._2) / (pts(j)._1 - pts(i)._1)).sorted
+    val m = slopes.length
+    val med = (slopes((m + 1) / 2 - 1) + slopes((m + 2) / 2 - 1)) / 2
+    assert(med == 3.0, s"theil-sen gave $med")
+    val n = pts.length
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val ls = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(ls - 3.0) > 5, s"LS slope $ls should be hijacked")
+  }
 }
