@@ -926,6 +926,77 @@ object ScaleSmoke {
             li.select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate")))
           .groupBy().agg(sum("n"), count(lit(1)))
           .write.format("noop").mode("overwrite").save()
+      },
+      time("grid_proximity_150k_pts") {
+        // j24's cell join at 10x points with CONSTANT density: each
+        // copy's grid shifts north by the full 40-slot span, so cells
+        // keep ~the same occupancy and the pair count scales linearly —
+        // the invariant that distinguishes a correctly-sized cell join
+        // from a disguised cross join
+        val c0 = graft.core.Tables.customer(spark, sfDir)
+        val maxC = c0.agg(max("c_custkey")).as[Long].head() + 1
+        val pts = c0.select("c_custkey").crossJoin(copies)
+          .select((col("c_custkey") + col("rep") * maxC).as("id"),
+            (lit(3400000L) + (col("c_custkey") % 40) * 2000L).as("ux"),
+            (lit(-400000L) + ((col("c_custkey").cast("long") / 40).cast("long") % 40)
+              * 2000L + col("rep") * 80000L).as("uy"))
+          .select(col("id"), col("ux"), col("uy"),
+            floor(col("ux") / 3000.0).cast("long").as("cx"),
+            floor(col("uy") / 3000.0).cast("long").as("cy"))
+        val r = pts.select(col("id").as("rid"), col("ux").as("rux"),
+            col("uy").as("ruy"),
+            explode(array(col("cx") - 1, col("cx"), col("cx") + 1)).as("cx"),
+            col("cy"))
+          .select(col("rid"), col("rux"), col("ruy"), col("cx"),
+            explode(array(col("cy") - 1, col("cy"), col("cy") + 1)).as("cy"))
+        val km = graft.functions.Geo.haversineKm(
+          col("ux") / 100000.0, col("uy") / 100000.0,
+          col("rux") / 100000.0, col("ruy") / 100000.0)
+        pts.join(r, Seq("cx", "cy")).filter(col("id") < col("rid"))
+          .withColumn("km", km).filter(col("km") <= 3.0)
+          .groupBy().agg(count(lit(1)))
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("kcore_peel_10x_graph") {
+        // g19 on 10 disjoint copies of the sparsified co-purchase graph
+        // (per-copy supplier remap): nodes and edges 10x, peel rounds
+        // unchanged — each round stays one degree agg + one semi-join
+        val liS = li0.select("l_orderkey", "l_suppkey")
+        val maxS = liS.agg(max("l_suppkey")).as[Long].head() + 1
+        val li10 = liS.crossJoin(copies)
+          .select((col("l_orderkey") + col("rep") * maxOk).as("ok"),
+            (col("l_suppkey") + col("rep") * maxS).as("sk"))
+        val pair = li10.toDF("ok", "x")
+          .join(li10.toDF("ok2", "y"), col("ok") === col("ok2") && col("x") < col("y"))
+          .select("x", "y").distinct()
+        val e = pair.filter(substring(
+          md5(concat(col("x").cast("string"), lit("_"),
+            col("y").cast("string"), lit("g19"))), 1, 1) === "0")
+        graft.operators.Graphs.kCorePeel(e, k = 4L, rounds = 5)
+          .groupBy().agg(count(lit(1)), sum("core_deg"))
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("cdc_apply_150k_keys") {
+        // io14 at 10x: compaction is one map-side-combinable max_by agg
+        // over the 10x feed, the merge one full-outer shuffle join
+        val c0 = graft.core.Tables.customer(spark, sfDir)
+        val maxC = c0.agg(max("c_custkey")).as[Long].head() + 1
+        val base = c0.select("c_custkey", "c_acctbal").crossJoin(copies)
+          .select((col("c_custkey") + col("rep") * maxC).as("c_custkey"),
+            col("c_acctbal").as("bal"))
+        val day = datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long")
+        val changes = or.select(
+          when(col("o_orderkey") % 17 === 3, col("o_custkey") + 100 * maxC)
+            .otherwise(col("o_custkey") + (col("o_orderkey") % nCopies) * maxC)
+            .as("c_custkey"),
+          when(substring(md5(concat(col("o_orderkey").cast("string"), lit("cdc"))),
+            1, 1) === "0", "D").otherwise("U").as("op"),
+          col("o_totalprice").as("bal"),
+          (day * 100000000L + col("o_orderkey")).as("ordk"))
+        graft.operators.Cdc.applyChanges(base, changes,
+            Seq("c_custkey"), opCol = "op", ordCol = "ordk")
+          .groupBy("cdc_src").agg(count(lit(1)))
+          .write.format("noop").mode("overwrite").save()
       })
 
     val rows = li.count()

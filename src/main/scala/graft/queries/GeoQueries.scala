@@ -254,6 +254,69 @@ object GeoQueries {
         round(Geo.utmEasting(col("lon"), col("lat"), zone = 37), 3).as("easting"),
         round(Geo.utmNorthing(col("lon"), col("lat"), zone = 37, south = true), 3)
           .as("northing"))
+    },
+
+    // ---- J24: grid-cell spatial proximity self-join -------------------------
+    // The 2D member of the bucketed-join family (j19 intervals, j22 1D
+    // bands): all point pairs within 3 km, via integer grid cells
+    // instead of a cross join. Coordinates live in EXACT 1e-5-degree
+    // integer micro-units (the j22 lesson: no FP cell-boundary cases);
+    // the cell is 30000 u = 0.3 deg — wider than the 3 km max
+    // qualifying separation (~27091 u of longitude at lat -4), so a
+    // 3x3 neighbor expansion is pigeonhole-complete. The left side
+    // keeps its own cell, the right replicates x9; the equi-join on
+    // (cx, cy) finds each oriented pair exactly once. 9x replication
+    // instead of O(n^2) — AQE-splittable, shuffle keyed on cells, no
+    // BroadcastNestedLoop anywhere. Exact-distance gate = the j12
+    // haversine, identical IEEE form both engines.
+    Query("j24_grid_proximity",
+      """WITH p AS (
+        |  SELECT c_custkey AS id,
+        |         3400000 + (c_custkey % 40) * 2000 AS ux,
+        |         -400000 + ((c_custkey // 40) % 40) * 2000 AS uy
+        |  FROM customer),
+        |c AS (
+        |  SELECT id, ux, uy,
+        |         CAST(floor(ux / 3000.0) AS BIGINT) AS cx,
+        |         CAST(floor(uy / 3000.0) AS BIGINT) AS cy
+        |  FROM p),
+        |r AS (
+        |  SELECT id, ux, uy, cx + dx.d AS cx, cy + dy.d AS cy
+        |  FROM c, (SELECT unnest([-1, 0, 1]) AS d) dx,
+        |          (SELECT unnest([-1, 0, 1]) AS d) dy),
+        |j AS (
+        |  SELECT l.id AS ca, r.id AS cb,
+        |         pow(sin(radians(r.uy / 100000.0 - l.uy / 100000.0) / 2), 2)
+        |           + cos(radians(l.uy / 100000.0)) * cos(radians(r.uy / 100000.0))
+        |             * pow(sin(radians(r.ux / 100000.0 - l.ux / 100000.0) / 2), 2) AS a
+        |  FROM c l JOIN r ON l.cx = r.cx AND l.cy = r.cy AND l.id < r.id),
+        |k AS (
+        |  SELECT ca, cb, 2 * 6371.0088 * atan2(sqrt(a), sqrt(1 - a)) AS km
+        |  FROM j)
+        |SELECT ca, cb, round(km, 6) AS km FROM k WHERE km <= 3.0""".stripMargin) {
+      (s, d) => {
+        val base = Tables.customer(s, d).select(col("c_custkey").as("id"),
+          (lit(3400000L) + (col("c_custkey") % 40) * 2000L).as("ux"),
+          (lit(-400000L) + ((col("c_custkey").cast("long") / 40).cast("long") % 40)
+            * 2000L).as("uy"))
+          .select(col("id"), col("ux"), col("uy"),
+            floor(col("ux") / 3000.0).cast("long").as("cx"),
+            floor(col("uy") / 3000.0).cast("long").as("cy"))
+        val l = base
+        val r = base.select(col("id").as("rid"), col("ux").as("rux"),
+            col("uy").as("ruy"),
+            explode(array(col("cx") - 1, col("cx"), col("cx") + 1)).as("cx"),
+            col("cy"))
+          .select(col("rid"), col("rux"), col("ruy"), col("cx"),
+            explode(array(col("cy") - 1, col("cy"), col("cy") + 1)).as("cy"))
+        val km = Geo.haversineKm(
+          col("ux") / 100000.0, col("uy") / 100000.0,
+          col("rux") / 100000.0, col("ruy") / 100000.0)
+        l.join(r, Seq("cx", "cy")).filter(col("id") < col("rid"))
+          .withColumn("km", km).filter(col("km") <= 3.0)
+          .select(col("id").as("ca"), col("rid").as("cb"),
+            round(col("km"), 6).as("km"))
+      }
     }
   )
 }

@@ -767,6 +767,81 @@ object StreamingQueries {
           .select(col("userId").as("user_id"), col("eventId").as("event_id"),
             col("sPos").as("s_pos"), col("sNeg").as("s_neg"), col("alarm"))
       }
+    },
+
+    // ---- ST15: streaming heavy hitters (Misra-Gries state + exact verify) --
+    // a27's two-phase exact heavy hitters with phase 1 SERVED
+    // INCREMENTALLY: each landed micro-batch of documents folds its
+    // per-language token stream into a Misra-Gries(64) summary
+    // (plans.MisraGriesTopK — one aggregate per batch), and the
+    // accumulated candidate UNION is exact-verified once at the end.
+    // Union-of-summaries keeps the superset guarantee with bounded
+    // state (<= batches x 64 tokens per language, vs an exact streaming
+    // count whose state is the whole vocabulary): MG(64) per batch
+    // undercounts by <= N_b/65, and a per-language heavy hitter
+    // (cnt * 30 > N) is heavy in at least one batch, so it appears in
+    // some batch's summary. The final exact counts make the row
+    // bit-equal to the batch oracle REGARDLESS of MG tie-breaking.
+    Query("st15_stream_heavy_hitters",
+      """WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |tot AS (SELECT lang, count(*) AS n FROM w GROUP BY 1)
+        |SELECT w.lang, word, count(*) AS cnt
+        |FROM w JOIN tot ON w.lang = tot.lang
+        |GROUP BY w.lang, word, n
+        |HAVING count(*) * 30 > n""".stripMargin) {
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        import graft.functions.TextFunctions
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val docs = Tables.documents(ss, d)
+        val landing = graft.core.TempDirs.scratch("st15_landing_")
+        def stage(df: org.apache.spark.sql.DataFrame, name: String,
+                  mtime: Long): Unit = {
+          val tmp = graft.core.TempDirs.scratch("st15_b_").toString
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val f = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+            .filter(_.endsWith(".parquet")).head
+          val dst = landing.resolve(name)
+          Files.copy(Paths.get(f), dst)
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+        }
+        stage(docs.filter(col("doc_id") % 2 === 0), "b1.parquet", 1000000L)
+        stage(docs.filter(col("doc_id") % 2 =!= 0), "b2.parquet", 2000000L)
+        val toks = TextFunctions.tokens(col("text"))
+        // driver-held candidate accumulator: <= n_batches x 64 strings
+        // per language — the bounded-state contract
+        val cands = scala.collection.mutable.Map
+          .empty[String, Set[String]].withDefaultValue(Set.empty)
+        val src = Streams.fileSource(ss, landing.toString, docs.schema,
+          maxFilesPerTrigger = Some(1))
+        val q = src.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.groupBy("lang")
+              .agg(graft.plans.MisraGriesTopK(toks, 64).as("cand"))
+              .collect()
+              .foreach(r => cands(r.getString(0)) =
+                cands(r.getString(0)) ++ r.getSeq[String](1))
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        // exact verify over the landed corpus: only candidate tokens are
+        // ever grouped (a27's phase 2), per language
+        val candDf = ss.createDataFrame(
+          cands.toSeq.flatMap { case (l, ws) => ws.toSeq.sorted.map((l, _)) })
+          .toDF("lang", "word")
+        val landed = ss.read.schema(docs.schema).parquet(landing.toString)
+        val words = landed.select(col("lang"), explode(toks).as("word"))
+        val totals = landed.groupBy("lang").agg(sum(size(toks)).as("n"))
+        words.join(broadcast(candDf), Seq("lang", "word"))
+          .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+          .join(broadcast(totals), "lang")
+          .filter(col("cnt") * 30 > col("n"))
+          .select("lang", "word", "cnt")
+      }
     }
   )
 }

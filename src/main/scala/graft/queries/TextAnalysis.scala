@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.core.{Query, Tables}
 import graft.functions.TextFunctions._
 
@@ -1580,6 +1581,70 @@ object TextAnalysis {
       (s, d) => graft.operators.Winnowing.overlapPairs(
         Tables.documents(s, d).select("doc_id", "text"),
         k = 8, w = 16, maxDocs = 20, minShared = 8)
+    },
+
+    // ---- T48: Zipf rank-frequency fit (corpus-health diagnostic) -----------
+    // A natural corpus's token frequencies follow freq ∝ rank^s with
+    // s ≈ -1; a slope far from -1 flags boilerplate floods (flat head)
+    // or token-salad (steep tail) — the corpus-level companion to t39's
+    // per-doc entropy. Per language: rank the vocabulary by count
+    // (deterministic (count DESC, token) tiebreak), ln-transform the
+    // top-50 (rank, count) points with the t18 6dp-DECIMAL discipline,
+    // and fit by exact-decimal least squares (the a29 sufficient-stats
+    // epilogue: every sum is exact, doubles only in the final
+    // fixed-order division). One token scan feeds vocab, ranks, and
+    // type counts.
+    Query("t48_zipf_fit",
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS t
+        |             FROM documents),
+        |v AS (SELECT lang, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        |nt AS (SELECT lang, count(*) AS n_types FROM v GROUP BY 1),
+        |rk AS (SELECT lang, c,
+        |              row_number() OVER (PARTITION BY lang
+        |                                 ORDER BY c DESC, t) AS rank
+        |       FROM v),
+        |top AS (SELECT lang,
+        |               CAST(round(ln(rank * 1.0), 6) AS DECIMAL(18,6)) AS x,
+        |               CAST(round(ln(c * 1.0), 6) AS DECIMAL(18,6)) AS y
+        |        FROM rk WHERE rank <= 50),
+        |a AS (SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+        |      FROM top GROUP BY 1)
+        |SELECT a.lang, CAST(nt.n_types AS BIGINT) AS n_types,
+        |       round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+        |       round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |             * CAST(n * sxy - sx * sy AS DOUBLE)
+        |             / (CAST(n * sxx - sx * sx AS DOUBLE)
+        |                * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+        |FROM a JOIN nt ON a.lang = nt.lang""".stripMargin) {
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("lang"), explode(tokens(col("text"))).as("t"))
+        val vocab = tok.groupBy("lang", "t").agg(count(lit(1)).as("c"))
+          .localCheckpoint() // ranks + type counts share this one agg
+        val nTypes = vocab.groupBy("lang").agg(count(lit(1)).as("n_types"))
+        val ranked = vocab.withColumn("rank", row_number().over(
+          Window.partitionBy("lang").orderBy(col("c").desc, col("t"))))
+        val top = ranked.filter(col("rank") <= 50)
+          .select(col("lang"),
+            round(log(col("rank").cast("double")), 6)
+              .cast("decimal(18,6)").as("x"),
+            round(log(col("c").cast("double")), 6)
+              .cast("decimal(18,6)").as("y"))
+        val a = top.groupBy("lang").agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"))
+        val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+        val denx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+        val deny = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+        a.join(nTypes, "lang")
+          .select(col("lang"), col("n_types").cast("long").as("n_types"),
+            round(num / denx, 6).as("zipf_slope"),
+            round(num * num / (denx * deny), 6).as("r2"))
+      }
     }
   )
 

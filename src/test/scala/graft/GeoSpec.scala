@@ -121,4 +121,28 @@ class GeoSpec extends SparkSpec {
     val d = df("SELECT 1 AS id, CAST(0.5 AS DOUBLE) AS x, CAST(0.5 AS DOUBLE) AS y")
     assert(math.abs(d.select(edist(col("id"), col("x"), col("y"))).head().getDouble(0) - 0.5) < 1e-12)
   }
+
+  test("j24 grid proximity join equals the brute-force cross join") {
+    // pigeonhole completeness: the 3x3 neighbor-cell equi-join must find
+    // EXACTLY the pairs the O(n^2) cross join finds at the 3 km gate
+    val d = "/root/testdata/sf0.001"
+    val fn = graft.queries.GeoQueries.queries
+      .find(_.name == "j24_grid_proximity").get.fn
+    val got = fn(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pts = graft.core.Tables.customer(spark, d).select(col("c_custkey").as("id"),
+        (lit(3400000L) + (col("c_custkey") % 40) * 2000L).as("ux"),
+        (lit(-400000L) + ((col("c_custkey").cast("long") / 40).cast("long") % 40)
+          * 2000L).as("uy"))
+    val r = pts.select(col("id").as("rid"), col("ux").as("rux"), col("uy").as("ruy"))
+    val km = Geo.haversineKm(
+      col("ux") / 100000.0, col("uy") / 100000.0,
+      col("rux") / 100000.0, col("ruy") / 100000.0)
+    val brute = pts.crossJoin(r).filter(col("id") < col("rid"))
+      .withColumn("km", km).filter(col("km") <= 3.0)
+      .select("id", "rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == brute, s"grid ${got.size} pairs vs brute ${brute.size}")
+    assert(brute.nonEmpty, "fixture must actually produce pairs")
+  }
 }

@@ -204,4 +204,22 @@ class StreamingSpec extends SparkSpec {
     assert(got == List(("k", 3L)),
       s"window [0,10) must emit run-1's 3 rows exactly once, got $got")
   }
+
+  test("st15 streamed Misra-Gries candidates reproduce the exact batch heavy hitters") {
+    val d = "/root/testdata/sf0.001"
+    val fn = graft.queries.StreamingQueries.queries
+      .find(_.name == "st15_stream_heavy_hitters").get.fn
+    val got = fn(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val docs = graft.core.Tables.documents(spark, d)
+    val totals = docs.groupBy("lang").agg(sum(size(toks)).as("n"))
+    val expect = docs.select(col("lang"), explode(toks).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+      .join(totals, "lang").filter(col("cnt") * 30 > col("n"))
+      .select("lang", "word", "cnt").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expect, s"stream ${got.size} vs batch ${expect.size}")
+    assert(expect.nonEmpty, "fixture must have heavy hitters")
+  }
 }
