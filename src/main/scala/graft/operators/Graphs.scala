@@ -56,4 +56,33 @@ object Graphs {
     e.select(col("x").as("node")).unionAll(e.select(col("y").as("node")))
       .groupBy("node").agg(count(lit(1)).cast("long").as("core_deg"))
   }
+
+  /** Multi-source BFS hop distances: dist(v) = min #hops from v to any
+    * source node, computed over exactly `rounds` frontier expansions
+    * (nodes further than `rounds` hops are absent — the fixed-round
+    * contract that lets a SQL oracle unroll the iterations, as in
+    * kCorePeel/pagerank). Each round is one join (frontier onto the
+    * bidirectional edge list) plus one min-aggregate, both keyed on
+    * node id; the running distance table is localCheckpoint-ed per
+    * round to cut replayed lineage.
+    *
+    * `edges` is an undirected edge list (x, y); `sources` a single
+    * column (node).
+    */
+  def bfsDistances(edges: DataFrame, sources: DataFrame,
+                   rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val bi = edges.select(col("x").as("s"), col("y").as("t"))
+      .unionAll(edges.select(col("y").as("s"), col("x").as("t")))
+      .localCheckpoint()
+    var dist = sources.select(col("node"), lit(0L).as("dist")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val next = bi.join(dist, col("s") === col("node"))
+        .select(col("t").as("node"), (col("dist") + 1L).as("dist"))
+      dist = dist.unionAll(next)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist.select(col("node"), col("dist").cast("long").as("dist"))
+  }
 }

@@ -1233,6 +1233,164 @@ object Analytics {
             col("y").cast("string"), lit("g19"))), 1, 1) === "0")
         graft.operators.Graphs.kCorePeel(e, k = 4L, rounds = 5)
       }
+    },
+
+    // ---- G20: multi-source BFS hop distances --------------------------------
+    // Reachability layering over the sparsified co-purchase graph
+    // ('g20' salt): distance in hops from the nearest "hub" supplier
+    // (node ≡ 0 mod 10), 4 frontier rounds — facility-coverage /
+    // blast-radius analysis, the shortest-path member the graph family
+    // lacked. Fixed-round contract (g10/g19): the oracle unrolls 4
+    // MATERIALIZED expansion stages; the engine runs the same 4
+    // join+min-agg rounds. Nodes beyond 4 hops are absent by contract.
+    Query("g20_bfs_distance",
+      """WITH pair AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_suppkey AS x, b.l_suppkey AS y
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+        |e0 AS MATERIALIZED (
+        |  SELECT x, y FROM pair
+        |  WHERE substring(md5(CAST(x AS VARCHAR) || '_' || CAST(y AS VARCHAR)
+        |                       || 'g20'), 1, 1) = '0'),
+        |bi AS MATERIALIZED (
+        |  SELECT x AS s, y AS t FROM e0 UNION ALL SELECT y, x FROM e0),
+        |d0 AS MATERIALIZED (
+        |  SELECT DISTINCT n AS node, CAST(0 AS BIGINT) AS dist FROM (
+        |    SELECT x AS n FROM e0 UNION ALL SELECT y FROM e0) t
+        |  WHERE n % 10 = 0),
+        |d1 AS MATERIALIZED (
+        |  SELECT node, min(dist) AS dist FROM (
+        |    SELECT node, dist FROM d0
+        |    UNION ALL SELECT bi.t, d0.dist + 1 FROM bi JOIN d0 ON bi.s = d0.node) t
+        |  GROUP BY 1),
+        |d2 AS MATERIALIZED (
+        |  SELECT node, min(dist) AS dist FROM (
+        |    SELECT node, dist FROM d1
+        |    UNION ALL SELECT bi.t, d1.dist + 1 FROM bi JOIN d1 ON bi.s = d1.node) t
+        |  GROUP BY 1),
+        |d3 AS MATERIALIZED (
+        |  SELECT node, min(dist) AS dist FROM (
+        |    SELECT node, dist FROM d2
+        |    UNION ALL SELECT bi.t, d2.dist + 1 FROM bi JOIN d2 ON bi.s = d2.node) t
+        |  GROUP BY 1),
+        |d4 AS MATERIALIZED (
+        |  SELECT node, min(dist) AS dist FROM (
+        |    SELECT node, dist FROM d3
+        |    UNION ALL SELECT bi.t, d3.dist + 1 FROM bi JOIN d3 ON bi.s = d3.node) t
+        |  GROUP BY 1)
+        |SELECT node, CAST(dist AS BIGINT) AS dist FROM d4""".stripMargin) {
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        val pair = li.toDF("ok", "x")
+          .join(li.toDF("ok2", "y"), col("ok") === col("ok2") && col("x") < col("y"))
+          .select("x", "y").distinct()
+        val e = pair.filter(substring(
+          md5(concat(col("x").cast("string"), lit("_"),
+            col("y").cast("string"), lit("g20"))), 1, 1) === "0")
+          .localCheckpoint() // nodes + bidirectional legs share the pair join
+        val sources = e.select(col("x").as("node"))
+          .unionAll(e.select(col("y").as("node")))
+          .distinct().filter(col("node") % 10 === 0)
+        graft.operators.Graphs.bfsDistances(e, sources, rounds = 4)
+      }
+    },
+
+    // ---- A38: Gini concentration index per group ----------------------------
+    // Inequality/concentration of order value within each market
+    // segment — the "is 80% of the volume 3 customers?" audit. The
+    // rank formula G = (2*Σi·x_i - (n+1)*Σx) / (n*Σx) over values
+    // ranked ascending with a unique (value, orderkey) tiebreak. Every
+    // sum is exact BIGINT on cent-quantized values (Σi·x bounded by
+    // n·max_i·max_x << 2^63 at any plausible per-group n); the single
+    // double division is the epilogue. One window pass + one hash agg.
+    Query("a38_gini",
+      """WITH j AS (
+        |  SELECT c_mktsegment AS seg,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+        |         o_orderkey AS k
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |r AS (SELECT seg, x,
+        |             row_number() OVER (PARTITION BY seg ORDER BY x, k) AS i
+        |      FROM j),
+        |a AS (SELECT seg, count(*) AS n, sum(x) AS sx, sum(i * x) AS six
+        |      FROM r GROUP BY 1)
+        |SELECT seg, CAST(n AS BIGINT) AS n,
+        |       round(CAST(2 * six - (n + 1) * sx AS DOUBLE)
+        |             / CAST(n * sx AS DOUBLE), 6) AS gini
+        |FROM a""".stripMargin) {
+      (s, d) => {
+        val j = Tables.orders(s, d)
+          .join(Tables.customer(s, d),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"),
+            round(col("o_totalprice") * 100).cast("long").as("x"),
+            col("o_orderkey").as("k"))
+        val w = Window.partitionBy("seg").orderBy("x", "k")
+        val a = j.withColumn("i", row_number().over(w))
+          .groupBy("seg").agg(count(lit(1)).as("n"),
+            sum("x").as("sx"), sum(col("i") * col("x")).as("six"))
+        a.select(col("seg"), col("n").cast("long").as("n"),
+          round((lit(2) * col("six") - (col("n") + 1) * col("sx")).cast("double")
+            / (col("n") * col("sx")).cast("double"), 6).as("gini"))
+      }
+    },
+
+    // ---- W35: robust MAD outlier flags per key ------------------------------
+    // w26's rolling z-score inherits the mean/σ fragility a35-family
+    // stats warn about: one huge spike inflates σ and hides later
+    // spikes. The robust twin: per-type daily series flagged against
+    // median ± 3·1.4826·MAD. Both medians (values, absolute
+    // deviations) use w33's interpolation-free rank rule ((m+1)//2,
+    // (m+2)//2, 2-element fp mean) so the oracle replays them exactly;
+    // |x − med| is a single fixed-order double op on decimal-routed
+    // inputs. Two window passes + two tiny joins (per-key scalars
+    // broadcast back).
+    Query("w35_mad_outliers",
+      """WITH d AS (
+        |  SELECT event_type,
+        |         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, day, x,
+        |             row_number() OVER (PARTITION BY event_type ORDER BY x, day) AS rn,
+        |             count(*) OVER (PARTITION BY event_type) AS m
+        |      FROM d),
+        |med AS (SELECT event_type, avg(x) AS med FROM r
+        |        WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2 GROUP BY 1),
+        |dev AS (SELECT d.event_type, d.day, d.x, abs(d.x - med.med) AS ad, med.med
+        |        FROM d JOIN med ON d.event_type = med.event_type),
+        |r2 AS (SELECT event_type, ad,
+        |              row_number() OVER (PARTITION BY event_type ORDER BY ad, day) AS rn,
+        |              count(*) OVER (PARTITION BY event_type) AS m
+        |       FROM dev),
+        |mad AS (SELECT event_type, avg(ad) AS mad FROM r2
+        |        WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2 GROUP BY 1)
+        |SELECT dev.event_type, dev.day, dev.x, dev.med, mad.mad,
+        |       dev.ad > 3 * 1.4826 * mad.mad AS outlier
+        |FROM dev JOIN mad ON dev.event_type = mad.event_type""".stripMargin) {
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+          .agg(sum(col("value").cast("decimal(18,4)")).cast("double").as("x"))
+          .localCheckpoint() // ranks, deviations, and output share one agg
+        def medianOf(df: org.apache.spark.sql.DataFrame, valCol: String,
+                     tie: String, out: String) = {
+          val w = Window.partitionBy("event_type").orderBy(valCol, tie)
+          df.withColumn("rn", row_number().over(w))
+            .withColumn("m", count(lit(1)).over(Window.partitionBy("event_type")))
+            .filter(col("rn") === floor((col("m") + 1) / 2)
+              || col("rn") === floor((col("m") + 2) / 2))
+            .groupBy("event_type").agg(avg(valCol).as(out))
+        }
+        val med = medianOf(daily, "x", "day", "med")
+        val dev = daily.join(broadcast(med), "event_type")
+          .withColumn("ad", abs(col("x") - col("med")))
+        val mad = medianOf(dev, "ad", "day", "mad")
+        dev.join(broadcast(mad), "event_type")
+          .select(col("event_type"), col("day"), col("x"), col("med"), col("mad"),
+            (col("ad") > lit(3) * lit(1.4826) * col("mad")).as("outlier"))
+      }
     }
   )
 

@@ -183,6 +183,52 @@ object Keys {
         .crossJoin(broadcast(total))
         .filter(col("cnt") * 30 > col("n"))
         .select("word", "cnt")
+    },
+
+    // ---- K2: join-key skew profile (the "should I salt this?" audit) -------
+    // The diagnostic behind j16's salting and AQE's skew threshold:
+    // distribution of per-key mass for a prospective join/agg key —
+    // key count, row count, max/p50/p99 group sizes (rank-rule
+    // selection, no interpolation) and skew ratio max/avg. One hash
+    // agg over the data; the ranking window then runs over |keys|
+    // rows, not |rows| — the profile is a diagnostic on the KEY
+    // DISTRIBUTION, which is the already-reduced side.
+    Query("k02_skew_profile",
+      """WITH g AS (SELECT user_id, count(*) AS m FROM events GROUP BY 1),
+        |r AS (SELECT m, row_number() OVER (ORDER BY m, user_id) AS rn,
+        |             count(*) OVER () AS n
+        |      FROM g),
+        |p AS (SELECT max(CASE WHEN rn = (n + 1) // 2 THEN m END) AS p50,
+        |             max(CASE WHEN rn = greatest(1, (99 * n) // 100) THEN m END) AS p99,
+        |             max(m) AS mx, count(*) AS nk, sum(m) AS nr
+        |      FROM r)
+        |SELECT CAST(nk AS BIGINT) AS n_keys, CAST(nr AS BIGINT) AS n_rows,
+        |       CAST(mx AS BIGINT) AS max_mass, CAST(p50 AS BIGINT) AS p50_mass,
+        |       CAST(p99 AS BIGINT) AS p99_mass,
+        |       round(CAST(mx AS DOUBLE) * nk / nr, 6) AS skew_ratio
+        |FROM p""".stripMargin) {
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val g = Tables.events(s, d).groupBy("user_id")
+          .agg(count(lit(1)).as("m"))
+          .localCheckpoint() // ranking + totals share the one agg
+        val tot = g.agg(count(lit(1)).as("n"), sum("m").as("nr"),
+          max("m").as("mx"))
+        val ranked = g.withColumn("rn",
+          row_number().over(Window.orderBy("m", "user_id")))
+        ranked.crossJoin(broadcast(tot))
+          .agg(max("n").as("nk"), max("nr").as("nrr"), max("mx").as("mxx"),
+            max(when(col("rn") === floor((col("n") + 1) / 2), col("m"))).as("p50"),
+            max(when(col("rn") === greatest(lit(1L),
+              floor(col("n") * 99 / 100)), col("m"))).as("p99"))
+          .select(col("nk").cast("long").as("n_keys"),
+            col("nrr").cast("long").as("n_rows"),
+            col("mxx").cast("long").as("max_mass"),
+            col("p50").cast("long").as("p50_mass"),
+            col("p99").cast("long").as("p99_mass"),
+            round(col("mxx").cast("double") * col("nk") / col("nrr"), 6)
+              .as("skew_ratio"))
+      }
     }
   )
 }

@@ -1939,6 +1939,57 @@ object SimilaritySearch {
       val found = graft.SparkEntry.queries("s07_embedding_neardup_lsh")(s, d)
         .select(col("vec_a").as("a"), col("vec_b").as("b"))
       pairRecallGate(found, trueBand, floor = RecallFloors.embLshPairs)
+    },
+
+    // ---- S41: hard-negative mining for contrastive training ----------------
+    // The training-pair generator the retrieval family serves but never
+    // emitted: for each query vector, the top-3 most-similar vectors of
+    // a DIFFERENT label — the "hard negatives" contrastive fine-tuning
+    // wants (high-cosine, wrong-class). s01's exact-cosine plan with
+    // the label-mismatch predicate pushed into the join: queries
+    // broadcast, norms precomputed per side, one dot product per
+    // surviving pair, top-3 via the (cos DESC, neighbor_id) total
+    // order. At scale the brute-force leg swaps for the IVF/LSH path
+    // (s32 filtered-ANN pattern) — the label filter composes the same
+    // way.
+    Query("s41_hard_negatives",
+      """WITH dotp AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list_transform(range(1, len(q.embedding) + 1),
+        |             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+        |           (a, x) -> a + x)
+        |         / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |              list_transform(range(1, len(q.embedding) + 1),
+        |                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))),
+        |              (a, x) -> a + x))
+        |            * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |                list_transform(range(1, len(c.embedding) + 1),
+        |                  i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+        |                (a, x) -> a + x))) AS cos
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 10 AND c.label <> q.label)
+        |SELECT query_id, neighbor_id, cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cos DESC, neighbor_id) AS rn
+        |  FROM dotp) WHERE rn <= 3""".stripMargin) {
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val c = e.select(col("vec_id"), col("embedding"), col("label"),
+          Similarity.l2norm(col("embedding")).as("c_norm"))
+        val q = c.filter(col("vec_id") < 10).select(
+          col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("label").as("q_label"), col("c_norm").as("q_norm"))
+        val cos = Similarity.dot(col("q_emb"), col("embedding")) /
+          (col("q_norm") * col("c_norm"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id"))
+        c.crossJoin(broadcast(q))
+          .filter(col("label") =!= col("q_label"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cos"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .select("query_id", "neighbor_id", "cos")
+      }
     }
   )
 

@@ -537,6 +537,77 @@ object SinkQueries {
         (day * 100000000L + col("o_orderkey")).as("ordk"))
       graft.operators.Cdc.applyChanges(base, changes,
         Seq("c_custkey"), opCol = "op", ordCol = "ordk")
+    },
+
+    // ---- io15: partitioned UPSERT sink (dynamic overwrite, touched only) ----
+    // io14's merge composed with the partitioned sink: the snapshot is
+    // partitioned by market segment; a feed touching TWO segments is
+    // merged against a partition-PRUNED read of just those segments and
+    // written back under partitionOverwriteMode=dynamic — the three
+    // untouched partition directories must remain byte-identical (file
+    // list + sizes compared before/after, emitted as a boolean the
+    // oracle pins to TRUE). The oracle recomputes the post-merge state
+    // per segment straight from the source. A merge that rewrites
+    // untouched partitions, loses deletes, or misses a touched segment
+    // hash-mismatches.
+    Query("io15_partitioned_upsert",
+      """WITH base AS (
+        |  SELECT c_custkey AS k, c_acctbal AS bal, c_mktsegment AS seg
+        |  FROM customer),
+        |feed AS (
+        |  SELECT c_custkey AS k,
+        |         CASE WHEN c_custkey % 11 = 3 THEN 'D' ELSE 'U' END AS op,
+        |         c_acctbal * 2 AS nb
+        |  FROM customer
+        |  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+        |    AND (c_custkey % 7 = 0 OR c_custkey % 11 = 3)),
+        |fin AS (
+        |  SELECT b.k, CASE WHEN f.op = 'U' THEN f.nb ELSE b.bal END AS bal,
+        |         b.seg
+        |  FROM base b LEFT JOIN feed f ON b.k = f.k
+        |  WHERE f.op IS NULL OR f.op <> 'D')
+        |SELECT seg, count(*) AS n,
+        |       CAST(sum(CAST(bal AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |       TRUE AS untouched_intact
+        |FROM fin GROUP BY 1""".stripMargin) { (s, d) =>
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val root = graft.core.TempDirs.scratch("io15_snap_").toString
+      val cust = Tables.customer(s, d)
+      cust.select(col("c_custkey"), col("c_acctbal").as("bal"),
+          col("c_mktsegment").as("seg")) // scratch() pre-creates root
+        .write.mode("overwrite").partitionBy("seg").parquet(root)
+      def files(seg: String): Map[String, Long] =
+        Files.list(Paths.get(s"$root/seg=$seg")).iterator.asScala
+          .filter(_.toString.endsWith(".parquet"))
+          .map(p => p.getFileName.toString -> Files.size(p)).toMap
+      val touched = Seq("BUILDING", "AUTOMOBILE")
+      val untouched = Seq("FURNITURE", "MACHINERY", "HOUSEHOLD")
+      val before = untouched.map(g => g -> files(g)).toMap
+      val feed = cust
+        .filter(col("c_mktsegment").isin(touched: _*) &&
+          (col("c_custkey") % 7 === 0 || col("c_custkey") % 11 === 3))
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 11 === 3, "D").otherwise("U").as("op"),
+          (col("c_acctbal") * 2).as("bal"), col("c_mktsegment").as("seg"),
+          col("c_custkey").as("ordk")) // one change per key
+      // partition-pruned read of only the touched segments
+      val cur = s.read.parquet(root).filter(col("seg").isin(touched: _*))
+      val merged = graft.operators.Cdc.applyChanges(cur, feed,
+        Seq("c_custkey"), opCol = "op", ordCol = "ordk").drop("cdc_src")
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try merged.write.mode("overwrite").partitionBy("seg").parquet(root)
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      val intact = untouched.forall(g => files(g) == before(g))
+      s.read.parquet(root)
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"),
+          sum(col("bal").cast("decimal(18,4)")).cast("double").as("total"))
+        .withColumn("untouched_intact", lit(intact))
     }
   )
 }

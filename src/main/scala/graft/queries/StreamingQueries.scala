@@ -842,6 +842,92 @@ object StreamingQueries {
           .filter(col("cnt") * 30 > col("n"))
           .select("lang", "word", "cnt")
       }
+    },
+
+    // ---- ST16: streaming CDC apply (io14's stream twin) ---------------------
+    // The same change feed, served as two TIME-ORDERED landed batches
+    // (all of batch 1's sequence keys precede batch 2's — the landing
+    // contract): foreachBatch folds each batch onto a versioned parquet
+    // snapshot with Cdc.applyChanges. Sequential application of
+    // time-ordered batches equals one-shot application (per key the
+    // later batch's latest op is the global latest; pass-through keeps
+    // untouched keys; 'U' after 'D' re-inserts), so the final stored
+    // snapshot hash-matches io14's batch oracle minus the provenance
+    // column (which sequential folding deliberately does not preserve —
+    // a row upserted in batch 1 is 'base' to batch 2).
+    Query("st16_stream_cdc_apply",
+      """WITH ch AS (
+        |  SELECT CASE WHEN o_orderkey % 17 = 3 THEN o_custkey + 1000000
+        |              ELSE o_custkey END AS c_custkey,
+        |         CASE WHEN substring(md5(CAST(o_orderkey AS VARCHAR) || 'cdc'),
+        |                             1, 1) = '0' THEN 'D' ELSE 'U' END AS op,
+        |         o_totalprice AS bal,
+        |         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |           * 100000000 + o_orderkey AS ordk
+        |  FROM orders),
+        |latest AS (
+        |  SELECT c_custkey, arg_max(op, ordk) AS op, arg_max(bal, ordk) AS nb
+        |  FROM ch GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(b.c_custkey, l.c_custkey) AS k,
+        |         b.c_acctbal AS bb, l.op, l.nb
+        |  FROM customer b FULL JOIN latest l ON b.c_custkey = l.c_custkey)
+        |SELECT k AS c_custkey,
+        |       CASE WHEN op = 'U' THEN nb ELSE bb END AS bal
+        |FROM j WHERE op IS NULL OR op <> 'D'""".stripMargin) {
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val day = datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long")
+        val changes = Tables.orders(ss, d).select(
+          when(col("o_orderkey") % 17 === 3, col("o_custkey") + 1000000L)
+            .otherwise(col("o_custkey")).as("c_custkey"),
+          when(substring(md5(concat(col("o_orderkey").cast("string"), lit("cdc"))),
+            1, 1) === "0", "D").otherwise("U").as("op"),
+          col("o_totalprice").as("bal"),
+          (day * 100000000L + col("o_orderkey")).as("ordk"),
+          to_date(col("o_orderdate")).as("od"))
+        val landing = graft.core.TempDirs.scratch("st16_landing_")
+        def stage(df: org.apache.spark.sql.DataFrame, name: String,
+                  mtime: Long): Unit = {
+          val tmp = graft.core.TempDirs.scratch("st16_b_").toString
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val f = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+            .filter(_.endsWith(".parquet")).head
+          val dst = landing.resolve(name)
+          Files.copy(Paths.get(f), dst)
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+        }
+        val feed = changes.drop("od")
+        stage(changes.filter(col("od") < "1998-01-01").drop("od"),
+          "b1.parquet", 1000000L)
+        stage(changes.filter(col("od") >= "1998-01-01").drop("od"),
+          "b2.parquet", 2000000L)
+        // versioned snapshot store: each batch reads version v, writes v+1
+        // (a parquet dir is never overwritten while being read)
+        val store = graft.core.TempDirs.scratch("st16_snap_").toString
+        Tables.customer(ss, d)
+          .select(col("c_custkey"), col("c_acctbal").as("bal"))
+          .write.parquet(s"$store/v0")
+        var version = 0
+        val src = Streams.fileSource(ss, landing.toString, feed.schema,
+          maxFilesPerTrigger = Some(1))
+        val q = src.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val cur = ss.read.parquet(s"$store/v$version")
+            graft.operators.Cdc.applyChanges(cur, batch,
+                Seq("c_custkey"), opCol = "op", ordCol = "ordk")
+              .drop("cdc_src")
+              .write.parquet(s"$store/v${version + 1}")
+            version += 1
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        ss.read.parquet(s"$store/v$version")
+      }
     }
   )
 }

@@ -417,6 +417,62 @@ object Temporal {
       }
     },
 
+    // ---- W34: additive seasonal decomposition (trend + seasonal + resid) ---
+    // The classical decomposition a33's baseline model stops short of:
+    // per-type daily series splits into a centered ±3-day moving-average
+    // trend (RANGE frame on the day axis — calendar-correct across
+    // missing days), a day-of-week seasonal profile (mean of the
+    // detrended values per dow), and the residual. Exactness: the
+    // trend numerator window-sums DECIMALs (window sums of doubles are
+    // frame-order-dependent); detrended values round to 6 dp DECIMAL
+    // before the seasonal mean; every double op after aggregation is a
+    // single fixed-order scalar. Seasonal join-back broadcasts
+    // (|types| x 7 rows).
+    Query("w34_seasonal_decompose",
+      """WITH d AS (
+        |  SELECT event_type,
+        |         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |         sum(CAST(value AS DECIMAL(18,4))) AS xd
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, day, CAST(xd AS DOUBLE) AS x,
+        |         CAST(sum(xd) OVER w AS DOUBLE) / (count(*) OVER w) AS trend,
+        |         day % 7 AS dow
+        |  FROM d
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t2 AS (SELECT *, x - trend AS det FROM t),
+        |s AS (
+        |  SELECT event_type, dow,
+        |         CAST(sum(CAST(round(det, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |           / count(*) AS seasonal
+        |  FROM t2 GROUP BY 1, 2)
+        |SELECT t2.event_type, t2.day, t2.x, t2.trend, s.seasonal,
+        |       t2.det - s.seasonal AS resid
+        |FROM t2 JOIN s ON t2.event_type = s.event_type AND t2.dow = s.dow"""
+        .stripMargin) {
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+          .agg(sum(col("value").cast("decimal(18,4)")).as("xd"))
+        val w = Window.partitionBy("event_type").orderBy("day").rangeBetween(-3, 3)
+        val t2 = daily
+          .withColumn("x", col("xd").cast("double"))
+          .withColumn("trend",
+            sum("xd").over(w).cast("double") / count(lit(1)).over(w))
+          .withColumn("det", col("x") - col("trend"))
+          .withColumn("dow", col("day") % 7)
+          .localCheckpoint() // seasonal agg + join-back share one window pass
+        val seas = t2.groupBy("event_type", "dow")
+          .agg((sum(round(col("det"), 6).cast("decimal(18,6)")).cast("double")
+            / count(lit(1))).as("seasonal"))
+        t2.join(broadcast(seas), Seq("event_type", "dow"))
+          .select(col("event_type"), col("day"), col("x"), col("trend"),
+            col("seasonal"), (col("det") - col("seasonal")).as("resid"))
+      }
+    },
+
     Query("w29_holt_smoothing", HoltOracleSql) {
       (s, d) => graft.operators.Sessionize.holt(
           Tables.events(s, d).select("user_id", "event_id", "ts", "value"),

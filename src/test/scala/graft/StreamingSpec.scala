@@ -222,4 +222,19 @@ class StreamingSpec extends SparkSpec {
     assert(got == expect, s"stream ${got.size} vs batch ${expect.size}")
     assert(expect.nonEmpty, "fixture must have heavy hitters")
   }
+
+  test("st16 sequential batch-folded CDC equals one-shot application") {
+    val d = "/root/testdata/sf0.001"
+    def fnOf(n: String) = graft.queries.StreamingQueries.queries
+      .find(_.name == n).map(_.fn).getOrElse(
+        graft.queries.SinkQueries.queries.find(_.name == n).get.fn)
+    val streamed = fnOf("st16_stream_cdc_apply")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val oneShot = fnOf("io14_cdc_apply")(spark, d)
+      .select("c_custkey", "bal").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(streamed == oneShot,
+      s"streamed ${streamed.size} rows vs one-shot ${oneShot.size}")
+    assert(streamed.nonEmpty)
+  }
 }
