@@ -17,8 +17,11 @@ class DeterminismSpec extends SparkSpec {
   // legitimately empty at the sf0.001 slice (predicate finds no rows
   // there; nonempty at sf0.01 per the oracle gate). w26: ~0.3 events/
   // type/hour at sf0.001 never fills the n >= 12 trailing window.
+  // g19: the 1/16-sparsified co-purchase graph at sf0.001 has no
+  // 4-core — every node peels (83 survivors at sf0.01).
   private val emptyOkAtSmoke =
-    Set("a13_group_all_match", "w26_rolling_zscore", "w31_rolling_zscore_range")
+    Set("a13_group_all_match", "w26_rolling_zscore", "w31_rolling_zscore_range",
+      "g19_kcore")
 
   test("registry queries are invariant to shuffle partitioning") {
     val d = "/root/testdata/sf0.001"
