@@ -608,6 +608,58 @@ object SinkQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("bal").cast("decimal(18,4)")).cast("double").as("total"))
         .withColumn("untouched_intact", lit(intact))
+    },
+
+    // ---- io16: manifest-tracked incremental ingest --------------------------
+    // The batch landing-zone cadence the streaming rows don't cover: a
+    // scheduled job lists the landing dir, anti-joins the PROCESSED
+    // MANIFEST (a parquet table of file names), reads ONLY the new
+    // files, and appends them to the manifest — re-runs are no-ops,
+    // late files are picked up exactly once. Two runs are exercised:
+    // run 1 sees two landed files, a third lands, run 2 must process
+    // exactly that one (its file count comes from the real anti-join —
+    // a manifest defect breaks the literal-pinned counts). Oracle
+    // restates each run's slice straight from the source table.
+    Query("io16_incremental_ingest",
+      """SELECT 1 AS run, 2 AS files_processed, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM events WHERE event_id % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT 2, 1, count(*),
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |FROM events WHERE event_id % 3 = 2""".stripMargin) { (s, d) =>
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val landing = graft.core.TempDirs.scratch("io16_landing_")
+      val manifestDir = graft.core.TempDirs.scratch("io16_manifest_").toString
+      val ev = Tables.events(s, d).select("event_id", "value")
+      def stage(slice: Int, name: String): Unit = {
+        val tmp = graft.core.TempDirs.scratch("io16_b_").toString
+        ev.filter(col("event_id") % 3 === slice)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val f = Files.list(Paths.get(tmp)).iterator.asScala.map(_.toString)
+          .filter(_.endsWith(".parquet")).toSeq.head
+        Files.copy(Paths.get(f), landing.resolve(name))
+      }
+      val ingest = new graft.operators.Ingest(s, landing.toString, manifestDir)
+      def runOnce(runId: Int): org.apache.spark.sql.DataFrame = {
+        val newFiles = ingest.nextBatch() // bounded: |files| per run
+        val out =
+          if (newFiles.isEmpty)
+            ev.limit(0).agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
+          else s.read.parquet(ingest.paths(newFiles): _*)
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
+        ingest.commit(newFiles)
+        out.select(lit(runId).as("run"),
+          lit(newFiles.size).as("files_processed"), col("n"), col("total"))
+      }
+      stage(0, "f0.parquet"); stage(1, "f1.parquet")
+      val r1 = runOnce(1).localCheckpoint() // materialize BEFORE f2 lands
+      stage(2, "f2.parquet")
+      val r2 = runOnce(2).localCheckpoint()
+      r1.unionAll(r2)
     }
   )
 }
