@@ -85,4 +85,35 @@ object Graphs {
     }
     dist.select(col("node"), col("dist").cast("long").as("dist"))
   }
+
+  /** Synchronous label propagation (Raghavan 2007) for community
+    * detection, made deterministic: every node starts labelled with its
+    * own id; each round it adopts the label most frequent among its
+    * neighbours, ties broken by the SMALLEST label (the classic
+    * random-tie-break variant is useless under a cross-engine oracle).
+    * Fixed-round contract as kCorePeel/bfsDistances so a SQL oracle can
+    * unroll the rounds exactly.
+    *
+    * Each round: one count-aggregate of neighbour labels keyed on
+    * (node, label) plus a per-node argmax — both shuffle on node id, no
+    * driver state, label table localCheckpoint-ed per round.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val bi = edges.select(col("x").as("s"), col("y").as("t"))
+      .unionAll(edges.select(col("y").as("s"), col("x").as("t")))
+      .localCheckpoint()
+    var lab = bi.select(col("s").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("s").orderBy(col("c").desc, col("label"))
+    for (_ <- 1 to rounds) {
+      lab = bi.join(lab, col("t") === col("node"))
+        .groupBy(col("s"), col("label")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("s").as("node"), col("label"))
+        .localCheckpoint()
+    }
+    lab.select(col("node"), col("label").cast("long").as("label"))
+  }
 }

@@ -109,4 +109,32 @@ object Sanitize {
       d.withColumn(c, when(ok, col(c))))
     suppressed.withColumn("suppressed", !ok)
   }
+
+  /** Differentially-private count release (Dwork 2006): add
+    * Laplace(sensitivity/epsilon) noise to each group's count. The
+    * noise is SEEDED — uniform u from the md5 of the group key + seed,
+    * mapped through the Laplace inverse CDF
+    *   noise = -b * sign(u - 1/2) * ln(1 - 2*|u - 1/2|)
+    * — so releases are reproducible and a cross-engine oracle can
+    * replay them exactly (the p05 jitter / w02 shuffle contract; a
+    * re-release under a NEW seed is what privacy accounting expects,
+    * same as rotating the jitter seed). Count sensitivity is 1, so
+    * b = 1/epsilon. Noise rounds to 6dp (the float recipe: ln is libm,
+    * stable-at-6dp across engines on this recipe's inputs).
+    *
+    * One hash aggregate + a narrow projection; `df` must already be the
+    * per-group counts (count col `n_true`), keeping the operator
+    * composable with any upstream aggregate.
+    */
+  def dpNoisyCount(counts: DataFrame, keyCols: Seq[String], epsilon: Double,
+                   seed: String): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    val b = 1.0 / epsilon
+    val key = concat(keyCols.flatMap(c => Seq(col(c).cast("string"), lit("|")))
+      .dropRight(1) :+ lit(seed): _*)
+    val v = conv(substring(md5(key), 1, 8), 16, 10).cast("double") /
+      lit(4294967296.0) - lit(0.5)
+    val noise = round(lit(-b) * signum(v) * log(lit(1.0) - lit(2.0) * abs(v)), 6)
+    counts.withColumn("n_noisy", col("n_true") + noise)
+  }
 }

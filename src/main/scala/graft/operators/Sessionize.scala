@@ -220,6 +220,38 @@ object Sessionize {
     }
   }
 
+  /** Per-key 1-D Kalman filter, local-level model (Kalman 1960; the
+    * steady-state special case is w18's EWMA, which this generalizes by
+    * carrying the estimate VARIANCE so the gain adapts — early
+    * observations move the state a lot, later ones less):
+    *   predict: P' = P + q
+    *   gain:    K  = P' / (P' + r)
+    *   update:  x  = x + K*(z - x),  P = (1-K)*P'
+    * First row of a key initializes x = z, P = 1. Division is core IEEE
+    * arithmetic (not libm), so an oracle replaying the IDENTICAL
+    * operation order matches bit-for-bit — the w29/w32 contract; q and
+    * r are dyadic literals in the registry row. O(1) state per key on
+    * the same secondary-sort scan as holt/cusum.
+    */
+  def kalman(df: DataFrame, keyCol: String, tsCol: String, tieBreak: String,
+             valCol: String, q: Double, r: Double): DataFrame = {
+    val vIdx = df.schema.fieldIndex(valCol)
+    scanPerKey[(Double, Double)](df, Seq(keyCol), Seq(tsCol, tieBreak),
+      StructType(Seq(StructField("kalman_level", DoubleType, nullable = false),
+        StructField("kalman_var", DoubleType, nullable = false)))) {
+      case (None, row) =>
+        val z = row.getAs[Number](vIdx).doubleValue
+        ((z, 1.0), Seq(z, 1.0))
+      case (Some((x0, p0)), row) =>
+        val z = row.getAs[Number](vIdx).doubleValue
+        val pPred = p0 + q
+        val k = pPred / (pPred + r)
+        val x = x0 + k * (z - x0)
+        val p = (1.0 - k) * pPred
+        ((x, p), Seq(x, p))
+    }
+  }
+
   private def micros(row: Row, i: Int): Long = row.get(i) match {
     case t: java.sql.Timestamp => t.getTime * 1000 + (t.getNanos / 1000) % 1000
     case t: java.time.Instant  => t.getEpochSecond * 1000000L + t.getNano / 1000

@@ -1235,6 +1235,64 @@ object Analytics {
       }
     },
 
+    // ---- G21: label-propagation communities ---------------------------------
+    // Community detection over the sparsified co-purchase graph ('g21'
+    // salt): every node starts as its own label, then 3 synchronous
+    // rounds of adopt-the-most-frequent-neighbour-label with smallest-
+    // label tie-break (the deterministic LPA variant — a random tie
+    // break can't face a cross-engine oracle). Fixed-round contract
+    // (g10/g19/g20): the oracle unrolls 3 MATERIALIZED vote+argmax
+    // stages; each engine round is one (node,label) count aggregate
+    // plus a per-node argmax, both keyed on node id.
+    Query("g21_label_prop",
+      """WITH pair AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_suppkey AS x, b.l_suppkey AS y
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+        |e0 AS MATERIALIZED (
+        |  SELECT x, y FROM pair
+        |  WHERE substring(md5(CAST(x AS VARCHAR) || '_' || CAST(y AS VARCHAR)
+        |                       || 'g21'), 1, 1) = '0'),
+        |bi AS MATERIALIZED (
+        |  SELECT x AS s, y AS t FROM e0 UNION ALL SELECT y, x FROM e0),
+        |l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS label FROM bi),
+        |v1 AS MATERIALIZED (
+        |  SELECT bi.s, p.label, count(*) AS c
+        |  FROM bi JOIN l0 p ON bi.t = p.node GROUP BY 1, 2),
+        |l1 AS MATERIALIZED (
+        |  SELECT s AS node, label FROM (
+        |    SELECT s, label,
+        |           row_number() OVER (PARTITION BY s ORDER BY c DESC, label) AS rn
+        |    FROM v1) t WHERE rn = 1),
+        |v2 AS MATERIALIZED (
+        |  SELECT bi.s, p.label, count(*) AS c
+        |  FROM bi JOIN l1 p ON bi.t = p.node GROUP BY 1, 2),
+        |l2 AS MATERIALIZED (
+        |  SELECT s AS node, label FROM (
+        |    SELECT s, label,
+        |           row_number() OVER (PARTITION BY s ORDER BY c DESC, label) AS rn
+        |    FROM v2) t WHERE rn = 1),
+        |v3 AS MATERIALIZED (
+        |  SELECT bi.s, p.label, count(*) AS c
+        |  FROM bi JOIN l2 p ON bi.t = p.node GROUP BY 1, 2),
+        |l3 AS MATERIALIZED (
+        |  SELECT s AS node, label FROM (
+        |    SELECT s, label,
+        |           row_number() OVER (PARTITION BY s ORDER BY c DESC, label) AS rn
+        |    FROM v3) t WHERE rn = 1)
+        |SELECT node, CAST(label AS BIGINT) AS label FROM l3""".stripMargin) {
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        val pair = li.toDF("ok", "x")
+          .join(li.toDF("ok2", "y"), col("ok") === col("ok2") && col("x") < col("y"))
+          .select("x", "y").distinct()
+        val e = pair.filter(substring(
+          md5(concat(col("x").cast("string"), lit("_"),
+            col("y").cast("string"), lit("g21"))), 1, 1) === "0")
+        graft.operators.Graphs.labelPropagation(e, rounds = 3)
+      }
+    },
+
     // ---- G20: multi-source BFS hop distances --------------------------------
     // Reachability layering over the sparsified co-purchase graph
     // ('g20' salt): distance in hops from the nearest "hub" supplier
@@ -1390,6 +1448,55 @@ object Analytics {
         dev.join(broadcast(mad), "event_type")
           .select(col("event_type"), col("day"), col("x"), col("med"), col("mad"),
             (col("ad") > lit(3) * lit(1.4826) * col("mad")).as("outlier"))
+      }
+    },
+
+    // ---- A39: count-min sketch point estimates ------------------------------
+    // The third sketch of the family (a17/a26 HLL distinct, a27
+    // Misra-Gries heavy hitters): CMS answers "how often did item i
+    // occur" in d*w cells regardless of item cardinality, always
+    // OVERcounting (collisions add, never subtract) — the overcount
+    // column pins that one-sided guarantee per item. d = 4 hash rows,
+    // w = 64 buckets, md5-derived buckets so the oracle replays the
+    // sketch exactly. The scale shape: the sketch is built from the
+    // PRE-AGGREGATED per-item counts (one map-side-combinable shuffle
+    // over raw events), cells are 4x the distinct items, and the
+    // 256-cell sketch broadcasts back for the min-over-rows estimate —
+    // raw events are never shipped per hash row.
+    Query("a39_countmin",
+      """WITH counts AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS item, count(*) AS n_true
+        |  FROM events GROUP BY 1),
+        |cells AS (
+        |  SELECT j, item, n_true,
+        |         CAST('0x' || substr(md5(item || '#' || CAST(j AS VARCHAR)), 1, 4)
+        |              AS INT) % 64 AS bucket
+        |  FROM counts, (SELECT unnest(generate_series(0, 3)) AS j)),
+        |sketch AS (SELECT j, bucket, sum(n_true) AS cell FROM cells GROUP BY 1, 2),
+        |est AS (
+        |  SELECT c.item, c.n_true, min(s.cell) AS n_cms
+        |  FROM cells c JOIN sketch s ON c.j = s.j AND c.bucket = s.bucket
+        |  GROUP BY 1, 2)
+        |SELECT item, CAST(n_true AS BIGINT) AS n_true,
+        |       CAST(n_cms AS BIGINT) AS n_cms,
+        |       CAST(n_cms - n_true AS BIGINT) AS overcount
+        |FROM est""".stripMargin) {
+      (s, d) => {
+        val counts = Tables.events(s, d)
+          .groupBy(col("user_id").cast("string").as("item"))
+          .agg(count(lit(1)).as("n_true"))
+        val cells = counts.select(col("item"), col("n_true"),
+            explode(array((0 to 3).map(lit(_)): _*)).as("j"))
+          .withColumn("bucket",
+            conv(substring(md5(concat(col("item"), lit("#"),
+              col("j").cast("string"))), 1, 4), 16, 10).cast("int") % 64)
+          .localCheckpoint() // sketch build + estimate join share one pass
+        val sketch = cells.groupBy("j", "bucket").agg(sum("n_true").as("cell"))
+        cells.join(broadcast(sketch), Seq("j", "bucket"))
+          .groupBy("item", "n_true").agg(min("cell").as("n_cms"))
+          .select(col("item"), col("n_true").cast("long").as("n_true"),
+            col("n_cms").cast("long").as("n_cms"),
+            (col("n_cms") - col("n_true")).cast("long").as("overcount"))
       }
     }
   )

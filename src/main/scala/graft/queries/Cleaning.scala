@@ -413,6 +413,40 @@ object Cleaning {
             Seq("c_nationkey", "c_mktsegment"), k = 8L)
           .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
             col("qi_group_n").cast("long").as("qi_group_n"), col("suppressed"))
+    },
+
+    // ---- P16: differentially-private count release --------------------------
+    // The other release-gate primitive (p15 suppresses small cells;
+    // this perturbs every cell): per-(nation, segment) customer counts
+    // with seeded Laplace(1/epsilon) noise, epsilon = 0.5 -> b = 2.
+    // The md5-seeded inverse-CDF draw lets the oracle replay the exact
+    // noise; noise rounds to 6dp (ln recipe). One hash agg + a narrow
+    // projection — release tables are group-cardinality-sized.
+    Query("p16_dp_counts",
+      """WITH g AS (
+        |  SELECT n_name AS nation, c_mktsegment AS seg, count(*) AS n_true
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |u AS (
+        |  SELECT nation, seg, n_true,
+        |         CAST('0x' || substr(md5(nation || '|' || seg || 'p16'), 1, 8)
+        |              AS BIGINT) / 4294967296.0 - 0.5 AS v
+        |  FROM g)
+        |SELECT nation, seg, CAST(n_true AS BIGINT) AS n_true,
+        |       n_true + round(-2.0 * CAST(sign(v) AS DOUBLE)
+        |                      * ln(1.0 - 2.0 * abs(v)), 6) AS n_noisy
+        |FROM u""".stripMargin) {
+      (s, d) => {
+        val g = Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"), col("c_mktsegment").as("seg"))
+          .agg(count(lit(1)).as("n_true"))
+        graft.operators.Sanitize.dpNoisyCount(g, Seq("nation", "seg"),
+            epsilon = 0.5, seed = "p16")
+          .select(col("nation"), col("seg"),
+            col("n_true").cast("long").as("n_true"), col("n_noisy"))
+      }
     }
   )
 }

@@ -660,6 +660,29 @@ object SinkQueries {
       stage(2, "f2.parquet")
       val r2 = runOnce(2).localCheckpoint()
       r1.unionAll(r2)
+    },
+
+    // ---- io17 / S10: zip packaging sink --------------------------------------
+    // The reference's download-artifact step: each group's cleaned CSV
+    // folder packaged as one .zip. The gate row audits the archives by
+    // RE-OPENING them: per group, entry count (pinned 1 — the
+    // repartition-by-group write makes one part file per folder), data
+    // rows, and the sum of the first CSV field — packaging that loses,
+    // duplicates, or corrupts rows breaks the hash, not just a row
+    // count. Packaging/audit are driver-side by design (last-mile
+    // download artifacts, group-sized); the CSV write itself is the
+    // distributed path.
+    Query("io17_zip_export",
+      """SELECT c_mktsegment AS group, 1 AS n_entries, count(*) AS n_rows,
+        |       CAST(sum(c_custkey) AS BIGINT) AS key_digest
+        |FROM customer GROUP BY 1""".stripMargin) { (s, d) =>
+      val dir = graft.core.TempDirs.scratch("io17_zip_").toString
+      graft.operators.ZipSink.zipPartitioned(s,
+        Tables.customer(s, d).select("c_custkey", "c_acctbal", "c_mktsegment"),
+        "c_mktsegment", dir).collect() // drive the packaging to completion
+      graft.operators.ZipSink.auditZips(s, dir)
+        .select(col("group"), col("n_entries"), col("n_rows"),
+          col("key_digest"))
     }
   )
 }

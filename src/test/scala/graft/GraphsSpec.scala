@@ -78,4 +78,43 @@ class GraphsSpec extends SparkSpec {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(got == Map(1 -> 0L, 2 -> 1L))
   }
+
+  private def lpa(rounds: Int, pairs: (Int, Int)*) =
+    Graphs.labelPropagation(edges(pairs: _*), rounds).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  test("labelPropagation: two bridged triangles separate into two communities") {
+    // triangles {1,2,3} and {4,5,6} with bridge 3-4; hand-replayed
+    // rounds give {1,2,3}->1 and {4,5,6}->3 after round 3
+    val e = Seq((1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4))
+    assert(lpa(3, e: _*) ==
+      Map(1 -> 1L, 2 -> 1L, 3 -> 1L, 4 -> 3L, 5 -> 3L, 6 -> 3L))
+  }
+
+  test("labelPropagation: round 1 is the neighbour-min under all-ties") {
+    // star center 1 with leaves 2,3,4: center sees {2,3,4} all count 1
+    // -> min 2; each leaf sees only {1} -> 1
+    assert(lpa(1, (1, 2), (1, 3), (1, 4)) ==
+      Map(1 -> 2L, 2 -> 1L, 3 -> 1L, 4 -> 1L))
+  }
+
+  test("labelPropagation: majority beats smaller label") {
+    // node 5 has neighbours {1, 2, 3} relabelled after r1; use a direct
+    // shape instead: 4 connects to 1 once and to {2,3} where 2,3 carry
+    // label 2's majority. Simplest pin: K3 {2,3,4} + pendant 1-4;
+    // r1: n4 sees {2,3,1} all-tie -> 1; n2 sees {3,4} -> 3; n3 sees
+    // {2,4} -> 2; n1 sees {4} -> 4
+    assert(lpa(1, (2, 3), (2, 4), (3, 4), (1, 4)) ==
+      Map(1 -> 4L, 2 -> 3L, 3 -> 2L, 4 -> 1L))
+  }
+
+  test("labelPropagation: deterministic across partitionings") {
+    val e = Seq((1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4))
+    val base = edges(e: _*)
+    val a = Graphs.labelPropagation(base.repartition(1), 3).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val b = Graphs.labelPropagation(base.repartition(7), 3).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
 }

@@ -80,4 +80,32 @@ class SanitizeSpec extends SparkSpec {
       Sanitize.kAnonymize(d, Seq("nope"), k = 2L)
     }
   }
+
+  test("dpNoisyCount: seeded noise is reproducible, seed-sensitive, and bounded") {
+    val d = df(
+      """SELECT * FROM VALUES ('a', 'x', 100L), ('a', 'y', 50L), ('b', 'x', 7L)
+        |t(g1, g2, n_true)""".stripMargin)
+    def release(seed: String, eps: Double) =
+      Sanitize.dpNoisyCount(d, Seq("g1", "g2"), eps, seed)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getAs[Double]("n_noisy") - r.getLong(2)))
+        .toMap
+    val r1 = release("s1", 0.5)
+    assert(r1 == release("s1", 0.5), "same seed, same release")
+    assert(r1 != release("s2", 0.5), "new seed, new draw")
+    // 32-bit uniform bounds the inverse CDF: |noise| <= b * ln(2^31)
+    assert(r1.values.forall(n => math.abs(n) <= 2.0 * math.log(2.147483648e9)))
+    assert(r1.values.exists(n => n != 0.0), "noise actually perturbs")
+    // b = 1/eps scales the draw linearly (same u): eps 1.0 halves eps 0.5
+    val r2 = release("s1", 1.0)
+    r1.foreach { case (k, n) => assert(math.abs(n - 2.0 * r2(k)) < 2e-6) }
+  }
+
+  test("dpNoisyCount rejects non-positive epsilon") {
+    val d = df("SELECT 'a' AS g, 1L AS n_true")
+    intercept[IllegalArgumentException] {
+      Sanitize.dpNoisyCount(d, Seq("g"), 0.0, "s")
+    }
+  }
 }

@@ -143,4 +143,49 @@ class SessionizeSpec extends SparkSpec {
     assert(out(("b", 4L)) == ((0.0, 12.0, true)))
     assert(out(("a", 2L)) == ((0.0, 0.0, false)), "key a untouched")
   }
+
+  private def kalmanOf(series: (String, Long, Double)*) = {
+    val sess = spark; import sess.implicits._
+    graft.operators.Sessionize.kalman(
+        series.toDF("k", "idx", "x").withColumn("ts",
+          expr("timestamp_micros(idx)")),
+        "k", "ts", "idx", "x", q = 0.25, r = 1.0)
+      .collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("idx")) ->
+        ((r.getAs[Double]("kalman_level"), r.getAs[Double]("kalman_var"))))
+      .toMap
+  }
+
+  test("kalman: first row initializes at the observation with P0 = 1") {
+    val out = kalmanOf(("a", 1L, 42.0))
+    assert(out(("a", 1L)) == ((42.0, 1.0)))
+  }
+
+  test("kalman: constant series keeps the level exact, variance contracts to the fixed point") {
+    val out = kalmanOf((1L to 30L).map(i => ("a", i, 5.0)): _*)
+    val vars = (1L to 30L).map(i => out(("a", i))._2)
+    (1L to 30L).foreach(i => assert(out(("a", i))._1 == 5.0, "x + K*(5-x) = x when x = 5"))
+    assert(vars.sliding(2).forall(p => p(1) < p(0)), "variance strictly decreasing from P0 = 1")
+    // steady state of P = (1-K)(P+q) with q = 0.25, r = 1: root of P^2 + qP - qr
+    val pStar = (-0.25 + math.sqrt(0.0625 + 1.0)) / 2
+    assert(math.abs(vars.last - pStar) < 1e-6)
+  }
+
+  test("kalman: hand-computed two-step update; keys independent") {
+    val out = kalmanOf(("a", 1L, 0.0), ("a", 2L, 10.0), ("b", 1L, 7.0))
+    // step 2: P' = 1.25, K = 1.25/2.25, x = 0 + K*10, P = (1-K)*1.25
+    val k = 1.25 / 2.25
+    assert(out(("a", 2L)) == ((k * 10.0, (1.0 - k) * 1.25)))
+    assert(out(("b", 1L)) == ((7.0, 1.0)), "key b untouched by key a's state")
+  }
+
+  test("kalman: larger r trusts observations less (smaller gain)") {
+    val sess = spark; import sess.implicits._
+    val d = Seq(("a", 1L, 0.0), ("a", 2L, 10.0)).toDF("k", "idx", "x")
+      .withColumn("ts", expr("timestamp_micros(idx)"))
+    def levelAt2(r: Double) = graft.operators.Sessionize
+      .kalman(d, "k", "ts", "idx", "x", q = 0.25, r = r)
+      .filter(col("idx") === 2L).head().getAs[Double]("kalman_level")
+    assert(levelAt2(4.0) < levelAt2(1.0))
+  }
 }
