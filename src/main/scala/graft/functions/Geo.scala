@@ -238,4 +238,80 @@ object Geo {
         .map(p => java.lang.Double.valueOf(edgeDistance(p, x, y))).orNull
     })
   }
+
+  // ---- In-engine polygon buffering --------------------------------------
+  // The reference's gBuffer(poly, width = 50/100 m)
+  // (processing_utils.R:480-481, anomalies_utils.R:83) generates
+  // buffered polygon GEOMETRY; the engine has always had the equivalent
+  // point PREDICATE (contains || edgeDistance <= d, exact for any
+  // simple polygon — see bufferedContains/clusterAssignerUtm). This
+  // closes the geometry half for fresh polygons inside a job: exact
+  // round-join offsetting of CONVEX rings (the general simple-polygon
+  // case needs self-intersection clipping; for point queries
+  // bufferedContains already IS the exact general answer). Buffer in a
+  // metric CRS: reprojectPoly to UTM first, as the reference does.
+
+  /** Twice the signed ring area (shoelace); > 0 = counter-clockwise. */
+  private[graft] def signedArea2(xs: Array[Double], ys: Array[Double]): Double = {
+    var s = 0.0
+    var j = xs.length - 1
+    var i = 0
+    while (i < xs.length) { s += xs(j) * ys(i) - xs(i) * ys(j); j = i; i += 1 }
+    s
+  }
+
+  /** Exact buffered-polygon point predicate for ANY simple polygon:
+    * inside, or within `d` coordinate units of an edge — the geometry-
+    * free definition of "in the d-buffer" (Minkowski sum with a disc).
+    */
+  def bufferedContains(p: Poly, x: Double, y: Double, d: Double): Boolean =
+    contains(p, x, y) || edgeDistance(p, x, y) <= d
+
+  /** Positive round-join buffer of a convex ring: each edge slides
+    * outward by `d`, each vertex grows a circular arc discretized at
+    * `segmentsPerRadian` chords per radian (error <= d*(1-cos(θ/2k)),
+    * ~0.2% of d at the default 8). Orientation-insensitive (reverses CW
+    * input); rejects non-convex rings — see bufferedContains for the
+    * general-polygon point test. Driver-side like reprojectPoly:
+    * polygon sets are broadcast-sized trial geometry.
+    */
+  def bufferPoly(p: Poly, d: Double, segmentsPerRadian: Int = 8): Poly = {
+    require(d >= 0, s"buffer distance must be >= 0, got $d")
+    require(p.xs.length >= 3, "ring needs at least 3 vertices")
+    val ccw = signedArea2(p.xs, p.ys) >= 0
+    val xs = if (ccw) p.xs else p.xs.reverse
+    val ys = if (ccw) p.ys else p.ys.reverse
+    val n = xs.length
+    def cross(i: Int): Double = {
+      val h = (i + n - 1) % n; val k = (i + 1) % n
+      (xs(i) - xs(h)) * (ys(k) - ys(i)) - (ys(i) - ys(h)) * (xs(k) - xs(i))
+    }
+    require((0 until n).forall(cross(_) >= -1e-12),
+      "bufferPoly requires a convex ring (use bufferedContains for general polygons)")
+    if (d == 0) return Poly(p.id, xs.clone(), ys.clone())
+    // outward unit normal of CCW edge i -> i+1 is (dy, -dx)/|e|
+    def normal(i: Int): (Double, Double) = {
+      val k = (i + 1) % n
+      val (dx, dy) = (xs(k) - xs(i), ys(k) - ys(i))
+      val len = math.sqrt(dx * dx + dy * dy)
+      (dy / len, -dx / len)
+    }
+    val ox = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val oy = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (i <- 0 until n) {
+      val (nInX, nInY) = normal((i + n - 1) % n) // incoming edge's normal
+      val (nOutX, nOutY) = normal(i)             // outgoing edge's normal
+      val a0 = math.atan2(nInY, nInX)
+      var turn = math.atan2(nOutY, nOutX) - a0   // exterior angle, CCW
+      if (turn < 0) turn += 2 * math.Pi
+      ox += xs(i) + d * nInX; oy += ys(i) + d * nInY
+      val k = math.max(1, math.ceil(turn * segmentsPerRadian).toInt)
+      for (j <- 1 until k) {
+        val a = a0 + turn * j / k
+        ox += xs(i) + d * math.cos(a); oy += ys(i) + d * math.sin(a)
+      }
+      ox += xs(i) + d * nOutX; oy += ys(i) + d * nOutY
+    }
+    Poly(p.id, ox.toArray, oy.toArray)
+  }
 }

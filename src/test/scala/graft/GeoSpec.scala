@@ -145,4 +145,65 @@ class GeoSpec extends SparkSpec {
     assert(got == brute, s"grid ${got.size} pairs vs brute ${brute.size}")
     assert(brute.nonEmpty, "fixture must actually produce pairs")
   }
+
+  // ---- bufferPoly ---------------------------------------------------------
+
+  private def shoelace(p: Geo.Poly): Double =
+    math.abs(Geo.signedArea2(p.xs, p.ys)) / 2
+
+  test("bufferPoly: square buffer area matches the discretized closed form") {
+    val d = 0.25
+    val buf = Geo.bufferPoly(unitSquare, d)
+    // A + P*d + four arc fans: each corner turns pi/2, discretized into
+    // k = ceil(pi/2 * 8) = 13 chords of fan area d^2/2 * k * sin(theta/k)
+    val k = math.ceil(math.Pi / 2 * 8).toInt
+    val want = 1.0 + 4 * d + 4 * (d * d / 2 * k * math.sin(math.Pi / 2 / k))
+    assert(math.abs(shoelace(buf) - want) < 1e-9)
+    // and the true Minkowski area A + P*d + pi*d^2 within chord error
+    assert(math.abs(shoelace(buf) - (1.0 + 4 * d + math.Pi * d * d)) < 1e-3)
+  }
+
+  test("bufferPoly: ring containment agrees with the exact buffered predicate") {
+    val d = 0.2
+    val buf = Geo.bufferPoly(unitSquare, d)
+    val eps = 0.01 * d // chord sagitta bound is ~0.2% of d
+    var checked = 0
+    for (gx <- -30 to 40; gy <- -30 to 40) {
+      val (x, y) = (gx / 20.0, gy / 20.0)
+      val dist = Geo.edgeDistance(unitSquare, x, y)
+      val inExact = Geo.bufferedContains(unitSquare, x, y, d)
+      val inRing = Geo.contains(buf, x, y)
+      // the chord-inscribed ring sits just inside the true buffer: only
+      // points within eps of the d-contour may disagree
+      if (math.abs(dist - d) > eps || Geo.contains(unitSquare, x, y)) {
+        assert(inRing == inExact, s"($x,$y) dist=$dist ring=$inRing exact=$inExact")
+        checked += 1
+      }
+    }
+    assert(checked > 4000)
+  }
+
+  test("bufferPoly: orientation-insensitive, d=0 identity, convexity enforced") {
+    val cw = Geo.Poly(3, unitSquare.xs.reverse, unitSquare.ys.reverse)
+    assert(math.abs(shoelace(Geo.bufferPoly(cw, 0.25)) -
+      shoelace(Geo.bufferPoly(unitSquare, 0.25))) < 1e-12)
+    val id0 = Geo.bufferPoly(unitSquare, 0.0)
+    assert(id0.xs.toSeq == unitSquare.xs.toSeq && id0.ys.toSeq == unitSquare.ys.toSeq)
+    intercept[IllegalArgumentException] { Geo.bufferPoly(lShape, 0.1) }
+  }
+
+  test("bufferPoly composes with UTM reprojection for metric buffers") {
+    // a ~2km lon/lat square near Nairobi reprojected to UTM 37S, then
+    // buffered 100 m: a point 80 m past an edge is in, 150 m is not
+    val lonLat = Geo.Poly(4,
+      Array(36.80, 36.82, 36.82, 36.80), Array(-1.30, -1.30, -1.28, -1.28))
+    val utm = Geo.reprojectPoly(lonLat, zone = 37, south = true)
+    val buf = Geo.bufferPoly(utm, 100.0)
+    val (cx, cy) = (utm.xs.sum / 4, utm.ys.sum / 4)
+    val east = utm.xs.max // right edge x
+    assert(Geo.contains(buf, east + 80.0, cy))
+    assert(!Geo.contains(buf, east + 150.0, cy))
+    assert(Geo.bufferedContains(utm, east + 80.0, cy, 100.0))
+    assert(!Geo.bufferedContains(utm, east + 150.0, cy, 100.0))
+  }
 }
