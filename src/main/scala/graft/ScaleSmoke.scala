@@ -997,6 +997,90 @@ object ScaleSmoke {
             Seq("c_custkey"), opCol = "op", ordCol = "ordk")
           .groupBy("cdc_src").agg(count(lit(1)))
           .write.format("noop").mode("overwrite").save()
+      },
+      time("countmin_1m_events") {
+        // a39 at 10x: the sketch builds from PRE-AGGREGATED item counts
+        // (one combinable shuffle over the replicated events), cells are
+        // 4x the distinct items, the 256-cell sketch broadcasts back —
+        // the raw-event volume only touches the first aggregate
+        val ev0 = graft.core.Tables.events(spark, sfDir)
+        val maxU = 100000L
+        val ev = ev0.select("user_id").crossJoin(copies)
+          .select((col("user_id") + col("rep") * maxU).as("item"))
+        val counts = ev.groupBy(col("item").cast("string").as("item"))
+          .agg(count(lit(1)).as("n_true"))
+        val cells = counts.select(col("item"), col("n_true"),
+            explode(array((0 to 3).map(lit(_)): _*)).as("j"))
+          .withColumn("bucket",
+            conv(substring(md5(concat(col("item"), lit("#"),
+              col("j").cast("string"))), 1, 4), 16, 10).cast("int") % 64)
+          .localCheckpoint()
+        val sketch = cells.groupBy("j", "bucket").agg(sum("n_true").as("cell"))
+        cells.join(broadcast(sketch), Seq("j", "bucket"))
+          .groupBy("item", "n_true").agg(min("cell").as("n_cms"))
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("kneser_ney_50k_docs") {
+        // t49 at 10x docs: ONE bigram-occurrence aggregate feeds the
+        // w1/w2 re-aggregations and the type total; tokens never leave
+        // their doc partition before the first combinable count
+        val docs0 = graft.core.Tables.documents(spark, sfDir)
+        val docs = docs0.select("text").crossJoin(copies).drop("rep")
+          .repartition(cpus.toInt)
+        val big = docs.select(explode(
+            graft.functions.TextFunctions.bind1(split(col("text"), " ")) { tt =>
+              when(size(tt) >= 2, transform(sequence(lit(0), size(tt) - 2),
+                i => struct(element_at(tt, i + 1).as("w1"),
+                  element_at(tt, i + 2).as("w2"))))
+                .otherwise(array())
+            }).as("bg"))
+          .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val w1s = bc.groupBy("w1").agg(sum("c").as("cw1"), count(lit(1)).as("n1fwd"))
+        val w2s = bc.groupBy("w2").agg(count(lit(1)).as("n1back"))
+        val tot = bc.agg(count(lit(1)).as("nbt"))
+        bc.filter(col("c") >= 5).join(w1s, "w1").join(w2s, "w2")
+          .crossJoin(broadcast(tot))
+          .select(col("w1"), col("w2"),
+            (greatest(col("c").cast("double") - lit(0.75), lit(0.0))
+              / col("cw1").cast("double")
+              + lit(0.75) * col("n1fwd").cast("double") / col("cw1").cast("double")
+              * (col("n1back").cast("double") / col("nbt").cast("double"))).as("p"))
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("mmr_rerank_5k_cands") {
+        // s42 at 10x candidate depth: 20 queries x ~5k candidates, the
+        // k = 5 greedy rounds stay per-query-keyed joins + aggregates —
+        // round cost scales with candidates, never candidates^2
+        val e0 = graft.core.Tables.embeddings(spark, sfDir)
+        val maxV = e0.agg(max("vec_id")).as[Long].head() + 1
+        val e = e0.crossJoin(copies)
+          .select((col("vec_id") + col("rep") * maxV).as("vec_id"),
+            col("embedding"))
+          .withColumn("nrm", graft.functions.Similarity.l2norm(col("embedding")))
+          .localCheckpoint()
+        val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"),
+          col("embedding").as("q_emb"), col("nrm").as("q_norm"))
+        val c = e.filter(col("vec_id") >= 20).select(col("vec_id").as("cid"),
+          col("embedding").as("c_emb"), col("nrm").as("c_norm"))
+        val cand = c.crossJoin(broadcast(q))
+          .withColumn("rel", graft.functions.Similarity.dot(col("q_emb"), col("c_emb")) /
+            (col("q_norm") * col("c_norm")))
+          .select("qid", "cid", "c_emb", "c_norm", "rel")
+        graft.operators.Mmr.rerank(cand, k = 5, lam = 0.7, mu = 0.3)
+          .groupBy().agg(count(lit(1)), sum("score"))
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("snapshot_diff_1p5m_rows") {
+        // io18's full-outer diff at 10x orders: both versions scan once
+        // and co-partition on the key — the canonical two-sided shuffle
+        val v1 = or.select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+        val v2 = v1.filter(col("k") % 13 =!= 0)
+          .withColumn("v", when(col("k") % 7 === 0, col("v") + 100).otherwise(col("v")))
+        graft.operators.Cdc.snapshotDiff(v1, v2, Seq("k"))
+          .groupBy("status").agg(count(lit(1)))
+          .write.format("noop").mode("overwrite").save()
       })
 
     val rows = li.count()

@@ -48,4 +48,36 @@ object Cdc {
       when(col("_op").isNull, lit("base")).otherwise(lit("upsert")).as("cdc_src")
     merged.select(outCols: _*)
   }
+
+  /** Snapshot-to-snapshot diff: classify every key across two versions
+    * of a table as added / removed / changed / unchanged — the audit
+    * companion to applyChanges (what DID that feed do?) and the
+    * time-travel "diff two versions" primitive. Output: keyCols,
+    * `status`, and both payloads as `_old_<col>` / `_new_<col>`.
+    *
+    * Payload equality is null-safe per column (`<=>`), presence is
+    * tracked with marker flags (a key whose payload is entirely NULL is
+    * still present). One full-outer join, both sides shuffled on the
+    * key — the canonical distributed shape; at 100 TB both sides scan
+    * once and co-partition.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keyCols: Seq[String]): DataFrame = {
+    val payload = oldSnap.columns.toSeq.filterNot(keyCols.contains)
+    require(newSnap.columns.sorted.sameElements(oldSnap.columns.sorted),
+      "snapshots must share a schema")
+    val o = oldSnap.select(keyCols.map(col) ++
+      payload.map(p => col(p).as(s"_old_$p")) :+ lit(true).as("_in_old"): _*)
+    val n = newSnap.select(keyCols.map(col) ++
+      payload.map(p => col(p).as(s"_new_$p")) :+ lit(true).as("_in_new"): _*)
+    val same = payload.map(p => col(s"_old_$p") <=> col(s"_new_$p"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    o.join(n, keyCols, "full_outer")
+      .withColumn("status",
+        when(col("_in_old").isNull, "added")
+          .when(col("_in_new").isNull, "removed")
+          .when(same, "unchanged")
+          .otherwise("changed"))
+      .drop("_in_old", "_in_new")
+  }
 }

@@ -229,6 +229,39 @@ object Keys {
             round(col("mxx").cast("double") * col("nk") / col("nrr"), 6)
               .as("skew_ratio"))
       }
+    },
+
+    // ---- k03: dimension surrogate keys ---------------------------------------
+    // The warehouse key pattern: stable dense surrogate ids for a
+    // natural key, assigned on the DIMENSION (distinct natural keys),
+    // then joined back to the facts. The scale shape: the global-order
+    // window runs over the dim table only (group-cardinality rows —
+    // here 125; a surrogate ranked over the FACTS would be a
+    // single-partition sort at 100 TB), and the sk map broadcasts back.
+    Query("k03_surrogate_key",
+      """WITH dim AS (
+        |  SELECT DISTINCT n_name AS nation, c_mktsegment AS seg
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |sk AS (
+        |  SELECT nation, seg,
+        |         CAST(row_number() OVER (ORDER BY nation, seg) AS INT) AS sk
+        |  FROM dim)
+        |SELECT s.sk, s.nation, s.seg, count(*) AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN sk s ON s.nation = n_name AND s.seg = c_mktsegment
+        |GROUP BY 1, 2, 3""".stripMargin) {
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val facts = Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name").as("nation"), col("c_mktsegment").as("seg"))
+        val sk = facts.distinct()
+          .withColumn("sk", row_number().over(Window.orderBy("nation", "seg")))
+        facts.join(broadcast(sk), Seq("nation", "seg"))
+          .groupBy("sk", "nation", "seg").agg(count(lit(1)).as("n"))
+          .select("sk", "nation", "seg", "n")
+      }
     }
   )
 }

@@ -1990,8 +1990,89 @@ object SimilaritySearch {
           .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
           .select("query_id", "neighbor_id", "cos")
       }
+    },
+
+    // ---- s42: maximal marginal relevance re-rank ----------------------------
+    // The diversification step after an ANN fetch: greedy k = 5 picks
+    // per query balancing relevance against redundancy, score = 0.7*rel
+    // - 0.3*max sim to already-picked (Carbonell-Goldstein). Exact-fold
+    // cosines make every pick bitwise-reproducible, so the oracle
+    // unrolls the 5 greedy stages (rel/sim matrices once, then per
+    // stage: anti-join picked, max-sim aggregate, argmax with cid
+    // tiebreak) — all MATERIALIZED, the unrolled-iteration rule.
+    Query("s42_mmr_rerank", MmrOracleSql) {
+      (s, d) => {
+        val e = Tables.embeddings(s, d).filter(col("vec_id") < 105)
+          .select(col("vec_id"), col("embedding"),
+            Similarity.l2norm(col("embedding")).as("nrm"))
+          .localCheckpoint() // query + candidate sides share one scan
+        val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"),
+          col("embedding").as("q_emb"), col("nrm").as("q_norm"))
+        val c = e.filter(col("vec_id") >= 5).select(col("vec_id").as("cid"),
+          col("embedding").as("c_emb"), col("nrm").as("c_norm"))
+        val cand = c.crossJoin(broadcast(q))
+          .withColumn("rel", Similarity.dot(col("q_emb"), col("c_emb")) /
+            (col("q_norm") * col("c_norm")))
+          .select("qid", "cid", "c_emb", "c_norm", "rel")
+        graft.operators.Mmr.rerank(cand, k = 5, lam = 0.7, mu = 0.3)
+      }
     }
   )
+
+  /** s42's oracle: the 5 greedy MMR stages unrolled. Rel/sim cosines
+    * use the s01/s02 exact-fold form (query/candidate side first, so
+    * the engine's dot(q,c)/(|q|*|c|) replays bitwise). */
+  private[queries] lazy val MmrOracleSql: String = {
+    def cos(l: String, r: String): String =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list_transform(range(1, len($l.embedding) + 1),
+         |             i -> CAST($l.embedding[i] AS DOUBLE) * CAST($r.embedding[i] AS DOUBLE))),
+         |           (a, x) -> a + x)
+         |         / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |              list_transform(range(1, len($l.embedding) + 1),
+         |                i -> CAST($l.embedding[i] AS DOUBLE) * CAST($l.embedding[i] AS DOUBLE))),
+         |              (a, x) -> a + x))
+         |            * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |                list_transform(range(1, len($r.embedding) + 1),
+         |                  i -> CAST($r.embedding[i] AS DOUBLE) * CAST($r.embedding[i] AS DOUBLE))),
+         |                (a, x) -> a + x)))""".stripMargin
+    def stage(i: Int): String = {
+      val prev = (1 until i).map(j => s"SELECT qid, cid FROM s$j").mkString("\n  UNION ALL ")
+      s"""sel$i AS ($prev),
+         |m$i AS MATERIALIZED (
+         |  SELECT r.qid, r.cid, 0.7 * r.rel - 0.3 * max(s.s) AS score
+         |  FROM rel r
+         |  JOIN sel$i t ON t.qid = r.qid
+         |  JOIN sim s ON s.a = r.cid AND s.b = t.cid
+         |  LEFT JOIN sel$i x ON x.qid = r.qid AND x.cid = r.cid
+         |  WHERE x.cid IS NULL
+         |  GROUP BY r.qid, r.cid, r.rel),
+         |s$i AS MATERIALIZED (
+         |  SELECT qid, cid, score FROM (
+         |    SELECT qid, cid, score,
+         |           row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+         |    FROM m$i) t WHERE rn = 1)""".stripMargin
+    }
+    s"""WITH emb AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 105),
+       |rel AS MATERIALIZED (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |         ${cos("q", "c")} AS rel
+       |  FROM emb q JOIN emb c ON q.vec_id < 5 AND c.vec_id >= 5),
+       |sim AS MATERIALIZED (
+       |  SELECT a.vec_id AS a, b.vec_id AS b,
+       |         ${cos("a", "b")} AS s
+       |  FROM emb a JOIN emb b
+       |    ON a.vec_id >= 5 AND b.vec_id >= 5 AND a.vec_id <> b.vec_id),
+       |s1 AS MATERIALIZED (
+       |  SELECT qid, cid, rel AS score FROM (
+       |    SELECT qid, cid, rel,
+       |           row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rn
+       |    FROM rel) t WHERE rn = 1),
+       |${(2 to 5).map(stage).mkString(",\n")}
+       |${(1 to 5).map(i => s"SELECT qid, $i AS rank, cid, score FROM s$i")
+          .mkString("\nUNION ALL ")}""".stripMargin
+  }
 
   /** Pinned recall floors for the s34-s40 gates — ~half the quiet
     * measured values at sf0.01 AND sf0.1 (both recorded in NOTES.md

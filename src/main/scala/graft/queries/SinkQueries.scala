@@ -662,6 +662,50 @@ object SinkQueries {
       r1.unionAll(r2)
     },
 
+    // ---- io18: snapshot version diff -----------------------------------------
+    // The time-travel audit primitive: diff two versions of a dimension
+    // (v2 simulates a release cycle — %13 keys deleted, %7 balances
+    // bumped, %11 keys cloned in as new rows) and aggregate per status
+    // with key digests and decimal-routed balance sums (new-side
+    // balance when present, old-side for removed). One full-outer join
+    // keyed on c_custkey; the oracle restates each status class
+    // straight from the source construction.
+    Query("io18_snapshot_diff",
+      """WITH mx AS (SELECT max(c_custkey) AS mk FROM customer)
+        |SELECT 'removed' AS status, count(*) AS n,
+        |       CAST(sum(c_custkey) AS BIGINT) AS key_digest,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
+        |FROM customer WHERE c_custkey % 13 = 0
+        |UNION ALL
+        |SELECT 'changed', count(*), CAST(sum(c_custkey) AS BIGINT),
+        |       CAST(sum(CAST(c_acctbal + 100 AS DECIMAL(18,4))) AS DOUBLE)
+        |FROM customer WHERE c_custkey % 13 <> 0 AND c_custkey % 7 = 0
+        |UNION ALL
+        |SELECT 'unchanged', count(*), CAST(sum(c_custkey) AS BIGINT),
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+        |FROM customer WHERE c_custkey % 13 <> 0 AND c_custkey % 7 <> 0
+        |UNION ALL
+        |SELECT 'added', count(*), CAST(sum(c_custkey + mk + 1) AS BIGINT),
+        |       CAST(sum(CAST(c_acctbal + 0.25 AS DECIMAL(18,4))) AS DOUBLE)
+        |FROM customer, mx WHERE c_custkey % 11 = 0""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      val maxk = cust.agg(max("c_custkey")).head().getLong(0)
+      val v2 = cust.filter(col("c_custkey") % 13 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100)
+            .otherwise(col("c_acctbal")))
+        .unionByName(cust.filter(col("c_custkey") % 11 === 0)
+          .select((col("c_custkey") + maxk + 1).as("c_custkey"), col("c_mktsegment"),
+            (col("c_acctbal") + 0.25).as("c_acctbal")))
+      graft.operators.Cdc.snapshotDiff(cust, v2, Seq("c_custkey"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"),
+          sum("c_custkey").cast("long").as("key_digest"),
+          sum(coalesce(col("_new_c_acctbal"), col("_old_c_acctbal"))
+            .cast("decimal(18,4)")).cast("double").as("bal"))
+    },
+
     // ---- io17 / S10: zip packaging sink --------------------------------------
     // The reference's download-artifact step: each group's cleaned CSV
     // folder packaged as one .zip. The gate row audits the archives by

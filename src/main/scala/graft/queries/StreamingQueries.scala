@@ -928,6 +928,42 @@ object StreamingQueries {
         q.awaitTermination()
         ss.read.parquet(s"$store/v$version")
       }
+    },
+
+    // ---- ST17: streaming Kalman filter (w36's st-twin) ----------------------
+    // The adaptive-gain level monitor served live: per-user state is
+    // two doubles (estimate + variance); batches fold in event order
+    // with w36's identical predict/gain/update sequence — the stream
+    // hash-matches the offline recursive-CTE replay bit-for-bit (the
+    // st13/st14 equivalence discipline). Completes the live-monitor
+    // trio: st14 catches persistent SHIFTS (CUSUM), st13 tracks TREND
+    // (Holt), this tracks LEVEL under noise with a learned gain.
+    Query("st17_stream_kalman", Temporal.KalmanOracleSql) {
+      (s, d) => {
+        val dir = graft.core.TempDirs.scratch("st17_landing")
+        java.nio.file.Files.createSymbolicLink(
+          dir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        import ss.implicits._
+        val raw = ss.read.parquet(s"$d/events.parquet")
+        val src = Streams.fileSource(ss, dir.toString, raw.schema)
+          .select(col("user_id").cast("long").as("userId"),
+            col("event_id").cast("long").as("eventId"),
+            Tables.tsMicros(raw.schema).as("tsMicros"),
+            col("value").cast("double").as("value"))
+          .as[Streams.ValueEvent]
+        val out = Streams.kalmanStream(src, q = 0.25, r = 1.0)
+        val sink = "st17_kalman_" + System.nanoTime()
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        ss.table(sink)
+          .select(col("userId").as("user_id"), col("eventId").as("event_id"),
+            col("kalmanLevel").as("kalman_level"),
+            col("kalmanVar").as("kalman_var"))
+      }
     }
   )
 }

@@ -43,6 +43,26 @@ object Temporal {
       |       l + b AS forecast
       |FROM scan""".stripMargin
 
+  /** w36's oracle, shared verbatim by st17 (the streaming run of the
+    * same adaptive-gain recurrence must hash-match the batch SQL). */
+  private[queries] val KalmanOracleSql: String =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, event_id, value,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |scan AS (
+      |  SELECT user_id, rn, event_id,
+      |         CAST(value AS DOUBLE) AS x, CAST(1.0 AS DOUBLE) AS p
+      |  FROM ev WHERE rn = 1
+      |  UNION ALL
+      |  SELECT e.user_id, e.rn, e.event_id,
+      |         s.x + ((s.p + 0.25) / ((s.p + 0.25) + 1.0))
+      |             * (CAST(e.value AS DOUBLE) - s.x),
+      |         (1.0 - ((s.p + 0.25) / ((s.p + 0.25) + 1.0))) * (s.p + 0.25)
+      |  FROM ev e JOIN scan s ON e.user_id = s.user_id AND e.rn = s.rn + 1)
+      |SELECT user_id, event_id, x AS kalman_level, p AS kalman_var
+      |FROM scan""".stripMargin
+
   val queries: Seq[Query] = Seq(
 
     // ---- W2: seeded stable shuffle -----------------------------------------
@@ -487,23 +507,7 @@ object Temporal {
     // observation, P0 = 1. The oracle replays the identical predict/
     // gain/update operation order through a recursive CTE, so doubles
     // match bit-for-bit (division is IEEE-exact, not libm).
-    Query("w36_kalman",
-      """WITH RECURSIVE ev AS (
-        |  SELECT user_id, event_id, value,
-        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-        |  FROM events),
-        |scan AS (
-        |  SELECT user_id, rn, event_id,
-        |         CAST(value AS DOUBLE) AS x, CAST(1.0 AS DOUBLE) AS p
-        |  FROM ev WHERE rn = 1
-        |  UNION ALL
-        |  SELECT e.user_id, e.rn, e.event_id,
-        |         s.x + ((s.p + 0.25) / ((s.p + 0.25) + 1.0))
-        |             * (CAST(e.value AS DOUBLE) - s.x),
-        |         (1.0 - ((s.p + 0.25) / ((s.p + 0.25) + 1.0))) * (s.p + 0.25)
-        |  FROM ev e JOIN scan s ON e.user_id = s.user_id AND e.rn = s.rn + 1)
-        |SELECT user_id, event_id, x AS kalman_level, p AS kalman_var
-        |FROM scan""".stripMargin) {
+    Query("w36_kalman", KalmanOracleSql) {
       (s, d) => graft.operators.Sessionize.kalman(
           Tables.events(s, d).select("user_id", "event_id", "ts", "value"),
           "user_id", "ts", "event_id", "value", q = 0.25, r = 1.0)

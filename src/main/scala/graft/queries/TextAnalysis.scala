@@ -1645,6 +1645,60 @@ object TextAnalysis {
             round(num / denx, 6).as("zipf_slope"),
             round(num * num / (denx * deny), 6).as("r2"))
       }
+    },
+
+    // ---- t49: Kneser-Ney smoothed bigram LM -----------------------------------
+    // The n-gram LM estimator behind t18/t34's add-one forms, done
+    // properly: absolute discounting (D = 0.75) with CONTINUATION
+    // back-off — P(w2|w1) = max(c-D,0)/c(w1·) + D·N1+(w1·)/c(w1·) ·
+    // N1+(·w2)/N1+(··). Everything derives from ONE bigram-count
+    // aggregate (occurrence counts, not distinct shingles): two
+    // re-aggregations by w1/w2, a 1-row type total crossJoin-broadcast,
+    // joins back — each stage hash-keyed and map-side combinable; no
+    // token ever leaves its doc partition before the count. All-ratio
+    // double math in pinned operation order, 6dp rounding.
+    Query("t49_kneser_ney",
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |big AS MATERIALIZED (
+        |  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS s
+        |  FROM toks WHERE len(t) >= 2),
+        |bc AS MATERIALIZED (
+        |  SELECT split_part(s, ' ', 1) AS w1, split_part(s, ' ', 2) AS w2,
+        |         count(*) AS c
+        |  FROM big GROUP BY 1, 2),
+        |w1s AS (SELECT w1, sum(c) AS cw1, count(*) AS n1fwd FROM bc GROUP BY 1),
+        |w2s AS (SELECT w2, count(*) AS n1back FROM bc GROUP BY 1),
+        |tot AS (SELECT count(*) AS nbt FROM bc)
+        |SELECT bc.w1, bc.w2, CAST(c AS BIGINT) AS c,
+        |       round(greatest(CAST(c AS DOUBLE) - 0.75, 0.0) / CAST(cw1 AS DOUBLE)
+        |             + 0.75 * CAST(n1fwd AS DOUBLE) / CAST(cw1 AS DOUBLE)
+        |               * (CAST(n1back AS DOUBLE) / CAST(nbt AS DOUBLE)), 6) AS p_kn
+        |FROM bc JOIN w1s USING (w1) JOIN w2s USING (w2), tot
+        |WHERE c >= 5""".stripMargin) {
+      (s, d) => {
+        val t = tokens(col("text"))
+        val big = Tables.documents(s, d)
+          .select(explode(bind1(t) { tt =>
+            when(size(tt) >= 2, transform(sequence(lit(0), size(tt) - 2),
+              (i: org.apache.spark.sql.Column) => struct(
+                element_at(tt, i + 1).as("w1"), element_at(tt, i + 2).as("w2"))))
+              .otherwise(array())
+          }).as("bg"))
+          .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+          .localCheckpoint() // 4 downstream aggs share the one bigram count
+        val w1s = bc.groupBy("w1").agg(sum("c").as("cw1"), count(lit(1)).as("n1fwd"))
+        val w2s = bc.groupBy("w2").agg(count(lit(1)).as("n1back"))
+        val tot = bc.agg(count(lit(1)).as("nbt"))
+        bc.filter(col("c") >= 5)
+          .join(w1s, "w1").join(w2s, "w2").crossJoin(broadcast(tot))
+          .select(col("w1"), col("w2"), col("c").cast("long").as("c"),
+            round(greatest(col("c").cast("double") - lit(0.75), lit(0.0))
+                / col("cw1").cast("double")
+              + lit(0.75) * col("n1fwd").cast("double") / col("cw1").cast("double")
+                * (col("n1back").cast("double") / col("nbt").cast("double")), 6)
+              .as("p_kn"))
+      }
     }
   )
 

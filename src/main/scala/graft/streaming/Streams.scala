@@ -199,4 +199,44 @@ object Streams {
     events.groupByKey(_.userId)
       .flatMapGroupsWithState(OutputMode.Append, timeout)(update)
   }
+
+  final case class KalmanState(x: Double, p: Double)
+  final case class KalmanOut(userId: Long, eventId: Long,
+                             kalmanLevel: Double, kalmanVar: Double)
+
+  /** Streaming 1-D Kalman filter: the st-twin of w36's batch recurrence
+    * (Sessionize.kalman), served incrementally. Per-key state is TWO
+    * doubles (estimate + variance) whatever the event volume; within a
+    * batch each group folds in (tsMicros, eventId) order with the
+    * identical predict/gain/update operation order, so an event-time-
+    * ordered stream emits bit-for-bit the batch recursive-CTE result. */
+  def kalmanStream(events: Dataset[ValueEvent], q: Double, r: Double,
+                   stateTtl: Option[String] = None): Dataset[KalmanOut] = {
+    import events.sparkSession.implicits._
+    def update(userId: Long, it: Iterator[ValueEvent],
+               state: GroupState[KalmanState]): Iterator[KalmanOut] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        var st = state.getOption
+        val out = it.toSeq.sortBy(e => (e.tsMicros, e.eventId)).map { e =>
+          val (x, p) = st match {
+            case None => (e.value, 1.0)
+            case Some(KalmanState(x0, p0)) =>
+              val pPred = p0 + q
+              val k = pPred / (pPred + r)
+              (x0 + k * (e.value - x0), (1.0 - k) * pPred)
+          }
+          st = Some(KalmanState(x, p))
+          KalmanOut(userId, e.eventId, x, p)
+        }
+        st.foreach(state.update)
+        stateTtl.foreach(state.setTimeoutDuration)
+        out.iterator
+      }
+    }
+    val timeout = if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+                  else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(update)
+  }
 }

@@ -40,4 +40,31 @@ class CdcSpec extends SparkSpec {
       Cdc.applyChanges(base, changes, Seq("k"), "op", "ordk")
     }
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged, null-safe") {
+    val v1 = df(
+      """SELECT * FROM VALUES
+        |  (1, 'a'), (2, 'b'), (3, CAST(NULL AS STRING)), (4, 'd'), (5, CAST(NULL AS STRING))
+        |t(k, v)""".stripMargin)
+    val v2 = df(
+      """SELECT * FROM VALUES
+        |  (1, 'a'), (2, 'B'), (3, CAST(NULL AS STRING)), (5, 'now'), (6, 'new')
+        |t(k, v)""".stripMargin)
+    val out = Cdc.snapshotDiff(v1, v2, Seq("k")).collect()
+      .map(r => r.getInt(0) -> r.getAs[String]("status")).toMap
+    assert(out == Map(
+      1 -> "unchanged", 2 -> "changed",
+      3 -> "unchanged", // NULL <=> NULL payload is present and equal
+      4 -> "removed", 5 -> "changed", 6 -> "added"))
+  }
+
+  test("snapshotDiff carries both payload versions and rejects schema drift") {
+    val v1 = df("SELECT 1 AS k, 'old' AS v")
+    val v2 = df("SELECT 1 AS k, 'new' AS v")
+    val row = Cdc.snapshotDiff(v1, v2, Seq("k")).head()
+    assert(row.getAs[String]("_old_v") == "old" && row.getAs[String]("_new_v") == "new")
+    intercept[IllegalArgumentException] {
+      Cdc.snapshotDiff(v1, df("SELECT 1 AS k, 'x' AS other"), Seq("k"))
+    }
+  }
 }
