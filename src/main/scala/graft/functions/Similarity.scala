@@ -169,6 +169,30 @@ object Similarity {
   def hyperplaneBuckets(vec: Column, tables: Int, bits: Int, dims: Int): Column =
     graft.plans.HyperplaneBuckets(vec, tables, bits, dims)
 
+  // ---- Scalar int8 quantization (the FAISS SQ8 shape) ------------------
+  // Per-vector max-abs scale + symmetric 8-bit codes: 4x smaller than
+  // float32, and the quantized dot product is EXACT INTEGER math — no
+  // fold-order concern at all, any engine reproduces it bitwise. Codes
+  // round via floor(x/scale + 0.5) (explicit, not round(): half-even vs
+  // half-away ambiguity across engines disappears).
+
+  /** Per-vector symmetric scale: max|x| / 127 (codes land in [-127, 127]). */
+  def sq8Scale(vec: Column): Column =
+    array_max(transform(vec, x => abs(x.cast("double")))) / lit(127.0)
+
+  /** Quantize to long codes with the scale lambda-bound so the max-abs
+    * subtree evaluates once per row, not once per element (the t43/bind1
+    * HOF-inlining lesson).
+    */
+  def sq8Quantize(vec: Column, scale: Column): Column =
+    TextFunctions.bind1(scale) { sc =>
+      transform(vec, x => floor(x.cast("double") / sc + lit(0.5)).cast("long"))
+    }
+
+  /** Exact integer dot product of two code arrays. */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
   /** The higher-order-function formulation — kept for the equivalence
     * spec. Expression tree is O(1) in (tables, bits, dims) but allocates
     * intermediate arrays per row.

@@ -418,6 +418,38 @@ object Analytics {
     // current); ordering is total via (ts, event_id). One exchange on
     // user_id serves the lag window, the run grouping, and the final
     // string_agg.
+    // ---- r17: nested-document encode/normalize round-trip --------------------
+    // The semi-structured story beyond flat JSONL (io07): order
+    // documents nested as {ok, items:[{ln, qty}...]} via to_json, then
+    // normalized BACK to relational with an EXPLICIT from_json schema
+    // (no inference scan) + explode — the ODK-repeat/API-payload shape.
+    // Arrays are sort_array-ed before encode (collect_list order is
+    // partition-dependent), and the oracle recomputes the per-order
+    // facts straight from lineitem, so any encode/escape/parse/explode
+    // defect breaks the hash, not just row counts.
+    Query("r17_nested_roundtrip",
+      """SELECT l_orderkey AS ok, count(*) AS n_items,
+        |       CAST(sum(l_linenumber) AS BIGINT) AS ln_digest,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY 1""".stripMargin) {
+      (s, d) => {
+        val nested = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+          .groupBy("l_orderkey")
+          .agg(to_json(struct(col("l_orderkey").as("ok"),
+            sort_array(collect_list(struct(col("l_linenumber").as("ln"),
+              col("l_quantity").as("qty")))).as("items"))).as("doc"))
+        nested.select(from_json(col("doc"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "ok LONG, items ARRAY<STRUCT<ln: INT, qty: DOUBLE>>")).as("j"))
+          .select(col("j.ok").as("ok"), explode(col("j.items")).as("it"))
+          .groupBy("ok")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("it.ln")).cast("long").as("ln_digest"),
+            sum(col("it.qty").cast("decimal(18,4)")).cast("double").as("qty"))
+      }
+    },
+
     Query("r16_runlength",
       """WITH o AS (
         |  SELECT user_id, event_type, ts, event_id,

@@ -488,6 +488,75 @@ object Goals {
       }
     },
 
+    // ---- g22: personalized PageRank (teleport to a hub set) ------------------
+    // g10's damped flow with the teleport mass pinned to a SOURCE set
+    // (nodes ≡ 0 mod 10) instead of spread uniformly — relevance
+    // propagation from seed entities, the recommendation/"similar to
+    // these" primitive. Same exact-integer fixed-point contract as g10
+    // (rank in millionths, 0.85 as truncating 17/20), teleport
+    // membership computed from the node id (no indicator join), 3
+    // unrolled rounds. Seeds start at 1e6, everything else at 0: mass
+    // flows OUT of the seed neighbourhood and decays with distance.
+    Query("g22_ppr",
+      """WITH base AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS s2
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT c AS src, s2 AS dst FROM base
+        |      UNION ALL SELECT s2, c FROM base),
+        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        |r0 AS (SELECT src AS node,
+        |              CAST(CASE WHEN src % 10 = 0 THEN 1000000 ELSE 0 END AS BIGINT)
+        |                AS rank
+        |       FROM deg),
+        |i1 AS (SELECT node,
+        |              (CASE WHEN node % 10 = 0 THEN 150000 ELSE 0 END) + flow AS rank
+        |       FROM (SELECT e.dst AS node,
+        |                    (17 * sum(r.rank // d.outdeg)) // 20 AS flow
+        |             FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |             GROUP BY e.dst) t),
+        |i2 AS (SELECT node,
+        |              (CASE WHEN node % 10 = 0 THEN 150000 ELSE 0 END) + flow AS rank
+        |       FROM (SELECT e.dst AS node,
+        |                    (17 * sum(r.rank // d.outdeg)) // 20 AS flow
+        |             FROM e JOIN i1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |             GROUP BY e.dst) t),
+        |i3 AS (SELECT node,
+        |              (CASE WHEN node % 10 = 0 THEN 150000 ELSE 0 END) + flow AS rank
+        |       FROM (SELECT e.dst AS node,
+        |                    (17 * sum(r.rank // d.outdeg)) // 20 AS flow
+        |             FROM e JOIN i2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |             GROUP BY e.dst) t)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank
+        |FROM i3""".stripMargin) {
+      (s, d) => {
+        val base = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+          .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"),
+            (col("l_suppkey") + 1000000L).as("s2"))
+          .distinct()
+        val edges = base.select(col("c").as("src"), col("s2").as("dst"))
+          .unionAll(base.select(col("s2").as("src"), col("c").as("dst")))
+          .repartition(col("src"))
+          .localCheckpoint()
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        var ranks = deg.select(col("src").as("node"),
+          when(col("src") % 10 === 0, 1000000L).otherwise(0L).as("rank"))
+        for (_ <- 1 to 3) {
+          val contrib = ranks.join(deg, col("node") === col("src"))
+            .select(col("node").as("cn"), expr("rank div outdeg").as("contrib"))
+          ranks = edges.join(contrib, col("src") === col("cn"))
+            .groupBy(col("dst").as("node"))
+            .agg(expr("(17 * sum(contrib)) div 20").as("flow"))
+            .select(col("node"),
+              (when(col("node") % 10 === 0, 150000L).otherwise(0L)
+                + col("flow")).as("rank"))
+        }
+        ranks.select(col("node").cast("long").as("node"),
+          col("rank").cast("long").as("rank"))
+      }
+    },
+
     // ---- G15: curation funnel report ---------------------------------------
     // The ablation table every corpus release ships with: docs and
     // tokens surviving each cumulative filter stage (language -> length

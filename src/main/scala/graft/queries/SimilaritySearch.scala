@@ -1992,6 +1992,57 @@ object SimilaritySearch {
       }
     },
 
+    // ---- s43: scalar int8 quantized search -----------------------------------
+    // Embedding compression for serving: per-vector max-abs/127 scale +
+    // symmetric 8-bit codes (4x smaller than float32), top-5 by the
+    // QUANTIZED dot — the integer dot is exact in any engine, the score
+    // is (q_scale * c_scale) * int_dot in pinned order, so the whole
+    // ranking hash-matches the oracle with no rounding recipe at all.
+    // Rounding is floor(x/sc + 0.5), explicit, because round()'s
+    // half-case differs across engines. Plan: quantization is a narrow
+    // projection, queries broadcast (the s01 shape).
+    Query("s43_sq8_search",
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id, embedding,
+        |         list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+        |                     (a, b) -> greatest(a, b)) / 127.0 AS sc
+        |  FROM embeddings),
+        |q8 AS MATERIALIZED (
+        |  SELECT vec_id, sc,
+        |         list_transform(embedding,
+        |                        x -> CAST(floor(CAST(x AS DOUBLE) / sc + 0.5) AS BIGINT)) AS qv
+        |  FROM e),
+        |dotp AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         (q.sc * c.sc) * CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |            list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.qv[i])),
+        |            (a, x) -> a + x) AS DOUBLE) AS score
+        |  FROM q8 q JOIN q8 c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY score DESC, neighbor_id) AS rn
+        |  FROM dotp) t WHERE rn <= 5""".stripMargin) {
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .withColumn("sc", Similarity.sq8Scale(col("embedding")))
+          .select(col("vec_id"), col("sc"),
+            Similarity.sq8Quantize(col("embedding"), col("sc")).as("qv"))
+          .localCheckpoint() // query + candidate sides share one quantize pass
+        val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"),
+          col("sc").as("q_sc"), col("qv").as("q_qv"))
+        val score = (col("q_sc") * col("sc")) *
+          Similarity.intDot(col("q_qv"), col("qv")).cast("double")
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("neighbor_id"))
+        e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            score.as("score"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select("query_id", "neighbor_id", "score")
+      }
+    },
+
     // ---- s42: maximal marginal relevance re-rank ----------------------------
     // The diversification step after an ANN fetch: greedy k = 5 picks
     // per query balancing relevance against redundancy, score = 0.7*rel

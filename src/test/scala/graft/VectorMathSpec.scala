@@ -125,4 +125,63 @@ class VectorMathSpec extends SparkSpec {
         spark.conf.set("spark.sql.codegen.fallback", _))
     }
   }
+
+  test("sq8: codes stay in [-127, 127] and reconstruct within scale/2 per element") {
+    val q = vecs
+      .withColumn("sc", Similarity.sq8Scale(col("a")))
+      .withColumn("qv", Similarity.sq8Quantize(col("a"), col("sc")))
+    assert(q.filter(exists(col("qv"), c => abs(c) > 127)).count() == 0)
+    val badRecon = q.filter(exists(
+      zip_with(col("a"), col("qv"), (x, c) => abs(x.cast("double") - c * col("sc"))),
+      e => e > col("sc") * 0.5 + lit(1e-12))).count()
+    assert(badRecon == 0, "floor(x/sc + .5) quantization error must be <= sc/2")
+  }
+
+  test("sq8: intDot is exact integer math and the scaled dot tracks the float dot") {
+    val q = vecs
+      .withColumn("sa", Similarity.sq8Scale(col("a")))
+      .withColumn("sb", Similarity.sq8Scale(col("b")))
+      .withColumn("qa", Similarity.sq8Quantize(col("a"), col("sa")))
+      .withColumn("qb", Similarity.sq8Quantize(col("b"), col("sb")))
+      .select(
+        ((col("sa") * col("sb")) *
+          Similarity.intDot(col("qa"), col("qb")).cast("double")).as("qdot"),
+        Similarity.dot(col("a"), col("b")).as("fdot"),
+        (col("sa") * col("sb")).as("ss"))
+      .collect()
+    // elementwise error <= sa/2 * sb/2 terms: |qdot - fdot| is bounded by
+    // sum |x||eb| + |y||ea| <= 64 * (127.5*sa*sb/2 * 2) — use a loose
+    // empirical bound that still catches a broken scale or fold
+    q.foreach { r =>
+      val (qd, fd, ss) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      assert(math.abs(qd - fd) <= 64 * 130 * ss,
+        s"quantized dot $qd too far from float dot $fd (ss=$ss)")
+    }
+    assert(q.length == 200)
+  }
+
+  test("sq8: top-5 by quantized score has high overlap with float top-5") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("sc", Similarity.sq8Scale(col("embedding")))
+      .withColumn("qv", Similarity.sq8Quantize(col("embedding"), col("sc")))
+      .withColumn("nrm", Similarity.l2norm(col("embedding")))
+      .localCheckpoint()
+    val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"),
+      col("sc").as("qsc"), col("qv").as("qqv"),
+      col("embedding").as("qe"), col("nrm").as("qn"))
+    val joined = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        ((col("qsc") * col("sc")) *
+          Similarity.intDot(col("qqv"), col("qv")).cast("double")).as("qs"),
+        Similarity.dot(col("qe"), col("embedding")).as("fs"))
+      .localCheckpoint()
+    import org.apache.spark.sql.expressions.Window
+    def top(scoreCol: String) = joined.withColumn("rn",
+        row_number().over(Window.partitionBy("qid")
+          .orderBy(col(scoreCol).desc, col("nid"))))
+      .filter(col("rn") <= 5).select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (top("qs") & top("fs")).size
+    assert(overlap >= 40, s"SQ8 top-5 overlap $overlap/50 below the 0.8 recall floor")
+  }
 }
