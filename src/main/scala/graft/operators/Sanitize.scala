@@ -110,6 +110,44 @@ object Sanitize {
     suppressed.withColumn("suppressed", !ok)
   }
 
+  /** k-anonymity via a two-level generalization ladder (Sweeney 2002's
+    * domain generalization, one rung): rows whose FINE quasi-identifier
+    * group reaches k keep it; the rest re-group under the COARSE QI
+    * (e.g. nation -> region) and keep that when the residual group
+    * reaches k; still-small groups suppress. Generalize-then-suppress
+    * releases strictly more data than [[kAnonymize]]'s suppress-only
+    * policy at the same k.
+    *
+    * Two hash aggregates (fine groups; coarse groups over the residual
+    * only) joined back — group tables are QI-cardinality-sized, AQE
+    * broadcasts them. Output adds `anon_level` ('fine' | 'coarse' |
+    * 'suppressed') and nulls the generalized/suppressed QI columns.
+    */
+  def kAnonymizeLadder(df: DataFrame, fineCols: Seq[String],
+                       coarseCols: Seq[String], k: Long): DataFrame = {
+    require(fineCols.nonEmpty && coarseCols.nonEmpty,
+      "both QI levels must be non-empty")
+    require((fineCols ++ coarseCols).forall(df.columns.contains),
+      s"QI columns ${(fineCols ++ coarseCols).mkString(",")} must exist")
+    val fine = df.groupBy(fineCols.map(col): _*)
+      .agg(count(lit(1)).as("_fine_n"))
+    val withFine = df.join(fine, fineCols)
+    val residual = withFine.filter(col("_fine_n") < k)
+    val coarse = residual.groupBy(coarseCols.map(col): _*)
+      .agg(count(lit(1)).as("_coarse_n"))
+    val staged = withFine.join(coarse, coarseCols, "left")
+    val level = when(col("_fine_n") >= k, "fine")
+      .when(col("_coarse_n") >= k, "coarse")
+      .otherwise("suppressed")
+    val fineOnly = fineCols.filterNot(coarseCols.contains)
+    val out = fineOnly.foldLeft(staged)((d, c) =>
+      d.withColumn(c, when(level === "fine", col(c))))
+    coarseCols.foldLeft(out)((d, c) =>
+        d.withColumn(c, when(level =!= "suppressed", col(c))))
+      .withColumn("anon_level", level)
+      .drop("_fine_n", "_coarse_n")
+  }
+
   /** Differentially-private count release (Dwork 2006): add
     * Laplace(sensitivity/epsilon) noise to each group's count. The
     * noise is SEEDED — uniform u from the md5 of the group key + seed,

@@ -1483,6 +1483,77 @@ object Analytics {
       }
     },
 
+    // ---- A40: one-way ANOVA F statistic ---------------------------------------
+    // Does order value differ ACROSS the five market segments? a32's
+    // Welch t compares two groups; this is the k-group omnibus:
+    // F = (SSB/(k-1)) / (SSW/(n-k)) from per-group (n, Σx, Σx²) — one
+    // hash aggregate over the join, exact decimal moment sums, then the
+    // five per-group double terms round to 6dp and re-sum through
+    // DECIMAL (a cross-group double fold would be partition-order-
+    // dependent). Group moments are the only thing the data volume
+    // touches; everything after is 5-row arithmetic.
+    Query("a40_anova",
+      """WITH x AS (
+        |  SELECT c_mktsegment AS seg,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS xc
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |g AS (
+        |  SELECT seg, count(*) AS ng,
+        |         CAST(sum(xc) AS DECIMAL(38,0)) AS s1,
+        |         sum(CAST(xc * xc AS DECIMAL(38,0))) AS s2
+        |  FROM x GROUP BY 1),
+        |t AS (SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS n, sum(s1) AS gs1
+        |      FROM g),
+        |terms AS (
+        |  SELECT seg,
+        |         CAST(ng AS DOUBLE)
+        |           * (CAST(s1 AS DOUBLE) / ng - CAST(gs1 AS DOUBLE) / n)
+        |           * (CAST(s1 AS DOUBLE) / ng - CAST(gs1 AS DOUBLE) / n) AS ssb_t,
+        |         CAST(s2 AS DOUBLE)
+        |           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / ng AS ssw_t
+        |  FROM g, t),
+        |a AS (SELECT
+        |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list(ssb_t ORDER BY seg)), (a, x) -> a + x) AS ssb,
+        |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list(ssw_t ORDER BY seg)), (a, x) -> a + x) AS ssw
+        |      FROM terms)
+        |SELECT CAST(k AS BIGINT) AS k, n, ssb, ssw,
+        |       (ssb / (k - 1)) / (ssw / (n - k)) AS f_stat
+        |FROM a, t""".stripMargin) {
+      (s, d) => {
+        val x = Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"),
+            round(col("o_totalprice") * 100).cast("long").as("xc"))
+        val g = x.groupBy("seg")
+          .agg(count(lit(1)).as("ng"),
+            sum("xc").cast("decimal(38,0)").as("s1"),
+            sum((col("xc") * col("xc")).cast("decimal(38,0)")).as("s2"))
+        val t = g.agg(count(lit(1)).as("k"), sum("ng").cast("long").as("n"),
+          sum("s1").as("gs1"))
+        val diff = col("s1").cast("double") / col("ng") -
+          col("gs1").cast("double") / col("n")
+        val terms = g.crossJoin(broadcast(t)).select(col("seg"),
+          (col("ng").cast("double") * diff * diff).as("ssb_t"),
+          (col("s2").cast("double")
+            - col("s1").cast("double") * col("s1").cast("double") / col("ng"))
+            .as("ssw_t"))
+        // the 5 per-group terms fold in seg order (exact-order float fold:
+        // an unordered SUM over doubles would be partition-order-dependent)
+        def orderedFold(term: String) = aggregate(
+          transform(sort_array(collect_list(struct(col("seg"), col(term)))),
+            e => e.getField(term)),
+          lit(0.0), (acc, v) => acc + v)
+        val a = terms.agg(orderedFold("ssb_t").as("ssb"),
+          orderedFold("ssw_t").as("ssw"))
+        a.crossJoin(broadcast(t)).select(
+          col("k").cast("long").as("k"), col("n"), col("ssb"), col("ssw"),
+          ((col("ssb") / (col("k") - 1)) / (col("ssw") / (col("n") - col("k"))))
+            .as("f_stat"))
+      }
+    },
+
     // ---- A39: count-min sketch point estimates ------------------------------
     // The third sketch of the family (a17/a26 HLL distinct, a27
     // Misra-Gries heavy hitters): CMS answers "how often did item i

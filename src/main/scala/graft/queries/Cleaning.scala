@@ -447,6 +447,46 @@ object Cleaning {
           .select(col("nation"), col("seg"),
             col("n_true").cast("long").as("n_true"), col("n_noisy"))
       }
+    },
+
+    // ---- P17: k-anonymity generalization ladder ------------------------------
+    // p15 suppresses every sub-k cell; the generalization ladder
+    // releases more: (nation, seg) groups under k = 8 re-group as
+    // (region, seg), and only cells small at BOTH levels suppress.
+    // Two QI-cardinality-sized aggregates joined back (the coarse one
+    // over the residual rows only — generalized counts must reflect the
+    // actual released cohort, not the full population).
+    Query("p17_k_anon_ladder",
+      """WITH j AS (
+        |  SELECT c_custkey, n_name AS nation, r_name AS region,
+        |         c_mktsegment AS seg
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |                JOIN region ON n_regionkey = r_regionkey),
+        |f AS (SELECT nation, seg, count(*) AS fn FROM j GROUP BY 1, 2),
+        |resid AS (SELECT j.region, j.seg, count(*) AS cn
+        |          FROM j JOIN f ON j.nation = f.nation AND j.seg = f.seg
+        |          WHERE f.fn < 8 GROUP BY 1, 2)
+        |SELECT c_custkey,
+        |       CASE WHEN fn >= 8 THEN j.nation END AS nation,
+        |       CASE WHEN fn >= 8 OR coalesce(cn, 0) >= 8 THEN j.region END AS region,
+        |       CASE WHEN fn >= 8 OR coalesce(cn, 0) >= 8 THEN j.seg END AS seg,
+        |       CASE WHEN fn >= 8 THEN 'fine'
+        |            WHEN coalesce(cn, 0) >= 8 THEN 'coarse'
+        |            ELSE 'suppressed' END AS anon_level
+        |FROM j JOIN f ON j.nation = f.nation AND j.seg = f.seg
+        |LEFT JOIN resid r ON j.region = r.region AND j.seg = r.seg""".stripMargin) {
+      (s, d) => {
+        val j = Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("c_custkey"), col("n_name").as("nation"),
+            col("r_name").as("region"), col("c_mktsegment").as("seg"))
+        graft.operators.Sanitize.kAnonymizeLadder(j,
+            Seq("nation", "seg"), Seq("region", "seg"), k = 8L)
+          .select("c_custkey", "nation", "region", "seg", "anon_level")
+      }
     }
   )
 }

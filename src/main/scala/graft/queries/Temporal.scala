@@ -501,6 +501,79 @@ object Temporal {
           (col("level") + col("trend")).as("forecast"))
     },
 
+    // ---- w37: one-step forecast backtest (model-selection harness) ----------
+    // Which smoother should monitor each user's series? Replay naive
+    // (lag-1), EWMA (w18) and Holt (w29) over the history and score the
+    // ONE-STEP-AHEAD errors: pred at row i is the model state at row
+    // i-1 (lag of the recurrence output), MAE per (user, model).
+    // Predictions are bit-identical to the oracle's recursive replays;
+    // each |error| rounds to 6dp and sums through DECIMAL so the
+    // per-user fold order can't smear the mean.
+    Query("w37_forecast_backtest",
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |hs AS (
+        |  SELECT user_id, rn, x, x AS l, CAST(0.0 AS DOUBLE) AS b
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, e.x,
+        |         0.5 * e.x + 0.5 * (s.l + s.b),
+        |         0.25 * ((0.5 * e.x + 0.5 * (s.l + s.b)) - s.l) + 0.75 * s.b
+        |  FROM ev e JOIN hs s ON e.user_id = s.user_id AND e.rn = s.rn + 1),
+        |es AS (
+        |  SELECT user_id, rn, x, x AS m FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, e.x, 0.5 * e.x + 0.5 * s.m
+        |  FROM ev e JOIN es s ON e.user_id = s.user_id AND e.rn = s.rn + 1),
+        |errs AS (
+        |  SELECT user_id, 'naive' AS model,
+        |         CAST(floor(abs(x - lag(x) OVER (PARTITION BY user_id ORDER BY rn))
+        |                    * 1000000.0 + 0.5) AS BIGINT) AS ae
+        |  FROM ev
+        |  UNION ALL
+        |  SELECT user_id, 'ewma',
+        |         CAST(floor(abs(x - lag(m) OVER (PARTITION BY user_id ORDER BY rn))
+        |                    * 1000000.0 + 0.5) AS BIGINT)
+        |  FROM es
+        |  UNION ALL
+        |  SELECT user_id, 'holt',
+        |         CAST(floor(abs(x - lag(l + b) OVER (PARTITION BY user_id ORDER BY rn))
+        |                    * 1000000.0 + 0.5) AS BIGINT)
+        |  FROM hs)
+        |SELECT user_id, model, count(ae) AS n,
+        |       CAST(sum(ae) AS DOUBLE) / 1000000.0 / count(ae) AS mae
+        |FROM errs WHERE ae IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin) {
+      (s, d) => {
+        val evd = Tables.events(s, d)
+          .select("user_id", "event_id", "ts", "value")
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        // floor(x*1e6 + .5), not round(x, 6): round()'s half-case on an
+        // exact binary double differs across engines (BigDecimal HALF_UP
+        // vs multiply-and-rint); the floor quantizer is pure IEEE ops on
+        // bit-identical inputs, so the BIGINT micro-units match exactly
+        def leg(df: org.apache.spark.sql.DataFrame, model: String,
+                pred: org.apache.spark.sql.Column) =
+          df.select(col("user_id"), lit(model).as("model"),
+            floor(abs(col("value").cast("double") - lag(pred, 1).over(w))
+              * lit(1000000.0) + lit(0.5)).cast("long").as("ae"))
+        val naive = leg(evd, "naive", col("value").cast("double"))
+        val ew = leg(graft.operators.Sessionize.ewma(
+          evd, "user_id", "ts", "event_id", "value", alpha = 0.5), "ewma", col("ewma"))
+        val ho = leg(graft.operators.Sessionize.holt(
+          evd, "user_id", "ts", "event_id", "value", alpha = 0.5, beta = 0.25),
+          "holt", col("level") + col("trend"))
+        naive.unionByName(ew).unionByName(ho)
+          .filter(col("ae").isNotNull)
+          .groupBy("user_id", "model")
+          .agg(count(col("ae")).as("n"),
+            (sum(col("ae")).cast("double") / lit(1000000.0) / count(col("ae")))
+              .as("mae"))
+      }
+    },
+
     // ---- w36: Kalman filter (local-level model) ---------------------------
     // Adaptive-gain smoother over each user's value series: w18's EWMA
     // with a learned gain. q = 0.25, r = 1.0 (dyadic), x0 = first

@@ -102,6 +102,40 @@ class SanitizeSpec extends SparkSpec {
     r1.foreach { case (k, n) => assert(math.abs(n - 2.0 * r2(k)) < 2e-6) }
   }
 
+  test("kAnonymizeLadder: fine kept, coarse generalized, both-small suppressed") {
+    // fine (nation, seg): ('a','X') has 2 rows -> fine at k=2;
+    // ('b','X') and ('c','X') have 1 each but share region 'R2' -> the
+    // residual coarse group ('R2','X') has 2 -> coarse;
+    // ('d','Y') is alone at both levels -> suppressed
+    val d = df(
+      """SELECT * FROM VALUES
+        |  (1, 'a', 'R1', 'X'), (2, 'a', 'R1', 'X'),
+        |  (3, 'b', 'R2', 'X'), (4, 'c', 'R2', 'X'),
+        |  (5, 'd', 'R3', 'Y')
+        |t(id, nation, region, seg)""".stripMargin)
+    val out = Sanitize.kAnonymizeLadder(d, Seq("nation", "seg"),
+        Seq("region", "seg"), k = 2L)
+      .select("id", "nation", "region", "seg", "anon_level")
+    assert(rows(out) == Set(
+      Seq(1, "a", "R1", "X", "fine"), Seq(2, "a", "R1", "X", "fine"),
+      Seq(3, null, "R2", "X", "coarse"), Seq(4, null, "R2", "X", "coarse"),
+      Seq(5, null, null, null, "suppressed")))
+  }
+
+  test("kAnonymizeLadder: coarse counts cover the RESIDUAL cohort only") {
+    // region 'R1' has 3 rows total, but only ONE is residual (the other
+    // two are fine) — a coarse count over the full population would
+    // wrongly release it
+    val d = df(
+      """SELECT * FROM VALUES
+        |  (1, 'a', 'R1', 'X'), (2, 'a', 'R1', 'X'), (3, 'b', 'R1', 'X')
+        |t(id, nation, region, seg)""".stripMargin)
+    val out = Sanitize.kAnonymizeLadder(d, Seq("nation", "seg"),
+      Seq("region", "seg"), k = 2L)
+    assert(out.filter(col("id") === 3).head().getAs[String]("anon_level")
+      == "suppressed")
+  }
+
   test("dpNoisyCount rejects non-positive epsilon") {
     val d = df("SELECT 'a' AS g, 1L AS n_true")
     intercept[IllegalArgumentException] {
