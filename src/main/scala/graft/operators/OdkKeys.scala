@@ -27,4 +27,18 @@ object OdkKeys {
   /** Uniform anomaly/resolution row id. */
   def resolutionId(formId: Column, key: Column, anomaliesId: Column): Column =
     concat_ws("__", formId, key, anomaliesId)
+
+  /** Deterministic stable instance key: md5 of (namespace, natural key)
+    * formatted as ODK's `uuid:xxxxxxxx-xxxx-xxxx-xxxx-xxxxxxxxxxxx` —
+    * the UUIDv3-by-construction way to mint the keys [[repeatName]]/
+    * [[repeatKey]] parse, reproducible from the source row (re-runs
+    * mint the SAME key — idempotent landing, no random UUID drift).
+    */
+  def mintKey(namespace: String, natural: Column): Column = {
+    val h = md5(concat(lit(namespace + ":"), natural.cast("string")))
+    concat(lit("uuid:"),
+      substring(h, 1, 8), lit("-"), substring(h, 9, 4), lit("-"),
+      substring(h, 13, 4), lit("-"), substring(h, 17, 4), lit("-"),
+      substring(h, 21, 12))
+  }
 }

@@ -1325,6 +1325,72 @@ object Analytics {
       }
     },
 
+    // ---- g23: common-neighbour link prediction --------------------------------
+    // Which supplier pairs LOOK connected but aren't? Over the
+    // sparsified co-purchase graph ('g23' salt): for non-adjacent pairs,
+    // common-neighbour count via the wedge join (the g13 shape, here
+    // emitting the open wedges instead of closing them) and the
+    // neighbourhood Jaccard |N(a)∩N(b)| / |N(a)∪N(b)| — the classic
+    // link-prediction score. Wedge middles cap at degree 50 (hub wedges
+    // are deg² — the cap is the scale valve, pinned in the oracle);
+    // degrees for the denominator come from the FULL graph. candidates
+    // = common >= 2, raw double division (identical op order).
+    Query("g23_link_predict",
+      """WITH pair AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_suppkey AS x, b.l_suppkey AS y
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+        |e0 AS MATERIALIZED (
+        |  SELECT x, y FROM pair
+        |  WHERE substring(md5(CAST(x AS VARCHAR) || '_' || CAST(y AS VARCHAR)
+        |                       || 'g23'), 1, 1) = '0'),
+        |bi AS MATERIALIZED (
+        |  SELECT x AS s, y AS t FROM e0 UNION ALL SELECT y, x FROM e0),
+        |deg AS (SELECT s, count(*) AS dg FROM bi GROUP BY 1),
+        |mid AS (SELECT s FROM deg WHERE dg <= 50),
+        |cn AS (
+        |  SELECT a.t AS x, b.t AS y, count(*) AS common
+        |  FROM bi a JOIN mid m ON a.s = m.s
+        |  JOIN bi b ON a.s = b.s AND a.t < b.t
+        |  GROUP BY 1, 2),
+        |ne AS (
+        |  SELECT cn.x, cn.y, cn.common FROM cn
+        |  LEFT JOIN e0 ON cn.x = e0.x AND cn.y = e0.y
+        |  WHERE e0.x IS NULL AND cn.common >= 2)
+        |SELECT ne.x, ne.y, CAST(ne.common AS BIGINT) AS common,
+        |       CAST(ne.common AS DOUBLE)
+        |         / (da.dg + db.dg - ne.common) AS jaccard
+        |FROM ne JOIN deg da ON ne.x = da.s JOIN deg db ON ne.y = db.s""".stripMargin) {
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        val pair = li.toDF("ok", "x")
+          .join(li.toDF("ok2", "y"), col("ok") === col("ok2") && col("x") < col("y"))
+          .select("x", "y").distinct()
+        val e0 = pair.filter(substring(
+            md5(concat(col("x").cast("string"), lit("_"),
+              col("y").cast("string"), lit("g23"))), 1, 1) === "0")
+          .localCheckpoint() // bi legs + the non-edge anti-join share it
+        val bi = e0.select(col("x").as("s"), col("y").as("t"))
+          .unionAll(e0.select(col("y").as("s"), col("x").as("t")))
+          .localCheckpoint()
+        val deg = bi.groupBy("s").agg(count(lit(1)).as("dg"))
+        val mid = deg.filter(col("dg") <= 50).select("s")
+        val cn = bi.join(mid, "s")
+          .select(col("s"), col("t").as("wx"))
+          .join(bi.select(col("s"), col("t").as("wy")), "s")
+          .filter(col("wx") < col("wy"))
+          .groupBy(col("wx").as("x"), col("wy").as("y"))
+          .agg(count(lit(1)).as("common"))
+        val ne = cn.join(e0, Seq("x", "y"), "left_anti")
+          .filter(col("common") >= 2)
+        ne.join(deg.select(col("s").as("x"), col("dg").as("da")), "x")
+          .join(deg.select(col("s").as("y"), col("dg").as("db")), "y")
+          .select(col("x"), col("y"), col("common").cast("long").as("common"),
+            (col("common").cast("double")
+              / (col("da") + col("db") - col("common"))).as("jaccard"))
+      }
+    },
+
     // ---- G20: multi-source BFS hop distances --------------------------------
     // Reachability layering over the sparsified co-purchase graph
     // ('g20' salt): distance in hops from the nearest "hub" supplier
@@ -1480,6 +1546,62 @@ object Analytics {
         dev.join(broadcast(mad), "event_type")
           .select(col("event_type"), col("day"), col("x"), col("med"), col("mad"),
             (col("ad") > lit(3) * lit(1.4826) * col("mad")).as("outlier"))
+      }
+    },
+
+    // ---- A41: pairwise Cohen's d effect sizes ---------------------------------
+    // a40's F says the segments differ; this says BY HOW MUCH, pairwise:
+    // d = (m_a - m_b) / s_pooled over the same cents-quantized moments
+    // (effect size is what survives when n makes every p-value tiny —
+    // the statistic a release report should actually print). 5-row
+    // moments table self-joined on seg < seg: 10 pairs of raw-double
+    // arithmetic in pinned order, data volume only touches the one
+    // moments aggregate.
+    Query("a41_cohens_d",
+      """WITH x AS (
+        |  SELECT c_mktsegment AS seg,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS xc
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |g AS (
+        |  SELECT seg, count(*) AS n,
+        |         CAST(sum(xc) AS DECIMAL(38,0)) AS s1,
+        |         sum(CAST(xc * xc AS DECIMAL(38,0))) AS s2
+        |  FROM x GROUP BY 1),
+        |v AS (
+        |  SELECT seg, n, CAST(s1 AS DOUBLE) / n AS m,
+        |         (CAST(s2 AS DOUBLE)
+        |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1) AS var
+        |  FROM g)
+        |SELECT a.seg AS seg_a, b.seg AS seg_b,
+        |       CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+        |       (a.m - b.m)
+        |         / sqrt(((a.n - 1) * a.var + (b.n - 1) * b.var)
+        |                / (a.n + b.n - 2)) AS cohens_d
+        |FROM v a JOIN v b ON a.seg < b.seg""".stripMargin) {
+      (s, d) => {
+        val x = Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"),
+            round(col("o_totalprice") * 100).cast("long").as("xc"))
+        val g = x.groupBy("seg")
+          .agg(count(lit(1)).as("n"),
+            sum("xc").cast("decimal(38,0)").as("s1"),
+            sum((col("xc") * col("xc")).cast("decimal(38,0)")).as("s2"))
+        val v = g.select(col("seg"), col("n"),
+          (col("s1").cast("double") / col("n")).as("m"),
+          ((col("s2").cast("double")
+            - col("s1").cast("double") * col("s1").cast("double") / col("n"))
+            / (col("n") - 1)).as("var"))
+        val a = v.select(col("seg").as("seg_a"), col("n").as("na"),
+          col("m").as("ma"), col("var").as("va"))
+        val b = v.select(col("seg").as("seg_b"), col("n").as("nb"),
+          col("m").as("mb"), col("var").as("vb"))
+        a.join(b, col("seg_a") < col("seg_b"))
+          .select(col("seg_a"), col("seg_b"),
+            col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+            ((col("ma") - col("mb"))
+              / sqrt(((col("na") - 1) * col("va") + (col("nb") - 1) * col("vb"))
+                / (col("na") + col("nb") - 2))).as("cohens_d"))
       }
     },
 

@@ -231,6 +231,38 @@ object Keys {
       }
     },
 
+    // ---- k04: deterministic stable-key minting --------------------------------
+    // Mint ODK-shaped uuid: keys from the natural key via namespaced
+    // md5 (UUIDv3 by construction): re-runs produce the SAME key, so
+    // landings stay idempotent — the anti-pattern this replaces is a
+    // random UUID per run. The uniqueness audit rides a count-over-key
+    // window (any md5 collision or namespace bug flips is_unique and
+    // breaks the pinned TRUE). Narrow projection + one key-hashed
+    // window; at 100 TB mint on write and store, don't re-derive.
+    Query("k04_mint_stable_keys",
+      """WITH m AS (
+        |  SELECT o_orderkey,
+        |         md5('graft:order:' || CAST(o_orderkey AS VARCHAR)) AS h
+        |  FROM orders),
+        |k AS (
+        |  SELECT o_orderkey,
+        |         'uuid:' || substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-'
+        |           || substr(h, 13, 4) || '-' || substr(h, 17, 4) || '-'
+        |           || substr(h, 21, 12) AS stable_key
+        |  FROM m)
+        |SELECT o_orderkey, stable_key,
+        |       count(*) OVER (PARTITION BY stable_key) = 1 AS is_unique
+        |FROM k""".stripMargin) {
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables.orders(s, d)
+          .select(col("o_orderkey"),
+            OdkKeys.mintKey("graft:order", col("o_orderkey")).as("stable_key"))
+          .withColumn("is_unique",
+            count(lit(1)).over(Window.partitionBy("stable_key")) === 1)
+      }
+    },
+
     // ---- k03: dimension surrogate keys ---------------------------------------
     // The warehouse key pattern: stable dense surrogate ids for a
     // natural key, assigned on the DIMENSION (distinct natural keys),

@@ -19,9 +19,11 @@ class DeterminismSpec extends SparkSpec {
   // type/hour at sf0.001 never fills the n >= 12 trailing window.
   // g19: the 1/16-sparsified co-purchase graph at sf0.001 has no
   // 4-core — every node peels (83 survivors at sf0.01).
+  // g23: same sparsified graph, no non-adjacent pair shares >= 2
+  // common neighbours at sf0.001 (235 candidates at sf0.01).
   private val emptyOkAtSmoke =
     Set("a13_group_all_match", "w26_rolling_zscore", "w31_rolling_zscore_range",
-      "g19_kcore")
+      "g19_kcore", "g23_link_predict")
 
   test("registry queries are invariant to shuffle partitioning") {
     val d = "/root/testdata/sf0.001"
