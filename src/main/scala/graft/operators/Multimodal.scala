@@ -472,4 +472,38 @@ object Multimodal {
       }
     }
   }
+
+  /** Frame-level energy decomposition of a WAV payload: decode, split
+    * into consecutive `frameLen`-sample frames (a trailing partial frame
+    * is dropped), emit one row per frame with its exact-integer energy
+    * Σs² — the front half of energy-threshold voice-activity detection
+    * (the segmentation itself is gaps-and-islands SQL downstream).
+    * Corrupt payloads emit no frames, never task failures. Same
+    * mapPartitions shape as [[audioFeatures]]: bounded per-row work, no
+    * shuffle; the explode multiplies rows by n/frameLen only.
+    */
+  def audioFrameEnergies(df: DataFrame, payloadCol: String,
+                         frameLen: Int): DataFrame = {
+    require(frameLen > 0, s"frameLen must be positive, got $frameLen")
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_idx", LongType), StructField("energy", LongType)))
+    implicit val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.flatMap { row =>
+        decodeWavSafe(row.get(idx).asInstanceOf[Array[Byte]]) match {
+          case Some(ss) =>
+            (0 until ss.length / frameLen).map { f =>
+              var e = 0L
+              var i = f * frameLen
+              val end = i + frameLen
+              while (i < end) { val v = ss(i).toLong; e += v * v; i += 1 }
+              Row.fromSeq(row.toSeq ++ Seq(f.toLong, e))
+            }
+          case None => Iterator.empty
+        }
+      }
+    }
+  }
 }

@@ -194,6 +194,47 @@ object MultimodalQueries {
           "min_amp", "max_amp", "zero_crossings")
     },
 
+    // ---- m08: energy-threshold voice-activity segments -----------------------
+    // The segmentation half of audio curation: decode the WAV (same
+    // real javax.sound path as m07), frame into 80-sample windows with
+    // exact-integer energies, then gaps-and-islands the frames above
+    // the threshold into contiguous active segments. The oracle replays
+    // the PCM formula, frame split, and island grouping — a frame
+    // off-by-one or a dropped sample shifts a boundary and breaks the
+    // hash. All-integer; the explode is x5 rows, islands shuffle by
+    // doc_id once.
+    Query("m08_audio_vad_segments",
+      """WITH sm AS (
+        |  SELECT doc_id, i.i AS i,
+        |         ((doc_id * 31 + i.i * 17) % 65536) - 32768 AS s
+        |  FROM documents, LATERAL (SELECT unnest(range(400)) AS i) i),
+        |fe AS (SELECT doc_id, i // 80 AS frame_idx, sum(s * s) AS energy
+        |       FROM sm GROUP BY 1, 2),
+        |act AS (SELECT doc_id, frame_idx, energy,
+        |               frame_idx - row_number()
+        |                 OVER (PARTITION BY doc_id ORDER BY frame_idx) AS grp
+        |        FROM fe WHERE energy > 28600000000)
+        |SELECT doc_id, CAST(min(frame_idx) AS BIGINT) AS seg_start,
+        |       CAST(max(frame_idx) AS BIGINT) AS seg_end,
+        |       CAST(count(*) AS BIGINT) AS n_frames,
+        |       CAST(sum(energy) AS BIGINT) AS seg_energy
+        |FROM act GROUP BY doc_id, grp""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val withA = Multimodal.withAudioPayload(
+        Tables.documents(s, d).select("doc_id"), "doc_id", n = 400)
+      val fe = Multimodal.audioFrameEnergies(withA, "payload", frameLen = 80)
+        .select("doc_id", "frame_idx", "energy")
+      val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+      fe.filter(col("energy") > 28600000000L)
+        .withColumn("grp", col("frame_idx") - row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(min("frame_idx").cast("long").as("seg_start"),
+          max("frame_idx").cast("long").as("seg_end"),
+          count(lit(1)).as("n_frames"),
+          sum("energy").cast("long").as("seg_energy"))
+        .select("doc_id", "seg_start", "seg_end", "n_frames", "seg_energy")
+    },
+
     // ---- M6: near-duplicate images via banded dHash -----------------------
     // The image arm of near-dup detection: decode real PNGs, dHash each,
     // then find pairs within Hamming distance 3 of the 64-bit hash

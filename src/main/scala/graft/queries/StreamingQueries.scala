@@ -55,6 +55,42 @@ object StreamingQueries {
       }
     },
 
+    // ---- ST18: sliding-window streaming counts --------------------------------
+    // st01's tumbling hour splits a boundary spike across two buckets;
+    // the 1h/30min hopping window sees it whole. Each event lands in
+    // exactly len/slide = 2 windows; the oracle states that as two
+    // 30-min-bucket legs unioned (window starts are the two slide-grid
+    // points within [t - 1h, t]), both engines epoch-aligned.
+    Query("st18_stream_sliding_counts",
+      """WITH w AS (
+        |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, event_type
+        |  FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE,
+        |         event_type
+        |  FROM events)
+        |SELECT CAST(ws AS TIMESTAMP) AS window_start, event_type, count(*) AS n
+        |FROM w GROUP BY 1, 2""".stripMargin) {
+      (s, d) => {
+        val dir = graft.core.TempDirs.scratch("st18_landing")
+        java.nio.file.Files.createSymbolicLink(
+          dir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val raw = ss.read.parquet(s"$d/events.parquet")
+        val src = Streams.fileSource(ss, dir.toString, raw.schema)
+          .withColumn("ts", Tables.canonTs(raw.schema))
+        val agg = Streams.slidingCounts(src, "ts", "event_type",
+          windowLen = "1 hour", slide = "30 minutes", watermark = "2 hours")
+        val sink = "st18_sliding_" + System.nanoTime()
+        val q = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        ss.table(sink)
+      }
+    },
+
     // ---- ST2: stateful streaming sessionization vs the batch oracle --------
     // The flatMapGroupsWithState sessionizer (O(1) state per key) run to
     // completion over the landed events must assign exactly the session

@@ -40,6 +40,21 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col(s"window.start").as("window_start"), col(keyCol), col("n"))
 
+  /** Sliding (hopping) windowed counts: length `windowLen`, hop `slide`
+    * — each event lands in windowLen/slide overlapping windows, the
+    * smoothing the tumbling [[windowedCounts]] can't give (a spike at a
+    * tumbling boundary splits across two buckets; a sliding window sees
+    * it whole). State per key is windows-per-event x keys, still
+    * watermark-bounded.
+    */
+  def slidingCounts(events: DataFrame, tsCol: String, keyCol: String,
+                    windowLen: String, slide: String,
+                    watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col(keyCol), col("n"))
+
   /** Streaming exact dedup: drop events whose id was already seen,
     * keeping watermark-bounded state — the incremental counterpart of
     * the batch dedup operators for a training-data landing stream.

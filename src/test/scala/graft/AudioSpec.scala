@@ -35,6 +35,20 @@ class AudioSpec extends SparkSpec {
     assert(rows(1L).isEmpty)
   }
 
+  test("audioFrameEnergies: exact frame split, trailing partial dropped, corrupt skipped") {
+    val sess = spark; import sess.implicits._
+    val samples = Array[Short](3, -4, 0, 5, 1, 1, 1, 1, 2) // 9 samples, frameLen 4
+    val good = Multimodal.encodeWav(samples)
+    val bad = "RIFFgarbage".getBytes ++ Array.fill(8)(0.toByte)
+    val d = Seq((1L, good), (2L, bad)).toDF("doc_id", "payload")
+    val out = Multimodal.audioFrameEnergies(d, "payload", frameLen = 4)
+      .select("doc_id", "frame_idx", "energy").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // frame 0: 9+16+0+25 = 50; frame 1: 1+1+1+1 = 4; sample 9 dropped
+    assert(out == Map((1L, 0L) -> 50L, (1L, 1L) -> 4L),
+      s"corrupt payload must emit no frames, got $out")
+  }
+
   test("zero-crossing count matches a hand waveform") {
     // samples: +1 +2 -1 -3 +4 0 -1 -> crossings at 2->-1, -3->4, 4..0 is
     // NOT a crossing (0 counts as non-negative), 0->-1 IS -> 3 total
