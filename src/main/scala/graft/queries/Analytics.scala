@@ -1549,6 +1549,43 @@ object Analytics {
       }
     },
 
+    // ---- A42: running-peak max drawdown per key --------------------------------
+    // The stock-ledger risk statistic (g06's running balance, w22's
+    // streak machinery pointed at magnitude): per user, the cumulative
+    // value curve, its running peak, and the deepest peak-to-trough
+    // fall. Every intermediate stays DECIMAL (cumsum, running max,
+    // difference, max) — zero float folds anywhere — with one double
+    // cast at the very edge. Two window passes + one hash agg, all
+    // keyed by user_id.
+    Query("a42_max_drawdown",
+      """WITH b AS (
+        |  SELECT user_id, ts, event_id,
+        |         sum(CAST(value AS DECIMAL(18,4)))
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS bal
+        |  FROM events),
+        |p AS (SELECT user_id, bal,
+        |             max(bal) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS peak
+        |      FROM b)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(max(peak - bal) AS DOUBLE) AS max_drawdown,
+        |       CAST(max(bal) AS DOUBLE) AS peak_balance
+        |FROM p GROUP BY 1""".stripMargin) {
+      (s, d) => {
+        val wB = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wP = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            sum(col("value").cast("decimal(18,4)")).over(wB).as("bal"))
+          .withColumn("peak", max(col("bal")).over(wP))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            max(col("peak") - col("bal")).cast("double").as("max_drawdown"),
+            max(col("bal")).cast("double").as("peak_balance"))
+      }
+    },
+
     // ---- A41: pairwise Cohen's d effect sizes ---------------------------------
     // a40's F says the segments differ; this says BY HOW MUCH, pairwise:
     // d = (m_a - m_b) / s_pooled over the same cents-quantized moments
