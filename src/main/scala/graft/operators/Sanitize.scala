@@ -148,6 +148,27 @@ object Sanitize {
       .drop("_fine_n", "_coarse_n")
   }
 
+  /** Per-entity consistent date shifting (the HIPAA-style de-id move
+    * p05 makes in space): every timestamp of an entity shifts by the
+    * SAME seeded offset in [-maxDays, +maxDays], so within-entity
+    * intervals (ages, follow-up gaps, session lengths) survive exactly
+    * while absolute dates break linkage. Offset = md5(entity, seed) mod
+    * (2*maxDays+1) - maxDays — reproducible, and a re-release under a
+    * new seed re-randomizes. Narrow projection, no shuffle.
+    */
+  def shiftDates(df: DataFrame, entityCol: String, tsCols: Seq[String],
+                 maxDays: Int, seed: String): DataFrame = {
+    require(maxDays >= 1, s"maxDays must be >= 1, got $maxDays")
+    require(tsCols.nonEmpty && tsCols.forall(df.columns.contains),
+      s"timestamp columns ${tsCols.mkString(",")} must exist")
+    val span = 2 * maxDays + 1
+    val off = (conv(substring(md5(concat(col(entityCol).cast("string"),
+      lit(seed))), 1, 8), 16, 10).cast("long") % span - maxDays).cast("int")
+    val shifted = tsCols.foldLeft(df)((d, c) =>
+      d.withColumn(c, col(c) + make_dt_interval(off)))
+    shifted.withColumn("shift_days", off)
+  }
+
   /** Differentially-private count release (Dwork 2006): add
     * Laplace(sensitivity/epsilon) noise to each group's count. The
     * noise is SEEDED — uniform u from the md5 of the group key + seed,

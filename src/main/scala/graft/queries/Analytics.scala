@@ -1549,6 +1549,72 @@ object Analytics {
       }
     },
 
+    // ---- A43: autocorrelation function (lags 1-3) per daily series -------------
+    // The time-series diagnostic behind w34's seasonal model: lag-k ACF
+    // of each type's daily-sum series, acf_k = Σ d_t·d_{t+k} / Σ d_t²
+    // on mean-centered values. One window pass yields all three leads;
+    // every product routes through the floor(x*1e6+.5) micro-unit
+    // quantizer (products are doubles — an unordered double sum would
+    // be partition-dependent; micro-units sum exactly as BIGINT).
+    Query("a43_acf",
+      """WITH d AS (
+        |  SELECT event_type,
+        |         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type,
+        |             CAST(sum(CAST(x AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS mu
+        |      FROM d GROUP BY 1),
+        |l AS (SELECT d.event_type, x, mu,
+        |             lead(x, 1) OVER w AS x1, lead(x, 2) OVER w AS x2,
+        |             lead(x, 3) OVER w AS x3
+        |      FROM d JOIN m USING (event_type)
+        |      WINDOW w AS (PARTITION BY d.event_type ORDER BY day)),
+        |q AS (SELECT event_type,
+        |             CAST(floor((x - mu) * (x - mu) * 1000000.0 + 0.5) AS BIGINT) AS den,
+        |             CAST(floor((x - mu) * (x1 - mu) * 1000000.0 + 0.5) AS BIGINT) AS n1,
+        |             CAST(floor((x - mu) * (x2 - mu) * 1000000.0 + 0.5) AS BIGINT) AS n2,
+        |             CAST(floor((x - mu) * (x3 - mu) * 1000000.0 + 0.5) AS BIGINT) AS n3
+        |      FROM l)
+        |SELECT event_type, 1 AS k,
+        |       CAST(sum(n1) AS DOUBLE) / CAST(sum(den) AS DOUBLE) AS acf
+        |FROM q GROUP BY 1
+        |UNION ALL
+        |SELECT event_type, 2, CAST(sum(n2) AS DOUBLE) / CAST(sum(den) AS DOUBLE)
+        |FROM q GROUP BY 1
+        |UNION ALL
+        |SELECT event_type, 3, CAST(sum(n3) AS DOUBLE) / CAST(sum(den) AS DOUBLE)
+        |FROM q GROUP BY 1""".stripMargin) {
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+          .agg(sum(col("value").cast("decimal(18,4)")).cast("double").as("x"))
+          .localCheckpoint() // mean + lead window both read the one scan
+        val mu = daily.groupBy("event_type")
+          .agg((sum(col("x").cast("decimal(18,4)")).cast("double")
+            / count(lit(1))).as("mu"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        def q6(c: org.apache.spark.sql.Column) =
+          floor(c * lit(1000000.0) + lit(0.5)).cast("long")
+        val l = daily.join(broadcast(mu), "event_type")
+          .withColumn("x1", lead(col("x"), 1).over(w))
+          .withColumn("x2", lead(col("x"), 2).over(w))
+          .withColumn("x3", lead(col("x"), 3).over(w))
+          .select(col("event_type"),
+            q6((col("x") - col("mu")) * (col("x") - col("mu"))).as("den"),
+            q6((col("x") - col("mu")) * (col("x1") - col("mu"))).as("n1"),
+            q6((col("x") - col("mu")) * (col("x2") - col("mu"))).as("n2"),
+            q6((col("x") - col("mu")) * (col("x3") - col("mu"))).as("n3"))
+          .localCheckpoint() // three ACF legs share the one window pass
+        def leg(k: Int) = l.groupBy("event_type")
+          .agg((sum(col(s"n$k")).cast("double")
+            / sum(col("den")).cast("double")).as("acf"))
+          .select(col("event_type"), lit(k).as("k"), col("acf"))
+        leg(1).unionByName(leg(2)).unionByName(leg(3))
+      }
+    },
+
     // ---- A42: running-peak max drawdown per key --------------------------------
     // The stock-ledger risk statistic (g06's running balance, w22's
     // streak machinery pointed at magnitude): per user, the cumulative

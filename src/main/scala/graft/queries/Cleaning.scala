@@ -487,6 +487,28 @@ object Cleaning {
             Seq("nation", "seg"), Seq("region", "seg"), k = 8L)
           .select("c_custkey", "nation", "region", "seg", "anon_level")
       }
+    },
+
+    // ---- P18: per-entity consistent date shifting -----------------------------
+    // p05 jitters SPACE; this de-identifies TIME the HIPAA way: every
+    // timestamp of a user shifts by the same seeded offset in +/-30
+    // days, so within-user intervals survive exactly while absolute
+    // dates break linkage. Offset replayed by the oracle from the md5;
+    // narrow projection, no shuffle.
+    Query("p18_date_shift",
+      """SELECT event_id,
+        |       ts + (CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || 'p18'),
+        |                                 1, 8) AS BIGINT) % 61 - 30)
+        |            * INTERVAL 1 DAY AS ts,
+        |       CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || 'p18'),
+        |                                1, 8) AS BIGINT) % 61 - 30 AS INT)
+        |         AS shift_days
+        |FROM events""".stripMargin) {
+      (s, d) =>
+        graft.operators.Sanitize.shiftDates(
+            Tables.events(s, d).select("event_id", "user_id", "ts"),
+            "user_id", Seq("ts"), maxDays = 30, seed = "p18")
+          .select("event_id", "ts", "shift_days")
     }
   )
 }

@@ -501,6 +501,38 @@ object Temporal {
           (col("level") + col("trend")).as("forecast"))
     },
 
+    // ---- w38: data-freshness / gap audit per key -------------------------------
+    // The missingness report w11/w17 imply but never emit: per user,
+    // how many silent gaps (> 6 h between consecutive events), the
+    // worst one, and when the series was last seen — the monitoring
+    // table a pipeline SLA dashboard reads. One lag window + one hash
+    // agg, exact microsecond integers end to end.
+    Query("w38_gap_report",
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) AS t,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(CASE WHEN t - prev > 21600000000 THEN 1 END) AS BIGINT)
+        |         AS n_gaps,
+        |       CAST(max(t - prev) AS BIGINT) AS max_gap_us,
+        |       CAST(max(t) AS BIGINT) AS last_seen_us
+        |FROM g GROUP BY 1""".stripMargin) {
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            unix_micros(col("ts")).as("t"))
+          .withColumn("prev", lag(col("t"), 1).over(w))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            count(when(col("t") - col("prev") > 21600000000L, 1)).as("n_gaps"),
+            max(col("t") - col("prev")).as("max_gap_us"),
+            max(col("t")).as("last_seen_us"))
+      }
+    },
+
     // ---- w37: one-step forecast backtest (model-selection harness) ----------
     // Which smoother should monitor each user's series? Replay naive
     // (lag-1), EWMA (w18) and Holt (w29) over the history and score the
