@@ -1549,6 +1549,57 @@ object Analytics {
       }
     },
 
+    // ---- A44: Spearman rank correlation per group -------------------------------
+    // Does order value track basket size, monotonically, per segment?
+    // a29's Pearson sees only linear relationships; Spearman ranks
+    // first. Tie-broken variant: row_number with the orderkey tiebreak
+    // gives distinct ranks, so rho = 1 - 6*Σd²/(n(n²-1)) holds exactly
+    // — ALL integer arithmetic until one final double division. Rank
+    // windows partition by segment (never a global single-partition
+    // sort); two joins + two window passes + one hash agg.
+    Query("a44_spearman",
+      """WITH pairs AS (
+        |  SELECT c_mktsegment AS seg, o.o_orderkey AS k,
+        |         o.o_totalprice AS x, count(*) AS y
+        |  FROM orders o JOIN customer ON o_custkey = c_custkey
+        |                JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2, 3),
+        |r AS (SELECT seg,
+        |        row_number() OVER (PARTITION BY seg ORDER BY x, k) AS rx,
+        |        row_number() OVER (PARTITION BY seg ORDER BY y, k) AS ry
+        |      FROM pairs),
+        |s AS (SELECT seg, count(*) AS n,
+        |             sum((rx - ry) * (rx - ry)) AS sd2 FROM r GROUP BY 1)
+        |SELECT seg, CAST(n AS BIGINT) AS n,
+        |       1.0 - 6.0 * CAST(sd2 AS DOUBLE)
+        |             / (CAST(n AS DOUBLE)
+        |                * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0))
+        |         AS spearman_rho
+        |FROM s""".stripMargin) {
+      (s, d) => {
+        val pairs = Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(Tables.lineitem(s, d).select("l_orderkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("c_mktsegment").as("seg"), col("o_orderkey").as("k"),
+            col("o_totalprice").as("x"))
+          .agg(count(lit(1)).as("y"))
+        val wx = Window.partitionBy("seg").orderBy("x", "k")
+        val wy = Window.partitionBy("seg").orderBy("y", "k")
+        val r = pairs.select(col("seg"),
+          row_number().over(wx).as("rx"), row_number().over(wy).as("ry"))
+        val d2 = (col("rx").cast("long") - col("ry")) *
+          (col("rx").cast("long") - col("ry"))
+        r.groupBy("seg")
+          .agg(count(lit(1)).as("nn"), sum(d2).as("sd2"))
+          .select(col("seg"), col("nn").cast("long").as("n"),
+            (lit(1.0) - lit(6.0) * col("sd2").cast("double")
+              / (col("nn").cast("double")
+                * (col("nn").cast("double") * col("nn").cast("double") - lit(1.0))))
+              .as("spearman_rho"))
+      }
+    },
+
     // ---- A43: autocorrelation function (lags 1-3) per daily series -------------
     // The time-series diagnostic behind w34's seasonal model: lag-k ACF
     // of each type's daily-sum series, acf_k = Σ d_t·d_{t+k} / Σ d_t²
