@@ -269,6 +269,68 @@ object GeoQueries {
     // instead of O(n^2) — AQE-splittable, shuffle keyed on cells, no
     // BroadcastNestedLoop anywhere. Exact-distance gate = the j12
     // haversine, identical IEEE form both engines.
+    // ---- j25: grid-accelerated k-NN spatial join --------------------------------
+    // j12 finds THE nearest via a crossJoin (bounded query set); this
+    // is the k-NN JOIN over the whole point set without all-pairs: the
+    // j24 grid generates candidates (cells ~ the 3 km radius), then a
+    // per-point rank keeps the 3 nearest within radius. Asymmetric
+    // (every point is a query), so no id< dedup; ordering is raw-double
+    // km (identical IEEE haversine both engines) with rid tiebreak.
+    Query("j25_knn_join",
+      """WITH p AS (
+        |  SELECT c_custkey AS id,
+        |         3400000 + (c_custkey % 40) * 2000 AS ux,
+        |         -400000 + ((c_custkey // 40) % 40) * 2000 AS uy
+        |  FROM customer),
+        |c AS (
+        |  SELECT id, ux, uy,
+        |         CAST(floor(ux / 3000.0) AS BIGINT) AS cx,
+        |         CAST(floor(uy / 3000.0) AS BIGINT) AS cy
+        |  FROM p),
+        |r AS (
+        |  SELECT id, ux, uy, cx + dx.d AS cx, cy + dy.d AS cy
+        |  FROM c, (SELECT unnest([-1, 0, 1]) AS d) dx,
+        |          (SELECT unnest([-1, 0, 1]) AS d) dy),
+        |j AS (
+        |  SELECT l.id, r.id AS rid,
+        |         pow(sin(radians(r.uy / 100000.0 - l.uy / 100000.0) / 2), 2)
+        |           + cos(radians(l.uy / 100000.0)) * cos(radians(r.uy / 100000.0))
+        |             * pow(sin(radians(r.ux / 100000.0 - l.ux / 100000.0) / 2), 2) AS a
+        |  FROM c l JOIN r ON l.cx = r.cx AND l.cy = r.cy AND l.id <> r.id),
+        |k AS (
+        |  SELECT id, rid, 2 * 6371.0088 * atan2(sqrt(a), sqrt(1 - a)) AS km
+        |  FROM j)
+        |SELECT id, CAST(rank AS INT) AS rank, rid, round(km, 6) AS km FROM (
+        |  SELECT id, rid, km,
+        |         row_number() OVER (PARTITION BY id ORDER BY km, rid) AS rank
+        |  FROM k WHERE km <= 3.0) t
+        |WHERE rank <= 3""".stripMargin) {
+      (s, d) => {
+        val base = Tables.customer(s, d).select(col("c_custkey").as("id"),
+          (lit(3400000L) + (col("c_custkey") % 40) * 2000L).as("ux"),
+          (lit(-400000L) + ((col("c_custkey").cast("long") / 40).cast("long") % 40)
+            * 2000L).as("uy"))
+          .select(col("id"), col("ux"), col("uy"),
+            floor(col("ux") / 3000.0).cast("long").as("cx"),
+            floor(col("uy") / 3000.0).cast("long").as("cy"))
+        val r = base.select(col("id").as("rid"), col("ux").as("rux"),
+            col("uy").as("ruy"),
+            explode(array(col("cx") - 1, col("cx"), col("cx") + 1)).as("cx"),
+            col("cy"))
+          .select(col("rid"), col("rux"), col("ruy"), col("cx"),
+            explode(array(col("cy") - 1, col("cy"), col("cy") + 1)).as("cy"))
+        val km = Geo.haversineKm(
+          col("ux") / 100000.0, col("uy") / 100000.0,
+          col("rux") / 100000.0, col("ruy") / 100000.0)
+        val w = Window.partitionBy("id").orderBy(col("km"), col("rid"))
+        base.join(r, Seq("cx", "cy")).filter(col("id") =!= col("rid"))
+          .withColumn("km", km).filter(col("km") <= 3.0)
+          .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+          .select(col("id"), col("rank"), col("rid"),
+            round(col("km"), 6).as("km"))
+      }
+    },
+
     Query("j24_grid_proximity",
       """WITH p AS (
         |  SELECT c_custkey AS id,
