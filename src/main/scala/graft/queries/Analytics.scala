@@ -1877,6 +1877,208 @@ object Analytics {
             col("n_cms").cast("long").as("n_cms"),
             (col("n_cms") - col("n_true")).cast("long").as("overcount"))
       }
+    },
+
+    // ---- G24: local clustering coefficient --------------------------------
+    // Per-node triangle density over the g13 co-purchase graph (fresh
+    // 'g24' sparsification salt so the two rows stay independent draws).
+    // Same degree-oriented enumeration as g13 — every triangle appears
+    // exactly once at its unique two-out-edge node — but instead of
+    // counting globally, each closed wedge EXPLODES into its three member
+    // nodes and a hash agg counts per node. coeff = 2*T_v / (d_v*(d_v-1))
+    // is one double division on exact integers (same op both engines).
+    // Max out-degree after orientation is O(sqrt(m)), so the wedge join
+    // is bounded on hubs — the property that keeps this shape alive at
+    // 100 TB. Nodes with deg >= 2 and zero triangles still report (left
+    // join + coalesce); deg < 2 nodes have no defined coefficient.
+    Query("g24_clustering_coeff",
+      """WITH pair AS (
+        |  SELECT DISTINCT a.l_suppkey AS x, b.l_suppkey AS y
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+        |e AS (
+        |  SELECT x, y FROM pair
+        |  WHERE substring(md5(CAST(x AS VARCHAR) || '_' || CAST(y AS VARCHAR) || 'g24'), 1, 1) = '0'),
+        |deg AS (
+        |  SELECT node, count(*) AS dg FROM (
+        |    SELECT x AS node FROM e UNION ALL SELECT y FROM e)
+        |  GROUP BY 1),
+        |de AS (
+        |  SELECT CASE WHEN (dx.dg, e.x) < (dy.dg, e.y) THEN e.x ELSE e.y END AS src,
+        |         CASE WHEN (dx.dg, e.x) < (dy.dg, e.y) THEN e.y ELSE e.x END AS dst
+        |  FROM e JOIN deg dx ON e.x = dx.node JOIN deg dy ON e.y = dy.node),
+        |wedge AS (
+        |  SELECT a.src AS u, a.dst AS v, b.dst AS w
+        |  FROM de a JOIN de b ON a.src = b.src AND a.dst < b.dst),
+        |tri AS (
+        |  SELECT u, v, w FROM wedge JOIN de
+        |    ON least(wedge.v, wedge.w) = least(de.src, de.dst)
+        |   AND greatest(wedge.v, wedge.w) = greatest(de.src, de.dst)),
+        |pt AS (
+        |  SELECT node, count(*) AS t FROM (
+        |    SELECT u AS node FROM tri UNION ALL
+        |    SELECT v FROM tri UNION ALL
+        |    SELECT w FROM tri)
+        |  GROUP BY 1)
+        |SELECT CAST(deg.node AS BIGINT) AS node, CAST(dg AS BIGINT) AS deg,
+        |       CAST(coalesce(t, 0) AS BIGINT) AS tri,
+        |       2.0 * CAST(coalesce(t, 0) AS DOUBLE)
+        |         / (CAST(dg AS DOUBLE) * (CAST(dg AS DOUBLE) - 1.0)) AS coeff
+        |FROM deg LEFT JOIN pt ON deg.node = pt.node
+        |WHERE dg >= 2""".stripMargin) {
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        val pair = li.toDF("ok", "x")
+          .join(li.toDF("ok2", "y"), col("ok") === col("ok2") && col("x") < col("y"))
+          .select("x", "y").distinct()
+        val e = pair.filter(substring(
+          md5(concat(col("x").cast("string"), lit("_"), col("y").cast("string"), lit("g24"))),
+          1, 1) === "0").localCheckpoint() // 3 references (edges + both degree legs)
+        val deg = e.select(col("x").as("node")).unionAll(e.select(col("y")))
+          .groupBy("node").agg(count(lit(1)).as("dg"))
+          .localCheckpoint() // orientation + final report both read it
+        val withDeg = e
+          .join(deg.toDF("nx", "dx"), col("x") === col("nx"))
+          .join(deg.toDF("ny", "dy"), col("y") === col("ny"))
+        val xFirst = struct(col("dx"), col("x")) < struct(col("dy"), col("y"))
+        val de = withDeg.select(
+          when(xFirst, col("x")).otherwise(col("y")).as("src"),
+          when(xFirst, col("y")).otherwise(col("x")).as("dst")).localCheckpoint()
+        val wedge = de.toDF("u", "v")
+          .join(de.toDF("s2", "w"), col("u") === col("s2") && col("v") < col("w"))
+          .select("u", "v", "w")
+        val closing = de.select(
+          least(col("src"), col("dst")).as("cv"), greatest(col("src"), col("dst")).as("cw"))
+        val tri = wedge.join(closing,
+          least(col("v"), col("w")) === col("cv") &&
+          greatest(col("v"), col("w")) === col("cw"))
+        val perNode = tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+          .groupBy("node").agg(count(lit(1)).as("t"))
+        deg.filter(col("dg") >= 2)
+          .join(perNode.toDF("pn", "t"), col("node") === col("pn"), "left")
+          .select(col("node").cast("long").as("node"), col("dg").cast("long").as("deg"),
+            coalesce(col("t"), lit(0L)).cast("long").as("tri"),
+            (lit(2.0) * coalesce(col("t"), lit(0L)).cast("double")
+              / (col("dg").cast("double") * (col("dg").cast("double") - lit(1.0))))
+              .as("coeff"))
+      }
+    },
+
+    // ---- G25: degree assortativity ------------------------------------------
+    // Do high-degree suppliers co-purchase with other hubs (r > 0) or with
+    // the periphery (r < 0)? Pearson correlation of endpoint degrees over
+    // all DIRECTED edge slots (each undirected edge contributes both
+    // orderings, the standard Newman formulation, which makes the two
+    // marginals identical). Everything is exact BIGINT sums — count,
+    // sum(dx), sum(dx*dx), sum(dx*dy) — with one double division at the
+    // end, so partition order can never move a bit. One edge
+    // materialization, one degree agg, two broadcast-sized joins, one
+    // global agg: no shuffle grows with degree skew.
+    Query("g25_assortativity",
+      """WITH pair AS (
+        |  SELECT DISTINCT a.l_suppkey AS x, b.l_suppkey AS y
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+        |e AS (
+        |  SELECT x, y FROM pair
+        |  WHERE substring(md5(CAST(x AS VARCHAR) || '_' || CAST(y AS VARCHAR) || 'g25'), 1, 1) = '0'),
+        |deg AS (
+        |  SELECT node, count(*) AS dg FROM (
+        |    SELECT x AS node FROM e UNION ALL SELECT y FROM e)
+        |  GROUP BY 1),
+        |slots AS (
+        |  SELECT dx.dg AS j, dy.dg AS k
+        |  FROM e JOIN deg dx ON e.x = dx.node JOIN deg dy ON e.y = dy.node
+        |  UNION ALL
+        |  SELECT dy.dg, dx.dg
+        |  FROM e JOIN deg dx ON e.x = dx.node JOIN deg dy ON e.y = dy.node),
+        |sums AS (
+        |  SELECT count(*) AS m, sum(j) AS sj, sum(j * j) AS sj2,
+        |         sum(j * k) AS sjk
+        |  FROM slots)
+        |SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+        |       CAST(m * sjk - sj * sj AS DOUBLE)
+        |         / CAST(m * sj2 - sj * sj AS DOUBLE) AS assortativity
+        |FROM sums
+        |WHERE m * sj2 - sj * sj <> 0""".stripMargin) {
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        val pair = li.toDF("ok", "x")
+          .join(li.toDF("ok2", "y"), col("ok") === col("ok2") && col("x") < col("y"))
+          .select("x", "y").distinct()
+        val e = pair.filter(substring(
+          md5(concat(col("x").cast("string"), lit("_"), col("y").cast("string"), lit("g25"))),
+          1, 1) === "0").localCheckpoint()
+        val deg = e.select(col("x").as("node")).unionAll(e.select(col("y")))
+          .groupBy("node").agg(count(lit(1)).as("dg"))
+        val withDeg = e
+          .join(deg.toDF("nx", "dx"), col("x") === col("nx"))
+          .join(deg.toDF("ny", "dy"), col("y") === col("ny"))
+          .select(col("dx").cast("long").as("dx"), col("dy").cast("long").as("dy"))
+          .localCheckpoint() // both slot directions read the one joined pass
+        val slots = withDeg.select(col("dx").as("j"), col("dy").as("k"))
+          .unionAll(withDeg.select(col("dy").as("j"), col("dx").as("k")))
+        slots.agg(count(lit(1)).as("m"), sum("j").as("sj"),
+            sum(col("j") * col("j")).as("sj2"), sum(col("j") * col("k")).as("sjk"))
+          // a zero-variance degree sequence (every endpoint the same degree)
+          // has no defined assortativity: emit nothing rather than 0/0
+          // (which ANSI Spark raises on) — g25 joins the legitimately-
+          // empty-at-smoke allowlist for the sparse sf0.001 graph
+          .filter(col("m") * col("sj2") - col("sj") * col("sj") =!= 0)
+          .select(expr("m div 2").cast("long").as("n_edges"),
+            ((col("m") * col("sjk") - col("sj") * col("sj")).cast("double")
+              / (col("m") * col("sj2") - col("sj") * col("sj")).cast("double"))
+              .as("assortativity"))
+      }
+    },
+
+    // ---- G26: HITS hubs and authorities -------------------------------------
+    // Kleinberg's HITS on the DIRECTED customer -> supplier purchase
+    // graph: customers are pure hubs, suppliers pure authorities, so the
+    // mutual-reinforcement recursion is a clean alternating join-agg.
+    // Two full rounds (auth <- sum hub, hub <- sum auth), exact BIGINT
+    // fixed-point seeded at 1000 — unnormalized growth is bounded by
+    // hub2 <= max_outdeg^2 * max_indeg^2 * 1000, ~8e16 at sf0.1, well
+    // under 2^63 (a production variant normalizes per round in floats;
+    // the fixed-point form is the oracle contract, same as g10/g22).
+    // Edges materialize once (localCheckpoint) and each round moves only
+    // the O(nodes) score table through one join+agg — the Pregel shape.
+    Query("g26_hits",
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |a1 AS (SELECT s, 1000 * count(*) AS auth FROM e GROUP BY 1),
+        |h1 AS (SELECT c, sum(a1.auth) AS hub
+        |       FROM e JOIN a1 ON e.s = a1.s GROUP BY 1),
+        |a2 AS (SELECT e.s, sum(h1.hub) AS auth
+        |       FROM e JOIN h1 ON e.c = h1.c GROUP BY 1),
+        |h2 AS (SELECT e.c, sum(a2.auth) AS hub
+        |       FROM e JOIN a2 ON e.s = a2.s GROUP BY 1)
+        |SELECT 'auth' AS side, CAST(s AS BIGINT) AS node,
+        |       CAST(auth AS BIGINT) AS score FROM a2
+        |UNION ALL
+        |SELECT 'hub', CAST(c AS BIGINT), CAST(hub AS BIGINT) FROM h2""".stripMargin) {
+      (s, d) => {
+        val e = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+          .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+          .distinct()
+          .repartition(col("s"))
+          .localCheckpoint() // 4 round joins read the one edge table
+        // hub0 = 1000 for every customer, so auth1 folds into a count
+        val a1 = e.groupBy("s").agg((lit(1000L) * count(lit(1))).as("auth"))
+        val h1 = e.join(a1.toDF("as1", "auth"), col("s") === col("as1"))
+          .groupBy("c").agg(sum("auth").as("hub"))
+        val a2 = e.join(h1.toDF("hc", "hub"), col("c") === col("hc"))
+          .groupBy("s").agg(sum("hub").as("auth"))
+        val h2 = e.join(a2.toDF("as2", "auth"), col("s") === col("as2"))
+          .groupBy("c").agg(sum("auth").as("hub"))
+        a2.select(lit("auth").as("side"), col("s").cast("long").as("node"),
+            col("auth").cast("long").as("score"))
+          .unionAll(h2.select(lit("hub"), col("c").cast("long"),
+            col("hub").cast("long")))
+      }
     }
   )
 

@@ -21,9 +21,12 @@ class DeterminismSpec extends SparkSpec {
   // 4-core — every node peels (83 survivors at sf0.01).
   // g23: same sparsified graph, no non-adjacent pair shares >= 2
   // common neighbours at sf0.001 (235 candidates at sf0.01).
+  // g25: the sf0.001 sparsified graph's degree sequence has zero
+  // variance (every endpoint degree 1), so assortativity is undefined
+  // and the row emits nothing by contract.
   private val emptyOkAtSmoke =
     Set("a13_group_all_match", "w26_rolling_zscore", "w31_rolling_zscore_range",
-      "g19_kcore", "g23_link_predict")
+      "g19_kcore", "g23_link_predict", "g25_assortativity")
 
   test("registry queries are invariant to shuffle partitioning") {
     val d = "/root/testdata/sf0.001"
