@@ -2079,6 +2079,321 @@ object Analytics {
           .unionAll(h2.select(lit("hub"), col("c").cast("long"),
             col("hub").cast("long")))
       }
+    },
+
+    // ---- A45: Kruskal-Wallis H test ------------------------------------------
+    // The k-group rank omnibus (a34's Mann-Whitney generalized, a40's
+    // ANOVA without the normality assumption): do order values differ
+    // across the five market segments by RANK? Average ranks with ties
+    // stay exact integers by carrying 2x the average rank
+    // (avg2 = 2*before + t + 1 for a tie group of size t), computed
+    // TWO-LEVEL: per-value counts bucket by value range, the tiny
+    // bucket table prefix-sums (O(buckets) window), and the within-
+    // bucket window is partitioned — no global single-partition sort at
+    // any scale (the RollingMoments trick). ss = sum(avg2) per group is
+    // BIGINT; ss <= 2*N^2 stays under 2^53, so the one ss*ss/n term per
+    // group is an exact-identical double in both engines, folded in seg
+    // order (the a40 recipe). Tie correction divides by
+    // 1 - sum(t^3-t)/(N^3-N), all-integer numerators.
+    Query("a45_kruskal_wallis",
+      """WITH u AS (
+        |  SELECT c_mktsegment AS seg,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS xc
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |vals AS (SELECT xc, count(*) AS cnt FROM u GROUP BY 1),
+        |rk AS (SELECT xc, cnt,
+        |              2 * (sum(cnt) OVER (ORDER BY xc) - cnt) + cnt + 1 AS avg2
+        |       FROM vals),
+        |g AS (SELECT seg, count(*) AS ng, CAST(sum(avg2) AS BIGINT) AS ss
+        |      FROM u JOIN rk USING (xc) GROUP BY 1),
+        |t AS (SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS n FROM g),
+        |tie AS (SELECT CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ts
+        |        FROM vals),
+        |terms AS (SELECT seg,
+        |                 CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / ng AS term
+        |          FROM g),
+        |f AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |               list(term ORDER BY seg)), (a, x) -> a + x) AS ssum
+        |      FROM terms),
+        |hh AS (SELECT k, n, ts,
+        |              3.0 * ssum / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1)
+        |                AS h
+        |       FROM f, t, tie)
+        |SELECT CAST(k AS BIGINT) AS k, n, h,
+        |       h / (1.0 - CAST(ts AS DOUBLE)
+        |                    / (CAST(n AS DOUBLE) * n * n - n)) AS h_adj
+        |FROM hh""".stripMargin) {
+      (s, d) => {
+        val u = Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"),
+            round(col("o_totalprice") * 100).cast("long").as("xc"))
+        val vals = u.groupBy("xc").agg(count(lit(1)).as("cnt"))
+          .withColumn("bkt", expr("xc div 100000"))
+          .localCheckpoint() // bucket prefix + within-bucket rank + ties share it
+        // two-level global rank: O(buckets) prefix window + partitioned within
+        val bcnt = vals.groupBy("bkt").agg(sum("cnt").as("bn"))
+        val wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+        val bpre = bcnt.withColumn("bb", coalesce(sum("bn").over(wb), lit(0L)))
+          .select("bkt", "bb")
+        val ww = Window.partitionBy("bkt").orderBy("xc")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val rk = vals.join(broadcast(bpre), "bkt")
+          .withColumn("before", col("bb") + sum("cnt").over(ww) - col("cnt"))
+          .select(col("xc"), col("cnt"),
+            (lit(2) * col("before") + col("cnt") + 1).as("avg2"))
+        val g = u.join(rk.select("xc", "avg2"), "xc")
+          .groupBy("seg").agg(count(lit(1)).as("ng"), sum("avg2").as("ss"))
+        val t = g.agg(count(lit(1)).as("k"), sum("ng").cast("long").as("n"))
+        val tie = vals.agg(
+          sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("ts"))
+        val terms = g.select(col("seg"),
+          (col("ss").cast("double") * col("ss").cast("double") / col("ng"))
+            .as("term"))
+        val ssum = terms.agg(aggregate(
+          transform(sort_array(collect_list(struct(col("seg"), col("term")))),
+            e => e.getField("term")),
+          lit(0.0), (acc, v) => acc + v).as("ssum"))
+        val nD = col("n").cast("double")
+        ssum.crossJoin(broadcast(t)).crossJoin(broadcast(tie))
+          .select(col("k").cast("long").as("k"), col("n"),
+            (lit(3.0) * col("ssum") / (nD * (col("n") + 1))
+              - lit(3.0) * (col("n") + 1)).as("h"), col("ts"))
+          .select(col("k"), col("n"), col("h"),
+            (col("h") / (lit(1.0) - col("ts").cast("double")
+              / (nD * col("n") * col("n") - col("n")))).as("h_adj"))
+      }
+    },
+
+    // ---- A46: Brown-Forsythe variance-equality test ---------------------------
+    // Are the segments' spreads equal? Levene's test with the median
+    // center (Brown-Forsythe): z = |x - median_g|, then one-way ANOVA F
+    // on z. Medians come from the w35 two-middle-rows pattern (exact on
+    // cents); carrying 2x the median keeps z exact INTEGER
+    // (z2 = |2x - 2med|, F is scale-invariant), so the group moments are
+    // the same exact decimal sums as a40 and the per-group terms fold in
+    // seg order. One rank window + one broadcast join + one moment agg.
+    Query("a46_brown_forsythe",
+      """WITH x AS (
+        |  SELECT c_mktsegment AS seg, o_orderkey AS okey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS xc
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |r AS (SELECT seg, xc,
+        |             row_number() OVER (PARTITION BY seg ORDER BY xc, okey) AS rn,
+        |             count(*) OVER (PARTITION BY seg) AS m
+        |      FROM x),
+        |med AS (SELECT seg, CAST(sum(xc) * 2 // count(*) AS BIGINT) AS med2
+        |        FROM r WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2
+        |        GROUP BY 1),
+        |z AS (SELECT x.seg, abs(2 * xc - med2) AS z2
+        |      FROM x JOIN med ON x.seg = med.seg),
+        |g AS (SELECT seg, count(*) AS ng,
+        |             CAST(sum(z2) AS DECIMAL(38,0)) AS s1,
+        |             sum(CAST(z2 * z2 AS DECIMAL(38,0))) AS s2
+        |      FROM z GROUP BY 1),
+        |t AS (SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS n, sum(s1) AS gs1
+        |      FROM g),
+        |terms AS (
+        |  SELECT seg,
+        |         CAST(ng AS DOUBLE)
+        |           * (CAST(s1 AS DOUBLE) / ng - CAST(gs1 AS DOUBLE) / n)
+        |           * (CAST(s1 AS DOUBLE) / ng - CAST(gs1 AS DOUBLE) / n) AS ssb_t,
+        |         CAST(s2 AS DOUBLE)
+        |           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / ng AS ssw_t
+        |  FROM g, t),
+        |a AS (SELECT
+        |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list(ssb_t ORDER BY seg)), (a, x) -> a + x) AS ssb,
+        |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list(ssw_t ORDER BY seg)), (a, x) -> a + x) AS ssw
+        |      FROM terms)
+        |SELECT CAST(k AS BIGINT) AS k, n,
+        |       (ssb / (k - 1)) / (ssw / (n - k)) AS f_bf
+        |FROM a, t""".stripMargin) {
+      (s, d) => {
+        val x = Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"), col("o_orderkey").as("okey"),
+            round(col("o_totalprice") * 100).cast("long").as("xc"))
+          .localCheckpoint() // rank pass + deviation join share one scan
+        val wr = Window.partitionBy("seg").orderBy("xc", "okey")
+        val r = x.withColumn("rn", row_number().over(wr))
+          .withColumn("m", count(lit(1)).over(Window.partitionBy("seg")))
+        val med = r.filter(col("rn") === floor((col("m") + 1) / 2)
+            || col("rn") === floor((col("m") + 2) / 2))
+          .groupBy("seg").agg(expr("(sum(xc) * 2) div count(*)").as("med2"))
+        val z = x.join(broadcast(med), "seg")
+          .select(col("seg"), abs(lit(2) * col("xc") - col("med2")).as("z2"))
+        val g = z.groupBy("seg")
+          .agg(count(lit(1)).as("ng"),
+            sum("z2").cast("decimal(38,0)").as("s1"),
+            sum((col("z2") * col("z2")).cast("decimal(38,0)")).as("s2"))
+        val t = g.agg(count(lit(1)).as("k"), sum("ng").cast("long").as("n"),
+          sum("s1").as("gs1"))
+        val diff = col("s1").cast("double") / col("ng") -
+          col("gs1").cast("double") / col("n")
+        val terms = g.crossJoin(broadcast(t)).select(col("seg"),
+          (col("ng").cast("double") * diff * diff).as("ssb_t"),
+          (col("s2").cast("double")
+            - col("s1").cast("double") * col("s1").cast("double") / col("ng"))
+            .as("ssw_t"))
+        def orderedFold(term: String) = aggregate(
+          transform(sort_array(collect_list(struct(col("seg"), col(term)))),
+            e => e.getField(term)),
+          lit(0.0), (acc, v) => acc + v)
+        val a = terms.agg(orderedFold("ssb_t").as("ssb"),
+          orderedFold("ssw_t").as("ssw"))
+        a.crossJoin(broadcast(t)).select(
+          col("k").cast("long").as("k"), col("n"),
+          ((col("ssb") / (col("k") - 1)) / (col("ssw") / (col("n") - col("k"))))
+            .as("f_bf"))
+      }
+    },
+
+    // ---- W39: rolling 7-day correlation -----------------------------------------
+    // Does a type's daily VOLUME track its daily VALUE? Trailing-7-day
+    // Pearson correlation between each type's daily event count and its
+    // daily value sum. Both series quantize FIRST (value sums to
+    // milli-units; counts are already integers) and every window moment
+    // — sum x, sum y, sum x², sum y², sum xy — is then an exact BIGINT
+    // sum over the quantized integers, so the window's internal
+    // accumulation order (Spark buffers vs DuckDB segment trees) can
+    // never move a bit; the corr formula is one fixed-order double
+    // epilogue per row. Zero-variance windows (constant counts over a
+    // quiet week) emit nothing rather than 0/0.
+    Query("w39_rolling_corr",
+      """WITH d AS (
+        |  SELECT event_type,
+        |         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |         CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |                    * 1000.0 + 0.5) AS BIGINT) AS qx,
+        |         count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day,
+        |             count(*) OVER win AS cnt,
+        |             sum(qx) OVER win AS sx, sum(y) OVER win AS sy,
+        |             sum(qx * qx) OVER win AS sxx, sum(y * y) OVER win AS syy,
+        |             sum(qx * y) OVER win AS sxy
+        |      FROM d
+        |      WINDOW win AS (PARTITION BY event_type ORDER BY day
+        |                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |v AS (SELECT event_type, day,
+        |             7.0 * CAST(sxy AS DOUBLE)
+        |               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+        |             7.0 * CAST(sxx AS DOUBLE)
+        |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+        |             7.0 * CAST(syy AS DOUBLE)
+        |               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+        |      FROM w WHERE cnt = 7)
+        |SELECT event_type, CAST(day AS BIGINT) AS day,
+        |       cov / sqrt(vx * vy) AS corr_vol_val
+        |FROM v WHERE vx > 0 AND vy > 0""".stripMargin) {
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+          .agg(
+            floor(sum(col("value").cast("decimal(18,4)")).cast("double")
+              * lit(1000.0) + lit(0.5)).cast("long").as("qx"),
+            count(lit(1)).as("y"))
+        val win = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-6, Window.currentRow)
+        val w = daily.select(col("event_type"), col("day"),
+          count(lit(1)).over(win).as("cnt"),
+          sum("qx").over(win).as("sx"), sum("y").over(win).as("sy"),
+          sum(col("qx") * col("qx")).over(win).as("sxx"),
+          sum(col("y") * col("y")).over(win).as("syy"),
+          sum(col("qx") * col("y")).over(win).as("sxy"))
+        val v = w.filter(col("cnt") === 7).select(col("event_type"), col("day"),
+          (lit(7.0) * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double")).as("cov"),
+          (lit(7.0) * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")).as("vx"),
+          (lit(7.0) * col("syy").cast("double")
+            - col("sy").cast("double") * col("sy").cast("double")).as("vy"))
+        v.filter(col("vx") > 0 && col("vy") > 0)
+          .select(col("event_type"), col("day").cast("long").as("day"),
+            (col("cov") / sqrt(col("vx") * col("vy"))).as("corr_vol_val"))
+      }
+    },
+
+    // ---- W40: linear interpolation over a date spine ------------------------------
+    // Gap filling for sparse per-entity series (the imputation step a
+    // downstream model expects): each supplier's daily revenue series is
+    // observed on ~25% of days; the spine (r15 pattern, per-supplier
+    // min..max) fills the rest by linear interpolation between the
+    // bracketing observations. Carried state is four ignore-null window
+    // columns (prev/next value+day) over ONE partitioned pass — no
+    // self-join, no explode beyond the spine itself. Observed cents are
+    // exact BIGINT; the interpolated value is one fixed-order double
+    // expression on exact ints, identical in both engines.
+    Query("w40_interpolate_gaps",
+      """WITH dly AS (
+        |  SELECT l_suppkey AS s,
+        |         datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS day,
+        |         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS xc
+        |  FROM lineitem GROUP BY 1, 2),
+        |b AS (SELECT s, min(day) AS mn, max(day) AS mx FROM dly GROUP BY 1),
+        |spine AS (SELECT s, unnest(generate_series(mn, mx)) AS day FROM b),
+        |j AS (SELECT spine.s, spine.day, dly.xc
+        |      FROM spine LEFT JOIN dly ON spine.s = dly.s AND spine.day = dly.day),
+        |f AS (SELECT s, day, xc,
+        |        last_value(xc IGNORE NULLS) OVER wp AS xp,
+        |        last_value(CASE WHEN xc IS NOT NULL THEN day END IGNORE NULLS)
+        |          OVER wp AS dp,
+        |        first_value(xc IGNORE NULLS) OVER wn AS xn,
+        |        first_value(CASE WHEN xc IS NOT NULL THEN day END IGNORE NULLS)
+        |          OVER wn AS dn
+        |      FROM j
+        |      WINDOW wp AS (PARTITION BY s ORDER BY day
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |             wn AS (PARTITION BY s ORDER BY day
+        |                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT CAST(s AS BIGINT) AS suppkey, CAST(day AS BIGINT) AS day,
+        |       CASE WHEN xc IS NOT NULL THEN 'obs' ELSE 'interp' END AS src,
+        |       CASE WHEN xc IS NOT NULL THEN CAST(xc AS DOUBLE)
+        |            ELSE CAST(xp AS DOUBLE)
+        |                 + (CAST(xn AS DOUBLE) - CAST(xp AS DOUBLE))
+        |                   * (day - dp) / (dn - dp) END AS cents
+        |FROM f""".stripMargin) {
+      (s, d) => {
+        val dly = Tables.lineitem(s, d)
+          .groupBy(col("l_suppkey").as("s"),
+            datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+              .cast("long").as("day"))
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("xc"))
+          .localCheckpoint() // spine bounds + the left join share one agg
+        // the bounds agg is O(suppliers) rows, so AQE coalesces its exchange
+        // to ONE partition and everything downstream of the explode — the
+        // 2.5M-row spine, the join, both window passes — runs in a single
+        // task (measured: 97 s). A bare repartition(col("s")) is removed as
+        // redundant (same hash distribution as the agg); the EXPLICIT
+        // partition count pins the fan-out AQE cannot coalesce away.
+        val spine = dly.groupBy("s").agg(min("day").as("mn"), max("day").as("mx"))
+          .repartition(64, col("s"))
+          .select(col("s"), explode(sequence(col("mn"), col("mx"))).as("day"))
+        val j = spine.join(dly.toDF("s2", "d2", "xc"),
+          col("s") === col("s2") && col("day") === col("d2"), "left")
+          .select("s", "day", "xc")
+        val wp = Window.partitionBy("s").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wn = Window.partitionBy("s").orderBy("day")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val obsDay = when(col("xc").isNotNull, col("day"))
+        val f = j.select(col("s"), col("day"), col("xc"),
+          last(col("xc"), ignoreNulls = true).over(wp).as("xp"),
+          last(obsDay, ignoreNulls = true).over(wp).as("dp"),
+          first(col("xc"), ignoreNulls = true).over(wn).as("xn"),
+          first(obsDay, ignoreNulls = true).over(wn).as("dn"))
+        f.select(col("s").cast("long").as("suppkey"),
+          col("day").cast("long").as("day"),
+          when(col("xc").isNotNull, lit("obs")).otherwise(lit("interp")).as("src"),
+          when(col("xc").isNotNull, col("xc").cast("double"))
+            .otherwise(col("xp").cast("double")
+              + (col("xn").cast("double") - col("xp").cast("double"))
+                * (col("day") - col("dp")) / (col("dn") - col("dp")))
+            .as("cents"))
+      }
     }
   )
 
