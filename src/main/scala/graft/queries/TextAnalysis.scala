@@ -1699,6 +1699,208 @@ object TextAnalysis {
                 * (col("n1back").cast("double") / col("nbt").cast("double")), 6)
               .as("p_kn"))
       }
+    },
+
+    // ---- T50: per-document TF-IDF keyword extraction ------------------------
+    // t17 derives the corpus vocabulary table; this row uses it the way a
+    // curation/labeling pipeline does — the top-3 characteristic terms
+    // PER DOCUMENT by tf*idf. idf is the t17 6-dp decimal; tf is an
+    // exact count, so the score is an exact DECIMAL product and the
+    // per-doc rank (score DESC, term) is deterministic without any float
+    // comparison. Shapes: one token explode feeding both tf and df (the
+    // checkpointed tf table IS the distinct doc-term list), vocab joins
+    // back broadcast-sized, top-k is a per-doc window — never a global
+    // sort.
+    Query("t50_tfidf_keywords",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |sc AS (SELECT doc_id, t, tf,
+        |              CAST(tf AS DECIMAL(18,0))
+        |                * CAST(round(ln((SELECT nd FROM n) * 1.0 / df), 6)
+        |                       AS DECIMAL(18,6)) AS score
+        |       FROM tf JOIN df USING (t)),
+        |r AS (SELECT doc_id, t, tf, score,
+        |             row_number() OVER (PARTITION BY doc_id
+        |                                ORDER BY score DESC, t) AS rk
+        |      FROM sc)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rk, t AS term,
+        |       CAST(tf AS BIGINT) AS tf, CAST(score AS DOUBLE) AS score
+        |FROM r WHERE rk <= 3""".stripMargin) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+          .localCheckpoint() // df and the score join share the one count
+        val nd = docs.agg(count(lit(1)).as("nd"))
+        val idf = tf.groupBy("t").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(nd))
+          .select(col("t"),
+            round(log(col("nd") * lit(1.0) / col("df")), 6)
+              .cast("decimal(18,6)").as("idf"))
+        val sc = tf.join(idf, "t")
+          .select(col("doc_id"), col("t"), col("tf"),
+            (col("tf").cast("decimal(18,0)") * col("idf")).as("score"))
+        val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("t"))
+        sc.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk").cast("long").as("rk"),
+            col("t").as("term"), col("tf").cast("long").as("tf"),
+            col("score").cast("double").as("score"))
+      }
+    },
+
+    // ---- T51: Heaps' law vocabulary-growth fit --------------------------------
+    // V(N) ~ k*N^beta: does vocabulary keep growing, and how fast — the
+    // corpus-health diagnostic behind t48's Zipf fit. New-vocabulary mass
+    // per doc comes from first occurrences (min doc_id per term, the w21
+    // cumulative-distinct trick — no expanding DISTINCT window), both
+    // cumulatives run TWO-LEVEL (bucket prefix + partitioned within-
+    // bucket window, no global single-partition sort), and the log-log
+    // least-squares fit sums 6-dp decimal points exactly (products widen
+    // to DECIMAL(38,12)), with one double epilogue for beta and k.
+    Query("t51_heaps_law",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |firstq AS (SELECT t, min(doc_id) AS fd FROM tok GROUP BY 1),
+        |newv AS (SELECT fd AS d, count(*) AS nv FROM firstq GROUP BY 1),
+        |ntok AS (SELECT doc_id AS d, count(*) AS nt FROM tok GROUP BY 1),
+        |ser AS (SELECT ntok.d, nt, coalesce(nv, 0) AS nv
+        |        FROM ntok LEFT JOIN newv ON ntok.d = newv.d),
+        |cum AS (SELECT d, sum(nt) OVER (ORDER BY d) AS cn,
+        |               sum(nv) OVER (ORDER BY d) AS cv
+        |        FROM ser),
+        |pts AS (SELECT d,
+        |               CAST(round(ln(CAST(cn AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+        |               CAST(round(ln(CAST(cv AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+        |        FROM cum WHERE d % 10 = 9),
+        |s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |             sum(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+        |             sum(CAST(x * x AS DECIMAL(38,12))) AS sxx
+        |      FROM pts),
+        |b AS (SELECT n, sx, sy,
+        |             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta
+        |      FROM s
+        |      WHERE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0)
+        |SELECT CAST(n AS BIGINT) AS n_points, beta,
+        |       round(exp((CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE)) / n), 6)
+        |         AS heaps_k
+        |FROM b""".stripMargin) {
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        val firstq = tok.groupBy("t").agg(min("doc_id").as("fd"))
+        val newv = firstq.groupBy(col("fd").as("d")).agg(count(lit(1)).as("nv"))
+        val ntok = tok.groupBy(col("doc_id").as("d")).agg(count(lit(1)).as("nt"))
+        val ser = ntok.join(newv.toDF("d2", "nv"), col("d") === col("d2"), "left")
+          .select(col("d"), col("nt"), coalesce(col("nv"), lit(0L)).as("nv"))
+          .withColumn("bkt", expr("d div 256"))
+          .localCheckpoint() // bucket prefix + within-bucket pass share it
+        // two-level cumulative sums (a45 pattern): O(buckets) prefix window,
+        // partitioned within-bucket windows — no global one-partition sort
+        val bs = ser.groupBy("bkt").agg(sum("nt").as("bnt"), sum("nv").as("bnv"))
+        val wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+        val bpre = bs.select(col("bkt"),
+          coalesce(sum("bnt").over(wb), lit(0L)).as("pnt"),
+          coalesce(sum("bnv").over(wb), lit(0L)).as("pnv"))
+        val ww = Window.partitionBy("bkt").orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = ser.join(broadcast(bpre), "bkt")
+          .select(col("d"),
+            (col("pnt") + sum("nt").over(ww)).as("cn"),
+            (col("pnv") + sum("nv").over(ww)).as("cv"))
+        val pts = cum.filter(col("d") % 10 === 9)
+          .select(
+            round(log(col("cn").cast("double")), 6).cast("decimal(18,6)").as("x"),
+            round(log(col("cv").cast("double")), 6).cast("decimal(18,6)").as("y"))
+        val sums = pts.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum((col("x") * col("y")).cast("decimal(38,12)")).as("sxy"),
+          sum((col("x") * col("x")).cast("decimal(38,12)")).as("sxx"))
+        sums
+          // guard expression == the beta denominator, so the filter and the
+          // division agree bit-for-bit in both engines (ANSI 0/0 protection)
+          .filter(col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double") =!= 0.0)
+          .select(col("n"), col("sx"), col("sy"),
+            ((col("n").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double"))
+              / (col("n").cast("double") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double"))).as("beta"))
+          .select(col("n").cast("long").as("n_points"), col("beta"),
+            round(exp((col("sy").cast("double") - col("beta") * col("sx").cast("double"))
+              / col("n")), 6).as("heaps_k"))
+      }
+    },
+
+    // ---- T52: PMI collocations ---------------------------------------------
+    // Which word pairs co-occur far beyond chance — the collocation table
+    // (new-term mining, tokenizer-merge candidates) on top of t49's
+    // bigram counts. PMI = ln(p(xy) / (p(x)p(y))) with bigram mass from
+    // the bigram total and unigram mass from the token total, evaluated
+    // as ONE fixed-order double expression on exact integer counts and
+    // rounded to 6 dp (t17 ln precedent). The c >= 5 floor bounds the
+    // ranked set by the (small) vocabulary squared, so the global top-20
+    // window is O(vocab^2) — never corpus-sized.
+    Query("t52_pmi_collocations",
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |big AS MATERIALIZED (
+        |  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS s
+        |  FROM toks WHERE len(t) >= 2),
+        |bc AS (SELECT split_part(s, ' ', 1) AS w1, split_part(s, ' ', 2) AS w2,
+        |              count(*) AS c
+        |       FROM big GROUP BY 1, 2),
+        |uni AS (SELECT w, count(*) AS cu
+        |        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+        |nb AS (SELECT sum(c) AS nbt FROM bc),
+        |nt AS (SELECT sum(cu) AS ntt FROM uni),
+        |p AS (SELECT w1, w2, c,
+        |             round(ln(CAST(c AS DOUBLE) * ntt * ntt
+        |                      / (CAST(nbt AS DOUBLE) * u1.cu * u2.cu)), 6) AS pmi
+        |      FROM bc JOIN uni u1 ON bc.w1 = u1.w
+        |              JOIN uni u2 ON bc.w2 = u2.w, nb, nt
+        |      WHERE c >= 5),
+        |r AS (SELECT w1, w2, c, pmi,
+        |             row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rk
+        |      FROM p)
+        |SELECT CAST(rk AS BIGINT) AS rk, w1, w2, CAST(c AS BIGINT) AS c, pmi
+        |FROM r WHERE rk <= 20""".stripMargin) {
+      (s, d) => {
+        val t = tokens(col("text"))
+        val big = Tables.documents(s, d)
+          .select(explode(bind1(t) { tt =>
+            when(size(tt) >= 2, transform(sequence(lit(0), size(tt) - 2),
+              (i: org.apache.spark.sql.Column) => struct(
+                element_at(tt, i + 1).as("w1"), element_at(tt, i + 2).as("w2"))))
+              .otherwise(array())
+          }).as("bg"))
+          .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+          .localCheckpoint() // total + the PMI join share the one bigram agg
+        val uni = Tables.documents(s, d)
+          .select(explode(tokens(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cu"))
+          .localCheckpoint() // total + two join legs share the one unigram agg
+        val nb = bc.agg(sum("c").as("nbt"))
+        val nt = uni.agg(sum("cu").as("ntt"))
+        bc.filter(col("c") >= 5)
+          .join(broadcast(uni.toDF("u1w", "cu1")), col("w1") === col("u1w"))
+          .join(broadcast(uni.toDF("u2w", "cu2")), col("w2") === col("u2w"))
+          .crossJoin(broadcast(nb)).crossJoin(broadcast(nt))
+          .select(col("w1"), col("w2"), col("c"),
+            round(log(col("c").cast("double") * col("ntt") * col("ntt")
+              / (col("nbt").cast("double") * col("cu1") * col("cu2"))), 6)
+              .as("pmi"))
+          .withColumn("rk",
+            row_number().over(Window.orderBy(col("pmi").desc, col("w1"), col("w2"))))
+          .filter(col("rk") <= 20)
+          .select(col("rk").cast("long").as("rk"), col("w1"), col("w2"),
+            col("c").cast("long").as("c"), col("pmi"))
+      }
     }
   )
 
