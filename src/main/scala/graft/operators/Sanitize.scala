@@ -196,4 +196,57 @@ object Sanitize {
     val noise = round(lit(-b) * signum(v) * log(lit(1.0) - lit(2.0) * abs(v)), 6)
     counts.withColumn("n_noisy", col("n_true") + noise)
   }
+
+  /** l-diversity audit (Machanavajjhala 2007): k-anonymity (kAnonymize)
+    * bounds cohort SIZE, but a cohort whose sensitive attribute is
+    * homogeneous still leaks it — this reports, per quasi-identifier
+    * cohort, the distinct sensitive-value count (distinct l-diversity)
+    * and the entropy diversity exp(H) (effective number of sensitive
+    * values), with a `diverse` flag at the given l.
+    *
+    * Plan shape: one (QI, sens) hash aggregate — the only pass over the
+    * data — then a QI-cardinality-sized re-aggregate; the entropy terms
+    * round to 6 dp DECIMAL per value so the per-cohort sum is
+    * order-independent, and the distinct count comes from the pre-agg
+    * (no Expand, no distinct shuffle).
+    */
+  def lDiversityAudit(df: DataFrame, qiCols: Seq[String], sensCol: String,
+                      l: Long): DataFrame = {
+    require(qiCols.nonEmpty && (qiCols :+ sensCol).forall(df.columns.contains),
+      s"columns ${(qiCols :+ sensCol).mkString(",")} must exist")
+    val vc = df.groupBy((qiCols :+ sensCol).map(col): _*)
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // cohort totals + entropy terms share the one agg
+    val coh = vc.groupBy(qiCols.map(col): _*)
+      .agg(sum("c").as("n"), count(lit(1)).as("l_distinct"))
+    val p = col("c").cast("double") / col("n")
+    val ent = vc.join(coh.select(qiCols.map(col) :+ col("n"): _*), qiCols)
+      .groupBy(qiCols.map(col): _*)
+      .agg(sum(round((lit(0.0) - p) * log(p), 6).cast("decimal(18,6)"))
+        .as("ent"))
+    coh.join(ent, qiCols)
+      .select(qiCols.map(col) ++ Seq(
+        col("n").cast("long").as("n"),
+        col("l_distinct").cast("long").as("l_distinct"),
+        round(exp(col("ent").cast("double")), 6).as("entropy_l"),
+        (col("l_distinct") >= l).as("diverse")): _*)
+  }
+
+  /** Randomized response (Warner 1965), the local-DP release primitive:
+    * each entity reports its TRUE binary attribute with probability
+    * `pTruth` and the flipped bit otherwise, where the coin is a seeded
+    * md5 draw on the entity id (replayable by an auditor holding the
+    * seed — the p05/p16/p18 convention). The aggregate debiasing
+    * estimator is (observed_rate - (1-pTruth)) / (2*pTruth - 1).
+    * Narrow projection, no shuffle; ln(2*pTruth-1)-style privacy
+    * accounting is the caller's concern.
+    */
+  def randomizedResponse(df: DataFrame, idCol: String, bitCol: String,
+                         pTruth: Double, seed: String): DataFrame = {
+    require(pTruth > 0.5 && pTruth < 1.0, s"pTruth in (0.5, 1), got $pTruth")
+    val u = conv(substring(md5(concat(col(idCol).cast("string"), lit(seed))),
+      1, 8), 16, 10).cast("double") / lit(4294967296.0)
+    df.withColumn("resp",
+      when(u < pTruth, col(bitCol)).otherwise(lit(1) - col(bitCol)))
+  }
 }

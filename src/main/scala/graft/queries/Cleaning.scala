@@ -509,6 +509,91 @@ object Cleaning {
             Tables.events(s, d).select("event_id", "user_id", "ts"),
             "user_id", Seq("ts"), maxDays = 30, seed = "p18")
           .select("event_id", "ts", "shift_days")
+    },
+
+    // ---- P19: l-diversity audit -------------------------------------------------
+    // p15/p17 bound cohort SIZE; a k-large cohort whose sensitive
+    // attribute is homogeneous still leaks it (everyone in the cell has
+    // a negative balance). Per (nation, segment) cohort: distinct
+    // sensitive-band count, entropy diversity exp(H) (effective number
+    // of sensitive values, 6-dp decimal terms so the sum is
+    // order-independent), and the l >= 3 release flag. One (QI, sens)
+    // hash agg is the only data-sized pass.
+    Query("p19_l_diversity",
+      """WITH j AS (
+        |  SELECT n_name AS nation, c_mktsegment AS seg,
+        |         CASE WHEN c_acctbal < 0 THEN 'neg'
+        |              WHEN c_acctbal < 3000 THEN 'low'
+        |              WHEN c_acctbal < 7000 THEN 'mid'
+        |              ELSE 'high' END AS sens
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |vc AS (SELECT nation, seg, sens, count(*) AS c FROM j GROUP BY 1, 2, 3),
+        |coh AS (SELECT nation, seg, sum(c) AS n, count(*) AS ldist
+        |        FROM vc GROUP BY 1, 2),
+        |ent AS (SELECT vc.nation, vc.seg,
+        |               sum(CAST(round((0.0 - CAST(c AS DOUBLE) / n)
+        |                              * ln(CAST(c AS DOUBLE) / n), 6)
+        |                        AS DECIMAL(18,6))) AS ent
+        |        FROM vc JOIN coh ON vc.nation = coh.nation AND vc.seg = coh.seg
+        |        GROUP BY 1, 2)
+        |SELECT coh.nation, coh.seg, CAST(n AS BIGINT) AS n,
+        |       CAST(ldist AS BIGINT) AS l_distinct,
+        |       round(exp(CAST(ent AS DOUBLE)), 6) AS entropy_l,
+        |       ldist >= 3 AS diverse
+        |FROM coh JOIN ent ON coh.nation = ent.nation AND coh.seg = ent.seg""".stripMargin) {
+      (s, d) => {
+        val j = Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name").as("nation"), col("c_mktsegment").as("seg"),
+            when(col("c_acctbal") < 0, "neg")
+              .when(col("c_acctbal") < 3000, "low")
+              .when(col("c_acctbal") < 7000, "mid")
+              .otherwise("high").as("sens"))
+        graft.operators.Sanitize.lDiversityAudit(j,
+          Seq("nation", "seg"), "sens", l = 3L)
+      }
+    },
+
+    // ---- P20: randomized response with debiasing --------------------------------
+    // Local DP: p16 adds noise to AGGREGATES held by a trusted curator;
+    // randomized response protects each record BEFORE collection — a
+    // user's "did purchase" bit is reported truthfully only with
+    // p = 0.75 (seeded md5 coin, replayable by the oracle). The release
+    // aggregates the noisy bits and debiases: pi_hat =
+    // (observed - 0.25) / 0.5, shown beside the true rate the curator
+    // could never see. One user-level agg + a narrow projection +
+    // a 4-cohort agg.
+    Query("p20_randomized_response",
+      """WITH users AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT user_id % 4 AS cohort, b,
+        |             CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)
+        |                                               || 'p20'), 1, 8) AS BIGINT)
+        |                       / 4294967296.0 < 0.75
+        |                  THEN b ELSE 1 - b END AS resp
+        |      FROM users)
+        |SELECT CAST(cohort AS BIGINT) AS cohort, count(*) AS n,
+        |       CAST(sum(resp) AS BIGINT) AS n_yes_observed,
+        |       (CAST(sum(resp) AS DOUBLE) / count(*) - 0.25) / 0.5 AS pi_hat,
+        |       CAST(sum(b) AS DOUBLE) / count(*) AS true_rate
+        |FROM r GROUP BY 1""".stripMargin) {
+      (s, d) => {
+        val users = Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("b"))
+        graft.operators.Sanitize.randomizedResponse(users, "user_id", "b",
+            pTruth = 0.75, seed = "p20")
+          .groupBy((col("user_id") % 4).cast("long").as("cohort"))
+          .agg(count(lit(1)).as("n"), sum("resp").as("sr"), sum("b").as("sb"))
+          .select(col("cohort"), col("n"),
+            col("sr").cast("long").as("n_yes_observed"),
+            ((col("sr").cast("double") / col("n") - lit(0.25)) / lit(0.5))
+              .as("pi_hat"),
+            (col("sb").cast("double") / col("n")).as("true_rate"))
+      }
     }
   )
 }

@@ -142,4 +142,41 @@ class SanitizeSpec extends SparkSpec {
       Sanitize.dpNoisyCount(d, Seq("g"), 0.0, "s")
     }
   }
+
+  test("lDiversityAudit: homogeneous cohort fails, uniform cohort is maximal") {
+    // cohort 'h': 3 rows, ONE sensitive value -> l=1, entropy_l = e^0 = 1
+    // cohort 'u': 4 rows over 4 values -> l=4, entropy_l = e^{ln 4} = 4
+    val d = df(
+      """SELECT * FROM VALUES
+        |  ('h', 's1'), ('h', 's1'), ('h', 's1'),
+        |  ('u', 's1'), ('u', 's2'), ('u', 's3'), ('u', 's4')
+        |t(qi, sens)""".stripMargin)
+    val out = Sanitize.lDiversityAudit(d, Seq("qi"), "sens", l = 3L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out("h") == ((3L, 1L, 1.0, false)))
+    val (un, ul, ue, ud) = out("u")
+    assert(un == 4L && ul == 4L && ud)
+    assert(math.abs(ue - 4.0) < 1e-4) // 6dp term rounding
+  }
+
+  test("randomizedResponse: bits flip only on the seeded coin and debias recovers") {
+    val d = spark.range(0, 2000).toDF("id")
+      .withColumn("b", (col("id") % 5 === 0).cast("int")) // true rate 0.2
+    val out = Sanitize.randomizedResponse(d, "id", "b", pTruth = 0.75, "rr1")
+    val agg = out.agg(sum("resp"), sum("b"), count(lit(1))).head()
+    val (sr, sb, n) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    assert(sb == 400L)
+    // debiased estimate within 5pp of truth at n=2000
+    val piHat = (sr.toDouble / n - 0.25) / 0.5
+    assert(math.abs(piHat - 0.2) < 0.05, s"piHat=$piHat")
+    // same seed -> same responses; different seed -> different coins
+    assert(rows(out) == rows(
+      Sanitize.randomizedResponse(d, "id", "b", 0.75, "rr1")))
+    assert(rows(out) != rows(
+      Sanitize.randomizedResponse(d, "id", "b", 0.75, "rr2")))
+    intercept[IllegalArgumentException] {
+      Sanitize.randomizedResponse(d, "id", "b", 0.5, "s")
+    }
+  }
 }
