@@ -2067,6 +2067,126 @@ object SimilaritySearch {
           .select("qid", "cid", "c_emb", "c_norm", "rel")
         graft.operators.Mmr.rerank(cand, k = 5, lam = 0.7, mu = 0.3)
       }
+    },
+
+    // ---- S44: cosine radius search (LSH-bucketed, exact re-check) ----------
+    // Top-k (s01/s05) answers "the nearest k"; radius search answers
+    // "EVERYTHING within cosine t of these queries" — the
+    // blocklist-sweep / takedown shape where result size is the
+    // contract. Queries (vec_id % 50 = 0) and corpus bucket through the
+    // s20 hyperplane family; candidates are the (table, bucket)
+    // equi-join — never |Q| x |corpus| — oversized corpus buckets drop
+    // under the cap (recall valve, replayed by the oracle), and the
+    // exact cosine re-check kills false positives. Oracle embeds the
+    // same 12x64 plane literals (s16/s20 precedent).
+    {
+      val (tables, bits, dims) = (2, 6, 64)
+      val cap = 40
+      val planes = Similarity.hyperplanes(tables, bits, dims)
+      val planeValues = planes.zipWithIndex
+        .map { case (p, r) => s"($r, [${p.mkString(", ")}])" }
+        .mkString(",\n        ")
+      Query("s44_radius_search",
+        s"""WITH planes(r, p) AS (VALUES
+          |        $planeValues),
+          |dots AS (
+          |  SELECT vec_id, r // $bits AS t, r % $bits AS j,
+          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |           list_transform(range(1, $dims + 1),
+          |             i -> CAST(embedding[i] AS DOUBLE) * p[i])),
+          |           (a, x) -> a + x) AS d
+          |  FROM embeddings CROSS JOIN planes),
+          |buck AS (
+          |  SELECT vec_id, t,
+          |         sum(CASE WHEN d > 0 THEN CASE j WHEN 0 THEN 1 WHEN 1 THEN 2
+          |              WHEN 2 THEN 4 WHEN 3 THEN 8 WHEN 4 THEN 16 ELSE 32 END
+          |             ELSE 0 END) AS b
+          |  FROM dots GROUP BY 1, 2),
+          |big AS (SELECT t, b FROM buck GROUP BY t, b HAVING count(*) > $cap),
+          |capped AS (SELECT * FROM buck bu WHERE NOT EXISTS (
+          |  SELECT 1 FROM big WHERE big.t = bu.t AND big.b = bu.b)),
+          |cand AS (
+          |  SELECT DISTINCT q.vec_id AS query_id, x.vec_id AS match_id
+          |  FROM buck q JOIN capped x
+          |    ON q.t = x.t AND q.b = x.b AND q.vec_id <> x.vec_id
+          |  WHERE q.vec_id % 50 = 0),
+          |cosd AS (
+          |  SELECT query_id, match_id,
+          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |           list_transform(range(1, $dims + 1),
+          |             i -> CAST(va.embedding[i] AS DOUBLE) * CAST(vb.embedding[i] AS DOUBLE))),
+          |           (a, x) -> a + x)
+          |         / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |              list_transform(range(1, $dims + 1),
+          |                i -> CAST(va.embedding[i] AS DOUBLE) * CAST(va.embedding[i] AS DOUBLE))),
+          |              (a, x) -> a + x))
+          |            * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |                list_transform(range(1, $dims + 1),
+          |                  i -> CAST(vb.embedding[i] AS DOUBLE) * CAST(vb.embedding[i] AS DOUBLE))),
+          |                (a, x) -> a + x))) AS cos
+          |  FROM cand JOIN embeddings va ON va.vec_id = query_id
+          |            JOIN embeddings vb ON vb.vec_id = match_id)
+          |SELECT query_id, match_id, cos FROM cosd WHERE cos >= 0.35""".stripMargin) {
+        (s, d) => {
+          val e = Tables.embeddings(s, d)
+          graft.operators.Vectors.radiusSearchLsh(e,
+            e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+            tables = tables, bits = bits, dims = dims,
+            threshold = 0.35, maxBucketSize = cap)
+        }
+      }
+    },
+
+    // ---- S45: embedding centroid drift ---------------------------------------
+    // a30 watches SCALAR drift (PSI); this watches the embedding space:
+    // per label, the cosine + L2 shift between the centroids of two
+    // corpus halves (vec_id parity — snapshot A vs snapshot B). Every
+    // component quantizes to micro-units BEFORE the cross-row sum, so
+    // per-dimension sums are exact BIGINT; per-label reductions fold in
+    // dim order. One dimension explode + one (label, dim) hash agg.
+    Query("s45_centroid_drift",
+      """WITH counts AS (
+        |  SELECT label,
+        |         sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS n0,
+        |         sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS n1
+        |  FROM embeddings GROUP BY 1),
+        |base AS (
+        |  SELECT label, vec_id % 2 AS half, r.range - 1 AS dim,
+        |         CAST(floor(CAST(embedding[r.range] AS DOUBLE) * 1000000.0 + 0.5)
+        |              AS BIGINT) AS q
+        |  FROM embeddings CROSS JOIN range(1, 65) r),
+        |sums AS (
+        |  SELECT label, dim,
+        |         sum(CASE WHEN half = 0 THEN q ELSE 0 END) AS s0,
+        |         sum(CASE WHEN half = 1 THEN q ELSE 0 END) AS s1
+        |  FROM base GROUP BY 1, 2),
+        |m AS (SELECT sums.label, dim,
+        |             CAST(s0 AS DOUBLE) / 1000000.0 / n0 AS m0,
+        |             CAST(s1 AS DOUBLE) / 1000000.0 / n1 AS m1
+        |      FROM sums JOIN counts ON sums.label = counts.label),
+        |f AS (SELECT label,
+        |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list(m0 * m1 ORDER BY dim)), (a, x) -> a + x) AS dt,
+        |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list(m0 * m0 ORDER BY dim)), (a, x) -> a + x) AS s0q,
+        |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list(m1 * m1 ORDER BY dim)), (a, x) -> a + x) AS s1q,
+        |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list((m0 - m1) * (m0 - m1) ORDER BY dim)), (a, x) -> a + x) AS l2q
+        |      FROM m GROUP BY 1)
+        |SELECT CAST(f.label AS BIGINT) AS label,
+        |       CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+        |       dt / (sqrt(s0q) * sqrt(s1q)) AS cos_drift,
+        |       sqrt(l2q) AS l2_shift
+        |FROM f JOIN counts ON f.label = counts.label""".stripMargin) {
+      (s, d) =>
+        graft.operators.Vectors.centroidDrift(
+            Tables.embeddings(s, d)
+              .withColumn("half", (col("vec_id") % 2).cast("int")),
+            "label", "half", "embedding")
+          .select(col("label").cast("long").as("label"),
+            col("n0").cast("long").as("n0"), col("n1").cast("long").as("n1"),
+            col("cos_drift"), col("l2_shift"))
     }
   )
 
