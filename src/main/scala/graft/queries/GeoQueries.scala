@@ -379,6 +379,72 @@ object GeoQueries {
           .select(col("id").as("ca"), col("rid").as("cb"),
             round(col("km"), 6).as("km"))
       }
+    },
+
+    // ---- J26: geofence dwell sessions ----------------------------------------
+    // The geo x temporal composite a field-operations pipeline runs
+    // daily: each user's position drifts hourly on the deterministic
+    // lon/lat grid (j12 family); "in zone" = haversine within 150 km of
+    // the facility center; dwell sessions are maximal consecutive
+    // in-zone runs per user (gaps-and-islands). The island id is the
+    // w11 boundary-flag running sum — lag + cumsum stack on ONE (user)
+    // partitioning, so a single exchange+sort feeds both windows (a
+    // second PARTITION BY (user, inside) pass would re-shuffle).
+    // Distance inputs derive from integers, comparisons sit far from
+    // the 150 km boundary at grid resolution — cross-engine safe.
+    Query("j26_zone_dwell",
+      """WITH pos AS (
+        |  SELECT event_id, user_id, ts, epoch_us(ts) AS us,
+        |         34.0 + ((user_id * 7 + (epoch_us(ts) // 3600000000) % 48) % 70)
+        |                * 0.1 AS lon,
+        |         -4.0 + ((user_id + (epoch_us(ts) // 3600000000) % 48) % 70)
+        |                * 0.1 AS lat
+        |  FROM events),
+        |ins AS (
+        |  SELECT event_id, user_id, ts, us,
+        |         2 * 6371.0088 * atan2(
+        |           sqrt(pow(sin(radians(-0.5 - lat) / 2), 2)
+        |                + cos(radians(lat)) * cos(radians(-0.5))
+        |                  * pow(sin(radians(37.5 - lon) / 2), 2)),
+        |           sqrt(1 - (pow(sin(radians(-0.5 - lat) / 2), 2)
+        |                + cos(radians(lat)) * cos(radians(-0.5))
+        |                  * pow(sin(radians(37.5 - lon) / 2), 2)))) <= 150.0
+        |           AS inside
+        |  FROM pos),
+        |g AS (
+        |  SELECT *, sum(CASE WHEN prev IS NULL OR prev <> inside THEN 1 ELSE 0 END)
+        |              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS grp
+        |  FROM (SELECT *, lag(inside) OVER (PARTITION BY user_id
+        |                                    ORDER BY ts, event_id) AS prev
+        |        FROM ins))
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(min(us) AS BIGINT) AS enter_us,
+        |       CAST(max(us) AS BIGINT) AS exit_us,
+        |       CAST(max(us) - min(us) AS BIGINT) AS dwell_us
+        |FROM g WHERE inside GROUP BY user_id, grp""".stripMargin) {
+      (s, d) => {
+        val h48 = expr("(unix_micros(ts) div 3600000000) % 48")
+        val pos = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            expr("unix_micros(ts)").as("us"),
+            (lit(34.0) + ((col("user_id") * 7 + h48) % 70) * 0.1).as("lon"),
+            (lit(-4.0) + ((col("user_id") + h48) % 70) * 0.1).as("lat"))
+        val inside = Geo.haversineKm(col("lon"), col("lat"),
+          lit(37.5), lit(-0.5)) <= 150.0
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        pos.withColumn("inside", inside)
+          .withColumn("prev", lag(col("inside"), 1).over(w))
+          .withColumn("grp", sum(
+            when(col("prev").isNull || col("prev") =!= col("inside"), 1L)
+              .otherwise(0L)).over(w))
+          .filter(col("inside"))
+          .groupBy("user_id", "grp")
+          .agg(count(lit(1)).cast("long").as("n_events"),
+            min("us").cast("long").as("enter_us"),
+            max("us").cast("long").as("exit_us"),
+            (max("us") - min("us")).cast("long").as("dwell_us"))
+          .select("user_id", "n_events", "enter_us", "exit_us", "dwell_us")
+      }
     }
   )
 }

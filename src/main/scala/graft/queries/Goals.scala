@@ -619,6 +619,94 @@ object Goals {
           .select(col("r.stage").as("stage"), col("r.n_docs").as("n_docs"),
             col("r.n_tokens").as("n_tokens"))
       }
+    },
+
+    // ---- G27: referential-integrity audit -----------------------------------
+    // The whole star schema's foreign-key health in one table: per FK
+    // edge, child rows, distinct child keys, orphan keys, and orphan
+    // rows (keys with no parent). Each edge pre-aggregates the child to
+    // DISTINCT KEYS with their row counts FIRST — the anti-join then
+    // moves O(|keys|) rows, not O(|child|), which is what keeps the
+    // lineitem edges cheap at fact-table scale (parents broadcast or
+    // shuffle tiny). Seven edges, each one agg + one anti join; a
+    // healthy warehouse reports zeros, and the row is the regression
+    // trip-wire for ingest bugs that break joins silently.
+    Query("g27_ref_integrity",
+      """WITH
+        |e1 AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+        |e2 AS (SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+        |e3 AS (SELECT l_suppkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+        |e4 AS (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1),
+        |e5 AS (SELECT c_nationkey AS k, count(*) AS c FROM customer GROUP BY 1),
+        |e6 AS (SELECT s_nationkey AS k, count(*) AS c FROM supplier GROUP BY 1),
+        |e7 AS (SELECT n_regionkey AS k, count(*) AS c FROM nation GROUP BY 1)
+        |SELECT 'lineitem.l_orderkey->orders' AS edge,
+        |       CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys,
+        |       CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS n_orphan_keys,
+        |       CAST(coalesce(sum(c) FILTER (WHERE o_orderkey IS NULL), 0) AS BIGINT) AS n_orphan_rows
+        |FROM e1 LEFT JOIN orders ON k = o_orderkey
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey->part', CAST(sum(c) AS BIGINT), count(*),
+        |       CAST(count(*) FILTER (WHERE p_partkey IS NULL) AS BIGINT),
+        |       CAST(coalesce(sum(c) FILTER (WHERE p_partkey IS NULL), 0) AS BIGINT)
+        |FROM e2 LEFT JOIN part ON k = p_partkey
+        |UNION ALL
+        |SELECT 'lineitem.l_suppkey->supplier', CAST(sum(c) AS BIGINT), count(*),
+        |       CAST(count(*) FILTER (WHERE s_suppkey IS NULL) AS BIGINT),
+        |       CAST(coalesce(sum(c) FILTER (WHERE s_suppkey IS NULL), 0) AS BIGINT)
+        |FROM e3 LEFT JOIN supplier ON k = s_suppkey
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer', CAST(sum(c) AS BIGINT), count(*),
+        |       CAST(count(*) FILTER (WHERE c_custkey IS NULL) AS BIGINT),
+        |       CAST(coalesce(sum(c) FILTER (WHERE c_custkey IS NULL), 0) AS BIGINT)
+        |FROM e4 LEFT JOIN customer ON k = c_custkey
+        |UNION ALL
+        |SELECT 'customer.c_nationkey->nation', CAST(sum(c) AS BIGINT), count(*),
+        |       CAST(count(*) FILTER (WHERE n_nationkey IS NULL) AS BIGINT),
+        |       CAST(coalesce(sum(c) FILTER (WHERE n_nationkey IS NULL), 0) AS BIGINT)
+        |FROM e5 LEFT JOIN nation ON k = n_nationkey
+        |UNION ALL
+        |SELECT 'supplier.s_nationkey->nation', CAST(sum(c) AS BIGINT), count(*),
+        |       CAST(count(*) FILTER (WHERE n_nationkey IS NULL) AS BIGINT),
+        |       CAST(coalesce(sum(c) FILTER (WHERE n_nationkey IS NULL), 0) AS BIGINT)
+        |FROM e6 LEFT JOIN nation ON k = n_nationkey
+        |UNION ALL
+        |SELECT 'nation.n_regionkey->region', CAST(sum(c) AS BIGINT), count(*),
+        |       CAST(count(*) FILTER (WHERE r_regionkey IS NULL) AS BIGINT),
+        |       CAST(coalesce(sum(c) FILTER (WHERE r_regionkey IS NULL), 0) AS BIGINT)
+        |FROM e7 LEFT JOIN region ON k = r_regionkey""".stripMargin) {
+      (s, d) => {
+        def edge(name: String, child: org.apache.spark.sql.DataFrame,
+                 childKey: String, parent: org.apache.spark.sql.DataFrame,
+                 parentKey: String) = {
+          val keys = child.groupBy(col(childKey).as("k"))
+            .agg(count(lit(1)).as("c"))
+          keys.join(parent.select(col(parentKey).as("pk")),
+              col("k") === col("pk"), "left")
+            .agg(sum("c").cast("long").as("n_rows"),
+              count(lit(1)).as("n_keys"),
+              count(when(col("pk").isNull, 1)).cast("long").as("n_orphan_keys"),
+              coalesce(sum(when(col("pk").isNull, col("c"))), lit(0L))
+                .cast("long").as("n_orphan_rows"))
+            .select(lit(name).as("edge"), col("n_rows"), col("n_keys"),
+              col("n_orphan_keys"), col("n_orphan_rows"))
+        }
+        val li = Tables.lineitem(s, d)
+        edge("lineitem.l_orderkey->orders", li, "l_orderkey",
+            Tables.orders(s, d), "o_orderkey")
+          .unionAll(edge("lineitem.l_partkey->part", li, "l_partkey",
+            Tables.part(s, d), "p_partkey"))
+          .unionAll(edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
+            Tables.supplier(s, d), "s_suppkey"))
+          .unionAll(edge("orders.o_custkey->customer", Tables.orders(s, d),
+            "o_custkey", Tables.customer(s, d), "c_custkey"))
+          .unionAll(edge("customer.c_nationkey->nation", Tables.customer(s, d),
+            "c_nationkey", Tables.nation(s, d), "n_nationkey"))
+          .unionAll(edge("supplier.s_nationkey->nation", Tables.supplier(s, d),
+            "s_nationkey", Tables.nation(s, d), "n_nationkey"))
+          .unionAll(edge("nation.n_regionkey->region", Tables.nation(s, d),
+            "n_regionkey", Tables.region(s, d), "r_regionkey"))
+      }
     }
   )
 }
