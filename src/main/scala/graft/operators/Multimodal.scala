@@ -234,6 +234,39 @@ object Multimodal {
     }
   }
 
+  /** REAL decode to a relational pixel table: one row per (id, x, y)
+    * with the RGB channels as plain INT columns — the bridge from the
+    * opaque binary column to anything SQL can do (histograms, entropy,
+    * channel correlation, region stats) without a bespoke kernel per
+    * analysis. Corrupt payloads contribute zero rows (decodePngSafe).
+    * mapPartitions, no shuffle; output is |pixels| rows, so callers
+    * aggregate immediately — the explode is the documented cost.
+    */
+  def decodePixels(df: DataFrame, idCol: String,
+                   payloadCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType), StructField("x", IntegerType),
+      StructField("y", IntegerType), StructField("r", IntegerType),
+      StructField("g", IntegerType), StructField("b", IntegerType)))
+    implicit val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val (idIdx, pIdx) = (df.schema.fieldIndex(idCol), df.schema.fieldIndex(payloadCol))
+    df.mapPartitions { it =>
+      it.flatMap { row =>
+        val id = row.getLong(idIdx)
+        val bytes = row.get(pIdx).asInstanceOf[Array[Byte]]
+        decodePngSafe(bytes).iterator.flatMap { case (w, h, px) =>
+          Iterator.range(0, h).flatMap { y =>
+            Iterator.range(0, w).map { x =>
+              val p = px(y * w + x)
+              Row(id, x, y, (p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)
+            }
+          }
+        }
+      }
+    }
+  }
+
   /** Frame sampling: k evenly-spaced fixed-width byte windows per payload
     * (video keyframe analog), exploded to one row per frame. Pure column
     * expressions — substring on BINARY — no UDF.

@@ -2250,6 +2250,88 @@ object Analytics {
       }
     },
 
+    // ---- A47: bootstrap confidence interval -------------------------------------
+    // Nonparametric CI for the per-segment mean order value: 40 seeded
+    // bootstrap replicates, each resampling the segment WITH REPLACEMENT
+    // via an md5 index draw (replayable, the p16 seed convention), CI =
+    // nearest-rank 2nd/39th replicate means (~95%). Everything is exact
+    // integers — cents sums as BIGINT, one double division per mean —
+    // and the replicate rank orders by (mean, b). Shapes: one per-seg
+    // rank window indexes the rows once; the 40x draw explode joins back
+    // by (seg, index) — the resample never copies row payloads, only
+    // 8-byte indices, which is what keeps B x N tractable at scale.
+    Query("a47_bootstrap_ci",
+      """WITH x AS (
+        |  SELECT c_mktsegment AS seg, o_orderkey AS okey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS xc
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |r AS (SELECT seg, xc,
+        |             row_number() OVER (PARTITION BY seg ORDER BY okey) AS i,
+        |             count(*) OVER (PARTITION BY seg) AS n
+        |      FROM x),
+        |draws AS (
+        |  SELECT seg, n, b.range AS b,
+        |         1 + CAST('0x' || substr(md5(seg || '#' || CAST(b.range AS VARCHAR)
+        |                                     || '#' || CAST(i AS VARCHAR)), 1, 8)
+        |                 AS BIGINT) % n AS idx
+        |  FROM r CROSS JOIN range(0, 40) b),
+        |rep AS (
+        |  SELECT d.seg, d.b, CAST(sum(r2.xc) AS BIGINT) AS s, d.n
+        |  FROM draws d JOIN r r2 ON d.seg = r2.seg AND d.idx = r2.i
+        |  GROUP BY 1, 2, 4),
+        |rm AS (SELECT seg, b, CAST(s AS DOUBLE) / n AS m FROM rep),
+        |rk AS (SELECT seg, m,
+        |              row_number() OVER (PARTITION BY seg ORDER BY m, b) AS rn
+        |       FROM rm),
+        |pt AS (SELECT seg, CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(xc) AS DOUBLE) / count(*) AS mean_cents
+        |       FROM x GROUP BY 1)
+        |SELECT pt.seg, pt.n, pt.mean_cents,
+        |       min(CASE WHEN rn = 2 THEN m END) AS ci_lo,
+        |       min(CASE WHEN rn = 39 THEN m END) AS ci_hi
+        |FROM pt JOIN rk ON pt.seg = rk.seg
+        |GROUP BY 1, 2, 3""".stripMargin) {
+      (s, d) => {
+        val x = Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"), col("o_orderkey").as("okey"),
+            round(col("o_totalprice") * 100).cast("long").as("xc"))
+        val r = x.withColumn("i",
+            row_number().over(Window.partitionBy("seg").orderBy("okey")))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("seg")))
+          .select("seg", "xc", "i", "n")
+          .localCheckpoint() // draw explode + the index join-back share it
+        // the rank window leaves r hash-partitioned by seg — 5 live
+        // partitions — and the 40x explode + 6M md5 draws would inherit
+        // that parallelism; round-robin the narrow index rows first
+        // (150k x 25 B, the cheapest shuffle in the plan)
+        val draws = r.repartition(64).select(col("seg"), col("n"), col("i"),
+            explode(sequence(lit(0), lit(39))).as("b"))
+          .select(col("seg"), col("n"), col("b"),
+            (lit(1) + conv(substring(md5(concat(col("seg"), lit("#"),
+              col("b").cast("string"), lit("#"), col("i").cast("string"))),
+              1, 8), 16, 10).cast("long") % col("n")).as("idx"))
+        val rep = draws
+          // r is O(rows) but NARROW (seg, index, cents = ~25 B/row):
+          // broadcast it so the B x N draw side never shuffles
+          .join(broadcast(r.select(col("seg").as("s2"), col("i").as("i2"), col("xc"))),
+            col("seg") === col("s2") && col("idx") === col("i2"))
+          .groupBy("seg", "b", "n").agg(sum("xc").cast("long").as("s"))
+        val rk = rep.select(col("seg"), col("b"),
+            (col("s").cast("double") / col("n")).as("m"))
+          .withColumn("rn",
+            row_number().over(Window.partitionBy("seg").orderBy("m", "b")))
+        val pt = x.groupBy("seg")
+          .agg(count(lit(1)).cast("long").as("n"),
+            (sum("xc").cast("double") / count(lit(1))).as("mean_cents"))
+        pt.join(rk, "seg")
+          .groupBy("seg", "n", "mean_cents")
+          .agg(min(when(col("rn") === 2, col("m"))).as("ci_lo"),
+            min(when(col("rn") === 39, col("m"))).as("ci_hi"))
+          .select("seg", "n", "mean_cents", "ci_lo", "ci_hi")
+      }
+    },
+
     // ---- W39: rolling 7-day correlation -----------------------------------------
     // Does a type's daily VOLUME track its daily VALUE? Trailing-7-day
     // Pearson correlation between each type's daily event count and its

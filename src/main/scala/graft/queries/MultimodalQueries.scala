@@ -331,6 +331,63 @@ object MultimodalQueries {
           greatest(col("da"), col("db")).as("doc_b"),
           col("hamming").cast("long").as("hamming"))
       within.unionAll(cross)
+    },
+
+    // ---- M9: pixel histogram analytics over real decode ----------------------
+    // Multimodal.decodePixels turns the opaque PNG column into a
+    // relational (id, x, y, r, g, b) table — this row proves anything
+    // SQL can then run on decoded media: per image, the red channel's
+    // 256-bin histogram entropy (6-dp decimal terms, order-independent
+    // sum), mode value and mode count (rank window, value tiebreak).
+    // The oracle replays the m02 pixel FORMULA codec-free, so a decode
+    // bug anywhere in the explode path hash-mismatches. The pixel
+    // explode is the documented cost: aggregate immediately after.
+    Query("m09_pixel_histogram",
+      """WITH px AS (
+        |  SELECT doc_id, (doc_id*7 + 3*x.x + 5*y.y) % 256 AS r
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(range(32)) AS x) x,
+        |       LATERAL (SELECT unnest(range(32)) AS y) y),
+        |hist AS (SELECT doc_id, r, count(*) AS c FROM px GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(c) AS n FROM hist GROUP BY 1),
+        |ent AS (SELECT hist.doc_id,
+        |               sum(CAST(round((0.0 - CAST(c AS DOUBLE) / n)
+        |                              * ln(CAST(c AS DOUBLE) / n), 6)
+        |                        AS DECIMAL(18,6))) AS ent
+        |        FROM hist JOIN tot ON hist.doc_id = tot.doc_id GROUP BY 1),
+        |md AS (SELECT doc_id, r AS r_mode, c AS r_mode_n FROM (
+        |         SELECT doc_id, r, c,
+        |                row_number() OVER (PARTITION BY doc_id
+        |                                   ORDER BY c DESC, r) AS rn
+        |         FROM hist) WHERE rn = 1)
+        |SELECT tot.doc_id, CAST(n AS BIGINT) AS n_px,
+        |       CAST(r_mode AS INT) AS r_mode, CAST(r_mode_n AS BIGINT) AS r_mode_n,
+        |       CAST(ent AS DOUBLE) AS r_entropy
+        |FROM tot JOIN ent ON tot.doc_id = ent.doc_id
+        |         JOIN md ON tot.doc_id = md.doc_id""".stripMargin) {
+      (s, d) => {
+        val withP = Multimodal.withImagePayload(
+          Tables.documents(s, d).select("doc_id"), "doc_id")
+        val hist = Multimodal.decodePixels(withP, "doc_id", "payload")
+          .groupBy(col("id").as("doc_id"), col("r"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint() // totals, entropy, and mode share the decode
+        val tot = hist.groupBy("doc_id").agg(sum("c").as("n"))
+        val p = col("c").cast("double") / col("n")
+        val ent = hist.join(tot, "doc_id").groupBy("doc_id")
+          .agg(sum(round((lit(0.0) - p) * log(p), 6).cast("decimal(18,6)"))
+            .as("ent"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("c").desc, col("r"))
+        val md = hist.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("r").as("r_mode"), col("c").as("r_mode_n"))
+        tot.join(ent, "doc_id").join(md, "doc_id")
+          .select(col("doc_id"), col("n").cast("long").as("n_px"),
+            col("r_mode").cast("int").as("r_mode"),
+            col("r_mode_n").cast("long").as("r_mode_n"),
+            col("ent").cast("double").as("r_entropy"))
+      }
     }
   )
 }
