@@ -1000,6 +1000,99 @@ object StreamingQueries {
             col("kalmanLevel").as("kalman_level"),
             col("kalmanVar").as("kalman_var"))
       }
+    },
+
+    // ---- ST19: streaming quantile monitor (mergeable histogram state) ------
+    // a23's sort-free histogram quantiles served live: the stream
+    // maintains per-type 10-bucket counts (a complete-mode aggregate —
+    // bucket counts are ADDITIVE, so the result is independent of how
+    // micro-batches split the data, unlike a naive streaming
+    // percentile), and the p50/p90 interpolation runs as a batch
+    // epilogue on the final counts. Integer crossing tests (2*cum >= n,
+    // 10*cum >= 9n) pick the quantile bucket without a float compare;
+    // the interpolation is one fixed-order double expression. State per
+    // type is 10 longs forever — the quantile monitor you can actually
+    // leave running at 100 TB/day.
+    Query("st19_stream_quantile_monitor",
+      """WITH b AS (
+        |  SELECT event_type,
+        |         CAST(least(greatest(floor(value / 2.0), 0), 9) AS BIGINT) AS bucket,
+        |         count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (SELECT event_type, bucket, c,
+        |               sum(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+        |               sum(c) OVER (PARTITION BY event_type) AS n
+        |        FROM b),
+        |q50 AS (SELECT event_type, n, bucket, c, cum - c AS before,
+        |               row_number() OVER (PARTITION BY event_type
+        |                                  ORDER BY bucket) AS rn
+        |        FROM cum WHERE 2 * cum >= n),
+        |q90 AS (SELECT event_type, bucket, c, cum - c AS before,
+        |               row_number() OVER (PARTITION BY event_type
+        |                                  ORDER BY bucket) AS rn
+        |        FROM cum WHERE 10 * cum >= 9 * n)
+        |SELECT q50.event_type, CAST(q50.n AS BIGINT) AS n,
+        |       q50.bucket * 2.0 + 2.0 * (0.5 * q50.n - q50.before) / q50.c AS p50,
+        |       q90.bucket * 2.0 + 2.0 * (0.9 * q50.n - q90.before) / q90.c AS p90
+        |FROM q50 JOIN q90 ON q50.event_type = q90.event_type
+        |WHERE q50.rn = 1 AND q90.rn = 1""".stripMargin) {
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val raw = ss.read.parquet(s"$d/events.parquet")
+        val landing = graft.core.TempDirs.scratch("st19_landing_")
+        def stage(df: org.apache.spark.sql.DataFrame, name: String,
+                  mtime: Long): Unit = {
+          val tmp = graft.core.TempDirs.scratch("st19_b_").toString
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val f = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+            .filter(_.endsWith(".parquet")).head
+          val dst = landing.resolve(name)
+          Files.copy(Paths.get(f), dst)
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+        }
+        stage(raw.filter(col("event_id") % 2 === 0), "b1.parquet", 1000000L)
+        stage(raw.filter(col("event_id") % 2 =!= 0), "b2.parquet", 2000000L)
+        val src = Streams.fileSource(ss, landing.toString, raw.schema,
+          maxFilesPerTrigger = Some(1))
+        val sink = "st19_hist_" + System.nanoTime()
+        val bucket = least(greatest(floor(col("value") / 2.0), lit(0.0)), lit(9.0))
+          .cast("long")
+        val q = src.groupBy(col("event_type"), bucket.as("bucket"))
+          .agg(count(lit(1)).as("c"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        import org.apache.spark.sql.expressions.Window
+        val cumW = Window.partitionBy("event_type").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // localCheckpoint: the p50/p90 legs self-join this table, and
+        // Spark cannot deduplicate conflicting references through a
+        // MemorySink plan (INTERNAL_ERROR) — an RDD-backed child can be
+        val cum = ss.table(sink).localCheckpoint()
+          .withColumn("cum", sum("c").over(cumW))
+          .withColumn("n", sum("c").over(Window.partitionBy("event_type")))
+          .withColumn("before", col("cum") - col("c"))
+        def pick(cross: org.apache.spark.sql.Column) = cum.filter(cross)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("event_type").orderBy("bucket")))
+          .filter(col("rn") === 1)
+        val q50 = pick(lit(2) * col("cum") >= col("n"))
+        val q90 = pick(lit(10) * col("cum") >= lit(9) * col("n"))
+        q50.select(col("event_type"), col("n"), col("bucket").as("b50"),
+            col("c").as("c50"), col("before").as("bf50"))
+          .join(q90.select(col("event_type"), col("bucket").as("b90"),
+            col("c").as("c90"), col("before").as("bf90")), "event_type")
+          .select(col("event_type"), col("n").cast("long").as("n"),
+            (col("b50") * lit(2.0)
+              + lit(2.0) * (lit(0.5) * col("n") - col("bf50")) / col("c50"))
+              .as("p50"),
+            (col("b90") * lit(2.0)
+              + lit(2.0) * (lit(0.9) * col("n") - col("bf90")) / col("c90"))
+              .as("p90"))
+      }
     }
   )
 }
