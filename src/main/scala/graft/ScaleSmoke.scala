@@ -1081,6 +1081,135 @@ object ScaleSmoke {
         graft.operators.Cdc.snapshotDiff(v1, v2, Seq("k"))
           .groupBy("status").agg(count(lit(1)))
           .write.format("noop").mode("overwrite").save()
+      },
+      time("interpolate_spine_25m_rows") {
+        // w40 at 10x suppliers (keys shifted per copy): ~25M spine rows
+        // through the explicit-count repartition + two window passes —
+        // the shape that collapsed to one task without the pinned fan-out
+        val dly = li.select((col("l_suppkey") + (col("l_orderkey") % 10) * 10000L).as("s"),
+            datediff(to_date(col("l_shipdate")), lit("1970-01-01")).cast("long").as("day"),
+            round(col("l_extendedprice") * 100).cast("long").as("xc"))
+          .groupBy("s", "day").agg(sum("xc").as("xc"))
+          .localCheckpoint()
+        val spine = dly.groupBy("s").agg(min("day").as("mn"), max("day").as("mx"))
+          .repartition(64, col("s"))
+          .select(col("s"), explode(sequence(col("mn"), col("mx"))).as("day"))
+        val j = spine.join(dly.toDF("s2", "d2", "xc"),
+          col("s") === col("s2") && col("day") === col("d2"), "left")
+          .select("s", "day", "xc")
+        val wp = org.apache.spark.sql.expressions.Window.partitionBy("s").orderBy("day")
+          .rowsBetween(Long.MinValue, 0)
+        val wn = org.apache.spark.sql.expressions.Window.partitionBy("s").orderBy("day")
+          .rowsBetween(0, Long.MaxValue)
+        j.select(col("s"), col("day"), col("xc"),
+            last(col("xc"), ignoreNulls = true).over(wp).as("xp"),
+            first(col("xc"), ignoreNulls = true).over(wn).as("xn"))
+          .groupBy().agg(count(lit(1)), sum("xp"), sum("xn"))
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("bootstrap_ci_1p5m_orders") {
+        // a47 at 10x orders: 60M 8-byte index draws, broadcast join-back
+        val x = or.select((col("o_orderkey") % 5).cast("string").as("seg"),
+          col("o_orderkey").as("okey"),
+          round(col("o_totalprice") * 100).cast("long").as("xc"))
+        val wR = org.apache.spark.sql.expressions.Window.partitionBy("seg").orderBy("okey")
+        val r = x.withColumn("i", row_number().over(wR))
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("seg")))
+          .select("seg", "xc", "i", "n").localCheckpoint()
+        val draws = r.repartition(64).select(col("seg"), col("n"), col("i"),
+            explode(sequence(lit(0), lit(39))).as("b"))
+          .select(col("seg"), col("n"), col("b"),
+            (lit(1) + conv(substring(md5(concat(col("seg"), lit("#"),
+              col("b").cast("string"), lit("#"), col("i").cast("string"))),
+              1, 8), 16, 10).cast("long") % col("n")).as("idx"))
+        draws.join(broadcast(r.select(col("seg").as("s2"), col("i").as("i2"), col("xc"))),
+            col("seg") === col("s2") && col("idx") === col("i2"))
+          .groupBy("seg", "b", "n").agg(sum("xc").as("s"))
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("kruskal_rank_1p5m_orders") {
+        // a45 at 10x orders: two-level global rank (bucket prefix +
+        // partitioned within-bucket) over ~1M distinct cent values
+        val u = or.select((col("o_orderkey") % 5).cast("string").as("seg"),
+          round(col("o_totalprice") * 100).cast("long").as("xc"))
+        val vals = u.groupBy("xc").agg(count(lit(1)).as("cnt"))
+          .withColumn("bkt", expr("xc div 100000")).localCheckpoint()
+        val bcnt = vals.groupBy("bkt").agg(sum("cnt").as("bn"))
+        val wb = org.apache.spark.sql.expressions.Window.orderBy("bkt")
+          .rowsBetween(Long.MinValue, -1)
+        val bpre = bcnt.withColumn("bb", coalesce(sum("bn").over(wb), lit(0L)))
+          .select("bkt", "bb")
+        val ww = org.apache.spark.sql.expressions.Window.partitionBy("bkt")
+          .orderBy("xc").rowsBetween(Long.MinValue, 0)
+        val rk = vals.join(broadcast(bpre), "bkt")
+          .withColumn("before", col("bb") + sum("cnt").over(ww) - col("cnt"))
+          .select(col("xc"), (lit(2) * col("before") + col("cnt") + 1).as("avg2"))
+        u.join(rk, "xc").groupBy("seg")
+          .agg(count(lit(1)).as("ng"), sum("avg2").as("ss"))
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("clustering_coeff_10x_graph") {
+        // g24 at 10x order volume: same degree-oriented bound, denser
+        // co-purchase graph (suppliers unreplicated by design)
+        val pair = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("x"))
+          .join(li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("y")),
+            col("ok") === col("ok2") && col("x") < col("y"))
+          .select("x", "y").distinct()
+        val e = pair.filter(substring(md5(concat(col("x").cast("string"), lit("_"),
+          col("y").cast("string"), lit("g24"))), 1, 1) === "0").localCheckpoint()
+        val deg = e.select(col("x").as("node")).unionAll(e.select(col("y")))
+          .groupBy("node").agg(count(lit(1)).as("dg")).localCheckpoint()
+        val withDeg = e.join(deg.toDF("nx", "dx"), col("x") === col("nx"))
+          .join(deg.toDF("ny", "dy"), col("y") === col("ny"))
+        val xFirst = struct(col("dx"), col("x")) < struct(col("dy"), col("y"))
+        val de = withDeg.select(
+          when(xFirst, col("x")).otherwise(col("y")).as("src"),
+          when(xFirst, col("y")).otherwise(col("x")).as("dst")).localCheckpoint()
+        val wedge = de.toDF("u", "v")
+          .join(de.toDF("s2", "w"), col("u") === col("s2") && col("v") < col("w"))
+          .select("u", "v", "w")
+        val closing = de.select(least(col("src"), col("dst")).as("cv"),
+          greatest(col("src"), col("dst")).as("cw"))
+        wedge.join(closing, col("v") === col("cv") && col("w") === col("cw"))
+          .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+          .groupBy("node").agg(count(lit(1)))
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("pixel_decode_20k_imgs") {
+        // m09 at 40x images: 20k real PNG decodes -> 20M pixel rows ->
+        // immediate (id, r) aggregate; decode parallelism = partitions
+        val ids = spark.range(20000).select(col("id").as("doc_id"))
+          .repartition(cpus.toInt)
+        val withP = graft.operators.Multimodal.withImagePayload(ids, "doc_id")
+        graft.operators.Multimodal.decodePixels(withP, "doc_id", "payload")
+          .groupBy("id", "r").agg(count(lit(1)).as("c"))
+          .groupBy("id").agg(count(lit(1)), max("c"))
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("zone_dwell_1m_events") {
+        // j26 at 10x events (user keys shifted per copy): one (user)
+        // exchange feeds lag + cumsum + the session aggregate
+        val ev0 = graft.core.Tables.events(spark, sfDir)
+        val maxU = 100000L
+        val ev = ev0.select("event_id", "user_id", "ts").crossJoin(copies)
+          .select(col("event_id"), (col("user_id") + col("rep") * maxU).as("user_id"),
+            col("ts"))
+        val h48 = expr("(unix_micros(ts) div 3600000000) % 48")
+        val pos = ev.select(col("event_id"), col("user_id"), col("ts"),
+          (lit(34.0) + ((col("user_id") * 7 + h48) % 70) * 0.1).as("lon"),
+          (lit(-4.0) + ((col("user_id") + h48) % 70) * 0.1).as("lat"))
+        val inside = graft.functions.Geo.haversineKm(col("lon"), col("lat"),
+          lit(37.5), lit(-0.5)) <= 150.0
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        pos.withColumn("inside", inside)
+          .withColumn("prev", lag(col("inside"), 1).over(w))
+          .withColumn("grp", sum(when(col("prev").isNull
+            || col("prev") =!= col("inside"), 1L).otherwise(0L)).over(w))
+          .filter(col("inside"))
+          .groupBy("user_id", "grp").agg(count(lit(1)))
+          .write.format("noop").mode("overwrite").save()
       })
 
     val rows = li.count()
