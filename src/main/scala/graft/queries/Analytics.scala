@@ -2250,6 +2250,122 @@ object Analytics {
       }
     },
 
+    // ---- W41: Savitzky-Golay smoothing ------------------------------------------
+    // The FIR smoother (7-point quadratic kernel [-2,3,6,7,6,3,-2]/21)
+    // signal pipelines prefer over moving averages — it preserves peaks
+    // a flat window flattens. Inputs quantize to micro-units FIRST
+    // (a43's rule), so the convolution is exact BIGINT arithmetic; the
+    // single division by 21e6 is the only float op. Seven lag/lead
+    // columns come out of ONE window pass; edges (any missing neighbor)
+    // emit nothing rather than a biased partial kernel.
+    Query("w41_savitzky_golay",
+      """WITH d AS (
+        |  SELECT event_type,
+        |         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |         CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |                    * 1000000.0 + 0.5) AS BIGINT) AS q
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, day, q,
+        |             lag(q, 3) OVER w AS l3, lag(q, 2) OVER w AS l2,
+        |             lag(q, 1) OVER w AS l1, lead(q, 1) OVER w AS r1,
+        |             lead(q, 2) OVER w AS r2, lead(q, 3) OVER w AS r3
+        |      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        |SELECT event_type, CAST(day AS BIGINT) AS day,
+        |       CAST(q AS DOUBLE) / 1000000.0 AS raw,
+        |       CAST(-2*l3 + 3*l2 + 6*l1 + 7*q + 6*r1 + 3*r2 - 2*r3 AS DOUBLE)
+        |         / 21.0 / 1000000.0 AS smooth
+        |FROM l
+        |WHERE l3 IS NOT NULL AND r3 IS NOT NULL""".stripMargin) {
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+          .agg(floor(sum(col("value").cast("decimal(18,4)")).cast("double")
+            * lit(1000000.0) + lit(0.5)).cast("long").as("q"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        val l = daily.select(col("event_type"), col("day"), col("q"),
+          lag("q", 3).over(w).as("l3"), lag("q", 2).over(w).as("l2"),
+          lag("q", 1).over(w).as("l1"), lead("q", 1).over(w).as("r1"),
+          lead("q", 2).over(w).as("r2"), lead("q", 3).over(w).as("r3"))
+        l.filter(col("l3").isNotNull && col("r3").isNotNull)
+          .select(col("event_type"), col("day").cast("long").as("day"),
+            (col("q").cast("double") / lit(1000000.0)).as("raw"),
+            ((lit(-2) * col("l3") + lit(3) * col("l2") + lit(6) * col("l1")
+              + lit(7) * col("q") + lit(6) * col("r1") + lit(3) * col("r2")
+              - lit(2) * col("r3")).cast("double") / lit(21.0) / lit(1000000.0))
+              .as("smooth"))
+      }
+    },
+
+    // ---- A48: Kendall tau-b on a bounded deterministic sample --------------------
+    // The third rank-correlation view (a29 Pearson: linear; a44
+    // Spearman: monotone by rank): Kendall counts concordant vs
+    // discordant PAIRS — O(n²), so the pattern at scale is a BOUNDED
+    // DETERMINISTIC sample per group (first 200 orders by key, ~20k
+    // pairs/group) rather than the full set; the sample rule is part of
+    // the contract and the oracle replays it. All pair classification
+    // is integer sign comparison; tau-b's tie-corrected denominator is
+    // one double epilogue.
+    Query("a48_kendall_tau",
+      """WITH pairs0 AS (
+        |  SELECT c_mktsegment AS seg, o.o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS x, count(*) AS y
+        |  FROM orders o JOIN customer ON o_custkey = c_custkey
+        |                JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2, 3),
+        |samp AS (SELECT * FROM (
+        |           SELECT seg, k, x, y,
+        |                  row_number() OVER (PARTITION BY seg ORDER BY k) AS rn
+        |           FROM pairs0) WHERE rn <= 200),
+        |pp AS (SELECT a.seg,
+        |              CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END AS conc,
+        |              CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END AS disc,
+        |              CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+        |              CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+        |       FROM samp a JOIN samp b ON a.seg = b.seg AND a.k < b.k),
+        |s AS (SELECT seg, count(*) AS n0, sum(conc) AS nc, sum(disc) AS nd,
+        |             sum(tx) AS n1, sum(ty) AS n2
+        |      FROM pp GROUP BY 1)
+        |SELECT seg, CAST(n0 AS BIGINT) AS n_pairs,
+        |       CAST(nc AS BIGINT) AS concordant, CAST(nd AS BIGINT) AS discordant,
+        |       CAST(nc - nd AS DOUBLE)
+        |         / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE))
+        |         AS tau_b
+        |FROM s""".stripMargin) {
+      (s, d) => {
+        val pairs0 = Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(Tables.lineitem(s, d).select("l_orderkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("c_mktsegment").as("seg"), col("o_orderkey").as("k"),
+            round(col("o_totalprice") * 100).cast("long").as("x"))
+          .agg(count(lit(1)).as("y"))
+        val samp = pairs0.withColumn("rn",
+            row_number().over(Window.partitionBy("seg").orderBy("k")))
+          .filter(col("rn") <= 200).select("seg", "k", "x", "y")
+          .localCheckpoint() // both self-join legs share the sample
+        val pp = samp.toDF("seg", "ka", "xa", "ya")
+          .join(samp.toDF("seg2", "kb", "xb", "yb"),
+            col("seg") === col("seg2") && col("ka") < col("kb"))
+          .select(col("seg"),
+            when((col("xa") - col("xb")) * (col("ya") - col("yb")) > 0, 1)
+              .otherwise(0).as("conc"),
+            when((col("xa") - col("xb")) * (col("ya") - col("yb")) < 0, 1)
+              .otherwise(0).as("disc"),
+            when(col("xa") === col("xb"), 1).otherwise(0).as("tx"),
+            when(col("ya") === col("yb"), 1).otherwise(0).as("ty"))
+        pp.groupBy("seg")
+          .agg(count(lit(1)).as("n0"), sum("conc").as("nc"), sum("disc").as("nd"),
+            sum("tx").as("n1"), sum("ty").as("n2"))
+          .select(col("seg"), col("n0").cast("long").as("n_pairs"),
+            col("nc").cast("long").as("concordant"),
+            col("nd").cast("long").as("discordant"),
+            ((col("nc") - col("nd")).cast("double")
+              / sqrt((col("n0") - col("n1")).cast("double")
+                * (col("n0") - col("n2")).cast("double"))).as("tau_b"))
+      }
+    },
+
     // ---- A47: bootstrap confidence interval -------------------------------------
     // Nonparametric CI for the per-segment mean order value: 40 seeded
     // bootstrap replicates, each resampling the segment WITH REPLACEMENT

@@ -1701,6 +1701,37 @@ object TextAnalysis {
       }
     },
 
+    // ---- T53: keyword-in-context concordance ----------------------------------
+    // The KWIC view corpus linguists (and prompt-injection auditors) pull
+    // for a term: every occurrence of the query word with ±3 tokens of
+    // context, positions included. One posexplode carries the token
+    // ARRAY alongside its positions, so the context window is a pure
+    // slice — no join back to the document, no second tokenization.
+    // Occurrence count tracks the term frequency, never the corpus.
+    Query("t53_kwic_concordance",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |occ AS (
+        |  SELECT doc_id, tk, posn FROM (
+        |    SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS posn
+        |    FROM t)
+        |  WHERE tk[posn] = 'table')
+        |SELECT doc_id, CAST(posn AS BIGINT) AS posn,
+        |       array_to_string(tk[greatest(posn - 3, 1):least(posn + 3, len(tk))],
+        |                       ' ') AS context
+        |FROM occ""".stripMargin) {
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("tk"))
+        t.select(col("doc_id"), col("tk"), posexplode(col("tk")).as(Seq("p", "w")))
+          .filter(col("w") === "table")
+          .select(col("doc_id"), (col("p") + 1).cast("long").as("posn"),
+            concat_ws(" ", slice(col("tk"),
+              greatest(col("p") + 1 - 3, lit(1)),
+              least(col("p") + 1 + 3, size(col("tk")))
+                - greatest(col("p") + 1 - 3, lit(1)) + 1)).as("context"))
+      }
+    },
+
     // ---- T50: per-document TF-IDF keyword extraction ------------------------
     // t17 derives the corpus vocabulary table; this row uses it the way a
     // curation/labeling pipeline does — the top-3 characteristic terms
