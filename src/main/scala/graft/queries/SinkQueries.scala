@@ -140,6 +140,38 @@ object SinkQueries {
     },
 
     // ---- S6/S7: partitioned history write + pruned read ---------------------
+    // ---- IO19: partition content-hash audit ------------------------------------
+    // The release-manifest check a publishing pipeline signs: write the
+    // table partitioned, read it BACK, and per partition emit row count
+    // + an order-insensitive-safe content hash (md5 over the key-sorted
+    // row renderings). The oracle computes the same manifest from the
+    // SOURCE, so any row the sink dropped, duplicated, or altered —
+    // including value corruption a row count cannot see — breaks the
+    // hash. Per-partition agg state is one sorted list; the sort key is
+    // the primary key, so the hash is layout- and task-order-free.
+    Query("io19_partition_content_audit",
+      """SELECT o_orderpriority AS pri, count(*) AS n_rows,
+        |       md5(string_agg(CAST(o_orderkey AS VARCHAR) || ':'
+        |                      || CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |                              AS VARCHAR),
+        |                      '|' ORDER BY o_orderkey)) AS content_md5
+        |FROM orders GROUP BY 1""".stripMargin) { (s, d) =>
+      val root = graft.core.TempDirs.scratch("graft_audit_").toString
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .write.partitionBy("o_orderpriority").mode("overwrite").parquet(root)
+      s.read.parquet(root)
+        .select(col("o_orderpriority").as("pri"),
+          struct(col("o_orderkey"),
+            concat_ws(":", col("o_orderkey"), col("cents")).as("s")).as("r"))
+        .groupBy("pri")
+        .agg(count(lit(1)).as("n_rows"),
+          md5(concat_ws("|",
+            transform(sort_array(collect_list(col("r"))), e => e.getField("s"))))
+            .as("content_md5"))
+    },
+
     Query("io01_history_roundtrip",
       """SELECT CAST(DATE '2026-01-01' + CAST(o_orderkey % 3 AS INT) AS VARCHAR) AS pd,
         |       o_orderstatus, count(*) AS n,

@@ -1701,6 +1701,43 @@ object TextAnalysis {
       }
     },
 
+    // ---- T54: language-ID confusion matrix --------------------------------------
+    // The evaluation table for t03's classifier against the stored lang
+    // labels: per (true, predicted) cell, count and within-true-language
+    // fraction — the standard quality readout before trusting a
+    // heuristic at corpus scale. One scan computes predictions; the
+    // matrix is a label-cardinality-sized aggregate; the fraction joins
+    // the per-language total back broadcast-sized.
+    Query("t54_langid_confusion",
+      """WITH pred AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN en >= es AND en >= de THEN 'en'
+        |              WHEN es >= de THEN 'es' ELSE 'de' END AS pred_lang
+        |  FROM (SELECT doc_id, lang,
+        |          len(list_filter(string_split(text, ' '),
+        |              t -> t IN ('the','a','of','and'))) AS en,
+        |          len(list_filter(string_split(text, ' '),
+        |              t -> t IN ('el','la','de','y'))) AS es,
+        |          len(list_filter(string_split(text, ' '),
+        |              t -> t IN ('der','die','das','und'))) AS de
+        |        FROM documents)),
+        |m AS (SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2),
+        |t AS (SELECT lang, sum(n) AS tot FROM m GROUP BY 1)
+        |SELECT m.lang, m.pred_lang, CAST(n AS BIGINT) AS n,
+        |       CAST(n AS DOUBLE) / tot AS frac
+        |FROM m JOIN t ON m.lang = t.lang""".stripMargin) {
+      (s, d) => {
+        val pred = Tables.documents(s, d).select(col("lang"),
+          langId(col("text"), markerLists).as("pred_lang"))
+        val m = pred.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+          .localCheckpoint() // totals + the output join share the one scan
+        val t = m.groupBy("lang").agg(sum("n").as("tot"))
+        m.join(broadcast(t), "lang")
+          .select(col("lang"), col("pred_lang"), col("n").cast("long").as("n"),
+            (col("n").cast("double") / col("tot")).as("frac"))
+      }
+    },
+
     // ---- T53: keyword-in-context concordance ----------------------------------
     // The KWIC view corpus linguists (and prompt-injection auditors) pull
     // for a term: every occurrence of the query word with ±3 tokens of
