@@ -2250,6 +2250,73 @@ object Analytics {
       }
     },
 
+    // ---- A49: trimmed + winsorized means -----------------------------------------
+    // Robust location estimators for the anomaly battery: per segment,
+    // the 5%-trimmed mean (drop k = floor(0.05 n) from each tail) and
+    // the winsorized mean (CLAMP the tails to the surviving boundary
+    // values instead of dropping them). Ranks come from one partitioned
+    // window; the two boundary values broadcast back; every sum is an
+    // exact BIGINT over cents with one double division per estimator.
+    Query("a49_trimmed_mean",
+      """WITH x AS (
+        |  SELECT c_mktsegment AS seg, o_orderkey AS okey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS xc
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |r AS (SELECT seg, xc,
+        |             row_number() OVER (PARTITION BY seg ORDER BY xc, okey) AS rn,
+        |             count(*) OVER (PARTITION BY seg) AS n
+        |      FROM x),
+        |k AS (SELECT seg, n, CAST(floor(0.05 * n) AS BIGINT) AS k
+        |      FROM (SELECT DISTINCT seg, n FROM r)),
+        |bounds AS (
+        |  SELECT r.seg,
+        |         min(CASE WHEN rn = k.k + 1 THEN xc END) AS lo,
+        |         min(CASE WHEN rn = k.n - k.k THEN xc END) AS hi
+        |  FROM r JOIN k ON r.seg = k.seg GROUP BY 1),
+        |agg AS (
+        |  SELECT r.seg, k.n, k.k,
+        |         sum(xc) AS s_all,
+        |         sum(CASE WHEN rn > k.k AND rn <= k.n - k.k THEN xc ELSE 0 END)
+        |           AS s_trim,
+        |         sum(CASE WHEN rn <= k.k THEN lo
+        |                  WHEN rn > k.n - k.k THEN hi ELSE xc END) AS s_win
+        |  FROM r JOIN k ON r.seg = k.seg JOIN bounds b ON r.seg = b.seg
+        |  GROUP BY 1, 2, 3)
+        |SELECT seg, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_trimmed,
+        |       CAST(s_all AS DOUBLE) / n AS mean_cents,
+        |       CAST(s_trim AS DOUBLE) / (n - 2 * k) AS trimmed_cents,
+        |       CAST(s_win AS DOUBLE) / n AS winsorized_cents
+        |FROM agg""".stripMargin) {
+      (s, d) => {
+        val x = Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"), col("o_orderkey").as("okey"),
+            round(col("o_totalprice") * 100).cast("long").as("xc"))
+        val r = x.withColumn("rn",
+            row_number().over(Window.partitionBy("seg").orderBy("xc", "okey")))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("seg")))
+          .withColumn("k", floor(lit(0.05) * col("n")).cast("long"))
+          .localCheckpoint() // bounds + the clamped agg share the rank pass
+        val bounds = r.groupBy("seg").agg(
+          min(when(col("rn") === col("k") + 1, col("xc"))).as("lo"),
+          min(when(col("rn") === col("n") - col("k"), col("xc"))).as("hi"))
+        r.join(broadcast(bounds), "seg")
+          .groupBy("seg", "n", "k")
+          .agg(sum("xc").as("s_all"),
+            sum(when(col("rn") > col("k") && col("rn") <= col("n") - col("k"),
+              col("xc")).otherwise(0L)).as("s_trim"),
+            sum(when(col("rn") <= col("k"), col("lo"))
+              .when(col("rn") > col("n") - col("k"), col("hi"))
+              .otherwise(col("xc"))).as("s_win"))
+          .select(col("seg"), col("n").cast("long").as("n"),
+            col("k").cast("long").as("k_trimmed"),
+            (col("s_all").cast("double") / col("n")).as("mean_cents"),
+            (col("s_trim").cast("double") / (col("n") - lit(2) * col("k")))
+              .as("trimmed_cents"),
+            (col("s_win").cast("double") / col("n")).as("winsorized_cents"))
+      }
+    },
+
     // ---- W41: Savitzky-Golay smoothing ------------------------------------------
     // The FIR smoother (7-point quadratic kernel [-2,3,6,7,6,3,-2]/21)
     // signal pipelines prefer over moving averages — it preserves peaks

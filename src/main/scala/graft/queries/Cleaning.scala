@@ -555,6 +555,81 @@ object Cleaning {
       }
     },
 
+    // ---- P21: t-closeness audit (ordered EMD) -------------------------------------
+    // The third rung of the release ladder (p15/p17 cohort size, p19
+    // within-cohort diversity): is each cohort's SENSITIVE DISTRIBUTION
+    // close to the global one? For the ordered balance bands the earth-
+    // mover distance is the mean |cumulative difference|; both
+    // cumulatives stay RATIONAL (cumQ/nq vs cumP/np) by cross-
+    // multiplying to the exact BIGINT numerator |cumQ*np - cumP*nq|, so
+    // the release flag (EMD <= 0.2) is decided in EXACT integers
+    // (5*num_sum <= 3*nq*np) — no float boundary anywhere. A cohort x
+    // band spine keeps missing bands contributing their full deficit.
+    Query("p21_t_closeness",
+      """WITH j AS (
+        |  SELECT n_name AS nation, c_mktsegment AS seg,
+        |         CASE WHEN c_acctbal < 0 THEN 0
+        |              WHEN c_acctbal < 3000 THEN 1
+        |              WHEN c_acctbal < 7000 THEN 2
+        |              ELSE 3 END AS band
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |g AS (SELECT band, count(*) AS pc FROM j GROUP BY 1),
+        |np AS (SELECT sum(pc) AS np FROM g),
+        |coh AS (SELECT nation, seg, count(*) AS nq FROM j GROUP BY 1, 2),
+        |q AS (SELECT nation, seg, band, count(*) AS qc FROM j GROUP BY 1, 2, 3),
+        |spine AS (
+        |  SELECT coh.nation, coh.seg, coh.nq, b.range AS band
+        |  FROM coh CROSS JOIN range(0, 4) b),
+        |cum AS (
+        |  SELECT s.nation, s.seg, s.nq, s.band,
+        |         sum(coalesce(qc, 0)) OVER w AS cq,
+        |         sum(pc) OVER w AS cp
+        |  FROM spine s
+        |  LEFT JOIN q ON s.nation = q.nation AND s.seg = q.seg AND s.band = q.band
+        |  JOIN g ON s.band = g.band
+        |  WINDOW w AS (PARTITION BY s.nation, s.seg ORDER BY s.band)),
+        |e AS (SELECT cum.nation, cum.seg, nq,
+        |             sum(abs(cq * np - cp * nq)) AS num
+        |      FROM cum, np GROUP BY 1, 2, 3, np)
+        |SELECT e.nation, e.seg, CAST(nq AS BIGINT) AS n,
+        |       CAST(num AS DOUBLE) / (CAST(nq AS DOUBLE) * np) / 3.0 AS emd,
+        |       5 * num <= 3 * nq * np AS tclose_ok
+        |FROM e, np""".stripMargin) {
+      (s, d) => {
+        val j = Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name").as("nation"), col("c_mktsegment").as("seg"),
+            when(col("c_acctbal") < 0, 0)
+              .when(col("c_acctbal") < 3000, 1)
+              .when(col("c_acctbal") < 7000, 2)
+              .otherwise(3).as("band"))
+          .localCheckpoint() // global + cohort aggregates share one scan
+        val g = j.groupBy("band").agg(count(lit(1)).as("pc"))
+        val np = g.agg(sum("pc").as("np"))
+        val coh = j.groupBy("nation", "seg").agg(count(lit(1)).as("nq"))
+        val q = j.groupBy("nation", "seg", "band").agg(count(lit(1)).as("qc"))
+        val spine = coh.select(col("nation"), col("seg"), col("nq"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("nation", "seg").orderBy("band")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = spine
+          .join(q, Seq("nation", "seg", "band"), "left")
+          .join(broadcast(g), "band")
+          .select(col("nation"), col("seg"), col("nq"), col("band"),
+            sum(coalesce(col("qc"), lit(0L))).over(w).as("cq"),
+            sum(col("pc")).over(w).as("cp"))
+        val e = cum.crossJoin(broadcast(np))
+          .groupBy("nation", "seg", "nq", "np")
+          .agg(sum(abs(col("cq") * col("np") - col("cp") * col("nq"))).as("num"))
+        e.select(col("nation"), col("seg"), col("nq").cast("long").as("n"),
+          (col("num").cast("double") / (col("nq").cast("double") * col("np"))
+            / lit(3.0)).as("emd"),
+          (lit(5) * col("num") <= lit(3) * col("nq") * col("np")).as("tclose_ok"))
+      }
+    },
+
     // ---- P20: randomized response with debiasing --------------------------------
     // Local DP: p16 adds noise to AGGREGATES held by a trusted curator;
     // randomized response protects each record BEFORE collection — a
