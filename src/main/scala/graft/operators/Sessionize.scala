@@ -112,6 +112,33 @@ object Sessionize {
     }
   }
 
+  /** Per-key MACD (moving-average convergence/divergence): fast and
+    * slow EWMAs, their difference (macd), and an EWMA of the macd (the
+    * signal line) — the classic momentum/crossover monitor, all four
+    * series from ONE secondary-sort scan with O(1) state (three
+    * doubles). Dyadic alphas keep (1-alpha) exact in binary; the oracle
+    * replays the fold with the IDENTICAL operation order (the w18/w29
+    * contract), so results hash-match bit-for-bit.
+    */
+  def macd(df: DataFrame, keyCol: String, orderCol: String, valCol: String,
+           aFast: Double, aSlow: Double, aSig: Double): DataFrame = {
+    val vIdx = df.schema.fieldIndex(valCol)
+    scanPerKey[(Double, Double, Double)](df, Seq(keyCol), Seq(orderCol),
+      StructType(Seq(StructField("macd", DoubleType, nullable = false),
+        StructField("sig", DoubleType, nullable = false)))) {
+      case (None, row) =>
+        val x = row.getAs[Number](vIdx).doubleValue
+        ((x, x, 0.0), Seq(0.0, 0.0))
+      case (Some((fast, slow, sig)), row) =>
+        val x = row.getAs[Number](vIdx).doubleValue
+        val f2 = aFast * x + (1 - aFast) * fast
+        val s2 = aSlow * x + (1 - aSlow) * slow
+        val m = f2 - s2
+        val g2 = aSig * m + (1 - aSig) * sig
+        ((f2, s2, g2), Seq(m, g2))
+    }
+  }
+
   /** Per-key Holt double-exponential smoothing (level + linear trend):
     * l_1 = x_1, b_1 = 0; then l_i = alpha*x_i + (1-alpha)*(l_(i-1) +
     * b_(i-1)) and b_i = beta*(l_i - l_(i-1)) + (1-beta)*b_(i-1). The

@@ -2250,6 +2250,114 @@ object Analytics {
       }
     },
 
+    // ---- W42: MACD momentum monitor -----------------------------------------------
+    // Fast/slow EWMA crossover with a signal line — THREE coupled
+    // recurrences (fast, slow, signal-of-macd) served by ONE
+    // secondary-sort scan with three doubles of state
+    // (Sessionize.macd). Dyadic alphas (1/2, 1/8, 1/4) keep every
+    // (1-alpha) exact in binary, and the recursive-CTE oracle replays
+    // the fold with the identical operation order, so all four series
+    // hash-match bit-for-bit (the w18/w29/w36 recurrence contract).
+    // Inputs are the micro-unit daily sums (exact integers as doubles).
+    Query("w42_macd",
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type,
+        |         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |         CAST(CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |                         * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) AS x,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY datediff('day', DATE '1970-01-01',
+        |                                              CAST(ts AS DATE))) AS rn
+        |  FROM events GROUP BY 1, 2),
+        |scan AS (
+        |  SELECT event_type, rn, day, x AS fast, x AS slow,
+        |         CAST(0 AS DOUBLE) AS macd, CAST(0 AS DOUBLE) AS sig
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.event_type, e.rn, e.day,
+        |         0.5 * e.x + 0.5 * s.fast,
+        |         0.125 * e.x + 0.875 * s.slow,
+        |         (0.5 * e.x + 0.5 * s.fast) - (0.125 * e.x + 0.875 * s.slow),
+        |         0.25 * ((0.5 * e.x + 0.5 * s.fast)
+        |                 - (0.125 * e.x + 0.875 * s.slow)) + 0.75 * s.sig
+        |  FROM d e JOIN scan s ON e.event_type = s.event_type AND e.rn = s.rn + 1)
+        |SELECT event_type, CAST(day AS BIGINT) AS day, macd, sig,
+        |       macd - sig AS divergence
+        |FROM scan""".stripMargin) {
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+          .agg(floor(sum(col("value").cast("decimal(18,4)")).cast("double")
+            * lit(1000000.0) + lit(0.5)).cast("long").cast("double").as("x"))
+        graft.operators.Sessionize.macd(daily, "event_type", "day", "x",
+            aFast = 0.5, aSlow = 0.125, aSig = 0.25)
+          .select(col("event_type"), col("day").cast("long").as("day"),
+            col("macd"), col("sig"), (col("macd") - col("sig")).as("divergence"))
+      }
+    },
+
+    // ---- G28: two-hop reach (friends-of-friends) -----------------------------------
+    // Per node: how many DISTINCT nodes sit exactly two hops away
+    // (reachable through a neighbor, not a neighbor itself, not self) —
+    // the reach/influence metric recommendation pipelines precompute.
+    // Middle nodes cap at degree <= 50 (the g23 hub rule, part of the
+    // contract): a single hub would otherwise contribute deg^2 wedge
+    // rows, and the cap bounds the join at any scale. Direct neighbors
+    // drop via one anti join on the canonical edge key.
+    Query("g28_two_hop_reach",
+      """WITH pair AS (
+        |  SELECT DISTINCT a.l_suppkey AS x, b.l_suppkey AS y
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+        |e AS (
+        |  SELECT x, y FROM pair
+        |  WHERE substring(md5(CAST(x AS VARCHAR) || '_' || CAST(y AS VARCHAR) || 'g28'), 1, 1) = '0'),
+        |adj AS (SELECT x AS u, y AS v FROM e UNION ALL SELECT y, x FROM e),
+        |deg AS (SELECT u, count(*) AS dg FROM adj GROUP BY 1),
+        |mid AS (SELECT adj.u, adj.v FROM adj JOIN deg ON adj.v = deg.u
+        |        WHERE deg.dg <= 50),
+        |hop2 AS (
+        |  SELECT DISTINCT m.u, a.v AS w
+        |  FROM mid m JOIN adj a ON m.v = a.u
+        |  WHERE a.v <> m.u),
+        |pure AS (
+        |  SELECT u, w FROM hop2
+        |  WHERE NOT EXISTS (SELECT 1 FROM e
+        |                    WHERE e.x = least(u, w) AND e.y = greatest(u, w)))
+        |SELECT CAST(deg.u AS BIGINT) AS node, CAST(dg AS BIGINT) AS deg,
+        |       CAST(coalesce(n2, 0) AS BIGINT) AS two_hop
+        |FROM deg LEFT JOIN (SELECT u, count(*) AS n2 FROM pure GROUP BY 1) p
+        |  ON deg.u = p.u""".stripMargin) {
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        val pair = li.toDF("ok", "x")
+          .join(li.toDF("ok2", "y"), col("ok") === col("ok2") && col("x") < col("y"))
+          .select("x", "y").distinct()
+        val e = pair.filter(substring(
+          md5(concat(col("x").cast("string"), lit("_"), col("y").cast("string"), lit("g28"))),
+          1, 1) === "0").localCheckpoint() // adjacency x2 + the anti join share it
+        val adj = e.select(col("x").as("u"), col("y").as("v"))
+          .unionAll(e.select(col("y").as("u"), col("x").as("v")))
+          .localCheckpoint() // degree, middle filter, and second hop share it
+        val deg = adj.groupBy("u").agg(count(lit(1)).as("dg"))
+        val mid = adj.join(deg.toDF("vd", "dg2"), col("v") === col("vd"))
+          .filter(col("dg2") <= 50).select("u", "v")
+        val hop2 = mid.join(adj.toDF("v2", "w"), col("v") === col("v2"))
+          .filter(col("w") =!= col("u"))
+          .select("u", "w").distinct()
+        val pure = hop2.join(
+          e.select(least(col("x"), col("y")).as("cu"),
+            greatest(col("x"), col("y")).as("cw")),
+          least(col("u"), col("w")) === col("cu") &&
+            greatest(col("u"), col("w")) === col("cw"), "left_anti")
+        deg.join(pure.groupBy("u").agg(count(lit(1)).as("n2")).toDF("pu", "n2"),
+            col("u") === col("pu"), "left")
+          .select(col("u").cast("long").as("node"), col("dg").cast("long").as("deg"),
+            coalesce(col("n2"), lit(0L)).cast("long").as("two_hop"))
+      }
+    },
+
     // ---- A49: trimmed + winsorized means -----------------------------------------
     // Robust location estimators for the anomaly battery: per segment,
     // the 5%-trimmed mean (drop k = floor(0.05 n) from each tail) and

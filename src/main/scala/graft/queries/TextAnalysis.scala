@@ -1701,6 +1701,74 @@ object TextAnalysis {
       }
     },
 
+    // ---- T55: per-doc cross-entropy under the KN bigram LM -------------------------
+    // t34 scores docs under a unigram LM; this scores them under t49's
+    // Kneser-Ney BIGRAM model — the stronger fluency signal a quality
+    // pipeline actually wants. The LM table (c >= 5 bigrams) is
+    // vocab²-bounded and joins broadcast-sized; per-bigram -ln p rounds
+    // to 6 dp DECIMAL so per-doc sums are order-independent (the t18
+    // discipline). OOV bigrams are skipped; docs with no scored bigram
+    // emit nothing (their fluency is undefined under this LM).
+    Query("t55_kn_doc_xent",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |big AS MATERIALIZED (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS s
+        |  FROM toks WHERE len(t) >= 2),
+        |bc AS MATERIALIZED (
+        |  SELECT split_part(s, ' ', 1) AS w1, split_part(s, ' ', 2) AS w2,
+        |         count(*) AS c
+        |  FROM big GROUP BY 1, 2),
+        |w1s AS (SELECT w1, sum(c) AS cw1, count(*) AS n1fwd FROM bc GROUP BY 1),
+        |w2s AS (SELECT w2, count(*) AS n1back FROM bc GROUP BY 1),
+        |tot AS (SELECT count(*) AS nbt FROM bc),
+        |lm AS (
+        |  SELECT w1, w2,
+        |         CAST(round(-ln(round(
+        |           greatest(CAST(c AS DOUBLE) - 0.75, 0.0) / CAST(cw1 AS DOUBLE)
+        |           + 0.75 * CAST(n1fwd AS DOUBLE) / CAST(cw1 AS DOUBLE)
+        |             * (CAST(n1back AS DOUBLE) / CAST(nbt AS DOUBLE)), 6)), 6)
+        |              AS DECIMAL(18,6)) AS nll
+        |  FROM bc JOIN w1s USING (w1) JOIN w2s USING (w2), tot
+        |  WHERE c >= 5)
+        |SELECT doc_id, count(*) AS n_scored,
+        |       round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS kn_xent
+        |FROM big JOIN lm ON split_part(big.s, ' ', 1) = lm.w1
+        |                AND split_part(big.s, ' ', 2) = lm.w2
+        |GROUP BY 1""".stripMargin) {
+      (s, d) => {
+        val t = tokens(col("text"))
+        val big = Tables.documents(s, d)
+          .select(col("doc_id"), explode(bind1(t) { tt =>
+            when(size(tt) >= 2, transform(sequence(lit(0), size(tt) - 2),
+              (i: org.apache.spark.sql.Column) => struct(
+                element_at(tt, i + 1).as("w1"), element_at(tt, i + 2).as("w2"))))
+              .otherwise(array())
+          }).as("bg"))
+          .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+          .localCheckpoint() // the LM aggregates + the scoring join share it
+        val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val w1s = bc.groupBy("w1").agg(sum("c").as("cw1"), count(lit(1)).as("n1fwd"))
+        val w2s = bc.groupBy("w2").agg(count(lit(1)).as("n1back"))
+        val tot = bc.agg(count(lit(1)).as("nbt"))
+        val lm = bc.filter(col("c") >= 5)
+          .join(w1s, "w1").join(w2s, "w2").crossJoin(broadcast(tot))
+          .select(col("w1"), col("w2"),
+            round(-log(round(
+              greatest(col("c").cast("double") - lit(0.75), lit(0.0))
+                / col("cw1").cast("double")
+              + lit(0.75) * col("n1fwd").cast("double") / col("cw1").cast("double")
+                * (col("n1back").cast("double") / col("nbt").cast("double")), 6)), 6)
+              .cast("decimal(18,6)").as("nll"))
+        big.join(broadcast(lm), Seq("w1", "w2"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_scored"), sum("nll").as("snll"))
+          .select(col("doc_id"), col("n_scored"),
+            round(col("snll").cast("double") / col("n_scored"), 6).as("kn_xent"))
+      }
+    },
+
     // ---- T54: language-ID confusion matrix --------------------------------------
     // The evaluation table for t03's classifier against the stored lang
     // labels: per (true, predicted) cell, count and within-true-language
