@@ -2603,9 +2603,12 @@ object Analytics {
               col("b").cast("string"), lit("#"), col("i").cast("string"))),
               1, 8), 16, 10).cast("long") % col("n")).as("idx"))
         val rep = draws
-          // r is O(rows) but NARROW (seg, index, cents = ~25 B/row):
-          // broadcast it so the B x N draw side never shuffles
-          .join(broadcast(r.select(col("seg").as("s2"), col("i").as("i2"), col("xc"))),
+          // r is narrow (seg, index, cents = ~25 B/row) and
+          // localCheckpointed, so AQE sees its TRUE size: below the 64 MB
+          // threshold it broadcasts (gate/bench scale), beyond it the
+          // shuffle join wins — the 100x smoke measured a FORCED
+          // broadcast shipping a 375 MB build side, so no hint here
+          .join(r.select(col("seg").as("s2"), col("i").as("i2"), col("xc")),
             col("seg") === col("s2") && col("idx") === col("i2"))
           .groupBy("seg", "b", "n").agg(sum("xc").cast("long").as("s"))
         val rk = rep.select(col("seg"), col("b"),
