@@ -1002,6 +1002,59 @@ object StreamingQueries {
       }
     },
 
+    // ---- ST20: streaming MACD (w42's st-twin) -------------------------------
+    // The momentum monitor served live: per-user state is THREE doubles
+    // (fast, slow, signal) whatever the event volume; batches fold in
+    // event order with w42's identical operation order, so the stream
+    // hash-matches the offline recursive-CTE replay bit-for-bit — the
+    // 20th streaming shape, and the 5th stateful float recurrence
+    // (Holt, CUSUM, Kalman, quantiles, MACD) under the same
+    // batch<->stream equivalence discipline.
+    Query("st20_stream_macd",
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |scan AS (
+        |  SELECT user_id, rn, event_id, x AS fast, x AS slow,
+        |         CAST(0 AS DOUBLE) AS macd, CAST(0 AS DOUBLE) AS sig
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, e.event_id,
+        |         0.5 * e.x + 0.5 * s.fast,
+        |         0.125 * e.x + 0.875 * s.slow,
+        |         (0.5 * e.x + 0.5 * s.fast) - (0.125 * e.x + 0.875 * s.slow),
+        |         0.25 * ((0.5 * e.x + 0.5 * s.fast)
+        |                 - (0.125 * e.x + 0.875 * s.slow)) + 0.75 * s.sig
+        |  FROM ev e JOIN scan s ON e.user_id = s.user_id AND e.rn = s.rn + 1)
+        |SELECT user_id, event_id, macd, sig
+        |FROM scan""".stripMargin) {
+      (s, d) => {
+        val dir = graft.core.TempDirs.scratch("st20_landing")
+        java.nio.file.Files.createSymbolicLink(
+          dir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        import ss.implicits._
+        val raw = ss.read.parquet(s"$d/events.parquet")
+        val src = Streams.fileSource(ss, dir.toString, raw.schema)
+          .select(col("user_id").cast("long").as("userId"),
+            col("event_id").cast("long").as("eventId"),
+            Tables.tsMicros(raw.schema).as("tsMicros"),
+            col("value").cast("double").as("value"))
+          .as[Streams.ValueEvent]
+        val out = Streams.macdStream(src, aFast = 0.5, aSlow = 0.125, aSig = 0.25)
+        val sink = "st20_macd_" + System.nanoTime()
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        ss.table(sink)
+          .select(col("userId").as("user_id"), col("eventId").as("event_id"),
+            col("macd"), col("sig"))
+      }
+    },
+
     // ---- ST19: streaming quantile monitor (mergeable histogram state) ------
     // a23's sort-free histogram quantiles served live: the stream
     // maintains per-type 10-bucket counts (a complete-mode aggregate —

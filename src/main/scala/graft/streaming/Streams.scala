@@ -168,6 +168,49 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, timeout)(update)
   }
 
+  final case class MacdState(fast: Double, slow: Double, sig: Double)
+  final case class MacdOut(userId: Long, eventId: Long, macd: Double,
+                           sig: Double)
+
+  /** Streaming MACD: the st-twin of w42's batch recurrence
+    * (Sessionize.macd), served incrementally — three doubles of state
+    * per key, batches fold in event order with the IDENTICAL operation
+    * order, so the stream's output hash-matches the batch
+    * recursive-CTE oracle bit-for-bit (the st13/st14/st17 recurrence
+    * discipline).
+    */
+  def macdStream(events: Dataset[ValueEvent], aFast: Double, aSlow: Double,
+                 aSig: Double,
+                 stateTtl: Option[String] = None): Dataset[MacdOut] = {
+    import events.sparkSession.implicits._
+    def update(userId: Long, it: Iterator[ValueEvent],
+               state: GroupState[MacdState]): Iterator[MacdOut] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        var st = state.getOption
+        val out = it.toSeq.sortBy(e => (e.tsMicros, e.eventId)).map { e =>
+          val (f, s, m, g) = st match {
+            case None => (e.value, e.value, 0.0, 0.0)
+            case Some(MacdState(f0, s0, g0)) =>
+              val f1 = aFast * e.value + (1 - aFast) * f0
+              val s1 = aSlow * e.value + (1 - aSlow) * s0
+              val m1 = f1 - s1
+              (f1, s1, m1, aSig * m1 + (1 - aSig) * g0)
+          }
+          st = Some(MacdState(f, s, g))
+          MacdOut(userId, e.eventId, m, g)
+        }
+        st.foreach(state.update)
+        stateTtl.foreach(state.setTimeoutDuration)
+        out.iterator
+      }
+    }
+    val timeout = if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+                  else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(update)
+  }
+
   final case class CusumState(ref: Double, sp: Double, sn: Double)
   final case class CusumOut(userId: Long, eventId: Long, sPos: Double,
                             sNeg: Double, alarm: Boolean)
