@@ -381,6 +381,41 @@ object GeoQueries {
       }
     },
 
+    // ---- J27: absence-of-follow-up join ----------------------------------------
+    // The NEGATIVE temporal join monitoring pipelines need constantly:
+    // purchases with NO error event for the same user within the next
+    // hour. Existence probes replicate the PROBE side (errors) into the
+    // two hour buckets a window can span (the j19 trick — an interval
+    // predicate becomes an equi-join on (user, bucket), never a range
+    // nested loop), candidates range-check exactly, and the absence set
+    // is one anti join on matched keys. At 100 TB both sides shuffle
+    // once on (user, bucket); nothing is quadratic in either stream.
+    Query("j27_absence_join",
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS us
+        |FROM events p
+        |WHERE p.event_type = 'purchase' AND NOT EXISTS (
+        |  SELECT 1 FROM events e
+        |  WHERE e.event_type = 'error' AND e.user_id = p.user_id
+        |    AND epoch_us(e.ts) > epoch_us(p.ts)
+        |    AND epoch_us(e.ts) <= epoch_us(p.ts) + 3600000000)""".stripMargin) {
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr("unix_micros(ts)").as("us"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .withColumn("bkt", expr("us div 3600000000"))
+        val e = ev.filter(col("event_type") === "error")
+          .select(col("user_id").as("eu"), col("us").as("eus"))
+          .withColumn("bkt", explode(array(
+            expr("eus div 3600000000"), expr("eus div 3600000000") - 1)))
+        p.join(e,
+            col("user_id") === col("eu") && p("bkt") === e("bkt") &&
+              col("eus") > col("us") && col("eus") <= col("us") + 3600000000L,
+            "left_anti")
+          .select("event_id", "user_id", "us")
+      }
+    },
+
     // ---- J26: geofence dwell sessions ----------------------------------------
     // The geo x temporal composite a field-operations pipeline runs
     // daily: each user's position drifts hourly on the deterministic
