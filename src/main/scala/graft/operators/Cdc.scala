@@ -80,4 +80,33 @@ object Cdc {
           .otherwise("changed"))
       .drop("_in_old", "_in_new")
   }
+
+  /** Per-key append-only ledger hash chain: h_1 = md5("g:" + p_1),
+    * h_i = md5(h_(i-1) + ":" + p_i) over the key's rows in
+    * (orderCols) order — the tamper-evidence primitive for audit
+    * ledgers (any insert, delete, reorder, or edit anywhere in a key's
+    * history changes its chain head). A TRUE recurrence (each hash
+    * consumes the previous), so it rides the secondary-sort scan with
+    * one 32-char string of state per key; the oracle replays it as a
+    * recursive CTE with DuckDB's md5. Adds a `chain` column per row;
+    * callers usually keep only the head (max by order).
+    */
+  def hashChain(df: DataFrame, keyCol: String, orderCols: Seq[String],
+                payloadCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    Sessionize.scanPerKey[String](df, Seq(keyCol), orderCols,
+      StructType(Seq(StructField("chain", StringType, nullable = false)))) {
+      case (None, row) =>
+        val h = md5hex("g:" + String.valueOf(row.get(pIdx)))
+        (h, Seq(h))
+      case (Some(prev), row) =>
+        val h = md5hex(prev + ":" + String.valueOf(row.get(pIdx)))
+        (h, Seq(h))
+    }
+  }
 }

@@ -2250,6 +2250,125 @@ object Analytics {
       }
     },
 
+    // ---- A50: Wald-Wolfowitz runs test ------------------------------------------
+    // Is each type's daily series RANDOM around its median, or does it
+    // cluster/trend? Signs come from the exact micro-unit median (two-
+    // middle-rows trick, ties at the median drop — the standard rule),
+    // the run count is a boundary-flag sum over one partitioned window,
+    // and the normal approximation z = (R - mu)/sigma is a fixed-order
+    // double epilogue on exact integer (R, n1, n2).
+    Query("a50_runs_test",
+      """WITH d AS (
+        |  SELECT event_type,
+        |         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |         CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |                    * 1000000.0 + 0.5) AS BIGINT) AS q
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, day, q,
+        |             row_number() OVER (PARTITION BY event_type ORDER BY q, day) AS rn,
+        |             count(*) OVER (PARTITION BY event_type) AS m
+        |      FROM d),
+        |med AS (SELECT event_type, CAST(sum(q) * 2 // count(*) AS BIGINT) AS med2
+        |        FROM r WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2 GROUP BY 1),
+        |sg AS (SELECT d.event_type, day,
+        |              CASE WHEN 2 * q > med2 THEN 1 ELSE 0 END AS s
+        |       FROM d JOIN med ON d.event_type = med.event_type
+        |       WHERE 2 * q <> med2),
+        |runs AS (
+        |  SELECT event_type,
+        |         CAST(sum(CASE WHEN prev IS NULL OR prev <> s THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS r,
+        |         CAST(sum(s) AS BIGINT) AS n1,
+        |         CAST(sum(1 - s) AS BIGINT) AS n2
+        |  FROM (SELECT event_type, s,
+        |               lag(s) OVER (PARTITION BY event_type ORDER BY day) AS prev
+        |        FROM sg)
+        |  GROUP BY 1),
+        |z AS (SELECT event_type, r, n1, n2,
+        |             2.0 * n1 * n2 / (n1 + n2) + 1.0 AS mu
+        |      FROM runs WHERE n1 > 0 AND n2 > 0 AND n1 + n2 > 1)
+        |SELECT event_type, r AS n_runs, n1, n2,
+        |       (r - mu) / sqrt((mu - 1.0) * (mu - 2.0) / (n1 + n2 - 1.0)) AS z
+        |FROM z""".stripMargin) {
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+          .agg(floor(sum(col("value").cast("decimal(18,4)")).cast("double")
+            * lit(1000000.0) + lit(0.5)).cast("long").as("q"))
+          .localCheckpoint() // median ranks + the sign pass share it
+        val wr = Window.partitionBy("event_type").orderBy("q", "day")
+        val r = daily.withColumn("rn", row_number().over(wr))
+          .withColumn("m", count(lit(1)).over(Window.partitionBy("event_type")))
+        val med = r.filter(col("rn") === floor((col("m") + 1) / 2)
+            || col("rn") === floor((col("m") + 2) / 2))
+          .groupBy("event_type").agg(expr("(sum(q) * 2) div count(*)").as("med2"))
+        val sg = daily.join(broadcast(med), "event_type")
+          .filter(lit(2) * col("q") =!= col("med2"))
+          .select(col("event_type"), col("day"),
+            when(lit(2) * col("q") > col("med2"), 1).otherwise(0).as("s"))
+        val wd = Window.partitionBy("event_type").orderBy("day")
+        val runs = sg.withColumn("prev", lag("s", 1).over(wd))
+          .groupBy("event_type")
+          .agg(sum(when(col("prev").isNull || col("prev") =!= col("s"), 1)
+              .otherwise(0)).cast("long").as("r"),
+            sum("s").cast("long").as("n1"),
+            sum(lit(1) - col("s")).cast("long").as("n2"))
+        val mu = lit(2.0) * col("n1") * col("n2") / (col("n1") + col("n2")) + lit(1.0)
+        runs.filter(col("n1") > 0 && col("n2") > 0 && col("n1") + col("n2") > 1)
+          .withColumn("mu", mu)
+          .select(col("event_type"), col("r").as("n_runs"), col("n1"), col("n2"),
+            ((col("r") - col("mu")) / sqrt((col("mu") - lit(1.0))
+              * (col("mu") - lit(2.0)) / (col("n1") + col("n2") - lit(1.0))))
+              .as("z"))
+      }
+    },
+
+    // ---- W43: peak detection (local maxima above a trailing baseline) -------------
+    // Alert-worthy spikes: a day is a peak when it beats both neighbors
+    // AND exceeds 1.2x the trailing-7-day mean — and the 1.2x test runs
+    // in EXACT integers (35*q > 6*s7 <=> q > 1.2*s7/7), so no float
+    // boundary anywhere. One window pass yields neighbors, the trailing
+    // sum, and its count (full-window rows only).
+    Query("w43_peak_detection",
+      """WITH d AS (
+        |  SELECT event_type,
+        |         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |         CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |                    * 1000000.0 + 0.5) AS BIGINT) AS q
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, day, q,
+        |             lag(q, 1) OVER w AS prev, lead(q, 1) OVER w AS nxt,
+        |             sum(q) OVER (PARTITION BY event_type ORDER BY day
+        |                          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS s7,
+        |             count(*) OVER (PARTITION BY event_type ORDER BY day
+        |                            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS c7
+        |      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        |SELECT event_type, CAST(day AS BIGINT) AS day,
+        |       CAST(q AS DOUBLE) / 1000000.0 AS value
+        |FROM l
+        |WHERE prev IS NOT NULL AND nxt IS NOT NULL AND c7 = 7
+        |  AND q > prev AND q > nxt AND 35 * q > 6 * s7""".stripMargin) {
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+          .agg(floor(sum(col("value").cast("decimal(18,4)")).cast("double")
+            * lit(1000000.0) + lit(0.5)).cast("long").as("q"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        val wt = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-7, -1)
+        daily.select(col("event_type"), col("day"), col("q"),
+            lag("q", 1).over(w).as("prev"), lead("q", 1).over(w).as("nxt"),
+            sum("q").over(wt).as("s7"), count(lit(1)).over(wt).as("c7"))
+          .filter(col("prev").isNotNull && col("nxt").isNotNull && col("c7") === 7
+            && col("q") > col("prev") && col("q") > col("nxt")
+            && lit(35) * col("q") > lit(6) * col("s7"))
+          .select(col("event_type"), col("day").cast("long").as("day"),
+            (col("q").cast("double") / lit(1000000.0)).as("value"))
+      }
+    },
+
     // ---- W42: MACD momentum monitor -----------------------------------------------
     // Fast/slow EWMA crossover with a signal line — THREE coupled
     // recurrences (fast, slow, signal-of-macd) served by ONE

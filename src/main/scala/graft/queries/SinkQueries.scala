@@ -140,6 +140,37 @@ object SinkQueries {
     },
 
     // ---- S6/S7: partitioned history write + pruned read ---------------------
+    // ---- IO20: append-only ledger hash chain -------------------------------------
+    // Tamper evidence for per-user event ledgers: each user's chain
+    // head commits to every event id IN ORDER (Cdc.hashChain — a true
+    // md5 recurrence on the secondary-sort scan, 32 chars of state per
+    // key). Any insert, delete, reorder, or edit anywhere in a user's
+    // history changes the head; io19 hashes a SET per partition, this
+    // hashes a SEQUENCE per key. Oracle replays the chain as a
+    // recursive CTE (md5 is the cross-engine hash).
+    Query("io20_hash_chain",
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |scan AS (
+        |  SELECT user_id, rn, md5('g:' || CAST(event_id AS VARCHAR)) AS h
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, md5(s.h || ':' || CAST(e.event_id AS VARCHAR))
+        |  FROM ev e JOIN scan s ON e.user_id = s.user_id AND e.rn = s.rn + 1)
+        |SELECT s.user_id, CAST(s.rn AS BIGINT) AS n_events, s.h AS chain_md5
+        |FROM scan s JOIN (SELECT user_id, max(rn) AS mr FROM scan GROUP BY 1) t
+        |  ON s.user_id = t.user_id AND s.rn = t.mr""".stripMargin) { (s, d) =>
+      graft.operators.Cdc.hashChain(
+          Tables.events(s, d).select(col("user_id"), col("event_id"), col("ts"),
+            col("event_id").cast("string").as("payload")),
+          "user_id", Seq("ts", "event_id"), "payload")
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          max_by(col("chain"), struct(col("ts"), col("event_id"))).as("chain_md5"))
+    },
+
     // ---- IO19: partition content-hash audit ------------------------------------
     // The release-manifest check a publishing pipeline signs: write the
     // table partitioned, read it BACK, and per partition emit row count
