@@ -2250,6 +2250,55 @@ object Analytics {
       }
     },
 
+    // ---- W44: RFM scoring ------------------------------------------------------
+    // The mart every growth team builds: per user, recency (days since
+    // last purchase vs the corpus max day), frequency, and monetary
+    // (decimal-exact cents), each quintiled by ntile with the user id
+    // tiebreak so bucket boundaries are deterministic, concatenated
+    // into the RFM segment code. The ntile windows run over the USER
+    // table (one row per user — already aggregated), so the global
+    // window is user-cardinality-sized, not event-sized.
+    Query("w44_rfm_scores",
+      """WITH p AS (
+        |  SELECT user_id,
+        |         max(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS last_day,
+        |         count(*) AS f,
+        |         sum(CAST(round(value * 100) AS BIGINT)) AS m_cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |mx AS (SELECT max(last_day) AS maxd FROM p),
+        |u AS (SELECT user_id, maxd - last_day AS r_days, f, m_cents FROM p, mx),
+        |sc AS (SELECT user_id, r_days, f, m_cents,
+        |              ntile(5) OVER (ORDER BY r_days, user_id) AS rs,
+        |              ntile(5) OVER (ORDER BY f DESC, user_id) AS fs,
+        |              ntile(5) OVER (ORDER BY m_cents DESC, user_id) AS ms
+        |       FROM u)
+        |SELECT user_id, CAST(r_days AS BIGINT) AS r_days, CAST(f AS BIGINT) AS f,
+        |       CAST(m_cents AS BIGINT) AS m_cents,
+        |       CAST(rs AS VARCHAR) || CAST(fs AS VARCHAR) || CAST(ms AS VARCHAR)
+        |         AS rfm
+        |FROM sc""".stripMargin) {
+      (s, d) => {
+        val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(max(datediff(to_date(col("ts")), lit("1970-01-01")).cast("long"))
+              .as("last_day"),
+            count(lit(1)).as("f"),
+            sum(round(col("value") * 100).cast("long")).as("m_cents"))
+        val mx = p.agg(max("last_day").as("maxd"))
+        val u = p.crossJoin(broadcast(mx))
+          .select(col("user_id"), (col("maxd") - col("last_day")).as("r_days"),
+            col("f"), col("m_cents"))
+        val sc = u
+          .withColumn("rs", ntile(5).over(Window.orderBy(col("r_days"), col("user_id"))))
+          .withColumn("fs", ntile(5).over(Window.orderBy(col("f").desc, col("user_id"))))
+          .withColumn("ms", ntile(5).over(Window.orderBy(col("m_cents").desc, col("user_id"))))
+        sc.select(col("user_id"), col("r_days").cast("long").as("r_days"),
+          col("f").cast("long").as("f"), col("m_cents").cast("long").as("m_cents"),
+          concat(col("rs").cast("string"), col("fs").cast("string"),
+            col("ms").cast("string")).as("rfm"))
+      }
+    },
+
     // ---- A50: Wald-Wolfowitz runs test ------------------------------------------
     // Is each type's daily series RANDOM around its median, or does it
     // cluster/trend? Signs come from the exact micro-unit median (two-

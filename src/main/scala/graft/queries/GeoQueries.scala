@@ -381,6 +381,55 @@ object GeoQueries {
       }
     },
 
+    // ---- J28: fuzzy duplicate transactions (2D blocked self-join) ----------------
+    // Duplicate-payment detection: two purchases by the same user,
+    // within 10 minutes, amounts within 1% — BOTH tolerance dimensions
+    // blocked (time buckets replicate one side x2; the user key comes
+    // free), so the self-join is an equi join on (user, bucket) and the
+    // exact range/percent tests run on candidates only. The 1% test is
+    // exact integers: 100*|ca - cb| <= ca on cents. Nothing quadratic
+    // in the stream at any scale; pairs dedup on the canonical id pair.
+    Query("j28_fuzzy_dupes",
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us,
+        |         CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'purchase'),
+        |cand AS (
+        |  SELECT DISTINCT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+        |         b.us - a.us AS gap_us, abs(a.c - b.c) AS diff_cents, a.c AS ca
+        |  FROM p a JOIN p b
+        |    ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |   AND b.us // 600000000 IN (a.us // 600000000 - 1, a.us // 600000000,
+        |                              a.us // 600000000 + 1)
+        |   AND abs(b.us - a.us) <= 600000000)
+        |SELECT user_id, id_a, id_b, CAST(gap_us AS BIGINT) AS gap_us,
+        |       CAST(diff_cents AS BIGINT) AS diff_cents
+        |FROM cand WHERE 100 * diff_cents <= ca""".stripMargin) {
+      (s, d) => {
+        val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            expr("unix_micros(ts)").as("us"),
+            round(col("value") * 100).cast("long").as("c"))
+          .localCheckpoint() // both self-join legs share the scan
+        val a = p.toDF("id_a", "user_id", "us_a", "ca")
+          .withColumn("bkt", explode(array(expr("us_a div 600000000") - 1,
+            expr("us_a div 600000000"), expr("us_a div 600000000") + 1)))
+        val b = p.toDF("id_b", "ub", "us_b", "cb")
+          .withColumn("bkt", expr("us_b div 600000000"))
+        a.join(b, col("user_id") === col("ub") && a("bkt") === b("bkt") &&
+            col("id_a") < col("id_b") &&
+            abs(col("us_b") - col("us_a")) <= 600000000L)
+          .select(col("user_id"), col("id_a"), col("id_b"),
+            (col("us_b") - col("us_a")).as("gap_us"),
+            abs(col("ca") - col("cb")).as("diff_cents"), col("ca"))
+          .distinct()
+          .filter(lit(100) * col("diff_cents") <= col("ca"))
+          .select(col("user_id"), col("id_a"), col("id_b"),
+            col("gap_us").cast("long").as("gap_us"),
+            col("diff_cents").cast("long").as("diff_cents"))
+      }
+    },
+
     // ---- J27: absence-of-follow-up join ----------------------------------------
     // The NEGATIVE temporal join monitoring pipelines need constantly:
     // purchases with NO error event for the same user within the next

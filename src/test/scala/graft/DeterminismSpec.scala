@@ -24,9 +24,12 @@ class DeterminismSpec extends SparkSpec {
   // g25: the sf0.001 sparsified graph's degree sequence has zero
   // variance (every endpoint degree 1), so assortativity is undefined
   // and the row emits nothing by contract.
+  // j28: same-user purchases within 10 min AND 1% amount are a rare
+  // coincidence by construction — none exist in the 600-event smoke
+  // slice (1 pair at sf0.01).
   private val emptyOkAtSmoke =
     Set("a13_group_all_match", "w26_rolling_zscore", "w31_rolling_zscore_range",
-      "g19_kcore", "g23_link_predict", "g25_assortativity")
+      "g19_kcore", "g23_link_predict", "g25_assortativity", "j28_fuzzy_dupes")
 
   test("registry queries are invariant to shuffle partitioning") {
     val d = "/root/testdata/sf0.001"
