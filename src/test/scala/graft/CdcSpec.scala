@@ -67,4 +67,38 @@ class CdcSpec extends SparkSpec {
       Cdc.snapshotDiff(v1, df("SELECT 1 AS k, 'x' AS other"), Seq("k"))
     }
   }
+
+  test("hashChain: heads are order-sensitive tamper evidence") {
+    import org.apache.spark.sql.functions._
+    val d = df(
+      """SELECT * FROM VALUES
+        |  (1L, 1L, 'p1'), (1L, 2L, 'p2'), (1L, 3L, 'p3'),
+        |  (2L, 1L, 'p1'), (2L, 2L, 'p2'), (2L, 3L, 'p3')
+        |t(k, ord, p)""".stripMargin)
+    def heads(data: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      Cdc.hashChain(data, "k", Seq("ord"), "p")
+        .groupBy("k").agg(max_by(col("chain"), col("ord")).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val h0 = heads(d)
+    // identical histories chain to identical heads
+    assert(h0(1L) == h0(2L))
+    // the head equals a manual md5 fold of the same sequence
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(h0(1L) == md5(md5(md5("g:p1") + ":p2") + ":p3"))
+    // an EDIT anywhere changes the head
+    val edited = df(
+      """SELECT * FROM VALUES (1L, 1L, 'p1'), (1L, 2L, 'pX'), (1L, 3L, 'p3')
+        |t(k, ord, p)""".stripMargin)
+    assert(heads(edited)(1L) != h0(1L))
+    // a REORDER of the same payload multiset changes the head
+    val reordered = df(
+      """SELECT * FROM VALUES (1L, 1L, 'p2'), (1L, 2L, 'p1'), (1L, 3L, 'p3')
+        |t(k, ord, p)""".stripMargin)
+    assert(heads(reordered)(1L) != h0(1L))
+    // a DELETION changes the head
+    val truncated = df(
+      """SELECT * FROM VALUES (1L, 1L, 'p1'), (1L, 2L, 'p2') t(k, ord, p)""")
+    assert(heads(truncated)(1L) != h0(1L))
+  }
 }
