@@ -46,15 +46,26 @@ object Bench {
     * min-across-runs protocol). Used to self-adjudicate: this sandbox is a
     * Firecracker microVM, so neighbor steal shows in NEITHER loadavg nor
     * /proc/stat deltas — a row over its ledger can only be adjudicated by
-    * re-measuring, never by a host-quietness stamp. */
-  private def ledger(): Map[String, Double] =
-    try {
-      val row = """^\|\s*([a-z][a-z0-9_]*)\s*\|\s*([0-9]+\.?[0-9]*)\s*\|""".r
-      readFile("BASELINE.md").linesIterator.flatMap {
-        case row(name, sec) => Some(name -> sec.toDouble)
-        case _ => None
-      }.toSeq.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
-    } catch { case _: Throwable => Map.empty }
+    * re-measuring, never by a host-quietness stamp.
+    *
+    * findFirstMatchIn, NOT a `case row(...)` pattern match: a Scala
+    * regex used as a match pattern demands a FULL-string match, which
+    * silently dropped every `| name | sec | note |` three-column row —
+    * 95 of BASELINE.md's rows, including every round-9/10 baseline —
+    * from the round-10 self-adjudication pass (VERDICT r10 item 1).
+    * The prefix match reads the name + FIRST numeric cell of any row
+    * shape, which is the ledger value in every table BASELINE.md has
+    * (extra cells are notes or derived ratios). */
+  private[graft] def parseLedger(md: String): Map[String, Double] = {
+    val row = """^\|\s*([a-z][a-z0-9_]*)\s*\|\s*([0-9]+\.?[0-9]*)\s*\|""".r
+    md.linesIterator.flatMap { l =>
+      row.findFirstMatchIn(l).map(m => m.group(1) -> m.group(2).toDouble)
+    }.toSeq.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+  }
+
+  private[graft] def ledger(): Map[String, Double] =
+    try parseLedger(readFile("BASELINE.md"))
+    catch { case _: Throwable => Map.empty }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -135,7 +146,11 @@ object Bench {
     // 2000-char capture window, so ALSO write the complete per-query map
     // (every row, name-sorted) to a file the judge can read directly —
     // the 2x-per-row rule is checkable on all rows, not just the top ~44.
-    val fullPath = "BENCH_full.json"
+    // SPARK_GRAFT_ONLY runs write to BENCH_partial.json instead: a
+    // single-row adjudication rerun must never clobber the committed
+    // full-run record (ADVICE r10 — round 10's closing st11 rerun did).
+    val fullPath =
+      if (only.isEmpty) "BENCH_full.json" else "BENCH_partial.json"
     val fullQs = results.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val loadEnd = loadAvg()

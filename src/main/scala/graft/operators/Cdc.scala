@@ -90,6 +90,15 @@ object Cdc {
     * one 32-char string of state per key; the oracle replays it as a
     * recursive CTE with DuckDB's md5. Adds a `chain` column per row;
     * callers usually keep only the head (max by order).
+    *
+    * The payload must be NON-NULL on every row: a SQL oracle's `||`
+    * concatenation propagates NULL and nullifies the whole chain, while
+    * any in-engine string encoding of NULL ("null", "", a sentinel)
+    * silently diverges from it — so instead of picking an encoding the
+    * operator rejects NULL payloads with a descriptive error. Callers
+    * with nullable payloads choose their own encoding explicitly
+    * (coalesce to a sentinel) BEFORE chaining, where the oracle can
+    * replay it.
     */
   def hashChain(df: DataFrame, keyCol: String, orderCols: Seq[String],
                 payloadCol: String): DataFrame = {
@@ -99,13 +108,20 @@ object Cdc {
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         .map("%02x".format(_)).mkString
+    def payload(row: org.apache.spark.sql.Row): String = {
+      require(!row.isNullAt(pIdx),
+        s"hashChain: NULL payload in '$payloadCol' — a null has no " +
+          "cross-engine hash encoding; coalesce to an explicit sentinel " +
+          "before chaining")
+      String.valueOf(row.get(pIdx))
+    }
     Sessionize.scanPerKey[String](df, Seq(keyCol), orderCols,
       StructType(Seq(StructField("chain", StringType, nullable = false)))) {
       case (None, row) =>
-        val h = md5hex("g:" + String.valueOf(row.get(pIdx)))
+        val h = md5hex("g:" + payload(row))
         (h, Seq(h))
       case (Some(prev), row) =>
-        val h = md5hex(prev + ":" + String.valueOf(row.get(pIdx)))
+        val h = md5hex(prev + ":" + payload(row))
         (h, Seq(h))
     }
   }

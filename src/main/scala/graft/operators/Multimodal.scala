@@ -244,17 +244,24 @@ object Multimodal {
     */
   def decodePixels(df: DataFrame, idCol: String,
                    payloadCol: String): DataFrame = {
+    // Validate at ANALYSIS time, not task runtime: a non-binary payload
+    // fails here with a readable message instead of a mid-job
+    // ClassCastException; any integral id widens via the explicit cast.
+    require(df.schema(payloadCol).dataType == BinaryType,
+      s"decodePixels: '$payloadCol' must be BINARY, got " +
+        df.schema(payloadCol).dataType.simpleString)
+    val in = df.select(col(idCol).cast("long").as("id"),
+      col(payloadCol).as("payload"))
     val outSchema = StructType(Seq(
       StructField("id", LongType), StructField("x", IntegerType),
       StructField("y", IntegerType), StructField("r", IntegerType),
       StructField("g", IntegerType), StructField("b", IntegerType)))
     implicit val enc: ExpressionEncoder[Row] =
       ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    val (idIdx, pIdx) = (df.schema.fieldIndex(idCol), df.schema.fieldIndex(payloadCol))
-    df.mapPartitions { it =>
+    in.mapPartitions { it =>
       it.flatMap { row =>
-        val id = row.getLong(idIdx)
-        val bytes = row.get(pIdx).asInstanceOf[Array[Byte]]
+        val id = row.getLong(0)
+        val bytes = row.getAs[Array[Byte]](1)
         decodePngSafe(bytes).iterator.flatMap { case (w, h, px) =>
           Iterator.range(0, h).flatMap { y =>
             Iterator.range(0, w).map { x =>

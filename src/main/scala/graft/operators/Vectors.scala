@@ -23,10 +23,18 @@ object Vectors {
     * — and oversized corpus buckets drop under `maxBucketSize` (the
     * documented recall valve; the oracle replays the same drop). Exact
     * cosine re-checks every candidate, so no false positives survive.
+    *
+    * `excludeSelf` (default true) drops candidate pairs whose ids are
+    * EQUAL — the self-match filter for the common case where `queries`
+    * is a slice of `corpus`. It therefore assumes the two sides share
+    * one id space: with DISJOINT id spaces a genuine match whose ids
+    * happen to coincide numerically would be dropped — pass
+    * `excludeSelf = false` there (self-rows cannot occur anyway).
     */
   def radiusSearchLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
                       vecCol: String, tables: Int, bits: Int, dims: Int,
-                      threshold: Double, maxBucketSize: Int = 0): DataFrame = {
+                      threshold: Double, maxBucketSize: Int = 0,
+                      excludeSelf: Boolean = true): DataFrame = {
     def prep(df: DataFrame, suffix: String) =
       df.select(col(idCol).as(s"__id$suffix"), col(vecCol).as(s"__v$suffix"),
         Similarity.l2norm(col(vecCol)).as(s"__n$suffix"))
@@ -47,8 +55,8 @@ object Vectors {
         raw.join(broadcast(big), Seq("t", "b"), "left_anti")
       }
     }
-    buckets(q, "q").join(cb, Seq("t", "b"))
-      .filter(col("__idq") =!= col("__idc"))
+    val paired = buckets(q, "q").join(cb, Seq("t", "b"))
+    (if (excludeSelf) paired.filter(col("__idq") =!= col("__idc")) else paired)
       .select("__idq", "__idc").distinct()
       .join(q, "__idq").join(c, "__idc")
       .withColumn("cos",
@@ -70,14 +78,18 @@ object Vectors {
     * a40 recipe). One dimension explode + one (label, dim) hash agg is
     * all the data-sized work.
     *
-    * `halfCol` must be 0/1; `dims` only documents intent (the explode
-    * takes each vector's own length).
+    * `halfCol` must be 0/1. Labels whose rows all fall in ONE half have
+    * no defined drift (a centroid over zero vectors); they are EXCLUDED
+    * from the output — the g25 convention of emitting nothing for an
+    * undefined statistic, not a null/NaN row. An oracle must replay the
+    * same n0 > 0 AND n1 > 0 filter.
     */
   def centroidDrift(df: DataFrame, labelCol: String, halfCol: String,
                     vecCol: String): DataFrame = {
     val counts = df.groupBy(col(labelCol).as("label"))
       .agg(sum(when(col(halfCol) === 0, 1L).otherwise(0L)).as("n0"),
         sum(when(col(halfCol) === 1, 1L).otherwise(0L)).as("n1"))
+      .filter(col("n0") > 0 && col("n1") > 0)
     val base = df.select(col(labelCol).as("label"), col(halfCol).as("half"),
         posexplode(col(vecCol)).as(Seq("dim", "v")))
       .select(col("label"), col("half"), col("dim"),

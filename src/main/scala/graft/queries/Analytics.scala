@@ -2763,8 +2763,11 @@ object Analytics {
         // the rank window leaves r hash-partitioned by seg — 5 live
         // partitions — and the 40x explode + 6M md5 draws would inherit
         // that parallelism; round-robin the narrow index rows first
-        // (150k x 25 B, the cheapest shuffle in the plan)
-        val draws = r.repartition(64).select(col("seg"), col("n"), col("i"),
+        // (150k x 25 B, the cheapest shuffle in the plan). 2x the
+        // cluster's core count, not a literal: the fan-out must track
+        // the executor fleet, not this sandbox's local[32]
+        val fanout = s.sparkContext.defaultParallelism * 2
+        val draws = r.repartition(fanout).select(col("seg"), col("n"), col("i"),
             explode(sequence(lit(0), lit(39))).as("b"))
           .select(col("seg"), col("n"), col("b"),
             (lit(1) + conv(substring(md5(concat(col("seg"), lit("#"),
@@ -2912,9 +2915,11 @@ object Analytics {
         // 2.5M-row spine, the join, both window passes — runs in a single
         // task (measured: 97 s). A bare repartition(col("s")) is removed as
         // redundant (same hash distribution as the agg); the EXPLICIT
-        // partition count pins the fan-out AQE cannot coalesce away.
+        // partition count pins the fan-out AQE cannot coalesce away —
+        // 2x core count so it scales with the executor fleet, not a
+        // local[32] literal.
         val spine = dly.groupBy("s").agg(min("day").as("mn"), max("day").as("mx"))
-          .repartition(64, col("s"))
+          .repartition(s.sparkContext.defaultParallelism * 2, col("s"))
           .select(col("s"), explode(sequence(col("mn"), col("mx"))).as("day"))
         val j = spine.join(dly.toDF("s2", "d2", "xc"),
           col("s") === col("s2") && col("day") === col("d2"), "left")

@@ -2149,7 +2149,9 @@ object SimilaritySearch {
         |  SELECT label,
         |         sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS n0,
         |         sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS n1
-        |  FROM embeddings GROUP BY 1),
+        |  FROM embeddings GROUP BY 1
+        |  HAVING sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) > 0
+        |     AND sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) > 0),
         |base AS (
         |  SELECT label, vec_id % 2 AS half, r.range - 1 AS dim,
         |         CAST(floor(CAST(embedding[r.range] AS DOUBLE) * 1000000.0 + 0.5)

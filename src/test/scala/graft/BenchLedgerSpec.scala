@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins Bench's self-adjudication ledger parse (VERDICT r10 item 1): the
+  * round-10 parser matched rows with a FULL-string regex pattern match,
+  * silently dropping all 95 three-column `| name | sec | note |` rows —
+  * every round-9/10 baseline — so driver-flagged rows like a45/g28/t46
+  * were never re-measured in-run. These tests pin (a) every row SHAPE
+  * BASELINE.md uses parses, and (b) the live ledger covers every
+  * registered query, so a new row without a recorded baseline (or a
+  * format drift that hides rows) fails the suite instead of silently
+  * shrinking the adjudicator's coverage.
+  */
+class BenchLedgerSpec extends AnyFunSuite {
+
+  test("parses two-column, note-column, and multi-numeric ledger rows") {
+    val md =
+      """|| plain_row | 1.50 |
+        || noted_row | 6.11 | two-level global rank + join-back |
+        || ratio_row | 1.69 | 1.37 | 0.81x | localCheckpoint fix landed |
+        || MixedCase | 9.99 |
+        || not_a_number | fast |
+        |prose mentioning | bars | 3.3 | inline
+        || min_rule | 4.00 |
+        || min_rule | 2.00 | later quiet mention governs |""".stripMargin
+    val led = Bench.parseLedger(md)
+    assert(led("plain_row") == 1.50)
+    assert(led("noted_row") == 6.11)          // the dropped shape
+    assert(led("ratio_row") == 1.69)          // first numeric cell governs
+    assert(!led.contains("mixedcase") && !led.contains("MixedCase"))
+    assert(!led.contains("not_a_number"))
+    assert(led("min_rule") == 2.00)           // min across mentions
+  }
+
+  test("live BASELINE.md ledger covers every registered query") {
+    val led = Bench.ledger()
+    // Guard the guard: an unreadable/renamed BASELINE.md must fail here,
+    // not silently disable self-adjudication.
+    assert(led.size > 300, s"ledger parsed only ${led.size} rows")
+    val missing = SparkEntry.queries.keySet.diff(led.keySet)
+    assert(missing.isEmpty,
+      s"queries with no BASELINE.md ledger row (record a first-green " +
+        s"baseline in the same commit that registers a row): " +
+        missing.toSeq.sorted.mkString(", "))
+  }
+}

@@ -101,4 +101,19 @@ class CdcSpec extends SparkSpec {
       """SELECT * FROM VALUES (1L, 1L, 'p1'), (1L, 2L, 'p2') t(k, ord, p)""")
     assert(heads(truncated)(1L) != h0(1L))
   }
+
+  test("hashChain rejects NULL payloads with a descriptive error") {
+    // a null payload has no cross-engine hash encoding (SQL '||'
+    // nullifies the chain; any in-engine sentinel silently diverges) —
+    // the operator must fail loudly, not pick one (ADVICE r10)
+    val d = df(
+      """SELECT * FROM VALUES (1L, 1L, 'p1'), (1L, 2L, CAST(NULL AS STRING))
+        |t(k, ord, p)""".stripMargin)
+    val e = intercept[Throwable] {
+      Cdc.hashChain(d, "k", Seq("ord"), "p").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("hashChain: NULL payload")), e)
+  }
 }

@@ -84,6 +84,21 @@ class MultimodalSpec extends SparkSpec {
     assert((p & 0xFF) == (7 * 13 + 4 * 1 + 2) % 256)
   }
 
+  test("decodePixels validates schema up front and widens integral ids") {
+    import org.apache.spark.sql.functions._
+    // non-binary payload: analysis-time require, not a task ClassCastException
+    val bad = df("SELECT 1 AS doc_id, 'not bytes' AS payload")
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decodePixels(bad, "doc_id", "payload")
+    }
+    assert(e.getMessage.contains("must be BINARY"), e.getMessage)
+    // an INT id decodes fine (cast up front, no getLong crash)
+    val png = Multimodal.encodePng(Multimodal.synthPixels(3L, 2, 2), 2, 2)
+    val ok = df("SELECT CAST(3 AS INT) AS doc_id")
+      .withColumn("payload", lit(png))
+    assert(Multimodal.decodePixels(ok, "doc_id", "payload").count() == 4L)
+  }
+
   test("boxResize floor-means each block") {
     // 2x2 -> 1x1: means (r,g,b) = floor of channel sums / 4
     val px = Array(0x010203, 0x050607, 0x090A0B, 0x0D0E0F)

@@ -52,4 +52,27 @@ class VectorsSpec extends SparkSpec {
     // self-matches are excluded
     assert(!out.exists { case (q, m, _) => q == m })
   }
+
+  test("radiusSearchLsh: excludeSelf=false keeps id-coincident cross-space matches") {
+    // disjoint id spaces that happen to collide numerically: corpus id 7
+    // IS a genuine match for query id 7 (ADVICE r10 — the default id
+    // filter would silently drop it)
+    val base = Seq.tabulate(64)(i => 1.0 + 0.01 * i)
+    val corpus = vecDf(Seq((7L, 0, 0, base)))
+    val queries = vecDf(Seq((7L, 0, 0, base)))
+    def run(excl: Boolean) = Vectors.radiusSearchLsh(corpus, queries,
+      "vec_id", "embedding", tables = 2, bits = 6, dims = 64,
+      threshold = 0.9, excludeSelf = excl).count()
+    assert(run(false) == 1L) // disjoint-space contract keeps the match
+    assert(run(true) == 0L)  // shared-space contract drops the self-row
+  }
+
+  test("centroidDrift: a label with rows in only one half emits nothing") {
+    val d = vecDf(Seq(
+      (1L, 0, 0, Seq(1.0, 0.0)), (2L, 0, 1, Seq(1.0, 0.0)),
+      (3L, 9, 0, Seq(0.5, 0.5)))) // label 9: all rows in half 0
+    val out = Vectors.centroidDrift(d, "label", "half", "embedding")
+      .collect().map(_.getAs[Int]("label")).toSet
+    assert(out == Set(0), s"got $out") // no null/NaN row for label 9
+  }
 }
