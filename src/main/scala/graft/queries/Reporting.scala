@@ -11,7 +11,128 @@ import graft.core.{Query, Tables}
   */
 object Reporting {
 
+  /** g29's 9 indicator slices — the full fan-out of the reference's
+    * se_and_pfu "S&E by Assignment" report
+    * (pipeline-reporting/R/safety-efficacy/se_and_pfu.Rmd:427-527),
+    * which preps safety_overall / in / in_absent / refusal / eos / out /
+    * out_absent / migrated / died off ONE merged safety table, binds
+    * the per-assignment target table across the visit list, pivots the
+    * metrics wide, and derives coverage percentages. One definition
+    * drives BOTH the engine aggregates and the DuckDB oracle SQL so the
+    * 18 metric columns can never drift between them.
+    * Condition strings are ANSI SQL that Spark's expr() and DuckDB parse
+    * identically (=, AND, boolean column refs). */
+  private val seIndicators: Seq[(String, String)] = Seq(
+    "overall"    -> "TRUE",
+    "in"         -> "status = 'in'",
+    "in_absent"  -> "status = 'in' AND reason = 'Absent'",
+    "refusal"    -> "is_refusal",
+    "eos"        -> "status = 'eos'",
+    "out"        -> "status = 'out'",
+    "out_absent" -> "status = 'out' AND reason = 'Absent'",
+    "migrated"   -> "reason = 'Migrated'",
+    "died"       -> "reason = 'Died'")
+
   val queries: Seq[Query] = Seq(
+
+    // ---- g29: se_and_pfu full metric fan-out --------------------------------
+    // Reference shape (se_and_pfu.Rmd:427-527): 9 prep_safety_tbl calls,
+    // each a FILTERED household/individual count by (visit, assignment),
+    // reduced, joined to target_safety_by_assignment, pivoted wide, with
+    // _perc coverage ratios. The reference caches the base table and
+    // scans it 9 times; Spark-first is ONE scan — a two-level aggregate
+    // (per-(visit, assignment, household) conditional counts, then
+    // per-cell sums) computes every ind_*/hh_* column without a
+    // count-distinct Expand, so the 9 slices cost one exchange pair.
+    // The target table (customer) is assignment-level, replicated across
+    // the data's visit list exactly like the reference's visit_list
+    // expansion, and broadcast — 28 cells at any scale.
+    Query("g29_se_fanout", {
+      val filt = seIndicators.map { case (n, c) =>
+        s"""    count(*) FILTER (WHERE $c) AS ind_$n,
+           |    count(DISTINCT hh) FILTER (WHERE $c) AS hh_$n""".stripMargin
+      }.mkString(",\n")
+      val outCols = seIndicators.map { case (n, _) => s"hh_$n, ind_$n" }
+        .mkString(",\n       ")
+      s"""WITH base AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS visit,
+        |         o_custkey % 4 AS assignment,
+        |         o_custkey AS hh,
+        |         CASE o_orderstatus WHEN 'O' THEN 'in' WHEN 'F' THEN 'out'
+        |              ELSE 'eos' END AS status,
+        |         CASE o_orderpriority WHEN '2-HIGH' THEN 'Absent'
+        |              WHEN '3-MEDIUM' THEN 'Migrated'
+        |              WHEN '5-LOW' THEN 'Died' END AS reason,
+        |         o_totalprice < 20000 AS is_refusal
+        |  FROM orders),
+        |m AS (
+        |  SELECT visit, assignment,
+        |$filt
+        |  FROM base GROUP BY 1, 2),
+        |t AS (
+        |  SELECT c_custkey % 4 AS assignment,
+        |         CAST(count(DISTINCT c_custkey) AS BIGINT) AS hh_target,
+        |         CAST(count(*) * 4 AS BIGINT) AS ind_target
+        |  FROM customer GROUP BY 1),
+        |v AS (SELECT DISTINCT visit FROM m)
+        |SELECT v.visit, t.assignment, t.hh_target, t.ind_target,
+        |       $outCols,
+        |       CAST(hh_overall AS DOUBLE) / hh_target AS hh_overall_perc,
+        |       CAST(ind_overall AS DOUBLE) / ind_target AS ind_overall_perc
+        |FROM v CROSS JOIN t
+        |LEFT JOIN m ON m.visit = v.visit AND m.assignment = t.assignment""".stripMargin
+    }) {
+      (s, d) => {
+        val base = Tables.orders(s, d).select(
+          year(col("o_orderdate")).cast("long").as("visit"),
+          (col("o_custkey") % 4).as("assignment"),
+          col("o_custkey").as("hh"),
+          when(col("o_orderstatus") === "O", "in")
+            .when(col("o_orderstatus") === "F", "out")
+            .otherwise("eos").as("status"),
+          when(col("o_orderpriority") === "2-HIGH", "Absent")
+            .when(col("o_orderpriority") === "3-MEDIUM", "Migrated")
+            .when(col("o_orderpriority") === "5-LOW", "Died").as("reason"),
+          (col("o_totalprice") < 20000).as("is_refusal"))
+        val conds = seIndicators.map { case (n, c) => n -> expr(c) }
+        // level 1: per-household conditional counts + presence flags —
+        // the distinct-count-without-Expand form (9 countDistincts in
+        // one agg would Expand the scan 10x)
+        val perHh = base.groupBy("visit", "assignment", "hh").agg(
+          conds.head match { case (n, c) => count(when(c, 1)).as(s"ind_$n") },
+          (conds.tail.map { case (n, c) => count(when(c, 1)).as(s"ind_$n") } ++
+            conds.map { case (n, c) =>
+              max(when(c, 1L).otherwise(0L)).as(s"any_$n") }): _*)
+        // cached like the reference's base table: m is |visits x arms|
+        // rows (28), and BOTH its consumers (the visit list and the
+        // metric join) read the cache — orders is scanned exactly once.
+        // (Plain exchange reuse does not fire here: the visit branch
+        // prunes to fewer columns, so the subtrees differ.)
+        val m = perHh.groupBy("visit", "assignment").agg(
+          sum(s"ind_${conds.head._1}").as(s"ind_${conds.head._1}"),
+          (conds.tail.map { case (n, _) => sum(s"ind_$n").as(s"ind_$n") } ++
+            conds.map { case (n, _) => sum(s"any_$n").as(s"hh_$n") }): _*)
+          .cache()
+        val t = Tables.customer(s, d).groupBy(
+            (col("c_custkey") % 4).as("assignment"))
+          .agg(countDistinct(col("c_custkey")).as("hh_target"),
+            (count(lit(1)) * 4).as("ind_target"))
+        // visit_list expansion: targets replicated across the visits the
+        // data contains (m is 28 rows; its exchange is reused, so orders
+        // is still scanned once)
+        val v = m.select("visit").distinct()
+        val metricCols = seIndicators.flatMap { case (n, _) =>
+          Seq(col(s"hh_$n"), col(s"ind_$n")) }
+        v.crossJoin(broadcast(t))
+          .join(m, Seq("visit", "assignment"), "left")
+          .select(Seq(col("visit"), col("assignment"),
+            col("hh_target"), col("ind_target")) ++ metricCols ++ Seq(
+            (col("hh_overall").cast("double") / col("hh_target"))
+              .as("hh_overall_perc"),
+            (col("ind_overall").cast("double") / col("ind_target"))
+              .as("ind_overall_perc")): _*)
+      }
+    },
 
     // ---- status/reason decision table (safety_reason analog) ---------------
     // First-match-wins chain over several columns — the reference's

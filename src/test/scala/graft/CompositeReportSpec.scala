@@ -110,4 +110,57 @@ class CompositeReportSpec extends SparkSpec {
     assert(sts.contains("in_progress") && sts.contains("blocked"),
       s"carry-forward not exercised: $sts")
   }
+
+  // ---- g29 se_and_pfu full fan-out ---------------------------------------
+
+  test("g29: one cached orders scan feeds all 9 indicator slices") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val df = SparkEntry.queries("g29_se_fanout")(spark, sfDir)
+    df.collect() // populate the cache, settle AQE
+    // walk THROUGH adaptive wrappers / query stages but STOP at cache
+    // reads: nodes below an InMemoryTableScan execute once at populate
+    // time, not per consumer
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case q: QueryStageExec        => q +: nodes(q.plan)
+      case i: InMemoryTableScanExec => Seq(i)
+      case _                        => p +: p.children.flatMap(nodes)
+    }
+    def ordersScans(ps: Seq[SparkPlan]) = ps.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.mkString.contains("orders") => f
+    }.size
+    val live = nodes(df.queryExecution.executedPlan)
+    assert(ordersScans(live) == 0,
+      "orders re-scanned outside the cached metric table")
+    val cachedPlans = live.collect {
+      case s: InMemoryTableScanExec => s.relation.cachedPlan }.distinct
+    assert(cachedPlans.size == 1, s"expected one cache entry, got ${cachedPlans.size}")
+    assert(ordersScans(nodes(cachedPlans.head)) == 1,
+      "the cached metric plan must scan orders exactly once")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("g29: fan-out identities - slices partition the base where they should") {
+    val rows = SparkEntry.queries("g29_se_fanout")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      def l(c: String) = r.getAs[Long](c)
+      // status slices partition the individual count
+      assert(l("ind_in") + l("ind_out") + l("ind_eos") == l("ind_overall"))
+      // absent-reason slices are disjoint sub-counts
+      assert(l("ind_in_absent") <= l("ind_in"))
+      assert(l("ind_out_absent") <= l("ind_out"))
+      assert(l("ind_migrated") + l("ind_died") <= l("ind_overall"))
+      // household counts can never exceed individual counts
+      Seq("overall", "in", "eos", "out", "refusal", "migrated", "died")
+        .foreach(n => assert(r.getAs[Long](s"hh_$n") <= r.getAs[Long](s"ind_$n"), n))
+      // coverage ratio is the documented division
+      assert(r.getAs[Double]("hh_overall_perc") ==
+        l("hh_overall").toDouble / l("hh_target"))
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
