@@ -33,7 +33,183 @@ object Reporting {
     "migrated"   -> "reason = 'Migrated'",
     "died"       -> "reason = 'Died'")
 
+  /** r18's branch table — the reference's safety_reason chain at FULL
+    * width (safety_status_and_reason_for_safety_status.Rmd:235-295: 30
+    * first-match-wins reasons over 57 OR'd conditions) plus its 6-branch
+    * took_drug chain (ibid:221-234, with the is-NULL branches). Each
+    * entry is (reason, disjunct SQL conditions); every condition's input
+    * flags are derived from one `sel` slot so every single disjunct —
+    * not just every reason — is exercised by the fixture. The SQL
+    * strings are ANSI that Spark expr() and DuckDB parse identically,
+    * so ONE definition drives both engines. */
+  private val srReasons: Seq[(String, Seq[String])] = Seq(
+    "died" -> Seq("person_died_eos = '1'", "person_out_died = '1'"),
+    "migrated" -> Seq(
+      "person_migrated = '1' AND starting_safety_status = 'in'",
+      "person_out_migrated = '1'", "v4_migrate_absent_eos = '1'"),
+    "not resident" -> Seq("non_resident_eos = '1'"),
+    "under weight" -> Seq("weight_eos = '1'", "weight_eos_short = '1'"),
+    "study drug" -> Seq("study_drug_eos = '1'"),
+    "concom meds" -> Seq("concom_meds_eos = '1'", "concom_meds_eos_short = '1'"),
+    "severe illness" -> Seq("severe_illness_eos = '1'",
+      "severe_illness_eos_short = '1'", "obvious_screening = 'Ill'"),
+    "baby under 1 week" -> Seq("baby_not_week_old_eos = '1'"),
+    "pregnancy test refusal" -> Seq(
+      "preg_test_refuse_eos_short = '1'", "preg_test_refuse_eos_v4 = '1'",
+      "preg_test_2_refuse_eos_v4 = '1'", "pregnancy_section_eos_v4 = '1'",
+      "accept_preg_test_yn = 'refuse'", "accept_preg_test_yn_short = 'refuse'",
+      "accept_preg_test_yn_v4 = 'refuse'", "preg_test_2_result = 'refuse'",
+      "preg_test_2_result_short = 'refuse'", "preg_test_2_result_v4 = 'refuse'"),
+    "pregnant" -> Seq("pregnant_eos = '1'", "preg_test_pos_eos_short = '1'",
+      "preg_test_2_eos_short = '1'", "obvious_screening = 'Pregnant'",
+      "pregnancy_section_eos_short = '1'", "pregnancy_section_eos = '1'",
+      "preg_test_pos_v4 = '1'", "pregnancy_status_v4 = 'in'"),
+    "other trials" -> Seq("other_trials_eos = '1'"),
+    "visited loa loa" -> Seq("loa_loa_eos = '1'"),
+    "spent night at the hospital" -> Seq("sum_night_hospital_eos >= 1"),
+    "not agree to safety procedures" ->
+      Seq("not_agree_safety_procedures_eos = '1'"),
+    "participant withdrew informed consent (refuse drug)" ->
+      Seq("refuse_drug_eos = '1'", "refuse_drug_eos_2 = '1'"),
+    "not wish to continue" -> Seq("not_continue_eos = '1'"),
+    "Ineligible at obvious reasoning" -> Seq("obvious_screening = 'ineligible'"),
+    "A baby that cannot walk yet" -> Seq("obvious_screening = 'Baby'"),
+    "no witness" -> Seq("obvious_screening = 'Witness'",
+      "ind_witness_present = '1'"),
+    "absent" -> Seq("person_absent = '1'", "v4_absent_eos = '1'"),
+    "a person who does not want to participate" ->
+      Seq("obvious_screening = 'Refusal'"),
+    "does not speak English or Swahili" -> Seq("obvious_screening = 'Language'"),
+    "not consented or provided their thumbprint" ->
+      Seq("ind_thumbprint_status = '0'"),
+    "not agree or sign informed consent" -> Seq("ind_sign_icf_status = '0'"),
+    "minor not sign assent" -> Seq("minor_assent_status = '0'"),
+    "completion" -> Seq("safety_status = 'completion'"),
+    "in" -> Seq("safety_status = 'in'"),
+    "previously eos" -> Seq("starting_safety_status = 'eos'"),
+    "previously refusal" -> Seq("starting_safety_status = 'refusal'"),
+    "previously out" -> Seq("starting_safety_status = 'out'", "out_v4 = '1'"))
+
+  /** Fixture flag derivations: each simple '1' flag owns the sel slot of
+    * its disjunct (reference order), multi-value columns own one slot per
+    * value, the migrated compound slot (2) sets BOTH its inputs, and the
+    * took_drug slots (57-62) each arm exactly one drug branch. Slot 63 is
+    * the reference's `safety_status != 'UNDEFINED'` filter row; 64-66
+    * fall through every branch to the NULL default. */
+  private val srFlagDefs: Seq[String] = {
+    def flag(name: String, slot: Int, v: String = "1") =
+      s"CASE WHEN sel = $slot THEN '$v' END AS $name"
+    Seq(
+      flag("person_died_eos", 0), flag("person_out_died", 1),
+      flag("person_migrated", 2),
+      flag("person_out_migrated", 3), flag("v4_migrate_absent_eos", 4),
+      flag("non_resident_eos", 5),
+      flag("weight_eos", 6), flag("weight_eos_short", 7),
+      flag("study_drug_eos", 8),
+      flag("concom_meds_eos", 9), flag("concom_meds_eos_short", 10),
+      flag("severe_illness_eos", 11), flag("severe_illness_eos_short", 12),
+      flag("baby_not_week_old_eos", 14),
+      flag("preg_test_refuse_eos_short", 15), flag("preg_test_refuse_eos_v4", 16),
+      flag("preg_test_2_refuse_eos_v4", 17), flag("pregnancy_section_eos_v4", 18),
+      flag("accept_preg_test_yn", 19, "refuse"),
+      flag("accept_preg_test_yn_short", 20, "refuse"),
+      flag("accept_preg_test_yn_v4", 21, "refuse"),
+      flag("preg_test_2_result", 22, "refuse"),
+      flag("preg_test_2_result_short", 23, "refuse"),
+      flag("preg_test_2_result_v4", 24, "refuse"),
+      flag("pregnant_eos", 25), flag("preg_test_pos_eos_short", 26),
+      flag("preg_test_2_eos_short", 27),
+      flag("pregnancy_section_eos_short", 29), flag("pregnancy_section_eos", 30),
+      flag("preg_test_pos_v4", 31),
+      flag("pregnancy_status_v4", 32, "in"),
+      flag("other_trials_eos", 33),
+      flag("loa_loa_eos", 34),
+      "CASE WHEN sel = 35 THEN 1 ELSE 0 END AS sum_night_hospital_eos",
+      flag("not_agree_safety_procedures_eos", 36),
+      flag("refuse_drug_eos", 37), flag("refuse_drug_eos_2", 38),
+      flag("not_continue_eos", 39),
+      """CASE sel WHEN 13 THEN 'Ill' WHEN 28 THEN 'Pregnant'
+        |     WHEN 40 THEN 'ineligible' WHEN 41 THEN 'Baby'
+        |     WHEN 42 THEN 'Witness' WHEN 46 THEN 'Refusal'
+        |     WHEN 47 THEN 'Language' END AS obvious_screening"""
+        .stripMargin.replaceAll("\\s+", " "),
+      flag("ind_witness_present", 43),
+      flag("person_absent", 44), flag("v4_absent_eos", 45),
+      flag("ind_thumbprint_status", 48, "0"),
+      flag("ind_sign_icf_status", 49, "0"),
+      flag("minor_assent_status", 50, "0"),
+      ("CASE sel WHEN 51 THEN 'completion' WHEN 52 THEN 'in' " +
+        "WHEN 63 THEN 'UNDEFINED' ELSE 'eos' END AS safety_status"),
+      ("CASE sel WHEN 2 THEN 'in' WHEN 53 THEN 'eos' " +
+        "WHEN 54 THEN 'refusal' WHEN 55 THEN 'out' END AS starting_safety_status"),
+      flag("out_v4", 56),
+      ("CASE sel WHEN 57 THEN 'no' WHEN 58 THEN 'yes' " +
+        "WHEN 62 THEN 'no' END AS participant_take_drug"),
+      flag("participant_take_drug_2", 57, "yes"),
+      ("CASE sel WHEN 59 THEN 'no' WHEN 60 THEN 'yes' " +
+        "WHEN 61 THEN 'no' END AS take_drug_safetynew"),
+      flag("take_drug_2_safetynew", 59, "yes"))
+  }
+
+  /** The generated first-match-wins CASE expressions (shared verbatim by
+    * Spark expr() and the DuckDB oracle). */
+  private val srReasonCase: String =
+    srReasons.map { case (r, ds) =>
+      s"WHEN ${ds.mkString("(", ") OR (", ")")} THEN '${r.replace("'", "''")}'"
+    }.mkString("CASE ", " ", " END")
+
+  private val srDrugCase: String =
+    """CASE
+      | WHEN participant_take_drug = 'no' AND participant_take_drug_2 = 'yes' THEN 'yes'
+      | WHEN participant_take_drug = 'yes' THEN 'yes'
+      | WHEN take_drug_safetynew = 'no' AND take_drug_2_safetynew = 'yes' THEN 'yes'
+      | WHEN take_drug_safetynew = 'yes' THEN 'yes'
+      | WHEN take_drug_safetynew = 'no' AND take_drug_2_safetynew IS NULL THEN 'no'
+      | WHEN participant_take_drug = 'no' AND participant_take_drug_2 IS NULL THEN 'no'
+      |END""".stripMargin.replaceAll("\\s+", " ")
+
+  private val srArmCase: String =
+    "CASE o_custkey % 4 WHEN 0 THEN 'control' WHEN 1 THEN 'intervention_a' " +
+      "WHEN 2 THEN 'intervention_b' ELSE 'buffer' END"
+
   val queries: Seq[Query] = Seq(
+
+    // ---- r18: status/reason decision table at reference width ---------------
+    // r06 exercises the decision-table SHAPE over 8 branches; this is the
+    // reference's real width — 30 reasons x 57 disjuncts + the took_drug
+    // chain with its IS NULL branches, first-match-wins, NULL falling
+    // through every branch to the default, plus the UNDEFINED-status
+    // filter and the arm-code decode the reference applies after. A
+    // 63-condition CASE is still ONE projection: Catalyst folds it into a
+    // single codegen'd CaseWhen — zero exchanges, zero joins, scan-speed
+    // at any scale (pinned by ConditionalSpec/PlanBudget golden).
+    Query("r18_status_reason_full", {
+      val flags = srFlagDefs.mkString(",\n         ")
+      s"""WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderkey % 67 AS sel FROM orders),
+        |flags AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         $flags
+        |  FROM base)
+        |SELECT o_orderkey AS extid,
+        |       $srArmCase AS arm_code,
+        |       safety_status AS safetystatus,
+        |       $srReasonCase AS safety_reason,
+        |       $srDrugCase AS took_drug
+        |FROM flags
+        |WHERE safety_status <> 'UNDEFINED'""".stripMargin
+    }) {
+      (s, d) =>
+        Tables.orders(s, d)
+          .selectExpr("o_orderkey", "o_custkey", "o_orderkey % 67 AS sel")
+          .selectExpr(Seq("o_orderkey", "o_custkey") ++ srFlagDefs: _*)
+          .filter(col("safety_status") =!= "UNDEFINED")
+          .select(col("o_orderkey").as("extid"),
+            expr(srArmCase).as("arm_code"),
+            col("safety_status").as("safetystatus"),
+            expr(srReasonCase).as("safety_reason"),
+            expr(srDrugCase).as("took_drug"))
+    },
 
     // ---- g29: se_and_pfu full metric fan-out --------------------------------
     // Reference shape (se_and_pfu.Rmd:427-527): 9 prep_safety_tbl calls,
