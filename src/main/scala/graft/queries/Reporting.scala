@@ -211,6 +211,163 @@ object Reporting {
             expr(srDrugCase).as("took_drug"))
     },
 
+    // ---- r19: pk.Rmd day-window visit report ---------------------------------
+    // Reference shape (pipeline-reporting/R/safety-efficacy/pk.Rmd:107-131):
+    // three differently-shaped form exports — pkday0 (renames
+    // select_action -> pk_group, constant visit_day), pkdays123 (carries
+    // its own visit_day), pkfollowup (status only, no group) — are
+    // bind_rows'd (the union-ALIGN: missing columns null-fill) and
+    // pivot_wider'd to one row per participant with pk_status per visit
+    // day. Duplicate (extid, day) forms take the min status (the
+    // deterministic tiebreak pivot_wider's list-collapse leaves implicit).
+    // Each slice's filter pushes to the scan; the pivot is ONE hash agg
+    // with explicit day values (no distinct-values pre-pass).
+    Query("r19_pk_day_windows", {
+      val status = "CASE o_orderstatus WHEN 'O' THEN 'scheduled' " +
+        "WHEN 'F' THEN 'sampled' ELSE 'missed' END"
+      s"""WITH pk AS (
+        |  SELECT o_custkey AS extid, 'visit 0' AS visit_day,
+        |         $status AS pk_status
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_custkey,
+        |         CASE o_orderpriority WHEN '2-HIGH' THEN 'day 1'
+        |              WHEN '3-MEDIUM' THEN 'day 2' ELSE 'day 3' END,
+        |         $status
+        |  FROM orders WHERE o_orderpriority IN ('2-HIGH','3-MEDIUM','5-LOW')
+        |  UNION ALL
+        |  SELECT o_custkey, 'follow up', $status
+        |  FROM orders WHERE o_orderpriority = '4-NOT SPECIFIED')
+        |SELECT extid,
+        |       min(CASE WHEN visit_day = 'visit 0' THEN pk_status END) AS visit_0,
+        |       min(CASE WHEN visit_day = 'day 1' THEN pk_status END) AS day_1,
+        |       min(CASE WHEN visit_day = 'day 2' THEN pk_status END) AS day_2,
+        |       min(CASE WHEN visit_day = 'day 3' THEN pk_status END) AS day_3,
+        |       min(CASE WHEN visit_day = 'follow up' THEN pk_status END) AS follow_up,
+        |       CAST(count(*) AS BIGINT) AS n_forms
+        |FROM pk GROUP BY 1""".stripMargin
+    }) {
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val status = when(col("o_orderstatus") === "O", "scheduled")
+          .when(col("o_orderstatus") === "F", "sampled").otherwise("missed")
+        // the three form exports, each with the reference slice's shape
+        val pk0 = o.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("extid"), status.as("pk_status"),
+            col("o_orderpriority").as("pk_group"))
+          .withColumn("visit_day", lit("visit 0"))
+        val pk123 = o.filter(col("o_orderpriority")
+            .isin("2-HIGH", "3-MEDIUM", "5-LOW"))
+          .select(col("o_custkey").as("extid"),
+            when(col("o_orderpriority") === "2-HIGH", "day 1")
+              .when(col("o_orderpriority") === "3-MEDIUM", "day 2")
+              .otherwise("day 3").as("visit_day"),
+            status.as("pk_status"), col("o_orderpriority").as("pk_group"))
+        val pkfu = o.filter(col("o_orderpriority") === "4-NOT SPECIFIED")
+          .select(col("o_custkey").as("extid"), status.as("pk_status"))
+          .withColumn("visit_day", lit("follow up"))
+        val pk = graft.operators.Reshape.unionAligned(Seq(pk0, pk123, pkfu))
+        pk.groupBy("extid")
+          .pivot("visit_day",
+            Seq("visit 0", "day 1", "day 2", "day 3", "follow up"))
+          .agg(min("pk_status").as("st"), count(lit(1)).as("n"))
+          .select(col("extid"),
+            col("`visit 0_st`").as("visit_0"), col("`day 1_st`").as("day_1"),
+            col("`day 2_st`").as("day_2"), col("`day 3_st`").as("day_3"),
+            col("`follow up_st`").as("follow_up"),
+            (coalesce(col("`visit 0_n`"), lit(0L)) +
+              coalesce(col("`day 1_n`"), lit(0L)) +
+              coalesce(col("`day 2_n`"), lit(0L)) +
+              coalesce(col("`day 3_n`"), lit(0L)) +
+              coalesce(col("`follow up_n`"), lit(0L))).as("n_forms"))
+      }
+    },
+
+    // ---- r20: v0 demography cluster-coverage tracker -------------------------
+    // Reference shape (pipeline-reporting/R/v0-demography/
+    // v0_demography_report.Rmd:375-420, "Cluster Coverage Tracker"):
+    // submissions grouped by (cluster, fa_id) with distinct-household +
+    // member-sum metrics; absence and refusal counts at CLUSTER grain;
+    // targets from the goals table at cluster grain; target LEFT JOINs
+    // the finer submission grain (cluster targets replicate across each
+    // cluster's FA rows — the reference's deliberate grain mismatch),
+    // then absences/refusals; NAs zero-fill; coverage ratios derive.
+    // NOTE hh_members_coverage = hh / target_hh_members replays the
+    // REFERENCE's formula verbatim (ibid:405) — it divides households by
+    // the member target, not members. Faithful > pretty.
+    // Every join side after the submission agg is cluster- or
+    // (cluster x fa)-sized, so they broadcast; the only data-sized work
+    // is the orders-customer join + one agg.
+    Query("r20_demography_tracker",
+      """WITH sub AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS cluster,
+        |         c_mktsegment AS fa_id,
+        |         CAST(count(DISTINCT o_custkey) AS BIGINT) AS hh,
+        |         CAST(sum(o_orderkey % 7 + 1) AS BIGINT) AS hh_members
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |ab AS (SELECT CAST(c_nationkey AS BIGINT) AS cluster,
+        |              CAST(count(*) AS BIGINT) AS hh_absences
+        |       FROM customer WHERE c_acctbal < 0 GROUP BY 1),
+        |rf AS (SELECT CAST(c_nationkey AS BIGINT) AS cluster,
+        |              CAST(count(*) AS BIGINT) AS hh_refusal
+        |       FROM customer WHERE c_acctbal >= 0 AND c_acctbal < 1000
+        |       GROUP BY 1),
+        |t AS (SELECT CAST(c_nationkey AS BIGINT) AS cluster,
+        |             CAST(count(*) AS BIGINT) AS target_hh,
+        |             CAST(count(*) * 5 AS BIGINT) AS target_hh_members
+        |      FROM customer GROUP BY 1)
+        |SELECT t.cluster, sub.fa_id, t.target_hh, t.target_hh_members,
+        |       coalesce(hh, 0) AS hh,
+        |       CAST(coalesce(hh, 0) AS DOUBLE) / target_hh AS hh_coverage,
+        |       coalesce(hh_members, 0) AS hh_members,
+        |       CAST(coalesce(hh, 0) AS DOUBLE) / target_hh_members
+        |         AS hh_members_coverage,
+        |       coalesce(hh_absences, 0) AS hh_absences,
+        |       coalesce(hh_refusal, 0) AS hh_refusal,
+        |       coalesce(hh, 0) + coalesce(hh_absences, 0)
+        |         + coalesce(hh_refusal, 0) AS hh_total,
+        |       CAST(coalesce(hh, 0) + coalesce(hh_absences, 0)
+        |            + coalesce(hh_refusal, 0) AS DOUBLE) / target_hh
+        |         AS hh_total_coverage
+        |FROM t LEFT JOIN sub ON t.cluster = sub.cluster
+        |       LEFT JOIN ab ON t.cluster = ab.cluster
+        |       LEFT JOIN rf ON t.cluster = rf.cluster""".stripMargin) {
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        def byCluster = col("c_nationkey").cast("long").as("cluster")
+        val sub = Tables.orders(s, d)
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy(byCluster, col("c_mktsegment").as("fa_id"))
+          .agg(countDistinct(col("o_custkey")).as("hh"),
+            sum(col("o_orderkey") % 7 + 1).as("hh_members"))
+        val ab = c.filter(col("c_acctbal") < 0)
+          .groupBy(byCluster).agg(count(lit(1)).as("hh_absences"))
+        val rf = c.filter(col("c_acctbal") >= 0 && col("c_acctbal") < 1000)
+          .groupBy(byCluster).agg(count(lit(1)).as("hh_refusal"))
+        val t = c.groupBy(byCluster)
+          .agg(count(lit(1)).as("target_hh"),
+            (count(lit(1)) * 5).as("target_hh_members"))
+        val hh = coalesce(col("hh"), lit(0L))
+        val total = hh + coalesce(col("hh_absences"), lit(0L)) +
+          coalesce(col("hh_refusal"), lit(0L))
+        broadcast(t).join(sub, Seq("cluster"), "left")
+          .join(broadcast(ab), Seq("cluster"), "left")
+          .join(broadcast(rf), Seq("cluster"), "left")
+          .select(col("cluster"), col("fa_id"),
+            col("target_hh"), col("target_hh_members"),
+            hh.as("hh"),
+            (hh.cast("double") / col("target_hh")).as("hh_coverage"),
+            coalesce(col("hh_members"), lit(0L)).as("hh_members"),
+            (hh.cast("double") / col("target_hh_members"))
+              .as("hh_members_coverage"),
+            coalesce(col("hh_absences"), lit(0L)).as("hh_absences"),
+            coalesce(col("hh_refusal"), lit(0L)).as("hh_refusal"),
+            total.as("hh_total"),
+            (total.cast("double") / col("target_hh")).as("hh_total_coverage"))
+      }
+    },
+
     // ---- g29: se_and_pfu full metric fan-out --------------------------------
     // Reference shape (se_and_pfu.Rmd:427-527): 9 prep_safety_tbl calls,
     // each a FILTERED household/individual count by (visit, assignment),
