@@ -1187,6 +1187,181 @@ object ScaleSmoke {
           .groupBy("id").agg(count(lit(1)), max("c"))
           .write.format("noop").mode("overwrite").save()
       },
+      time("absence_anti_1m_events") {
+        // j27 at 10x/100x events (user keys shifted per copy): the
+        // interval NOT EXISTS as a bucket-replicated (user, hour) equi
+        // ANTI join — per-bucket fan-out is copy-invariant because each
+        // copy gets its own user space, so cost is linear in rows
+        val ev0 = graft.core.Tables.events(spark, sfDir)
+        val ev = ev0.select("event_id", "user_id", "event_type", "ts")
+          .crossJoin(copies)
+          .select(col("event_id"), (col("user_id") + col("rep") * 100000L).as("user_id"),
+            col("event_type"), expr("unix_micros(ts)").as("us"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .withColumn("bkt", expr("us div 3600000000"))
+        val e = ev.filter(col("event_type") === "error")
+          .select(col("user_id").as("eu"), col("us").as("eus"))
+          .withColumn("bkt", explode(array(
+            expr("eus div 3600000000"), expr("eus div 3600000000") - 1)))
+        p.join(e, col("user_id") === col("eu") && p("bkt") === e("bkt") &&
+            col("eus") > col("us") && col("eus") <= col("us") + 3600000000L,
+          "left_anti")
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("fuzzy_dupes_1m_events") {
+        // j28 at scale: the 2D-blocked (user, 10-min bucket) self-join,
+        // x3 probe replication; same copy-shifted user space, so block
+        // sizes — and the join's quadratic term — stay constant
+        val ev0 = graft.core.Tables.events(spark, sfDir)
+        val p = ev0.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+          .crossJoin(copies)
+          .select((col("event_id") + col("rep") * 10000000L).as("event_id"),
+            (col("user_id") + col("rep") * 100000L).as("user_id"),
+            expr("unix_micros(ts)").as("us"),
+            round(col("value") * 100).cast("long").as("c"))
+          .localCheckpoint()
+        val a = p.toDF("id_a", "user_id", "us_a", "ca")
+          .withColumn("bkt", explode(array(expr("us_a div 600000000") - 1,
+            expr("us_a div 600000000"), expr("us_a div 600000000") + 1)))
+        val b = p.toDF("id_b", "ub", "us_b", "cb")
+          .withColumn("bkt", expr("us_b div 600000000"))
+        a.join(b, col("user_id") === col("ub") && a("bkt") === b("bkt") &&
+            col("id_a") < col("id_b") &&
+            abs(col("us_b") - col("us_a")) <= 600000000L)
+          .filter(lit(100) * abs(col("ca") - col("cb")) <= col("ca"))
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("rfm_ntile_users") {
+        // w44's shape hazard made measurable: the three ntile windows are
+        // GLOBAL (no partition key), i.e. one sort task over
+        // |users| = copies x 100k rows. Fine while users << events; the
+        // scale path past ~10M users is score-by-quantile-bounds
+        // (approx_percentile broadcast), not a global sort.
+        val ev0 = graft.core.Tables.events(spark, sfDir)
+        val p = ev0.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value")).crossJoin(copies)
+          .groupBy((col("user_id") + col("rep") * 100000L).as("user_id"))
+          .agg(max(expr("unix_micros(ts) div 86400000000")).as("last_day"),
+            count(lit(1)).as("f"),
+            sum(round(col("value") * 100).cast("long")).as("m_cents"))
+        val w = org.apache.spark.sql.expressions.Window
+        p.withColumn("rs", ntile(5).over(w.orderBy(col("last_day").desc, col("user_id"))))
+          .withColumn("fs", ntile(5).over(w.orderBy(col("f").desc, col("user_id"))))
+          .withColumn("ms", ntile(5).over(w.orderBy(col("m_cents").desc, col("user_id"))))
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("runs_test_1m_events") {
+        // a50 at scale: the only data-sized stage is the (type, day)
+        // daily aggregate — ranks/signs/run-count run on day-cardinality
+        // rows, copy-invariant; expect near-flat growth past the agg
+        val ev0 = graft.core.Tables.events(spark, sfDir)
+        val daily = ev0.select(col("event_type"), col("ts"), col("value"))
+          .crossJoin(copies)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(floor(sum(col("value").cast("decimal(18,4)")).cast("double")
+            * lit(1000000.0) + lit(0.5)).cast("long").as("q"))
+          .localCheckpoint()
+        val wr = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("q", "day")
+        val r = daily.withColumn("rn", row_number().over(wr))
+          .withColumn("m", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+        val med = r.filter(col("rn") === floor((col("m") + 1) / 2)
+            || col("rn") === floor((col("m") + 2) / 2))
+          .groupBy("event_type").agg(expr("(sum(q) * 2) div count(*)").as("med2"))
+        val wd = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("day")
+        daily.join(broadcast(med), "event_type")
+          .filter(lit(2) * col("q") =!= col("med2"))
+          .select(col("event_type"), col("day"),
+            when(lit(2) * col("q") > col("med2"), 1).otherwise(0).as("s"))
+          .withColumn("prev", lag("s", 1).over(wd))
+          .groupBy("event_type")
+          .agg(sum(when(col("prev").isNull || col("prev") =!= col("s"), 1)
+            .otherwise(0)).as("r"))
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("hash_chain_1m_events") {
+        // io20 at scale: the md5 recurrence rides ONE secondary-sort
+        // exchange; state is 32 chars/key; linear in rows, parallel in
+        // (copy-shifted) users
+        val ev0 = graft.core.Tables.events(spark, sfDir)
+        val ev = ev0.select("user_id", "event_id", "ts").crossJoin(copies)
+          .select((col("user_id") + col("rep") * 100000L).as("user_id"),
+            col("event_id"), col("ts"),
+            col("event_id").cast("string").as("payload"))
+        graft.operators.Cdc.hashChain(ev, "user_id", Seq("ts", "event_id"),
+            "payload")
+          .groupBy("user_id").agg(count(lit(1)),
+            max_by(col("chain"), struct(col("ts"), col("event_id"))))
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("macd_scan_1m_events") {
+        // w42/st20 kernel at scale: three coupled EWMA recurrences in the
+        // same one-exchange scan shape as hash_chain — the recurrence
+        // family's cost is the exchange, not the fold
+        val ev0 = graft.core.Tables.events(spark, sfDir)
+        val ev = ev0.select("user_id", "event_id", "ts", "value").crossJoin(copies)
+          .select((col("user_id") + col("rep") * 100000L).as("user_id"),
+            col("event_id"), expr("unix_micros(ts)").as("us"), col("value"))
+        graft.operators.Sessionize.macd(ev, "user_id", "us", "value",
+            aFast = 0.25, aSlow = 0.0625, aSig = 0.125)
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("partition_audit_1p5m_rows") {
+        // io19 at scale: partitioned write + read-back + per-partition
+        // sorted-md5 manifest. The collect_list per partition is the
+        // documented cost — each partition's rows assemble in ONE agg
+        // buffer, so partition GRAIN (here priority x orderkey-bucket)
+        // must bound rows/partition; the audit itself is one exchange.
+        val root = graft.core.TempDirs.scratch("graft_scale_audit_").toString
+        or.select(col("o_orderkey"), col("o_orderpriority"),
+            (col("o_orderkey") % 16).as("bkt"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .write.partitionBy("o_orderpriority", "bkt")
+          .mode("overwrite").parquet(root)
+        spark.read.parquet(root)
+          .select(col("o_orderpriority").as("pri"), col("bkt"),
+            struct(col("o_orderkey"),
+              concat_ws(":", col("o_orderkey"), col("cents")).as("s")).as("r"))
+          .groupBy("pri", "bkt")
+          .agg(count(lit(1)),
+            md5(concat_ws("|",
+              transform(sort_array(collect_list(col("r"))), e => e.getField("s")))))
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("t_closeness_1p5m_rows") {
+        // p21 at scale over copy-replicated customers: cohort and band
+        // tables are cardinality-bound (nations x segs x 4), so only the
+        // first aggregate sees data volume
+        val c0 = graft.core.Tables.customer(spark, sfDir)
+        val j = c0.select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+          .crossJoin(copies)
+          .select(col("c_nationkey").as("nation"), col("c_mktsegment").as("seg"),
+            when(col("c_acctbal") < 0, 0).when(col("c_acctbal") < 3000, 1)
+              .when(col("c_acctbal") < 7000, 2).otherwise(3).as("band"))
+          .localCheckpoint()
+        val g = j.groupBy("band").agg(count(lit(1)).as("pc"))
+        val np = g.agg(sum("pc").as("np"))
+        val coh = j.groupBy("nation", "seg").agg(count(lit(1)).as("nq"))
+        val q = j.groupBy("nation", "seg", "band").agg(count(lit(1)).as("qc"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("nation", "seg").orderBy("band")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        coh.select(col("nation"), col("seg"), col("nq"),
+            explode(sequence(lit(0), lit(3))).as("band"))
+          .join(q, Seq("nation", "seg", "band"), "left")
+          .join(broadcast(g), "band")
+          .select(col("nation"), col("seg"), col("nq"), col("band"),
+            sum(coalesce(col("qc"), lit(0L))).over(w).as("cq"),
+            sum(col("pc")).over(w).as("cp"))
+          .crossJoin(broadcast(np))
+          .groupBy("nation", "seg", "nq", "np")
+          .agg(sum(abs(col("cq") * col("np") - col("cp") * col("nq"))).as("num"))
+          .write.format("noop").mode("overwrite").save()
+      },
       time("zone_dwell_1m_events") {
         // j26 at 10x events (user keys shifted per copy): one (user)
         // exchange feeds lag + cumsum + the session aggregate
