@@ -168,6 +168,42 @@ object Reporting {
       | WHEN participant_take_drug = 'no' AND participant_take_drug_2 IS NULL THEN 'no'
       |END""".stripMargin.replaceAll("\\s+", " ")
 
+  /** r21's efficacy_reason chain (efficacy_status_and_reason Rmd:177-196)
+    * — 13 first-match branches, one consuming the WINDOWED ltfu state.
+    * Shared verbatim by Spark expr() and the DuckDB oracle. */
+  private val SrEfficacyReason: String =
+    """CASE WHEN not_continue_eos = '1' THEN 'decline participation'
+      | WHEN not_agree_efficacy_procedures_eos = '1' THEN 'not agree to efficacy procedures'
+      | WHEN non_resident_eos = '1' THEN 'not a resident'
+      | WHEN other_trials_eos = '1' THEN 'enrolled in other trials'
+      | WHEN second_consecutive_absence_eos = '1' THEN 'ltfu: second consecutive absence'
+      | WHEN person_absent = '1' THEN 'absent'
+      | WHEN person_migrated_eos = '1' OR person_unenrolled_migrated = '1' THEN 'migrated'
+      | WHEN person_unenrolled_died = '1' THEN 'died'
+      | WHEN thumbprint_status = '0' THEN 'thumbprint status'
+      | WHEN sign_icf_status = '0' THEN 'sign icf status'
+      | WHEN minor_assent_status = '0' THEN 'minor assent'
+      | WHEN ltfu THEN 'ltfu: > 60 days'
+      | WHEN efficacy_status = 'in' THEN 'in'
+      |END""".stripMargin.replaceAll("\\s+", " ")
+
+  /** r22's pfu reason chain (pfu_status_and_reason.Rmd:144-161): 'in'
+    * first, five compound value-matched still_preg branches, NO default
+    * (the reference's commented-out catch-all) — an unmatched reason
+    * value falls through to NULL. Shared by Spark expr() and the oracle. */
+  private val SrPfuReason: String =
+    """CASE WHEN pregnancy_status = 'in' THEN 'in'
+      | WHEN ltfu_eos = '1' OR fourth_absence_eos = '1' THEN 'absent 4 times in a row: ltfu'
+      | WHEN person_died_eos = '1' THEN 'died'
+      | WHEN person_migrated_eos = '1' THEN 'migrated'
+      | WHEN not_continue_eos = '1' THEN 'not wish to continue'
+      | WHEN still_preg_no_eos = '1' AND still_preg_no_reason = 'Baby was born alive' THEN 'no longer pregnant - baby born alive'
+      | WHEN still_preg_no_eos = '1' AND still_preg_no_reason = 'Miscarriage' THEN 'no longer pregnant - miscarriage'
+      | WHEN still_preg_no_eos = '1' AND still_preg_no_reason = 'Abortion (self-induced)' THEN 'no longer pregnant - abortion (self-induced)'
+      | WHEN still_preg_no_eos = '1' AND still_preg_no_reason = 'Baby was born dead' THEN 'no longer pregnant - baby was born dead'
+      | WHEN still_preg_no_eos = '1' AND still_preg_no_reason = 'pna' THEN 'no longer pregnant - prefer not to answer'
+      |END""".stripMargin.replaceAll("\\s+", " ")
+
   private val srArmCase: String =
     "CASE o_custkey % 4 WHEN 0 THEN 'control' WHEN 1 THEN 'intervention_a' " +
       "WHEN 2 THEN 'intervention_b' ELSE 'buffer' END"
@@ -280,6 +316,248 @@ object Reporting {
               coalesce(col("`day 2_n`"), lit(0L)) +
               coalesce(col("`day 3_n`"), lit(0L)) +
               coalesce(col("`follow up_n`"), lit(0L))).as("n_forms"))
+      }
+    },
+
+    // ---- r21: efficacy status/reason + LTFU + trial-profile pivot ------------
+    // Reference shape (pipeline-reporting/R/safety-efficacy/
+    // efficacy_status_and_reason_for_efficacy_status.Rmd:143-235): the
+    // efficacy twin of r18 adds two things the safety table doesn't have
+    // — (1) a WINDOWED state feeding the decision chain: last non-absent
+    // visit per person -> days-since -> ltfu flag, consumed by reason
+    // branch 12 (the reference's Sys.Date() anchor is replaced by the
+    // data's max ts, the w44 determinism convention; the 90-day
+    // threshold scales to 7 days on the 30-day fixture; the branch label
+    // 'ltfu: > 60 days' is the REFERENCE's own string, kept verbatim
+    // mismatch and all) — and (2) the trial-profile pivot_wider with TWO
+    // value columns (status AND reason per visit V1..V7, ibid:222-231).
+    // Plan: the ltfu window, the enrolment window, and the profile
+    // pivot all key on extid, so ONE exchange feeds all three.
+    Query("r21_efficacy_profile", {
+      val statuses = (1 to 7).map(i =>
+        s"min(CASE WHEN visit = 'V$i' THEN efficacy_status END) AS status_v$i")
+      val reasons = (1 to 7).map(i =>
+        s"min(CASE WHEN visit = 'V$i' THEN efficacy_reason END) AS reason_v$i")
+      s"""WITH e AS (
+        |  SELECT event_id, user_id AS extid, ts,
+        |         'V' || CAST(event_id % 7 + 1 AS VARCHAR) AS visit,
+        |         CASE WHEN event_type = 'error' THEN '1' ELSE '0' END
+        |           AS person_absent,
+        |         CASE event_type WHEN 'click' THEN 'out' WHEN 'view' THEN 'eos'
+        |              ELSE 'in' END AS efficacy_status,
+        |         CASE user_id % 3 WHEN 0 THEN 'out' WHEN 1 THEN 'in'
+        |              ELSE 'eos' END AS starting_efficacy_status,
+        |         event_id % 23 AS sel
+        |  FROM events),
+        |f AS (
+        |  SELECT *,
+        |         CASE WHEN sel = 0 THEN '1' END AS not_continue_eos,
+        |         CASE WHEN sel = 1 THEN '1' END AS not_agree_efficacy_procedures_eos,
+        |         CASE WHEN sel = 2 THEN '1' END AS non_resident_eos,
+        |         CASE WHEN sel = 3 THEN '1' END AS other_trials_eos,
+        |         CASE WHEN sel = 4 THEN '1' END AS second_consecutive_absence_eos,
+        |         CASE WHEN sel = 5 THEN '1' END AS person_migrated_eos,
+        |         CASE WHEN sel = 6 THEN '1' END AS person_unenrolled_migrated,
+        |         CASE WHEN sel = 7 THEN '1' END AS person_unenrolled_died,
+        |         CASE WHEN sel = 8 THEN '0' END AS thumbprint_status,
+        |         CASE WHEN sel = 9 THEN '0' END AS sign_icf_status,
+        |         CASE WHEN sel = 10 THEN '0' END AS minor_assent_status
+        |  FROM e),
+        |lna AS (SELECT extid, max(ts) AS last_non_absent
+        |        FROM e WHERE person_absent = '0' GROUP BY 1),
+        |today AS (SELECT max(ts) AS today FROM e),
+        |x AS (
+        |  SELECT f.*,
+        |         datediff('day', CAST(lna.last_non_absent AS DATE),
+        |                  CAST(today.today AS DATE)) >= 7 AS ltfu
+        |  FROM f LEFT JOIN lna ON f.extid = lna.extid CROSS JOIN today),
+        |r AS (
+        |  SELECT extid, extid % 25 AS cluster, extid % 4 AS assignment, visit,
+        |         efficacy_status,
+        |         $SrEfficacyReason AS efficacy_reason,
+        |         CASE WHEN starting_efficacy_status = 'out'
+        |                   AND efficacy_status <> 'out' THEN 'enrolment'
+        |              WHEN starting_efficacy_status = 'out'
+        |                   AND efficacy_status = 'out' THEN 'not yet enrolled'
+        |              ELSE 'follow up' END AS enrolment
+        |  FROM x)
+        |SELECT extid, cluster, assignment,
+        |       min(enrolment) AS first_enrolment,
+        |       ${(statuses ++ reasons).mkString(",\n       ")}
+        |FROM r GROUP BY 1, 2, 3""".stripMargin
+    }) {
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.events(s, d).select(
+          col("event_id"), col("user_id").as("extid"), col("ts"),
+          concat(lit("V"), (col("event_id") % 7 + 1).cast("string")).as("visit"),
+          when(col("event_type") === "error", "1").otherwise("0")
+            .as("person_absent"),
+          when(col("event_type") === "click", "out")
+            .when(col("event_type") === "view", "eos").otherwise("in")
+            .as("efficacy_status"),
+          when(col("user_id") % 3 === 0, "out")
+            .when(col("user_id") % 3 === 1, "in").otherwise("eos")
+            .as("starting_efficacy_status"),
+          (col("event_id") % 23).as("sel"))
+        val flagged = e
+          .withColumn("not_continue_eos", when(col("sel") === 0, "1"))
+          .withColumn("not_agree_efficacy_procedures_eos", when(col("sel") === 1, "1"))
+          .withColumn("non_resident_eos", when(col("sel") === 2, "1"))
+          .withColumn("other_trials_eos", when(col("sel") === 3, "1"))
+          .withColumn("second_consecutive_absence_eos", when(col("sel") === 4, "1"))
+          .withColumn("person_migrated_eos", when(col("sel") === 5, "1"))
+          .withColumn("person_unenrolled_migrated", when(col("sel") === 6, "1"))
+          .withColumn("person_unenrolled_died", when(col("sel") === 7, "1"))
+          .withColumn("thumbprint_status", when(col("sel") === 8, "0"))
+          .withColumn("sign_icf_status", when(col("sel") === 9, "0"))
+          .withColumn("minor_assent_status", when(col("sel") === 10, "0"))
+        val today = e.agg(max("ts").as("today"))
+        val wu = Window.partitionBy("extid")
+        // the last-non-absent anchor as a per-person window (same value
+        // the reference's distinct-then-join produces), so ltfu shares
+        // the extid exchange with the profile pivot below
+        val x = flagged.crossJoin(broadcast(today))
+          .withColumn("last_non_absent",
+            max(when(col("person_absent") === "0", col("ts"))).over(wu))
+          .withColumn("ltfu",
+            datediff(to_date(col("today")), to_date(col("last_non_absent"))) >= 7)
+        val r = x.select(col("extid"), (col("extid") % 25).as("cluster"),
+          (col("extid") % 4).as("assignment"), col("visit"),
+          col("efficacy_status"),
+          expr(SrEfficacyReason).as("efficacy_reason"),
+          when(col("starting_efficacy_status") === "out"
+            && col("efficacy_status") =!= "out", "enrolment")
+            .when(col("starting_efficacy_status") === "out"
+              && col("efficacy_status") === "out", "not yet enrolled")
+            .otherwise("follow up").as("enrolment"))
+        // first_enrolment rides the SAME extid partitioning as the ltfu
+        // window and the pivot below (constant per person, so it joins
+        // the grouping keys) — no separate aggregate-and-join branch
+        val prof = r
+          .withColumn("first_enrolment", min("enrolment").over(wu))
+          .groupBy("extid", "cluster", "assignment", "first_enrolment")
+          .pivot("visit", (1 to 7).map(i => s"V$i"))
+          .agg(min("efficacy_status").as("s"), min("efficacy_reason").as("r"))
+        prof
+          .select(Seq(col("extid"), col("cluster"), col("assignment"),
+            col("first_enrolment")) ++
+            (1 to 7).map(i => col(s"V${i}_s").as(s"status_v$i")) ++
+            (1 to 7).map(i => col(s"V${i}_r").as(s"reason_v$i")): _*)
+      }
+    },
+
+    // ---- r22: pfu status/reason + per-visit totals table ----------------------
+    // Reference shape (pipeline-reporting/R/safety-efficacy/
+    // pfu_status_and_reason.Rmd:136-161 + 253-330): the pregnancy
+    // follow-up twin adds (1) enrolment as an ORDERED first-row-per-
+    // person window (row_number over visit order, not a status rule;
+    // event_id tiebreak pins what R's arrange leaves unstated), (2) a
+    // reason chain whose tail is five compound branches value-matching
+    // still_preg_no_reason — with NO default, so an unmatched reason
+    // value falls through to NULL (the reference's commented-out
+    // catch-all, slot 10 exercises it), and (3) the per-visit status
+    // totals block: per-reason counts, an appended 'total people
+    // visited' row per visit, and Percent complete rendered as a
+    // rounded STRING — percent built from integer basis points
+    // (floor(1e4*n/total+0.5)) so no float rounding can diverge
+    // between engines.
+    Query("r22_pfu_status", {
+      val reasonCase = SrPfuReason
+      s"""WITH e AS (
+        |  SELECT event_id, user_id AS extid,
+        |         'V' || CAST(event_id % 7 + 1 AS VARCHAR) AS visit,
+        |         CASE WHEN event_type IN ('signup', 'purchase') THEN 'in'
+        |              ELSE 'eos' END AS pregnancy_status,
+        |         event_id % 13 AS sel
+        |  FROM events),
+        |f AS (
+        |  SELECT *,
+        |         CASE WHEN sel = 0 THEN '1' END AS ltfu_eos,
+        |         CASE WHEN sel = 1 THEN '1' END AS fourth_absence_eos,
+        |         CASE WHEN sel = 2 THEN '1' END AS person_died_eos,
+        |         CASE WHEN sel = 3 THEN '1' END AS person_migrated_eos,
+        |         CASE WHEN sel = 4 THEN '1' END AS not_continue_eos,
+        |         CASE WHEN sel BETWEEN 5 AND 10 THEN '1' END AS still_preg_no_eos,
+        |         CASE sel WHEN 5 THEN 'Baby was born alive'
+        |              WHEN 6 THEN 'Miscarriage'
+        |              WHEN 7 THEN 'Abortion (self-induced)'
+        |              WHEN 8 THEN 'Baby was born dead'
+        |              WHEN 9 THEN 'pna' WHEN 10 THEN 'Other' END
+        |           AS still_preg_no_reason,
+        |         row_number() OVER (PARTITION BY extid
+        |                            ORDER BY event_id % 7 + 1, event_id) AS rn
+        |  FROM e),
+        |r AS (
+        |  SELECT visit, $reasonCase AS pfu_reason,
+        |         CASE WHEN rn = 1 THEN 1 ELSE 0 END AS is_enr
+        |  FROM f),
+        |agg AS (
+        |  SELECT visit, pfu_reason, count(*) AS n,
+        |         CAST(sum(is_enr) AS BIGINT) AS n_enrolment
+        |  FROM r GROUP BY 1, 2),
+        |tot AS (SELECT visit, CAST(sum(n) AS BIGINT) AS t,
+        |               CAST(sum(n_enrolment) AS BIGINT) AS te
+        |        FROM agg GROUP BY 1),
+        |pct AS (
+        |  SELECT agg.visit, pfu_reason, n, n_enrolment,
+        |         CAST(floor(10000.0 * n / t + 0.5) AS BIGINT) AS bp
+        |  FROM agg JOIN tot ON agg.visit = tot.visit
+        |  UNION ALL
+        |  SELECT visit, 'total people visited', t, te, 10000 FROM tot)
+        |SELECT visit, pfu_reason, n, n_enrolment,
+        |       CAST(bp // 100 AS VARCHAR) || '.'
+        |         || lpad(CAST(bp % 100 AS VARCHAR), 2, '0') || '%'
+        |         AS percent_complete
+        |FROM pct""".stripMargin
+    }) {
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.events(s, d).select(col("event_id"),
+          col("user_id").as("extid"),
+          concat(lit("V"), (col("event_id") % 7 + 1).cast("string")).as("visit"),
+          when(col("event_type").isin("signup", "purchase"), "in")
+            .otherwise("eos").as("pregnancy_status"),
+          (col("event_id") % 13).as("sel"))
+        val f = e
+          .withColumn("ltfu_eos", when(col("sel") === 0, "1"))
+          .withColumn("fourth_absence_eos", when(col("sel") === 1, "1"))
+          .withColumn("person_died_eos", when(col("sel") === 2, "1"))
+          .withColumn("person_migrated_eos", when(col("sel") === 3, "1"))
+          .withColumn("not_continue_eos", when(col("sel") === 4, "1"))
+          .withColumn("still_preg_no_eos",
+            when(col("sel").between(5, 10), "1"))
+          .withColumn("still_preg_no_reason",
+            when(col("sel") === 5, "Baby was born alive")
+              .when(col("sel") === 6, "Miscarriage")
+              .when(col("sel") === 7, "Abortion (self-induced)")
+              .when(col("sel") === 8, "Baby was born dead")
+              .when(col("sel") === 9, "pna")
+              .when(col("sel") === 10, "Other"))
+          .withColumn("rn", row_number().over(Window.partitionBy("extid")
+            .orderBy(col("event_id") % 7 + 1, col("event_id"))))
+        // cached (the g29 convention): agg is |visits x reasons| rows
+        // (~84) and BOTH the detail leg and the total rows read it —
+        // without the pin the events scan + window + first agg run twice
+        val agg = f.select(col("visit"), expr(SrPfuReason).as("pfu_reason"),
+            when(col("rn") === 1, 1).otherwise(0).as("is_enr"))
+          .groupBy("visit", "pfu_reason")
+          .agg(count(lit(1)).as("n"), sum("is_enr").cast("long").as("n_enrolment"))
+          .cache()
+        val tot = agg.groupBy("visit")
+          .agg(sum("n").cast("long").as("t"),
+            sum("n_enrolment").cast("long").as("te"))
+        val detail = agg.join(broadcast(tot), "visit")
+          .select(col("visit"), col("pfu_reason"), col("n"), col("n_enrolment"),
+            floor(lit(10000.0) * col("n") / col("t") + 0.5).cast("long").as("bp"))
+        val totalRows = tot.select(col("visit"),
+          lit("total people visited").as("pfu_reason"), col("t").as("n"),
+          col("te").as("n_enrolment"), lit(10000L).as("bp"))
+        detail.unionByName(totalRows)
+          .select(col("visit"), col("pfu_reason"), col("n"), col("n_enrolment"),
+            concat((col("bp") / 100).cast("long").cast("string"), lit("."),
+              lpad((col("bp") % 100).cast("string"), 2, "0"), lit("%"))
+              .as("percent_complete"))
       }
     },
 
