@@ -2043,6 +2043,77 @@ object SimilaritySearch {
       }
     },
 
+    // ---- s46: SQ8 quantization distortion QA ---------------------------------
+    // The acceptance gate for a quantized index (s43's SQ8): per vector,
+    // the reconstruction cosine (sc cancels, so it equals cos(orig,
+    // codes) — computed that way on both sides) and the relative L2
+    // error sqrt(sum((x - sc*q)^2)) / |x|. One scan, one quantize pass,
+    // pure per-row folds in dimension order (the a40 determinism
+    // recipe); outputs round to 9 dp so libm sqrt differences cannot
+    // flip the compare. Run it before swapping an index to SQ8: the
+    // rel_l2 distribution IS the recall-risk signal.
+    Query("s46_sq8_distortion",
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+        |                     (a, b) -> greatest(a, b)) / 127.0 AS sc
+        |  FROM embeddings),
+        |q8 AS (
+        |  SELECT vec_id, embedding, sc,
+        |         list_transform(embedding,
+        |                        x -> CAST(floor(CAST(x AS DOUBLE) / sc + 0.5) AS BIGINT)) AS qv
+        |  FROM e),
+        |m AS (
+        |  SELECT vec_id,
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list_transform(range(1, len(embedding) + 1),
+        |             i -> CAST(embedding[i] AS DOUBLE) * qv[i])),
+        |           (a, v) -> a + v) AS d_oq,
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list_transform(range(1, len(embedding) + 1),
+        |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+        |           (a, v) -> a + v) AS n_o2,
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list_transform(range(1, len(qv) + 1),
+        |             i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))),
+        |           (a, v) -> a + v) AS n_q2,
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list_transform(range(1, len(embedding) + 1),
+        |             i -> (CAST(embedding[i] AS DOUBLE) - sc * qv[i])
+        |                  * (CAST(embedding[i] AS DOUBLE) - sc * qv[i]))),
+        |           (a, v) -> a + v) AS err2
+        |  FROM q8)
+        |SELECT vec_id,
+        |       round(d_oq / (sqrt(n_o2) * sqrt(n_q2)), 9) AS cos_recon,
+        |       round(sqrt(err2) / sqrt(n_o2), 9) AS rel_l2
+        |FROM m""".stripMargin) {
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .withColumn("sc", Similarity.sq8Scale(col("embedding")))
+          .withColumn("qv", Similarity.sq8Quantize(col("embedding"), col("sc")))
+        val dOq = aggregate(
+          zip_with(col("embedding"), col("qv"),
+            (x, q) => x.cast("double") * q),
+          lit(0.0), (a, v) => a + v)
+        val nO2 = aggregate(
+          transform(col("embedding"),
+            x => x.cast("double") * x.cast("double")),
+          lit(0.0), (a, v) => a + v)
+        val nQ2 = aggregate(
+          transform(col("qv"), q => q.cast("double") * q.cast("double")),
+          lit(0.0), (a, v) => a + v)
+        val err2 = TextFunctions.bind1(col("sc")) { sc =>
+          aggregate(
+            zip_with(col("embedding"), col("qv"),
+              (x, q) => (x.cast("double") - sc * q) * (x.cast("double") - sc * q)),
+            lit(0.0), (a, v) => a + v)
+        }
+        e.select(col("vec_id"),
+          round(dOq / (sqrt(nO2) * sqrt(nQ2)), 9).as("cos_recon"),
+          round(sqrt(err2) / sqrt(nO2), 9).as("rel_l2"))
+      }
+    },
+
     // ---- s42: maximal marginal relevance re-rank ----------------------------
     // The diversification step after an ANN fetch: greedy k = 5 picks
     // per query balancing relevance against redundancy, score = 0.7*rel

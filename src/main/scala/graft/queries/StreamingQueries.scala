@@ -1055,6 +1055,57 @@ object StreamingQueries {
       }
     },
 
+    // ---- ST21: streaming tamper-evident hash chain ---------------------------
+    // io20's audit-ledger md5 recurrence served LIVE (Streams.
+    // hashChainStream, flatMapGroupsWithState): per-key state is one
+    // 32-char chain head forever, so the ledger runs indefinitely at any
+    // event volume; the emitted heads are bit-identical to the batch
+    // scan — the oracle below IS io20's recursive CTE. The 6th stateful
+    // recurrence under the batch<->stream bit-equivalence discipline,
+    // and the one where equivalence is the PRODUCT (a live chain a
+    // later offline audit must reproduce hash-for-hash).
+    Query("st21_stream_hash_chain",
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |scan AS (
+        |  SELECT user_id, rn, md5('g:' || CAST(event_id AS VARCHAR)) AS h
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, md5(s.h || ':' || CAST(e.event_id AS VARCHAR))
+        |  FROM ev e JOIN scan s ON e.user_id = s.user_id AND e.rn = s.rn + 1)
+        |SELECT s.user_id, CAST(s.rn AS BIGINT) AS n_events, s.h AS chain_md5
+        |FROM scan s JOIN (SELECT user_id, max(rn) AS mr FROM scan GROUP BY 1) t
+        |  ON s.user_id = t.user_id AND s.rn = t.mr""".stripMargin) {
+      (s, d) => {
+        val dir = graft.core.TempDirs.scratch("st21_landing")
+        java.nio.file.Files.createSymbolicLink(
+          dir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        import ss.implicits._
+        val raw = ss.read.parquet(s"$d/events.parquet")
+        val src = Streams.fileSource(ss, dir.toString, raw.schema)
+          .select(col("user_id").cast("long").as("userId"),
+            col("event_id").cast("long").as("eventId"),
+            Tables.tsMicros(raw.schema).as("tsMicros"),
+            col("value").cast("double").as("value"))
+          .as[Streams.ValueEvent]
+        val out = Streams.hashChainStream(src)
+        val sink = "st21_chain_" + System.nanoTime()
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        ss.table(sink)
+          .groupBy(col("userId").as("user_id"))
+          .agg(count(lit(1)).cast("long").as("n_events"),
+            max_by(col("chain"), struct(col("tsMicros"), col("eventId")))
+              .as("chain_md5"))
+      }
+    },
+
     // ---- ST19: streaming quantile monitor (mergeable histogram state) ------
     // a23's sort-free histogram quantiles served live: the stream
     // maintains per-type 10-bucket counts (a complete-mode aggregate —

@@ -58,7 +58,77 @@ object TextAnalysis {
     UrlFixtureSql.replace("CAST(doc_id % 7 AS STRING)",
       "CAST(doc_id - doc_id % 2 AS STRING)")
 
+  /** t56's tag dictionary — one definition drives the engine's inline
+    * dimension table and the oracle's VALUES list. */
+  private val TagDict: Seq[(String, String)] = Seq(
+    "compute" -> "scan", "compute" -> "hash", "compute" -> "merge",
+    "compute" -> "join", "compute" -> "agg",
+    "engine" -> "spark", "engine" -> "table", "engine" -> "row",
+    "engine" -> "column", "engine" -> "query",
+    "perf" -> "slow", "perf" -> "fast", "perf" -> "small",
+    "perf" -> "batch", "perf" -> "filter")
+
   val queries: Seq[Query] = Seq(
+
+    // ---- T56: dictionary keyword tagging (FlashText-style) -----------------
+    // Corpus tagging against a curated keyword taxonomy — the topic/PII
+    // routing stage of a curation pipeline. The FlashText insight,
+    // Spark-first: tokenize once and hash-JOIN the broadcast dictionary
+    // (exact-token lookup — O(tokens), independent of dictionary size),
+    // never N substring scans per keyword; substring counting would also
+    // overhit ('a' inside every word) and undercount adjacent repeats
+    // under replace-based arithmetic. Per-doc counts pivot to one column
+    // per category; the dominant tag breaks ties alphabetically by the
+    // fixed CASE order, and all-miss docs keep a NULL tag (left join).
+    // Phrases extend by joining on bigrams; single-token dict here.
+    Query("t56_keyword_tagging", {
+      val vals = TagDict.map { case (c, k) => s"('$c', '$k')" }.mkString(", ")
+      s"""WITH dict(cat, kw) AS (VALUES $vals),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents),
+        |hits AS (SELECT doc_id, cat, count(*) AS n
+        |         FROM tok JOIN dict ON tok = kw GROUP BY 1, 2),
+        |wide AS (
+        |  SELECT d.doc_id,
+        |         coalesce(min(CASE WHEN cat = 'compute' THEN n END), 0) AS n_compute,
+        |         coalesce(min(CASE WHEN cat = 'engine' THEN n END), 0) AS n_engine,
+        |         coalesce(min(CASE WHEN cat = 'perf' THEN n END), 0) AS n_perf
+        |  FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+        |  GROUP BY 1)
+        |SELECT doc_id, n_compute, n_engine, n_perf,
+        |       CASE WHEN n_compute + n_engine + n_perf = 0 THEN NULL
+        |            WHEN n_compute >= n_engine AND n_compute >= n_perf THEN 'compute'
+        |            WHEN n_engine >= n_perf THEN 'engine'
+        |            ELSE 'perf' END AS top_category
+        |FROM wide""".stripMargin
+    }) {
+      (s, d) => {
+        import s.implicits._
+        val dict = TagDict.toDF("cat", "kw")
+        val docs = Tables.documents(s, d)
+        val hits = docs.select(col("doc_id"),
+            explode(split(col("text"), " ")).as("tok"))
+          .join(broadcast(dict), col("tok") === col("kw"))
+          .groupBy("doc_id", "cat").agg(count(lit(1)).as("n"))
+        val wide = docs.select("doc_id")
+          .join(hits, Seq("doc_id"), "left")
+          .groupBy("doc_id")
+          .agg(coalesce(min(when(col("cat") === "compute", col("n"))), lit(0L))
+              .as("n_compute"),
+            coalesce(min(when(col("cat") === "engine", col("n"))), lit(0L))
+              .as("n_engine"),
+            coalesce(min(when(col("cat") === "perf", col("n"))), lit(0L))
+              .as("n_perf"))
+        wide.select(col("doc_id"), col("n_compute"), col("n_engine"),
+          col("n_perf"),
+          when(col("n_compute") + col("n_engine") + col("n_perf") === 0,
+            lit(null).cast("string"))
+            .when(col("n_compute") >= col("n_engine")
+              && col("n_compute") >= col("n_perf"), "compute")
+            .when(col("n_engine") >= col("n_perf"), "engine")
+            .otherwise("perf").as("top_category"))
+      }
+    },
 
     // ---- T1: token counting (whitespace + regex/BPE-ish) ------------------
     Query("t01_token_count",

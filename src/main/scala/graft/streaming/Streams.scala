@@ -211,6 +211,51 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, timeout)(update)
   }
 
+  final case class ChainState(head: String)
+  final case class ChainOut(userId: Long, eventId: Long, tsMicros: Long,
+                            chain: String)
+
+  /** Streaming tamper-evident hash chain: io20's md5 recurrence
+    * (Cdc.hashChain) served LIVE — the audit-ledger primitive as a
+    * stateful stream. Per-key state is ONE 32-char md5 head forever;
+    * within a batch each group folds in (tsMicros, eventId) order with
+    * the identical g:/`:`-framed encoding, so an event-time-ordered
+    * stream emits bit-for-bit the batch scan's chain column — a live
+    * ledger whose heads the offline replay (or the DuckDB recursive
+    * CTE) reproduces exactly. Payload is the event id rendered as a
+    * string, matching io20's batch contract (non-null by construction).
+    */
+  def hashChainStream(events: Dataset[ValueEvent],
+                      stateTtl: Option[String] = None): Dataset[ChainOut] = {
+    import events.sparkSession.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    def update(userId: Long, it: Iterator[ValueEvent],
+               state: GroupState[ChainState]): Iterator[ChainOut] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        var head = state.getOption.map(_.head)
+        val out = it.toSeq.sortBy(e => (e.tsMicros, e.eventId)).map { e =>
+          val h = head match {
+            case None       => md5hex("g:" + e.eventId.toString)
+            case Some(prev) => md5hex(prev + ":" + e.eventId.toString)
+          }
+          head = Some(h)
+          ChainOut(userId, e.eventId, e.tsMicros, h)
+        }
+        head.foreach(h => state.update(ChainState(h)))
+        stateTtl.foreach(state.setTimeoutDuration)
+        out.iterator
+      }
+    }
+    val timeout = if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+                  else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(update)
+  }
+
   final case class CusumState(ref: Double, sp: Double, sn: Double)
   final case class CusumOut(userId: Long, eventId: Long, sPos: Double,
                             sNeg: Double, alarm: Boolean)

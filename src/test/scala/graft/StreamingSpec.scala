@@ -103,6 +103,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hashChainStream carries the md5 head across micro-batches, bit-identical to batch") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.ValueEvent]
+    val q = Streams.hashChainStream(in.toDS())
+      .writeStream.format("memory").queryName("chain").outputMode("append").start()
+    try {
+      in.addData(Streams.ValueEvent(1, 11, 0, 0.0), Streams.ValueEvent(1, 12, 1, 0.0))
+      q.processAllAvailable()
+      in.addData(Streams.ValueEvent(1, 13, 2, 0.0)) // second batch: state must carry
+      q.processAllAvailable()
+      val got = spark.table("chain").as[Streams.ChainOut].collect()
+        .map(o => o.eventId -> o.chain).toMap
+      def md5(x: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(got(11L) == md5("g:11"))
+      assert(got(12L) == md5(md5("g:11") + ":12"))
+      assert(got(13L) == md5(md5(md5("g:11") + ":12") + ":13"),
+        "head must cross the batch boundary")
+      // bit-identical to the batch operator on the same rows
+      val batch = graft.operators.Cdc.hashChain(
+        Seq((1L, 0L, 11L, "11"), (1L, 1L, 12L, "12"), (1L, 2L, 13L, "13"))
+          .toDF("user_id", "ts", "event_id", "payload"),
+        "user_id", Seq("ts", "event_id"), "payload")
+        .select("event_id", "chain").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("streamingDedup drops duplicate ids within the watermark") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = spark.sqlContext
