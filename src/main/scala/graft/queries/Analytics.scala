@@ -2306,6 +2306,49 @@ object Analytics {
     // the run count is a boundary-flag sum over one partitioned window,
     // and the normal approximation z = (R - mu)/sigma is a fixed-order
     // double epilogue on exact integer (R, n1, n2).
+    // ---- A51: mergeable quantile sketch (KLL/MRL), bound-gated -----------------
+    // The quantile member of the sketch family (a26 HLL distinct, a27
+    // Misra-Gries heavy hitters): plans/KllSketch.scala, a
+    // TypedImperativeAggregate whose level-ladder state is O(k log n/k)
+    // doubles per group forever — the distributed-quantile path when
+    // approx_percentile's opaque state can't be persisted or unioned.
+    // Estimates depend on Spark's partial-merge order (any order is a
+    // valid sketch), so the gate checks the GUARANTEE, not values: for
+    // each group and fraction, the exact rank of the estimate must sit
+    // within 5% of the target (worst-case bound at k=256 is ~1.6%).
+    // The oracle is the literal verdict table — any bound violation, on
+    // any merge order the gate run happens to produce, hash-mismatches.
+    // One scan builds the sketches (the 'all' lane rides a 2x label
+    // explode, not a second pass); the rank check joins the 18-row
+    // estimate table back broadcast.
+    Query("a51_sketch_quantiles",
+      """SELECT * FROM (VALUES
+        |  ('all', true, true, true), ('click', true, true, true),
+        |  ('error', true, true, true), ('purchase', true, true, true),
+        |  ('signup', true, true, true), ('view', true, true, true))
+        |t(grp, p50_ok, p90_ok, p99_ok)""".stripMargin) {
+      (s, d) => {
+        val ev = Tables.events(s, d).select(
+          explode(array(col("event_type"), lit("all"))).as("grp"),
+          col("value").cast("double").as("v"))
+        val fracs = Seq(0.5, 0.9, 0.99)
+        val sk = ev.groupBy("grp")
+          .agg(graft.plans.KllSketch(col("v"), 256, fracs).as("q"))
+        val est = sk.select(col("grp"), posexplode(col("q")).as(Seq("i", "est")))
+        val ranks = ev.join(broadcast(est), "grp")
+          .groupBy("grp", "i", "est")
+          .agg(count(lit(1)).as("n"),
+            count(when(col("v") <= col("est"), 1)).as("le"))
+        val f = when(col("i") === 0, 0.5).when(col("i") === 1, 0.9)
+          .otherwise(0.99)
+        val ok = abs(col("le") - f * col("n")) <= lit(0.05) * col("n")
+        ranks.groupBy("grp").agg(
+            min(when(col("i") === 0, ok)).as("p50_ok"),
+            min(when(col("i") === 1, ok)).as("p90_ok"),
+            min(when(col("i") === 2, ok)).as("p99_ok"))
+      }
+    },
+
     Query("a50_runs_test",
       """WITH d AS (
         |  SELECT event_type,

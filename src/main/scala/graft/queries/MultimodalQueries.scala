@@ -342,6 +342,72 @@ object MultimodalQueries {
     // The oracle replays the m02 pixel FORMULA codec-free, so a decode
     // bug anywhere in the explode path hash-mismatches. The pixel
     // explode is the documented cost: aggregate immediately after.
+    // ---- m10: per-image channel statistics + cross-channel correlation ------
+    // The image-QA row a multimodal curation pipeline runs before
+    // training: per-channel means and the three pairwise Pearson
+    // correlations, computed from the REAL decoded pixel table (the
+    // m09 path). Every accumulation is an exact INTEGER sum over the
+    // 1024 pixels (channels are 0-255 ints), so the only doubles are
+    // one fixed-order expression per output — the oracle replays the
+    // synthesized pixel formulas codec-free and must match to 9 dp.
+    // Correlation flags broken channels (constant g -> NULL corr) and
+    // near-duplicate channels (corr ~ 1) without a bespoke kernel.
+    Query("m10_channel_corr",
+      """WITH px AS (
+        |  SELECT doc_id,
+        |         (doc_id*7 + 3*x.x + 5*y.y) % 256 AS r,
+        |         (doc_id*11 + x.x + 2*y.y) % 256 AS g,
+        |         (doc_id*13 + 4*x.x + y.y) % 256 AS b
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(range(32)) AS x) x,
+        |       LATERAL (SELECT unnest(range(32)) AS y) y),
+        |s AS (
+        |  SELECT doc_id, count(*) AS n,
+        |         CAST(sum(r) AS BIGINT) AS sr, CAST(sum(g) AS BIGINT) AS sg,
+        |         CAST(sum(b) AS BIGINT) AS sb,
+        |         CAST(sum(r*r) AS BIGINT) AS srr, CAST(sum(g*g) AS BIGINT) AS sgg,
+        |         CAST(sum(b*b) AS BIGINT) AS sbb,
+        |         CAST(sum(r*g) AS BIGINT) AS srg, CAST(sum(r*b) AS BIGINT) AS srb,
+        |         CAST(sum(g*b) AS BIGINT) AS sgb
+        |  FROM px GROUP BY 1)
+        |SELECT doc_id,
+        |       round(CAST(sr AS DOUBLE) / n, 9) AS mean_r,
+        |       round(CAST(sg AS DOUBLE) / n, 9) AS mean_g,
+        |       round(CAST(sb AS DOUBLE) / n, 9) AS mean_b,
+        |       round((n*srg - sr*sg) / (sqrt(CAST(n*srr - sr*sr AS DOUBLE))
+        |             * sqrt(CAST(n*sgg - sg*sg AS DOUBLE))), 9) AS corr_rg,
+        |       round((n*srb - sr*sb) / (sqrt(CAST(n*srr - sr*sr AS DOUBLE))
+        |             * sqrt(CAST(n*sbb - sb*sb AS DOUBLE))), 9) AS corr_rb,
+        |       round((n*sgb - sg*sb) / (sqrt(CAST(n*sgg - sg*sg AS DOUBLE))
+        |             * sqrt(CAST(n*sbb - sb*sb AS DOUBLE))), 9) AS corr_gb
+        |FROM s""".stripMargin) {
+      (s, d) => {
+        val withP = Multimodal.withImagePayload(
+          Tables.documents(s, d).select("doc_id"), "doc_id")
+        val px = Multimodal.decodePixels(withP, "doc_id", "payload")
+          .select(col("id").as("doc_id"),
+            col("r").cast("long").as("r"), col("g").cast("long").as("g"),
+            col("b").cast("long").as("b"))
+        val agg = px.groupBy("doc_id").agg(count(lit(1)).as("n"),
+          sum("r").as("sr"), sum("g").as("sg"), sum("b").as("sb"),
+          sum(col("r") * col("r")).as("srr"), sum(col("g") * col("g")).as("sgg"),
+          sum(col("b") * col("b")).as("sbb"),
+          sum(col("r") * col("g")).as("srg"), sum(col("r") * col("b")).as("srb"),
+          sum(col("g") * col("b")).as("sgb"))
+        def corr(sxy: String, sx: String, sy: String, sxx: String, syy: String) =
+          round((col("n") * col(sxy) - col(sx) * col(sy)) /
+            (sqrt((col("n") * col(sxx) - col(sx) * col(sx)).cast("double")) *
+              sqrt((col("n") * col(syy) - col(sy) * col(sy)).cast("double"))), 9)
+        agg.select(col("doc_id"),
+          round(col("sr").cast("double") / col("n"), 9).as("mean_r"),
+          round(col("sg").cast("double") / col("n"), 9).as("mean_g"),
+          round(col("sb").cast("double") / col("n"), 9).as("mean_b"),
+          corr("srg", "sr", "sg", "srr", "sgg").as("corr_rg"),
+          corr("srb", "sr", "sb", "srr", "sbb").as("corr_rb"),
+          corr("sgb", "sg", "sb", "sgg", "sbb").as("corr_gb"))
+      }
+    },
+
     Query("m09_pixel_histogram",
       """WITH px AS (
         |  SELECT doc_id, (doc_id*7 + 3*x.x + 5*y.y) % 256 AS r

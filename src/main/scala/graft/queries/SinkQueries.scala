@@ -203,6 +203,77 @@ object SinkQueries {
             .as("content_md5"))
     },
 
+    // ---- io21: partition manifest diff (incremental-publish planner) --------
+    // Which partitions actually need republishing between two snapshot
+    // versions? Both snapshots' manifests (per-partition row count +
+    // key-sorted content md5, the io19 primitive) are computed in-engine
+    // and FULL-OUTER diffed: 'same' partitions skip the republish,
+    // 'changed' carry both counts, 'added'/'removed' carry one side.
+    // v2 simulates a real delta on top of v1: %97==0 rows deleted,
+    // %89==1 rows price-bumped. Partition grain (priority x key-bucket)
+    // bounds the per-partition sort buffer; the diff itself is
+    // manifest-sized — at 100 TB this plans the publish without reading
+    // anything twice.
+    Query("io21_manifest_diff",
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_orderpriority AS pri, o_orderkey % 16 AS bkt,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_totalprice > 50000),
+        |v2 AS (
+        |  SELECT o_orderkey, pri, bkt,
+        |         CASE WHEN o_orderkey % 89 = 1 THEN cents + 1 ELSE cents END AS cents
+        |  FROM v1 WHERE o_orderkey % 97 <> 0),
+        |m1 AS (SELECT pri, bkt, count(*) AS n1,
+        |              md5(string_agg(CAST(o_orderkey AS VARCHAR) || ':'
+        |                             || CAST(cents AS VARCHAR), '|'
+        |                             ORDER BY o_orderkey)) AS h1
+        |       FROM v1 GROUP BY 1, 2),
+        |m2 AS (SELECT pri, bkt, count(*) AS n2,
+        |              md5(string_agg(CAST(o_orderkey AS VARCHAR) || ':'
+        |                             || CAST(cents AS VARCHAR), '|'
+        |                             ORDER BY o_orderkey)) AS h2
+        |       FROM v2 GROUP BY 1, 2)
+        |SELECT coalesce(m1.pri, m2.pri) AS pri,
+        |       CAST(coalesce(m1.bkt, m2.bkt) AS BIGINT) AS bkt,
+        |       coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2,
+        |       CASE WHEN m2.pri IS NULL THEN 'removed'
+        |            WHEN m1.pri IS NULL THEN 'added'
+        |            WHEN h1 = h2 THEN 'same' ELSE 'changed' END AS status
+        |FROM m1 FULL OUTER JOIN m2 ON m1.pri = m2.pri AND m1.bkt = m2.bkt""".stripMargin) {
+      (s, d) => {
+        def manifest(df: org.apache.spark.sql.DataFrame, n: String, h: String) =
+          df.select(col("pri"), col("bkt"),
+              struct(col("o_orderkey"),
+                concat_ws(":", col("o_orderkey"), col("cents")).as("s")).as("r"))
+            .groupBy("pri", "bkt")
+            .agg(count(lit(1)).as(n),
+              md5(concat_ws("|",
+                transform(sort_array(collect_list(col("r"))),
+                  e => e.getField("s")))).as(h))
+        val v1 = Tables.orders(s, d).filter(col("o_totalprice") > 50000)
+          .select(col("o_orderkey"), col("o_orderpriority").as("pri"),
+            (col("o_orderkey") % 16).as("bkt"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .localCheckpoint() // both snapshot legs derive from one scan
+        val v2 = v1.filter(col("o_orderkey") % 97 =!= 0)
+          .withColumn("cents", when(col("o_orderkey") % 89 === 1,
+            col("cents") + 1).otherwise(col("cents")))
+        val m1 = manifest(v1, "n1", "h1")
+        val m2 = manifest(v2, "n2", "h2")
+          .withColumnRenamed("pri", "pri2").withColumnRenamed("bkt", "bkt2")
+        m1.join(m2, col("pri") === col("pri2") && col("bkt") === col("bkt2"),
+            "full_outer")
+          .select(coalesce(col("pri"), col("pri2")).as("pri"),
+            coalesce(col("bkt"), col("bkt2")).cast("long").as("bkt"),
+            coalesce(col("n1"), lit(0L)).as("n1"),
+            coalesce(col("n2"), lit(0L)).as("n2"),
+            when(col("pri2").isNull, "removed")
+              .when(col("pri").isNull, "added")
+              .when(col("h1") === col("h2"), "same")
+              .otherwise("changed").as("status"))
+      }
+    },
+
     Query("io01_history_roundtrip",
       """SELECT CAST(DATE '2026-01-01' + CAST(o_orderkey % 3 AS INT) AS VARCHAR) AS pd,
         |       o_orderstatus, count(*) AS n,
