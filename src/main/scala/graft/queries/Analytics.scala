@@ -2258,6 +2258,72 @@ object Analytics {
     // into the RFM segment code. The ntile windows run over the USER
     // table (one row per user — already aggregated), so the global
     // window is user-cardinality-sized, not event-sized.
+    // ---- W45: changepoint detection (binary segmentation, one split) -----------
+    // WHERE did the level shift? w32's CUSUM alarms online; this is the
+    // retrospective location estimate: over each type's daily series,
+    // the split s maximizing the between-segment variance reduction
+    // n_l*n_r/n * (mean_l - mean_r)^2. The numerator folds to ONE exact
+    // integer per candidate ((S_l*n - S*n_l), micro-unit daily sums from
+    // the a50 prep), so the only doubles are the final ratio — written
+    // with the identical expression shape on both sides, argmax
+    // tiebroken by day. One window pass over day-cardinality rows; the
+    // data-sized work is the daily aggregate.
+    Query("w45_changepoint",
+      """WITH d AS (
+        |  SELECT event_type,
+        |         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |         CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |                    * 1000000.0 + 0.5) AS BIGINT) AS q
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, day,
+        |         sum(q) OVER w AS sl,
+        |         CAST(row_number() OVER w AS BIGINT) AS nl,
+        |         sum(q) OVER (PARTITION BY event_type) AS s,
+        |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |g AS (
+        |  SELECT event_type, day, nl, n - nl AS nr,
+        |         CAST(sl * n - s * nl AS DOUBLE) * CAST(sl * n - s * nl AS DOUBLE)
+        |           / (CAST(nl AS DOUBLE) * CAST(n - nl AS DOUBLE)
+        |              * CAST(n AS DOUBLE)) / 1000000000000.0 AS gain
+        |  FROM c WHERE nl < n)
+        |SELECT event_type, CAST(day AS BIGINT) AS split_day, nl AS n_left,
+        |       nr AS n_right, round(gain, 6) AS gain
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |                                   ORDER BY gain DESC, day) AS rn
+        |      FROM g) t WHERE rn = 1""".stripMargin) {
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+          .agg(floor(sum(col("value").cast("decimal(18,4)")).cast("double")
+            * lit(1000000.0) + lit(0.5)).cast("long").as("q"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wp = Window.partitionBy("event_type")
+        val c = daily.select(col("event_type"), col("day"),
+          sum("q").over(w).as("sl"),
+          row_number().over(Window.partitionBy("event_type").orderBy("day"))
+            .cast("long").as("nl"),
+          sum("q").over(wp).as("s"),
+          count(lit(1)).over(wp).cast("long").as("n"))
+        val num = col("sl") * col("n") - col("s") * col("nl")
+        val g = c.filter(col("nl") < col("n"))
+          .select(col("event_type"), col("day"), col("nl"),
+            (col("n") - col("nl")).as("nr"),
+            (num.cast("double") * num.cast("double")
+              / (col("nl").cast("double") * (col("n") - col("nl")).cast("double")
+                * col("n").cast("double")) / lit(1000000000000.0)).as("gain"))
+        g.withColumn("rn", row_number().over(Window.partitionBy("event_type")
+            .orderBy(col("gain").desc, col("day"))))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("day").cast("long").as("split_day"),
+            col("nl").as("n_left"), col("nr").as("n_right"),
+            round(col("gain"), 6).as("gain"))
+      }
+    },
+
     Query("w44_rfm_scores",
       """WITH p AS (
         |  SELECT user_id,

@@ -422,6 +422,93 @@ object Cleaning {
     // The md5-seeded inverse-CDF draw lets the oracle replay the exact
     // noise; noise rounds to 6dp (ln recipe). One hash agg + a narrow
     // projection — release tables are group-cardinality-sized.
+    // ---- P22: differentially-private quantile (exponential mechanism) -------
+    // Completes the DP family: p16 = Laplace counts (trusted curator),
+    // p20 = randomized response (local), this = the exponential
+    // mechanism for a NON-numeric-aggregatable release (a quantile).
+    // The domain discretizes to 24 fixed bands; utility of a band is
+    // the exact INTEGER rank distance -|2*le - n| from the median; the
+    // selection draw is the Gumbel-max trick with seeded-md5 uniforms
+    // (p16's replayable-noise convention), so both engines derive the
+    // SAME draw. Scores round to 6 dp before the argmax (band-id
+    // tiebreak) so a libm ulp cannot flip the winner. Everything after
+    // the one (seg, band) aggregate is band-spine-sized.
+    Query("p22_dp_quantile",
+      """WITH b AS (
+        |  SELECT c_mktsegment AS seg,
+        |         CAST((CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 46000
+        |              AS BIGINT) AS band,
+        |         count(*) AS c
+        |  FROM customer GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT seg, r.range AS band FROM (SELECT DISTINCT seg FROM b),
+        |       range(0, 24) r),
+        |cum AS (
+        |  SELECT spine.seg, spine.band,
+        |         sum(coalesce(c, 0)) OVER (PARTITION BY spine.seg
+        |                                   ORDER BY spine.band) AS le,
+        |         sum(coalesce(c, 0)) OVER (PARTITION BY spine.seg) AS n
+        |  FROM spine LEFT JOIN b ON spine.seg = b.seg AND spine.band = b.band),
+        |sc AS (
+        |  SELECT seg, band, le, n,
+        |         0 - abs(2 * le - n) AS u,
+        |         round(0.25 * (0 - abs(2 * le - n))
+        |               - ln(0 - ln(CAST('0x' || substr(md5(seg || '#'
+        |                     || CAST(band AS VARCHAR) || 'p22'), 1, 8) AS BIGINT)
+        |                     / 4294967296.0)), 6) AS score
+        |  FROM cum),
+        |pick AS (
+        |  SELECT seg, band, n,
+        |         row_number() OVER (PARTITION BY seg ORDER BY score DESC, band)
+        |           AS rd,
+        |         row_number() OVER (PARTITION BY seg ORDER BY u DESC, band)
+        |           AS rt
+        |  FROM sc)
+        |SELECT t.seg, CAST(t.n AS BIGINT) AS n,
+        |       CAST(t.band AS BIGINT) AS true_band,
+        |       CAST(d.band AS BIGINT) AS dp_band,
+        |       -770.0 + d.band * 460.0 AS dp_value
+        |FROM (SELECT * FROM pick WHERE rt = 1) t
+        |JOIN (SELECT * FROM pick WHERE rd = 1) d ON t.seg = d.seg""".stripMargin) {
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val b = Tables.customer(s, d)
+          .groupBy(col("c_mktsegment").as("seg"),
+            expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 46000")
+              .as("band"))
+          .agg(count(lit(1)).as("c"))
+        val spine = b.select("seg").distinct()
+          .select(col("seg"), explode(sequence(lit(0L), lit(23L))).as("band"))
+        val w = Window.partitionBy("seg").orderBy("band")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = spine.join(b, Seq("seg", "band"), "left")
+          .select(col("seg"), col("band"),
+            sum(coalesce(col("c"), lit(0L))).over(w).as("le"),
+            sum(coalesce(col("c"), lit(0L)))
+              .over(Window.partitionBy("seg")).as("n"))
+        val uni = expr("CAST(conv(substr(md5(concat(seg, '#', " +
+          "CAST(band AS STRING), 'p22')), 1, 8), 16, 10) AS BIGINT) " +
+          "/ 4294967296.0")
+        val u = lit(0) - abs(lit(2) * col("le") - col("n"))
+        val sc = cum.select(col("seg"), col("band"), col("n"), u.as("u"),
+          round(lit(0.25) * u - log(lit(0) - log(uni)), 6).as("score"))
+        val pick = sc
+          .withColumn("rd", row_number().over(
+            Window.partitionBy("seg").orderBy(col("score").desc, col("band"))))
+          .withColumn("rt", row_number().over(
+            Window.partitionBy("seg").orderBy(col("u").desc, col("band"))))
+        val t = pick.filter(col("rt") === 1)
+          .select(col("seg"), col("n"), col("band").as("true_band"))
+        val dp = pick.filter(col("rd") === 1)
+          .select(col("seg").as("seg2"), col("band").as("dp_band"))
+        t.join(dp, col("seg") === col("seg2"))
+          .select(col("seg"), col("n").cast("long").as("n"),
+            col("true_band").cast("long").as("true_band"),
+            col("dp_band").cast("long").as("dp_band"),
+            (lit(-770.0) + col("dp_band") * 460.0).as("dp_value"))
+      }
+    },
+
     Query("p16_dp_counts",
       """WITH g AS (
         |  SELECT n_name AS nation, c_mktsegment AS seg, count(*) AS n_true

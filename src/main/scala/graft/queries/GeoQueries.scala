@@ -389,6 +389,61 @@ object GeoQueries {
     // exact range/percent tests run on candidates only. The 1% test is
     // exact integers: 100*|ca - cb| <= ca on cents. Nothing quadratic
     // in the stream at any scale; pairs dedup on the canonical id pair.
+    // ---- J29: SCD2 point-in-time lookup ---------------------------------------
+    // THE warehouse join: facts resolve their dimension attributes AS OF
+    // the fact's own date against an SCD2 validity-interval dimension
+    // (j17/j20 as-of joins probe the nearest EVENT; this probes a closed
+    // version table). Dim fixture: every customer has a v1 open at
+    // 1992-01-01; custkey%3==0 customers flip segment at a per-customer
+    // change date. The join is an EQUI join on the key with a residual
+    // [from, to) interval filter — versions per key are few and bounded,
+    // so there is no range-join blowup and one shuffle per side at any
+    // scale; intervals are half-open and gap-free by construction, so
+    // exactly one version matches (pinned: output rows == fact rows).
+    Query("j29_scd2_lookup",
+      """WITH dim AS (
+        |  SELECT c_custkey, c_mktsegment AS seg,
+        |         DATE '1992-01-01' AS valid_from,
+        |         CASE WHEN c_custkey % 3 = 0
+        |              THEN DATE '1995-01-01' + CAST(c_custkey % 1000 AS INT)
+        |              ELSE DATE '9999-12-31' END AS valid_to
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'MOVED:' || c_mktsegment,
+        |         DATE '1995-01-01' + CAST(c_custkey % 1000 AS INT),
+        |         DATE '9999-12-31'
+        |  FROM customer WHERE c_custkey % 3 = 0)
+        |SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date,
+        |       seg AS seg_at_order
+        |FROM orders JOIN dim
+        |  ON o_custkey = c_custkey
+        | AND CAST(o_orderdate AS DATE) >= valid_from
+        | AND CAST(o_orderdate AS DATE) < valid_to""".stripMargin) {
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val base = lit(java.sql.Date.valueOf("1995-01-01"))
+        val v1 = c.select(col("c_custkey"), col("c_mktsegment").as("seg"),
+          lit(java.sql.Date.valueOf("1992-01-01")).as("valid_from"),
+          when(col("c_custkey") % 3 === 0,
+            date_add(base, (col("c_custkey") % 1000).cast("int")))
+            .otherwise(lit(java.sql.Date.valueOf("9999-12-31"))).as("valid_to"))
+        val v2 = c.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"),
+            concat(lit("MOVED:"), col("c_mktsegment")).as("seg"),
+            date_add(base, (col("c_custkey") % 1000).cast("int")).as("valid_from"),
+            lit(java.sql.Date.valueOf("9999-12-31")).as("valid_to"))
+        val dim = v1.unionByName(v2)
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            to_date(col("o_orderdate")).as("order_date"))
+          .join(dim, col("o_custkey") === col("c_custkey")
+            && col("order_date") >= col("valid_from")
+            && col("order_date") < col("valid_to"))
+          .select(col("o_orderkey"), col("o_custkey"), col("order_date"),
+            col("seg").as("seg_at_order"))
+      }
+    },
+
     Query("j28_fuzzy_dupes",
       """WITH p AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS us,
