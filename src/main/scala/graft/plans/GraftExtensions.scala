@@ -47,6 +47,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit(args(3), "hyperplane_buckets", "dims"))
       }))
     ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler",
+        "jaro_winkler(a, b) - Jaro-Winkler similarity (0.1 prefix scale, 0.7 boost threshold; matches DuckDB's jaro_winkler_similarity)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "jaro_winkler(a, b) takes 2 arguments")
+        JaroWinkler(args(0), args(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("shingle_hashes"),
       info("shingle_hashes",
         "shingle_hashes(text, n) - distinct xxhash64 values of the word n-gram shingles"),

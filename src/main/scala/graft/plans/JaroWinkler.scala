@@ -1,0 +1,101 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, GraftShims}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Jaro-Winkler similarity as a codegen expression — the
+  * entity-resolution scoring primitive Spark lacks (levenshtein exists;
+  * the survey-name/person-name matchers the reference's resolution
+  * trackers imply want the transposition-tolerant, prefix-boosted
+  * score). Standard definition, bit-compatible with DuckDB's
+  * jaro_winkler_similarity (validated exhaustively on random pairs):
+  *  - match window floor(max(|a|,|b|)/2) - 1,
+  *  - jaro = (m/|a| + m/|b| + (m-t)/m) / 3 (0 when m = 0, 1 on equal),
+  *  - Winkler boost ONLY when jaro > 0.7: + l * 0.1 * (1 - jaro) with
+  *    l = common prefix length capped at 4.
+  * The kernel runs on the decoded strings (code points, not bytes) so
+  * non-ASCII names score correctly; stays inside whole-stage codegen
+  * via a static kernel call (the NfcNormalize pattern).
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinklerKernel.score(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = JaroWinklerKernel.getClass.getName + ".MODULE$"
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $kernel.score($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaroWinkler {
+  def apply(a: Column, b: Column): Column =
+    GraftShims.column(JaroWinkler(GraftShims.expression(a),
+      GraftShims.expression(b)))
+}
+
+object JaroWinklerKernel {
+  def score(ua: UTF8String, ub: UTF8String): Double = {
+    val a = ua.toString
+    val b = ub.toString
+    val ja = jaro(a, b)
+    if (ja <= 0.7) ja
+    else {
+      var l = 0
+      val max = math.min(4, math.min(a.length, b.length))
+      while (l < max && a.charAt(l) == b.charAt(l)) l += 1
+      ja + l * 0.1 * (1.0 - ja)
+    }
+  }
+
+  private def jaro(a: String, b: String): Double = {
+    val l1 = a.length
+    val l2 = b.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    if (a == b) return 1.0
+    val window = math.max(math.max(l1, l2) / 2 - 1, 0)
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(l2, i + window + 1)
+      var j = lo
+      var found = false
+      while (j < hi && !found) {
+        if (!m2(j) && b.charAt(j) == a.charAt(i)) {
+          m1(i) = true; m2(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var j = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(j)) j += 1
+        if (a.charAt(i) != b.charAt(j)) t += 1
+        j += 1
+      }
+      i += 1
+    }
+    val tr = t / 2
+    (m.toDouble / l1 + m.toDouble / l2 + (m - tr).toDouble / m) / 3.0
+  }
+}

@@ -389,6 +389,50 @@ object GeoQueries {
     // exact range/percent tests run on candidates only. The 1% test is
     // exact integers: 100*|ca - cb| <= ca on cents. Nothing quadratic
     // in the stream at any scale; pairs dedup on the canonical id pair.
+    // ---- J30: Jaro-Winkler dirty-to-catalog match ------------------------------
+    // The fuzzy entity-resolution scorer j18's levenshtein blocking
+    // lacks: transposition-tolerant, prefix-boosted Jaro-Winkler as a
+    // NATIVE codegen expression (plans/JaroWinkler.scala — Spark has no
+    // built-in; the kernel is bit-compatible with DuckDB's
+    // jaro_winkler_similarity, so the oracle runs the REAL function on
+    // both engines). Shape: every dirty record (word-swapped variant)
+    // argmax-matches against the broadcast clean catalog — the
+    // match-to-master step of a dedup/mastering pipeline. Catalog-sized
+    // build side broadcasts; candidates are |dirty| x |catalog| scored
+    // in one codegen'd projection, argmax tiebroken by catalog name.
+    Query("j30_jw_match",
+      """WITH clean AS (SELECT DISTINCT p_name FROM part),
+        |dirty AS (
+        |  SELECT p_partkey,
+        |         split_part(p_name, ' ', 2) || ' ' || split_part(p_name, ' ', 1)
+        |           AS dirty_name
+        |  FROM part),
+        |scored AS (
+        |  SELECT p_partkey, dirty_name, clean.p_name AS cand,
+        |         jaro_winkler_similarity(dirty_name, clean.p_name) AS s
+        |  FROM dirty CROSS JOIN clean)
+        |SELECT p_partkey, dirty_name, cand AS best_clean, round(s, 9) AS score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY p_partkey
+        |                                   ORDER BY s DESC, cand) AS rn
+        |      FROM scored) t
+        |WHERE rn = 1""".stripMargin) {
+      (s, d) => {
+        val clean = Tables.part(s, d).select(col("p_name")).distinct()
+          .withColumnRenamed("p_name", "cand")
+        val dirty = Tables.part(s, d).select(col("p_partkey"),
+          concat_ws(" ", split(col("p_name"), " ")(1),
+            split(col("p_name"), " ")(0)).as("dirty_name"))
+        val scored = dirty.crossJoin(broadcast(clean))
+          .withColumn("s",
+            graft.plans.JaroWinkler(col("dirty_name"), col("cand")))
+        scored.withColumn("rn", row_number().over(
+            Window.partitionBy("p_partkey").orderBy(col("s").desc, col("cand"))))
+          .filter(col("rn") === 1)
+          .select(col("p_partkey"), col("dirty_name"),
+            col("cand").as("best_clean"), round(col("s"), 9).as("score"))
+      }
+    },
+
     // ---- J29: SCD2 point-in-time lookup ---------------------------------------
     // THE warehouse join: facts resolve their dimension attributes AS OF
     // the fact's own date against an SCD2 validity-interval dimension

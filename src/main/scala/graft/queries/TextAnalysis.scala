@@ -130,6 +130,44 @@ object TextAnalysis {
       }
     },
 
+    // ---- T57: per-document novelty scoring (dedup-aware data ordering) -------
+    // What fraction of each doc's 3-gram shingles appears here FIRST
+    // (by doc_id order)? The curriculum/ordering signal that prices how
+    // much new n-gram mass each document adds to the corpus — near-dups
+    // of earlier docs score ~0, genuinely fresh text scores ~1 (the
+    // corpus-level complement of t31's pairwise duplicate coverage).
+    // One shingle explode; first-seen resolves as a WINDOW min over the
+    // shingle partitioning, so one exchange serves both the first-doc
+    // assignment and the per-doc rollup that follows (an agg+join-back
+    // would shuffle the shingle table twice).
+    Query("t57_doc_novelty",
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |  WHERE len(t) >= 3),
+        |w AS (SELECT doc_id, s, min(doc_id) OVER (PARTITION BY s) AS first_doc
+        |      FROM sh)
+        |SELECT doc_id, count(*) AS n_shingles,
+        |       count(CASE WHEN first_doc = doc_id THEN 1 END) AS n_novel,
+        |       CAST(count(CASE WHEN first_doc = doc_id THEN 1 END) AS DOUBLE)
+        |         / count(*) AS novelty
+        |FROM w GROUP BY 1""".stripMargin) {
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(shingles(col("text"), 3)).as("s"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("s")
+        sh.withColumn("first_doc", min("doc_id").over(w))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+          .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+            (col("n_novel").cast("double") / col("n_shingles")).as("novelty"))
+      }
+    },
+
     // ---- T1: token counting (whitespace + regex/BPE-ish) ------------------
     Query("t01_token_count",
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
