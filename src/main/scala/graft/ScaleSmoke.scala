@@ -1187,6 +1187,107 @@ object ScaleSmoke {
           .groupBy("id").agg(count(lit(1)), max("c"))
           .write.format("noop").mode("overwrite").save()
       },
+      time("scd2_lookup_1p5m_facts") {
+        // j29 at scale: equi join on the key + residual interval filter;
+        // versions per key stay bounded (<= 2), so the join is an
+        // ordinary shuffle at any volume
+        val c0 = graft.core.Tables.customer(spark, sfDir)
+        val base = lit(java.sql.Date.valueOf("1995-01-01"))
+        val v1 = c0.select(col("c_custkey"), col("c_mktsegment").as("seg"),
+          lit(java.sql.Date.valueOf("1992-01-01")).as("valid_from"),
+          when(col("c_custkey") % 3 === 0,
+            date_add(base, (col("c_custkey") % 1000).cast("int")))
+            .otherwise(lit(java.sql.Date.valueOf("9999-12-31"))).as("valid_to"))
+        val v2 = c0.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"), concat(lit("M:"), col("c_mktsegment")).as("seg"),
+            date_add(base, (col("c_custkey") % 1000).cast("int")).as("valid_from"),
+            lit(java.sql.Date.valueOf("9999-12-31")).as("valid_to"))
+        or.select(col("o_orderkey"), col("o_custkey"),
+            to_date(col("o_orderdate")).as("od"))
+          .join(v1.unionByName(v2), col("o_custkey") === col("c_custkey")
+            && col("od") >= col("valid_from") && col("od") < col("valid_to"))
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("jw_match_20k_dirty") {
+        // j30 at scale: |dirty| x |catalog| codegen'd JaroWinkler scores;
+        // linear in dirty rows with the catalog broadcast
+        val p0 = graft.core.Tables.part(spark, sfDir)
+        val clean = p0.select(col("p_name").as("cand")).distinct()
+        p0.select(col("p_partkey"),
+            concat_ws(" ", split(col("p_name"), " ")(1),
+              split(col("p_name"), " ")(0)).as("dn"))
+          .crossJoin(broadcast(clean))
+          .withColumn("s", graft.plans.JaroWinkler(col("dn"), col("cand")))
+          .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("p_partkey")
+              .orderBy(col("s").desc, col("cand"))))
+          .filter(col("rn") === 1)
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("kll_sketch_6m_events") {
+        // a51's sketch at raw event volume: one hash agg whose state is
+        // O(k log n/k) doubles per group; merge-heavy at 32 partitions
+        val ev0 = graft.core.Tables.events(spark, sfDir)
+        ev0.select(col("event_type"), col("value").cast("double").as("v"))
+          .crossJoin(copies)
+          .groupBy("event_type")
+          .agg(graft.plans.KllSketch(col("v"), 256, Seq(0.5, 0.9, 0.99)))
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("doc_novelty_50k_docs") {
+        // t57 at 10x docs (copy-suffixed ids keep shingle blocks
+        // copy-invariant... they DON'T here: copies share shingles, so
+        // first-doc blocks grow with copies — the realistic worst case
+        // for the window min (popular shingles concentrate)
+        val docs0 = graft.core.Tables.documents(spark, sfDir)
+        val docs = docs0.select(col("doc_id"), col("text")).crossJoin(copies)
+          .select((col("doc_id") + col("rep") * 1000000L).as("doc_id"), col("text"))
+        val sh = docs.select(col("doc_id"),
+          explode(graft.functions.TextFunctions.shingles(col("text"), 3)).as("s"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("s")
+        sh.withColumn("first_doc", min("doc_id").over(w))
+          .groupBy("doc_id")
+          .agg(count(lit(1)),
+            count(when(col("first_doc") === col("doc_id"), 1)))
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("keyword_tagging_50k_docs") {
+        // t56 at 10x docs: tokenize once + broadcast dict join — linear
+        val docs0 = graft.core.Tables.documents(spark, sfDir)
+        import spark.implicits._
+        val dict = Seq(("compute", "scan"), ("compute", "hash"),
+          ("compute", "merge"), ("engine", "spark"), ("engine", "table"),
+          ("perf", "slow"), ("perf", "fast")).toDF("cat", "kw")
+        docs0.select(col("doc_id"), col("text")).crossJoin(copies)
+          .select((col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+            explode(split(col("text"), " ")).as("tok"))
+          .join(broadcast(dict), col("tok") === col("kw"))
+          .groupBy("doc_id", "cat").agg(count(lit(1)))
+          .write.format("noop").mode("overwrite").save()
+      },
+      time("se_fanout_1p5m_orders") {
+        // g29's two-level fan-out at 10x orders: the per-household agg is
+        // the only data-sized stage; no count-distinct Expand anywhere
+        val o = or.select(year(col("o_orderdate")).cast("long").as("visit"),
+          (col("o_custkey") % 4).as("assignment"), col("o_custkey").as("hh"),
+          when(col("o_orderstatus") === "O", "in")
+            .when(col("o_orderstatus") === "F", "out").otherwise("eos").as("st"),
+          (col("o_totalprice") < 20000).as("ref"))
+        val conds = Seq[(String, org.apache.spark.sql.Column)](
+          "overall" -> lit(true), "in" -> (col("st") === "in"),
+          "out" -> (col("st") === "out"), "eos" -> (col("st") === "eos"),
+          "refusal" -> col("ref"))
+        val l1 = o.groupBy("visit", "assignment", "hh").agg(
+          conds.head match { case (n, c) => count(when(c, 1)).as(s"i_$n") },
+          (conds.tail.map { case (n, c) => count(when(c, 1)).as(s"i_$n") } ++
+            conds.map { case (n, c) =>
+              max(when(c, 1L).otherwise(0L)).as(s"h_$n") }): _*)
+        l1.groupBy("visit", "assignment").agg(
+            sum(s"i_${conds.head._1}").as("i0"),
+            (conds.tail.map { case (n, _) => sum(s"i_$n").as(s"i_$n") } ++
+              conds.map { case (n, _) => sum(s"h_$n").as(s"h_$n") }): _*)
+          .write.format("noop").mode("overwrite").save()
+      },
       time("absence_anti_1m_events") {
         // j27 at 10x/100x events (user keys shifted per copy): the
         // interval NOT EXISTS as a bucket-replicated (user, hour) equi
