@@ -2258,6 +2258,53 @@ object Analytics {
     // into the RFM segment code. The ntile windows run over the USER
     // table (one row per user — already aggregated), so the global
     // window is user-cardinality-sized, not event-sized.
+    // ---- W46: rolling distinct users via HLL sketch union ---------------------
+    // The rolling-window aggregate that is NOT decomposable exactly:
+    // 7-day distinct users per type. Exact rolling distinct re-scans
+    // every window at 100 TB; the sketch plan builds ONE HLL per (type,
+    // day) — stored state, the a26 pattern — and each window is a union
+    // of 7 daily sketches (replicate each day sketch into the <= 7
+    // target windows it serves; day-cardinality rows, so the explode is
+    // free). The gate computes the exact rolling distinct beside it and
+    // asserts the estimate lands within 5% (lgConfigK=14 ~ 0.8% RSE);
+    // the oracle replays the exact side and the verdict.
+    Query("w46_rolling_distinct",
+      """WITH e AS (
+        |  SELECT event_type,
+        |         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |         user_id
+        |  FROM events),
+        |g AS (SELECT event_type, day + o.range AS tday, user_id
+        |      FROM e CROSS JOIN range(0, 7) o)
+        |SELECT event_type, CAST(tday AS BIGINT) AS day,
+        |       count(DISTINCT user_id) AS exact_rolling,
+        |       CAST(1 AS BOOLEAN) AS within_5pct
+        |FROM g GROUP BY 1, 2""".stripMargin) {
+      (s, d) => {
+        val e = Tables.events(s, d).select(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"),
+          col("user_id"))
+        val daily = e.groupBy("event_type", "day")
+          .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+        val est = daily
+          .select(col("event_type"),
+            explode(sequence(col("day"), col("day") + 6)).as("day"), col("sk"))
+          .groupBy("event_type", "day")
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+        val exact = e
+          .select(col("event_type"),
+            explode(sequence(col("day"), col("day") + 6)).as("day"),
+            col("user_id"))
+          .groupBy("event_type", "day")
+          .agg(countDistinct("user_id").as("exact_rolling"))
+        exact.join(est, Seq("event_type", "day"))
+          .select(col("event_type"), col("day"), col("exact_rolling"),
+            (abs(col("est").cast("double")
+              - col("exact_rolling").cast("double"))
+              <= col("exact_rolling").cast("double") * 0.05).as("within_5pct"))
+      }
+    },
+
     // ---- W45: changepoint detection (binary segmentation, one split) -----------
     // WHERE did the level shift? w32's CUSUM alarms online; this is the
     // retrospective location estimate: over each type's daily series,
