@@ -1029,6 +1029,62 @@ object Analytics {
     // counts each triangle once, and max out-degree is O(sqrt(m)) no
     // matter how skewed the raw degrees — the standard bound that keeps
     // the wedge join from exploding on hub nodes at 100 TB.
+    // ---- G30: community modularity score ---------------------------------------
+    // The quality metric that closes the community loop (g21 LPA
+    // assigns labels; this SCORES a partition): per community c,
+    // term_c = e_c/m - (d_c/2m)^2 — Newman modularity's summand — over
+    // the g13 co-purchase edge set with the deterministic node%8
+    // partition (fixed labels keep the oracle exact; scoring LPA's own
+    // labels would need its 3 rounds replayed). Emitting PER-COMMUNITY
+    // rows sidesteps any cross-row double sum: every term is one
+    // fixed-order expression over exact integers (e_c, d_c, m). The
+    // only data-sized work is the one distinct pair join all g-rows
+    // share; everything after is community-cardinality.
+    Query("g30_modularity",
+      """WITH pair AS (
+        |  SELECT DISTINCT a.l_suppkey AS x, b.l_suppkey AS y
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+        |e AS (
+        |  SELECT x, y FROM pair
+        |  WHERE substring(md5(CAST(x AS VARCHAR) || '_' || CAST(y AS VARCHAR) || 'g13'), 1, 1) = '0'),
+        |m AS (SELECT count(*) AS m FROM e),
+        |ein AS (SELECT x % 8 AS c, count(*) AS e_in
+        |        FROM e WHERE x % 8 = y % 8 GROUP BY 1),
+        |deg AS (SELECT node % 8 AS c, count(*) AS d_sum FROM (
+        |          SELECT x AS node FROM e UNION ALL SELECT y FROM e)
+        |        GROUP BY 1)
+        |SELECT deg.c AS community,
+        |       CAST(coalesce(e_in, 0) AS BIGINT) AS e_in,
+        |       CAST(d_sum AS BIGINT) AS d_sum, CAST(m AS BIGINT) AS m,
+        |       round(CAST(coalesce(e_in, 0) AS DOUBLE) / m
+        |             - (CAST(d_sum AS DOUBLE) / (2.0 * m))
+        |               * (CAST(d_sum AS DOUBLE) / (2.0 * m)), 9) AS term
+        |FROM deg LEFT JOIN ein ON deg.c = ein.c CROSS JOIN m""".stripMargin) {
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        val pair = li.toDF("ok", "x")
+          .join(li.toDF("ok2", "y"), col("ok") === col("ok2") && col("x") < col("y"))
+          .select("x", "y").distinct()
+        val e = pair.filter(substring(
+            md5(concat(col("x").cast("string"), lit("_"),
+              col("y").cast("string"), lit("g13"))), 1, 1) === "0")
+          .localCheckpoint() // m + within-edges + both degree legs share it
+        val m = e.agg(count(lit(1)).as("m"))
+        val ein = e.filter(col("x") % 8 === col("y") % 8)
+          .groupBy((col("x") % 8).as("c")).agg(count(lit(1)).as("e_in"))
+        val deg = e.select(col("x").as("node")).unionAll(e.select(col("y")))
+          .groupBy((col("node") % 8).as("c")).agg(count(lit(1)).as("d_sum"))
+        val dd = col("d_sum").cast("double") / (lit(2.0) * col("m"))
+        deg.join(ein, Seq("c"), "left").crossJoin(broadcast(m))
+          .select(col("c").as("community"),
+            coalesce(col("e_in"), lit(0L)).cast("long").as("e_in"),
+            col("d_sum").cast("long").as("d_sum"), col("m").cast("long").as("m"),
+            round(coalesce(col("e_in"), lit(0L)).cast("double") / col("m")
+              - dd * dd, 9).as("term"))
+      }
+    },
+
     Query("g13_triangle_count",
       """WITH pair AS (
         |  SELECT DISTINCT a.l_suppkey AS x, b.l_suppkey AS y

@@ -1145,6 +1145,45 @@ object TextAnalysis {
             + 1).cast("bigint").as("n_pieces"))
     },
 
+    // ---- T58: tokenizer fertility report (per-source QA) -------------------
+    // The tokenizer-acceptance metric: pieces-per-word (fertility) and
+    // chars-per-piece per corpus source under the t33 greedy wordpiece
+    // encode — a vocab that fragments one source's text (fertility
+    // creeping toward chars-per-word) is mis-fit for it. Rides the SAME
+    // codegen GreedyPieceEncode kernel and the SAME recursive-CTE
+    // oracle as t33 (wrapped as a subquery), so the encode itself stays
+    // cross-engine-pinned; the report adds exact integer sums and two
+    // IEEE ratio columns. One scan, one source-cardinality agg.
+    Query("t58_tokenizer_fertility",
+      s"""WITH base AS ($TokenizerOracleSql),
+        |j AS (
+        |  SELECT d.source, len(string_split(d.text, ' ')) AS n_words,
+        |         length(d.text) AS n_chars, b.n_pieces
+        |  FROM documents d JOIN base b ON d.doc_id = b.doc_id)
+        |SELECT source,
+        |       CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+        |       CAST(sum(n_words) AS BIGINT) AS n_words,
+        |       CAST(sum(n_pieces) AS DOUBLE) / sum(n_words) AS fertility,
+        |       CAST(sum(n_chars) AS DOUBLE) / sum(n_pieces) AS chars_per_piece
+        |FROM j GROUP BY 1""".stripMargin) { (s, d) =>
+      val enc = graft.plans.GreedyPieceEncode(col("text"), PieceVocab)
+      Tables.documents(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+          length(col("text")).cast("long").as("n_chars"),
+          enc.as("enc"))
+        .select(col("source"), col("n_words"), col("n_chars"),
+          (length(col("enc")) - length(regexp_replace(col("enc"), "\\|", ""))
+            + length(col("enc")) - length(regexp_replace(col("enc"), " ", ""))
+            + 1).cast("bigint").as("n_pieces"))
+        .groupBy("source")
+        .agg(sum("n_pieces").cast("long").as("n_pieces"),
+          sum("n_words").cast("long").as("n_words"),
+          (sum("n_pieces").cast("double") / sum("n_words")).as("fertility"),
+          (sum("n_chars").cast("double") / sum("n_pieces"))
+            .as("chars_per_piece"))
+    },
+
     // ---- t37: markup strip + entity decode (HTML boilerplate removal) -----
     // The first transform of any web-crawl pipeline: tags out, entities
     // decoded, whitespace re-collapsed. The fixture wraps each doc in
