@@ -422,6 +422,49 @@ object Cleaning {
     // The md5-seeded inverse-CDF draw lets the oracle replay the exact
     // noise; noise rounds to 6dp (ln recipe). One hash agg + a narrow
     // projection — release tables are group-cardinality-sized.
+    // ---- R23: pattern-based multi-group unpivot --------------------------------
+    // tidyr's pivot_longer(names_pattern = "(drug)_(metric)") shape the
+    // pharmacy reports use (monitoring/pharmacy.Rmd stock columns
+    // alb_tabno/ivm_tabno/...): wide columns whose NAMES encode TWO
+    // dimensions unpivot into (drug, metric, value) rows. The name
+    // parse happens at PLAN time in Scala — the generated stack() has
+    // the (drug, metric) literals baked in, so the data path is one
+    // narrow 6x projection, no string parsing per row, no shuffle.
+    Query("r23_unpivot_pattern", {
+      val legs = for (drug <- Seq("alb", "ivm", "prdt");
+                      metric <- Seq("tabno", "damaged")) yield drug -> metric
+      val sel = legs.map { case (dr, m) =>
+        s"SELECT o_orderkey, '$dr' AS drug, '$m' AS metric, ${dr}_$m AS value FROM w"
+      }.mkString("\nUNION ALL ")
+      s"""WITH w AS (
+        |  SELECT o_orderkey,
+        |         o_orderkey % 7 AS alb_tabno, o_orderkey % 5 AS ivm_tabno,
+        |         o_orderkey % 3 AS prdt_tabno, o_orderkey % 2 AS alb_damaged,
+        |         o_orderkey % 11 AS ivm_damaged, o_orderkey % 13 AS prdt_damaged
+        |  FROM orders)
+        |$sel""".stripMargin
+    }) {
+      (s, d) => {
+        val wide = Tables.orders(s, d).select(col("o_orderkey"),
+          (col("o_orderkey") % 7).as("alb_tabno"),
+          (col("o_orderkey") % 5).as("ivm_tabno"),
+          (col("o_orderkey") % 3).as("prdt_tabno"),
+          (col("o_orderkey") % 2).as("alb_damaged"),
+          (col("o_orderkey") % 11).as("ivm_damaged"),
+          (col("o_orderkey") % 13).as("prdt_damaged"))
+        // names_pattern parse at plan time: (drug)_(metric) over the
+        // actual wide columns, not a hand-kept list
+        val pat = "^(alb|ivm|prdt)_([a-z]+)$".r
+        val legs = wide.columns.toSeq.collect {
+          case c @ pat(drug, metric) => (c, drug, metric) }
+        val stackArgs = legs.map { case (c, dr, m) => s"'$dr', '$m', $c" }
+          .mkString(", ")
+        wide.select(col("o_orderkey"),
+          expr(s"stack(${legs.size}, $stackArgs) AS (drug, metric, value)"))
+          .select("o_orderkey", "drug", "metric", "value")
+      }
+    },
+
     // ---- P22: differentially-private quantile (exponential mechanism) -------
     // Completes the DP family: p16 = Laplace counts (trusted curator),
     // p20 = randomized response (local), this = the exponential

@@ -239,6 +239,68 @@ object Keys {
     // window (any md5 collision or namespace bug flips is_unique and
     // breaks the pinned TRUE). Narrow projection + one key-hashed
     // window; at 100 TB mint on write and store, don't re-derive.
+    // ---- K5: SCD2 interval-integrity audit ------------------------------------
+    // The data-quality gate in front of j29's point-in-time lookup: a
+    // version dimension is only trustworthy if every key's validity
+    // intervals are gap-free and non-overlapping. Fixture = the j29
+    // dimension with DETERMINISTIC defects injected (%11==5 keys get a
+    // 30-day gap, %13==6 keys a 30-day overlap); the audit is one lag
+    // window over (key, valid_from) — date compares only, no doubles —
+    // emitting one row per defective key with the defect class. At
+    // scale: one exchange on the key, output is defect-cardinality.
+    Query("k05_interval_integrity",
+      """WITH dim AS (
+        |  SELECT c_custkey, DATE '1992-01-01' AS valid_from,
+        |         CASE WHEN c_custkey % 3 = 0
+        |              THEN DATE '1995-01-01' + CAST(c_custkey % 1000 AS INT)
+        |              ELSE DATE '9999-12-31' END AS valid_to
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey,
+        |         DATE '1995-01-01' + CAST(c_custkey % 1000 AS INT)
+        |           + CASE WHEN c_custkey % 11 = 5 THEN 30
+        |                  WHEN c_custkey % 13 = 6 THEN -30 ELSE 0 END,
+        |         DATE '9999-12-31'
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |lagged AS (
+        |  SELECT c_custkey, valid_from,
+        |         lag(valid_to) OVER (PARTITION BY c_custkey
+        |                             ORDER BY valid_from) AS prev_to
+        |  FROM dim),
+        |defects AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN valid_from > prev_to THEN 'gap'
+        |              WHEN valid_from < prev_to THEN 'overlap' END AS defect
+        |  FROM lagged WHERE prev_to IS NOT NULL AND valid_from <> prev_to)
+        |SELECT c_custkey, defect FROM defects""".stripMargin) {
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val c = Tables.customer(s, d)
+        val base = lit(java.sql.Date.valueOf("1995-01-01"))
+        val change = date_add(base, (col("c_custkey") % 1000).cast("int"))
+        val far = lit(java.sql.Date.valueOf("9999-12-31"))
+        val v1 = c.select(col("c_custkey"),
+          lit(java.sql.Date.valueOf("1992-01-01")).as("valid_from"),
+          when(col("c_custkey") % 3 === 0, change).otherwise(far).as("valid_to"))
+        val v2 = c.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"),
+            date_add(change,
+              when(col("c_custkey") % 11 === 5, 30)
+                .when(col("c_custkey") % 13 === 6, -30)
+                .otherwise(0)).as("valid_from"),
+            far.as("valid_to"))
+        val w = Window.partitionBy("c_custkey").orderBy("valid_from")
+        v1.unionByName(v2)
+          .withColumn("prev_to", lag("valid_to", 1).over(w))
+          .filter(col("prev_to").isNotNull
+            && col("valid_from") =!= col("prev_to"))
+          .select(col("c_custkey"),
+            when(col("valid_from") > col("prev_to"), "gap")
+              .when(col("valid_from") < col("prev_to"), "overlap")
+              .as("defect"))
+      }
+    },
+
     Query("k04_mint_stable_keys",
       """WITH m AS (
         |  SELECT o_orderkey,
