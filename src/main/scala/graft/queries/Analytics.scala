@@ -2314,6 +2314,87 @@ object Analytics {
     // into the RFM segment code. The ntile windows run over the USER
     // table (one row per user — already aggregated), so the global
     // window is user-cardinality-sized, not event-sized.
+    // ---- W47: Kaplan-Meier survival curves (right-censored churn) --------------
+    // Time-to-churn with CENSORING — the estimator a naive "avg
+    // lifetime" gets wrong because still-active users aren't churns:
+    // churn = a user's
+    // FIRST inactivity gap over 12 hours (duration = hours from first
+    // event to the last active moment before it); users with no such
+    // gap are right-censored at their observed span but still count in
+    // every risk set their duration reaches. n_risk(t) is a
+    // DESCENDING cumulative count (no per-t subquery), and the product
+    // fold S(t) = prod(1 - d/n) runs as a time-ordered window sum of
+    // 6dp-DECIMAL ln terms (exact cumulative, one exp at the end) — the
+    // a40 recipe applied to a running product. Degenerate terminal
+    // points (d = n_risk, ln 0) are excluded by contract. Everything
+    // after the per-user aggregate is duration-cardinality.
+    Query("w47_km_survival",
+      """WITH l AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                 ORDER BY epoch_us(ts), event_id)
+        |           AS prev
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id, user_id % 3 AS cohort, min(us) AS first_us,
+        |         max(us) AS last_us,
+        |         min(CASE WHEN us - prev > 43200000000 THEN prev END)
+        |           AS churn_at
+        |  FROM l GROUP BY 1, 2),
+        |uu AS (SELECT cohort,
+        |              (coalesce(churn_at, last_us) - first_us)
+        |                // 3600000000 AS dur,
+        |              CASE WHEN churn_at IS NULL THEN 0 ELSE 1 END AS ev
+        |       FROM u),
+        |cnt AS (SELECT cohort, dur, count(*) AS c, sum(ev) AS d
+        |        FROM uu GROUP BY 1, 2),
+        |w AS (SELECT cohort, dur AS t, d,
+        |             sum(c) OVER (PARTITION BY cohort ORDER BY dur DESC)
+        |               AS n_risk
+        |      FROM cnt),
+        |km AS (
+        |  SELECT cohort, t, d, n_risk,
+        |         sum(CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 6)
+        |                  AS DECIMAL(18,6)))
+        |           OVER (PARTITION BY cohort ORDER BY t) AS lnsum
+        |  FROM w WHERE d > 0 AND d < n_risk)
+        |SELECT CAST(cohort AS BIGINT) AS cohort, CAST(t AS BIGINT) AS t,
+        |       CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d,
+        |       round(exp(CAST(lnsum AS DOUBLE)), 9) AS s
+        |FROM km""".stripMargin) {
+      (s, d) => {
+        val us = expr("unix_micros(ts)")
+        val l = Tables.events(s, d).select(col("user_id"), us.as("us"),
+          lag(us, 1).over(Window.partitionBy("user_id")
+            .orderBy(us, col("event_id"))).as("prev"))
+        val u = l.groupBy(col("user_id"), (col("user_id") % 3).as("cohort"))
+          .agg(min("us").as("first_us"), max("us").as("last_us"),
+            min(when(col("us") - col("prev") > 43200000000L, col("prev")))
+              .as("churn_at"))
+        val uu = u.select(col("cohort"),
+          expr("(coalesce(churn_at, last_us) - first_us) div 3600000000")
+            .as("dur"),
+          when(col("churn_at").isNull, 0).otherwise(1).as("ev"))
+        val cnt = uu.groupBy("cohort", "dur")
+          .agg(count(lit(1)).as("c"), sum("ev").as("d"))
+        val wDesc = Window.partitionBy("cohort").orderBy(col("dur").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val w = cnt.select(col("cohort"), col("dur").as("t"), col("d"),
+          sum("c").over(wDesc).as("n_risk"))
+        val wAsc = Window.partitionBy("cohort").orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        w.filter(col("d") > 0 && col("d") < col("n_risk"))
+          .withColumn("lnsum",
+            sum(round(log(lit(1.0) - col("d").cast("double") / col("n_risk")), 6)
+              .cast("decimal(18,6)")).over(wAsc))
+          .select(col("cohort").cast("long").as("cohort"),
+            col("t").cast("long").as("t"),
+            col("n_risk").cast("long").as("n_risk"),
+            col("d").cast("long").as("d"),
+            round(exp(col("lnsum").cast("double")), 9).as("s"))
+      }
+    },
+
     // ---- W46: rolling distinct users via HLL sketch union ---------------------
     // The rolling-window aggregate that is NOT decomposable exactly:
     // 7-day distinct users per type. Exact rolling distinct re-scans

@@ -1106,6 +1106,63 @@ object StreamingQueries {
       }
     },
 
+    // ---- ST22: streaming distinct-users monitor (HLL sketch state) -----------
+    // w46's sketch served LIVE: per-type distinct users as a
+    // complete-mode DataSketches HLL aggregate whose state merges
+    // across micro-batches natively (two staged landing batches prove
+    // the cross-batch union — a naive distinct-count would double-count
+    // re-appearing users split across batches). Like w46/a26, the gate
+    // is the GUARANTEE: the final estimate must land within 5% of the
+    // exact distinct, which the oracle computes; state per type is one
+    // HLL (~16 KB at lgK=14) forever.
+    Query("st22_stream_distinct_monitor",
+      """SELECT event_type,
+        |       count(DISTINCT user_id) AS exact_distinct,
+        |       CAST(1 AS BOOLEAN) AS within_5pct
+        |FROM events GROUP BY 1""".stripMargin) {
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val raw = ss.read.parquet(s"$d/events.parquet")
+        val landing = graft.core.TempDirs.scratch("st22_landing_")
+        def stage(df: org.apache.spark.sql.DataFrame, name: String,
+                  mtime: Long): Unit = {
+          val tmp = graft.core.TempDirs.scratch("st22_b_").toString
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val f = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+            .filter(_.endsWith(".parquet")).head
+          val dst = landing.resolve(name)
+          Files.copy(Paths.get(f), dst)
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+        }
+        // split by event id parity: most users appear in BOTH batches,
+        // so a broken cross-batch merge overcounts visibly
+        stage(raw.filter(col("event_id") % 2 === 0), "b1.parquet", 1000000L)
+        stage(raw.filter(col("event_id") % 2 =!= 0), "b2.parquet", 2000000L)
+        val src = Streams.fileSource(ss, landing.toString, raw.schema,
+          maxFilesPerTrigger = Some(1))
+        val sink = "st22_hll_" + System.nanoTime()
+        val q = src.groupBy("event_type")
+          .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val est = ss.table(sink)
+          .select(col("event_type"),
+            expr("hll_sketch_estimate(sk)").as("est"))
+        val exact = ss.read.parquet(s"$d/events.parquet")
+          .groupBy("event_type")
+          .agg(countDistinct("user_id").as("exact_distinct"))
+        exact.join(est, "event_type")
+          .select(col("event_type"), col("exact_distinct"),
+            (abs(col("est").cast("double")
+              - col("exact_distinct").cast("double"))
+              <= col("exact_distinct").cast("double") * 0.05).as("within_5pct"))
+      }
+    },
+
     // ---- ST19: streaming quantile monitor (mergeable histogram state) ------
     // a23's sort-free histogram quantiles served live: the stream
     // maintains per-type 10-bucket counts (a complete-mode aggregate —
