@@ -104,10 +104,7 @@ object Cdc {
                 payloadCol: String): DataFrame = {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val pIdx = df.schema.fieldIndex(payloadCol)
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        .map("%02x".format(_)).mkString
+    def md5hex(s: String): String = graft.core.Digest.md5hex(s)
     def payload(row: org.apache.spark.sql.Row): String = {
       require(!row.isNullAt(pIdx),
         s"hashChain: NULL payload in '$payloadCol' — a null has no " +

