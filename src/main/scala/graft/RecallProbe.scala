@@ -48,6 +48,36 @@ object RecallProbe {
         .select("vec_a", "vec_b").dropDuplicates()
       val n2 = tb2.count(); val h2 = tb2.join(f2, Seq("vec_a", "vec_b")).count()
       println(f"[recall] $d s07_pairs ${h2.toDouble / n2}%.3f (n=$n2)")
+      // s47: radius-search directed-pair recall at cos >= 0.35
+      val qr = c.filter(col("vec_id") % 50 === 0).select(
+        col("vec_id").as("qa"), col("embedding").as("q_emb"), col("c_norm").as("q_nrm"))
+      val cos3 = Similarity.dot(col("q_emb"), col("embedding")) /
+        (col("q_nrm") * col("c_norm"))
+      val tb3 = c.crossJoin(broadcast(qr))
+        .filter(col("qa") =!= col("vec_id") && cos3 >= 0.35)
+        .select(col("qa").as("query_id"), col("vec_id").as("match_id"))
+      val f3 = SparkEntry.queries("s44_radius_search")(spark, d)
+        .select("query_id", "match_id").dropDuplicates()
+      val n3 = tb3.count(); val h3 = tb3.join(f3, Seq("query_id", "match_id")).count()
+      println(f"[recall] $d s44_radius ${h3.toDouble / n3}%.3f (n=$n3)")
+      // s48: MMR relevance retention vs exact top-5 (min over queries)
+      val e105 = e.filter(col("vec_id") < 105).select(col("vec_id"), col("embedding"),
+        Similarity.l2norm(col("embedding")).as("nrm"))
+      val q5 = e105.filter(col("vec_id") < 5).select(col("vec_id").as("qid"),
+        col("embedding").as("q_emb"), col("nrm").as("q_norm"))
+      val c5 = e105.filter(col("vec_id") >= 5).select(col("vec_id").as("cid"),
+        col("embedding").as("c_emb"), col("nrm").as("cn"))
+      val rel = c5.crossJoin(broadcast(q5)).select(col("qid"), col("cid"),
+        (Similarity.dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("cn"))).as("rel"))
+      val top5 = rel.withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("rel").desc, col("cid"))))
+        .filter(col("rn") <= 5).groupBy("qid").agg(sum("rel").as("exact_rel"))
+      val picked = SparkEntry.queries("s42_mmr_rerank")(spark, d)
+        .select("qid", "cid").join(rel, Seq("qid", "cid"))
+        .groupBy("qid").agg(sum("rel").as("pick_rel"))
+      val minRet = top5.join(picked, Seq("qid"))
+        .select(min(col("pick_rel") / col("exact_rel"))).head().getDouble(0)
+      println(f"[recall] $d s42_mmr_retention_min $minRet%.3f")
     }
     spark.stop()
   }

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Posture harness #2 (round 12): materializes key-shifted N-copy
+  * replicas of the sf tables into a temp dir with the driver's layout,
+  * then times the REAL registry rows (via SparkEntry) against it — so
+  * 10x/100x posture entries measure the exact shipped plan instead of a
+  * hand-copied shape (ScaleSmoke keeps the hand-built shapes for
+  * operators whose fixtures live outside the tables).
+  *
+  *   SPARK_GRAFT_COPIES=100 SPARK_GRAFT_ONLY=k05_...,w45_... \
+  *     sbt "runMain graft.ScaleReplica"
+  *
+  * Key scheme: every copy shifts each table's keys by rep * (max+1) of
+  * the key domain — "more of the same world": more orders, customers,
+  * parts, users, docs, vectors; shared dates/types/segments; nation and
+  * region stay as genuine fixed dims. Replicas are cached on disk per
+  * copy count and reused across invocations (delete /tmp/graft_scale_*
+  * to force a rebuild).
+  */
+object ScaleReplica {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nCopies = sys.env.getOrElse("SPARK_GRAFT_COPIES", "10").toInt
+    val names = sys.env.getOrElse("SPARK_GRAFT_ONLY", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val spark = graft.core.Sessions.local(cpus, "graft-scale-replica")
+    spark.sparkContext.setLogLevel("ERROR")
+    val out = s"/tmp/graft_scale_${nCopies}x"
+
+    if (!new java.io.File(s"$out/_READY").exists()) {
+      val copies = spark.range(nCopies).select(col("id").as("rep"))
+      /** replicate `table`, shifting each keyCol by rep * (max+1). */
+      def rep(table: String, keyCols: Seq[String]): Unit = {
+        val t0 = spark.read.parquet(s"$sfDir/$table.parquet")
+        val offs = keyCols.map { k =>
+          k -> (t0.agg(max(col(k))).head().getLong(0) + 1L) }
+        val shifted = offs.foldLeft(t0.crossJoin(copies)) { case (df, (k, o)) =>
+          df.withColumn(k, col(k) + col("rep") * o) }.drop("rep")
+        shifted.write.mode("overwrite").parquet(s"$out/$table.parquet")
+      }
+      rep("orders", Seq("o_orderkey", "o_custkey"))
+      rep("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+      rep("customer", Seq("c_custkey"))
+      rep("part", Seq("p_partkey"))
+      rep("supplier", Seq("s_suppkey"))
+      rep("events", Seq("event_id", "user_id"))
+      rep("documents", Seq("doc_id"))
+      rep("embeddings", Seq("vec_id"))
+      for (t <- Seq("nation", "region"))
+        spark.read.parquet(s"$sfDir/$t.parquet")
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      new java.io.File(s"$out/_READY").createNewFile()
+    }
+
+    // warmup on the replica (parquet footers + JIT, the Bench protocol)
+    spark.read.parquet(s"$out/lineitem.parquet")
+      .write.format("noop").mode("overwrite").save()
+    val results = names.map { n =>
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(n)(spark, out)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[scale] $n failed: ${e.getMessage}") }
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      n -> (System.nanoTime() - t0) / 1e9
+    }
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f",
+      java.lang.Double.valueOf(v))
+    println(results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString(s"""{"metric":"replica${nCopies}x","queries":{""", ",", "}}"))
+    spark.stop()
+  }
+}

@@ -1235,20 +1235,27 @@ object ScaleSmoke {
           .write.format("noop").mode("overwrite").save()
       },
       time("doc_novelty_50k_docs") {
-        // t57 at 10x docs (copy-suffixed ids keep shingle blocks
-        // copy-invariant... they DON'T here: copies share shingles, so
-        // first-doc blocks grow with copies — the realistic worst case
-        // for the window min (popular shingles concentrate)
+        // t57's round-12 shape: copies SHARE shingles, so hot first-doc
+        // blocks grow with the copy count — the round-11 WINDOW-min form
+        // was superlinear here (4.3 s @10x -> 24.0 s @100x, one task per
+        // hot shingle). The agg form partial-aggregates the hot key
+        // map-side (one row per input partition reaches the exchange)
+        // and needs no join-back: per-doc novel counts are a count over
+        // the per-shingle argmin table.
         val docs0 = graft.core.Tables.documents(spark, sfDir)
         val docs = docs0.select(col("doc_id"), col("text")).crossJoin(copies)
           .select((col("doc_id") + col("rep") * 1000000L).as("doc_id"), col("text"))
-        val sh = docs.select(col("doc_id"),
-          explode(graft.functions.TextFunctions.shingles(col("text"), 3)).as("s"))
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("s")
-        sh.withColumn("first_doc", min("doc_id").over(w))
-          .groupBy("doc_id")
-          .agg(count(lit(1)),
-            count(when(col("first_doc") === col("doc_id"), 1)))
+        val perDoc = docs.select(col("doc_id"),
+            size(graft.functions.TextFunctions.shingles(col("text"), 3))
+              .cast("long").as("n_shingles"))
+          .filter(col("n_shingles") >= 1)
+        val novel = docs.select(col("doc_id"),
+            explode(graft.functions.TextFunctions.shingles(col("text"), 3)).as("s"))
+          .groupBy("s").agg(min("doc_id").as("first_doc"))
+          .groupBy(col("first_doc").as("doc_id")).agg(count(lit(1)).as("n_novel"))
+        perDoc.join(novel, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_shingles"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"))
           .write.format("noop").mode("overwrite").save()
       },
       time("keyword_tagging_50k_docs") {

@@ -22,6 +22,7 @@ object SparkEntry {
     graft.queries.MultimodalQueries.queries ++
     graft.queries.Analytics.queries ++
     graft.queries.Composite.queries ++
+    graft.queries.Ento.queries ++
     graft.queries.Goals.queries ++
     graft.queries.Reporting.queries ++
     graft.queries.Keys.queries ++

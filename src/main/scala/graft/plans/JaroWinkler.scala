@@ -18,9 +18,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - Winkler boost ONLY when jaro > 0.7: + l * 0.1 * (1 - jaro) with
   *    l = common prefix length capped at 4.
   * The kernel runs on the UTF-8 BYTES — measured against DuckDB on
-  * non-BMP input, its jaro_winkler_similarity is byte-based (emoji
-  * pair probe: 0.8667 = the byte model; the code-point model gives
-  * 0.6667 and UTF-16 units 0.7778) — which also skips the String
+  * non-BMP input, its jaro_winkler_similarity is byte-based (the
+  * JaroWinklerSpec emoji probe "😀a"/"😁a" scores 0.9067 boosted =
+  * 0.8667 unboosted jaro under the byte model; the code-point model
+  * gives 0.6667 and UTF-16 units 0.8) — which also skips the String
   * decode entirely; stays inside whole-stage codegen via a static
   * kernel call (the NfcNormalize pattern).
   */

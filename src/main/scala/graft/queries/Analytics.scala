@@ -2492,7 +2492,13 @@ object Analytics {
             .cast("long").as("nl"),
           sum("q").over(wp).as("s"),
           count(lit(1)).over(wp).cast("long").as("n"))
-        val num = col("sl") * col("n") - col("s") * col("nl")
+        // numerator in decimal(38,0): DuckDB sums BIGINT into HUGEINT, so
+        // its sl*n - s*nl is exact int128 — LongType here would wrap
+        // silently (non-ANSI) once micro-unit sums times day-count pass
+        // 2^63; decimal(38,0) carries the same ~38-digit headroom and
+        // rounds to double identically
+        val num = col("sl").cast("decimal(38,0)") * col("n") -
+          col("s").cast("decimal(38,0)") * col("nl")
         val g = c.filter(col("nl") < col("n"))
           .select(col("event_type"), col("day"), col("nl"),
             (col("n") - col("nl")).as("nr"),

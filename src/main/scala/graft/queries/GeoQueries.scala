@@ -419,8 +419,13 @@ object GeoQueries {
       (s, d) => {
         val clean = Tables.part(s, d).select(col("p_name")).distinct()
           .withColumnRenamed("p_name", "cand")
+        // coalesce the second token to '' so a single-token name yields
+        // ' word' on BOTH engines (Spark's getItem(1) is NULL out of
+        // bounds and concat_ws would drop it; DuckDB's split_part
+        // returns '') — latent-only on TPC-H (p_name is always 5 words)
+        // but hash-identical by construction on any corpus
         val dirty = Tables.part(s, d).select(col("p_partkey"),
-          concat_ws(" ", split(col("p_name"), " ")(1),
+          concat_ws(" ", coalesce(split(col("p_name"), " ")(1), lit("")),
             split(col("p_name"), " ")(0)).as("dirty_name"))
         val scored = dirty.crossJoin(broadcast(clean))
           .withColumn("s",

@@ -2260,6 +2260,84 @@ object SimilaritySearch {
           .select(col("label").cast("long").as("label"),
             col("n0").cast("long").as("n0"), col("n1").cast("long").as("n1"),
             col("cos_drift"), col("l2_shift"))
+    },
+
+    // ---- S47: recall gate for s44 radius search -----------------------------
+    // (VERDICT r11 item 7.) The s34-s40 pattern extended to the radius
+    // family: truth = the EXACT directed (query, match) band at cos >=
+    // 0.35 over the s44 query set (vec_id % 50 = 0), found = the ACTUAL
+    // registry row via SparkEntry (parameter drift impossible), one
+    // (n_true_pairs, recall_ok) row the oracle states independently.
+    // The 2x6-bit bucket family collides w.p. ~0.05/table at cos 0.35
+    // (family ~0.1 by design — s40's regime note applies); the floor is
+    // a broken-pipeline trip-wire, the band size is the cross-engine
+    // content.
+    Query("s47_recall_gate_radius",
+      """WITH nrm AS (SELECT vec_id, embedding,
+        |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list_transform(embedding, x -> CAST(x AS DOUBLE) * x)),
+        |           (a, b) -> a + b)) AS nm
+        |       FROM embeddings),
+        |band AS (SELECT q.vec_id AS a, c.vec_id AS b FROM nrm q JOIN nrm c
+        |         ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+        |         WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |                 list_transform(range(1, 65),
+        |                   i -> CAST(q.embedding[i] AS DOUBLE) * c.embedding[i])),
+        |                 (x, y) -> x + y) / (q.nm * c.nm) >= 0.35)
+        |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs, true AS recall_ok
+        |FROM band""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+        Similarity.l2norm(col("embedding")).as("nrm"))
+      val qn = e.filter(col("vec_id") % 50 === 0).select(
+        col("vec_id").as("qa"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+      val cos = Similarity.dot(col("q_emb"), col("embedding")) /
+        (col("q_nrm") * col("nrm"))
+      val trueBand = e.crossJoin(broadcast(qn))
+        .filter(col("qa") =!= col("vec_id") && cos >= 0.35)
+        .select(col("qa").as("a"), col("vec_id").as("b"))
+      val found = graft.SparkEntry.queries("s44_radius_search")(s, d)
+        .select(col("query_id").as("a"), col("match_id").as("b"))
+      pairRecallGate(found, trueBand, floor = RecallFloors.radiusPairs)
+    },
+
+    // ---- S48: quality gate for s42 MMR re-rank ------------------------------
+    // MMR's contract is not recall but RETENTION + the greedy anchor:
+    // rank-1 must equal the exact argmax-relevance candidate (greedy
+    // picks it by construction — any drift means a broken pipeline), and
+    // the picked set must retain >= floor of the exact top-5's summed
+    // relevance (diversification trades SOME relevance; losing most of
+    // it means the tradeoff inverted). One (n_queries, gate_ok) row.
+    Query("s48_quality_gate_mmr",
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS gate_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < 105)
+        .select(col("vec_id"), col("embedding"),
+          Similarity.l2norm(col("embedding")).as("nrm"))
+      val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"),
+        col("embedding").as("q_emb"), col("nrm").as("q_norm"))
+      val c = e.filter(col("vec_id") >= 5).select(col("vec_id").as("cid"),
+        col("embedding").as("c_emb"), col("nrm").as("c_norm"))
+      val rel = c.crossJoin(broadcast(q))
+        .select(col("qid"), col("cid"),
+          (Similarity.dot(col("q_emb"), col("c_emb")) /
+            (col("q_norm") * col("c_norm"))).as("rel"))
+      val w = Window.partitionBy("qid").orderBy(col("rel").desc, col("cid"))
+      val top5 = rel.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      val exact = top5.groupBy("qid").agg(sum("rel").as("exact_rel"),
+        max(when(col("rn") === 1, col("cid"))).as("exact_top1"))
+      val picks = graft.SparkEntry.queries("s42_mmr_rerank")(s, d)
+        .select(col("qid"), col("rank"), col("cid"))
+      val picked = picks.join(rel, Seq("qid", "cid"))
+        .groupBy("qid").agg(sum("rel").as("pick_rel"),
+          max(when(col("rank") === 1, col("cid"))).as("pick_top1"))
+      exact.join(picked, Seq("qid"))
+        .agg(count(lit(1)).as("n_queries"),
+          min(when(col("pick_top1") === col("exact_top1")
+            && col("pick_rel") >= col("exact_rel") * RecallFloors.mmrRetention,
+            1).otherwise(0)).as("__ok"))
+        .select(col("n_queries").cast("long").as("n_queries"),
+          (col("__ok") === 1).as("gate_ok"))
     }
   )
 
@@ -2329,6 +2407,8 @@ object SimilaritySearch {
     val ivfPq = 0.17        // measured 0.660 / 0.340
     val minhashPairs = 0.7  // measured 1.000 / 1.000 (corpus dup families ≥0.9 Jaccard)
     val embLshPairs = 0.03  // measured 0.155 / 0.108 (0.35-0.6 cos band; see s40 note)
+    val radiusPairs = 0.02  // s47: measured 0.167 (sf0.01) / 0.067 (sf0.1); 2x6-bit family, s40 regime
+    val mmrRetention = 0.5  // s48: measured min-retention 0.894 / 0.868 vs exact top-5 (lam=0.7)
   }
 
 

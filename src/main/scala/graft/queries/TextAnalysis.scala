@@ -136,10 +136,16 @@ object TextAnalysis {
     // much new n-gram mass each document adds to the corpus — near-dups
     // of earlier docs score ~0, genuinely fresh text scores ~1 (the
     // corpus-level complement of t31's pairwise duplicate coverage).
-    // One shingle explode; first-seen resolves as a WINDOW min over the
-    // shingle partitioning, so one exchange serves both the first-doc
-    // assignment and the per-doc rollup that follows (an agg+join-back
-    // would shuffle the shingle table twice).
+    // Shape (VERDICT r11 item 4): the round-11 WINDOW-min form was the
+    // corpus's worst skew case (windows have no partial aggregation, so
+    // a hot shingle's whole block sorts in ONE task — 4.3 s @10× →
+    // 24.0 s @100×). First-seen needs no join-back at all: per-doc
+    // novel counts are a count over the per-shingle argmin table
+    // (group min(doc_id) by shingle — map-side combined, so a hot
+    // shingle shrinks to one row per input partition BEFORE the
+    // exchange — then count by first_doc), and the final join is
+    // doc-cardinality x doc-cardinality on doc_id. Every stage partial-
+    // aggregates; nothing data-sized shuffles on the skewed key.
     Query("t57_doc_novelty",
       """WITH sh AS (
         |  SELECT doc_id,
@@ -155,16 +161,23 @@ object TextAnalysis {
         |         / count(*) AS novelty
         |FROM w GROUP BY 1""".stripMargin) {
       (s, d) => {
-        val sh = Tables.documents(s, d)
-          .select(col("doc_id"),
-            explode(shingles(col("text"), 3)).as("s"))
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("s")
-        sh.withColumn("first_doc", min("doc_id").over(w))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_shingles"),
-            count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
-          .select(col("doc_id"), col("n_shingles"), col("n_novel"),
-            (col("n_novel").cast("double") / col("n_shingles")).as("novelty"))
+        val docs = Tables.documents(s, d)
+        // per-doc denominators need NO explode at all: shingles() is
+        // per-doc distinct, so the count is the array size (narrow map;
+        // the len<3 filter mirrors the oracle's sh CTE exclusion)
+        val perDoc = docs.select(col("doc_id"),
+            size(shingles(col("text"), 3)).cast("long").as("n_shingles"))
+          .filter(col("n_shingles") >= 1)
+        val novel = docs
+          .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
+          .groupBy("s").agg(min("doc_id").as("first_doc"))
+          .groupBy(col("first_doc").as("doc_id"))
+          .agg(count(lit(1)).as("n_novel"))
+        perDoc.join(novel, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_shingles"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+            (coalesce(col("n_novel"), lit(0L)).cast("double")
+              / col("n_shingles")).as("novelty"))
       }
     },
 
