@@ -166,6 +166,38 @@ object Sessionize {
     }
   }
 
+  /** Per-key Wilder RSI (relative strength index): gains and losses of
+    * consecutive deltas each smooth through the Wilder recurrence
+    * a ← a + (g − a)·alpha, and RSI = 100 − 100/(1 + avg_gain/avg_loss)
+    * — the classic bounded momentum oscillator. Same O(1)-state
+    * secondary-sort scan as [[ewma]]/[[macd]]; `alpha` should be dyadic
+    * (default 1/16 ≈ a Wilder period of 16) so the fold is the same
+    * fixed-order IEEE sequence the recursive-CTE oracle replays.
+    * Conventions at the degenerate points: no movement yet (both
+    * averages 0) → 50; no losses → 100.
+    */
+  def rsi(df: DataFrame, keyCol: String, tsCol: String, tieBreak: String,
+          valCol: String, alpha: Double = 0.0625): DataFrame = {
+    val vIdx = df.schema.fieldIndex(valCol)
+    scanPerKey[(Double, Double, Double)](df, Seq(keyCol), Seq(tsCol, tieBreak),
+      StructType(Seq(StructField("avg_gain", DoubleType, nullable = false),
+        StructField("avg_loss", DoubleType, nullable = false),
+        StructField("rsi", DoubleType, nullable = false)))) {
+      case (None, row) =>
+        val x = row.getAs[Number](vIdx).doubleValue
+        ((x, 0.0, 0.0), Seq(0.0, 0.0, 50.0))
+      case (Some((px, ag0, al0)), row) =>
+        val x = row.getAs[Number](vIdx).doubleValue
+        val ag = ag0 + (math.max(x - px, 0.0) - ag0) * alpha
+        val al = al0 + (math.max(px - x, 0.0) - al0) * alpha
+        val r =
+          if (ag == 0.0 && al == 0.0) 50.0
+          else if (al == 0.0) 100.0
+          else 100.0 - 100.0 / (1.0 + ag / al)
+        ((x, ag, al), Seq(ag, al, r))
+    }
+  }
+
   /** Per-key two-sided CUSUM change-point detection (Page 1954): the
     * sequential drift detector that catches small persistent shifts a
     * fixed threshold (a12) and a rolling z-score (w26) both miss,

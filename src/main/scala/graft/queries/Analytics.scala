@@ -50,6 +50,105 @@ object Analytics {
 
   val queries: Seq[Query] = Seq(
 
+    // ---- A52: ROC AUC via the Mann-Whitney rank identity -------------------
+    // The classifier-evaluation metric every quality-filter pipeline
+    // (t02/t29/t30) needs before trusting a score: AUC of "document
+    // length predicts English" with EXACT tie handling. Shape is the
+    // scale story: scores group FIRST (map-side combined hash agg), so
+    // the ordered pass runs over DISTINCT scores only — U2 =
+    // Σ pos_g·(2·neg_below + neg_g) is twice the tie-corrected
+    // Mann-Whitney U, all in exact BIGINTs; the single double division
+    // happens once at the end. At 100 TB the distinct-score table is
+    // bounded by the score's codomain (quantize unbounded scores first
+    // — the a23 histogram lesson), so the one unpartitioned window is
+    // metadata-sized, never data-sized.
+    Query("a52_auc",
+      """WITH g AS (
+        |  SELECT n_chars AS score, count(*) AS cnt,
+        |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos
+        |  FROM documents GROUP BY 1),
+        |c AS (
+        |  SELECT pos, cnt - pos AS neg,
+        |         coalesce(sum(cnt - pos) OVER (ORDER BY score
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |  FROM g),
+        |t AS (SELECT sum(pos) AS p, sum(neg) AS n,
+        |             sum(pos * (2 * below + neg)) AS u2 FROM c)
+        |SELECT CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
+        |       round(CAST(u2 AS DOUBLE) / CAST(2 * p * n AS BIGINT), 9) AS auc
+        |FROM t""".stripMargin) { (s, d) =>
+      val g = Tables.documents(s, d)
+        .groupBy(col("n_chars").as("score"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("pos"))
+      val w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+      val c = g.select(col("pos"), (col("cnt") - col("pos")).as("neg"),
+        coalesce(sum(col("cnt") - col("pos")).over(w), lit(0L)).as("below"))
+      c.agg(sum("pos").as("p"), sum("neg").as("n"),
+          sum(col("pos") * (lit(2L) * col("below") + col("neg"))).as("u2"))
+        .select(col("p").cast("long").as("n_pos"),
+          col("n").cast("long").as("n_neg"),
+          round(col("u2").cast("double")
+            / (lit(2L) * col("p") * col("n")).cast("long"), 9).as("auc"))
+    },
+
+    // ---- G34: market-basket association rules (support/confidence/lift) ----
+    // The co-occurrence statistic the graph battery (g10-g30) scores
+    // structurally but never probabilistically: per brand pair, joint
+    // support, directed confidence, and lift over the order baskets.
+    // Pair generation is the bounded self-join (baskets hold ≤ 7 lines,
+    // so the per-order fan-out is ≤ 21 — never quadratic in the table);
+    // the brand projection first goes through one distinct (map-side
+    // combined), and the three consumers share it via localCheckpoint.
+    // Every statistic is an exact BIGINT; the three ratios are one
+    // fixed-order double epilogue each. Dim joins broadcast (25 brands).
+    Query("g34_basket_lift",
+      """WITH b AS (
+        |  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |n AS (SELECT count(DISTINCT ok) AS n_baskets FROM b),
+        |s1 AS (SELECT brand, count(*) AS supp FROM b GROUP BY 1),
+        |s2 AS (
+        |  SELECT a.brand AS brand_a, c.brand AS brand_b, count(*) AS supp_ab
+        |  FROM b a JOIN b c ON a.ok = c.ok AND a.brand < c.brand
+        |  GROUP BY 1, 2)
+        |SELECT s2.brand_a, s2.brand_b, CAST(s2.supp_ab AS BIGINT) AS supp_ab,
+        |       round(CAST(s2.supp_ab AS DOUBLE) / n.n_baskets, 9) AS support,
+        |       round(CAST(s2.supp_ab AS DOUBLE) / sa.supp, 9) AS confidence,
+        |       round(CAST(s2.supp_ab AS DOUBLE) * n.n_baskets
+        |             / (CAST(sa.supp AS DOUBLE) * sb.supp), 9) AS lift
+        |FROM s2 JOIN s1 sa ON s2.brand_a = sa.brand
+        |        JOIN s1 sb ON s2.brand_b = sb.brand
+        |        CROSS JOIN n
+        |WHERE s2.supp_ab >= 20""".stripMargin) { (s, d) =>
+      val b = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+        .distinct()
+        .localCheckpoint() // basket table feeds n, s1, and both s2 legs
+      val n = b.agg(count_distinct(col("ok")).as("n_baskets"))
+      val s1 = b.groupBy("brand").agg(count(lit(1)).as("supp"))
+      val s2 = b.select(col("ok"), col("brand").as("brand_a"))
+        .join(b.select(col("ok"), col("brand").as("brand_b")), Seq("ok"))
+        .filter(col("brand_a") < col("brand_b"))
+        .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("supp_ab"))
+        .filter(col("supp_ab") >= 20)
+      s2.join(broadcast(s1.select(col("brand").as("brand_a"),
+          col("supp").as("supp_a"))), Seq("brand_a"))
+        .join(broadcast(s1.select(col("brand").as("brand_b"),
+          col("supp").as("supp_b"))), Seq("brand_b"))
+        .crossJoin(broadcast(n))
+        .select(col("brand_a"), col("brand_b"),
+          col("supp_ab").cast("long").as("supp_ab"),
+          round(col("supp_ab").cast("double") / col("n_baskets"), 9)
+            .as("support"),
+          round(col("supp_ab").cast("double") / col("supp_a"), 9)
+            .as("confidence"),
+          round(col("supp_ab").cast("double") * col("n_baskets")
+            / (col("supp_a").cast("double") * col("supp_b")), 9).as("lift"))
+    },
+
     // ---- A29: per-group linear regression (trend detection) ---------------
     // Least-squares fit of order value against order date per priority
     // class — the "is this metric drifting over time" monitor. All six

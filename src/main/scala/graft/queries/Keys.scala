@@ -141,6 +141,50 @@ object Keys {
           <= col("exact_distinct").cast("double") * 0.05).as("within_5pct"))
     },
 
+    // ---- A53: sketch set-intersection via inclusion-exclusion ---------------
+    // The audience-overlap question ("how many users both viewed AND
+    // purchased?") at sketch cost: HLL sketches support union natively,
+    // so |A∩B| comes from |A| + |B| − |A∪B| — three estimates off TWO
+    // stored per-segment sketches (built in ONE grouped pass over the
+    // filtered events; the union re-aggregates the 2-row sketch table,
+    // never the data). Exact counts ride along for the oracle, and the
+    // gate asserts the estimated intersection lands within 10% of exact
+    // (lgConfigK=14 ≈ 0.8% RSE per estimate; inclusion-exclusion
+    // amplifies to a few % on a ~50% overlap — 10% only trips on a
+    // broken sketch path). At 100 TB the sketches are the stored state:
+    // per-shard segment sketches union in without rescanning history
+    // (the a22/a26 incremental contract extended to set algebra).
+    Query("a53_sketch_intersection",
+      """WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+        |b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT (SELECT count(*) FROM a) AS exact_a,
+        |       (SELECT count(*) FROM b) AS exact_b,
+        |       (SELECT count(*) FROM a JOIN b USING (user_id)) AS exact_both,
+        |       CAST(1 AS BOOLEAN) AS within_10pct""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val sk = ev.filter(col("event_type").isin("view", "purchase"))
+        .groupBy("event_type")
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      val ests = sk.agg(
+        max(when(col("event_type") === "view",
+          expr("hll_sketch_estimate(sk)"))).as("est_a"),
+        max(when(col("event_type") === "purchase",
+          expr("hll_sketch_estimate(sk)"))).as("est_b"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_u"))
+      val exA = ev.filter(col("event_type") === "view")
+        .select("user_id").distinct().localCheckpoint()
+      val exB = ev.filter(col("event_type") === "purchase")
+        .select("user_id").distinct().localCheckpoint()
+      val exact = exA.agg(count(lit(1)).as("exact_a")).crossJoin(
+        exB.agg(count(lit(1)).as("exact_b"))).crossJoin(
+        exA.join(exB, Seq("user_id")).agg(count(lit(1)).as("exact_both")))
+      exact.crossJoin(ests)
+        .select(col("exact_a"), col("exact_b"), col("exact_both"),
+          (abs(col("est_a") + col("est_b") - col("est_u")
+            - col("exact_both").cast("double"))
+            <= col("exact_both").cast("double") * 0.10).as("within_10pct"))
+    },
+
     // ---- exact percentile / median ------------------------------------------
     Query("a18_percentile",
       """SELECT l_returnflag,

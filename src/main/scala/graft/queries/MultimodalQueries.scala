@@ -470,6 +470,68 @@ object MultimodalQueries {
             col("r_mode_n").cast("long").as("r_mode_n"),
             col("ent").cast("double").as("r_entropy"))
       }
+    },
+
+    // ---- M11: edge density / sharpness off the real decode ------------------
+    // The blur/quality screen an image-curation pipeline runs before
+    // training: mean absolute horizontal + vertical gradient of the red
+    // plane — low values mean flat or blurred content. Gradients come
+    // from the REAL javax.imageio decode (m02/m09 contract) via two lag
+    // windows over the pixel table, keyed (image, row) and (image, col)
+    // — both partition axes are image-bounded, so the state per task is
+    // one scanline. All sums are exact integers; the oracle replays the
+    // synthetic pixel formula codec-free and the same two lags, so a
+    // single mis-decoded pixel hash-mismatches. localCheckpoint shares
+    // ONE decode across both window passes.
+    Query("m11_edge_density",
+      """WITH px AS (
+        |  SELECT doc_id, x.x AS x, y.y AS y,
+        |         (doc_id*7 + 3*x.x + 5*y.y) % 256 AS r
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(range(32)) AS x) x,
+        |       LATERAL (SELECT unnest(range(32)) AS y) y),
+        |gx AS (
+        |  SELECT doc_id,
+        |         abs(r - lag(r) OVER (PARTITION BY doc_id, y ORDER BY x)) AS g
+        |  FROM px),
+        |gy AS (
+        |  SELECT doc_id,
+        |         abs(r - lag(r) OVER (PARTITION BY doc_id, x ORDER BY y)) AS g
+        |  FROM px),
+        |ax AS (SELECT doc_id, count(g) AS n_gx, sum(g) AS sum_gx
+        |       FROM gx GROUP BY 1),
+        |ay AS (SELECT doc_id, count(g) AS n_gy, sum(g) AS sum_gy
+        |       FROM gy GROUP BY 1)
+        |SELECT ax.doc_id, CAST(n_gx AS BIGINT) AS n_gx,
+        |       CAST(sum_gx AS BIGINT) AS sum_gx,
+        |       CAST(n_gy AS BIGINT) AS n_gy,
+        |       CAST(sum_gy AS BIGINT) AS sum_gy,
+        |       round(CAST(sum_gx + sum_gy AS DOUBLE) / (n_gx + n_gy), 9)
+        |         AS sharpness
+        |FROM ax JOIN ay ON ax.doc_id = ay.doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val withP = Multimodal.withImagePayload(
+        Tables.documents(s, d).select("doc_id"), "doc_id")
+      val px = Multimodal.decodePixels(withP, "doc_id", "payload")
+        .select(col("id").as("doc_id"), col("x"), col("y"), col("r"))
+        .localCheckpoint() // both gradient passes share one decode
+      val wx = Window.partitionBy("doc_id", "y").orderBy("x")
+      val wy = Window.partitionBy("doc_id", "x").orderBy("y")
+      val ax = px
+        .select(col("doc_id"), abs(col("r") - lag("r", 1).over(wx)).as("g"))
+        .groupBy("doc_id")
+        .agg(count("g").as("n_gx"), sum("g").as("sum_gx"))
+      val ay = px
+        .select(col("doc_id"), abs(col("r") - lag("r", 1).over(wy)).as("g"))
+        .groupBy("doc_id")
+        .agg(count("g").as("n_gy"), sum("g").as("sum_gy"))
+      ax.join(ay, "doc_id")
+        .select(col("doc_id"), col("n_gx").cast("long").as("n_gx"),
+          col("sum_gx").cast("long").as("sum_gx"),
+          col("n_gy").cast("long").as("n_gy"),
+          col("sum_gy").cast("long").as("sum_gy"),
+          round((col("sum_gx") + col("sum_gy")).cast("double")
+            / (col("n_gx") + col("n_gy")), 9).as("sharpness"))
     }
   )
 }

@@ -2338,6 +2338,75 @@ object SimilaritySearch {
             1).otherwise(0)).as("__ok"))
         .select(col("n_queries").cast("long").as("n_queries"),
           (col("__ok") === 1).as("gate_ok"))
+    },
+
+    // ---- S49: cluster-based prototypicality pruning (SSL-prototypes) -------
+    // The dataset-pruning move of Sorscher et al. 2022: embeddings
+    // cluster (here: assignment against a fixed literal codebook, the
+    // s17 oracle device — production would feed Ivf.trainCentroids
+    // output), each example ranks by distance to its prototype, and the
+    // most prototypical decile per cluster is DROPPED — "easy" examples
+    // teach a large model least, so the keep set is the informative
+    // remainder. Everything after the fold is exact: the within-cluster
+    // rank breaks ties on vec_id and keep is the integer test
+    // rank·10 > cluster_size. Scale: one broadcast of the codebook, one
+    // strict in-order distance fold per (vector, cell), one window keyed
+    // on the cluster — the partition axis a 100 TB corpus shards on.
+    {
+      val nCells = 16
+      val cvecs = graft.functions.Similarity.hyperplanes(1, nCells, 64)
+      val centValues = cvecs.zipWithIndex
+        .map { case (c, r) => s"($r, [${c.mkString(", ")}])" }
+        .mkString(",\n        ")
+      Query("s49_prototype_prune",
+        s"""WITH cents(cell_id, c) AS (VALUES
+          |        $centValues),
+          |dist AS (
+          |  SELECT vec_id, cell_id,
+          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |           list_transform(range(1, 65),
+          |             i -> (CAST(embedding[i] AS DOUBLE) - c[i])
+          |                  * (CAST(embedding[i] AS DOUBLE) - c[i]))),
+          |           (a, x) -> a + x) AS d
+          |  FROM embeddings CROSS JOIN cents),
+          |assigned AS (SELECT vec_id, cell_id, d FROM (
+          |  SELECT vec_id, cell_id, d,
+          |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+          |  FROM dist) WHERE rn = 1),
+          |ranked AS (
+          |  SELECT vec_id, cell_id,
+          |         row_number() OVER (PARTITION BY cell_id ORDER BY d, vec_id) AS proto_rank,
+          |         count(*) OVER (PARTITION BY cell_id) AS cluster_n
+          |  FROM assigned)
+          |SELECT vec_id, CAST(cell_id AS BIGINT) AS cell_id,
+          |       CAST(proto_rank AS BIGINT) AS proto_rank,
+          |       CAST(cluster_n AS BIGINT) AS cluster_n,
+          |       proto_rank * 10 > cluster_n AS keep
+          |FROM ranked""".stripMargin) { (s, d) =>
+        import s.implicits._
+        val cents = cvecs.zipWithIndex.map { case (c, r) => (r.toLong, c) }
+          .toDF("cell_id", "c_vec")
+        val dist = aggregate(
+          zip_with(col("embedding"), col("c_vec"), (x, c) => {
+            val dd = x.cast("double") - c
+            dd * dd
+          }), lit(0.0), (a, v) => a + v)
+        val assignW = Window.partitionBy("vec_id").orderBy(col("d"), col("cell_id"))
+        val assigned = Tables.embeddings(s, d)
+          .crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cell_id"), dist.as("d"))
+          .withColumn("rn", row_number().over(assignW))
+          .filter(col("rn") === 1)
+        val rankW = Window.partitionBy("cell_id").orderBy(col("d"), col("vec_id"))
+        val cellW = Window.partitionBy("cell_id")
+        assigned
+          .withColumn("proto_rank", row_number().over(rankW))
+          .withColumn("cluster_n", count(lit(1)).over(cellW))
+          .select(col("vec_id"), col("cell_id").cast("long").as("cell_id"),
+            col("proto_rank").cast("long").as("proto_rank"),
+            col("cluster_n").cast("long").as("cluster_n"),
+            (col("proto_rank") * 10 > col("cluster_n")).as("keep"))
+      }
     }
   )
 

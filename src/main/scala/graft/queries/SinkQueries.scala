@@ -274,6 +274,61 @@ object SinkQueries {
       }
     },
 
+    // ---- io22: zone-map (min/max stats) skipping planner --------------------
+    // The mechanism parquet row-group skipping and every lakehouse
+    // file-pruning layer rest on, made auditable: a per-file min/max
+    // manifest on a NON-partition column (the case io01/io11 partition
+    // pruning cannot help), a BETWEEN predicate planned against it
+    // (skip / full / partial per file), and a self-verifying `sound`
+    // column — skip-files must contain zero matches, full-files must
+    // match entirely, so a manifest bug cannot stay green. The planner
+    // input is manifest-sized (one row per file); at 100 TB this
+    // decides which of ~10^6 files a scan opens without reading any of
+    // them — the read-side twin of io21's publish-side diff.
+    Query("io22_zonemap_skipping",
+      """WITH f AS (SELECT least(CAST(floor(o_totalprice / 40000.0) AS BIGINT), 15)
+        |             AS file_id, o_totalprice AS v
+        |           FROM orders),
+        |m AS (SELECT file_id, min(v) AS mn, max(v) AS mx, count(*) AS n
+        |      FROM f GROUP BY 1),
+        |d AS (SELECT file_id, n, mn, mx,
+        |             CASE WHEN mx < 30000.0 OR mn > 90000.0 THEN 'skip'
+        |                  WHEN mn >= 30000.0 AND mx <= 90000.0 THEN 'full'
+        |                  ELSE 'partial' END AS decision
+        |      FROM m),
+        |x AS (SELECT file_id, count(*) AS n_match FROM f
+        |      WHERE v >= 30000.0 AND v <= 90000.0 GROUP BY 1)
+        |SELECT CAST(d.file_id AS BIGINT) AS file_id, d.decision,
+        |       CAST(d.n AS BIGINT) AS n_rows,
+        |       CAST(coalesce(x.n_match, 0) AS BIGINT) AS n_match,
+        |       CASE WHEN d.decision = 'skip' THEN coalesce(x.n_match, 0) = 0
+        |            WHEN d.decision = 'full' THEN coalesce(x.n_match, 0) = d.n
+        |            ELSE true END AS sound
+        |FROM d LEFT JOIN x ON d.file_id = x.file_id""".stripMargin) { (s, d) =>
+      // files simulate a price-clustered write (the layout io12 argues
+      // for): value bands, so the manifest actually separates files
+      val f = Tables.orders(s, d)
+        .select(least(floor(col("o_totalprice") / 40000.0).cast("long"),
+            lit(15L)).as("file_id"),
+          col("o_totalprice").as("v"))
+      val m = f.groupBy("file_id")
+        .agg(min("v").as("mn"), max("v").as("mx"), count(lit(1)).as("n"))
+        .withColumn("decision",
+          when(col("mx") < 30000.0 || col("mn") > 90000.0, "skip")
+            .when(col("mn") >= 30000.0 && col("mx") <= 90000.0, "full")
+            .otherwise("partial"))
+      val x = f.filter(col("v") >= 30000.0 && col("v") <= 90000.0)
+        .groupBy("file_id").agg(count(lit(1)).as("n_match"))
+      m.join(x, Seq("file_id"), "left")
+        .select(col("file_id").cast("long").as("file_id"), col("decision"),
+          col("n").cast("long").as("n_rows"),
+          coalesce(col("n_match"), lit(0L)).cast("long").as("n_match"),
+          when(col("decision") === "skip", coalesce(col("n_match"), lit(0L)) === 0L)
+            .when(col("decision") === "full",
+              coalesce(col("n_match"), lit(0L)) === col("n"))
+            .otherwise(lit(true)).as("sound"))
+    },
+
     Query("io01_history_roundtrip",
       """SELECT CAST(DATE '2026-01-01' + CAST(o_orderkey % 3 AS INT) AS VARCHAR) AS pd,
         |       o_orderstatus, count(*) AS n,

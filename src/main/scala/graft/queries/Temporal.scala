@@ -493,6 +493,46 @@ object Temporal {
       }
     },
 
+    // ---- W48: Wilder RSI (bounded momentum oscillator) ---------------------
+    // The missing member of the w18/w42 smoothing family: EWMA and MACD
+    // track LEVEL; RSI tracks the gain/loss BALANCE on a 0-100 scale, so
+    // thresholds transfer across series of any magnitude (the reason
+    // monitoring dashboards prefer it). Two Wilder recurrences (dyadic
+    // alpha 1/16) over the per-user delta stream from ONE O(1)-state
+    // secondary-sort scan; the oracle replays the identical fold as a
+    // recursive CTE, so doubles hash-match bit-for-bit (w29 contract).
+    // Degenerate conventions pinned both sides: flat-so-far → 50,
+    // loss-free → 100.
+    Query("w48_rsi",
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |sc AS (
+        |  SELECT user_id, event_id, rn, x AS px,
+        |         CAST(0.0 AS DOUBLE) AS ag, CAST(0.0 AS DOUBLE) AS al
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.rn, e.x,
+        |         s.ag + (greatest(e.x - s.px, CAST(0.0 AS DOUBLE)) - s.ag)
+        |           * 0.0625,
+        |         s.al + (greatest(s.px - e.x, CAST(0.0 AS DOUBLE)) - s.al)
+        |           * 0.0625
+        |  FROM ev e JOIN sc s ON e.user_id = s.user_id AND e.rn = s.rn + 1)
+        |SELECT user_id, event_id, ag AS avg_gain, al AS avg_loss,
+        |       CASE WHEN ag = 0 AND al = 0 THEN 50.0
+        |            WHEN al = 0 THEN 100.0
+        |            ELSE 100.0 - 100.0 / (1.0 + ag / al) END AS rsi
+        |FROM sc""".stripMargin) {
+      (s, d) => graft.operators.Sessionize.rsi(
+          Tables.events(s, d)
+            .select(col("user_id"), col("event_id"), col("ts"),
+              col("value").cast("double").as("x")),
+          "user_id", "ts", "event_id", "x")
+        .select("user_id", "event_id", "avg_gain", "avg_loss", "rsi")
+    },
+
     Query("w29_holt_smoothing", HoltOracleSql) {
       (s, d) => graft.operators.Sessionize.holt(
           Tables.events(s, d).select("user_id", "event_id", "ts", "value"),

@@ -1363,6 +1363,82 @@ object TextAnalysis {
             .as("avg_logprob"))
     },
 
+    // ---- T59: CCNet perplexity buckets (head / middle / tail) ---------------
+    // CCNet's curation move one step past t34's scoring: split each
+    // language's corpus into perplexity THIRDS — head (most fluent,
+    // keep), middle, tail (drop or down-weight). The t34 add-one bigram
+    // model (trained on the doc_id%10≠0 slice) scores EVERY scorable
+    // doc; ntile(3) per language over (avg_logprob DESC, doc_id) is
+    // deterministic both sides. Per-language output carries the bucket
+    // counts and the 6dp-decimal mean score per bucket, so a scoring
+    // drift anywhere upstream hash-mismatches. Scale: model join is
+    // model-sized (AQE broadcasts it), the ntile window partitions by
+    // language — per-language ordered state, the CCNet sharding unit.
+    Query("t59_ccnet_buckets",
+      """WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+        |bgt AS (SELECT doc_id,
+        |          unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM train)
+        |        WHERE len(t) >= 2),
+        |bgs AS (SELECT doc_id, lang,
+        |          unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+        |        FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)
+        |        WHERE len(t) >= 2),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM bgt GROUP BY 1),
+        |c1 AS (SELECT string_split(bg, ' ')[1] AS prev, sum(c2) AS c1
+        |       FROM c2 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tk) AS v FROM
+        |        (SELECT unnest(string_split(text, ' ')) AS tk FROM train)),
+        |sc AS (SELECT s.doc_id, s.lang,
+        |         CAST(round(ln((coalesce(c2.c2, 0) + 1.0)
+        |                       / (coalesce(c1.c1, 0) + v.v)), 6)
+        |              AS DECIMAL(18,6)) AS nll
+        |       FROM bgs s LEFT JOIN c2 ON s.bg = c2.bg
+        |         LEFT JOIN c1 ON string_split(s.bg, ' ')[1] = c1.prev
+        |         CROSS JOIN v),
+        |docsc AS (SELECT doc_id, lang,
+        |            round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS alp
+        |          FROM sc GROUP BY 1, 2),
+        |bkt AS (SELECT lang, alp,
+        |          ntile(3) OVER (PARTITION BY lang
+        |                         ORDER BY alp DESC, doc_id) AS bucket
+        |        FROM docsc)
+        |SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CAST(alp AS DECIMAL(18,6))) AS DOUBLE) AS sum_logprob
+        |FROM bkt GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      def bigramsOf(df: org.apache.spark.sql.DataFrame,
+                    cols: org.apache.spark.sql.Column*) =
+        df.select(cols :+ explode(adjacentPairs(col("text"))).as("bg"): _*)
+      val c2 = bigramsOf(train, col("doc_id")).groupBy("bg")
+        .agg(count(lit(1)).as("c2"))
+      val c1 = c2
+        .select(split(col("bg"), " ").getItem(0).as("prev"), col("c2"))
+        .groupBy("prev").agg(sum(col("c2")).as("c1"))
+      val vDf = train.select(explode(tokens(col("text"))).as("tk"))
+        .agg(count_distinct(col("tk")).as("v"))
+      val docsc = bigramsOf(docs, col("doc_id"), col("lang"))
+        .withColumn("prev", split(col("bg"), " ").getItem(0))
+        .join(c2, Seq("bg"), "left")
+        .join(c1, Seq("prev"), "left")
+        .crossJoin(broadcast(vDf))
+        .withColumn("nll",
+          round(log((coalesce(col("c2"), lit(0)) + lit(1.0))
+            / (coalesce(col("c1"), lit(0)) + col("v"))), 6)
+            .cast("decimal(18,6)"))
+        .groupBy("doc_id", "lang")
+        .agg(round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("alp"))
+      val w = Window.partitionBy("lang").orderBy(col("alp").desc, col("doc_id"))
+      docsc.withColumn("bucket", ntile(3).over(w))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("alp").cast("decimal(18,6)")).cast("double").as("sum_logprob"))
+        .select(col("lang"), col("bucket").cast("long").as("bucket"),
+          col("n_docs").cast("long").as("n_docs"), col("sum_logprob"))
+    },
+
     // ---- T38: DSIR importance weights (hashed n-gram LM ratio) ------------
     // Data Selection via Importance Resampling (Xie et al. 2023): score
     // every raw document by how target-like it is — the log-ratio of a

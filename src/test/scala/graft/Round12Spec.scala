@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Invariant companions for the round-12 rows: the oracles prove
+  * cross-engine equality; these pin the SEMANTICS on constructed
+  * fixtures (AUC's rank identity, lift's independence baseline, RSI's
+  * bounds and conventions, the pruning decile, the zone-map planner's
+  * exhaustiveness, CCNet bucket balance).
+  */
+class Round12Spec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.001"
+  private val sf01 = "/root/testdata/sf0.01"
+
+  // replicate a52's U2 pipeline over a local fixture
+  private def aucOf(scored: Seq[(Double, Int)]): Double = {
+    val sp = spark; import sp.implicits._
+    val g = scored.toDF("score", "y")
+      .groupBy("score").agg(count(lit(1)).as("cnt"),
+        sum(when(col("y") === 1, 1L).otherwise(0L)).as("pos"))
+    val w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    val c = g.select(col("pos"), (col("cnt") - col("pos")).as("neg"),
+      coalesce(sum(col("cnt") - col("pos")).over(w), lit(0L)).as("below"))
+    val r = c.agg(sum("pos").as("p"), sum("neg").as("n"),
+        sum(col("pos") * (lit(2L) * col("below") + col("neg"))).as("u2"))
+      .head()
+    r.getLong(2).toDouble / (2L * r.getLong(0) * r.getLong(1))
+  }
+
+  test("a52 logic: perfect separation is 1.0, anti-separation 0.0, all-tied 0.5") {
+    assert(aucOf(Seq((1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1))) == 1.0)
+    assert(aucOf(Seq((1.0, 1), (2.0, 1), (3.0, 0), (4.0, 0))) == 0.0)
+    assert(aucOf(Seq((7.0, 0), (7.0, 1), (7.0, 0), (7.0, 1))) == 0.5)
+  }
+
+  test("a52 logic: ties get half credit (textbook Mann-Whitney value)") {
+    // pos scores {2, 3}, neg {1, 3}: pairs (2>1)=1, (2 vs 3)=0,
+    // (3>1)=1, (3==3)=0.5 -> U=2.5 of 4 -> 0.625
+    assert(aucOf(Seq((1.0, 0), (3.0, 0), (2.0, 1), (3.0, 1))) == 0.625)
+  }
+
+  test("a52 output: AUC is in (0,1) and the counts match the corpus") {
+    val r = SparkEntry.queries("a52_auc")(spark, sf01).head()
+    assert(r.getAs[Long]("n_pos") + r.getAs[Long]("n_neg") == 500L)
+    val auc = r.getAs[Double]("auc")
+    assert(auc > 0.0 && auc < 1.0)
+  }
+
+  test("g34 logic: independent items have lift 1, perfect co-occurrence has lift n/supp") {
+    val sp = spark; import sp.implicits._
+    // 4 baskets: x in all 4, y in all 4 -> supp_xy=4, lift = 4*4/(4*4)=1
+    // p,q only together in 2 -> lift = 2*4/(2*2) = 2
+    val b = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "y"), (4L, "x"), (4L, "y"),
+      (1L, "p"), (1L, "q"), (2L, "p"), (2L, "q")).toDF("ok", "brand")
+    val s1 = b.groupBy("brand").agg(count(lit(1)).as("supp"))
+    val s2 = b.select(col("ok"), col("brand").as("brand_a"))
+      .join(b.select(col("ok"), col("brand").as("brand_b")), Seq("ok"))
+      .filter(col("brand_a") < col("brand_b"))
+      .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("supp_ab"))
+    val n = b.select("ok").distinct().count()
+    val lifts = s2
+      .join(s1.select(col("brand").as("brand_a"), col("supp").as("supp_a")), Seq("brand_a"))
+      .join(s1.select(col("brand").as("brand_b"), col("supp").as("supp_b")), Seq("brand_b"))
+      .select(col("brand_a"), col("brand_b"),
+        (col("supp_ab").cast("double") * n
+          / (col("supp_a").cast("double") * col("supp_b"))).as("lift"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(lifts(("x", "y")) == 1.0)
+    assert(lifts(("p", "q")) == 2.0)
+  }
+
+  test("g34 output: confidence <= 1, support <= min marginal share, lift positive") {
+    val rs = SparkEntry.queries("g34_basket_lift")(spark, sf01).collect()
+    assert(rs.nonEmpty)
+    rs.foreach { r =>
+      assert(r.getAs[Double]("confidence") <= 1.0)
+      assert(r.getAs[Double]("support") > 0.0 && r.getAs[Double]("support") <= 1.0)
+      assert(r.getAs[Double]("lift") > 0.0)
+    }
+  }
+
+  test("a53 output: inclusion-exclusion estimate actually lands within the gate") {
+    val r = SparkEntry.queries("a53_sketch_intersection")(spark, sf01).head()
+    assert(r.getAs[Boolean]("within_10pct"))
+    // overlap must be a real subset: both <= each marginal
+    assert(r.getAs[Long]("exact_both") <= r.getAs[Long]("exact_a"))
+    assert(r.getAs[Long]("exact_both") <= r.getAs[Long]("exact_b"))
+  }
+
+  test("w48 logic: monotone rise pins RSI to 100, flat series to 50, bounds hold") {
+    val sp = spark; import sp.implicits._
+    val rise = (1 to 10).map(i => (1L, i.toLong, java.sql.Timestamp.valueOf(
+      f"2026-01-01 00:${i}%02d:00"), i.toDouble * 2))
+    val flat = (1 to 10).map(i => (2L, (100 + i).toLong, java.sql.Timestamp.valueOf(
+      f"2026-01-01 00:${i}%02d:00"), 7.0))
+    val events = (rise ++ flat).toDF("user_id", "event_id", "ts", "x")
+    val out = graft.operators.Sessionize.rsi(events, "user_id", "ts", "event_id", "x")
+      .collect()
+    val byUser = out.groupBy(_.getAs[Long]("user_id"))
+    // first row of any key is the 50 convention
+    byUser.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("event_id"))
+      assert(sorted.head.getAs[Double]("rsi") == 50.0)
+      sorted.foreach { r =>
+        val v = r.getAs[Double]("rsi")
+        assert(v >= 0.0 && v <= 100.0)
+      }
+    }
+    // strictly rising: every post-first row has zero losses -> 100
+    assert(byUser(1L).sortBy(_.getAs[Long]("event_id")).tail
+      .forall(_.getAs[Double]("rsi") == 100.0))
+    // flat: no gains, no losses -> stays at 50
+    assert(byUser(2L).forall(_.getAs[Double]("rsi") == 50.0))
+  }
+
+  test("t59 output: buckets 1..3 partition each language near-evenly, head score >= tail") {
+    val rs = SparkEntry.queries("t59_ccnet_buckets")(spark, sf01).collect()
+    val langs = rs.map(_.getAs[String]("lang")).distinct
+    assert(langs.length == 5)
+    langs.foreach { l =>
+      val slice = rs.filter(_.getAs[String]("lang") == l)
+        .sortBy(_.getAs[Long]("bucket"))
+      assert(slice.map(_.getAs[Long]("bucket")).toSeq == Seq(1L, 2L, 3L))
+      val counts = slice.map(_.getAs[Long]("n_docs"))
+      assert(counts.max - counts.min <= 1, s"$l: ${counts.toSeq}")
+      // bucket 1 = head = highest avg logprob (ntile ordered DESC)
+      val mean = slice.map(r =>
+        r.getAs[Double]("sum_logprob") / r.getAs[Long]("n_docs"))
+      assert(mean(0) >= mean(2), s"$l head ${mean(0)} < tail ${mean(2)}")
+    }
+  }
+
+  test("s49 output: exactly floor(n/10) per cluster pruned, cluster sizes reconcile") {
+    val rs = SparkEntry.queries("s49_prototype_prune")(spark, sf01).collect()
+    assert(rs.length == 500)
+    rs.groupBy(_.getAs[Long]("cell_id")).foreach { case (cell, members) =>
+      val n = members.head.getAs[Long]("cluster_n")
+      assert(members.length.toLong == n, s"cell $cell size")
+      val dropped = members.count(!_.getAs[Boolean]("keep"))
+      assert(dropped.toLong == n / 10, s"cell $cell dropped $dropped of $n")
+    }
+  }
+
+  test("m11 logic: synthetic gradient values are the formula's (3 or 253 horizontal)") {
+    // p(x+1,y) - p(x,y) = +3 mod 256 -> |delta| is 3, except at the
+    // wrap where (v+3) mod 256 drops by 253
+    val r = SparkEntry.queries("m11_edge_density")(spark, sf001).head()
+    val nGx = r.getAs[Long]("n_gx")
+    assert(nGx == 32L * 31)
+    val sumGx = r.getAs[Long]("sum_gx")
+    // sum is a mix of 3s and 253s: 3*n <= sum < 253*n, and ≡ mix
+    assert(sumGx >= 3 * nGx && sumGx <= 253 * nGx)
+    assert((sumGx - 3 * nGx) % 250 == 0) // each wrap adds exactly 250
+  }
+
+  test("io22 output: planner is sound on every file and all three classes appear") {
+    val rs = SparkEntry.queries("io22_zonemap_skipping")(spark, sf01).collect()
+    assert(rs.forall(_.getAs[Boolean]("sound")))
+    val classes = rs.map(_.getAs[String]("decision")).toSet
+    assert(classes == Set("skip", "full", "partial"), classes.toString)
+    // skipping must be worth it: most files skip under this predicate
+    assert(rs.count(_.getAs[String]("decision") == "skip") >= rs.length / 2)
+  }
+}
