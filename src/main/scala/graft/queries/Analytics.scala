@@ -149,6 +149,183 @@ object Analytics {
             / (col("supp_a").cast("double") * col("supp_b")), 9).as("lift"))
     },
 
+    // ---- A54: Cramér's V (categorical association strength) ----------------
+    // The effect size a35's chi-square test omits: how STRONG is the
+    // priority↔status association, on a 0-1 scale comparable across
+    // tables. Identity used: (o−e)²/e = (n·o − r·c)²/(n·r·c), so every
+    // numerator is an exact integer (DECIMAL(38,0) here, HUGEINT in the
+    // oracle — n·o can pass 2^63 at large SF); each cell term is ONE
+    // double division rounded to 6dp and summed as DECIMAL, then
+    // V = sqrt(χ²/(n·min(r−1,c−1))) is a fixed-order scalar epilogue.
+    // Plan: one contingency hash agg; marginals derive from it
+    // (cells-sized, broadcast back) — the table is scanned once.
+    Query("a54_cramers_v",
+      """WITH t AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+        |                  count(*) AS o FROM orders GROUP BY 1, 2),
+        |r AS (SELECT a, sum(o) AS ra FROM t GROUP BY 1),
+        |c AS (SELECT b, sum(o) AS cb FROM t GROUP BY 1),
+        |n AS (SELECT sum(o) AS n, count(DISTINCT a) AS ka,
+        |             count(DISTINCT b) AS kb FROM t),
+        |cell AS (
+        |  -- observed cells carry BOTH summands; zero cells contribute
+        |  -- exactly e = r*c/n, folded in analytically as n - sum(termB)
+        |  -- (no r x c spine join needed)
+        |  SELECT CAST(round(
+        |           CAST((CAST(n.n AS HUGEINT) * t.o - CAST(r.ra AS HUGEINT) * c.cb)
+        |                * (CAST(n.n AS HUGEINT) * t.o - CAST(r.ra AS HUGEINT) * c.cb)
+        |                AS DOUBLE)
+        |           / CAST(CAST(n.n AS HUGEINT) * r.ra * c.cb AS DOUBLE), 6)
+        |         AS DECIMAL(18,6)) AS term_a,
+        |         CAST(round(CAST(CAST(r.ra AS HUGEINT) * c.cb AS DOUBLE) / n.n, 6)
+        |         AS DECIMAL(18,6)) AS term_b
+        |  FROM t JOIN r USING (a) JOIN c USING (b) CROSS JOIN n),
+        |s AS (SELECT sum(term_a) AS sa, sum(term_b) AS sb FROM cell)
+        |SELECT CAST(n.n AS BIGINT) AS n,
+        |       CAST(n.ka AS BIGINT) AS k_rows, CAST(n.kb AS BIGINT) AS k_cols,
+        |       CAST(n.n - s.sb + s.sa AS DOUBLE) AS chi2,
+        |       round(sqrt(CAST(n.n - s.sb + s.sa AS DOUBLE)
+        |                  / (n.n * least(n.ka - 1, n.kb - 1))), 6) AS cramers_v
+        |FROM s CROSS JOIN n""".stripMargin) {
+      (s, d) =>
+      val t = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("a"), col("o_orderstatus").as("b"))
+        .agg(count(lit(1)).as("o"))
+        .localCheckpoint() // marginals + totals + cells share one scan
+      val r = t.groupBy("a").agg(sum("o").as("ra"))
+      val c = t.groupBy("b").agg(sum("o").as("cb"))
+      val n = t.agg(sum("o").as("n"), count_distinct(col("a")).as("ka"),
+        count_distinct(col("b")).as("kb"))
+      val dec = "decimal(38,0)"
+      // observed cells carry both summands; zero cells fold in
+      // analytically (chi2 = n - Σ rc/n + Σ (n·o − rc)²/(n·rc)) — no
+      // r x c spine join, so sparse tables stay correct AND the plan
+      // stays one scan + marginal broadcasts
+      val num = col("n").cast(dec) * col("o") - col("ra").cast(dec) * col("cb")
+      val den = (col("n").cast(dec) * col("ra") * col("cb")).cast("double")
+      val termB = (col("ra").cast(dec) * col("cb")).cast("double") / col("n")
+      val sums = t.join(broadcast(r), Seq("a")).join(broadcast(c), Seq("b"))
+        .crossJoin(broadcast(n))
+        .select(round((num * num).cast("double") / den, 6)
+            .cast("decimal(18,6)").as("term_a"),
+          round(termB, 6).cast("decimal(18,6)").as("term_b"))
+        .agg(sum("term_a").as("sa"), sum("term_b").as("sb"))
+      val chi2 = (col("n") - col("sb") + col("sa")).cast("double")
+      sums.crossJoin(n)
+        .select(col("n").cast("long").as("n"),
+          col("ka").cast("long").as("k_rows"),
+          col("kb").cast("long").as("k_cols"),
+          chi2.as("chi2"),
+          round(sqrt(chi2
+            / (col("n") * least(col("ka") - 1, col("kb") - 1))), 6)
+            .as("cramers_v"))
+    },
+
+    // ---- A55: calibration curve + reliability bins (the a52 companion) ------
+    // Discrimination (a52's AUC) and CALIBRATION are orthogonal: a
+    // confidence score is trustworthy only if predicted probability ≈
+    // empirical rate bin by bin. Deciles come from ntile(10) with a full
+    // (p, doc_id) tiebreak; per-bin confidence is a 6dp-decimal mean of
+    // an arithmetically-exact p (a linear rescale — no libm, so both
+    // engines bit-agree), accuracy is an exact count ratio, and the
+    // |gap| column is what an ECE weights. Scale shape mirrors a52:
+    // at 100 TB the ntile runs over pre-grouped score buckets, here the
+    // raw 500 docs stand in for them.
+    Query("a55_calibration_bins",
+      """WITH p AS (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |         least(CAST(n_chars AS DOUBLE) / 1000.0,
+        |               CAST(1.0 AS DOUBLE)) AS conf
+        |  FROM documents),
+        |b AS (SELECT y, conf,
+        |             ntile(10) OVER (ORDER BY conf, doc_id) AS bin
+        |      FROM p)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+        |       round(CAST(sum(CAST(round(conf, 6) AS DECIMAL(18,6)))
+        |                  AS DOUBLE) / count(*), 6) AS mean_conf,
+        |       round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate,
+        |       round(abs(CAST(sum(CAST(round(conf, 6) AS DECIMAL(18,6)))
+        |                      AS DOUBLE) / count(*)
+        |                 - CAST(sum(y) AS DOUBLE) / count(*)), 6) AS gap
+        |FROM b GROUP BY 1""".stripMargin) { (s, d) =>
+      val p = Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+          least(col("n_chars") / 1000.0, lit(1.0)).as("conf"))
+      val w = Window.orderBy(col("conf"), col("doc_id"))
+      val conf6 = round(col("conf"), 6).cast("decimal(18,6)")
+      p.withColumn("bin", ntile(10).over(w))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum(conf6).as("sc"), sum("y").as("sy"))
+        .select(col("bin").cast("long").as("bin"),
+          col("n").cast("long").as("n"),
+          round(col("sc").cast("double") / col("n"), 6).as("mean_conf"),
+          round(col("sy").cast("double") / col("n"), 6).as("pos_rate"),
+          round(abs(col("sc").cast("double") / col("n")
+            - col("sy").cast("double") / col("n")), 6).as("gap"))
+    },
+
+    // ---- G35: multi-touch conversion attribution ----------------------------
+    // Which channel gets credit for a purchase? The three standard
+    // models over each user's event path: FIRST touch, LAST touch, and
+    // LINEAR (1/k to each touch in the 7-day pre-purchase window).
+    // The touch join is user-keyed with a residual time predicate —
+    // per-user event counts are bounded, so the pair fan-out is too
+    // (j26's zone-dwell contract); ordering ties break on event_id
+    // everywhere. Linear credits are 6dp-decimal sums of one exact
+    // division; first/last credits are exact counts, so the three
+    // models reconcile: each sums to the attributed-purchase total.
+    Query("g35_attribution",
+      """WITH pur AS (
+        |  SELECT user_id, event_id AS pid, epoch_us(ts) AS pt
+        |  FROM events WHERE event_type = 'purchase'),
+        |touch AS (
+        |  SELECT p.pid, e.event_type, epoch_us(e.ts) AS tt, e.event_id
+        |  FROM pur p JOIN events e ON e.user_id = p.user_id
+        |  WHERE e.event_type IN ('view', 'click', 'signup')
+        |    AND epoch_us(e.ts) < p.pt
+        |    AND epoch_us(e.ts) >= p.pt - 604800000000),
+        |k AS (SELECT pid, count(*) AS k FROM touch GROUP BY 1),
+        |fl AS (SELECT pid, event_type, tt, event_id,
+        |              row_number() OVER (PARTITION BY pid ORDER BY tt, event_id) AS rf,
+        |              row_number() OVER (PARTITION BY pid ORDER BY tt DESC, event_id DESC) AS rl
+        |       FROM touch)
+        |SELECT fl.event_type,
+        |       CAST(count(CASE WHEN rf = 1 THEN 1 END) AS BIGINT) AS first_touch,
+        |       CAST(count(CASE WHEN rl = 1 THEN 1 END) AS BIGINT) AS last_touch,
+        |       CAST(sum(CAST(round(CAST(1.0 AS DOUBLE) / k.k, 6)
+        |                     AS DECIMAL(18,6))) AS DOUBLE) AS linear_credit
+        |FROM fl JOIN k USING (pid)
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"),
+          unix_micros(col("ts")).as("pt"))
+      val touch = pur.join(
+          ev.filter(col("event_type").isin("view", "click", "signup"))
+            .select(col("user_id"), col("event_type"),
+              unix_micros(col("ts")).as("tt"), col("event_id")),
+          Seq("user_id"))
+        .filter(col("tt") < col("pt") && col("tt") >= col("pt") - 604800000000L)
+        .localCheckpoint() // k, first/last windows share the touch join
+      val k = touch.groupBy("pid").agg(count(lit(1)).as("k"))
+      val wf = Window.partitionBy("pid").orderBy(col("tt"), col("event_id"))
+      val wl = Window.partitionBy("pid")
+        .orderBy(col("tt").desc, col("event_id").desc)
+      touch
+        .withColumn("rf", row_number().over(wf))
+        .withColumn("rl", row_number().over(wl))
+        .join(k, Seq("pid"))
+        .groupBy("event_type")
+        .agg(count(when(col("rf") === 1, 1)).as("first_touch"),
+          count(when(col("rl") === 1, 1)).as("last_touch"),
+          sum(round(lit(1.0) / col("k"), 6).cast("decimal(18,6)"))
+            .cast("double").as("linear_credit"))
+        .select(col("event_type"),
+          col("first_touch").cast("long").as("first_touch"),
+          col("last_touch").cast("long").as("last_touch"),
+          col("linear_credit"))
+    },
+
     // ---- A29: per-group linear regression (trend detection) ---------------
     // Least-squares fit of order value against order date per priority
     // class — the "is this metric drifting over time" monitor. All six

@@ -509,27 +509,20 @@ object MultimodalQueries {
         |       round(CAST(sum_gx + sum_gy AS DOUBLE) / (n_gx + n_gy), 9)
         |         AS sharpness
         |FROM ax JOIN ay ON ax.doc_id = ay.doc_id""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
+      // Gradients are image-LOCAL, so they compute inside the decode
+      // pass (Multimodal.decodeGradients): one row in, one narrow row
+      // out, zero exchanges before the sink — nothing pixel-sized ever
+      // leaves a task. Two earlier formulations measured the cost of
+      // getting this wrong at 10x volume: per-(image,scanline) lag
+      // windows over the exploded pixel table 141 s, a one-exchange
+      // collect_list array fold 78 s, this shape ~decode cost. (The
+      // oracle keeps the lag-window formulation — engine-shape freedom
+      // under a fixed contract.)
       val withP = Multimodal.withImagePayload(
         Tables.documents(s, d).select("doc_id"), "doc_id")
-      val px = Multimodal.decodePixels(withP, "doc_id", "payload")
-        .select(col("id").as("doc_id"), col("x"), col("y"), col("r"))
-        .localCheckpoint() // both gradient passes share one decode
-      val wx = Window.partitionBy("doc_id", "y").orderBy("x")
-      val wy = Window.partitionBy("doc_id", "x").orderBy("y")
-      val ax = px
-        .select(col("doc_id"), abs(col("r") - lag("r", 1).over(wx)).as("g"))
-        .groupBy("doc_id")
-        .agg(count("g").as("n_gx"), sum("g").as("sum_gx"))
-      val ay = px
-        .select(col("doc_id"), abs(col("r") - lag("r", 1).over(wy)).as("g"))
-        .groupBy("doc_id")
-        .agg(count("g").as("n_gy"), sum("g").as("sum_gy"))
-      ax.join(ay, "doc_id")
-        .select(col("doc_id"), col("n_gx").cast("long").as("n_gx"),
-          col("sum_gx").cast("long").as("sum_gx"),
-          col("n_gy").cast("long").as("n_gy"),
-          col("sum_gy").cast("long").as("sum_gy"),
+      Multimodal.decodeGradients(withP, "doc_id", "payload")
+        .select(col("id").as("doc_id"), col("n_gx"), col("sum_gx"),
+          col("n_gy"), col("sum_gy"),
           round((col("sum_gx") + col("sum_gy")).cast("double")
             / (col("n_gx") + col("n_gy")), 9).as("sharpness"))
     }

@@ -2279,7 +2279,8 @@ object SimilaritySearch {
         |           (a, b) -> a + b)) AS nm
         |       FROM embeddings),
         |band AS (SELECT q.vec_id AS a, c.vec_id AS b FROM nrm q JOIN nrm c
-        |         ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+        |         ON q.vec_id % 50 = 0 AND q.vec_id < 25000
+        |            AND q.vec_id <> c.vec_id
         |         WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |                 list_transform(range(1, 65),
         |                   i -> CAST(q.embedding[i] AS DOUBLE) * c.embedding[i])),
@@ -2288,7 +2289,11 @@ object SimilaritySearch {
         |FROM band""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
         Similarity.l2norm(col("embedding")).as("nrm"))
-      val qn = e.filter(col("vec_id") % 50 === 0).select(
+      // the truth leg is exact (query-sample × corpus): the sample must
+      // be BOUNDED, not proportional, or the gate itself goes quadratic
+      // with the corpus (measured 372 s at 100x before the cap; the cap
+      // is above every driver SF's id range, so gate rows are unchanged)
+      val qn = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 25000).select(
         col("vec_id").as("qa"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
       val cos = Similarity.dot(col("q_emb"), col("embedding")) /

@@ -329,6 +329,65 @@ object SinkQueries {
             .otherwise(lit(true)).as("sound"))
     },
 
+    // ---- io23: per-file Bloom index planner (point-lookup skipping) ---------
+    // io22 prunes RANGE predicates off min/max stats; point lookups on a
+    // high-cardinality column (which files hold customer X's orders?)
+    // need the other stats structure writers emit: a per-file Bloom
+    // filter. Each file's sketch is the engine's own BloomFilter (the
+    // t21 literal + codegen BloomFilterMightContain probe — no UDF);
+    // the per-file build loop is bounded (16 files — at scale writers
+    // emit sketches at write time, one local pass each, and the planner
+    // only ever touches sketch bytes). Self-verifying: Blooms cannot
+    // false-negative, so `all_found` (every file that truly holds the
+    // key is flagged) trips on any pipeline break, and `fp_ok` bounds
+    // the false-positive cost (≤8 of 16 files at fpp=0.03 is ~20σ out).
+    Query("io23_bloom_pointlookup",
+      """WITH f AS (SELECT DISTINCT o_orderkey % 16 AS file_id, o_custkey
+        |           FROM orders),
+        |p AS (SELECT c_custkey AS custkey FROM customer
+        |      WHERE c_custkey % 199 = 0)
+        |SELECT p.custkey, CAST(count(f.file_id) AS BIGINT) AS n_actual,
+        |       CAST(1 AS BOOLEAN) AS all_found,
+        |       CAST(1 AS BOOLEAN) AS fp_ok
+        |FROM p LEFT JOIN f ON f.o_custkey = p.custkey
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.GraftShims
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      val f = Tables.orders(s, d)
+        .select((col("o_orderkey") % 16).as("file_id"), col("o_custkey"))
+      val probes = Tables.customer(s, d)
+        .filter(col("c_custkey") % 199 === 0)
+        .select(col("c_custkey").as("k"))
+      val blooms = (0L until 16L).map { fid =>
+        val bf = f.filter(col("file_id") === fid)
+          .stat.bloomFilter("o_custkey", 1L << 16, 0.03)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        fid -> bos.toByteArray
+      }
+      val mcCols = blooms.map { case (fid, bytes) =>
+        struct(lit(fid).as("file_id"),
+          GraftShims.column(BloomFilterMightContain(
+            Literal.create(bytes, org.apache.spark.sql.types.BinaryType),
+            GraftShims.expression(col("k")))).as("mc"))
+      }
+      val flags = probes
+        .select(col("k"), explode(array(mcCols: _*)).as("fl"))
+        .select(col("k"), col("fl.file_id").as("file_id"), col("fl.mc").as("mc"))
+      val act = f.join(probes, col("o_custkey") === col("k"))
+        .select(col("k"), col("file_id")).distinct()
+        .withColumn("actual", lit(true))
+      flags.join(act, Seq("k", "file_id"), "left")
+        .groupBy("k")
+        .agg(sum(when(col("actual"), 1L).otherwise(0L)).as("n_actual"),
+          (min(when(col("actual") && !col("mc"), 0L).otherwise(1L)) === 1L)
+            .as("all_found"),
+          (sum(when(col("mc") && col("actual").isNull, 1L).otherwise(0L)) <= 8L)
+            .as("fp_ok"))
+        .select(col("k").as("custkey"), col("n_actual"), col("all_found"),
+          col("fp_ok"))
+    },
+
     Query("io01_history_roundtrip",
       """SELECT CAST(DATE '2026-01-01' + CAST(o_orderkey % 3 AS INT) AS VARCHAR) AS pd,
         |       o_orderstatus, count(*) AS n,
