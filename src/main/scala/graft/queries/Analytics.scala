@@ -220,6 +220,81 @@ object Analytics {
             .as("cramers_v"))
     },
 
+    // ---- A56: Theil's U / uncertainty coefficient (directional a54) --------
+    // Cramér's V is symmetric; Theil's U answers the DIRECTIONAL
+    // question — how much does knowing the weekday reduce uncertainty
+    // about the event type (and vice versa): U(a|b) =
+    // (H(a) − H(a|b))/H(a). Same one-scan contingency shape as a54;
+    // every entropy term is ln on exact integer ratios, rounded to 6dp
+    // and summed as DECIMAL (the t18 discipline), so the fold order
+    // can't move a bit. Output carries both directions — their
+    // asymmetry is the point.
+    Query("a56_theils_u",
+      """WITH t AS (
+        |  SELECT event_type AS a,
+        |         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS b,
+        |         count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT a, sum(o) AS ra FROM t GROUP BY 1),
+        |c AS (SELECT b, sum(o) AS cb FROM t GROUP BY 1),
+        |n AS (SELECT sum(o) AS n FROM t),
+        |ha AS (SELECT sum(CAST(round(-(CAST(ra AS DOUBLE) / n.n)
+        |                             * ln(CAST(ra AS DOUBLE) / n.n), 6)
+        |                       AS DECIMAL(18,6))) AS h
+        |       FROM r CROSS JOIN n),
+        |hb AS (SELECT sum(CAST(round(-(CAST(cb AS DOUBLE) / n.n)
+        |                             * ln(CAST(cb AS DOUBLE) / n.n), 6)
+        |                       AS DECIMAL(18,6))) AS h
+        |       FROM c CROSS JOIN n),
+        |hab AS (SELECT sum(CAST(round(-(CAST(o AS DOUBLE) / n.n)
+        |                              * ln(CAST(o AS DOUBLE) / cb), 6)
+        |                        AS DECIMAL(18,6))) AS h
+        |        FROM t JOIN c USING (b) CROSS JOIN n),
+        |hba AS (SELECT sum(CAST(round(-(CAST(o AS DOUBLE) / n.n)
+        |                              * ln(CAST(o AS DOUBLE) / ra), 6)
+        |                        AS DECIMAL(18,6))) AS h
+        |        FROM t JOIN r USING (a) CROSS JOIN n)
+        |SELECT round(CAST(ha.h AS DOUBLE), 6) AS h_a,
+        |       round(CAST(hb.h AS DOUBLE), 6) AS h_b,
+        |       round((CAST(ha.h AS DOUBLE) - CAST(hab.h AS DOUBLE))
+        |             / CAST(ha.h AS DOUBLE), 6) AS u_a_given_b,
+        |       round((CAST(hb.h AS DOUBLE) - CAST(hba.h AS DOUBLE))
+        |             / CAST(hb.h AS DOUBLE), 6) AS u_b_given_a
+        |FROM ha CROSS JOIN hb CROSS JOIN hab CROSS JOIN hba""".stripMargin) {
+      (s, d) =>
+      val ev = Tables.events(s, d)
+      val t = ev
+        .groupBy(col("event_type").as("a"),
+          (datediff(to_date(col("ts")), lit("1970-01-01")) % 7).as("b"))
+        .agg(count(lit(1)).as("o"))
+        .localCheckpoint() // marginals + two conditional entropies share it
+      val r = t.groupBy("a").agg(sum("o").as("ra"))
+      val c = t.groupBy("b").agg(sum("o").as("cb"))
+      val n = t.agg(sum("o").as("n"))
+      def ent(df: org.apache.spark.sql.DataFrame, p: org.apache.spark.sql.Column,
+              q: org.apache.spark.sql.Column) =
+        df.select(round((lit(0.0) - p) * log(q), 6)
+            .cast("decimal(18,6)").as("e"))
+          .agg(sum("e").as("h"))
+      val ha = ent(r.crossJoin(broadcast(n)),
+        col("ra").cast("double") / col("n"), col("ra").cast("double") / col("n"))
+      val hb = ent(c.crossJoin(broadcast(n)),
+        col("cb").cast("double") / col("n"), col("cb").cast("double") / col("n"))
+      val hab = ent(t.join(broadcast(c), Seq("b")).crossJoin(broadcast(n)),
+        col("o").cast("double") / col("n"), col("o").cast("double") / col("cb"))
+      val hba = ent(t.join(broadcast(r), Seq("a")).crossJoin(broadcast(n)),
+        col("o").cast("double") / col("n"), col("o").cast("double") / col("ra"))
+      ha.select(col("h").as("hha")).crossJoin(hb.select(col("h").as("hhb")))
+        .crossJoin(hab.select(col("h").as("hhab")))
+        .crossJoin(hba.select(col("h").as("hhba")))
+        .select(round(col("hha").cast("double"), 6).as("h_a"),
+          round(col("hhb").cast("double"), 6).as("h_b"),
+          round((col("hha").cast("double") - col("hhab").cast("double"))
+            / col("hha").cast("double"), 6).as("u_a_given_b"),
+          round((col("hhb").cast("double") - col("hhba").cast("double"))
+            / col("hhb").cast("double"), 6).as("u_b_given_a"))
+    },
+
     // ---- A55: calibration curve + reliability bins (the a52 companion) ------
     // Discrimination (a52's AUC) and CALIBRATION are orthogonal: a
     // confidence score is trustworthy only if predicted probability ≈

@@ -633,6 +633,84 @@ object GeoQueries {
             (max("us") - min("us")).cast("long").as("dwell_us"))
           .select("user_id", "n_events", "enter_us", "exit_us", "dwell_us")
       }
+    },
+
+    // ---- J31: polygon metrics (shoelace area, centroid, perimeter) ----------
+    // The geometry summary every overlay pipeline reports before using a
+    // boundary set: per-ring area (shoelace), centroid, and perimeter —
+    // here over the 0.3°-BUFFERED diamond fixture (Geo.bufferPoly's
+    // rounded corners, 16 vertices/ring), so the arc construction from
+    // j23's family is itself under a hash gate. Rings are rows, metrics
+    // are strict in-order array folds per row (the s46 fold contract) —
+    // zero exchanges; a boundary table of any size scans embarrassingly
+    // parallel. The oracle embeds the SAME vertex literals
+    // (shortest-roundtrip doubles, s16 device) and replays the folds.
+    {
+      val polys = diamonds.map(p => Geo.bufferPoly(p, 0.3, segmentsPerRadian = 2))
+      val polyValues = polys
+        .map(p => s"(${p.id}, [${p.xs.mkString(", ")}], [${p.ys.mkString(", ")}])")
+        .mkString(",\n        ")
+      Query("j31_polygon_metrics",
+        s"""WITH polys0(id, xs0, ys0) AS (VALUES
+          |        $polyValues),
+          |polys AS (SELECT id, CAST(xs0 AS DOUBLE[]) AS xs,
+          |                 CAST(ys0 AS DOUBLE[]) AS ys
+          |          FROM polys0),
+          |m AS (
+          |  SELECT id, len(xs) AS n,
+          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |      list_transform(range(1, len(xs) + 1),
+          |        i -> xs[i] * ys[1 + i % len(xs)] - xs[1 + i % len(xs)] * ys[i])),
+          |      (a, v) -> a + v) AS s,
+          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |      list_transform(range(1, len(xs) + 1),
+          |        i -> (xs[i] + xs[1 + i % len(xs)])
+          |             * (xs[i] * ys[1 + i % len(xs)] - xs[1 + i % len(xs)] * ys[i]))),
+          |      (a, v) -> a + v) AS sx,
+          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |      list_transform(range(1, len(xs) + 1),
+          |        i -> (ys[i] + ys[1 + i % len(xs)])
+          |             * (xs[i] * ys[1 + i % len(xs)] - xs[1 + i % len(xs)] * ys[i]))),
+          |      (a, v) -> a + v) AS sy,
+          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |      list_transform(range(1, len(xs) + 1),
+          |        i -> sqrt((xs[1 + i % len(xs)] - xs[i]) * (xs[1 + i % len(xs)] - xs[i])
+          |                  + (ys[1 + i % len(xs)] - ys[i]) * (ys[1 + i % len(xs)] - ys[i])))),
+          |      (a, v) -> a + v) AS per
+          |  FROM polys)
+          |SELECT CAST(id AS BIGINT) AS id, CAST(n AS BIGINT) AS n_vertices,
+          |       round(abs(s) / 2.0, 9) AS area,
+          |       round(sx / (3.0 * s), 9) AS cx,
+          |       round(sy / (3.0 * s), 9) AS cy,
+          |       round(per, 9) AS perimeter
+          |FROM m""".stripMargin) { (s, d) =>
+        val sp = s; import sp.implicits._
+        val df = polys.map(p => (p.id.toLong, p.xs.toSeq, p.ys.toSeq))
+          .toDF("id", "xs", "ys")
+        def fold(body: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column) =
+          graft.functions.TextFunctions.bind1(size(col("xs"))) { n =>
+            aggregate(sequence(lit(1), n), lit(0.0), (acc, i) => {
+              val j = i % n + 1
+              acc + body(i, j)
+            })
+          }
+        def xs(i: org.apache.spark.sql.Column) = element_at(col("xs"), i)
+        def ys(i: org.apache.spark.sql.Column) = element_at(col("ys"), i)
+        def cross(i: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =
+          xs(i) * ys(j) - xs(j) * ys(i)
+        val sS = fold((i, j) => cross(i, j))
+        val sSx = fold((i, j) => (xs(i) + xs(j)) * cross(i, j))
+        val sSy = fold((i, j) => (ys(i) + ys(j)) * cross(i, j))
+        val sPer = fold((i, j) => sqrt((xs(j) - xs(i)) * (xs(j) - xs(i))
+          + (ys(j) - ys(i)) * (ys(j) - ys(i))))
+        df.select(col("id"), size(col("xs")).cast("long").as("n_vertices"),
+            sS.as("s"), sSx.as("sx"), sSy.as("sy"), sPer.as("per"))
+          .select(col("id"), col("n_vertices"),
+            round(abs(col("s")) / 2.0, 9).as("area"),
+            round(col("sx") / (lit(3.0) * col("s")), 9).as("cx"),
+            round(col("sy") / (lit(3.0) * col("s")), 9).as("cy"),
+            round(col("per"), 9).as("perimeter"))
+      }
     }
   )
 }

@@ -2412,6 +2412,137 @@ object SimilaritySearch {
             col("cluster_n").cast("long").as("cluster_n"),
             (col("proto_rank") * 10 > col("cluster_n")).as("keep"))
       }
+    },
+
+    // ---- S51: ranking metrics — MRR@3 / NDCG@3 of an ANN system ------------
+    // The recall gates (s34-s40) ask "did the truth survive"; ranking
+    // metrics ask "in what ORDER" — the numbers a retrieval eval
+    // actually reports. System = the s17 literal-centroid IVF probe
+    // (the one ANN whose full chain replays in SQL); truth = the exact
+    // cosine top-3. Binary relevance, reciprocal rank of the first hit,
+    // DCG with the standard log2 discount against the constant ideal
+    // (truth is always 3 deep). Discount terms round to 6dp and sum as
+    // DECIMAL per query. Scale: metrics join two rankings on
+    // (query, k)-bounded rows — eval cost is query-set-sized.
+    {
+      val nCells = 8
+      val cvecs = graft.functions.Similarity.hyperplanes(1, nCells, 64)
+      val centValues = cvecs.zipWithIndex
+        .map { case (c, r) => s"($r, [${c.mkString(", ")}])" }
+        .mkString(",\n        ")
+      def cosSql(l: String, r: String): String =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |           list_transform(range(1, 65),
+           |             i -> CAST($l.embedding[i] AS DOUBLE) * CAST($r.embedding[i] AS DOUBLE))),
+           |           (a, x) -> a + x)
+           |         / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |              list_transform(range(1, 65),
+           |                i -> CAST($l.embedding[i] AS DOUBLE) * CAST($l.embedding[i] AS DOUBLE))),
+           |              (a, x) -> a + x))
+           |            * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |                list_transform(range(1, 65),
+           |                  i -> CAST($r.embedding[i] AS DOUBLE) * CAST($r.embedding[i] AS DOUBLE))),
+           |                (a, x) -> a + x)))""".stripMargin
+      Query("s51_ranking_metrics",
+        s"""WITH cents(cell_id, c) AS (VALUES
+          |        $centValues),
+          |dist AS (
+          |  SELECT vec_id, cell_id,
+          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |           list_transform(range(1, 65),
+          |             i -> (CAST(embedding[i] AS DOUBLE) - c[i])
+          |                  * (CAST(embedding[i] AS DOUBLE) - c[i]))),
+          |           (a, x) -> a + x) AS d
+          |  FROM embeddings CROSS JOIN cents),
+          |assigned AS (SELECT vec_id, cell_id FROM (
+          |  SELECT vec_id, cell_id,
+          |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+          |  FROM dist) WHERE rn = 1),
+          |probes AS (SELECT vec_id AS query_id, cell_id FROM (
+          |  SELECT vec_id, cell_id,
+          |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+          |  FROM dist WHERE vec_id < 10) WHERE rn <= 3),
+          |cand AS (
+          |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+          |  FROM probes p JOIN assigned a USING (cell_id)
+          |  WHERE a.vec_id <> p.query_id),
+          |cosd AS (
+          |  SELECT query_id, neighbor_id, ${cosSql("q", "c")} AS cos
+          |  FROM cand JOIN embeddings q ON q.vec_id = query_id
+          |            JOIN embeddings c ON c.vec_id = neighbor_id),
+          |sys AS (
+          |  SELECT query_id, neighbor_id, rn AS rank FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY query_id
+          |                                 ORDER BY cos DESC, neighbor_id) AS rn
+          |    FROM cosd) WHERE rn <= 3),
+          |tcos AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |         ${cosSql("q", "c")} AS cos
+          |  FROM embeddings q JOIN embeddings c
+          |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+          |truth AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT query_id, neighbor_id,
+          |           row_number() OVER (PARTITION BY query_id
+          |                              ORDER BY cos DESC, neighbor_id) AS rn
+          |    FROM tcos) WHERE rn <= 3),
+          |scored AS (
+          |  SELECT s.query_id, s.rank,
+          |         CASE WHEN t.neighbor_id IS NULL THEN 0 ELSE 1 END AS rel
+          |  FROM sys s LEFT JOIN truth t
+          |    ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id)
+          |SELECT query_id,
+          |       CAST(sum(rel) AS BIGINT) AS n_rel,
+          |       coalesce(round(CAST(1.0 AS DOUBLE)
+          |                      / min(CASE WHEN rel = 1 THEN rank END), 6),
+          |                CAST(0.0 AS DOUBLE)) AS rr,
+          |       round(CAST(sum(CAST(round(rel / log2(CAST(rank AS DOUBLE) + 1.0), 6)
+          |                          AS DECIMAL(18,6))) AS DOUBLE)
+          |             / (CAST(1.0 AS DOUBLE) / log2(CAST(2.0 AS DOUBLE))
+          |                + CAST(1.0 AS DOUBLE) / log2(CAST(3.0 AS DOUBLE))
+          |                + CAST(1.0 AS DOUBLE) / log2(CAST(4.0 AS DOUBLE))), 6)
+          |         AS ndcg
+          |FROM scored GROUP BY 1""".stripMargin) { (s, d) =>
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+        val cents = cvecs.zipWithIndex.map { case (c, r) => (r.toLong, c) }
+          .toDF("cell_id", "c_vec")
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+        val sysW = Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id"))
+        val sys = graft.operators.Ivf
+          .searchWithCentroids(e, q, cents, "vec_id", "embedding",
+            nProbe = 3, k = 3)
+          .withColumn("rank", row_number().over(sysW))
+        val en = e.select(col("vec_id"), col("embedding"),
+          Similarity.l2norm(col("embedding")).as("nrm"))
+        val qn = en.filter(col("vec_id") < 10).select(
+          col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
+        val cos = Similarity.dot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("nrm"))
+        val truth = en.crossJoin(broadcast(qn))
+          .filter(col("query_id") =!= col("vec_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            cos.as("tcos"))
+          .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+            .orderBy(col("tcos").desc, col("neighbor_id"))))
+          .filter(col("rn") <= 3)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("rel"))
+        val idcg = lit(1.0) / log2(lit(2.0)) + lit(1.0) / log2(lit(3.0)) +
+          lit(1.0) / log2(lit(4.0))
+        sys.join(truth, Seq("query_id", "neighbor_id"), "left")
+          .select(col("query_id"), col("rank"),
+            coalesce(col("rel"), lit(0)).as("rel"))
+          .groupBy("query_id")
+          .agg(sum("rel").cast("long").as("n_rel"),
+            coalesce(round(lit(1.0)
+              / min(when(col("rel") === 1, col("rank"))), 6), lit(0.0))
+              .as("rr"),
+            round(sum(round(col("rel") / log2(col("rank").cast("double") + 1.0), 6)
+              .cast("decimal(18,6)")).cast("double") / idcg, 6).as("ndcg"))
+      }
     }
   )
 

@@ -388,6 +388,88 @@ object SinkQueries {
           col("fp_ok"))
     },
 
+    // ---- io24: snapshot retention / vacuum planner --------------------------
+    // The lakehouse GC question io21's diff stops short of: across THREE
+    // snapshot versions with a keep-latest-2 retention policy, which
+    // immutable files (identity = partition + content hash — a changed
+    // partition writes a NEW file) are still referenced, and which are
+    // reclaimable orphans? v2/v3 derive from v1 by the io21 delta
+    // pattern (deletes, then a price bump wave). Everything after the
+    // three manifests is manifest-sized; at 100 TB this plans a vacuum
+    // without touching data files — the storage-GC member of the
+    // io19/io21/io22/io23 stats-and-manifests family.
+    Query("io24_vacuum_planner",
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_orderpriority AS pri, o_orderkey % 8 AS bkt,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_totalprice > 50000),
+        |v2 AS (
+        |  SELECT o_orderkey, pri, bkt,
+        |         CASE WHEN o_orderkey % 89 = 1 THEN cents + 1 ELSE cents END AS cents
+        |  FROM v1 WHERE o_orderkey % 97 <> 0),
+        |v3 AS (
+        |  SELECT o_orderkey, pri, bkt,
+        |         CASE WHEN o_orderkey % 83 = 2 THEN cents + 5 ELSE cents END AS cents
+        |  FROM v2),
+        |m1 AS (SELECT pri, bkt, count(*) AS nr,
+        |              md5(string_agg(CAST(o_orderkey AS VARCHAR) || ':'
+        |                             || CAST(cents AS VARCHAR), '|'
+        |                             ORDER BY o_orderkey)) AS h
+        |       FROM v1 GROUP BY 1, 2),
+        |m2 AS (SELECT pri, bkt, count(*) AS nr,
+        |              md5(string_agg(CAST(o_orderkey AS VARCHAR) || ':'
+        |                             || CAST(cents AS VARCHAR), '|'
+        |                             ORDER BY o_orderkey)) AS h
+        |       FROM v2 GROUP BY 1, 2),
+        |m3 AS (SELECT pri, bkt, count(*) AS nr,
+        |              md5(string_agg(CAST(o_orderkey AS VARCHAR) || ':'
+        |                             || CAST(cents AS VARCHAR), '|'
+        |                             ORDER BY o_orderkey)) AS h
+        |       FROM v3 GROUP BY 1, 2),
+        |files AS (
+        |  SELECT pri, bkt, h, max(nr) AS n_rows,
+        |         min(v) AS first_seen, max(v) AS last_seen
+        |  FROM (SELECT *, 1 AS v FROM m1 UNION ALL
+        |        SELECT *, 2 AS v FROM m2 UNION ALL
+        |        SELECT *, 3 AS v FROM m3)
+        |  GROUP BY 1, 2, 3)
+        |SELECT pri, CAST(bkt AS BIGINT) AS bkt, h AS content_md5,
+        |       CAST(n_rows AS BIGINT) AS n_rows,
+        |       CAST(first_seen AS BIGINT) AS first_seen,
+        |       CAST(last_seen AS BIGINT) AS last_seen,
+        |       CASE WHEN last_seen >= 2 THEN 'live' ELSE 'orphan' END AS status
+        |FROM files""".stripMargin) { (s, d) =>
+      def manifest(df: org.apache.spark.sql.DataFrame, v: Int) =
+        df.select(col("pri"), col("bkt"),
+            struct(col("o_orderkey"),
+              concat_ws(":", col("o_orderkey"), col("cents")).as("s")).as("r"))
+          .groupBy("pri", "bkt")
+          .agg(count(lit(1)).as("nr"),
+            md5(concat_ws("|",
+              transform(sort_array(collect_list(col("r"))),
+                e => e.getField("s")))).as("h"))
+          .withColumn("v", lit(v))
+      val v1 = Tables.orders(s, d).filter(col("o_totalprice") > 50000)
+        .select(col("o_orderkey"), col("o_orderpriority").as("pri"),
+          (col("o_orderkey") % 8).as("bkt"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .localCheckpoint() // all three snapshot legs derive from one scan
+      val v2 = v1.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("cents", when(col("o_orderkey") % 89 === 1,
+          col("cents") + 1).otherwise(col("cents")))
+      val v3 = v2.withColumn("cents", when(col("o_orderkey") % 83 === 2,
+        col("cents") + 5).otherwise(col("cents")))
+      manifest(v1, 1).unionAll(manifest(v2, 2)).unionAll(manifest(v3, 3))
+        .groupBy("pri", "bkt", "h")
+        .agg(max("nr").as("n_rows"), min("v").as("first_seen"),
+          max("v").as("last_seen"))
+        .select(col("pri"), col("bkt").cast("long").as("bkt"),
+          col("h").as("content_md5"), col("n_rows").cast("long").as("n_rows"),
+          col("first_seen").cast("long").as("first_seen"),
+          col("last_seen").cast("long").as("last_seen"),
+          when(col("last_seen") >= 2, "live").otherwise("orphan").as("status"))
+    },
+
     Query("io01_history_roundtrip",
       """SELECT CAST(DATE '2026-01-01' + CAST(o_orderkey % 3 AS INT) AS VARCHAR) AS pd,
         |       o_orderstatus, count(*) AS n,

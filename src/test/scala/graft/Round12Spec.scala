@@ -246,6 +246,73 @@ class Round12Spec extends SparkSpec {
     assert(rs.exists(_.getAs[Long]("n_actual") > 0))
   }
 
+  test("j31 logic: unbuffered unit diamond has area 2, perimeter 4*sqrt(2), its center as centroid") {
+    val sp = spark; import sp.implicits._
+    // replicate the fold on the raw (unbuffered) diamond at (1,1)
+    val df = Seq((0L, Seq(1.0, 2.0, 1.0, 0.0), Seq(0.0, 1.0, 2.0, 1.0)))
+      .toDF("id", "xs", "ys")
+    val n = size(col("xs"))
+    def xs(i: org.apache.spark.sql.Column) = element_at(col("xs"), i)
+    def ys(i: org.apache.spark.sql.Column) = element_at(col("ys"), i)
+    val s = aggregate(sequence(lit(1), n), lit(0.0), (acc, i) =>
+      acc + (xs(i) * ys(i % n + 1) - xs(i % n + 1) * ys(i)))
+    val per = aggregate(sequence(lit(1), n), lit(0.0), (acc, i) =>
+      acc + sqrt((xs(i % n + 1) - xs(i)) * (xs(i % n + 1) - xs(i))
+        + (ys(i % n + 1) - ys(i)) * (ys(i % n + 1) - ys(i))))
+    val r = df.select((abs(s) / 2.0).as("area"), per.as("p")).head()
+    assert(r.getDouble(0) == 2.0)
+    assert(math.abs(r.getDouble(1) - 4.0 * math.sqrt(2.0)) < 1e-12)
+  }
+
+  test("j31 output: buffered diamonds are congruent (equal area/perimeter), centroids at cell centers") {
+    val rs = SparkEntry.queries("j31_polygon_metrics")(spark, sf01).collect()
+    assert(rs.length == 25)
+    val areas = rs.map(_.getAs[Double]("area"))
+    assert(areas.max - areas.min < 1e-8)
+    assert(areas.head > 2.0) // buffering grows the ring
+    rs.foreach { r =>
+      val id = r.getAs[Long]("id")
+      val (cx, cy) = ((id / 5) * 2 + 1.0, (id % 5) * 2 + 1.0)
+      assert(math.abs(r.getAs[Double]("cx") - cx) < 1e-6, s"poly $id cx")
+      assert(math.abs(r.getAs[Double]("cy") - cy) < 1e-6, s"poly $id cy")
+    }
+  }
+
+  test("a56 output: U bounded in [0,1] both directions, conditioning never hurts") {
+    val r = SparkEntry.queries("a56_theils_u")(spark, sf01).head()
+    for (c <- Seq("u_a_given_b", "u_b_given_a")) {
+      val u = r.getAs[Double](c)
+      assert(u >= -1e-6 && u <= 1.0, s"$c = $u")
+    }
+    assert(r.getAs[Double]("h_a") > 0.0 && r.getAs[Double]("h_b") > 0.0)
+  }
+
+  test("s51 output: metrics bounded, perfect prefix implies both metrics 1") {
+    val rs = SparkEntry.queries("s51_ranking_metrics")(spark, sf01).collect()
+    assert(rs.length == 10)
+    rs.foreach { r =>
+      val (nRel, rr, ndcg) = (r.getAs[Long]("n_rel"),
+        r.getAs[Double]("rr"), r.getAs[Double]("ndcg"))
+      assert(nRel >= 0 && nRel <= 3)
+      assert(rr >= 0.0 && rr <= 1.0)
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-6)
+      if (nRel == 3) { assert(rr == 1.0); assert(ndcg > 0.999999) }
+      if (nRel == 0) { assert(rr == 0.0); assert(ndcg == 0.0) }
+    }
+  }
+
+  test("io24 output: live set is exactly the last-2-snapshot hashes, orphans exist") {
+    val rs = SparkEntry.queries("io24_vacuum_planner")(spark, sf01).collect()
+    val (live, orphan) = rs.partition(_.getAs[String]("status") == "live")
+    assert(live.nonEmpty && orphan.nonEmpty)
+    assert(live.forall(_.getAs[Long]("last_seen") >= 2))
+    assert(orphan.forall(_.getAs[Long]("last_seen") == 1))
+    // every orphan's partition still has a live successor file
+    val liveParts = live.map(r => (r.getAs[String]("pri"), r.getAs[Long]("bkt"))).toSet
+    assert(orphan.forall(r =>
+      liveParts((r.getAs[String]("pri"), r.getAs[Long]("bkt")))))
+  }
+
   test("io22 output: planner is sound on every file and all three classes appear") {
     val rs = SparkEntry.queries("io22_zonemap_skipping")(spark, sf01).collect()
     assert(rs.forall(_.getAs[Boolean]("sound")))
