@@ -401,6 +401,176 @@ object Analytics {
           col("linear_credit"))
     },
 
+    // ---- G36: time-to-convert latency per acquisition channel ---------------
+    // g35 says WHO gets credit; g36 says HOW LONG conversion takes by
+    // first-touch channel: per user, the first touch (min struct — the
+    // j10 single-pass argmin, carrying the channel through the min) and
+    // the first purchase strictly after it; per channel, exact p50/p90
+    // of the latency in integer microseconds (quantile_cont/percentile
+    // interpolate the same fixed-order formula — the a18 contract).
+    // Two user-keyed hash aggs + one bounded join; no window over the
+    // event table.
+    Query("g36_time_to_convert",
+      """WITH tch AS (
+        |  SELECT user_id, epoch_us(ts) AS tt, event_type AS ch,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE event_type IN ('view', 'click', 'signup')),
+        |ft AS (SELECT user_id, tt, ch FROM tch WHERE rn = 1),
+        |conv AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS pt
+        |  FROM events e JOIN ft ON e.user_id = ft.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > ft.tt
+        |  GROUP BY 1),
+        |lat AS (
+        |  SELECT ft.ch AS channel, conv.pt - ft.tt AS latency_us
+        |  FROM ft JOIN conv ON ft.user_id = conv.user_id)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_users,
+        |       quantile_cont(latency_us, 0.5) AS p50_us,
+        |       quantile_cont(latency_us, 0.9) AS p90_us
+        |FROM lat GROUP BY 1""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val ft = ev.filter(col("event_type").isin("view", "click", "signup"))
+        .groupBy("user_id")
+        .agg(min(struct(unix_micros(col("ts")).as("tt"), col("event_id"),
+          col("event_type").as("channel"))).as("f"))
+        .select(col("user_id"), col("f.tt").as("tt"),
+          col("f.channel").as("channel"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("pt"))
+        .join(ft, Seq("user_id"))
+        .filter(col("pt") > col("tt"))
+        .groupBy("user_id", "channel", "tt").agg(min("pt").as("pt"))
+      conv.select(col("channel"), (col("pt") - col("tt")).as("latency_us"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_users"),
+          expr("percentile(latency_us, 0.5)").as("p50_us"),
+          expr("percentile(latency_us, 0.9)").as("p90_us"))
+    },
+
+    // ---- A57: Mann-Kendall trend test (nonparametric a29) -------------------
+    // a29 fits a LINE; Mann-Kendall asks only "is this series
+    // monotonically drifting", robust to outliers and distribution —
+    // the standard environmental/monitoring trend test. S sums the
+    // signs of all day-pair comparisons per type (the self-join runs on
+    // the AGGREGATED day series — days², never events²); the variance
+    // carries the tie correction Σt(t−1)(2t+5); both are exact BIGINTs
+    // off exact DECIMAL daily sums, and the continuity-corrected z is
+    // one fixed-order double epilogue.
+    Query("a57_mann_kendall",
+      """WITH d AS (
+        |  SELECT event_type,
+        |         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |         sum(CAST(value AS DECIMAL(18,4))) AS x
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT a.event_type,
+        |         sum(CASE WHEN b.x > a.x THEN 1
+        |                  WHEN b.x < a.x THEN -1 ELSE 0 END) AS s,
+        |         count(*) AS n_pairs
+        |  FROM d a JOIN d b ON a.event_type = b.event_type AND a.day < b.day
+        |  GROUP BY 1),
+        |n AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1),
+        |ties AS (
+        |  SELECT event_type,
+        |         coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS tie_term
+        |  FROM (SELECT event_type, x, count(*) AS t FROM d GROUP BY 1, 2
+        |        HAVING count(*) > 1)
+        |  GROUP BY 1)
+        |SELECT s.event_type, CAST(s.s AS BIGINT) AS s,
+        |       CAST(n.n AS BIGINT) AS n_days,
+        |       CAST((n.n * (n.n - 1) * (2 * n.n + 5)
+        |             - coalesce(ties.tie_term, 0)) AS BIGINT) AS var18,
+        |       round(CASE WHEN s.s > 0 THEN (s.s - 1.0)
+        |                  WHEN s.s < 0 THEN (s.s + 1.0)
+        |                  ELSE CAST(0.0 AS DOUBLE) END
+        |             / sqrt(CAST((n.n * (n.n - 1) * (2 * n.n + 5)
+        |                          - coalesce(ties.tie_term, 0)) AS DOUBLE)
+        |                    / 18.0), 6) AS z
+        |FROM s JOIN n USING (event_type)
+        |       LEFT JOIN ties USING (event_type)""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+        .agg(sum(col("value").cast("decimal(18,4)")).as("x"))
+        .localCheckpoint() // pair join (both legs), n, and ties share it
+      val pairs = daily.select(col("event_type"), col("day").as("d1"),
+          col("x").as("x1"))
+        .join(daily.select(col("event_type"), col("day").as("d2"),
+          col("x").as("x2")), Seq("event_type"))
+        .filter(col("d1") < col("d2"))
+        .groupBy("event_type")
+        .agg(sum(when(col("x2") > col("x1"), 1L)
+          .when(col("x2") < col("x1"), -1L).otherwise(0L)).as("s"))
+      val nD = daily.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val ties = daily.groupBy("event_type", "x").agg(count(lit(1)).as("t"))
+        .filter(col("t") > 1)
+        .groupBy("event_type")
+        .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))
+          .as("tie_term"))
+      val var18 = (col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5)
+        - coalesce(col("tie_term"), lit(0L)))
+      pairs.join(broadcast(nD), Seq("event_type"))
+        .join(broadcast(ties), Seq("event_type"), "left")
+        .select(col("event_type"), col("s").cast("long").as("s"),
+          col("n").cast("long").as("n_days"),
+          var18.cast("long").as("var18"),
+          round(when(col("s") > 0, col("s") - 1.0)
+            .when(col("s") < 0, col("s") + 1.0)
+            .otherwise(lit(0.0))
+            / sqrt(var18.cast("double") / 18.0), 6).as("z"))
+    },
+
+    // ---- G37: cohort lifetime value (signup week x weeks-since revenue) -----
+    // The revenue companion to g12's retention matrix: users cohort by
+    // the week of their FIRST signup, purchase value accumulates into
+    // cumulative week-0..3 columns — the LTV curve a growth report
+    // tracks. First-signup is the single-pass struct argmin; revenue
+    // sums are exact DECIMAL(18,4); the pivot is conditional sums on the
+    // bounded 4-week horizon. Two user-keyed hash aggs + one cohort agg.
+    Query("g37_cohort_ltv",
+      """WITH su AS (
+        |  SELECT user_id,
+        |         min(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS sd
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |rev AS (
+        |  SELECT su.user_id, su.sd // 7 AS cohort_week,
+        |         (datediff('day', DATE '1970-01-01', CAST(e.ts AS DATE)) - su.sd) // 7
+        |           AS wk,
+        |         CAST(e.value AS DECIMAL(18,4)) AS v
+        |  FROM events e JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND datediff('day', DATE '1970-01-01', CAST(e.ts AS DATE)) >= su.sd),
+        |coh AS (SELECT sd // 7 AS cohort_week, count(*) AS n_users
+        |        FROM su GROUP BY 1)
+        |SELECT coh.cohort_week, coh.n_users,
+        |       CAST(coalesce(sum(CASE WHEN wk <= 0 THEN v END), 0) AS DOUBLE) AS ltv_w0,
+        |       CAST(coalesce(sum(CASE WHEN wk <= 1 THEN v END), 0) AS DOUBLE) AS ltv_w1,
+        |       CAST(coalesce(sum(CASE WHEN wk <= 2 THEN v END), 0) AS DOUBLE) AS ltv_w2,
+        |       CAST(coalesce(sum(CASE WHEN wk <= 3 THEN v END), 0) AS DOUBLE) AS ltv_w3
+        |FROM coh LEFT JOIN rev ON coh.cohort_week = rev.cohort_week
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val day = datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(day).as("sd"))
+      val rev = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), day.as("pd"),
+          col("value").cast("decimal(18,4)").as("v"))
+        .join(su, Seq("user_id"))
+        .filter(col("pd") >= col("sd"))
+        .select((col("sd") / 7).cast("long").as("cohort_week"),
+          ((col("pd") - col("sd")) / 7).cast("long").as("wk"), col("v"))
+      val coh = su.select((col("sd") / 7).cast("long").as("cohort_week"))
+        .groupBy("cohort_week").agg(count(lit(1)).as("n_users"))
+      def ltv(k: Int) = coalesce(sum(when(col("wk") <= k, col("v"))),
+        lit(0).cast("decimal(18,4)")).cast("double")
+      coh.join(rev, Seq("cohort_week"), "left")
+        .groupBy("cohort_week", "n_users")
+        .agg(ltv(0).as("ltv_w0"), ltv(1).as("ltv_w1"),
+          ltv(2).as("ltv_w2"), ltv(3).as("ltv_w3"))
+    },
+
     // ---- A29: per-group linear regression (trend detection) ---------------
     // Least-squares fit of order value against order date per priority
     // class — the "is this metric drifting over time" monitor. All six

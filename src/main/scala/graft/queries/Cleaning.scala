@@ -396,6 +396,45 @@ object Cleaning {
     // linkage-re-identifiable even after P2/P3 strip the direct ids, so
     // those QI cells null out and the row is flagged. One hash agg
     // (|QI combos| rows) broadcast-joined back — no window sort.
+    // ---- P23: re-identification risk profile (the p15/p17 audit view) ------
+    // Before releasing a table, the privacy battery TRANSFORMS (p15
+    // suppresses, p17 generalizes); this row REPORTS: the equivalence-
+    // class size histogram over the quasi-identifier — how many classes
+    // of each size, how many rows sit in classes below k=8 (the ones
+    // p15 would suppress), and each size's share of the table.
+    // Prosecutor-model risk per row in a class of size s is 1/s, so the
+    // histogram IS the risk distribution. Two hash aggs; class-sized
+    // everything after the first.
+    Query("p23_anonymity_risk",
+      """WITH g AS (
+        |  SELECT c_nationkey AS nk, c_mktsegment AS seg, count(*) AS n
+        |  FROM customer GROUP BY 1, 2),
+        |tot AS (SELECT sum(n) AS total FROM g)
+        |SELECT CAST(g.n AS BIGINT) AS class_size,
+        |       CAST(count(*) AS BIGINT) AS n_classes,
+        |       CAST(count(*) * g.n AS BIGINT) AS n_rows,
+        |       g.n < 8 AS below_k,
+        |       round(CAST(count(*) * g.n AS DOUBLE) / max(tot.total), 6)
+        |         AS row_share,
+        |       round(CAST(1.0 AS DOUBLE) / g.n, 6) AS reid_risk
+        |FROM g CROSS JOIN tot
+        |GROUP BY g.n""".stripMargin) { (s, d) =>
+      val g = Tables.customer(s, d)
+        .groupBy(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n"))
+      val tot = g.agg(sum("n").as("total"))
+      g.crossJoin(broadcast(tot))
+        .groupBy("n")
+        .agg(count(lit(1)).as("n_classes"), max("total").as("t"))
+        .select(col("n").cast("long").as("class_size"),
+          col("n_classes").cast("long").as("n_classes"),
+          (col("n_classes") * col("n")).cast("long").as("n_rows"),
+          (col("n") < 8).as("below_k"),
+          round((col("n_classes") * col("n")).cast("double") / col("t"), 6)
+            .as("row_share"),
+          round(lit(1.0) / col("n"), 6).as("reid_risk"))
+    },
+
     Query("p15_k_anonymize",
       """WITH g AS (
         |  SELECT c_nationkey AS nk, c_mktsegment AS seg, count(*) AS n

@@ -1115,6 +1115,72 @@ object StreamingQueries {
     // is the GUARANTEE: the final estimate must land within 5% of the
     // exact distinct, which the oracle computes; state per type is one
     // HLL (~16 KB at lgK=14) forever.
+    // ---- ST23: streaming sketch set-intersection (a53's incremental twin) --
+    // The point of sketch set algebra is that it works INCREMENTALLY:
+    // per-segment HLL sketches maintained as streaming state (complete-
+    // mode aggregate over the landed batches), audience overlap derived
+    // by inclusion-exclusion as a batch epilogue off the 2-row sketch
+    // table — no re-scan of history, ever. Same 10%-of-exact verdict
+    // and the same oracle as a53, so batch and stream answers sit under
+    // one contract; the parity-split staging makes a broken cross-batch
+    // sketch merge overcount visibly.
+    Query("st23_stream_sketch_intersection",
+      """WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+        |b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT (SELECT count(*) FROM a) AS exact_a,
+        |       (SELECT count(*) FROM b) AS exact_b,
+        |       (SELECT count(*) FROM a JOIN b USING (user_id)) AS exact_both,
+        |       CAST(1 AS BOOLEAN) AS within_10pct""".stripMargin) {
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val raw = ss.read.parquet(s"$d/events.parquet")
+        val landing = graft.core.TempDirs.scratch("st23_landing_")
+        def stage(df: org.apache.spark.sql.DataFrame, name: String,
+                  mtime: Long): Unit = {
+          val tmp = graft.core.TempDirs.scratch("st23_b_").toString
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val f = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+            .filter(_.endsWith(".parquet")).head
+          val dst = landing.resolve(name)
+          Files.copy(Paths.get(f), dst)
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+        }
+        stage(raw.filter(col("event_id") % 2 === 0), "b1.parquet", 1000000L)
+        stage(raw.filter(col("event_id") % 2 =!= 0), "b2.parquet", 2000000L)
+        val src = Streams.fileSource(ss, landing.toString, raw.schema,
+          maxFilesPerTrigger = Some(1))
+        val sink = "st23_sk_" + System.nanoTime()
+        val q = src.filter(col("event_type").isin("view", "purchase"))
+          .groupBy("event_type")
+          .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val ests = ss.table(sink).agg(
+          max(when(col("event_type") === "view",
+            expr("hll_sketch_estimate(sk)"))).as("est_a"),
+          max(when(col("event_type") === "purchase",
+            expr("hll_sketch_estimate(sk)"))).as("est_b"),
+          expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_u"))
+        val ev = ss.read.parquet(s"$d/events.parquet")
+        val exA = ev.filter(col("event_type") === "view")
+          .select("user_id").distinct().localCheckpoint()
+        val exB = ev.filter(col("event_type") === "purchase")
+          .select("user_id").distinct().localCheckpoint()
+        val exact = exA.agg(count(lit(1)).as("exact_a")).crossJoin(
+          exB.agg(count(lit(1)).as("exact_b"))).crossJoin(
+          exA.join(exB, Seq("user_id")).agg(count(lit(1)).as("exact_both")))
+        exact.crossJoin(ests)
+          .select(col("exact_a"), col("exact_b"), col("exact_both"),
+            (abs(col("est_a") + col("est_b") - col("est_u")
+              - col("exact_both").cast("double"))
+              <= col("exact_both").cast("double") * 0.10).as("within_10pct"))
+      }
+    },
+
     Query("st22_stream_distinct_monitor",
       """SELECT event_type,
         |       count(DISTINCT user_id) AS exact_distinct,

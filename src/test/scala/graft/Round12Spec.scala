@@ -313,6 +313,89 @@ class Round12Spec extends SparkSpec {
       liveParts((r.getAs[String]("pri"), r.getAs[Long]("bkt")))))
   }
 
+  test("g36 logic: latency measured from FIRST touch; pre-touch purchases don't convert") {
+    val sp = spark; import sp.implicits._
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2026-01-01 00:$m%02d:00")
+    val ev = Seq(
+      // user 1: purchase BEFORE any touch (ignored), touch at :02,
+      // converting purchase at :05 -> latency 3 min from the :02 view
+      (1L, 1L, ts(1), "purchase"), (1L, 2L, ts(2), "view"),
+      (1L, 3L, ts(3), "click"), (1L, 4L, ts(5), "purchase"),
+      // user 2: touch, never purchases -> no row
+      (2L, 5L, ts(1), "signup"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val dir = graft.core.TempDirs.scratch("graft_r12_g36_").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("g36_time_to_convert")(spark, dir).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("channel") == "view")
+    assert(out.head.getAs[Double]("p50_us") == 180000000.0) // 3 min
+  }
+
+  test("st23 output: streaming sketch intersection equals the a53 batch answer") {
+    val batch = SparkEntry.queries("a53_sketch_intersection")(spark, sf01).head()
+    val stream = SparkEntry.queries("st23_stream_sketch_intersection")(spark, sf01).head()
+    for (c <- Seq("exact_a", "exact_b", "exact_both"))
+      assert(batch.getAs[Long](c) == stream.getAs[Long](c), c)
+    assert(stream.getAs[Boolean]("within_10pct"))
+  }
+
+  test("a57 logic: strictly increasing series maxes S, constant series zeroes it") {
+    val sp = spark; import sp.implicits._
+    def sOf(xs: Seq[Double]): Long = {
+      val d = xs.zipWithIndex.map { case (x, i) => ("t", i.toLong, x) }
+        .toDF("event_type", "day", "x")
+      d.select(col("event_type"), col("day").as("d1"), col("x").as("x1"))
+        .join(d.select(col("event_type"), col("day").as("d2"), col("x").as("x2")),
+          Seq("event_type"))
+        .filter(col("d1") < col("d2"))
+        .agg(sum(when(col("x2") > col("x1"), 1L)
+          .when(col("x2") < col("x1"), -1L).otherwise(0L)).as("s"))
+        .head().getLong(0)
+    }
+    assert(sOf(Seq(1, 2, 3, 4, 5)) == 10L) // n(n-1)/2
+    assert(sOf(Seq(5, 4, 3, 2, 1)) == -10L)
+    assert(sOf(Seq(7, 7, 7, 7)) == 0L)
+  }
+
+  test("a57 output: |z| is finite and var carries the tie correction") {
+    val rs = SparkEntry.queries("a57_mann_kendall")(spark, sf01).collect()
+    assert(rs.length == 5)
+    rs.foreach { r =>
+      val (n, v) = (r.getAs[Long]("n_days"), r.getAs[Long]("var18"))
+      assert(v <= n * (n - 1) * (2 * n + 5)) // ties only shrink it
+      assert(!r.getAs[Double]("z").isNaN)
+      assert(math.abs(r.getAs[Long]("s")) <= n * (n - 1) / 2)
+    }
+  }
+
+  test("g37 output: LTV is cumulative and cohorts partition the signup users") {
+    val rs = SparkEntry.queries("g37_cohort_ltv")(spark, sf01).collect()
+    assert(rs.nonEmpty)
+    rs.foreach { r =>
+      val ltv = Seq("ltv_w0", "ltv_w1", "ltv_w2", "ltv_w3")
+        .map(r.getAs[Double])
+      assert(ltv.zip(ltv.tail).forall { case (a, b) => b >= a },
+        s"cohort ${r.getAs[Long]("cohort_week")}: $ltv not cumulative")
+    }
+    val ev = graft.core.Tables.events(spark, sf01)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    assert(rs.map(_.getAs[Long]("n_users")).sum == signups)
+  }
+
+  test("p23 output: histogram reconciles to the table, risk is 1/size") {
+    val rs = SparkEntry.queries("p23_anonymity_risk")(spark, sf01).collect()
+    assert(rs.map(_.getAs[Long]("n_rows")).sum == 1500L) // customers at sf0.01
+    assert(math.abs(rs.map(_.getAs[Double]("row_share")).sum - 1.0) < 1e-4)
+    rs.foreach { r =>
+      assert(r.getAs[Boolean]("below_k") == (r.getAs[Long]("class_size") < 8))
+      assert(math.abs(r.getAs[Double]("reid_risk")
+        - 1.0 / r.getAs[Long]("class_size")) < 1e-6)
+    }
+  }
+
   test("io22 output: planner is sound on every file and all three classes appear") {
     val rs = SparkEntry.queries("io22_zonemap_skipping")(spark, sf01).collect()
     assert(rs.forall(_.getAs[Boolean]("sound")))
