@@ -33,22 +33,34 @@ object ScaleReplica {
     if (!new java.io.File(s"$out/_READY").exists()) {
       val copies = spark.range(nCopies).select(col("id").as("rep"))
       /** replicate `table`, shifting each keyCol by rep * (max+1). */
-      def rep(table: String, keyCols: Seq[String]): Unit = {
+      // One offset per key DOMAIN, from the table that OWNS it (PK
+      // max+1), reused for every FK column referencing it — per-column
+      // maxes would desynchronize FKs from their PK offset on any
+      // dataset where some parent rows have no children (this synthetic
+      // data's maxes coincide; real TPC-H's don't).
+      def domainMax(table: String, pk: String): Long =
+        spark.read.parquet(s"$sfDir/$table.parquet")
+          .agg(max(col(pk))).head().getLong(0) + 1L
+      val orderOff = domainMax("orders", "o_orderkey")
+      val custOff = domainMax("customer", "c_custkey")
+      val partOff = domainMax("part", "p_partkey")
+      val suppOff = domainMax("supplier", "s_suppkey")
+      def rep(table: String, keyCols: Seq[(String, Long)]): Unit = {
         val t0 = spark.read.parquet(s"$sfDir/$table.parquet")
-        val offs = keyCols.map { k =>
-          k -> (t0.agg(max(col(k))).head().getLong(0) + 1L) }
-        val shifted = offs.foldLeft(t0.crossJoin(copies)) { case (df, (k, o)) =>
+        val shifted = keyCols.foldLeft(t0.crossJoin(copies)) { case (df, (k, o)) =>
           df.withColumn(k, col(k) + col("rep") * o) }.drop("rep")
         shifted.write.mode("overwrite").parquet(s"$out/$table.parquet")
       }
-      rep("orders", Seq("o_orderkey", "o_custkey"))
-      rep("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
-      rep("customer", Seq("c_custkey"))
-      rep("part", Seq("p_partkey"))
-      rep("supplier", Seq("s_suppkey"))
-      rep("events", Seq("event_id", "user_id"))
-      rep("documents", Seq("doc_id"))
-      rep("embeddings", Seq("vec_id"))
+      rep("orders", Seq("o_orderkey" -> orderOff, "o_custkey" -> custOff))
+      rep("lineitem", Seq("l_orderkey" -> orderOff, "l_partkey" -> partOff,
+        "l_suppkey" -> suppOff))
+      rep("customer", Seq("c_custkey" -> custOff))
+      rep("part", Seq("p_partkey" -> partOff))
+      rep("supplier", Seq("s_suppkey" -> suppOff))
+      rep("events", Seq("event_id" -> domainMax("events", "event_id"),
+        "user_id" -> domainMax("events", "user_id")))
+      rep("documents", Seq("doc_id" -> domainMax("documents", "doc_id")))
+      rep("embeddings", Seq("vec_id" -> domainMax("embeddings", "vec_id")))
       for (t <- Seq("nation", "region"))
         spark.read.parquet(s"$sfDir/$t.parquet")
           .write.mode("overwrite").parquet(s"$out/$t.parquet")
@@ -60,18 +72,23 @@ object ScaleReplica {
       .write.format("noop").mode("overwrite").save()
     val results = names.map { n =>
       val t0 = System.nanoTime()
-      try SparkEntry.queries(n)(spark, out)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[scale] $n failed: ${e.getMessage}") }
+      // a failed row must never read as a fast one: posture numbers feed
+      // NOTES.md tables directly, so emit null instead of the elapsed
+      // time of a crash
+      val ok =
+        try { SparkEntry.queries(n)(spark, out)
+                .write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[scale] $n FAILED: ${e.getMessage}"); false }
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      n -> (System.nanoTime() - t0) / 1e9
+      (n, (System.nanoTime() - t0) / 1e9, ok)
     }
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f",
       java.lang.Double.valueOf(v))
-    println(results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    println(results.map { case (k, v, ok) =>
+        "\"" + k + "\":" + (if (ok) fmt(v) else "null") }
       .mkString(s"""{"metric":"replica${nCopies}x","queries":{""", ",", "}}"))
     spark.stop()
   }

@@ -148,7 +148,7 @@ object Ento {
           lit("["), col("idx").cast("string"), lit("]")).as("key_t"),
         col("qr_code"),
         when(col("ci") === 0, 1L)
-          .otherwise(col("l_quantity").cast("bigint") % 3 + 1).as("num_stored"))
+          .otherwise(floor(col("l_quantity")).cast("bigint") % 3 + 1).as("num_stored"))
 
     // left join + filter(!is.na(qr_code)) (Rmd:263-264)
     val lt = expl.join(tube, col("tube_key") === col("key_t"), "left")
@@ -235,7 +235,7 @@ object Ento {
       |           || '[' || CAST(idx AS VARCHAR) || ']' AS key_t,
       |         ${QrSql("l_orderkey", "ci", "idx")} AS qr_code,
       |         CASE WHEN ci = 0 THEN 1
-      |              ELSE CAST(l_quantity AS BIGINT) % 3 + 1 END AS num_stored
+      |              ELSE CAST(floor(l_quantity) AS BIGINT) % 3 + 1 END AS num_stored
       |  FROM tubebase),
       |field AS (
       |  SELECT ${Pad4Sql("CAST(o_custkey AS VARCHAR)")} AS f_label,

@@ -7,6 +7,29 @@ import graft.operators.OdkKeys
 /** Instance-key parsing and semi-structured extraction queries. */
 object Keys {
 
+  /** Shared by a53 (batch) and st23 (stream): exact view/purchase
+    * marginals + overlap computed from `ev`, cross-joined with the
+    * sketch-estimate row `ests` (est_a, est_b, est_u) into the single
+    * verdict row both rows emit — ONE definition so the 10% contract
+    * and the output columns cannot drift between the twins.
+    */
+  private[queries] def sketchIntersectionVerdict(
+      ev: org.apache.spark.sql.DataFrame,
+      ests: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val exA = ev.filter(col("event_type") === "view")
+      .select("user_id").distinct().localCheckpoint()
+    val exB = ev.filter(col("event_type") === "purchase")
+      .select("user_id").distinct().localCheckpoint()
+    val exact = exA.agg(count(lit(1)).as("exact_a")).crossJoin(
+      exB.agg(count(lit(1)).as("exact_b"))).crossJoin(
+      exA.join(exB, Seq("user_id")).agg(count(lit(1)).as("exact_both")))
+    exact.crossJoin(ests)
+      .select(col("exact_a"), col("exact_b"), col("exact_both"),
+        (abs(col("est_a") + col("est_b") - col("est_u")
+          - col("exact_both").cast("double"))
+          <= col("exact_both").cast("double") * 0.10).as("within_10pct"))
+  }
+
   val queries: Seq[Query] = Seq(
 
     // ---- ODK repeat-key parse (SURVEY §1.1) --------------------------------
@@ -171,18 +194,7 @@ object Keys {
         max(when(col("event_type") === "purchase",
           expr("hll_sketch_estimate(sk)"))).as("est_b"),
         expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_u"))
-      val exA = ev.filter(col("event_type") === "view")
-        .select("user_id").distinct().localCheckpoint()
-      val exB = ev.filter(col("event_type") === "purchase")
-        .select("user_id").distinct().localCheckpoint()
-      val exact = exA.agg(count(lit(1)).as("exact_a")).crossJoin(
-        exB.agg(count(lit(1)).as("exact_b"))).crossJoin(
-        exA.join(exB, Seq("user_id")).agg(count(lit(1)).as("exact_both")))
-      exact.crossJoin(ests)
-        .select(col("exact_a"), col("exact_b"), col("exact_both"),
-          (abs(col("est_a") + col("est_b") - col("est_u")
-            - col("exact_both").cast("double"))
-            <= col("exact_both").cast("double") * 0.10).as("within_10pct"))
+      sketchIntersectionVerdict(ev, ests)
     },
 
     // ---- exact percentile / median ------------------------------------------

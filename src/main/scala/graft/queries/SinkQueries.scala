@@ -358,13 +358,19 @@ object SinkQueries {
       val probes = Tables.customer(s, d)
         .filter(col("c_custkey") % 199 === 0)
         .select(col("c_custkey").as("k"))
-      val blooms = (0L until 16L).map { fid =>
-        val bf = f.filter(col("file_id") === fid)
-          .stat.bloomFilter("o_custkey", 1L << 16, 0.03)
-        val bos = new java.io.ByteArrayOutputStream()
-        bf.writeTo(bos)
-        fid -> bos.toByteArray
-      }
+      // ALL 16 sketches in ONE grouped pass (BloomFilterAggregate — the
+      // build half of the runtime-filter pair whose probe half we use
+      // below); a per-file stat.bloomFilter loop would scan orders 16x.
+      // The collect is sketch-sized x 16 files (bounded driver state).
+      val nBits = org.apache.spark.util.sketch.BloomFilter
+        .optimalNumOfBits(1L << 16, 0.03)
+      val skAgg = GraftShims.column(
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          GraftShims.expression(col("o_custkey")),
+          Literal(1L << 16), Literal(nBits)).toAggregateExpression())
+      val blooms = f.groupBy("file_id").agg(skAgg.as("sk")).collect()
+        .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
+        .sortBy(_._1).toSeq
       val mcCols = blooms.map { case (fid, bytes) =>
         struct(lit(fid).as("file_id"),
           GraftShims.column(BloomFilterMightContain(

@@ -1166,18 +1166,7 @@ object StreamingQueries {
             expr("hll_sketch_estimate(sk)"))).as("est_b"),
           expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_u"))
         val ev = ss.read.parquet(s"$d/events.parquet")
-        val exA = ev.filter(col("event_type") === "view")
-          .select("user_id").distinct().localCheckpoint()
-        val exB = ev.filter(col("event_type") === "purchase")
-          .select("user_id").distinct().localCheckpoint()
-        val exact = exA.agg(count(lit(1)).as("exact_a")).crossJoin(
-          exB.agg(count(lit(1)).as("exact_b"))).crossJoin(
-          exA.join(exB, Seq("user_id")).agg(count(lit(1)).as("exact_both")))
-        exact.crossJoin(ests)
-          .select(col("exact_a"), col("exact_b"), col("exact_both"),
-            (abs(col("est_a") + col("est_b") - col("est_u")
-              - col("exact_both").cast("double"))
-              <= col("exact_both").cast("double") * 0.10).as("within_10pct"))
+        Keys.sketchIntersectionVerdict(ev, ests)
       }
     },
 
