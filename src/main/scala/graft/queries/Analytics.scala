@@ -571,6 +571,100 @@ object Analytics {
           ltv(2).as("ltv_w2"), ltv(3).as("ltv_w3"))
     },
 
+    // ---- A59: seasonality / trend strength (Hyndman's F-measures) ----------
+    // w34 produces the decomposition; a59 reduces it to the two numbers
+    // a monitoring catalog stores per series: F_seasonal =
+    // max(0, 1 − Var(R)/Var(S+R)) and F_trend = max(0, 1 − Var(R)/
+    // Var(T+R)) — how much of the detrended (resp. deseasonalized)
+    // variation the component explains. Components replicate w34's
+    // exact construction; every variance input rounds to 6dp DECIMAL,
+    // sums exactly, and the population-variance epilogue
+    // (n·Σx² − (Σx)²)/n² runs on doubles cast from exact sums — one
+    // fixed-order expression per measure.
+    Query("a59_seasonality_strength",
+      """WITH d AS (
+        |  SELECT event_type,
+        |         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |         sum(CAST(value AS DECIMAL(18,4))) AS xd
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, day, CAST(xd AS DOUBLE) AS x,
+        |         CAST(sum(xd) OVER w AS DOUBLE) / (count(*) OVER w) AS trend,
+        |         day % 7 AS dow
+        |  FROM d
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t2 AS (SELECT *, x - trend AS det FROM t),
+        |s AS (
+        |  SELECT event_type, dow,
+        |         CAST(sum(CAST(round(det, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |           / count(*) AS seasonal
+        |  FROM t2 GROUP BY 1, 2),
+        |c AS (
+        |  -- integer micro-units: exact squares/sums; the 1e12 scale and
+        |  -- the n^2 variance denominators both cancel in the F ratios
+        |  SELECT t2.event_type,
+        |         CAST(CAST(round(t2.det, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS de,
+        |         CAST(CAST(round(t2.det - s.seasonal, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS re,
+        |         CAST(CAST(round(t2.x - s.seasonal, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS tr
+        |  FROM t2 JOIN s ON t2.event_type = s.event_type AND t2.dow = s.dow),
+        |v AS (
+        |  SELECT event_type, count(*) AS n,
+        |         CAST(sum(de) AS DOUBLE) AS sde,
+        |         CAST(sum(CAST(de AS HUGEINT) * de) AS DOUBLE) AS sde2,
+        |         CAST(sum(re) AS DOUBLE) AS sre,
+        |         CAST(sum(CAST(re AS HUGEINT) * re) AS DOUBLE) AS sre2,
+        |         CAST(sum(tr) AS DOUBLE) AS str,
+        |         CAST(sum(CAST(tr AS HUGEINT) * tr) AS DOUBLE) AS str2
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |       CASE WHEN n * sde2 - sde * sde = 0 THEN CAST(0.0 AS DOUBLE)
+        |            ELSE round(greatest(CAST(0.0 AS DOUBLE),
+        |              1.0 - (n * sre2 - sre * sre) / (n * sde2 - sde * sde)), 6)
+        |       END AS f_seasonal,
+        |       CASE WHEN n * str2 - str * str = 0 THEN CAST(0.0 AS DOUBLE)
+        |            ELSE round(greatest(CAST(0.0 AS DOUBLE),
+        |              1.0 - (n * sre2 - sre * sre) / (n * str2 - str * str)), 6)
+        |       END AS f_trend
+        |FROM v""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+        .agg(sum(col("value").cast("decimal(18,4)")).as("xd"))
+      val w = Window.partitionBy("event_type").orderBy("day").rangeBetween(-3, 3)
+      val t2 = daily
+        .withColumn("x", col("xd").cast("double"))
+        .withColumn("trend",
+          sum("xd").over(w).cast("double") / count(lit(1)).over(w))
+        .withColumn("det", col("x") - col("trend"))
+        .withColumn("dow", col("day") % 7)
+        .localCheckpoint() // seasonal agg + join-back share one window pass
+      val seas = t2.groupBy("event_type", "dow")
+        .agg((sum(round(col("det"), 6).cast("decimal(18,6)")).cast("double")
+          / count(lit(1))).as("seasonal"))
+      def d6(c: org.apache.spark.sql.Column) =
+        (round(c, 6).cast("decimal(18,6)") * 1000000).cast("long")
+      val comp = t2.join(broadcast(seas), Seq("event_type", "dow"))
+        .select(col("event_type"), d6(col("det")).as("de"),
+          d6(col("det") - col("seasonal")).as("re"),
+          d6(col("x") - col("seasonal")).as("tr"))
+      def sq(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(38,0)") * c).cast("double")
+      val v = comp.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("de").cast("double").as("sde"), sq(col("de")).as("sde2"),
+          sum("re").cast("double").as("sre"), sq(col("re")).as("sre2"),
+          sum("tr").cast("double").as("str"), sq(col("tr")).as("str2"))
+      val numR = col("n") * col("sre2") - col("sre") * col("sre")
+      def f(s2: String, su: String) = {
+        val den = col("n") * col(s2) - col(su) * col(su)
+        when(den === 0.0, lit(0.0))
+          .otherwise(round(greatest(lit(0.0), lit(1.0) - numR / den), 6))
+      }
+      v.select(col("event_type"), col("n").cast("long").as("n_days"),
+        f("sde2", "sde").as("f_seasonal"), f("str2", "str").as("f_trend"))
+    },
+
     // ---- A29: per-group linear regression (trend detection) ---------------
     // Least-squares fit of order value against order date per priority
     // class — the "is this metric drifting over time" monitor. All six

@@ -635,6 +635,62 @@ object GeoQueries {
       }
     },
 
+    // ---- J32: trajectory length per user (haversine path audit) -------------
+    // The movement summary j26's dwell report implies but never emits:
+    // per user over the same synthetic position stream, the total
+    // haversine path length, the longest single hop, and the step
+    // count — the GPS-trace QA a field-ops pipeline runs (impossible
+    // teleports = data errors). One lag window on the (user) ordering;
+    // per-step kilometres round to 6dp and sum as DECIMAL (t34
+    // discipline — libm trig output must never meet a partition-order-
+    // dependent float sum), max is order-free. The oracle replays the
+    // identical trig expression tree (the j26 contract).
+    Query("j32_trajectory_length",
+      """WITH pos AS (
+        |  SELECT event_id, user_id, ts,
+        |         34.0 + ((user_id * 7 + (epoch_us(ts) // 3600000000) % 48) % 70)
+        |                * 0.1 AS lon,
+        |         -4.0 + ((user_id + (epoch_us(ts) // 3600000000) % 48) % 70)
+        |                * 0.1 AS lat
+        |  FROM events),
+        |st AS (
+        |  SELECT user_id, lon, lat,
+        |         lag(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plon,
+        |         lag(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plat
+        |  FROM pos),
+        |hav AS (
+        |  SELECT user_id,
+        |         round(2 * 6371.0088 * atan2(
+        |           sqrt(pow(sin(radians(lat - plat) / 2), 2)
+        |                + cos(radians(plat)) * cos(radians(lat))
+        |                  * pow(sin(radians(lon - plon) / 2), 2)),
+        |           sqrt(1.0 - (pow(sin(radians(lat - plat) / 2), 2)
+        |                + cos(radians(plat)) * cos(radians(lat))
+        |                  * pow(sin(radians(lon - plon) / 2), 2)))), 6) AS km
+        |  FROM st WHERE plon IS NOT NULL)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_steps,
+        |       CAST(sum(CAST(km AS DECIMAL(18,6))) AS DOUBLE) AS total_km,
+        |       max(km) AS max_step_km
+        |FROM hav GROUP BY 1""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val hour = (unix_micros(col("ts")) / 3600000000L).cast("long")
+      val pos = ev.select(col("event_id"), col("user_id"), col("ts"),
+        (lit(34.0) + ((col("user_id") * 7 + hour % 48) % 70) * 0.1).as("lon"),
+        (lit(-4.0) + ((col("user_id") + hour % 48) % 70) * 0.1).as("lat"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val km = round(Geo.haversineKm(col("plon"), col("plat"),
+        col("lon"), col("lat")), 6)
+      pos
+        .withColumn("plon", lag("lon", 1).over(w))
+        .withColumn("plat", lag("lat", 1).over(w))
+        .filter(col("plon").isNotNull)
+        .select(col("user_id"), km.as("km"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_steps"),
+          sum(col("km").cast("decimal(18,6)")).cast("double").as("total_km"),
+          max("km").as("max_step_km"))
+    },
+
     // ---- J31: polygon metrics (shoelace area, centroid, perimeter) ----------
     // The geometry summary every overlay pipeline reports before using a
     // boundary set: per-ring area (shoelace), centroid, and perimeter —

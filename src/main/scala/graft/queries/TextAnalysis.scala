@@ -1439,6 +1439,53 @@ object TextAnalysis {
           col("n_docs").cast("long").as("n_docs"), col("sum_logprob"))
     },
 
+    // ---- T61: vocabulary coverage / OOV audit per language ------------------
+    // The sentencepiece-style coverage check run before freezing a
+    // vocabulary: against the global top-500 word vocab (frequency
+    // rank, ties on the word), each language reports its token-level
+    // OOV rate and distinct-type coverage — the number that says
+    // whose text the vocab underserves. Vocab derivation is one hash
+    // agg + a bounded ordered head; the scoring join broadcasts the
+    // vocab. Exact integers everywhere; two fixed-order divisions.
+    Query("t61_oov_coverage",
+      """WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |v AS (SELECT word FROM (
+        |        SELECT word, row_number() OVER (ORDER BY count(*) DESC, word) AS rn
+        |        FROM w GROUP BY word) WHERE rn <= 500),
+        |sc AS (SELECT lang, w.word,
+        |              CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS oov
+        |       FROM w LEFT JOIN v ON w.word = v.word)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(oov) AS BIGINT) AS n_oov,
+        |       round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate,
+        |       CAST(count(DISTINCT CASE WHEN oov = 0 THEN word END) AS BIGINT)
+        |         AS types_covered,
+        |       CAST(count(DISTINCT word) AS BIGINT) AS types_total
+        |FROM sc GROUP BY 1""".stripMargin) { (s, d) =>
+      val w = Tables.documents(s, d)
+        .select(col("lang"), explode(tokens(col("text"))).as("word"))
+        .localCheckpoint() // vocab head + scoring share one tokenize
+      val vocab = w.groupBy("word").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("c").desc, col("word"))))
+        .filter(col("rn") <= 500)
+        .select(col("word").as("vword"))
+      w.join(broadcast(vocab), col("word") === col("vword"), "left")
+        .select(col("lang"), col("word"),
+          when(col("vword").isNull, 1L).otherwise(0L).as("oov"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"), sum("oov").as("n_oov"),
+          round(sum("oov").cast("double") / count(lit(1)), 6).as("oov_rate"),
+          count_distinct(when(col("oov") === 0, col("word")))
+            .as("types_covered"),
+          count_distinct(col("word")).as("types_total"))
+        .select(col("lang"), col("n_tokens").cast("long").as("n_tokens"),
+          col("n_oov").cast("long").as("n_oov"), col("oov_rate"),
+          col("types_covered").cast("long").as("types_covered"),
+          col("types_total").cast("long").as("types_total"))
+    },
+
     // ---- T38: DSIR importance weights (hashed n-gram LM ratio) ------------
     // Data Selection via Importance Resampling (Xie et al. 2023): score
     // every raw document by how target-like it is — the log-ratio of a

@@ -396,6 +396,48 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("j32 output: path length dominates longest hop, steps reconcile with events") {
+    val rs = SparkEntry.queries("j32_trajectory_length")(spark, sf01).collect()
+    assert(rs.nonEmpty)
+    rs.foreach { r =>
+      assert(r.getAs[Double]("total_km") >= r.getAs[Double]("max_step_km"))
+      assert(r.getAs[Double]("max_step_km") >= 0.0)
+      assert(r.getAs[Long]("n_steps") >= 1L)
+    }
+    val ev = graft.core.Tables.events(spark, sf01)
+    val perUser = ev.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every user with >= 2 events contributes exactly n-1 steps
+    val steps = rs.map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_steps")).toMap
+    perUser.filter(_._2 >= 2).foreach { case (u, n) =>
+      assert(steps(u) == n - 1, s"user $u")
+    }
+  }
+
+  test("t61 output: rates bounded, covered types never exceed total types") {
+    val rs = SparkEntry.queries("t61_oov_coverage")(spark, sf01).collect()
+    assert(rs.length == 5)
+    rs.foreach { r =>
+      val rate = r.getAs[Double]("oov_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("types_covered") <= r.getAs[Long]("types_total"))
+      assert(r.getAs[Long]("n_oov") <= r.getAs[Long]("n_tokens"))
+    }
+    // the 500-word vocab is global: every language covers at most 500 types
+    assert(rs.forall(_.getAs[Long]("types_covered") <= 500L))
+  }
+
+  test("a59 output: F-measures bounded in [0,1] for every series") {
+    val rs = SparkEntry.queries("a59_seasonality_strength")(spark, sf01).collect()
+    assert(rs.length == 5)
+    rs.foreach { r =>
+      for (c <- Seq("f_seasonal", "f_trend")) {
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c = $v")
+      }
+    }
+  }
+
   test("io22 output: planner is sound on every file and all three classes appear") {
     val rs = SparkEntry.queries("io22_zonemap_skipping")(spark, sf01).collect()
     assert(rs.forall(_.getAs[Boolean]("sound")))
