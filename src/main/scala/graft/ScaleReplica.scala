@@ -28,23 +28,29 @@ object ScaleReplica {
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val spark = graft.core.Sessions.local(cpus, "graft-scale-replica")
     spark.sparkContext.setLogLevel("ERROR")
-    val out = s"/tmp/graft_scale_${nCopies}x"
+    // "v2" = the FK-domain offset scheme: the dir name IS the cache key,
+    // so replicas built by the older per-column-offset code can never be
+    // silently reused by this one (bump on any future scheme change)
+    val out = s"/tmp/graft_scale_v2_${nCopies}x"
 
     if (!new java.io.File(s"$out/_READY").exists()) {
       val copies = spark.range(nCopies).select(col("id").as("rep"))
-      /** replicate `table`, shifting each keyCol by rep * (max+1). */
       // One offset per key DOMAIN, from the table that OWNS it (PK
       // max+1), reused for every FK column referencing it — per-column
       // maxes would desynchronize FKs from their PK offset on any
       // dataset where some parent rows have no children (this synthetic
-      // data's maxes coincide; real TPC-H's don't).
-      def domainMax(table: String, pk: String): Long =
-        spark.read.parquet(s"$sfDir/$table.parquet")
-          .agg(max(col(pk))).head().getLong(0) + 1L
-      val orderOff = domainMax("orders", "o_orderkey")
-      val custOff = domainMax("customer", "c_custkey")
-      val partOff = domainMax("part", "p_partkey")
-      val suppOff = domainMax("supplier", "s_suppkey")
+      // data's maxes coincide; real TPC-H's don't). All of a table's
+      // maxes come from ONE agg pass.
+      def domainMax(table: String, pks: String*): Map[String, Long] = {
+        val row = spark.read.parquet(s"$sfDir/$table.parquet")
+          .agg(max(col(pks.head)), pks.tail.map(p => max(col(p))): _*).head()
+        pks.zipWithIndex.map { case (p, i) => p -> (row.getLong(i) + 1L) }.toMap
+      }
+      val orderOff = domainMax("orders", "o_orderkey")("o_orderkey")
+      val custOff = domainMax("customer", "c_custkey")("c_custkey")
+      val partOff = domainMax("part", "p_partkey")("p_partkey")
+      val suppOff = domainMax("supplier", "s_suppkey")("s_suppkey")
+      val eventOff = domainMax("events", "event_id", "user_id")
       def rep(table: String, keyCols: Seq[(String, Long)]): Unit = {
         val t0 = spark.read.parquet(s"$sfDir/$table.parquet")
         val shifted = keyCols.foldLeft(t0.crossJoin(copies)) { case (df, (k, o)) =>
@@ -57,10 +63,10 @@ object ScaleReplica {
       rep("customer", Seq("c_custkey" -> custOff))
       rep("part", Seq("p_partkey" -> partOff))
       rep("supplier", Seq("s_suppkey" -> suppOff))
-      rep("events", Seq("event_id" -> domainMax("events", "event_id"),
-        "user_id" -> domainMax("events", "user_id")))
-      rep("documents", Seq("doc_id" -> domainMax("documents", "doc_id")))
-      rep("embeddings", Seq("vec_id" -> domainMax("embeddings", "vec_id")))
+      rep("events", Seq("event_id" -> eventOff("event_id"),
+        "user_id" -> eventOff("user_id")))
+      rep("documents", Seq("doc_id" -> domainMax("documents", "doc_id")("doc_id")))
+      rep("embeddings", Seq("vec_id" -> domainMax("embeddings", "vec_id")("vec_id")))
       for (t <- Seq("nation", "region"))
         spark.read.parquet(s"$sfDir/$t.parquet")
           .write.mode("overwrite").parquet(s"$out/$t.parquet")

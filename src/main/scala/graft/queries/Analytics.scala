@@ -648,13 +648,21 @@ object Analytics {
         .select(col("event_type"), d6(col("det")).as("de"),
           d6(col("det") - col("seasonal")).as("re"),
           d6(col("x") - col("seasonal")).as("tr"))
+      // sums in decimal(38,0) — a plain Long sum would wrap where the
+      // oracle's HUGEINT doesn't. Scale ceiling (documented, not
+      // reachable here): micro-unit components cap at decimal(18,6),
+      // i.e. |det| < 1e12 — daily decimal(18,4) event sums stay orders
+      // of magnitude below it at any replica factor measured.
       def sq(c: org.apache.spark.sql.Column) =
         sum(c.cast("decimal(38,0)") * c).cast("double")
       val v = comp.groupBy("event_type")
         .agg(count(lit(1)).as("n"),
-          sum("de").cast("double").as("sde"), sq(col("de")).as("sde2"),
-          sum("re").cast("double").as("sre"), sq(col("re")).as("sre2"),
-          sum("tr").cast("double").as("str"), sq(col("tr")).as("str2"))
+          sum(col("de").cast("decimal(38,0)")).cast("double").as("sde"),
+          sq(col("de")).as("sde2"),
+          sum(col("re").cast("decimal(38,0)")).cast("double").as("sre"),
+          sq(col("re")).as("sre2"),
+          sum(col("tr").cast("decimal(38,0)")).cast("double").as("str"),
+          sq(col("tr")).as("str2"))
       val numR = col("n") * col("sre2") - col("sre") * col("sre")
       def f(s2: String, su: String) = {
         val den = col("n") * col(s2) - col(su) * col(su)

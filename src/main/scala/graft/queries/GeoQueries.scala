@@ -673,7 +673,10 @@ object GeoQueries {
         |       max(km) AS max_step_km
         |FROM hav GROUP BY 1""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d)
-      val hour = (unix_micros(col("ts")) / 3600000000L).cast("long")
+      // exact integral div (the j26 form): Long `/` would promote to
+      // double division, diverging from the oracle's `//` floor on
+      // pre-1970 timestamps and losing bits past 2^53 µs
+      val hour = expr("unix_micros(ts) div 3600000000")
       val pos = ev.select(col("event_id"), col("user_id"), col("ts"),
         (lit(34.0) + ((col("user_id") * 7 + hour % 48) % 70) * 0.1).as("lon"),
         (lit(-4.0) + ((col("user_id") + hour % 48) % 70) * 0.1).as("lat"))

@@ -335,8 +335,8 @@ object SinkQueries {
     // need the other stats structure writers emit: a per-file Bloom
     // filter. Each file's sketch is the engine's own BloomFilter (the
     // t21 literal + codegen BloomFilterMightContain probe — no UDF);
-    // the per-file build loop is bounded (16 files — at scale writers
-    // emit sketches at write time, one local pass each, and the planner
+    // ALL 16 sketches build in one grouped BloomFilterAggregate pass
+    // (at scale writers emit sketches at write time, and the planner
     // only ever touches sketch bytes). Self-verifying: Blooms cannot
     // false-negative, so `all_found` (every file that truly holds the
     // key is flagged) trips on any pipeline break, and `fp_ok` bounds
