@@ -30,8 +30,12 @@ object ScaleReplica {
     spark.sparkContext.setLogLevel("ERROR")
     // "v2" = the FK-domain offset scheme: the dir name IS the cache key,
     // so replicas built by the older per-column-offset code can never be
-    // silently reused by this one (bump on any future scheme change)
-    val out = s"/tmp/graft_scale_v2_${nCopies}x"
+    // silently reused by this one (bump on any future scheme change).
+    // The base dataset is part of the key too — without it, a run with a
+    // different SPARK_GRAFT_SF_DIR but the same copy count would find
+    // _READY and reuse replicas built from another scale factor.
+    val base = new java.io.File(sfDir).getName
+    val out = s"/tmp/graft_scale_v2_${base}_${nCopies}x"
 
     if (!new java.io.File(s"$out/_READY").exists()) {
       val copies = spark.range(nCopies).select(col("id").as("rep"))

@@ -210,8 +210,14 @@ object Analytics {
           round(termB, 6).cast("decimal(18,6)").as("term_b"))
         .agg(sum("term_a").as("sa"), sum("term_b").as("sb"))
       val chi2 = (col("n") - col("sb") + col("sa")).cast("double")
+      // non-ANSI Spark nulls a decimal(38,0) overflow silently while the
+      // HUGEINT oracle keeps exact values; |num| ≤ n² so num² fits 38
+      // digits iff n < ~3.16e9 — fail loudly past the bound instead
+      val nGuard = when(col("n").cast("long") < 3000000000L,
+        col("n").cast("long"))
+        .otherwise(raise_error(lit("a54: n exceeds decimal(38,0) exact bound")))
       sums.crossJoin(n)
-        .select(col("n").cast("long").as("n"),
+        .select(nGuard.as("n"),
           col("ka").cast("long").as("k_rows"),
           col("kb").cast("long").as("k_cols"),
           chi2.as("chi2"),
@@ -642,8 +648,16 @@ object Analytics {
       val seas = t2.groupBy("event_type", "dow")
         .agg((sum(round(col("det"), 6).cast("decimal(18,6)")).cast("double")
           / count(lit(1))).as("seasonal"))
-      def d6(c: org.apache.spark.sql.Column) =
-        (round(c, 6).cast("decimal(18,6)") * 1000000).cast("long")
+      def d6(c: org.apache.spark.sql.Column) = {
+        val m = (round(c, 6).cast("decimal(18,6)") * 1000000).cast("long")
+        // non-ANSI Spark nulls a decimal(38,0) overflow silently where
+        // the oracle's HUGEINT stays exact; micro-units < 1e15 keep
+        // n·m² under 38 digits for any n ≤ 1e8 days — fail loudly past
+        // the documented ceiling instead of diverging
+        when(abs(m) < 1000000000000000L, m)
+          .otherwise(raise_error(lit("a59: micro-unit exceeds exact-sum bound"))
+            .cast("long"))
+      }
       val comp = t2.join(broadcast(seas), Seq("event_type", "dow"))
         .select(col("event_type"), d6(col("det")).as("de"),
           d6(col("det") - col("seasonal")).as("re"),

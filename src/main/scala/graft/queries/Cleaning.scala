@@ -390,12 +390,6 @@ object Cleaning {
             .when(col("unit") === "mg", 1L)).isNull.as("quarantined"))
     },
 
-    // ---- P15: k-anonymity suppression ---------------------------------------
-    // Release-gate privacy audit: customers whose (nation, market
-    // segment) quasi-identifier combination occurs < k times are
-    // linkage-re-identifiable even after P2/P3 strip the direct ids, so
-    // those QI cells null out and the row is flagged. One hash agg
-    // (|QI combos| rows) broadcast-joined back — no window sort.
     // ---- P23: re-identification risk profile (the p15/p17 audit view) ------
     // Before releasing a table, the privacy battery TRANSFORMS (p15
     // suppresses, p17 generalizes); this row REPORTS: the equivalence-
@@ -435,6 +429,12 @@ object Cleaning {
           round(lit(1.0) / col("n"), 6).as("reid_risk"))
     },
 
+    // ---- P15: k-anonymity suppression ---------------------------------------
+    // Release-gate privacy audit: customers whose (nation, market
+    // segment) quasi-identifier combination occurs < k times are
+    // linkage-re-identifiable even after P2/P3 strip the direct ids, so
+    // those QI cells null out and the row is flagged. One hash agg
+    // (|QI combos| rows) broadcast-joined back — no window sort.
     Query("p15_k_anonymize",
       """WITH g AS (
         |  SELECT c_nationkey AS nk, c_mktsegment AS seg, count(*) AS n

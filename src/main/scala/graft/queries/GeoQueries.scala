@@ -674,8 +674,10 @@ object GeoQueries {
         |FROM hav GROUP BY 1""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d)
       // exact integral div (the j26 form): Long `/` would promote to
-      // double division, diverging from the oracle's `//` floor on
-      // pre-1970 timestamps and losing bits past 2^53 µs
+      // double division and lose bits past 2^53 µs. Spark `div` and
+      // DuckDB integer `//` BOTH truncate toward zero (probed:
+      // (-5)//3 = -1 in DuckDB 1.x, = -5 div 3 in Spark), so the
+      // parity holds on pre-1970 (negative-µs) timestamps too
       val hour = expr("unix_micros(ts) div 3600000000")
       val pos = ev.select(col("event_id"), col("user_id"), col("ts"),
         (lit(34.0) + ((col("user_id") * 7 + hour % 48) % 70) * 0.1).as("lon"),

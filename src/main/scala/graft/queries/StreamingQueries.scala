@@ -20,6 +20,13 @@ import graft.streaming.Streams
   */
 object StreamingQueries {
 
+  // Files.list returns a Stream holding a directory file descriptor —
+  // close it, or every staged batch leaks one fd for the JVM's lifetime
+  private def listDir(dir: String): Array[String] = {
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try s.toArray.map(_.toString) finally s.close()
+  }
+
   val queries: Seq[Query] = Seq(
 
     Query("st01_stream_windowed_counts",
@@ -287,7 +294,7 @@ object StreamingQueries {
           .select(col("c_custkey"), concat(col("seg"), lit("_Y")).as("seg"))
           .coalesce(1).write.mode("overwrite").parquet(b2)
         def stage(src: String, name: String, mtime: Long): Unit = {
-          val f = Files.list(Paths.get(src)).toArray.map(_.toString)
+          val f = listDir(src)
             .filter(_.endsWith(".parquet")).head
           val dst = landing.resolve(name)
           Files.copy(Paths.get(f), dst)
@@ -425,7 +432,7 @@ object StreamingQueries {
                   mtime: Long): Unit = {
           val tmp = graft.core.TempDirs.scratch("st08_b_").toString
           df.coalesce(1).write.mode("overwrite").parquet(tmp)
-          val f = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+          val f = listDir(tmp)
             .filter(_.endsWith(".parquet")).head
           val dst = landing.resolve(name)
           Files.copy(Paths.get(f), dst)
@@ -490,7 +497,7 @@ object StreamingQueries {
                   mtime: Long): Unit = {
           val tmp = graft.core.TempDirs.scratch("st11_b_").toString
           df.coalesce(1).write.mode("overwrite").parquet(tmp)
-          val f = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+          val f = listDir(tmp)
             .filter(_.endsWith(".parquet")).head
           val dst = landing.resolve(name)
           Files.copy(Paths.get(f), dst)
@@ -553,7 +560,7 @@ object StreamingQueries {
                   mtime: Long): Unit = {
           val tmp = graft.core.TempDirs.scratch("st10_b_").toString
           df.coalesce(1).write.mode("overwrite").parquet(tmp)
-          val f = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+          val f = listDir(tmp)
             .filter(_.endsWith(".parquet")).head
           val dst = landing.resolve(name)
           Files.copy(Paths.get(f), dst)
@@ -837,7 +844,7 @@ object StreamingQueries {
                   mtime: Long): Unit = {
           val tmp = graft.core.TempDirs.scratch("st15_b_").toString
           df.coalesce(1).write.mode("overwrite").parquet(tmp)
-          val f = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+          val f = listDir(tmp)
             .filter(_.endsWith(".parquet")).head
           val dst = landing.resolve(name)
           Files.copy(Paths.get(f), dst)
@@ -929,7 +936,7 @@ object StreamingQueries {
                   mtime: Long): Unit = {
           val tmp = graft.core.TempDirs.scratch("st16_b_").toString
           df.coalesce(1).write.mode("overwrite").parquet(tmp)
-          val f = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+          val f = listDir(tmp)
             .filter(_.endsWith(".parquet")).head
           val dst = landing.resolve(name)
           Files.copy(Paths.get(f), dst)
@@ -1141,7 +1148,7 @@ object StreamingQueries {
                   mtime: Long): Unit = {
           val tmp = graft.core.TempDirs.scratch("st23_b_").toString
           df.coalesce(1).write.mode("overwrite").parquet(tmp)
-          val f = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+          val f = listDir(tmp)
             .filter(_.endsWith(".parquet")).head
           val dst = landing.resolve(name)
           Files.copy(Paths.get(f), dst)
@@ -1185,7 +1192,7 @@ object StreamingQueries {
                   mtime: Long): Unit = {
           val tmp = graft.core.TempDirs.scratch("st22_b_").toString
           df.coalesce(1).write.mode("overwrite").parquet(tmp)
-          val f = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+          val f = listDir(tmp)
             .filter(_.endsWith(".parquet")).head
           val dst = landing.resolve(name)
           Files.copy(Paths.get(f), dst)
@@ -1262,7 +1269,7 @@ object StreamingQueries {
                   mtime: Long): Unit = {
           val tmp = graft.core.TempDirs.scratch("st19_b_").toString
           df.coalesce(1).write.mode("overwrite").parquet(tmp)
-          val f = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+          val f = listDir(tmp)
             .filter(_.endsWith(".parquet")).head
           val dst = landing.resolve(name)
           Files.copy(Paths.get(f), dst)
