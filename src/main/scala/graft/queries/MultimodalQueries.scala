@@ -13,7 +13,157 @@ import graft.operators.Multimodal
   */
 object MultimodalQueries {
 
-  val queries: Seq[Query] = Seq(
+  /** Decode-once cache for the m09/m10/m11 analytics family: ONE
+    * decoded-stats materialization per dataset dir per JVM
+    * ([[Multimodal.decodeStats]] — histogram + channel sums + gradient
+    * sums in a single decode pass). The three rows read this table, so
+    * the corpus is decoded exactly once per run no matter how many
+    * family rows execute — the round-12 posture table measured the cost
+    * of getting this wrong (225.7 s m10 + 102.0 s m11 + m09's share at
+    * 100x, each re-decoding the same 500k PNGs). Keyed by the dataset's
+    * absolute path (the ScaleReplica cache lesson); synchronized because
+    * the gate runs rows from four threads.
+    */
+  private object SharedDecode {
+    private val cache = scala.collection.mutable.Map.empty[String, String]
+    def path(s: org.apache.spark.sql.SparkSession, d: String): String =
+      synchronized {
+        cache.getOrElseUpdate(new java.io.File(d).getAbsolutePath, {
+          val dir = graft.core.TempDirs.scratch("m_decoded_stats_")
+            .resolve("t").toString
+          val withP = Multimodal.withImagePayload(
+            Tables.documents(s, d).select("doc_id"), "doc_id")
+          Multimodal.decodeStats(withP, "doc_id", "payload")
+            .write.parquet(dir)
+          dir
+        })
+      }
+  }
+  private def sharedStats(s: org.apache.spark.sql.SparkSession,
+                          d: String): org.apache.spark.sql.DataFrame =
+    s.read.parquet(SharedDecode.path(s, d))
+
+  /** m10's fixed-order double epilogue over the ten exact integer moment
+    * sums (doc_id, n, sr..sgb) — shared by the shared-table default and
+    * the direct-decode twin so the two paths cannot drift. Constant
+    * channel => zero variance: emit NULL on BOTH engines (unguarded,
+    * Spark's non-ANSI divide gives NULL while DuckDB's IEEE ops give
+    * NaN — a latent cross-engine divergence). */
+  private def channelCorrEpilogue(
+      agg: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def corr(sxy: String, sx: String, sy: String, sxx: String, syy: String) = {
+      val vx = col("n") * col(sxx) - col(sx) * col(sx)
+      val vy = col("n") * col(syy) - col(sy) * col(sy)
+      when(vx === 0 || vy === 0, lit(null).cast("double"))
+        .otherwise(round((col("n") * col(sxy) - col(sx) * col(sy)) /
+          (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))), 9))
+    }
+    agg.select(col("doc_id"),
+      round(col("sr").cast("double") / col("n"), 9).as("mean_r"),
+      round(col("sg").cast("double") / col("n"), 9).as("mean_g"),
+      round(col("sb").cast("double") / col("n"), 9).as("mean_b"),
+      corr("srg", "sr", "sg", "srr", "sgg").as("corr_rg"),
+      corr("srb", "sr", "sb", "srr", "sbb").as("corr_rb"),
+      corr("sgb", "sg", "sb", "sgg", "sbb").as("corr_gb"))
+  }
+
+  // The family's three oracles replay the synthesized pixel FORMULA
+  // codec-free (shared by the shared-table default AND its
+  // direct-decode twin, so the two engine paths answer to one contract).
+  private val channelCorrOracle =
+    """WITH px AS (
+      |  SELECT doc_id,
+      |         (doc_id*7 + 3*x.x + 5*y.y) % 256 AS r,
+      |         (doc_id*11 + x.x + 2*y.y) % 256 AS g,
+      |         (doc_id*13 + 4*x.x + y.y) % 256 AS b
+      |  FROM documents,
+      |       LATERAL (SELECT unnest(range(32)) AS x) x,
+      |       LATERAL (SELECT unnest(range(32)) AS y) y),
+      |s AS (
+      |  SELECT doc_id, count(*) AS n,
+      |         CAST(sum(r) AS BIGINT) AS sr, CAST(sum(g) AS BIGINT) AS sg,
+      |         CAST(sum(b) AS BIGINT) AS sb,
+      |         CAST(sum(r*r) AS BIGINT) AS srr, CAST(sum(g*g) AS BIGINT) AS sgg,
+      |         CAST(sum(b*b) AS BIGINT) AS sbb,
+      |         CAST(sum(r*g) AS BIGINT) AS srg, CAST(sum(r*b) AS BIGINT) AS srb,
+      |         CAST(sum(g*b) AS BIGINT) AS sgb
+      |  FROM px GROUP BY 1)
+      |SELECT doc_id,
+      |       round(CAST(sr AS DOUBLE) / n, 9) AS mean_r,
+      |       round(CAST(sg AS DOUBLE) / n, 9) AS mean_g,
+      |       round(CAST(sb AS DOUBLE) / n, 9) AS mean_b,
+      |       CASE WHEN n*srr - sr*sr = 0 OR n*sgg - sg*sg = 0 THEN NULL
+      |            ELSE round((n*srg - sr*sg)
+      |                       / (sqrt(CAST(n*srr - sr*sr AS DOUBLE))
+      |                          * sqrt(CAST(n*sgg - sg*sg AS DOUBLE))), 9)
+      |       END AS corr_rg,
+      |       CASE WHEN n*srr - sr*sr = 0 OR n*sbb - sb*sb = 0 THEN NULL
+      |            ELSE round((n*srb - sr*sb)
+      |                       / (sqrt(CAST(n*srr - sr*sr AS DOUBLE))
+      |                          * sqrt(CAST(n*sbb - sb*sb AS DOUBLE))), 9)
+      |       END AS corr_rb,
+      |       CASE WHEN n*sgg - sg*sg = 0 OR n*sbb - sb*sb = 0 THEN NULL
+      |            ELSE round((n*sgb - sg*sb)
+      |                       / (sqrt(CAST(n*sgg - sg*sg AS DOUBLE))
+      |                          * sqrt(CAST(n*sbb - sb*sb AS DOUBLE))), 9)
+      |       END AS corr_gb
+      |FROM s""".stripMargin
+
+  private val pixelHistogramOracle =
+    """WITH px AS (
+      |  SELECT doc_id, (doc_id*7 + 3*x.x + 5*y.y) % 256 AS r
+      |  FROM documents,
+      |       LATERAL (SELECT unnest(range(32)) AS x) x,
+      |       LATERAL (SELECT unnest(range(32)) AS y) y),
+      |hist AS (SELECT doc_id, r, count(*) AS c FROM px GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, sum(c) AS n FROM hist GROUP BY 1),
+      |ent AS (SELECT hist.doc_id,
+      |               sum(CAST(round((0.0 - CAST(c AS DOUBLE) / n)
+      |                              * ln(CAST(c AS DOUBLE) / n), 6)
+      |                        AS DECIMAL(18,6))) AS ent
+      |        FROM hist JOIN tot ON hist.doc_id = tot.doc_id GROUP BY 1),
+      |md AS (SELECT doc_id, r AS r_mode, c AS r_mode_n FROM (
+      |         SELECT doc_id, r, c,
+      |                row_number() OVER (PARTITION BY doc_id
+      |                                   ORDER BY c DESC, r) AS rn
+      |         FROM hist) WHERE rn = 1)
+      |SELECT tot.doc_id, CAST(n AS BIGINT) AS n_px,
+      |       CAST(r_mode AS INT) AS r_mode, CAST(r_mode_n AS BIGINT) AS r_mode_n,
+      |       CAST(ent AS DOUBLE) AS r_entropy
+      |FROM tot JOIN ent ON tot.doc_id = ent.doc_id
+      |         JOIN md ON tot.doc_id = md.doc_id""".stripMargin
+
+  private val edgeDensityOracle =
+    """WITH px AS (
+      |  SELECT doc_id, x.x AS x, y.y AS y,
+      |         (doc_id*7 + 3*x.x + 5*y.y) % 256 AS r
+      |  FROM documents,
+      |       LATERAL (SELECT unnest(range(32)) AS x) x,
+      |       LATERAL (SELECT unnest(range(32)) AS y) y),
+      |gx AS (
+      |  SELECT doc_id,
+      |         abs(r - lag(r) OVER (PARTITION BY doc_id, y ORDER BY x)) AS g
+      |  FROM px),
+      |gy AS (
+      |  SELECT doc_id,
+      |         abs(r - lag(r) OVER (PARTITION BY doc_id, x ORDER BY y)) AS g
+      |  FROM px),
+      |ax AS (SELECT doc_id, count(g) AS n_gx, sum(g) AS sum_gx
+      |       FROM gx GROUP BY 1),
+      |ay AS (SELECT doc_id, count(g) AS n_gy, sum(g) AS sum_gy
+      |       FROM gy GROUP BY 1)
+      |SELECT ax.doc_id, CAST(n_gx AS BIGINT) AS n_gx,
+      |       CAST(sum_gx AS BIGINT) AS sum_gx,
+      |       CAST(n_gy AS BIGINT) AS n_gy,
+      |       CAST(sum_gy AS BIGINT) AS sum_gy,
+      |       round(CAST(sum_gx + sum_gy AS DOUBLE) / (n_gx + n_gy), 9)
+      |         AS sharpness
+      |FROM ax JOIN ay ON ax.doc_id = ay.doc_id""".stripMargin
+
+  // lazy: initializer order — base/twins are defined below
+  lazy val queries: Seq[Query] = base ++ twins
+
+  private val base: Seq[Query] = Seq(
 
     // ---- M1: binary payload + hash (ingest plumbing) ----------------------
     Query("m01_binary_meta",
@@ -353,44 +503,120 @@ object MultimodalQueries {
     // Correlation flags broken channels (constant channel -> explicit
     // NULL on both engines) and
     // near-duplicate channels (corr ~ 1) without a bespoke kernel.
-    Query("m10_channel_corr",
-      """WITH px AS (
+    // Round-13 default: the epilogue off the SHARED decoded-stats table
+    // (all ten moment sums already computed inside the family's single
+    // decode pass) — image-count-sized, zero exchanges, pure codegen.
+    // The direct decode-and-aggregate form lives on as the m13 twin.
+    Query("m10_channel_corr", channelCorrOracle) {
+      (s, d) => channelCorrEpilogue(sharedStats(s, d)
+        .select(col("id").as("doc_id"), col("n_px").as("n"),
+          col("sr"), col("sg"), col("sb"), col("srr"), col("sgg"),
+          col("sbb"), col("srg"), col("srb"), col("sgb")))
+    },
+
+    // Round-13 default: mode/entropy as per-row ARRAY expressions over
+    // the shared table's stored 256-bin histogram — no pixel explode, no
+    // histogram re-aggregation, no window, zero exchanges. Mode tiebreak
+    // (smallest value among max counts) is array_position's
+    // first-occurrence semantics, matching the oracle's ORDER BY c DESC,
+    // r; entropy terms are the same round-to-6dp decimals summed in the
+    // array fold's fixed order (decimal addition is exact, so the fold
+    // order can't move a bit vs the oracle's hash-agg sum). The direct
+    // decode-and-aggregate form lives on as the m14 twin.
+    Query("m09_pixel_histogram", pixelHistogramOracle) {
+      (s, d) => sharedStats(s, d).select(
+        col("id").as("doc_id"),
+        col("n_px").cast("long").as("n_px"),
+        (expr("array_position(hist, array_max(hist))") - 1)
+          .cast("int").as("r_mode"),
+        expr("array_max(hist)").cast("long").as("r_mode_n"),
+        expr("""cast(aggregate(filter(hist, c -> c > 0),
+          cast(0 as decimal(38,6)),
+          (acc, c) -> cast(acc + cast(round(
+            (0.0 - c / cast(n_px as double)) * ln(c / cast(n_px as double)),
+            6) as decimal(18,6)) as decimal(38,6))) as double)""")
+          .as("r_entropy"))
+    },
+
+    // ---- M11: edge density / sharpness off the real decode ------------------
+    // The blur/quality screen an image-curation pipeline runs before
+    // training: mean absolute horizontal + vertical gradient of the red
+    // plane — low values mean flat or blurred content. Gradients come
+    // from the REAL javax.imageio decode (m02/m09 contract) via two lag
+    // windows over the pixel table, keyed (image, row) and (image, col)
+    // — both partition axes are image-bounded, so the state per task is
+    // one scanline. All sums are exact integers; the oracle replays the
+    // synthetic pixel formula codec-free and the same two lags, so a
+    // single mis-decoded pixel hash-mismatches. localCheckpoint shares
+    // ONE decode across both window passes.
+    // Round-13 default: gradient sums come pre-computed from the shared
+    // decoded-stats table (they were already fused into the family's
+    // single decode pass — the round-12 lesson that per-scanline windows
+    // cost 141 s and a collect_list fold 78 s at 10x stands; now the
+    // decode itself is also paid once for the whole family). The direct
+    // decode-fused form lives on as the m15 twin.
+    Query("m11_edge_density", edgeDensityOracle) { (s, d) =>
+      sharedStats(s, d)
+        .select(col("id").as("doc_id"), col("n_gx"), col("sum_gx"),
+          col("n_gy"), col("sum_gy"),
+          round((col("sum_gx") + col("sum_gy")).cast("double")
+            / (col("n_gx") + col("n_gy")), 9).as("sharpness"))
+    },
+
+    // ---- M12: the decoded-stats materialization itself (incremental) --------
+    // The io16/io21 manifest pattern applied to the decode family: the
+    // per-image stats table is keyed by (id, md5 content hash), and an
+    // update decodes ONLY images whose (id, hash) is not already stored
+    // — run 1 builds from a 2/3 corpus slice, run 2 presents the full
+    // corpus and the left-anti manifest join decodes just the missing
+    // third (the reuse leg is decode-free). A changed payload changes
+    // its hash, so silent content drift re-decodes instead of serving
+    // stale stats (MultimodalSpec pins that plus the no-op re-run). The
+    // staleness check costs one hash projection over the corpus — no
+    // codec — while every stored image skips its decode; at 100 TB the
+    // decode pass amortizes to the churn rate, not the corpus size.
+    Query("m12_decoded_stats",
+      """WITH s AS (
         |  SELECT doc_id,
-        |         (doc_id*7 + 3*x.x + 5*y.y) % 256 AS r,
-        |         (doc_id*11 + x.x + 2*y.y) % 256 AS g,
-        |         (doc_id*13 + 4*x.x + y.y) % 256 AS b
+        |         CAST(sum((doc_id*7 + 3*x.x + 5*y.y) % 256) AS BIGINT) AS sr
         |  FROM documents,
         |       LATERAL (SELECT unnest(range(32)) AS x) x,
-        |       LATERAL (SELECT unnest(range(32)) AS y) y),
-        |s AS (
-        |  SELECT doc_id, count(*) AS n,
-        |         CAST(sum(r) AS BIGINT) AS sr, CAST(sum(g) AS BIGINT) AS sg,
-        |         CAST(sum(b) AS BIGINT) AS sb,
-        |         CAST(sum(r*r) AS BIGINT) AS srr, CAST(sum(g*g) AS BIGINT) AS sgg,
-        |         CAST(sum(b*b) AS BIGINT) AS sbb,
-        |         CAST(sum(r*g) AS BIGINT) AS srg, CAST(sum(r*b) AS BIGINT) AS srb,
-        |         CAST(sum(g*b) AS BIGINT) AS sgb
-        |  FROM px GROUP BY 1)
-        |SELECT doc_id,
-        |       round(CAST(sr AS DOUBLE) / n, 9) AS mean_r,
-        |       round(CAST(sg AS DOUBLE) / n, 9) AS mean_g,
-        |       round(CAST(sb AS DOUBLE) / n, 9) AS mean_b,
-        |       CASE WHEN n*srr - sr*sr = 0 OR n*sgg - sg*sg = 0 THEN NULL
-        |            ELSE round((n*srg - sr*sg)
-        |                       / (sqrt(CAST(n*srr - sr*sr AS DOUBLE))
-        |                          * sqrt(CAST(n*sgg - sg*sg AS DOUBLE))), 9)
-        |       END AS corr_rg,
-        |       CASE WHEN n*srr - sr*sr = 0 OR n*sbb - sb*sb = 0 THEN NULL
-        |            ELSE round((n*srb - sr*sb)
-        |                       / (sqrt(CAST(n*srr - sr*sr AS DOUBLE))
-        |                          * sqrt(CAST(n*sbb - sb*sb AS DOUBLE))), 9)
-        |       END AS corr_rb,
-        |       CASE WHEN n*sgg - sg*sg = 0 OR n*sbb - sb*sb = 0 THEN NULL
-        |            ELSE round((n*sgb - sg*sb)
-        |                       / (sqrt(CAST(n*sgg - sg*sg AS DOUBLE))
-        |                          * sqrt(CAST(n*sbb - sb*sb AS DOUBLE))), 9)
-        |       END AS corr_gb
-        |FROM s""".stripMargin) {
+        |       LATERAL (SELECT unnest(range(32)) AS y) y
+        |  GROUP BY 1)
+        |SELECT 1 AS run,
+        |       CAST(count(*) FILTER (WHERE doc_id % 3 < 2) AS BIGINT) AS n_decoded,
+        |       CAST(count(*) FILTER (WHERE doc_id % 3 < 2) AS BIGINT) AS n_total,
+        |       CAST(sum(sr) FILTER (WHERE doc_id % 3 < 2) AS BIGINT) AS sum_r
+        |FROM s
+        |UNION ALL
+        |SELECT 2, CAST(count(*) FILTER (WHERE doc_id % 3 = 2) AS BIGINT),
+        |       CAST(count(*) AS BIGINT), CAST(sum(sr) AS BIGINT)
+        |FROM s""".stripMargin) { (s, d) =>
+      val store = graft.core.TempDirs.scratch("m12_store_").toString
+      val ids = Tables.documents(s, d).select("doc_id")
+      def present(df: org.apache.spark.sql.DataFrame) =
+        Multimodal.withImagePayload(df, "doc_id")
+      val (dec1, tot1, p1) = Multimodal.reconcileStats(
+        s, present(ids.filter(col("doc_id") % 3 < 2)), "doc_id", "payload", store)
+      val (dec2, tot2, p2) = Multimodal.reconcileStats(
+        s, present(ids), "doc_id", "payload", store)
+      def runRow(run: Int, dec: Long, tot: Long, path: String) =
+        s.read.parquet(path).agg(sum("sr").as("sum_r"))
+          .select(lit(run).as("run"), lit(dec).as("n_decoded"),
+            lit(tot).as("n_total"), col("sum_r").cast("long").as("sum_r"))
+      runRow(1, dec1, tot1, p1).unionAll(runRow(2, dec2, tot2, p2))
+    }
+  )
+
+  /** The pre-round-13 single-pass forms, kept as oracle twins of the
+    * shared-table defaults (m13↔m10, m14↔m09, m15↔m11): each re-derives
+    * its answer with its own decode + aggregation under the SAME oracle
+    * SQL, so a bug in the shared materialization (or in the stored-sums
+    * epilogue) hash-diverges from its twin's independent path.
+    */
+  val twins: Seq[Query] = Seq(
+
+    Query("m13_channel_corr_direct", channelCorrOracle) {
       (s, d) => {
         val withP = Multimodal.withImagePayload(
           Tables.documents(s, d).select("doc_id"), "doc_id")
@@ -398,55 +624,16 @@ object MultimodalQueries {
           .select(col("id").as("doc_id"),
             col("r").cast("long").as("r"), col("g").cast("long").as("g"),
             col("b").cast("long").as("b"))
-        val agg = px.groupBy("doc_id").agg(count(lit(1)).as("n"),
+        channelCorrEpilogue(px.groupBy("doc_id").agg(count(lit(1)).as("n"),
           sum("r").as("sr"), sum("g").as("sg"), sum("b").as("sb"),
           sum(col("r") * col("r")).as("srr"), sum(col("g") * col("g")).as("sgg"),
           sum(col("b") * col("b")).as("sbb"),
           sum(col("r") * col("g")).as("srg"), sum(col("r") * col("b")).as("srb"),
-          sum(col("g") * col("b")).as("sgb"))
-        // constant channel => zero variance: emit NULL on BOTH engines
-        // (unguarded, Spark's non-ANSI divide gives NULL while DuckDB's
-        // IEEE ops give NaN — a latent cross-engine divergence)
-        def corr(sxy: String, sx: String, sy: String, sxx: String, syy: String) = {
-          val vx = col("n") * col(sxx) - col(sx) * col(sx)
-          val vy = col("n") * col(syy) - col(sy) * col(sy)
-          when(vx === 0 || vy === 0, lit(null).cast("double"))
-            .otherwise(round((col("n") * col(sxy) - col(sx) * col(sy)) /
-              (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))), 9))
-        }
-        agg.select(col("doc_id"),
-          round(col("sr").cast("double") / col("n"), 9).as("mean_r"),
-          round(col("sg").cast("double") / col("n"), 9).as("mean_g"),
-          round(col("sb").cast("double") / col("n"), 9).as("mean_b"),
-          corr("srg", "sr", "sg", "srr", "sgg").as("corr_rg"),
-          corr("srb", "sr", "sb", "srr", "sbb").as("corr_rb"),
-          corr("sgb", "sg", "sb", "sgg", "sbb").as("corr_gb"))
+          sum(col("g") * col("b")).as("sgb")))
       }
     },
 
-    Query("m09_pixel_histogram",
-      """WITH px AS (
-        |  SELECT doc_id, (doc_id*7 + 3*x.x + 5*y.y) % 256 AS r
-        |  FROM documents,
-        |       LATERAL (SELECT unnest(range(32)) AS x) x,
-        |       LATERAL (SELECT unnest(range(32)) AS y) y),
-        |hist AS (SELECT doc_id, r, count(*) AS c FROM px GROUP BY 1, 2),
-        |tot AS (SELECT doc_id, sum(c) AS n FROM hist GROUP BY 1),
-        |ent AS (SELECT hist.doc_id,
-        |               sum(CAST(round((0.0 - CAST(c AS DOUBLE) / n)
-        |                              * ln(CAST(c AS DOUBLE) / n), 6)
-        |                        AS DECIMAL(18,6))) AS ent
-        |        FROM hist JOIN tot ON hist.doc_id = tot.doc_id GROUP BY 1),
-        |md AS (SELECT doc_id, r AS r_mode, c AS r_mode_n FROM (
-        |         SELECT doc_id, r, c,
-        |                row_number() OVER (PARTITION BY doc_id
-        |                                   ORDER BY c DESC, r) AS rn
-        |         FROM hist) WHERE rn = 1)
-        |SELECT tot.doc_id, CAST(n AS BIGINT) AS n_px,
-        |       CAST(r_mode AS INT) AS r_mode, CAST(r_mode_n AS BIGINT) AS r_mode_n,
-        |       CAST(ent AS DOUBLE) AS r_entropy
-        |FROM tot JOIN ent ON tot.doc_id = ent.doc_id
-        |         JOIN md ON tot.doc_id = md.doc_id""".stripMargin) {
+    Query("m14_pixel_histogram_direct", pixelHistogramOracle) {
       (s, d) => {
         val withP = Multimodal.withImagePayload(
           Tables.documents(s, d).select("doc_id"), "doc_id")
@@ -472,52 +659,7 @@ object MultimodalQueries {
       }
     },
 
-    // ---- M11: edge density / sharpness off the real decode ------------------
-    // The blur/quality screen an image-curation pipeline runs before
-    // training: mean absolute horizontal + vertical gradient of the red
-    // plane — low values mean flat or blurred content. Gradients come
-    // from the REAL javax.imageio decode (m02/m09 contract) via two lag
-    // windows over the pixel table, keyed (image, row) and (image, col)
-    // — both partition axes are image-bounded, so the state per task is
-    // one scanline. All sums are exact integers; the oracle replays the
-    // synthetic pixel formula codec-free and the same two lags, so a
-    // single mis-decoded pixel hash-mismatches. localCheckpoint shares
-    // ONE decode across both window passes.
-    Query("m11_edge_density",
-      """WITH px AS (
-        |  SELECT doc_id, x.x AS x, y.y AS y,
-        |         (doc_id*7 + 3*x.x + 5*y.y) % 256 AS r
-        |  FROM documents,
-        |       LATERAL (SELECT unnest(range(32)) AS x) x,
-        |       LATERAL (SELECT unnest(range(32)) AS y) y),
-        |gx AS (
-        |  SELECT doc_id,
-        |         abs(r - lag(r) OVER (PARTITION BY doc_id, y ORDER BY x)) AS g
-        |  FROM px),
-        |gy AS (
-        |  SELECT doc_id,
-        |         abs(r - lag(r) OVER (PARTITION BY doc_id, x ORDER BY y)) AS g
-        |  FROM px),
-        |ax AS (SELECT doc_id, count(g) AS n_gx, sum(g) AS sum_gx
-        |       FROM gx GROUP BY 1),
-        |ay AS (SELECT doc_id, count(g) AS n_gy, sum(g) AS sum_gy
-        |       FROM gy GROUP BY 1)
-        |SELECT ax.doc_id, CAST(n_gx AS BIGINT) AS n_gx,
-        |       CAST(sum_gx AS BIGINT) AS sum_gx,
-        |       CAST(n_gy AS BIGINT) AS n_gy,
-        |       CAST(sum_gy AS BIGINT) AS sum_gy,
-        |       round(CAST(sum_gx + sum_gy AS DOUBLE) / (n_gx + n_gy), 9)
-        |         AS sharpness
-        |FROM ax JOIN ay ON ax.doc_id = ay.doc_id""".stripMargin) { (s, d) =>
-      // Gradients are image-LOCAL, so they compute inside the decode
-      // pass (Multimodal.decodeGradients): one row in, one narrow row
-      // out, zero exchanges before the sink — nothing pixel-sized ever
-      // leaves a task. Two earlier formulations measured the cost of
-      // getting this wrong at 10x volume: per-(image,scanline) lag
-      // windows over the exploded pixel table 141 s, a one-exchange
-      // collect_list array fold 78 s, this shape ~decode cost. (The
-      // oracle keeps the lag-window formulation — engine-shape freedom
-      // under a fixed contract.)
+    Query("m15_edge_density_direct", edgeDensityOracle) { (s, d) =>
       val withP = Multimodal.withImagePayload(
         Tables.documents(s, d).select("doc_id"), "doc_id")
       Multimodal.decodeGradients(withP, "doc_id", "payload")

@@ -184,4 +184,71 @@ class MultimodalSpec extends SparkSpec {
       assert(got(id) == expect, s"resized digest mismatch for id $id")
     }
   }
+
+  test("decodeStats equals the decodePixels-derived sums (one-pass fusion)") {
+    val ids = spark.range(5).select(col("id").as("doc_id"))
+    val p = Multimodal.withImagePayload(ids, "doc_id")
+    val st = Multimodal.decodeStats(p, "doc_id", "payload")
+    val px = Multimodal.decodePixels(p, "doc_id", "payload")
+      .select(col("id"), col("r").cast("long").as("r"),
+        col("g").cast("long").as("g"), col("b").cast("long").as("b"))
+    val want = px.groupBy("id").agg(count(lit(1)).as("n_px"),
+      sum("r").as("sr"), sum(col("r") * col("r")).as("srr"),
+      sum(col("r") * col("g")).as("srg"), sum("b").as("sb"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val got = st.select("id", "n_px", "sr", "srr", "srg", "sb").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == want)
+    // histogram: bin counts sum to n_px and reproduce the per-value counts
+    val hist = st.select(col("id"), col("hist")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val rCounts = px.groupBy("id", "r").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1).toInt) -> r.getLong(2)).toMap
+    hist.foreach { case (id, h) =>
+      assert(h.length == 256 && h.sum == 1024L)
+      h.zipWithIndex.foreach { case (c, r) =>
+        assert(c == rCounts.getOrElse((id, r), 0L), s"hist($r) of doc $id")
+      }
+    }
+  }
+
+  test("reconcileStats decodes only the (id, content-hash) delta") {
+    val store = graft.core.TempDirs.scratch("m12spec_").toString
+    val all = spark.range(6).select(col("id").as("doc_id"))
+    def present(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.withImagePayload(df, "doc_id")
+    // run 1: half the corpus
+    val (d1, t1, p1) = Multimodal.reconcileStats(
+      spark, present(all.filter(col("doc_id") < 3)), "doc_id", "payload", store)
+    assert((d1, t1) == ((3L, 3L)) && p1.endsWith("stats_v1"))
+    // run 2: full corpus — only the new half decodes
+    val (d2, t2, p2) = Multimodal.reconcileStats(
+      spark, present(all), "doc_id", "payload", store)
+    assert((d2, t2) == ((3L, 6L)) && p2.endsWith("stats_v2"))
+    // run 3: no-op re-run — nothing decodes, content served from the store
+    val (d3, t3, _) = Multimodal.reconcileStats(
+      spark, present(all), "doc_id", "payload", store)
+    assert((d3, t3) == ((0L, 6L)))
+    // run 4: one payload's CONTENT changes (id 2 now carries id 99's
+    // image) — the changed hash re-decodes exactly that image, and the
+    // stored stats row is replaced, not served stale
+    val changed = present(all.filter(col("doc_id") =!= 2)).unionByName(
+      present(spark.range(99, 100).select(col("id").as("doc_id")))
+        .withColumn("doc_id", lit(2L)))
+    val (d4, t4, p4) = Multimodal.reconcileStats(
+      spark, changed, "doc_id", "payload", store)
+    assert((d4, t4) == ((1L, 6L)))
+    val sr2 = spark.read.parquet(p4).filter(col("id") === 2)
+      .select("sr").head().getLong(0)
+    val sr99 = Multimodal.decodeStats(
+      present(spark.range(99, 100).select(col("id").as("doc_id"))),
+      "doc_id", "payload").select("sr").head().getLong(0)
+    assert(sr2 == sr99, "changed content must serve re-decoded stats")
+    // run 5: an id REMOVED from the corpus drops from the table
+    val (d5, t5, _) = Multimodal.reconcileStats(
+      spark, present(all.filter(col("doc_id") < 5)), "doc_id", "payload", store)
+    assert((d5, t5) == ((1L, 5L))) // id 2 reverts to its own image: 1 decode
+  }
 }
