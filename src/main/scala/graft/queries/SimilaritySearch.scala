@@ -127,6 +127,15 @@ object SimilaritySearch {
     // 32 minhashes, 8 bands × 4 rows; candidates from band-bucket equi-join,
     // then exact-Jaccard verification of candidates only. Matches the exact
     // t06 pairs with high probability at jaccard >= 0.3.
+    // ORACLE IMPOSSIBILITY (why this row is rows-only, permanently): the
+    // signature family is xxhash64 end-to-end (the fused MinHashSketch
+    // kernel), and DuckDB has no xxhash64 — the selected minima, hence
+    // the band buckets and the candidate set, cannot be recomputed by
+    // any SQL the oracle can carry. Unlike s05/s07 (seeded FLOAT
+    // geometry, promoted to literal-replay oracles in round 13), the
+    // hash family here IS the operator. Coverage instead: s13 replays
+    // the identical pipeline under md5 hash-for-hash, and the s39 gate
+    // recall-bounds THIS row against the exact ≥0.9 Jaccard band.
     Query.noOracle("s03_minhash_lsh_neardup") { (s, d) =>
       graft.operators.Dedup.minhashLshPairs(Tables.documents(s, d),
         "doc_id", "text", n = 2, k = 32, bands = 8, threshold = 0.3,
@@ -172,8 +181,71 @@ object SimilaritySearch {
     // ---- S5: hyperplane-LSH approximate nearest neighbour --------------------
     // 6 tables × 10 sign-bits; candidates share a bucket in any table; exact
     // cosine re-rank of candidates, top-3 per query.
-    Query.noOracle("s05_ann_lsh") { (s, d) =>
+    // PROMOTED to a full literal-replay oracle in round 13 (the s16
+    // pattern at the row's own production parameters): the 60 seeded
+    // plane vectors ride the SQL as shortest-roundtrip double literals
+    // (re-parse to identical bits), the 56 Hamming≤2 probe masks as an
+    // integer VALUES list, and sign tests / bucket packing / probe XOR /
+    // candidate dedup / exact-cosine top-3 all replay in DuckDB
+    // bit-for-bit. The ~80 KB literal block is the whole price — there
+    // is no semantic obstacle, which three rounds of "rows-only" had
+    // implied.
+    {
       val (tables, bits, dims) = (6, 10, 64)
+      val planes = Similarity.hyperplanes(tables, bits, dims)
+      val planeValues = planes.zipWithIndex
+        .map { case (p, r) => s"($r, [${p.mkString(", ")}])" }
+        .mkString(",\n        ")
+      val bitCase = (0 until bits)
+        .map(j => s"WHEN $j THEN ${1L << j}").mkString(" ")
+      val maskValues = (0 +: ((0 until bits).map(1 << _) ++
+        (for { i <- 0 until bits; j <- (i + 1) until bits }
+          yield (1 << i) | (1 << j))))
+        .map(m => s"($m)").mkString(", ")
+      Query("s05_ann_lsh",
+        s"""WITH planes(r, p) AS (VALUES
+          |        $planeValues),
+          |dots AS (
+          |  SELECT vec_id, r // $bits AS t, r % $bits AS j,
+          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |           list_transform(range(1, $dims + 1),
+          |             i -> CAST(embedding[i] AS DOUBLE) * p[i])),
+          |           (a, x) -> a + x) AS d
+          |  FROM embeddings CROSS JOIN planes),
+          |buck AS (
+          |  SELECT vec_id, t,
+          |         CAST(sum(CASE WHEN d > 0
+          |                       THEN CASE j $bitCase ELSE 0 END
+          |                       ELSE 0 END) AS BIGINT) AS b
+          |  FROM dots GROUP BY 1, 2),
+          |masks(m) AS (VALUES $maskValues),
+          |qprobe AS (
+          |  SELECT vec_id AS query_id, t, xor(b, CAST(m AS BIGINT)) AS b
+          |  FROM buck CROSS JOIN masks WHERE vec_id < 10),
+          |cand AS (
+          |  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+          |  FROM qprobe q JOIN buck c ON q.t = c.t AND q.b = c.b
+          |  WHERE c.vec_id <> q.query_id),
+          |cosd AS (
+          |  SELECT query_id, neighbor_id,
+          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |           list_transform(range(1, $dims + 1),
+          |             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+          |           (a, x) -> a + x)
+          |         / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |              list_transform(range(1, $dims + 1),
+          |                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))),
+          |              (a, x) -> a + x))
+          |            * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |                list_transform(range(1, $dims + 1),
+          |                  i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+          |                (a, x) -> a + x))) AS cos
+          |  FROM cand JOIN embeddings q ON q.vec_id = query_id
+          |            JOIN embeddings c ON c.vec_id = neighbor_id)
+          |SELECT query_id, neighbor_id, cos FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id
+          |                               ORDER BY cos DESC, neighbor_id) AS rn
+          |  FROM cosd) WHERE rn <= 3""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
       val bucketed = e.select(col("vec_id"), col("embedding"),
           posexplode(Similarity.hyperplaneBuckets(col("embedding"), tables, bits, dims))
@@ -219,17 +291,69 @@ object SimilaritySearch {
         .withColumn("cos", Similarity.cosine(col("q_emb"), col("embedding")))
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
         .select("query_id", "neighbor_id", "cos")
+      }
     },
 
     // ---- S7: embedding near-dup via hyperplane LSH (all-pairs scale path) ----
     // Replaces s02's bounded exact baseline corpus-wide: sign-bucket
     // candidates in any of 12 tables, id-pair dedup, exact-cosine verify.
-    // Rows-only (engine-specific hyperplanes); recall contract vs the
-    // exact pairs is pinned in SimilaritySpec.
-    Query.noOracle("s07_embedding_neardup_lsh") { (s, d) =>
-      graft.operators.Dedup.embeddingNearDupLsh(Tables.embeddings(s, d),
-        "vec_id", "embedding", tables = 12, bits = 10, dims = 64,
-        threshold = 0.35, maxBucketSize = 500)
+    // PROMOTED to a full literal-replay oracle in round 13 (s05's
+    // pattern, 120 plane literals): bucketing, the >500 bucket-size
+    // valve (ANTI JOIN), the a<b pair dedup, and the exact-cosine
+    // verify all replay in DuckDB bit-for-bit. The recall contract vs
+    // the exact pairs stays pinned in SimilaritySpec + the s40 gate.
+    {
+      val (tables, bits, dims) = (12, 10, 64)
+      val planes = Similarity.hyperplanes(tables, bits, dims)
+      val planeValues = planes.zipWithIndex
+        .map { case (p, r) => s"($r, [${p.mkString(", ")}])" }
+        .mkString(",\n        ")
+      val bitCase = (0 until bits)
+        .map(j => s"WHEN $j THEN ${1L << j}").mkString(" ")
+      Query("s07_embedding_neardup_lsh",
+        s"""WITH planes(r, p) AS (VALUES
+          |        $planeValues),
+          |dots AS (
+          |  SELECT vec_id, r // $bits AS t, r % $bits AS j,
+          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |           list_transform(range(1, $dims + 1),
+          |             i -> CAST(embedding[i] AS DOUBLE) * p[i])),
+          |           (a, x) -> a + x) AS d
+          |  FROM embeddings CROSS JOIN planes),
+          |buck AS (
+          |  SELECT vec_id, t,
+          |         CAST(sum(CASE WHEN d > 0
+          |                       THEN CASE j $bitCase ELSE 0 END
+          |                       ELSE 0 END) AS BIGINT) AS b
+          |  FROM dots GROUP BY 1, 2),
+          |big AS (SELECT t, b FROM buck GROUP BY t, b HAVING count(*) > 500),
+          |capped AS (SELECT buck.* FROM buck ANTI JOIN big USING (t, b)),
+          |cand AS (
+          |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+          |  FROM capped x JOIN capped y
+          |    ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id),
+          |cosd AS (
+          |  SELECT vec_a, vec_b,
+          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |           list_transform(range(1, $dims + 1),
+          |             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+          |           (x, y) -> x + y)
+          |         / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |              list_transform(range(1, $dims + 1),
+          |                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))),
+          |              (x, y) -> x + y))
+          |            * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |                list_transform(range(1, $dims + 1),
+          |                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+          |                (x, y) -> x + y))) AS cos
+          |  FROM cand JOIN embeddings a ON a.vec_id = vec_a
+          |            JOIN embeddings b ON b.vec_id = vec_b)
+          |SELECT vec_a, vec_b, cos FROM cosd WHERE cos >= 0.35""".stripMargin) {
+        (s, d) =>
+          graft.operators.Dedup.embeddingNearDupLsh(Tables.embeddings(s, d),
+            "vec_id", "embedding", tables = tables, bits = bits, dims = dims,
+            threshold = 0.35, maxBucketSize = 500)
+      }
     },
 
     // ---- S8: dedup cluster assignment (connected components) -----------------
@@ -320,8 +444,15 @@ object SimilaritySearch {
 
     // ---- S6: IVF approximate nearest neighbour -------------------------------
     // Cell-partitioned ANN: 32 seeded sample centroids, probe 8 cells per
-    // query, exact cosine re-rank. Rows-only here; recall contract in
-    // SimilaritySpec.
+    // query, exact cosine re-rank.
+    // ORACLE IMPOSSIBILITY (why this row is rows-only, permanently): the
+    // centroid sample is ordered by xxhash64(vec_id, seed)
+    // (Ivf.centroids) — DuckDB has no xxhash64, so the oracle cannot
+    // recompute WHICH 32 vectors seed the cells, and everything
+    // downstream inherits that choice. The probe/re-rank kernel itself
+    // is fully covered: s17 replays it hash-for-hash with literal
+    // centroids through the SAME production path, and the s35 gate
+    // recall-bounds this row against the exact top-k.
     Query.noOracle("s06_ann_ivf") { (s, d) =>
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 10)
@@ -334,9 +465,13 @@ object SimilaritySearch {
     // Same probe/re-rank pipeline as s06, but the cells are refined by 3
     // deterministic k-means rounds (decimal-summed means — exact, so the
     // trained centroids are identical under any input partitioning; see
-    // operators/Ivf.trainCentroids). Rows-only like all ANN queries;
-    // recall and partitioning-determinism contracts live in
-    // SimilaritySpec.
+    // operators/Ivf.trainCentroids).
+    // ORACLE IMPOSSIBILITY (why this row is rows-only, permanently): NOT
+    // the training — s19 proves the decimal-summed Lloyd loop replays in
+    // chained SQL CTEs — but the xxhash64-ordered seed sample it starts
+    // from (s06's impossibility, inherited). Coverage: s19 replays
+    // trainFromCentroids + search hash-for-hash from table-derived
+    // seeds; the s36 gate recall-bounds this row.
     Query.noOracle("s09_ann_ivf_trained") { (s, d) =>
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 10)
@@ -478,9 +613,15 @@ object SimilaritySearch {
 
     // ---- S11: product-quantization ANN (ADC shortlist + exact re-rank) ----
     // The compressed-scan scale path: codes are ~32x narrower than the
-    // embeddings, scoring is m table lookups per pair. Rows-only (the
-    // Lloyd codebooks have no SQL oracle); recall vs the exact baseline,
-    // codebook determinism, and kernel/HOF equivalence pinned in PqSpec.
+    // embeddings, scoring is m table lookups per pair.
+    // ORACLE IMPOSSIBILITY (why this row is rows-only, permanently): the
+    // per-subspace codebook training samples by xxhash64(vec_id, seed)
+    // (Pq.scala:70) — no xxhash64 in DuckDB, so the oracle cannot
+    // recompute the codebooks the codes quantize against (the Lloyd
+    // refinement itself would replay, the seed choice cannot).
+    // Coverage: s18 replays ADC + re-rank hash-for-hash with literal
+    // codebooks through the same kernels; the s37 gate recall-bounds
+    // this row; PqSpec pins codebook determinism.
     Query.noOracle("s11_ann_pq") { (s, d) =>
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 10)
@@ -491,8 +632,13 @@ object SimilaritySearch {
 
     // ---- S14: residual IVF-PQ (coarse cells + residual codes + ADC) -------
     // The composed FAISS-IVFPQ shape: probe nProbe cells, ADC over
-    // residual codes within them, exact re-rank. Rows-only (Lloyd + float
-    // geometry); recall and partition-independence pinned in PqSpec.
+    // residual codes within them, exact re-rank.
+    // ORACLE IMPOSSIBILITY (why this row is rows-only, permanently):
+    // composes BOTH xxhash64 seed samples — the coarse cells (s06's
+    // note) and the residual codebooks (s11's note). Coverage: s21
+    // replays the composed pipeline hash-for-hash with literal
+    // cells+codebooks; the s38 gate recall-bounds this row; PqSpec pins
+    // partition-independence.
     Query.noOracle("s14_ann_ivfpq") { (s, d) =>
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 10)
@@ -502,15 +648,16 @@ object SimilaritySearch {
         itersPq = 2, shortlist = 50, topK = 5)
     },
 
-    // ---- S16: hyperplane-LSH ANN, full-oracle twin of s05 ------------------
-    // The float-geometry LSH path made oracle-checkable: the plane
-    // matrix is a deterministic seeded constant, so the oracle embeds
-    // the SAME 12x64 literals (shortest-roundtrip doubles re-parse to
-    // identical bits) and replays the kernel's strict in-order dot fold
-    // — sign tests, bucket packing, candidate join, and the exact
-    // cosine re-rank all recompute bit-for-bit in SQL. s05 remains the
-    // production row (more tables/bits than a literal-bearing oracle
-    // should carry).
+    // ---- S16: hyperplane-LSH ANN, small-parameter twin of s05 --------------
+    // The float-geometry LSH path made oracle-checkable first (round 9):
+    // the plane matrix is a deterministic seeded constant, so the oracle
+    // embeds the SAME 12x64 literals (shortest-roundtrip doubles
+    // re-parse to identical bits) and replays the kernel's strict
+    // in-order dot fold — sign tests, bucket packing, candidate join,
+    // and the exact cosine re-rank all recompute bit-for-bit in SQL.
+    // Round 13 applied this pattern to s05 itself at full production
+    // parameters (60 planes + probe masks), so this row is now the
+    // compact regression twin rather than the only oracle coverage.
     {
       val (tables, bits, dims) = (2, 6, 64)
       val planes = Similarity.hyperplanes(tables, bits, dims)
