@@ -98,11 +98,29 @@ object ScaleReplica {
         graft.operators.Windows.rollingDistinctSketch(
           graft.core.Tables.events(s, dir))),
       // VERDICT r12 item 7 measurement: g31 + g32 off ONE materialized
-      // light-trap chain (localCheckpoint), vs the sum of their
-      // independent registry timings — both epilogues materialize under
-      // a single timed entry
+      // light-trap chain, vs the sum of their independent registry
+      // timings — both epilogues materialize under a single timed entry.
+      // The chain goes to parquet scratch, NOT localCheckpoint: at 100x
+      // the block-manager copy starved g31's hash aggregate of unified
+      // memory (AGGREGATE_OUT_OF_MEMORY) — storage-pressure-free disk
+      // materialization is the only shape that survives scale
+      // cost-isolation probes for the decode-once build (not ledger rows)
+      "m_probe_decode_only" -> ((s, dir) =>
+        graft.operators.Multimodal.decodeGradients(
+          graft.operators.Multimodal.withImagePayload(
+            graft.core.Tables.documents(s, dir).select("doc_id"), "doc_id"),
+          "doc_id", "payload")),
+      "m_probe_stats_noop" -> ((s, dir) =>
+        graft.operators.Multimodal.decodeStats(
+          graft.operators.Multimodal.withImagePayload(
+            graft.core.Tables.documents(s, dir).select("doc_id"), "doc_id"),
+          "doc_id", "payload")),
       "g3132_shared_lighttrap" -> ((s, dir) => {
-        val lt = graft.queries.Ento.lightTrap(s, dir).localCheckpoint()
+        val scratch = graft.core.TempDirs.scratch("g3132_lt_")
+          .resolve("t").toString
+        graft.queries.Ento.lightTrap(s, dir)
+          .write.parquet(scratch)
+        val lt = s.read.parquet(scratch)
         graft.queries.Ento.sponsorTubes(lt).select(lit(1L).as("one"))
           .unionAll(graft.queries.Ento.labTemplate(s, dir, lt)
             .select(lit(1L).as("one")))

@@ -577,6 +577,142 @@ object Analytics {
           ltv(2).as("ltv_w2"), ltv(3).as("ltv_w3"))
     },
 
+    // ---- A60: pass@k (the unbiased code-eval estimator) ---------------------
+    // The metric every LLM code benchmark reports (Chen et al. 2021,
+    // HumanEval): per task, n samples of which c pass; pass@k =
+    // 1 − C(n−c,k)/C(n,k), estimated WITHOUT the biased empirical
+    // 1−(1−c/n)^k. The binomial ratio telescopes to falling factorials
+    // — Π_{i<k}(n−c−i) / Π_{i<k}(n−i) — computed as exact
+    // DECIMAL(38,0)/HUGEINT products (n^5 leaves BIGINT at ~6k
+    // samples/task) and ONE double division; n−c < k short-circuits to
+    // pass@k = 1 before a zero/negative factor can touch the product.
+    // Fixture: tasks and pass verdicts synthesized from lineitem. One
+    // hash aggregate; everything after is task-cardinality.
+    Query("a60_pass_at_k",
+      """WITH s AS (
+        |  SELECT l_partkey % 100 AS task_id,
+        |         CASE WHEN (l_orderkey * 7 + l_linenumber) % 4 = 0
+        |              THEN 1 ELSE 0 END AS pass
+        |  FROM lineitem),
+        |t AS (SELECT task_id, count(*) AS n, sum(pass) AS c
+        |      FROM s GROUP BY 1)
+        |SELECT CAST(task_id AS BIGINT) AS task_id,
+        |       CAST(n AS BIGINT) AS n, CAST(c AS BIGINT) AS c,
+        |       round(CAST(c AS DOUBLE) / n, 9) AS pass_at_1,
+        |       CASE WHEN n - c < 5 THEN CAST(1.0 AS DOUBLE)
+        |            ELSE round(1.0 -
+        |              CAST(CAST(n-c AS HUGEINT) * (n-c-1) * (n-c-2)
+        |                   * (n-c-3) * (n-c-4) AS DOUBLE)
+        |              / CAST(CAST(n AS HUGEINT) * (n-1) * (n-2)
+        |                     * (n-3) * (n-4) AS DOUBLE), 9)
+        |       END AS pass_at_5
+        |FROM t WHERE n >= 5""".stripMargin) { (s, d) =>
+      val t = Tables.lineitem(s, d)
+        .select((col("l_partkey") % 100).as("task_id"),
+          when((col("l_orderkey") * 7 + col("l_linenumber")) % 4 === 0, 1L)
+            .otherwise(0L).as("pass"))
+        .groupBy("task_id")
+        .agg(count(lit(1)).as("n"), sum("pass").as("c"))
+      val dec = "decimal(38,0)"
+      def fall(base: org.apache.spark.sql.Column) =
+        (0 until 5).map(i => base - i)
+          .foldLeft(lit(1).cast(dec))((acc, f) => acc * f).cast("double")
+      t.filter(col("n") >= 5)
+        .select(col("task_id").cast("long").as("task_id"),
+          col("n").cast("long").as("n"), col("c").cast("long").as("c"),
+          round(col("c").cast("double") / col("n"), 9).as("pass_at_1"),
+          when(col("n") - col("c") < 5, lit(1.0))
+            .otherwise(round(lit(1.0)
+              - fall(col("n") - col("c")) / fall(col("n")), 9))
+            .as("pass_at_5"))
+    },
+
+    // ---- A61: Brier score + Murphy decomposition ---------------------------
+    // a55 reports calibration bins; this row reduces forecast quality to
+    // the standard three-way split: Brier = reliability − resolution +
+    // uncertainty (Murphy 1973), over probability forecasts bucketed
+    // into 10 fixed bins. Probabilities live on a milli-unit grid by
+    // construction, so every bin sum (Σp, Σo, Σp², Σpo) is an exact
+    // BIGINT and each output is one fixed-order double expression over
+    // exact inputs. Reliability measures miscalibration (p̄_b vs ō_b),
+    // resolution measures discrimination (ō_b vs ō) — a52's AUC ranks,
+    // this scores. Fixture: forecasts/outcomes synthesized from orders
+    // with outcome rate tracking the forecast, so the decomposition is
+    // non-degenerate. One hash aggregate, bin-cardinality epilogue.
+    Query("a61_brier_decomposition",
+      """WITH f AS (
+        |  SELECT (o_orderkey * 37) % 1000 AS pm,
+        |         CASE WHEN (o_orderkey * 13 + o_custkey) % 1000
+        |                   < (o_orderkey * 37) % 1000
+        |              THEN 1 ELSE 0 END AS o
+        |  FROM orders),
+        |b AS (
+        |  SELECT pm // 100 AS bin, count(*) AS nb,
+        |         sum(pm) AS sp, sum(o) AS so,
+        |         sum(CAST(pm AS HUGEINT) * pm) AS spp,
+        |         sum(CAST(pm AS HUGEINT) * o * 1000) AS spo
+        |  FROM f GROUP BY 1),
+        |tot AS (SELECT sum(nb) AS n, sum(so) AS sot FROM b),
+        |terms AS (
+        |  SELECT CAST(round(nb * (CAST(sp AS DOUBLE) / nb / 1000
+        |                          - CAST(so AS DOUBLE) / nb)
+        |                       * (CAST(sp AS DOUBLE) / nb / 1000
+        |                          - CAST(so AS DOUBLE) / nb), 9)
+        |              AS DECIMAL(20,9)) AS rel_t,
+        |         CAST(round(nb * (CAST(so AS DOUBLE) / nb
+        |                          - CAST(sot AS DOUBLE) / n)
+        |                       * (CAST(so AS DOUBLE) / nb
+        |                          - CAST(sot AS DOUBLE) / n), 9)
+        |              AS DECIMAL(20,9)) AS res_t,
+        |         CAST(spp AS DOUBLE) / 1000000 - 2.0 * CAST(spo AS DOUBLE) / 1000000
+        |           + CAST(so AS DOUBLE) AS brier_num
+        |  FROM b CROSS JOIN tot),
+        |agg AS (SELECT sum(rel_t) AS rel, sum(res_t) AS res,
+        |               CAST(sum(CAST(round(brier_num, 6) AS DECIMAL(18,6)))
+        |                    AS DOUBLE) AS bn
+        |        FROM terms)
+        |SELECT round(bn / n, 9) AS brier,
+        |       round(CAST(rel AS DOUBLE) / n, 9) AS reliability,
+        |       round(CAST(res AS DOUBLE) / n, 9) AS resolution,
+        |       round(CAST(sot AS DOUBLE) / n
+        |             * (1.0 - CAST(sot AS DOUBLE) / n), 9) AS uncertainty,
+        |       CAST(n AS BIGINT) AS n
+        |FROM agg CROSS JOIN tot""".stripMargin) { (s, d) =>
+      val f = Tables.orders(s, d)
+        .select(((col("o_orderkey") * 37) % 1000).as("pm"),
+          when((col("o_orderkey") * 13 + col("o_custkey")) % 1000
+            < (col("o_orderkey") * 37) % 1000, 1L).otherwise(0L).as("o"))
+      val dec = "decimal(38,0)"
+      val b = f.groupBy(expr("pm div 100").as("bin"))
+        .agg(count(lit(1)).as("nb"), sum("pm").as("sp"), sum("o").as("so"),
+          sum((col("pm").cast(dec) * col("pm"))).as("spp"),
+          sum((col("pm").cast(dec) * col("o") * 1000)).as("spo"))
+      val tot = b.agg(sum("nb").as("n"), sum("so").as("sot"))
+      val dRel = col("sp").cast("double") / col("nb") / 1000 -
+        col("so").cast("double") / col("nb")
+      val dRes = col("so").cast("double") / col("nb") -
+        col("sot").cast("double") / col("n")
+      val terms = b.crossJoin(broadcast(tot)).select(
+        round(col("nb") * dRel * dRel, 9)
+          .cast("decimal(20,9)").as("rel_t"),
+        round(col("nb") * dRes * dRes, 9)
+          .cast("decimal(20,9)").as("res_t"),
+        (col("spp").cast("double") / 1000000
+          - lit(2.0) * col("spo").cast("double") / 1000000
+          + col("so").cast("double")).as("brier_num"))
+      val agg = terms.agg(sum("rel_t").as("rel"), sum("res_t").as("res"),
+        sum(round(col("brier_num"), 6).cast("decimal(18,6)"))
+          .cast("double").as("bn"))
+      agg.crossJoin(broadcast(tot)).select(
+        round(col("bn") / col("n"), 9).as("brier"),
+        round(col("rel").cast("double") / col("n"), 9).as("reliability"),
+        round(col("res").cast("double") / col("n"), 9).as("resolution"),
+        round(col("sot").cast("double") / col("n")
+          * (lit(1.0) - col("sot").cast("double") / col("n")), 9)
+          .as("uncertainty"),
+        col("n").cast("long").as("n"))
+    },
+
     // ---- A59: seasonality / trend strength (Hyndman's F-measures) ----------
     // w34 produces the decomposition; a59 reduces it to the two numbers
     // a monitoring catalog stores per series: F_seasonal =

@@ -874,6 +874,91 @@ object SimilaritySearch {
       }
     },
 
+    // ---- S52: tombstone deletions over the persisted ANN index -------------
+    // The index-MAINTENANCE case s28 (build/persist) and s32 (filtered
+    // read) don't cover: vectors deleted after the index was built — a
+    // takedown, a TTL, a user erasure — must vanish from results
+    // WITHOUT an index rebuild. The store keeps its stale assignments;
+    // a tombstone set (id-only, manifest-sized) anti-joins the probed
+    // candidates before ranking, and deleted ids are barred as queries
+    // too. Compaction (io-family) eventually folds tombstones into a
+    // rewrite; until then every search is rebuild-free and the
+    // anti-join costs one broadcast of ids. Same literal centroids as
+    // s28, so the oracle replays build + delete + search end to end.
+    {
+      val nCells = 8
+      val cvecs = Similarity.hyperplanes(1, nCells, 64)
+      val centValues = cvecs.zipWithIndex
+        .map { case (c, r) => s"($r, [${c.mkString(", ")}])" }
+        .mkString(",\n        ")
+      Query("s52_ann_tombstones",
+        s"""WITH cents(cell_id, c) AS (VALUES
+          |        $centValues),
+          |dist AS (
+          |  SELECT vec_id, cell_id,
+          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |           list_transform(range(1, 65),
+          |             i -> (CAST(embedding[i] AS DOUBLE) - c[i])
+          |                  * (CAST(embedding[i] AS DOUBLE) - c[i]))),
+          |           (a, x) -> a + x) AS d
+          |  FROM embeddings CROSS JOIN cents),
+          |del AS (SELECT vec_id FROM embeddings WHERE vec_id % 7 = 3),
+          |assigned AS (SELECT vec_id, cell_id FROM (
+          |  SELECT vec_id, cell_id,
+          |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+          |  FROM dist) WHERE rn = 1),
+          |live AS (SELECT assigned.* FROM assigned ANTI JOIN del USING (vec_id)),
+          |probes AS (SELECT vec_id AS query_id, cell_id FROM (
+          |  SELECT vec_id, cell_id,
+          |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+          |  FROM dist WHERE vec_id < 10 AND vec_id % 7 <> 3) WHERE rn <= 3),
+          |cand AS (
+          |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+          |  FROM probes p JOIN live a USING (cell_id)
+          |  WHERE a.vec_id <> p.query_id),
+          |cosd AS (
+          |  SELECT query_id, neighbor_id,
+          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |           list_transform(range(1, 65),
+          |             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+          |           (a, x) -> a + x)
+          |         / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |              list_transform(range(1, 65),
+          |                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))),
+          |              (a, x) -> a + x))
+          |            * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |                list_transform(range(1, 65),
+          |                  i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+          |                (a, x) -> a + x))) AS cos
+          |  FROM cand JOIN embeddings q ON q.vec_id = query_id
+          |            JOIN embeddings c ON c.vec_id = neighbor_id)
+          |SELECT query_id, neighbor_id, cos FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id
+          |                               ORDER BY cos DESC, neighbor_id) AS rn
+          |  FROM cosd) WHERE rn <= 3""".stripMargin) { (s, d) =>
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+        val cents = cvecs.zipWithIndex.map { case (c, r) => (r.toLong, c) }
+          .toDF("cell_id", "c_vec")
+        // BUILD + PERSIST (the s28 store), then DELETE without rebuild:
+        // the tombstone table is written beside the index and anti-joins
+        // the stored assignments at read time
+        val root = graft.core.TempDirs.scratch("graft_ivftomb_").toString
+        graft.operators.Ivf.assign(e, cents, "vec_id", "embedding")
+          .write.mode("overwrite").partitionBy("cell_id").parquet(s"$root/index")
+        e.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
+          .write.parquet(s"$root/tombstones")
+        val index = s.read.parquet(s"$root/index")
+          .withColumn("cell_id", col("cell_id").cast("long"))
+        val tomb = s.read.parquet(s"$root/tombstones")
+        val live = index.join(broadcast(tomb), Seq("vec_id"), "left_anti")
+        val q = e.filter(col("vec_id") < 10 && col("vec_id") % 7 =!= 3)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+        graft.operators.Ivf.searchAssigned(live, q, cents, "vec_id",
+          "embedding", nProbe = 3, k = 3)
+      }
+    },
+
     // ---- S32: FILTERED vector search over the persisted index --------------
     // The vector-DB hard case: top-k under a metadata predicate. Naive
     // post-filtering of an unfiltered top-k silently under-returns when

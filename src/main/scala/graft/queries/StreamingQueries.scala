@@ -1316,6 +1316,74 @@ object StreamingQueries {
               + lit(2.0) * (lit(0.9) * col("n") - col("bf90")) / col("c90"))
               .as("p90"))
       }
+    },
+
+    // ---- ST24: streaming decoded-stats maintenance (m12's stream twin) -----
+    // The multimodal ingest cadence served LIVE: image-id batches land
+    // as files, and foreachBatch folds each onto the versioned
+    // decoded-stats store via Multimodal.reconcileStats in APPEND-ONLY
+    // mode (arrivals, not corpus snapshots — absent ids persist). The
+    // (id, content-hash) manifest makes delivery idempotent: batch 2
+    // deliberately RE-DELIVERS a slice of batch 1, and the overlap
+    // decodes zero images — at-least-once file delivery folds to
+    // exactly-once decode work, the property a naive append blows up
+    // on. The oracle replays the final table's aggregate from the pixel
+    // formula; batch/stream parity with m12's one-shot table is pinned
+    // by construction (same operator, same store layout).
+    Query("st24_stream_decoded_stats",
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         CAST(sum((doc_id*7 + 3*x.x + 5*y.y) % 256) AS BIGINT) AS sr
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(range(32)) AS x) x,
+        |       LATERAL (SELECT unnest(range(32)) AS y) y
+        |  GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_images,
+        |       CAST(count(*) * 1024 AS BIGINT) AS n_px,
+        |       CAST(sum(sr) AS BIGINT) AS sum_r
+        |FROM s""".stripMargin) {
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val ids = ss.read.parquet(s"$d/documents.parquet").select("doc_id")
+        val landing = graft.core.TempDirs.scratch("st24_landing_")
+        def stage(df: org.apache.spark.sql.DataFrame, name: String,
+                  mtime: Long): Unit = {
+          val tmp = graft.core.TempDirs.scratch("st24_b_").toString
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val f = listDir(tmp).filter(_.endsWith(".parquet")).head
+          val dst = landing.resolve(name)
+          Files.copy(Paths.get(f), dst)
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+        }
+        // batch 2 re-delivers the doc_id % 3 == 1 slice of batch 1: the
+        // manifest must fold the overlap to zero re-decodes
+        stage(ids.filter(col("doc_id") % 3 < 2), "b1.parquet", 1000000L)
+        stage(ids.filter(col("doc_id") % 3 >= 1), "b2.parquet", 2000000L)
+        val store = graft.core.TempDirs.scratch("st24_store_").toString
+        val src = Streams.fileSource(ss, landing.toString, ids.schema,
+          maxFilesPerTrigger = Some(1))
+        var finalPath = ""
+        val q = src.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val withP = graft.operators.Multimodal.withImagePayload(
+              batch, "doc_id")
+            val (_, _, p) = graft.operators.Multimodal.reconcileStats(
+              ss, withP, "doc_id", "payload", store, dropMissing = false)
+            finalPath = p
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        ss.read.parquet(finalPath)
+          .agg(count(lit(1)).as("n_images"),
+            sum("n_px").cast("long").as("n_px"),
+            sum("sr").cast("long").as("sum_r"))
+          .select(col("n_images").cast("long").as("n_images"),
+            col("n_px"), col("sum_r"))
+      }
     }
   )
 }

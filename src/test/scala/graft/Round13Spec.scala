@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Value pins for the round-13 rows whose oracles prove cross-engine
+  * equality but not adversarial semantics: pass@k against brute-force
+  * combinatorics, the Murphy decomposition's inequalities, and tombstone
+  * exclusion. */
+class Round13Spec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("a60: pass@5 matches brute-force binomials and dominates the biased estimator") {
+    val out = SparkEntry.queries("a60_pass_at_k")(spark, sf)
+      .select("task_id", "n", "c", "pass_at_1", "pass_at_5").collect()
+    assert(out.nonEmpty)
+    def choose(n: Long, k: Long): BigInt =
+      if (k < 0 || k > n) BigInt(0)
+      else (BigInt(n - k + 1) to BigInt(n)).product / (BigInt(1) to BigInt(k)).product
+    out.foreach { r =>
+      val (n, c) = (r.getLong(1), r.getLong(2))
+      val want = 1.0 - (BigDecimal(choose(n - c, 5)) / BigDecimal(choose(n, 5))).toDouble
+      val got = r.getDouble(4)
+      assert(math.abs(got - want) < 1e-8,
+        s"task ${r.getLong(0)}: pass@5 $got vs brute-force $want (n=$n c=$c)")
+      // the unbiased estimator dominates the biased 1-(1-c/n)^k
+      val biased = 1.0 - math.pow(1.0 - c.toDouble / n, 5)
+      assert(got >= biased - 1e-9, s"unbiased $got < biased $biased")
+      assert(got >= r.getDouble(3) - 1e-9, "pass@5 must be >= pass@1")
+    }
+  }
+
+  test("a61: Murphy decomposition inequalities and ranges") {
+    val r = SparkEntry.queries("a61_brier_decomposition")(spark, sf).head()
+    val (brier, rel, res, unc) =
+      (r.getAs[Double]("brier"), r.getAs[Double]("reliability"),
+        r.getAs[Double]("resolution"), r.getAs[Double]("uncertainty"))
+    assert(brier >= 0 && brier <= 1 && rel >= 0 && res >= 0)
+    assert(unc >= 0 && unc <= 0.25, "uncertainty = obar(1-obar) caps at 1/4")
+    // binned decomposition: brier = rel - res + unc + (within-bin
+    // forecast variance) - 2(within-bin p,o covariance). With 0.1-wide
+    // bins, |WBV| <= 0.05^2 and |cov| <= 0.05*0.5, so the residual is
+    // bounded by ~0.053 — the identity holds to bin width, no tighter
+    // (the fixture's outcome tracks its forecast, so the covariance
+    // term is genuinely nonzero)
+    assert(math.abs(brier - (rel - res + unc)) <= 0.053,
+      s"brier $brier vs rel-res+unc ${rel - res + unc}: residual beyond bin-width bound")
+    assert(res <= unc + 1e-9, "resolution cannot exceed uncertainty")
+  }
+
+  test("s52: tombstoned vectors appear as neither queries nor neighbors") {
+    val out = SparkEntry.queries("s52_ann_tombstones")(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) % 7 != 3, s"deleted id ${r.getLong(0)} used as query")
+      assert(r.getLong(1) % 7 != 3, s"deleted id ${r.getLong(1)} returned as neighbor")
+    }
+  }
+
+  test("reconcileStats append-only mode keeps absent ids and skips re-delivery") {
+    val store = graft.core.TempDirs.scratch("st24spec_").toString
+    val all = spark.range(6).select(col("id").as("doc_id"))
+    def present(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Multimodal.withImagePayload(df, "doc_id")
+    val (d1, t1, _) = graft.operators.Multimodal.reconcileStats(
+      spark, present(all.filter(col("doc_id") < 4)), "doc_id", "payload",
+      store, dropMissing = false)
+    assert((d1, t1) == ((4L, 4L)))
+    // arrival batch overlaps batch 1 (ids 2,3 re-delivered): only the
+    // genuinely new ids decode, absent ids 0,1 persist
+    val (d2, t2, _) = graft.operators.Multimodal.reconcileStats(
+      spark, present(all.filter(col("doc_id") >= 2)), "doc_id", "payload",
+      store, dropMissing = false)
+    assert((d2, t2) == ((2L, 6L)), s"got ($d2, $t2)")
+    // full re-delivery is a no-op
+    val (d3, t3, _) = graft.operators.Multimodal.reconcileStats(
+      spark, present(all), "doc_id", "payload", store, dropMissing = false)
+    assert((d3, t3) == ((0L, 6L)))
+  }
+}
