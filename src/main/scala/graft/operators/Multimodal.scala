@@ -339,10 +339,15 @@ object Multimodal {
     * decodePixels contract).
     *
     * Output: (id, content_hash, w, h, n_px, hist array<long>[256],
-    * sr, sg, sb, srr, sgg, sbb, srg, srb, sgb,
-    * n_gx, sum_gx, n_gy, sum_gy).
+    * r_mode, r_mode_n, r_entropy, sr, sg, sb, srr, sgg, sbb, srg, srb,
+    * sgb, n_gx, sum_gx, n_gy, sum_gy).
+    *
+    * `withHash = false` skips the md5 content hash (emits "") — for the
+    * EPHEMERAL per-run shared build, which needs no incremental
+    * identity; the persistent reconcileStats store always hashes.
     */
-  def decodeStats(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+  def decodeStats(df: DataFrame, idCol: String, payloadCol: String,
+                  withHash: Boolean = true): DataFrame = {
     require(df.schema(payloadCol).dataType == BinaryType,
       s"decodeStats: '$payloadCol' must be BINARY, got " +
         df.schema(payloadCol).dataType.simpleString)
@@ -357,6 +362,8 @@ object Multimodal {
       StructField("w", IntegerType), StructField("h", IntegerType),
       StructField("n_px", LongType),
       StructField("hist", ArrayType(LongType, containsNull = false)),
+      StructField("r_mode", IntegerType), StructField("r_mode_n", LongType),
+      StructField("r_entropy", DoubleType),
       StructField("sr", LongType), StructField("sg", LongType),
       StructField("sb", LongType), StructField("srr", LongType),
       StructField("sgg", LongType), StructField("sbb", LongType),
@@ -368,12 +375,35 @@ object Multimodal {
       ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     in.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
+      // entropy terms depend only on (count, n_px): memoize per distinct
+      // n_px — for a fixed-size corpus that is ~n_px BigDecimal
+      // constructions per PARTITION instead of ~250 per image (the
+      // naive fold's Double.toString traffic measured ~50 s at 100x)
+      val termCache =
+        scala.collection.mutable.HashMap.empty[Long, Array[java.math.BigDecimal]]
+      def entropyTerm(c: Long, n: Long): java.math.BigDecimal = {
+        val arr = termCache.getOrElseUpdate(n,
+          new Array[java.math.BigDecimal](math.min(n, 1 << 22).toInt + 1))
+        if (c < arr.length && arr(c.toInt) != null) arr(c.toInt)
+        else {
+          val p = c / n.toDouble
+          val raw = (0.0 - p) * math.log(p)
+          val r6 = java.math.BigDecimal.valueOf(raw)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          val t = java.math.BigDecimal.valueOf(r6)
+            .setScale(6, java.math.RoundingMode.HALF_UP)
+          if (c < arr.length) arr(c.toInt) = t
+          t
+        }
+      }
       it.flatMap { row =>
         val id = row.getLong(0)
         val bytes = row.getAs[Array[Byte]](1)
         decodePngSafe(bytes).iterator.map { case (w, h, px) =>
           md.reset()
-          val hash = md.digest(bytes).map("%02x".format(_)).mkString
+          val hash =
+            if (withHash) md.digest(bytes).map("%02x".format(_)).mkString
+            else ""
           val hist = new Array[Long](256)
           var sr = 0L; var sg = 0L; var sb = 0L
           var srr = 0L; var sgg = 0L; var sbb = 0L
@@ -395,7 +425,26 @@ object Multimodal {
             }
             y += 1
           }
+          // mode + entropy fold here, in the kernel: the Catalyst
+          // decimal aggregate over the 256-bin array measured ~75 s of
+          // interpreted BigDecimal work at 100x. The arithmetic
+          // replicates Spark's round(double, 6) → cast(decimal(18,6))
+          // pipeline EXACTLY (BigDecimal.valueOf = Double.toString
+          // shortest round-trip, HALF_UP both steps; ln is the same
+          // JVM Math.log Spark's codegen calls), so the value is
+          // bit-identical to the expression form the oracle matched.
+          // Decimal addition is exact — bin order can't move a bit.
+          var mode = 0; var modeN = 0L
+          var ent = java.math.BigDecimal.ZERO
+          var bi = 0
+          while (bi < 256) {
+            val c = hist(bi)
+            if (c > modeN) { modeN = c; mode = bi }
+            if (c > 0L) ent = ent.add(entropyTerm(c, w.toLong * h))
+            bi += 1
+          }
           Row(id, hash, w, h, w.toLong * h, hist.toSeq,
+            mode, modeN, ent.doubleValue(),
             sr, sg, sb, srr, sgg, sbb, srg, srb, sgb,
             (w - 1).toLong * h, sgx, w.toLong * (h - 1), sgy)
         }
@@ -403,31 +452,15 @@ object Multimodal {
     }
   }
 
-  /** Reduce the in-flight 256-bin histogram to the three scalars m09
-    * serves (mode with smallest-value tiebreak = array_position's
-    * first-occurrence; entropy as the 6dp-decimal fold — decimal
-    * addition is exact, so the fold order can't move a bit vs a SQL
-    * hash-agg sum). Runs in the SAME codegen stage as the decode, so
-    * the array never hits storage: persisting raw histograms measured
-    * +100 s of pure parquet-write at 100x (500k × 2 KB) against 111 s
-    * for the decode itself. Any new histogram-derived stat gets added
-    * HERE, next to the decode, not downstream of the store.
+  /** The stored projection of [[decodeStats]]: everything except the
+    * raw 256-bin histogram array, whose scalars (mode, mode count,
+    * entropy) the kernel already folded during the decode. Persisting
+    * the raw arrays measured +100 s of pure parquet-write at 100x
+    * (500k × 2 KB) against 111 s for the decode itself — the array
+    * exists only in flight. Any new histogram-derived stat gets added
+    * in the decode kernel, not downstream of the store.
     */
-  def reduceStats(stats: DataFrame): DataFrame =
-    stats.select(col("id"), col("content_hash"), col("w"), col("h"),
-      col("n_px"),
-      (expr("array_position(hist, array_max(hist))") - 1)
-        .cast("int").as("r_mode"),
-      expr("array_max(hist)").cast("long").as("r_mode_n"),
-      expr("""cast(aggregate(filter(hist, c -> c > 0),
-        cast(0 as decimal(38,6)),
-        (acc, c) -> cast(acc + cast(round(
-          (0.0 - c / cast(n_px as double)) * ln(c / cast(n_px as double)),
-          6) as decimal(18,6)) as decimal(38,6))) as double)""")
-        .as("r_entropy"),
-      col("sr"), col("sg"), col("sb"), col("srr"), col("sgg"), col("sbb"),
-      col("srg"), col("srb"), col("sgb"),
-      col("n_gx"), col("sum_gx"), col("n_gy"), col("sum_gy"))
+  def reduceStats(stats: DataFrame): DataFrame = stats.drop("hist")
 
   /** Incremental decoded-stats maintenance (the io16 manifest pattern
     * applied to the decode family): reconcile the stored stats table

@@ -39,7 +39,8 @@ object MultimodalQueries {
           // at 100x (500k x 2 KB) while the decode+arithmetic itself is
           // 111 s — the array never needs to outlive the build stage.
           Multimodal.reduceStats(
-              Multimodal.decodeStats(withP, "doc_id", "payload"))
+              Multimodal.decodeStats(withP, "doc_id", "payload",
+                withHash = false))
             .write.parquet(dir)
           dir
         })
