@@ -627,6 +627,63 @@ object Analytics {
             .as("pass_at_5"))
     },
 
+    // ---- A62: Cohen's kappa (inter-annotator / model agreement) ------------
+    // The agreement statistic every labeling pipeline reports before
+    // trusting its annotations (two raters here — e.g. a model vs a
+    // human pass over the same items): kappa = (p_o − p_e)/(1 − p_e),
+    // computed in the all-integer identity form
+    // (n·Σdiag − Σ_k row_k·col_k) / (n² − Σ_k row_k·col_k) — exact
+    // DECIMAL(38,0)/HUGEINT products, ONE double division at the end.
+    // Same one-scan contingency shape as a54/a56: marginals derive from
+    // the (a, b) hash aggregate, everything after is level-product-
+    // sized. Fixture: two deterministic 4-way raters from orders with
+    // genuine partial agreement.
+    Query("a62_cohens_kappa",
+      """WITH r AS (
+        |  SELECT (o_orderkey * 7) % 4 AS a,
+        |         CASE WHEN o_orderkey % 3 = 0 THEN (o_custkey * 5) % 4
+        |              ELSE (o_orderkey * 7) % 4 END AS b
+        |  FROM orders),
+        |t AS (SELECT a, b, count(*) AS o FROM r GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(o) AS na FROM t GROUP BY 1),
+        |cb AS (SELECT b, sum(o) AS nb FROM t GROUP BY 1),
+        |n AS (SELECT sum(o) AS n,
+        |             sum(CASE WHEN a = b THEN o ELSE 0 END) AS diag
+        |      FROM t),
+        |pe AS (SELECT sum(CAST(na AS HUGEINT) * nb) AS chance
+        |       FROM ra JOIN cb ON ra.a = cb.b)
+        |SELECT CAST(n.n AS BIGINT) AS n, CAST(n.diag AS BIGINT) AS n_agree,
+        |       round(CAST(n.diag AS DOUBLE) / n.n, 9) AS p_o,
+        |       round(CAST(pe.chance AS DOUBLE)
+        |             / CAST(CAST(n.n AS HUGEINT) * n.n AS DOUBLE), 9) AS p_e,
+        |       round(CAST(CAST(n.n AS HUGEINT) * n.diag - pe.chance AS DOUBLE)
+        |             / CAST(CAST(n.n AS HUGEINT) * n.n - pe.chance AS DOUBLE), 9)
+        |         AS kappa
+        |FROM n CROSS JOIN pe""".stripMargin) { (s, d) =>
+      val dec = "decimal(38,0)"
+      val r = Tables.orders(s, d).select(
+        ((col("o_orderkey") * 7) % 4).as("a"),
+        when(col("o_orderkey") % 3 === 0, (col("o_custkey") * 5) % 4)
+          .otherwise((col("o_orderkey") * 7) % 4).as("b"))
+      val t = r.groupBy("a", "b").agg(count(lit(1)).as("o"))
+        .localCheckpoint() // marginals + totals share one scan
+      val ra = t.groupBy("a").agg(sum("o").as("na"))
+      val cb = t.groupBy("b").agg(sum("o").as("nb"))
+      val n = t.agg(sum("o").as("n"),
+        sum(when(col("a") === col("b"), col("o")).otherwise(0L)).as("diag"))
+      val pe = ra.join(cb, col("a") === col("b"))
+        .agg(sum(col("na").cast(dec) * col("nb")).as("chance"))
+      n.crossJoin(broadcast(pe)).select(
+        col("n").cast("long").as("n"),
+        col("diag").cast("long").as("n_agree"),
+        round(col("diag").cast("double") / col("n"), 9).as("p_o"),
+        round(col("chance").cast("double")
+          / (col("n").cast(dec) * col("n")).cast("double"), 9).as("p_e"),
+        round((col("n").cast(dec) * col("diag") - col("chance")).cast("double")
+          / (col("n").cast(dec) * col("n") - col("chance")).cast("double"), 9)
+          .as("kappa"))
+    },
+
     // ---- A61: Brier score + Murphy decomposition ---------------------------
     // a55 reports calibration bins; this row reduces forecast quality to
     // the standard three-way split: Brier = reliability − resolution +

@@ -476,6 +476,80 @@ object SinkQueries {
           when(col("last_seen") >= 2, "live").otherwise("orphan").as("status"))
     },
 
+    // ---- io25: tombstone compaction (the s52 lifecycle's write half) --------
+    // s52 serves deletes rebuild-free by anti-joining tombstones at read
+    // time; tombstones accumulate, and eventually a COMPACTION folds
+    // them into one partition-preserving rewrite so reads stop paying
+    // the anti-join. This row runs the full lifecycle: build the
+    // partitioned index store, land a tombstone set, rewrite v2 =
+    // v1 ANTI tombstones (the only data pass), and emit a per-cell
+    // audit — counts before/removed/after plus an order-canonical md5
+    // of the surviving ids, which the oracle recomputes from the
+    // literal-centroid assignment directly: a compaction that drops a
+    // live row, resurrects a deleted one, or shuffles a cell boundary
+    // hash-mismatches. Scale: the rewrite is one anti-join scan
+    // partitioned by cell; the audit is cell-cardinality.
+    {
+      val nCells = 8
+      val cvecs = graft.functions.Similarity.hyperplanes(1, nCells, 64)
+      val centValues = cvecs.zipWithIndex
+        .map { case (c, r) => s"($r, [${c.mkString(", ")}])" }
+        .mkString(",\n        ")
+      Query("io25_tombstone_compaction",
+        s"""WITH cents(cell_id, c) AS (VALUES
+          |        $centValues),
+          |dist AS (
+          |  SELECT vec_id, cell_id,
+          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |           list_transform(range(1, 65),
+          |             i -> (CAST(embedding[i] AS DOUBLE) - c[i])
+          |                  * (CAST(embedding[i] AS DOUBLE) - c[i]))),
+          |           (a, x) -> a + x) AS d
+          |  FROM embeddings CROSS JOIN cents),
+          |assigned AS (SELECT vec_id, cell_id FROM (
+          |  SELECT vec_id, cell_id,
+          |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+          |  FROM dist) WHERE rn = 1),
+          |live AS (SELECT * FROM assigned WHERE vec_id % 7 <> 3)
+          |SELECT a.cell_id, CAST(count(*) AS BIGINT) AS n_before,
+          |       CAST(count(*) FILTER (WHERE a.vec_id % 7 = 3) AS BIGINT)
+          |         AS n_removed,
+          |       CAST(count(*) FILTER (WHERE a.vec_id % 7 <> 3) AS BIGINT)
+          |         AS n_after,
+          |       md5(string_agg(CAST(a.vec_id AS VARCHAR), ',' ORDER BY a.vec_id)
+          |           FILTER (WHERE a.vec_id % 7 <> 3)) AS ids_md5
+          |FROM assigned a GROUP BY 1""".stripMargin) { (s, d) =>
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+        val cents = cvecs.zipWithIndex.map { case (c, r) => (r.toLong, c) }
+          .toDF("cell_id", "c_vec")
+        val root = graft.core.TempDirs.scratch("io25_").toString
+        graft.operators.Ivf.assign(e, cents, "vec_id", "embedding")
+          .write.partitionBy("cell_id").parquet(s"$root/v1")
+        e.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
+          .write.parquet(s"$root/tombstones")
+        val v1 = s.read.parquet(s"$root/v1")
+          .withColumn("cell_id", col("cell_id").cast("long"))
+        val tomb = s.read.parquet(s"$root/tombstones")
+        // COMPACTION: one partition-preserving rewrite folding the
+        // tombstones in; reads of v2 need no anti-join
+        v1.join(broadcast(tomb), Seq("vec_id"), "left_anti")
+          .write.partitionBy("cell_id").parquet(s"$root/v2")
+        val v2 = s.read.parquet(s"$root/v2")
+          .withColumn("cell_id", col("cell_id").cast("long"))
+        val before = v1.groupBy("cell_id").agg(count(lit(1)).as("n_before"))
+        val after = v2.groupBy("cell_id")
+          .agg(count(lit(1)).as("n_after"),
+            md5(concat_ws(",",
+              transform(sort_array(collect_list(col("vec_id"))),
+                v => v.cast("string")))).as("ids_md5"))
+        before.join(after, "cell_id")
+          .select(col("cell_id"), col("n_before").cast("long").as("n_before"),
+            (col("n_before") - col("n_after")).cast("long").as("n_removed"),
+            col("n_after").cast("long").as("n_after"), col("ids_md5"))
+      }
+    },
+
     Query("io01_history_roundtrip",
       """SELECT CAST(DATE '2026-01-01' + CAST(o_orderkey % 3 AS INT) AS VARCHAR) AS pd,
         |       o_orderstatus, count(*) AS n,

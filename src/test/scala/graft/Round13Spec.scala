@@ -58,6 +58,31 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("a62: kappa reconciles with its own p_o/p_e and sits strictly below p_o") {
+    val r = SparkEntry.queries("a62_cohens_kappa")(spark, sf).head()
+    val (po, pe, kappa) =
+      (r.getAs[Double]("p_o"), r.getAs[Double]("p_e"), r.getAs[Double]("kappa"))
+    assert(kappa >= -1.0 && kappa <= 1.0)
+    assert(po > pe, "fixture has genuine above-chance agreement")
+    assert(kappa < po, "chance correction must shrink raw agreement")
+    assert(math.abs(kappa - (po - pe) / (1.0 - pe)) < 1e-6,
+      s"kappa $kappa vs identity ${(po - pe) / (1.0 - pe)}")
+  }
+
+  test("io25: compaction preserves live rows exactly, removes only tombstones") {
+    val out = SparkEntry.queries("io25_tombstone_compaction")(spark, sf)
+      .select("n_before", "n_removed", "n_after").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1) + r.getLong(2),
+        "before = removed + after must hold per cell")
+    }
+    val totalAfter = out.map(_.getLong(2)).sum
+    val live = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") % 7 =!= 3).count()
+    assert(totalAfter == live, "compacted store must hold exactly the live set")
+  }
+
   test("reconcileStats append-only mode keeps absent ids and skips re-delivery") {
     val store = graft.core.TempDirs.scratch("st24spec_").toString
     val all = spark.range(6).select(col("id").as("doc_id"))
