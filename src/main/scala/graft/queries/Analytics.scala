@@ -627,6 +627,92 @@ object Analytics {
             .as("pass_at_5"))
     },
 
+    // ---- A63: Bradley-Terry preference ratings (arena-style eval) ----------
+    // The model-ranking fit behind every pairwise-preference
+    // leaderboard: strengths π from win/loss comparisons via 3
+    // deterministic MM rounds (Hunter 2004), π_i ← W_i / Σ_j n_ij/(π_i+π_j).
+    // Each denominator term rounds to a 6dp DECIMAL before the sum —
+    // exact, order-independent — so the doubles that enter round r+1
+    // are bit-identical on both engines and the whole loop unrolls as
+    // SQL CTEs (the s19/Lloyd precedent applied to a float fixpoint).
+    // The FIXTURE is itself Bradley-Terry: matchup (a, b) is decided by
+    // h % (a+b+2) < a+1, i.e. true strengths 1..8 — so the fit's
+    // ordering recovering 0..7 is a semantic check, not a coincidence
+    // (Round13Spec pins monotonicity). Comparison volume aggregates in
+    // ONE hash pass; everything after is model-pair-cardinality.
+    Query("a63_bradley_terry",
+      """WITH raw AS (
+        |  SELECT o_orderkey % 8 AS a, o_custkey % 8 AS b,
+        |         CASE WHEN (o_orderkey * 13 + o_custkey * 7)
+        |                   % (o_orderkey % 8 + o_custkey % 8 + 2)
+        |                   < o_orderkey % 8 + 1 THEN 1 ELSE 0 END AS aw
+        |  FROM orders WHERE o_orderkey % 8 <> o_custkey % 8),
+        |dir AS (
+        |  SELECT i, j, CAST(sum(w) AS BIGINT) AS w,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT a AS i, b AS j, aw AS w FROM raw
+        |        UNION ALL SELECT b, a, 1 - aw FROM raw)
+        |  GROUP BY 1, 2),
+        |wt AS (SELECT i, CAST(sum(w) AS BIGINT) AS wi,
+        |              CAST(sum(n) AS BIGINT) AS ni FROM dir GROUP BY 1),
+        |p0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS pi FROM wt),
+        |p1 AS MATERIALIZED (
+        |  SELECT d.i, CAST(wt.wi AS DOUBLE)
+        |         / CAST(sum(CAST(round(d.n / (x.pi + y.pi), 6)
+        |                         AS DECIMAL(18,6))) AS DOUBLE) AS pi
+        |  FROM dir d JOIN p0 x ON d.i = x.i JOIN p0 y ON d.j = y.i
+        |       JOIN wt ON wt.i = d.i
+        |  GROUP BY d.i, wt.wi),
+        |p2 AS MATERIALIZED (
+        |  SELECT d.i, CAST(wt.wi AS DOUBLE)
+        |         / CAST(sum(CAST(round(d.n / (x.pi + y.pi), 6)
+        |                         AS DECIMAL(18,6))) AS DOUBLE) AS pi
+        |  FROM dir d JOIN p1 x ON d.i = x.i JOIN p1 y ON d.j = y.i
+        |       JOIN wt ON wt.i = d.i
+        |  GROUP BY d.i, wt.wi),
+        |p3 AS MATERIALIZED (
+        |  SELECT d.i, CAST(wt.wi AS DOUBLE)
+        |         / CAST(sum(CAST(round(d.n / (x.pi + y.pi), 6)
+        |                         AS DECIMAL(18,6))) AS DOUBLE) AS pi
+        |  FROM dir d JOIN p2 x ON d.i = x.i JOIN p2 y ON d.j = y.i
+        |       JOIN wt ON wt.i = d.i
+        |  GROUP BY d.i, wt.wi),
+        |tot AS (SELECT sum(CAST(round(pi, 6) AS DECIMAL(18,6))) AS sp FROM p3)
+        |SELECT p3.i AS model, wt.wi AS n_wins, wt.ni AS n_games,
+        |       round(p3.pi, 9) AS pi,
+        |       round(p3.pi / CAST(tot.sp AS DOUBLE), 9) AS share
+        |FROM p3 JOIN wt ON p3.i = wt.i CROSS JOIN tot""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val raw = o.filter(col("o_orderkey") % 8 =!= col("o_custkey") % 8)
+        .select((col("o_orderkey") % 8).as("a"), (col("o_custkey") % 8).as("b"),
+          when((col("o_orderkey") * 13 + col("o_custkey") * 7)
+            % (col("o_orderkey") % 8 + col("o_custkey") % 8 + 2)
+            < col("o_orderkey") % 8 + 1, 1L).otherwise(0L).as("aw"))
+      val dir = raw.select(col("a").as("i"), col("b").as("j"), col("aw").as("w"))
+        .unionAll(raw.select(col("b"), col("a"), lit(1L) - col("aw")))
+        .groupBy("i", "j").agg(sum("w").as("w"), count(lit(1)).as("n"))
+        .localCheckpoint() // 56 rows drive 3 fixpoint rounds — one scan
+      val wt = dir.groupBy("i").agg(sum("w").as("wi"), sum("n").as("ni"))
+      var pi = wt.select(col("i"), lit(1.0).as("pi"))
+      for (_ <- 1 to 3) {
+        pi = dir
+          .join(broadcast(pi.select(col("i"), col("pi").as("pi_i"))), "i")
+          .join(broadcast(pi.select(col("i").as("j"), col("pi").as("pi_j"))), "j")
+          .groupBy("i")
+          .agg(sum(round(col("n") / (col("pi_i") + col("pi_j")), 6)
+            .cast("decimal(18,6)")).as("dsum"))
+          .join(broadcast(wt.select("i", "wi")), "i")
+          .select(col("i"),
+            (col("wi").cast("double") / col("dsum").cast("double")).as("pi"))
+      }
+      val tot = pi.agg(sum(round(col("pi"), 6).cast("decimal(18,6)")).as("sp"))
+      pi.join(broadcast(wt), "i").crossJoin(broadcast(tot))
+        .select(col("i").as("model"), col("wi").cast("long").as("n_wins"),
+          col("ni").cast("long").as("n_games"),
+          round(col("pi"), 9).as("pi"),
+          round(col("pi") / col("sp").cast("double"), 9).as("share"))
+    },
+
     // ---- A62: Cohen's kappa (inter-annotator / model agreement) ------------
     // The agreement statistic every labeling pipeline reports before
     // trusting its annotations (two raters here — e.g. a model vs a

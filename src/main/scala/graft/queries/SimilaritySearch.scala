@@ -959,6 +959,104 @@ object SimilaritySearch {
       }
     },
 
+    // ---- S53: upserts into the persisted ANN index (no retrain) ------------
+    // The third leg of index CRUD (s28 builds, s52/io25 delete): vectors
+    // that ARRIVE after the build are assigned against the FROZEN
+    // centroids and appended as a delta partition — no retrain, no
+    // rewrite of the base. A query unions base + delta (both already
+    // cell-keyed, so the probe join shape is unchanged); updated vectors
+    // (same id, new embedding) are superseded by a keep-latest rule on
+    // the version column. The oracle replays frozen-centroid assignment
+    // of both generations and the keep-latest pick. Scale: the append
+    // is delta-sized; the search cost is identical to s28's.
+    {
+      val nCells = 8
+      val cvecs = Similarity.hyperplanes(1, nCells, 64)
+      val centValues = cvecs.zipWithIndex
+        .map { case (c, r) => s"($r, [${c.mkString(", ")}])" }
+        .mkString(",\n        ")
+      Query("s53_ann_upserts",
+        s"""WITH cents(cell_id, c) AS (VALUES
+          |        $centValues),
+          |gen AS (
+          |  -- generation 0: ids with vec_id % 5 <> 2, original embedding;
+          |  -- generation 1 (the upsert batch): ids % 5 = 2 (inserts that
+          |  -- missed the build) plus ids % 11 = 4 (updates: the vector is
+          |  -- REPLACED by the embedding of vec_id+1, wrapping at the max)
+          |  SELECT vec_id, embedding, 0 AS ver FROM embeddings
+          |  WHERE vec_id % 5 <> 2
+          |  UNION ALL
+          |  SELECT vec_id, embedding, 1 FROM embeddings WHERE vec_id % 5 = 2
+          |  UNION ALL
+          |  SELECT e.vec_id, e2.embedding, 1
+          |  FROM embeddings e
+          |  JOIN embeddings e2
+          |    ON e2.vec_id = (e.vec_id + 1) % (SELECT max(vec_id) + 1
+          |                                     FROM embeddings)
+          |  WHERE e.vec_id % 11 = 4 AND e.vec_id % 5 <> 2),
+          |latest AS (
+          |  SELECT vec_id, embedding FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id
+          |                                 ORDER BY ver DESC) AS rn
+          |    FROM gen) WHERE rn = 1),
+          |dist AS (
+          |  SELECT vec_id, cell_id,
+          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |           list_transform(range(1, 65),
+          |             i -> (CAST(embedding[i] AS DOUBLE) - c[i])
+          |                  * (CAST(embedding[i] AS DOUBLE) - c[i]))),
+          |           (a, x) -> a + x) AS d
+          |  FROM latest CROSS JOIN cents),
+          |assigned AS (SELECT vec_id, cell_id FROM (
+          |  SELECT vec_id, cell_id,
+          |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+          |  FROM dist) WHERE rn = 1)
+          |SELECT cell_id, CAST(count(*) AS BIGINT) AS n_vectors,
+          |       md5(string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY vec_id))
+          |         AS ids_md5
+          |FROM assigned GROUP BY 1""".stripMargin) { (s, d) =>
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+        val cents = cvecs.zipWithIndex.map { case (c, r) => (r.toLong, c) }
+          .toDF("cell_id", "c_vec")
+        val root = graft.core.TempDirs.scratch("s53_").toString
+        val maxId = e.agg(max("vec_id")).head().getLong(0) + 1
+        // BUILD: generation 0 (the upsert batch's ids are absent)
+        graft.operators.Ivf.assign(
+            e.filter(col("vec_id") % 5 =!= 2), cents, "vec_id", "embedding")
+          .withColumn("ver", lit(0))
+          .write.partitionBy("cell_id").parquet(s"$root/base")
+        // UPSERT: assign the delta against the SAME frozen centroids and
+        // append — inserts (%5==2) plus updates (%11==4 gets the next
+        // id's embedding); nothing in the base rewrites
+        val delta = e.filter(col("vec_id") % 5 === 2)
+          .select(col("vec_id"), col("embedding"))
+          .unionByName(
+            e.filter(col("vec_id") % 11 === 4 && col("vec_id") % 5 =!= 2)
+              .select(col("vec_id"),
+                ((col("vec_id") + 1) % maxId).as("nk"))
+              .join(e.select(col("vec_id").as("nk"),
+                col("embedding")), "nk")
+              .select(col("vec_id"), col("embedding")))
+        graft.operators.Ivf.assign(delta, cents, "vec_id", "embedding")
+          .withColumn("ver", lit(1))
+          .write.partitionBy("cell_id").parquet(s"$root/delta")
+        // READ: base ∪ delta, keep-latest per id (updates supersede)
+        val all = s.read.parquet(s"$root/base")
+          .unionByName(s.read.parquet(s"$root/delta"))
+          .withColumn("cell_id", col("cell_id").cast("long"))
+        val w = Window.partitionBy("vec_id").orderBy(col("ver").desc)
+        all.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .groupBy("cell_id")
+          .agg(count(lit(1)).as("n_vectors"),
+            md5(concat_ws(",",
+              transform(sort_array(collect_list(col("vec_id"))),
+                v => v.cast("string")))).as("ids_md5"))
+          .select(col("cell_id"), col("n_vectors").cast("long").as("n_vectors"),
+            col("ids_md5"))
+      }
+    },
+
     // ---- S32: FILTERED vector search over the persisted index --------------
     // The vector-DB hard case: top-k under a metadata predicate. Naive
     // post-filtering of an unfiltered top-k silently under-returns when

@@ -83,6 +83,35 @@ class Round13Spec extends SparkSpec {
     assert(totalAfter == live, "compacted store must hold exactly the live set")
   }
 
+  test("a63: fitted strengths recover the fixture's true Bradley-Terry order") {
+    // sf0.01, not the suite's sf0.001: ~1.5k orders give the 28 matchups
+    // too few games for endpoint recovery (the gate runs at sf0.01 too)
+    val out = SparkEntry.queries("a63_bradley_terry")(spark, "/root/testdata/sf0.01")
+      .select("model", "pi", "share").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(out.length == 8)
+    // the fixture decides (a, b) by h % (a+b+2) < a+1 — true strengths
+    // 1..8. Three MM rounds on a finite sample can transpose one
+    // adjacent mid-table pair, so the pin is rank recovery, not strict
+    // monotonicity: Spearman rho >= 0.9 plus exact endpoints
+    val ranks = out.sortBy(_._2).map(_._1).zipWithIndex.toMap
+    val n = out.length
+    val d2 = out.map { case (m, _, _) => val d = ranks(m) - m.toInt; d * d }.sum
+    val rho = 1.0 - 6.0 * d2 / (n * (n * n - 1.0))
+    assert(rho >= 0.9, s"Spearman rho $rho below 0.9: fit lost the true order")
+    assert(out.maxBy(_._2)._1 == 7L && out.minBy(_._2)._1 == 0L,
+      "strongest/weakest models must land at the endpoints")
+    val shareSum = out.map(_._3).sum
+    assert(math.abs(shareSum - 1.0) < 1e-6, s"shares sum to $shareSum")
+  }
+
+  test("s53: upserted index serves exactly the latest generation") {
+    val out = SparkEntry.queries("s53_ann_upserts")(spark, sf)
+      .agg(sum("n_vectors")).head().getLong(0)
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(out == nVecs, "every id exactly once after upserts supersede")
+  }
+
   test("reconcileStats append-only mode keeps absent ids and skips re-delivery") {
     val store = graft.core.TempDirs.scratch("st24spec_").toString
     val all = spark.range(6).select(col("id").as("doc_id"))
