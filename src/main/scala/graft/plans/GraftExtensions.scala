@@ -55,6 +55,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         JaroWinkler(args(0), args(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("lcs_tokens"),
+      info("lcs_tokens",
+        "lcs_tokens(a, b) - longest common subsequence length over two token arrays (the ROUGE-L kernel)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "lcs_tokens(a, b) takes 2 arguments")
+        LcsTokens(args(0), args(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("shingle_hashes"),
       info("shingle_hashes",
         "shingle_hashes(text, n) - distinct xxhash64 values of the word n-gram shingles"),

@@ -1486,6 +1486,83 @@ object TextAnalysis {
           col("types_total").cast("long").as("types_total"))
     },
 
+    // ---- T62: ROUGE-L (LCS-based generation/summary evaluation) ------------
+    // The reference-vs-candidate text metric (Lin 2004) every
+    // generation-eval pipeline reports: recall/precision/F1 of the
+    // token-level longest common subsequence. The engine runs the new
+    // O(n·m) codegen LcsTokens kernel (plans/LcsTokens.scala — Spark has
+    // levenshtein but nothing subsequence-based over token arrays); the
+    // oracle replays the SAME DP as a nested list_reduce carrying the
+    // DP row (the t47/w30 list-state precedent, tokens pre-mapped to
+    // hash ids for the fold's type unification — equality-preserving up
+    // to a 2^-63 collision). Pairing is data-driven: doc i vs doc
+    // i + half, half = (max id + 1)/2. All the float work is three
+    // divisions per pair off an exact integer LCS. Per-pair cost is
+    // len², bounded by document length — never corpus-quadratic.
+    Query("t62_rouge_l",
+      """WITH half AS (SELECT (max(doc_id) + 1) // 2 AS h FROM documents),
+        |p AS (
+        |  SELECT r.doc_id AS ref_id, c.doc_id AS cand_id,
+        |         list_transform(string_split(r.text, ' '),
+        |                        t -> CAST(hash(t) // 2 AS BIGINT)) AS aid,
+        |         list_transform(string_split(c.text, ' '),
+        |                        t -> CAST(hash(t) // 2 AS BIGINT)) AS bid
+        |  FROM documents r JOIN half ON r.doc_id < half.h
+        |  JOIN documents c ON c.doc_id = r.doc_id + half.h),
+        |l AS (
+        |  SELECT ref_id, cand_id,
+        |         len(aid) AS la, len(bid) AS lb,
+        |         list_reduce(
+        |           list_prepend(
+        |             list_transform(range(0, len(bid) + 1),
+        |                            z -> CAST(0 AS BIGINT)),
+        |             list_transform(aid, t -> [t])),
+        |           (prev, x) -> list_reduce(
+        |             list_prepend(CAST([0] AS BIGINT[]),
+        |               list_transform(range(1, len(bid) + 1),
+        |                              j -> [CAST(j AS BIGINT)])),
+        |             (acc, y) -> list_append(acc,
+        |               greatest(prev[CAST(y[1] AS INT) + 1],
+        |                        acc[len(acc)],
+        |                        prev[CAST(y[1] AS INT)]
+        |                        + CASE WHEN x[1] = bid[CAST(y[1] AS INT)]
+        |                               THEN 1 ELSE 0 END))))
+        |         [len(bid) + 1] AS lcs
+        |  FROM p)
+        |SELECT ref_id, cand_id, CAST(lcs AS BIGINT) AS lcs,
+        |       CAST(la AS BIGINT) AS len_ref, CAST(lb AS BIGINT) AS len_cand,
+        |       round(CAST(lcs AS DOUBLE) / la, 9) AS rouge_r,
+        |       round(CAST(lcs AS DOUBLE) / lb, 9) AS rouge_p,
+        |       CASE WHEN lcs = 0 THEN CAST(0.0 AS DOUBLE)
+        |            ELSE round(2.0 * (CAST(lcs AS DOUBLE) / la)
+        |                           * (CAST(lcs AS DOUBLE) / lb)
+        |                       / (CAST(lcs AS DOUBLE) / la
+        |                          + CAST(lcs AS DOUBLE) / lb), 9)
+        |       END AS rouge_f
+        |FROM l""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        tokens(col("text")).as("tok"))
+      val half = docs.agg(((max("doc_id") + 1) / 2).cast("long").as("h"))
+      val pairs = docs.crossJoin(broadcast(half))
+        .filter(col("doc_id") < col("h"))
+        .select(col("doc_id").as("ref_id"), col("tok").as("a"),
+          (col("doc_id") + col("h")).as("cand_id"))
+        .join(docs.select(col("doc_id").as("cand_id"), col("tok").as("b")),
+          "cand_id")
+      val lcs = graft.plans.LcsTokens(col("a"), col("b"))
+      val r = col("lcs").cast("double") / col("len_ref")
+      val p = col("lcs").cast("double") / col("len_cand")
+      pairs
+        .select(col("ref_id"), col("cand_id"), lcs.as("lcs"),
+          size(col("a")).cast("long").as("len_ref"),
+          size(col("b")).cast("long").as("len_cand"))
+        .select(col("ref_id"), col("cand_id"), col("lcs"),
+          col("len_ref"), col("len_cand"),
+          round(r, 9).as("rouge_r"), round(p, 9).as("rouge_p"),
+          when(col("lcs") === 0, lit(0.0))
+            .otherwise(round(lit(2.0) * r * p / (r + p), 9)).as("rouge_f"))
+    },
+
     // ---- T38: DSIR importance weights (hashed n-gram LM ratio) ------------
     // Data Selection via Importance Resampling (Xie et al. 2023): score
     // every raw document by how target-like it is — the log-ratio of a
