@@ -32,7 +32,14 @@ object ScaleReplica {
   def ensureReplica(spark: org.apache.spark.sql.SparkSession,
                     sfDir: String, nCopies: Int): String = {
     val base = new java.io.File(sfDir).getName
-    val out = s"/tmp/graft_scale_v2_${base}_${nCopies}x"
+    // basename alone is NOT the dataset: two differently-generated dirs
+    // both ending in .../sf0.01 would silently share replicas, the
+    // exact stale-reuse class the v2 rename closed — key on the full
+    // canonical path (hashed, so the dir name stays short)
+    val canon = new java.io.File(sfDir).getCanonicalPath
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val out = s"/tmp/graft_scale_v2_${base}_${tag}_${nCopies}x"
 
     if (!new java.io.File(s"$out/_READY").exists()) {
       val copies = spark.range(nCopies).select(col("id").as("rep"))

@@ -381,19 +381,29 @@ object Multimodal {
       // naive fold's Double.toString traffic measured ~50 s at 100x)
       val termCache =
         scala.collection.mutable.HashMap.empty[Long, Array[java.math.BigDecimal]]
+      def rawTerm(c: Long, n: Long): java.math.BigDecimal = {
+        val p = c / n.toDouble
+        val raw = (0.0 - p) * math.log(p)
+        val r6 = java.math.BigDecimal.valueOf(raw)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        java.math.BigDecimal.valueOf(r6)
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+      }
       def entropyTerm(c: Long, n: Long): java.math.BigDecimal = {
-        val arr = termCache.getOrElseUpdate(n,
-          new Array[java.math.BigDecimal](math.min(n, 1 << 22).toInt + 1))
-        if (c < arr.length && arr(c.toInt) != null) arr(c.toInt)
+        // bound the memo: a heterogeneous-size corpus (many distinct
+        // n_px) must not accumulate one multi-MB term array per size —
+        // past 8 distinct sizes per partition, extra sizes compute
+        // uncached (correct, just slower for that minority)
+        if (!termCache.contains(n) && termCache.size >= 8) rawTerm(c, n)
         else {
-          val p = c / n.toDouble
-          val raw = (0.0 - p) * math.log(p)
-          val r6 = java.math.BigDecimal.valueOf(raw)
-            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-          val t = java.math.BigDecimal.valueOf(r6)
-            .setScale(6, java.math.RoundingMode.HALF_UP)
-          if (c < arr.length) arr(c.toInt) = t
-          t
+          val arr = termCache.getOrElseUpdate(n,
+            new Array[java.math.BigDecimal](math.min(n, 1 << 22).toInt + 1))
+          if (c < arr.length && arr(c.toInt) != null) arr(c.toInt)
+          else {
+            val t = rawTerm(c, n)
+            if (c < arr.length) arr(c.toInt) = t
+            t
+          }
         }
       }
       it.flatMap { row =>

@@ -617,9 +617,14 @@ object Analytics {
       def fall(base: org.apache.spark.sql.Column) =
         (0 until 5).map(i => base - i)
           .foldLeft(lit(1).cast(dec))((acc, f) => acc * f).cast("double")
+      // n^5 exceeds 38 digits past n ≈ 4e7 samples/task; non-ANSI Spark
+      // would null the decimal product silently where the oracle's
+      // HUGEINT raises — fail loudly instead (the a54/a59 guard class)
+      val nGuard = when(col("n") < 40000000L, col("n").cast("long"))
+        .otherwise(raise_error(lit("a60: n exceeds decimal(38,0) exact bound")))
       t.filter(col("n") >= 5)
         .select(col("task_id").cast("long").as("task_id"),
-          col("n").cast("long").as("n"), col("c").cast("long").as("c"),
+          nGuard.as("n"), col("c").cast("long").as("c"),
           round(col("c").cast("double") / col("n"), 9).as("pass_at_1"),
           when(col("n") - col("c") < 5, lit(1.0))
             .otherwise(round(lit(1.0)
@@ -3300,9 +3305,12 @@ object Analytics {
           .agg(min("us").as("first_us"), max("us").as("last_us"),
             sort_array(collect_list("us")).as("ts_arr"))
           .withColumn("churn_at", expr(
+            // greatest(…, 0): slice throws on a negative length, which
+            // an all-NULL-ts user would produce (collect_list skips
+            // nulls) — the replaced lag form degraded to NULL there
             """array_min(filter(
-              |  zip_with(slice(ts_arr, 1, size(ts_arr) - 1),
-              |           slice(ts_arr, 2, size(ts_arr) - 1),
+              |  zip_with(slice(ts_arr, 1, greatest(size(ts_arr) - 1, 0)),
+              |           slice(ts_arr, 2, greatest(size(ts_arr) - 1, 0)),
               |           (p, n) -> CASE WHEN n - p > 43200000000 THEN p END),
               |  x -> x IS NOT NULL))""".stripMargin))
         val uu = u.select(col("cohort"),

@@ -25,10 +25,13 @@ object MultimodalQueries {
     * the gate runs rows from four threads.
     */
   private object SharedDecode {
-    private val cache = scala.collection.mutable.Map.empty[String, String]
+    // ConcurrentHashMap.computeIfAbsent: same-dataset callers wait for
+    // the one build; a build for a DIFFERENT dataset never blocks on it
+    // (the gate runs four worker threads — an object-wide lock would
+    // serialize unrelated work for the full decode duration)
+    private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
     def path(s: org.apache.spark.sql.SparkSession, d: String): String =
-      synchronized {
-        cache.getOrElseUpdate(new java.io.File(d).getAbsolutePath, {
+      cache.computeIfAbsent(new java.io.File(d).getAbsolutePath, _ => {
           val dir = graft.core.TempDirs.scratch("m_decoded_stats_")
             .resolve("t").toString
           val withP = Multimodal.withImagePayload(
@@ -44,7 +47,6 @@ object MultimodalQueries {
             .write.parquet(dir)
           dir
         })
-      }
   }
   private def sharedStats(s: org.apache.spark.sql.SparkSession,
                           d: String): org.apache.spark.sql.DataFrame =
@@ -58,11 +60,19 @@ object MultimodalQueries {
     * NaN — a latent cross-engine divergence). */
   private def channelCorrEpilogue(
       agg: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // decimal(38,0), not Long: n*sxx wraps a Long past ~1.2e7 px/image
+    // (sx ≤ 255·n_px, so sx² alone overflows), and a silent wrap here
+    // would diverge from the oracle's BIGINT, which ERRORS instead. The
+    // decimal route stays exact to the decodeStats documented bound;
+    // in-range values cast to the identical doubles either way.
+    val dec = "decimal(38,0)"
     def corr(sxy: String, sx: String, sy: String, sxx: String, syy: String) = {
-      val vx = col("n") * col(sxx) - col(sx) * col(sx)
-      val vy = col("n") * col(syy) - col(sy) * col(sy)
+      val vx = col("n").cast(dec) * col(sxx) - col(sx).cast(dec) * col(sx)
+      val vy = col("n").cast(dec) * col(syy) - col(sy).cast(dec) * col(sy)
       when(vx === 0 || vy === 0, lit(null).cast("double"))
-        .otherwise(round((col("n") * col(sxy) - col(sx) * col(sy)) /
+        .otherwise(round(
+          (col("n").cast(dec) * col(sxy) - col(sx).cast(dec) * col(sy))
+            .cast("double") /
           (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))), 9))
     }
     agg.select(col("doc_id"),

@@ -543,10 +543,15 @@ object SinkQueries {
             md5(concat_ws(",",
               transform(sort_array(collect_list(col("vec_id"))),
                 v => v.cast("string")))).as("ids_md5"))
-        before.join(after, "cell_id")
+        // LEFT join: a cell whose members were ALL tombstoned has no v2
+        // rows — it must still report (n_before, n_before, 0, NULL) like
+        // the oracle's GROUP BY over `assigned` does, not vanish
+        before.join(after, Seq("cell_id"), "left")
           .select(col("cell_id"), col("n_before").cast("long").as("n_before"),
-            (col("n_before") - col("n_after")).cast("long").as("n_removed"),
-            col("n_after").cast("long").as("n_after"), col("ids_md5"))
+            (col("n_before") - coalesce(col("n_after"), lit(0L)))
+              .cast("long").as("n_removed"),
+            coalesce(col("n_after"), lit(0L)).cast("long").as("n_after"),
+            col("ids_md5"))
       }
     },
 

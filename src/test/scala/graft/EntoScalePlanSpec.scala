@@ -18,14 +18,27 @@ class EntoScalePlanSpec extends SparkSpec {
   private lazy val replica =
     ScaleReplica.ensureReplica(spark, "/root/testdata/sf0.01", 10)
 
-  /** Execute and return the final adaptive physical plan string. */
-  private def finalPlan(df: DataFrame): String = {
-    df.write.format("noop").mode("overwrite").save()
+  /** Execute and return the final adaptive physical plan string.
+    * The action must run THIS QueryExecution's own plan tree: df.write
+    * plans a SEPARATE QueryExecution, and even df.foreach goes through
+    * Dataset.rdd's separate rddQueryExecution — either way this df's
+    * AdaptiveSparkPlanExec never executes and executedPlan returns the
+    * INITIAL plan, so the assertions could never see a runtime AQE
+    * join-strategy flip (the round-13 review catch). Running an RDD
+    * count on a.execute() finalizes the adaptive plan in place, and
+    * the isFinalPlan assert keeps this helper honest if Spark's
+    * execution wiring ever changes again. */
+  private def finalPlan(df: DataFrame): String =
     df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
-      case p => p.toString
+      case a: AdaptiveSparkPlanExec =>
+        a.execute().count()
+        assert(a.toString.contains("isFinalPlan=true"),
+          "adaptive plan did not finalize — the action must run THIS plan")
+        a.executedPlan.toString
+      case p =>
+        p.execute().count()
+        p.toString
     }
-  }
 
   test("g32 at 10x: assignment join stays broadcast, no loop joins") {
     val plan = finalPlan(
