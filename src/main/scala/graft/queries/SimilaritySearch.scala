@@ -193,11 +193,8 @@ object SimilaritySearch {
     {
       val (tables, bits, dims) = (6, 10, 64)
       val planes = Similarity.hyperplanes(tables, bits, dims)
-      val planeValues = planes.zipWithIndex
-        .map { case (p, r) => s"($r, [${p.mkString(", ")}])" }
-        .mkString(",\n        ")
-      val bitCase = (0 until bits)
-        .map(j => s"WHEN $j THEN ${1L << j}").mkString(" ")
+      val planeValues = OracleSnippets.matrixValues(planes)
+      val bitCase = OracleSnippets.bitCase(bits)
       val maskValues = (0 +: ((0 until bits).map(1 << _) ++
         (for { i <- 0 until bits; j <- (i + 1) until bits }
           yield (1 << i) | (1 << j))))
@@ -228,18 +225,7 @@ object SimilaritySearch {
           |  WHERE c.vec_id <> q.query_id),
           |cosd AS (
           |  SELECT query_id, neighbor_id,
-          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-          |           list_transform(range(1, $dims + 1),
-          |             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
-          |           (a, x) -> a + x)
-          |         / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-          |              list_transform(range(1, $dims + 1),
-          |                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))),
-          |              (a, x) -> a + x))
-          |            * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-          |                list_transform(range(1, $dims + 1),
-          |                  i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
-          |                (a, x) -> a + x))) AS cos
+          |         ${OracleSnippets.cosineFold("q.embedding", "c.embedding", dims)} AS cos
           |  FROM cand JOIN embeddings q ON q.vec_id = query_id
           |            JOIN embeddings c ON c.vec_id = neighbor_id)
           |SELECT query_id, neighbor_id, cos FROM (
@@ -305,11 +291,8 @@ object SimilaritySearch {
     {
       val (tables, bits, dims) = (12, 10, 64)
       val planes = Similarity.hyperplanes(tables, bits, dims)
-      val planeValues = planes.zipWithIndex
-        .map { case (p, r) => s"($r, [${p.mkString(", ")}])" }
-        .mkString(",\n        ")
-      val bitCase = (0 until bits)
-        .map(j => s"WHEN $j THEN ${1L << j}").mkString(" ")
+      val planeValues = OracleSnippets.matrixValues(planes)
+      val bitCase = OracleSnippets.bitCase(bits)
       Query("s07_embedding_neardup_lsh",
         s"""WITH planes(r, p) AS (VALUES
           |        $planeValues),
@@ -334,18 +317,7 @@ object SimilaritySearch {
           |    ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id),
           |cosd AS (
           |  SELECT vec_a, vec_b,
-          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-          |           list_transform(range(1, $dims + 1),
-          |             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
-          |           (x, y) -> x + y)
-          |         / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-          |              list_transform(range(1, $dims + 1),
-          |                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))),
-          |              (x, y) -> x + y))
-          |            * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-          |                list_transform(range(1, $dims + 1),
-          |                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
-          |                (x, y) -> x + y))) AS cos
+          |         ${OracleSnippets.cosineFold("a.embedding", "b.embedding", dims)} AS cos
           |  FROM cand JOIN embeddings a ON a.vec_id = vec_a
           |            JOIN embeddings b ON b.vec_id = vec_b)
           |SELECT vec_a, vec_b, cos FROM cosd WHERE cos >= 0.35""".stripMargin) {
@@ -686,18 +658,7 @@ object SimilaritySearch {
           |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
           |cosd AS (
           |  SELECT query_id, neighbor_id,
-          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-          |           list_transform(range(1, $dims + 1),
-          |             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
-          |           (a, x) -> a + x)
-          |         / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-          |              list_transform(range(1, $dims + 1),
-          |                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))),
-          |              (a, x) -> a + x))
-          |            * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-          |                list_transform(range(1, $dims + 1),
-          |                  i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
-          |                (a, x) -> a + x))) AS cos
+          |         ${OracleSnippets.cosineFold("q.embedding", "c.embedding", dims)} AS cos
           |  FROM cand JOIN embeddings q ON q.vec_id = query_id
           |            JOIN embeddings c ON c.vec_id = neighbor_id)
           |SELECT query_id, neighbor_id, cos FROM (
@@ -888,19 +849,13 @@ object SimilaritySearch {
     {
       val nCells = 8
       val cvecs = Similarity.hyperplanes(1, nCells, 64)
-      val centValues = cvecs.zipWithIndex
-        .map { case (c, r) => s"($r, [${c.mkString(", ")}])" }
-        .mkString(",\n        ")
+      val centValues = OracleSnippets.matrixValues(cvecs)
       Query("s52_ann_tombstones",
         s"""WITH cents(cell_id, c) AS (VALUES
           |        $centValues),
           |dist AS (
           |  SELECT vec_id, cell_id,
-          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-          |           list_transform(range(1, 65),
-          |             i -> (CAST(embedding[i] AS DOUBLE) - c[i])
-          |                  * (CAST(embedding[i] AS DOUBLE) - c[i]))),
-          |           (a, x) -> a + x) AS d
+          |         ${OracleSnippets.dist2Fold("embedding", "c", 64)} AS d
           |  FROM embeddings CROSS JOIN cents),
           |del AS (SELECT vec_id FROM embeddings WHERE vec_id % 7 = 3),
           |assigned AS (SELECT vec_id, cell_id FROM (
@@ -918,18 +873,7 @@ object SimilaritySearch {
           |  WHERE a.vec_id <> p.query_id),
           |cosd AS (
           |  SELECT query_id, neighbor_id,
-          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-          |           list_transform(range(1, 65),
-          |             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
-          |           (a, x) -> a + x)
-          |         / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-          |              list_transform(range(1, 65),
-          |                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))),
-          |              (a, x) -> a + x))
-          |            * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-          |                list_transform(range(1, 65),
-          |                  i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
-          |                (a, x) -> a + x))) AS cos
+          |         ${OracleSnippets.cosineFold("q.embedding", "c.embedding", 64)} AS cos
           |  FROM cand JOIN embeddings q ON q.vec_id = query_id
           |            JOIN embeddings c ON c.vec_id = neighbor_id)
           |SELECT query_id, neighbor_id, cos FROM (
@@ -972,9 +916,7 @@ object SimilaritySearch {
     {
       val nCells = 8
       val cvecs = Similarity.hyperplanes(1, nCells, 64)
-      val centValues = cvecs.zipWithIndex
-        .map { case (c, r) => s"($r, [${c.mkString(", ")}])" }
-        .mkString(",\n        ")
+      val centValues = OracleSnippets.matrixValues(cvecs)
       Query("s53_ann_upserts",
         s"""WITH cents(cell_id, c) AS (VALUES
           |        $centValues),
@@ -1001,11 +943,7 @@ object SimilaritySearch {
           |    FROM gen) WHERE rn = 1),
           |dist AS (
           |  SELECT vec_id, cell_id,
-          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-          |           list_transform(range(1, 65),
-          |             i -> (CAST(embedding[i] AS DOUBLE) - c[i])
-          |                  * (CAST(embedding[i] AS DOUBLE) - c[i]))),
-          |           (a, x) -> a + x) AS d
+          |         ${OracleSnippets.dist2Fold("embedding", "c", 64)} AS d
           |  FROM latest CROSS JOIN cents),
           |assigned AS (SELECT vec_id, cell_id FROM (
           |  SELECT vec_id, cell_id,

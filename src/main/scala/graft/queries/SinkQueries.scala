@@ -492,19 +492,13 @@ object SinkQueries {
     {
       val nCells = 8
       val cvecs = graft.functions.Similarity.hyperplanes(1, nCells, 64)
-      val centValues = cvecs.zipWithIndex
-        .map { case (c, r) => s"($r, [${c.mkString(", ")}])" }
-        .mkString(",\n        ")
+      val centValues = OracleSnippets.matrixValues(cvecs)
       Query("io25_tombstone_compaction",
         s"""WITH cents(cell_id, c) AS (VALUES
           |        $centValues),
           |dist AS (
           |  SELECT vec_id, cell_id,
-          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-          |           list_transform(range(1, 65),
-          |             i -> (CAST(embedding[i] AS DOUBLE) - c[i])
-          |                  * (CAST(embedding[i] AS DOUBLE) - c[i]))),
-          |           (a, x) -> a + x) AS d
+          |         ${OracleSnippets.dist2Fold("embedding", "c", 64)} AS d
           |  FROM embeddings CROSS JOIN cents),
           |assigned AS (SELECT vec_id, cell_id FROM (
           |  SELECT vec_id, cell_id,
