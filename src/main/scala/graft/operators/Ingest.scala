@@ -22,7 +22,7 @@ final class Ingest(spark: SparkSession, landingDir: String,
     // resume from the highest existing manifest version (restart-safe)
     val d = Paths.get(manifestDir)
     if (!Files.isDirectory(d)) -1
-    else Files.list(d).iterator.asScala.map(_.getFileName.toString)
+    else graft.core.Fs.listDir(d).map(_.getFileName.toString)
       .filter(_.startsWith("v")).map(_.drop(1).toInt)
       .foldLeft(-1)(math.max)
   }
@@ -33,9 +33,9 @@ final class Ingest(spark: SparkSession, landingDir: String,
     else spark.read.parquet(s"$manifestDir/v$version")
 
   private def landed(): Seq[String] =
-    Files.list(Paths.get(landingDir)).iterator.asScala
+    graft.core.Fs.listDir(Paths.get(landingDir))
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
-      .toSeq.sorted
+      .sorted
 
   /** File names landed but not yet in the manifest, sorted. */
   def nextBatch(): Seq[String] = {

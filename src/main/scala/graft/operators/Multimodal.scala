@@ -347,7 +347,8 @@ object Multimodal {
     * identity; the persistent reconcileStats store always hashes.
     */
   def decodeStats(df: DataFrame, idCol: String, payloadCol: String,
-                  withHash: Boolean = true): DataFrame = {
+                  withHash: Boolean = true,
+                  emitFailures: Boolean = false): DataFrame = {
     require(df.schema(payloadCol).dataType == BinaryType,
       s"decodeStats: '$payloadCol' must be BINARY, got " +
         df.schema(payloadCol).dataType.simpleString)
@@ -379,8 +380,8 @@ object Multimodal {
       // n_px — for a fixed-size corpus that is ~n_px BigDecimal
       // constructions per PARTITION instead of ~250 per image (the
       // naive fold's Double.toString traffic measured ~50 s at 100x)
-      val termCache =
-        scala.collection.mutable.HashMap.empty[Long, Array[java.math.BigDecimal]]
+      val termCache = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.HashMap[Long, java.math.BigDecimal]]
       def rawTerm(c: Long, n: Long): java.math.BigDecimal = {
         val p = c / n.toDouble
         val raw = (0.0 - p) * math.log(p)
@@ -390,30 +391,43 @@ object Multimodal {
           .setScale(6, java.math.RoundingMode.HALF_UP)
       }
       def entropyTerm(c: Long, n: Long): java.math.BigDecimal = {
-        // bound the memo: a heterogeneous-size corpus (many distinct
-        // n_px) must not accumulate one multi-MB term array per size —
-        // past 8 distinct sizes per partition, extra sizes compute
-        // uncached (correct, just slower for that minority)
+        // bound the memo BOTH ways: at most 8 distinct image sizes per
+        // partition, and per size a HashMap grown only by observed
+        // counts (≤ 256 distinct counts per histogram) capped at 2^14
+        // entries — a multi-megapixel corpus must not pin a
+        // count-indexed array sized by n_px (~33 MB of references per
+        // size). Past either cap, extra terms compute uncached
+        // (correct, just slower for that minority).
         if (!termCache.contains(n) && termCache.size >= 8) rawTerm(c, n)
         else {
-          val arr = termCache.getOrElseUpdate(n,
-            new Array[java.math.BigDecimal](math.min(n, 1 << 22).toInt + 1))
-          if (c < arr.length && arr(c.toInt) != null) arr(c.toInt)
-          else {
-            val t = rawTerm(c, n)
-            if (c < arr.length) arr(c.toInt) = t
-            t
+          val m = termCache.getOrElseUpdate(n,
+            scala.collection.mutable.HashMap.empty[Long, java.math.BigDecimal])
+          m.get(c) match {
+            case Some(t) => t
+            case None =>
+              val t = rawTerm(c, n)
+              if (m.size < (1 << 14)) m.update(c, t)
+              t
           }
         }
       }
       it.flatMap { row =>
         val id = row.getLong(0)
         val bytes = row.getAs[Array[Byte]](1)
-        decodePngSafe(bytes).iterator.map { case (w, h, px) =>
-          md.reset()
-          val hash =
-            if (withHash) md.digest(bytes).map("%02x".format(_)).mkString
-            else ""
+        // hash BEFORE the decode attempt: failure rows need the content
+        // hash too (a known-bad payload is skipped by (id, hash) until
+        // its content changes — reconcileStats's failed_v store)
+        val hash =
+          if (withHash && bytes != null) {
+            md.reset(); md.digest(bytes).map("%02x".format(_)).mkString
+          } else if (withHash) null
+          else ""
+        val decoded = decodePngSafe(bytes)
+        if (decoded.isEmpty && emitFailures)
+          Iterator.single(Row(id, hash, null, null, null, null, null, null,
+            null, null, null, null, null, null, null, null, null, null,
+            null, null, null, null))
+        else decoded.iterator.map { case (w, h, px) =>
           val hist = new Array[Long](256)
           var sr = 0L; var sg = 0L; var sb = 0L
           var srr = 0L; var sgg = 0L; var sbb = 0L
@@ -472,17 +486,55 @@ object Multimodal {
     */
   def reduceStats(stats: DataFrame): DataFrame = stats.drop("hist")
 
+  /** Result of one [[reconcileStatsBy]] run: images decoded this run,
+    * rows in the current stats version, payloads that FAILED to decode
+    * this run (recorded in the store's `failed_v{n}` side table so a
+    * known-bad payload is skipped until its content changes — without
+    * it every reconcile re-attempts undecodable payloads forever and
+    * the "decode cost amortizes to churn rate" claim silently breaks),
+    * and the path of the current stats version.
+    */
+  final case class ReconcileResult(decoded: Long, total: Long,
+                                   failed: Long, path: String)
+
+  // anchored: a leftover `stats_v2_tmp` or `stats_v1.bak` must not be
+  // read as a version
+  private def latestVersion(store: String,
+                            prefix: String): Option[(Int, String)] = {
+    val re = ("^" + prefix + "_v(\\d+)$").r
+    Option(new java.io.File(store).listFiles()).toSeq.flatten
+      .flatMap(f => re.findFirstMatchIn(f.getName)
+        .map(m => m.group(1).toInt -> f.toString))
+      .sortBy(_._1).lastOption
+  }
+
   /** Incremental decoded-stats maintenance (the io16 manifest pattern
     * applied to the decode family): reconcile the stored stats table
     * under `store` with the CURRENT corpus, decoding ONLY images whose
-    * (id, md5 content hash) is not already stored. The staleness check
-    * is one hash projection over the corpus — no codec — so at scale the
-    * decode pass costs the churn rate, not the corpus size; a changed
-    * payload changes its hash and re-decodes instead of serving stale
-    * stats, and ids no longer present drop (the reuse leg is a
-    * left-semi join against the current manifest). Versioned dirs
-    * (stats_v1, stats_v2, …) because a parquet dir cannot be
-    * overwritten while it is being read (the st16 lesson).
+    * (id, md5 content hash) is not already stored (or already known to
+    * fail at that content). Two corpus passes, each the cheapest one
+    * possible for its job:
+    *
+    *   1. the staleness check — `fetchPayloads` over ALL presented ids,
+    *      reduced to a materialized (id, content_hash) manifest; no
+    *      codec runs, and every downstream leg joins the SMALL
+    *      materialized manifest instead of re-scanning the corpus
+    *      (recomputing it per leg measured ~3 corpus scans per
+    *      reconcile — Spark does not share common subplans);
+    *   2. the decode leg — `fetchPayloads` over ONLY the churn ids, so
+    *      payload bytes are fetched and decoded at the churn rate, and
+    *      no payload column ever enters a shuffle (the churn-id table
+    *      is hash-sized; at gate/posture scale AQE broadcasts it).
+    *
+    * Undecodable payloads are persisted as (id, content_hash) in the
+    * versioned `failed_v{n}` side table and skipped by the anti-join
+    * until their content changes (a changed hash re-attempts).
+    *
+    * Versioned dirs (stats_v1, stats_v2, …) because a parquet dir
+    * cannot be overwritten while it is being read (the st16 lesson).
+    * SINGLE-WRITER per store: concurrent reconciles would race to
+    * write the same stats_v{v+1} path — callers serialize (st24's
+    * sequential foreachBatch satisfies this).
     *
     * `dropMissing = false` switches to APPEND-ONLY reconciliation (the
     * streaming-arrival contract, st24): the presented set is a batch of
@@ -490,43 +542,89 @@ object Multimodal {
     * batch are kept — only changed-content ids are replaced. This also
     * makes re-delivered batches no-ops (at-least-once delivery folds to
     * exactly-once stats).
-    *
-    * Returns (imagesDecodedThisRun, imagesTotal, pathOfCurrentVersion).
     */
-  def reconcileStats(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
-                     idCol: String, payloadCol: String, store: String,
-                     dropMissing: Boolean = true): (Long, Long, String) = {
-    val cur = df.select(col(idCol).cast("long").as("id"),
-      col(payloadCol).as("payload"),
-      md5(col(payloadCol)).as("content_hash"))
-    val versions = Option(new java.io.File(store).listFiles()).toSeq.flatten
-      .flatMap(f => "stats_v(\\d+)".r.findFirstMatchIn(f.getName)
-        .map(m => m.group(1).toInt -> f.toString))
-    versions.sortBy(_._1).lastOption match {
+  def reconcileStatsBy(spark: org.apache.spark.sql.SparkSession,
+                       ids: DataFrame, idCol: String,
+                       fetchPayloads: DataFrame => DataFrame,
+                       payloadCol: String, store: String,
+                       dropMissing: Boolean = true): ReconcileResult = {
+    def fetch(sub: DataFrame): DataFrame =
+      fetchPayloads(sub.select(col("id").as(idCol)))
+        .select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+    val idsN = ids.select(col(idCol).cast("long").as("id"))
+    latestVersion(store, "stats") match {
       case None =>
+        // first build: the decode pass ITSELF emits the content hashes
+        // (and the failures), so no separate manifest scan runs at all
+        val all = reduceStats(decodeStats(fetch(idsN), "id", "payload",
+          withHash = true, emitFailures = true)).localCheckpoint()
+        val good = all.filter(col("w").isNotNull)
+        val bad = all.filter(col("w").isNull).select("id", "content_hash")
         val p = s"$store/stats_v1"
-        reduceStats(decodeStats(cur, "id", "payload")).write.parquet(p)
-        val n = spark.read.parquet(p).count()
-        (n, n, p)
+        good.write.parquet(p)
+        bad.write.parquet(s"$store/failed_v1")
+        val n = good.count()
+        ReconcileResult(n, n, bad.count(), p)
       case Some((v, prev)) =>
         val stored = spark.read.parquet(prev)
-        val manifest = cur.select("id", "content_hash")
-        val toDecode =
-          cur.join(stored.select("id", "content_hash"),
+        val prevFailed = latestVersion(store, "failed") match {
+          case Some((_, fp)) => spark.read.parquet(fp)
+          case None => spark.createDataFrame(Seq.empty[(Long, String)])
+            .toDF("id", "content_hash")
+        }
+        // pass 1: hash-only staleness manifest, materialized ONCE
+        val manifest = fetch(idsN)
+          .select(col("id"), md5(col("payload")).as("content_hash"))
+          .localCheckpoint()
+        // churn = presented content that differs from stored; the decode
+        // attempt additionally skips pairs already known to fail (their
+        // stale stats still drop below — a content change to undecodable
+        // bytes must not serve the old stats)
+        val changed = manifest
+          .join(stored.select("id", "content_hash"),
             Seq("id", "content_hash"), "left_anti")
+          .localCheckpoint() // churn-sized; consumed by three legs
+        val toDecodeIds = changed.join(prevFailed,
+          Seq("id", "content_hash"), "left_anti")
+        // pass 2: payloads fetched for the CHURN ids only
+        val all = reduceStats(decodeStats(fetch(toDecodeIds), "id", "payload",
+          withHash = true, emitFailures = true)).localCheckpoint()
+        val good = all.filter(col("w").isNotNull)
+        val badNew = all.filter(col("w").isNull).select("id", "content_hash")
         val reuse =
           if (dropMissing)
             stored.join(manifest, Seq("id", "content_hash"), "left_semi")
           else // append-only: keep absent ids, replace changed-content ones
-            stored.join(toDecode.select("id"), Seq("id"), "left_anti")
-        val nReuse = reuse.count() // decode-free: manifest-sized join
+            stored.join(changed.select("id"), Seq("id"), "left_anti")
+        // failed carry-forward: trimmed to the live manifest under
+        // snapshot semantics; kept whole under append-only (a content
+        // revert to known-bad bytes must stay skippable)
+        val failedCarry =
+          if (dropMissing)
+            prevFailed.join(manifest, Seq("id", "content_hash"), "left_semi")
+          else prevFailed
         val p = s"$store/stats_v${v + 1}"
-        reuse.unionByName(reduceStats(decodeStats(toDecode, "id", "payload")))
-          .write.parquet(p)
+        reuse.unionByName(good).write.parquet(p)
+        failedCarry.unionByName(badNew).write
+          .parquet(s"$store/failed_v${v + 1}")
         val nTotal = spark.read.parquet(p).count()
-        (nTotal - nReuse, nTotal, p)
+        ReconcileResult(good.count(), nTotal, badNew.count(), p)
     }
   }
+
+  /** [[reconcileStatsBy]] over a payload-carrying DataFrame: the decode
+    * leg semi-joins `df` down to the churn ids (the generic form — a
+    * real corpus scan reads the payload column once more but decodes
+    * only churn; callers that can fetch payloads BY id — object store,
+    * synthesized fixtures — should use [[reconcileStatsBy]] directly
+    * and skip that second full scan).
+    */
+  def reconcileStats(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+                     idCol: String, payloadCol: String, store: String,
+                     dropMissing: Boolean = true): ReconcileResult =
+    reconcileStatsBy(spark, df.select(col(idCol)), idCol,
+      sub => df.join(sub, Seq(idCol), "left_semi"),
+      payloadCol, store, dropMissing)
 
   /** Frame sampling: k evenly-spaced fixed-width byte windows per payload
     * (video keyframe analog), exploded to one row per frame. Pure column

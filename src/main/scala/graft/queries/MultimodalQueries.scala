@@ -30,23 +30,41 @@ object MultimodalQueries {
     // (the gate runs four worker threads — an object-wide lock would
     // serialize unrelated work for the full decode duration)
     private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
-    def path(s: org.apache.spark.sql.SparkSession, d: String): String =
-      cache.computeIfAbsent(new java.io.File(d).getAbsolutePath, _ => {
-          val dir = graft.core.TempDirs.scratch("m_decoded_stats_")
-            .resolve("t").toString
-          val withP = Multimodal.withImagePayload(
-            Tables.documents(s, d).select("doc_id"), "doc_id")
-          // The 256-bin hist array is REDUCED here, in the same codegen
-          // stage as the decode, and only its three scalars are written:
-          // storing the raw arrays measured +100 s of pure parquet-write
-          // at 100x (500k x 2 KB) while the decode+arithmetic itself is
-          // 111 s — the array never needs to outlive the build stage.
-          Multimodal.reduceStats(
-              Multimodal.decodeStats(withP, "doc_id", "payload",
-                withHash = false))
-            .write.parquet(dir)
-          dir
-        })
+    // mtime+length of the documents table folds into the key: a dataset
+    // regenerated in-place mid-JVM must rebuild, not serve stale stats
+    private def fingerprint(d: String): String = {
+      val f = new java.io.File(s"$d/documents.parquet")
+      val parts =
+        if (f.isDirectory)
+          Option(f.listFiles()).toSeq.flatten
+            .map(c => s"${c.getName}:${c.lastModified}:${c.length}").sorted
+        else Seq(s"${f.lastModified}:${f.length}")
+      parts.mkString(",")
+    }
+    def path(s: org.apache.spark.sql.SparkSession, d: String): String = {
+      val key = new java.io.File(d).getAbsolutePath + "|" + fingerprint(d)
+      val p = cache.computeIfAbsent(key, _ => build(s, d))
+      // the scratch dir can be cleaned mid-JVM — revalidate, then rebuild
+      if (new java.io.File(p).exists()) p
+      else { cache.remove(key, p); path(s, d) }
+    }
+    private def build(s: org.apache.spark.sql.SparkSession,
+                      d: String): String = {
+      val dir = graft.core.TempDirs.scratch("m_decoded_stats_")
+        .resolve("t").toString
+      val withP = Multimodal.withImagePayload(
+        Tables.documents(s, d).select("doc_id"), "doc_id")
+      // The 256-bin hist array is REDUCED here, in the same codegen
+      // stage as the decode, and only its three scalars are written:
+      // storing the raw arrays measured +100 s of pure parquet-write
+      // at 100x (500k x 2 KB) while the decode+arithmetic itself is
+      // 111 s — the array never needs to outlive the build stage.
+      Multimodal.reduceStats(
+          Multimodal.decodeStats(withP, "doc_id", "payload",
+            withHash = false))
+        .write.parquet(dir)
+      dir
+    }
   }
   private def sharedStats(s: org.apache.spark.sql.SparkSession,
                           d: String): org.apache.spark.sql.DataFrame =
@@ -603,17 +621,20 @@ object MultimodalQueries {
         |FROM s""".stripMargin) { (s, d) =>
       val store = graft.core.TempDirs.scratch("m12_store_").toString
       val ids = Tables.documents(s, d).select("doc_id")
-      def present(df: org.apache.spark.sql.DataFrame) =
-        Multimodal.withImagePayload(df, "doc_id")
-      val (dec1, tot1, p1) = Multimodal.reconcileStats(
-        s, present(ids.filter(col("doc_id") % 3 < 2)), "doc_id", "payload", store)
-      val (dec2, tot2, p2) = Multimodal.reconcileStats(
-        s, present(ids), "doc_id", "payload", store)
-      def runRow(run: Int, dec: Long, tot: Long, path: String) =
-        s.read.parquet(path).agg(sum("sr").as("sum_r"))
-          .select(lit(run).as("run"), lit(dec).as("n_decoded"),
-            lit(tot).as("n_total"), col("sum_r").cast("long").as("sum_r"))
-      runRow(1, dec1, tot1, p1).unionAll(runRow(2, dec2, tot2, p2))
+      // fetch-by-ids form: the decode leg synthesizes payloads for the
+      // CHURN ids only (run 2 encodes just the new third, not the full
+      // corpus — the round-13 form re-encoded the corpus ~3x/reconcile)
+      def fetchP(sub: org.apache.spark.sql.DataFrame) =
+        Multimodal.withImagePayload(sub, "doc_id")
+      val r1 = Multimodal.reconcileStatsBy(
+        s, ids.filter(col("doc_id") % 3 < 2), "doc_id", fetchP, "payload", store)
+      val r2 = Multimodal.reconcileStatsBy(
+        s, ids, "doc_id", fetchP, "payload", store)
+      def runRow(run: Int, r: Multimodal.ReconcileResult) =
+        s.read.parquet(r.path).agg(sum("sr").as("sum_r"))
+          .select(lit(run).as("run"), lit(r.decoded).as("n_decoded"),
+            lit(r.total).as("n_total"), col("sum_r").cast("long").as("sum_r"))
+      runRow(1, r1).unionAll(runRow(2, r2))
     }
   )
 

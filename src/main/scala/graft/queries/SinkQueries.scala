@@ -883,8 +883,8 @@ object SinkQueries {
         val orders = Tables.orders(s, d)
           .select(col("o_totalprice"), (day % 3).as("m"))
         def listParquet(dir: String): Seq[String] =
-          Files.list(Paths.get(dir)).iterator.asScala.map(_.toString)
-            .filter(_.endsWith(".parquet")).toSeq.sorted
+          graft.core.Fs.listDir(Paths.get(dir)).map(_.toString)
+            .filter(_.endsWith(".parquet")).sorted
         // commit 1: the day%3==0 slice
         orders.filter(col("m") === 0).drop("m")
           .write.mode("overwrite").parquet(s"$root/batch1")
@@ -987,7 +987,7 @@ object SinkQueries {
           col("c_mktsegment").as("seg")) // scratch() pre-creates root
         .write.mode("overwrite").partitionBy("seg").parquet(root)
       def files(seg: String): Map[String, Long] =
-        Files.list(Paths.get(s"$root/seg=$seg")).iterator.asScala
+        graft.core.Fs.listDir(Paths.get(s"$root/seg=$seg"))
           .filter(_.toString.endsWith(".parquet"))
           .map(p => p.getFileName.toString -> Files.size(p)).toMap
       val touched = Seq("BUILDING", "AUTOMOBILE")
@@ -1046,8 +1046,8 @@ object SinkQueries {
         val tmp = graft.core.TempDirs.scratch("io16_b_").toString
         ev.filter(col("event_id") % 3 === slice)
           .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val f = Files.list(Paths.get(tmp)).iterator.asScala.map(_.toString)
-          .filter(_.endsWith(".parquet")).toSeq.head
+        val f = graft.core.Fs.listDir(Paths.get(tmp)).map(_.toString)
+          .filter(_.endsWith(".parquet")).head
         Files.copy(Paths.get(f), landing.resolve(name))
       }
       val ingest = new graft.operators.Ingest(s, landing.toString, manifestDir)

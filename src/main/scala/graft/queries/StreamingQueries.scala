@@ -20,12 +20,10 @@ import graft.streaming.Streams
   */
 object StreamingQueries {
 
-  // Files.list returns a Stream holding a directory file descriptor —
-  // close it, or every staged batch leaks one fd for the JVM's lifetime
-  private def listDir(dir: String): Array[String] = {
-    val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-    try s.toArray.map(_.toString) finally s.close()
-  }
+  // close-safe listing lives in core.Fs (shared repo-wide)
+  private def listDir(dir: String): Array[String] =
+    graft.core.Fs.listDir(java.nio.file.Paths.get(dir))
+      .map(_.toString).toArray
 
   val queries: Seq[Query] = Seq(
 
@@ -1368,11 +1366,13 @@ object StreamingQueries {
         var finalPath = ""
         val q = src.writeStream
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            val withP = graft.operators.Multimodal.withImagePayload(
-              batch, "doc_id")
-            val (_, _, p) = graft.operators.Multimodal.reconcileStats(
-              ss, withP, "doc_id", "payload", store, dropMissing = false)
-            finalPath = p
+            // fetch-by-ids: re-delivered ids hash-match the store and
+            // never re-encode — only the genuinely new slice synthesizes
+            val r = graft.operators.Multimodal.reconcileStatsBy(
+              ss, batch, "doc_id",
+              sub => graft.operators.Multimodal.withImagePayload(sub, "doc_id"),
+              "payload", store, dropMissing = false)
+            finalPath = r.path
             ()
           }
           .trigger(Trigger.AvailableNow()).start()

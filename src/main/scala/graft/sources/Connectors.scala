@@ -180,10 +180,8 @@ object Connectors {
   def zipFormDir(dir: String): Seq[String] = {
     import java.util.zip.{ZipEntry, ZipOutputStream}
     val d = Paths.get(dir)
-    val files = {
-      val s = Files.list(d)
-      try s.iterator().asScala.toList finally s.close()
-    }.filter(p => Files.isRegularFile(p) &&
+    val files = graft.core.Fs.listDir(d)
+      .filter(p => Files.isRegularFile(p) &&
         !p.getFileName.toString.endsWith(".zip"))
       .sortBy(_.getFileName.toString)
     val zipPath = d.resolve(s"${d.getFileName}.zip")
@@ -206,10 +204,11 @@ object Connectors {
     */
   def uploadStaged(http: HttpTransport, stagingPath: String, url: String,
                    headers: Map[String, String] = Map.empty): Int = {
-    val part = Files.list(Paths.get(stagingPath)).filter(p =>
+    val part = graft.core.Fs.listDir(Paths.get(stagingPath))
+      .find(p =>
         p.getFileName.toString.startsWith("part-") &&
         p.getFileName.toString.endsWith(".csv"))
-      .findFirst().orElseThrow(() =>
+      .getOrElse(throw
         new IllegalStateException(s"no staged part CSV under $stagingPath"))
     val bytes = Files.readAllBytes(part)
     http.post(url, bytes, headers + ("Content-Type" -> "text/csv"))

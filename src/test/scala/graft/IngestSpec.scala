@@ -11,9 +11,8 @@ class IngestSpec extends SparkSpec {
   private def land(dir: java.nio.file.Path, name: String): Unit = {
     val tmp = graft.core.TempDirs.scratch("ingspec_b_").toString
     spark.range(3).toDF("v").coalesce(1).write.mode("overwrite").parquet(tmp)
-    import scala.jdk.CollectionConverters._
-    val f = Files.list(Paths.get(tmp)).iterator.asScala.map(_.toString)
-      .filter(_.endsWith(".parquet")).toSeq.head
+    val f = graft.core.Fs.listDir(Paths.get(tmp)).map(_.toString)
+      .filter(_.endsWith(".parquet")).head
     Files.copy(Paths.get(f), dir.resolve(name))
   }
 

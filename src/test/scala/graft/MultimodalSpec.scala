@@ -220,35 +220,63 @@ class MultimodalSpec extends SparkSpec {
     def present(df: org.apache.spark.sql.DataFrame) =
       Multimodal.withImagePayload(df, "doc_id")
     // run 1: half the corpus
-    val (d1, t1, p1) = Multimodal.reconcileStats(
+    val r1 = Multimodal.reconcileStats(
       spark, present(all.filter(col("doc_id") < 3)), "doc_id", "payload", store)
-    assert((d1, t1) == ((3L, 3L)) && p1.endsWith("stats_v1"))
+    assert((r1.decoded, r1.total) == ((3L, 3L)) && r1.path.endsWith("stats_v1"))
     // run 2: full corpus — only the new half decodes
-    val (d2, t2, p2) = Multimodal.reconcileStats(
+    val r2 = Multimodal.reconcileStats(
       spark, present(all), "doc_id", "payload", store)
-    assert((d2, t2) == ((3L, 6L)) && p2.endsWith("stats_v2"))
+    assert((r2.decoded, r2.total) == ((3L, 6L)) && r2.path.endsWith("stats_v2"))
     // run 3: no-op re-run — nothing decodes, content served from the store
-    val (d3, t3, _) = Multimodal.reconcileStats(
+    val r3 = Multimodal.reconcileStats(
       spark, present(all), "doc_id", "payload", store)
-    assert((d3, t3) == ((0L, 6L)))
+    assert((r3.decoded, r3.total) == ((0L, 6L)))
     // run 4: one payload's CONTENT changes (id 2 now carries id 99's
     // image) — the changed hash re-decodes exactly that image, and the
     // stored stats row is replaced, not served stale
     val changed = present(all.filter(col("doc_id") =!= 2)).unionByName(
       present(spark.range(99, 100).select(col("id").as("doc_id")))
         .withColumn("doc_id", lit(2L)))
-    val (d4, t4, p4) = Multimodal.reconcileStats(
+    val r4 = Multimodal.reconcileStats(
       spark, changed, "doc_id", "payload", store)
-    assert((d4, t4) == ((1L, 6L)))
-    val sr2 = spark.read.parquet(p4).filter(col("id") === 2)
+    assert((r4.decoded, r4.total) == ((1L, 6L)))
+    val sr2 = spark.read.parquet(r4.path).filter(col("id") === 2)
       .select("sr").head().getLong(0)
     val sr99 = Multimodal.decodeStats(
       present(spark.range(99, 100).select(col("id").as("doc_id"))),
       "doc_id", "payload").select("sr").head().getLong(0)
     assert(sr2 == sr99, "changed content must serve re-decoded stats")
     // run 5: an id REMOVED from the corpus drops from the table
-    val (d5, t5, _) = Multimodal.reconcileStats(
+    val r5 = Multimodal.reconcileStats(
       spark, present(all.filter(col("doc_id") < 5)), "doc_id", "payload", store)
-    assert((d5, t5) == ((1L, 5L))) // id 2 reverts to its own image: 1 decode
+    assert((r5.decoded, r5.total) == ((1L, 5L))) // id 2 reverts: 1 decode
+  }
+
+  test("reconcileStats records failures once and skips known-bad content") {
+    val store = graft.core.TempDirs.scratch("m12fail_").toString
+    val ids = spark.range(4).select(col("id").as("doc_id"))
+    // ids 0-2 carry real PNGs; id 3 carries undecodable bytes
+    def present(sub: org.apache.spark.sql.DataFrame) =
+      Multimodal.withImagePayload(sub, "doc_id")
+        .withColumn("payload",
+          when(col("doc_id") === 3, lit("not a png".getBytes))
+            .otherwise(col("payload")))
+    val r1 = Multimodal.reconcileStatsBy(
+      spark, ids, "doc_id", present, "payload", store)
+    assert((r1.decoded, r1.total, r1.failed) == ((3L, 3L, 1L)),
+      s"run 1: $r1")
+    // re-run: the known-bad (id, hash) must NOT be re-attempted — zero
+    // decodes AND zero new failures
+    val r2 = Multimodal.reconcileStatsBy(
+      spark, ids, "doc_id", present, "payload", store)
+    assert((r2.decoded, r2.total, r2.failed) == ((0L, 3L, 0L)),
+      s"run 2: $r2")
+    // id 3's content changes to a real PNG: the new hash re-attempts,
+    // decodes, and joins the stats table
+    val r3 = Multimodal.reconcileStatsBy(
+      spark, ids, "doc_id",
+      sub => Multimodal.withImagePayload(sub, "doc_id"), "payload", store)
+    assert((r3.decoded, r3.total, r3.failed) == ((1L, 4L, 0L)),
+      s"run 3: $r3")
   }
 }

@@ -117,19 +117,19 @@ class Round13Spec extends SparkSpec {
     val all = spark.range(6).select(col("id").as("doc_id"))
     def present(df: org.apache.spark.sql.DataFrame) =
       graft.operators.Multimodal.withImagePayload(df, "doc_id")
-    val (d1, t1, _) = graft.operators.Multimodal.reconcileStats(
+    val r1 = graft.operators.Multimodal.reconcileStats(
       spark, present(all.filter(col("doc_id") < 4)), "doc_id", "payload",
       store, dropMissing = false)
-    assert((d1, t1) == ((4L, 4L)))
+    assert((r1.decoded, r1.total) == ((4L, 4L)))
     // arrival batch overlaps batch 1 (ids 2,3 re-delivered): only the
     // genuinely new ids decode, absent ids 0,1 persist
-    val (d2, t2, _) = graft.operators.Multimodal.reconcileStats(
+    val r2 = graft.operators.Multimodal.reconcileStats(
       spark, present(all.filter(col("doc_id") >= 2)), "doc_id", "payload",
       store, dropMissing = false)
-    assert((d2, t2) == ((2L, 6L)), s"got ($d2, $t2)")
+    assert((r2.decoded, r2.total) == ((2L, 6L)), s"got $r2")
     // full re-delivery is a no-op
-    val (d3, t3, _) = graft.operators.Multimodal.reconcileStats(
+    val r3 = graft.operators.Multimodal.reconcileStats(
       spark, present(all), "doc_id", "payload", store, dropMissing = false)
-    assert((d3, t3) == ((0L, 6L)))
+    assert((r3.decoded, r3.total) == ((0L, 6L)))
   }
 }
