@@ -1149,6 +1149,342 @@ object Reporting {
     // snapshot's distinct count exactly. g08's interval-membership shape
     // extended to DISTINCT aggregation — the only form that survives
     // weekly snapshots over years of history at 100 TB.
+    // ---- g38: ICF verification composite ------------------------------------
+    // The reference's ICF safety/efficacy report chain (pipeline-reporting/
+    // R/icf/icf_se_report.Rmd:149-400): per-arm rosters built by
+    // parent↔repeat inner joins on PARENT_KEY with completed+signed
+    // filters and a latest-visit rollup per participant; a v0demography
+    // roster (another PARENT_KEY join) contributing age/fa attributes —
+    // by extid for safety/efficacy, by HOUSEHOLD for safetynew (the
+    // reference's distinct(hhid, fa_id) lookup, made deterministic here
+    // with min()); departures (left/migrated/died) excluded by anti-join;
+    // verification ∪ resolution records each rolled to the latest
+    // submission per (extid, study), unioned, rolled AGAIN (the
+    // reference's double rollup), then inner-joined to the roster for
+    // status; final rows carry the report's metric label + aging days.
+    // Everything shuffles by extid once per rollup; the departure set
+    // and v0 lookups are key-sized (AQE broadcasts them).
+    Query("g38_icf_verification",
+      """WITH rep AS (
+        |  SELECT l_orderkey AS okey, l_partkey AS extid, l_suppkey,
+        |         l_linenumber, l_quantity, l_returnflag AS rf,
+        |         l_linestatus AS ls, CAST(l_shipdate AS DATE) AS submit,
+        |         l_orderkey*100 + l_linenumber AS inst
+        |  FROM lineitem),
+        |par AS (
+        |  SELECT o_orderkey AS okey, o_custkey AS hhid,
+        |         o_orderpriority AS pri,
+        |         CASE WHEN o_orderstatus = 'O' THEN 'in'
+        |              WHEN o_orderstatus = 'F' THEN 'eos'
+        |              WHEN o_totalprice < 100000 THEN 'out'
+        |              ELSE 'refusal' END AS status
+        |  FROM orders),
+        |v0 AS (
+        |  SELECT r.extid, min(p.hhid) AS hhid, min(r.l_suppkey) AS fa_id,
+        |         CAST(floor(datediff('day', min(r.submit), DATE '2001-12-01')
+        |                    / 365.25) AS INT) AS age
+        |  FROM par p JOIN rep r ON p.okey = r.okey
+        |  WHERE p.pri = '4-NOT SPECIFIED' GROUP BY 1),
+        |v0h AS (SELECT hhid, min(fa_id) AS fa_id FROM v0 GROUP BY 1),
+        |sfty AS (
+        |  SELECT extid, 'safety' AS study, status, submit, inst, hhid,
+        |         CAST(NULL AS INT) AS own_age,
+        |         row_number() OVER (PARTITION BY extid
+        |                            ORDER BY submit DESC, inst DESC) AS rn
+        |  FROM par p JOIN rep r ON p.okey = r.okey
+        |  WHERE p.pri IN ('1-URGENT', '2-HIGH')
+        |    AND r.ls = 'F' AND r.rf <> 'N'),
+        |sftynew AS (
+        |  SELECT extid, 'safety' AS study, status, submit, inst, hhid,
+        |         CAST(floor(l_quantity) AS INT) AS own_age,
+        |         row_number() OVER (PARTITION BY extid
+        |                            ORDER BY submit DESC, inst DESC) AS rn
+        |  FROM par p JOIN rep r ON p.okey = r.okey
+        |  WHERE p.pri = '3-MEDIUM'
+        |    AND r.ls = 'F' AND r.rf <> 'N'),
+        |eff AS (
+        |  SELECT extid, 'efficacy' AS study, status, submit, inst, hhid,
+        |         CAST(NULL AS INT) AS own_age,
+        |         row_number() OVER (PARTITION BY extid
+        |                            ORDER BY submit DESC, inst DESC) AS rn
+        |  FROM par p JOIN rep r ON p.okey = r.okey
+        |  WHERE p.pri = '5-LOW'
+        |    AND r.ls = 'F' AND r.rf = 'A'),
+        |dep AS (
+        |  SELECT DISTINCT extid
+        |  FROM par p JOIN rep r ON p.okey = r.okey
+        |  WHERE p.pri IN ('1-URGENT', '2-HIGH', '5-LOW')
+        |    AND r.rf = 'R' AND r.ls = 'O' AND r.l_quantity <= 2),
+        |leg1 AS (
+        |  SELECT s.extid, s.study, s.status, s.submit, s.inst,
+        |         v.age AS age, v.fa_id AS fa_id
+        |  FROM sfty s LEFT JOIN v0 v ON s.extid = v.extid WHERE s.rn = 1),
+        |leg2 AS (
+        |  SELECT s.extid, s.study, s.status, s.submit, s.inst,
+        |         s.own_age AS age, v.fa_id AS fa_id
+        |  FROM sftynew s LEFT JOIN v0h v ON s.hhid = v.hhid WHERE s.rn = 1),
+        |leg3 AS (
+        |  SELECT s.extid, s.study, s.status, s.submit, s.inst,
+        |         v.age AS age, v.fa_id AS fa_id
+        |  FROM eff s LEFT JOIN v0 v ON s.extid = v.extid WHERE s.rn = 1),
+        |roster0 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY extid, study
+        |                               ORDER BY submit DESC, inst DESC) AS rn2
+        |  FROM (SELECT * FROM leg1 UNION ALL SELECT * FROM leg2
+        |        UNION ALL SELECT * FROM leg3)
+        |  WHERE status IN ('in', 'eos', 'out')
+        |    AND extid NOT IN (SELECT extid FROM dep)),
+        |roster AS (SELECT extid, study, status, age, fa_id
+        |           FROM roster0 WHERE rn2 = 1),
+        |vslice AS (
+        |  SELECT r.extid,
+        |         CASE WHEN r.okey % 2 = 0 THEN 'safety' ELSE 'efficacy' END
+        |           AS study,
+        |         r.rf, r.ls, r.submit, r.inst
+        |  FROM par p JOIN rep r ON p.okey = r.okey
+        |  WHERE p.pri = '4-NOT SPECIFIED'),
+        |verif AS (
+        |  SELECT extid, study,
+        |         CASE rf WHEN 'A' THEN 'Archived'
+        |                 ELSE 'Rectification' END AS icf_stat,
+        |         submit, inst,
+        |         row_number() OVER (PARTITION BY extid, study
+        |                            ORDER BY submit DESC, inst DESC) AS rn
+        |  FROM vslice WHERE rf IN ('A', 'R')),
+        |resol AS (
+        |  SELECT extid, study,
+        |         CASE ls WHEN 'F' THEN 'Archived'
+        |                 ELSE 'Lost-Not Found' END AS icf_stat,
+        |         submit, inst,
+        |         row_number() OVER (PARTITION BY extid, study
+        |                            ORDER BY submit DESC, inst DESC) AS rn
+        |  FROM vslice WHERE rf = 'N'),
+        |icf AS (
+        |  SELECT *, row_number() OVER (PARTITION BY extid, study
+        |                               ORDER BY submit DESC, inst DESC) AS rn2
+        |  FROM (SELECT extid, study, icf_stat, submit, inst FROM verif
+        |          WHERE rn = 1
+        |        UNION ALL
+        |        SELECT extid, study, icf_stat, submit, inst FROM resol
+        |          WHERE rn = 1))
+        |SELECT i.extid, i.study, r.status, i.icf_stat,
+        |       CASE i.icf_stat WHEN 'Rectification' THEN 'ICF Unresolved'
+        |                       WHEN 'Lost-Not Found' THEN 'ICF Missing'
+        |                       ELSE 'ICF Archived' END AS metric,
+        |       CAST(datediff('day', i.submit, DATE '2001-12-01') AS BIGINT)
+        |         AS aging_days,
+        |       r.age, r.fa_id
+        |FROM icf i JOIN roster r
+        |  ON i.extid = r.extid AND i.study = r.study
+        |WHERE i.rn2 = 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val runDate = lit("2001-12-01").cast("date")
+      val rep = Tables.lineitem(s, d).select(
+        col("l_orderkey").as("okey"), col("l_partkey").as("extid"),
+        col("l_suppkey"), col("l_quantity"),
+        col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+        col("l_shipdate").cast("date").as("submit"),
+        (col("l_orderkey") * 100 + col("l_linenumber")).as("inst"))
+      val par = Tables.orders(s, d).select(
+        col("o_orderkey").as("okey"), col("o_custkey").as("hhid"),
+        col("o_orderpriority").as("pri"),
+        when(col("o_orderstatus") === "O", "in")
+          .when(col("o_orderstatus") === "F", "eos")
+          .when(col("o_totalprice") < 100000, "out")
+          .otherwise("refusal").as("status"))
+      // each slice replays the scan + broadcast-join subtree; a shared
+      // localCheckpoint was MEASURED SLOWER at sf0.1 (8.4 vs 7.4 s —
+      // materializing 600k joined rows costs more than six broadcast
+      // joins over pruned parquet scans), and at cluster scale the
+      // broadcast replays stay shuffle-free while a checkpoint pins
+      // executor storage
+      def slice(pris: String*) =
+        par.filter(col("pri").isin(pris: _*)).join(rep, "okey")
+      // v0demography roster: PARENT_KEY join + derived age, one row per
+      // extid (reference Rmd:176-181; min() where the reference trusts
+      // upstream distinctness)
+      val v0 = slice("4-NOT SPECIFIED").groupBy("extid")
+        .agg(min("hhid").as("hhid"), min("l_suppkey").as("fa_id"),
+          min("submit").as("dob"))
+        .select(col("extid"), col("hhid"), col("fa_id"),
+          floor(datediff(runDate, col("dob")) / 365.25).cast("int").as("age"))
+      val v0h = v0.groupBy("hhid").agg(min("fa_id").as("fa_id"))
+      val latest = Window.partitionBy("extid")
+        .orderBy(col("submit").desc, col("inst").desc)
+      // per-arm roster legs: completed+signed filter, latest visit per
+      // participant (Rmd:252-309), v0 attributes by extid (safety,
+      // efficacy) or by household (safetynew)
+      def leg(df: org.apache.spark.sql.DataFrame, study: String) = df
+        .withColumn("rn", row_number().over(latest)).filter(col("rn") === 1)
+        .select(col("extid"), lit(study).as("study"), col("status"),
+          col("submit"), col("inst"), col("hhid"), col("own_age"))
+      val sfty = leg(slice("1-URGENT", "2-HIGH")
+          .filter(col("ls") === "F" && col("rf") =!= "N")
+          .withColumn("own_age", lit(null).cast("int")), "safety")
+        .join(v0.select("extid", "age", "fa_id"), Seq("extid"), "left")
+      val sftynew = leg(slice("3-MEDIUM")
+          .filter(col("ls") === "F" && col("rf") =!= "N")
+          .withColumn("own_age", floor(col("l_quantity")).cast("int")), "safety")
+        .join(v0h, Seq("hhid"), "left")
+        .withColumn("age", col("own_age"))
+      val eff = leg(slice("5-LOW")
+          .filter(col("ls") === "F" && col("rf") === "A")
+          .withColumn("own_age", lit(null).cast("int")), "efficacy")
+        .join(v0.select("extid", "age", "fa_id"), Seq("extid"), "left")
+      // departures (left/migrated/died) are RARE events — the quantity
+      // guard keeps the excluded-extid set at reference-like rarity
+      // instead of letting any 'R'+'O' line mark a departure
+      val dep = slice("1-URGENT", "2-HIGH", "5-LOW")
+        .filter(col("rf") === "R" && col("ls") === "O" &&
+          col("l_quantity") <= 2)
+        .select("extid").distinct()
+      val cols = Seq("extid", "study", "status", "submit", "inst", "age", "fa_id")
+      val latest2 = Window.partitionBy("extid", "study")
+        .orderBy(col("submit").desc, col("inst").desc)
+      val roster = sfty.select(cols.map(col): _*)
+        .unionByName(sftynew.select(cols.map(col): _*))
+        .unionByName(eff.select(cols.map(col): _*))
+        .filter(col("status").isin("in", "eos", "out"))
+        .join(dep, Seq("extid"), "left_anti")
+        .withColumn("rn2", row_number().over(latest2)).filter(col("rn2") === 1)
+        .select("extid", "study", "status", "age", "fa_id")
+      // verification ∪ resolution: latest per (extid, study) per form,
+      // then the union rolled again (Rmd:330-385's double rollup)
+      val vslice = slice("4-NOT SPECIFIED").select(col("extid"),
+        when(col("okey") % 2 === 0, "safety").otherwise("efficacy").as("study"),
+        col("rf"), col("ls"), col("submit"), col("inst"))
+      def roll(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("rn", row_number().over(latest2)).filter(col("rn") === 1)
+        .select("extid", "study", "icf_stat", "submit", "inst")
+      val verif = roll(vslice.filter(col("rf").isin("A", "R"))
+        .withColumn("icf_stat",
+          when(col("rf") === "A", "Archived").otherwise("Rectification")))
+      val resol = roll(vslice.filter(col("rf") === "N")
+        .withColumn("icf_stat",
+          when(col("ls") === "F", "Archived").otherwise("Lost-Not Found")))
+      val icf = verif.unionByName(resol)
+        .withColumn("rn2", row_number().over(latest2)).filter(col("rn2") === 1)
+      icf.join(roster, Seq("extid", "study"))
+        .select(col("extid"), col("study"), col("status"), col("icf_stat"),
+          when(col("icf_stat") === "Rectification", "ICF Unresolved")
+            .when(col("icf_stat") === "Lost-Not Found", "ICF Missing")
+            .otherwise("ICF Archived").as("metric"),
+          datediff(runDate, col("submit")).cast("long").as("aging_days"),
+          col("age"), col("fa_id"))
+    },
+
+    // ---- g39: monitoring-issues site dashboard -------------------------------
+    // The reference's site-UI family (pipeline-reporting/R/
+    // monitoring-issues-ui/cra_site_ui.Rmd:90-300): report ids split into
+    // (site identifier, snapshot) via separate(report_id) [r04]; issues
+    // opened by 'Open' records and closed by 'Resolve' records that
+    // reference a real open issue's instanceID (resolves that point
+    // nowhere are ignored, matching the reference's %in% resolved_issue
+    // guard); weekly as-of snapshots [W12] with per-site aging buckets
+    // [W13]. The oracle brute-forces the week × issue grid; the engine
+    // never materializes it — each issue contributes ≤4 week-index
+    // INTERVALS (bucket regrades at +8d/+15d, exit at its resolve week,
+    // 'closed' from the resolve week on), and +1/-1 deltas with a prefix
+    // sum over the 6-week × site × bucket grid reconstruct every
+    // snapshot count exactly (the g18 shape — the only form that
+    // survives weekly snapshots over years of history at 100 TB).
+    Query("g39_site_issue_dashboard",
+      """WITH wk AS (SELECT unnest(generate_series(0, 5)) AS k),
+        |ev AS (SELECT event_id, CAST(ts AS DATE) AS d, user_id, event_type
+        |       FROM events),
+        |op0 AS (
+        |  SELECT event_id AS inst, d AS opened,
+        |         'site' || CAST(user_id % 8 AS VARCHAR) || '-' ||
+        |           CAST(event_id % 100 AS VARCHAR) AS report_id
+        |  FROM ev WHERE event_type = 'error'),
+        |op AS (SELECT inst, opened, split_part(report_id, '-', 1) AS site
+        |       FROM op0),
+        |res AS (
+        |  SELECT r.issue_id, min(r.rd) AS resolved
+        |  FROM (SELECT event_id - 5 AS issue_id, d AS rd FROM ev
+        |        WHERE event_type = 'purchase') r
+        |  JOIN op ON r.issue_id = op.inst GROUP BY 1),
+        |iss AS (
+        |  SELECT op.inst, op.site, op.opened, res.resolved
+        |  FROM op LEFT JOIN res ON op.inst = res.issue_id),
+        |grid AS (
+        |  SELECT i.*, CAST(DATE '2024-01-01' + CAST(k*7 AS INT) AS DATE)
+        |           AS run_date
+        |  FROM iss i, wk),
+        |st AS (
+        |  SELECT run_date, site,
+        |         CASE WHEN resolved IS NOT NULL AND resolved <= run_date
+        |                THEN 'closed'
+        |              WHEN opened <= run_date
+        |                   AND datediff('day', opened, run_date) > 14
+        |                THEN '15d+'
+        |              WHEN opened <= run_date
+        |                   AND datediff('day', opened, run_date) > 7
+        |                THEN '8-14d'
+        |              WHEN opened <= run_date THEN '0-7d'
+        |              ELSE NULL END AS bucket
+        |  FROM grid)
+        |SELECT run_date, site, bucket, CAST(count(*) AS BIGINT) AS n
+        |FROM st WHERE bucket IS NOT NULL
+        |GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = lit("2024-01-01").cast("date")
+      val nWeeks = 6
+      // first grid week index whose run_date >= dt, clamped into [0, 6]
+      def kOf(dt: org.apache.spark.sql.Column) =
+        least(lit(nWeeks), greatest(lit(0),
+          ceil(datediff(dt, base) / 7.0)).cast("int"))
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts").cast("date").as("d"),
+          col("user_id"), col("event_type"))
+      val op = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("inst"), col("d").as("opened"),
+          concat(lit("site"), (col("user_id") % 8).cast("string"),
+            lit("-"), (col("event_id") % 100).cast("string")).as("report_id"))
+        .select(col("inst"), col("opened"),
+          split_part(col("report_id"), lit("-"), lit(1)).as("site"))
+      val res = ev.filter(col("event_type") === "purchase")
+        .select((col("event_id") - 5).as("issue_id"), col("d").as("rd"))
+        .join(op.select(col("inst")), col("issue_id") === col("inst"))
+        .groupBy("issue_id").agg(min("rd").as("resolved"))
+      val iss = op.join(res, col("inst") === col("issue_id"), "left")
+      // bucket membership as week-index intervals: entry at the open
+      // week, regrades at +8d/+15d (aging > 7/14 ⇔ run ≥ open+8/+15),
+      // all clipped at the resolve week; 'closed' from the resolve week
+      val ks = kOf(col("opened"))
+      val k8 = kOf(date_add(col("opened"), 8))
+      val k15 = kOf(date_add(col("opened"), 15))
+      val kr = coalesce(
+        when(col("resolved").isNotNull, kOf(col("resolved"))), lit(nWeeks))
+      val legs = iss.select(col("site"), explode(array(
+          struct(lit("0-7d").as("b"), ks.as("ks"), least(k8, kr).as("ke")),
+          struct(lit("8-14d").as("b"), k8.as("ks"), least(k15, kr).as("ke")),
+          struct(lit("15d+").as("b"), k15.as("ks"), kr.as("ke")),
+          struct(lit("closed").as("b"), kr.as("ks"), lit(nWeeks + 1).as("ke"))
+        )).as("iv"))
+        .select(col("site"), col("iv.b").as("bucket"),
+          col("iv.ks").as("ks"), col("iv.ke").as("ke"))
+        .filter(col("ks") < col("ke"))
+      val deltas = legs.select(col("site"), col("bucket"), explode(concat(
+          array(struct(col("ks").as("k"), lit(1L).as("dd"))),
+          when(col("ke") <= nWeeks,
+            array(struct(col("ke").as("k"), lit(-1L).as("dd"))))
+            .otherwise(array()))).as("dl"))
+        .select(col("site"), col("bucket"),
+          col("dl.k").as("k"), col("dl.dd").as("dd"))
+        .groupBy("k", "site", "bucket").agg(sum("dd").as("dd"))
+      val groups = deltas.select("site", "bucket").distinct()
+      val grid = s.range(0, nWeeks + 1).select(col("id").cast("int").as("k"))
+        .crossJoin(broadcast(groups))
+      val w = Window.partitionBy("site", "bucket").orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      grid.join(deltas, Seq("k", "site", "bucket"), "left")
+        .withColumn("n", sum(coalesce(col("dd"), lit(0L))).over(w))
+        .filter(col("n") > 0 && col("k") <= nWeeks - 1)
+        .select(date_add(base, col("k") * 7).as("run_date"), col("site"),
+          col("bucket"), col("n"))
+    },
+
     Query("g18_icf_aging",
       """WITH wk0 AS (
         |  SELECT unnest(generate_series(DATE '1996-01-06', DATE '1996-03-30',

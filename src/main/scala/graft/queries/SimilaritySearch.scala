@@ -995,6 +995,105 @@ object SimilaritySearch {
       }
     },
 
+    // ---- S54: index-maintenance retrain decision ----------------------------
+    // The lifecycle glue s45 (drift), s52/io25 (tombstones/compaction)
+    // and s53 (upserts) measure separately: per IVF cell, compare the
+    // LIVE members' centroid against the cell's trained centroid (L2
+    // shift via the s45 quantize-then-exact-sum device — bit-identical
+    // cross-engine) and the tombstone fraction, then emit the
+    // maintenance verdict: drifted cells REBUILD (their centroid no
+    // longer represents the members — recall decays), tombstone-heavy
+    // cells COMPACT (io25's rewrite), the rest KEEP. The oracle restates
+    // the entire computation INCLUDING the decision column (the s47
+    // pattern — a verdict the gate itself re-derives). Centroids are the
+    // first 8 corpus vectors, so the oracle references them relationally
+    // (no literal matrix) and the cells stay balanced. Engine shape: one
+    // broadcast assign (no shuffle), one (cell, dim) hash agg over the
+    // 64-way posexplode, one 8-row fold — the whole decision costs one
+    // corpus pass at any scale.
+    Query("s54_ann_retrain_decision",
+      s"""WITH cents AS (
+        |  SELECT vec_id AS cell_id, embedding AS c FROM embeddings
+        |  WHERE vec_id < 8),
+        |dist AS (
+        |  SELECT vec_id, cell_id,
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list_transform(range(1, 65),
+        |             i -> (CAST(embedding[i] AS DOUBLE) - CAST(c[i] AS DOUBLE))
+        |                  * (CAST(embedding[i] AS DOUBLE) - CAST(c[i] AS DOUBLE)))),
+        |           (a, x) -> a + x) AS d
+        |  FROM embeddings CROSS JOIN cents),
+        |assigned AS (SELECT vec_id, cell_id FROM (
+        |  SELECT vec_id, cell_id,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+        |  FROM dist) WHERE rn = 1),
+        |cnt AS (
+        |  SELECT cell_id, count(*) AS n_total,
+        |         sum(CASE WHEN vec_id % 7 = 3 THEN 1 ELSE 0 END) AS n_tomb
+        |  FROM assigned GROUP BY 1),
+        |live AS (
+        |  SELECT a.cell_id, e.embedding
+        |  FROM assigned a JOIN embeddings e USING (vec_id)
+        |  WHERE a.vec_id % 7 <> 3),
+        |base AS (
+        |  SELECT cell_id, r.range - 1 AS dim,
+        |         CAST(floor(CAST(embedding[r.range] AS DOUBLE) * 1000000.0
+        |                    + 0.5) AS BIGINT) AS q
+        |  FROM live CROSS JOIN range(1, 65) r),
+        |sums AS (SELECT cell_id, dim, sum(q) AS sq, count(*) AS nl
+        |         FROM base GROUP BY 1, 2),
+        |m AS (SELECT cell_id, dim, CAST(sq AS DOUBLE) / 1000000.0 / nl AS m
+        |      FROM sums),
+        |f AS (SELECT m.cell_id,
+        |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list((m - CAST(c[dim+1] AS DOUBLE))
+        |               * (m - CAST(c[dim+1] AS DOUBLE)) ORDER BY dim)),
+        |          (a, x) -> a + x) AS l2q
+        |      FROM m JOIN cents ON m.cell_id = cents.cell_id GROUP BY 1)
+        |SELECT c.cell_id, CAST(n_total AS BIGINT) AS n_total,
+        |       CAST(n_tomb AS BIGINT) AS n_tomb,
+        |       CAST(n_tomb AS DOUBLE) / n_total AS tomb_frac,
+        |       sqrt(l2q) AS l2_shift,
+        |       CASE WHEN sqrt(l2q) > 0.825 THEN 'rebuild'
+        |            WHEN CAST(n_tomb AS DOUBLE) / n_total > 0.15 THEN 'compact'
+        |            ELSE 'keep' END AS decision
+        |FROM cnt c JOIN f USING (cell_id)""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("c_vec"))
+      val assigned = graft.operators.Ivf.assign(e, cents, "vec_id", "embedding")
+      val cnt = assigned.groupBy("cell_id")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("vec_id") % 7 === 3, 1L).otherwise(0L)).as("n_tomb"))
+      val live = assigned.filter(col("vec_id") % 7 =!= 3)
+        .select(col("cell_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("cell_id"), col("dim"),
+          floor(col("v").cast("double") * lit(1000000.0) + lit(0.5))
+            .cast("long").as("q"))
+      val sums = live.groupBy("cell_id", "dim")
+        .agg(sum("q").as("sq"), count(lit(1)).as("nl"))
+      val m = sums.select(col("cell_id"), col("dim"),
+        (col("sq").cast("double") / lit(1000000.0) / col("nl")).as("m"))
+      val cflat = cents.select(col("cell_id"),
+        posexplode(col("c_vec")).as(Seq("dim", "c")))
+        .select(col("cell_id"), col("dim"), col("c").cast("double").as("c"))
+      val f = m.join(broadcast(cflat), Seq("cell_id", "dim"))
+        .groupBy("cell_id").agg(aggregate(
+          transform(sort_array(collect_list(struct(col("dim"),
+            ((col("m") - col("c")) * (col("m") - col("c"))).as("t")))),
+            e0 => e0.getField("t")),
+          lit(0.0), (acc, v) => acc + v).as("l2q"))
+      cnt.join(f, Seq("cell_id"))
+        .select(col("cell_id"), col("n_total").cast("long").as("n_total"),
+          col("n_tomb").cast("long").as("n_tomb"),
+          (col("n_tomb").cast("double") / col("n_total")).as("tomb_frac"),
+          sqrt(col("l2q")).as("l2_shift"),
+          when(sqrt(col("l2q")) > 0.825, "rebuild")
+            .when(col("n_tomb").cast("double") / col("n_total") > 0.15,
+              "compact")
+            .otherwise("keep").as("decision"))
+    },
+
     // ---- S32: FILTERED vector search over the persisted index --------------
     // The vector-DB hard case: top-k under a metadata predicate. Naive
     // post-filtering of an unfiltered top-k silently under-returns when
