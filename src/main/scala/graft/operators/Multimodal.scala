@@ -39,6 +39,22 @@ object Multimodal {
     bytes != null && bytes.length > 8 &&
       (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
 
+  private[graft] def isJpeg(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length > 3 &&
+      (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8 &&
+      (bytes(2) & 0xFF) == 0xFF
+
+  // BMP's 2-byte magic is weak (text can start with "BM"); require the
+  // header's reserved zero bytes too so a text payload never routes to
+  // the image decoder
+  private[graft] def isBmp(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length > 54 &&
+      bytes(0) == 'B' && bytes(1) == 'M' &&
+      bytes(6) == 0 && bytes(7) == 0 && bytes(8) == 0 && bytes(9) == 0
+
+  private[graft] def isImage(bytes: Array[Byte]): Boolean =
+    isPng(bytes) || isBmp(bytes) || isJpeg(bytes)
+
   /** Deterministic RGB test pixels for an id — this formula IS the
     * oracle contract: m02/m04's DuckDB side recomputes it per (x, y)
     * with plain integer arithmetic, so the engine's real
@@ -61,14 +77,22 @@ object Multimodal {
     px
   }
 
-  private[graft] def encodePng(px: Array[Int], w: Int, h: Int): Array[Byte] = {
+  /** Encode pixels with a named ImageIO writer. `png` and `bmp`
+    * (BI_RGB 24-bit) are LOSSLESS — decode(encode(px)) == px exactly,
+    * which the formula oracles rely on; `jpg` is lossy and only the
+    * m16 row + MultimodalSpec's bounded-error pins use it. */
+  private[graft] def encodeImage(px: Array[Int], w: Int, h: Int,
+                                 fmt: String): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     img.setRGB(0, 0, w, h, px, 0, w)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(img, fmt, bos)
     bos.toByteArray
   }
+
+  private[graft] def encodePng(px: Array[Int], w: Int, h: Int): Array[Byte] =
+    encodeImage(px, w, h, "png")
 
   /** (width, height, row-major 0xRRGGBB pixels). PNG is lossless, so
     * decode(encode(px)) == px exactly. */
@@ -83,10 +107,11 @@ object Multimodal {
     * the task — at corpus scale SOME rows are always broken, and one
     * bad image must cost one null row, not the job. ImageIO signals
     * corruption both ways (null return AND IIOException), so both are
-    * caught.
+    * caught. Routes by magic (PNG / BMP / JPEG — the mixed-codec corpus)
+    * and lets ImageIO's reader auto-detection pick the codec.
     */
-  private[graft] def decodePngSafe(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
-    if (!isPng(bytes)) None
+  private[graft] def decodeImageSafe(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    if (!isImage(bytes)) None
     else
       try {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -96,6 +121,9 @@ object Multimodal {
           Some((w, h, img.getRGB(0, 0, w, h, null, 0, w).map(_ & 0xFFFFFF)))
         }
       } catch { case _: java.io.IOException | _: RuntimeException => None }
+
+  private[graft] def decodePngSafe(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    decodeImageSafe(bytes)
 
   /** Integer box-filter resample: output pixel (i, j) is the
     * floor-mean over source block [i·sw/tw, (i+1)·sw/tw) ×
@@ -152,10 +180,14 @@ object Multimodal {
         (lit(16) + pmod(xxhash64(col(idCol)), lit(64))).cast("int").as("width"),
         (lit(16) + pmod(xxhash64(col(idCol), lit(1)), lit(64))).cast("int").as("height")))
 
-  /** Attach a REAL synthesized PNG payload: 32×32 (by default) RGB
-    * pixels from [[synthPixels]] encoded with the JDK PNG writer, plus
-    * typed metadata. The bytes are a genuine image file — downstream
-    * decode/resize exercise the real codec path.
+  /** Attach a REAL synthesized image payload: 32×32 (by default) RGB
+    * pixels from [[synthPixels]] encoded with a JDK ImageIO writer, plus
+    * typed metadata. The corpus is MIXED-CODEC: ids with id % 4 == 3
+    * carry BMP (BI_RGB 24-bit), the rest PNG — two genuinely different
+    * reader paths through ImageIO, BOTH lossless, so every formula
+    * oracle still checks decoded pixels value-exactly. (JPEG is lossy —
+    * it lives in its own row, [[withJpegPayload]]/m16, under bounded-
+    * error pins instead of exact-formula oracles.)
     */
   def withImagePayload(df: DataFrame, idCol: String,
                        w: Int = 32, h: Int = 32): DataFrame = {
@@ -167,8 +199,32 @@ object Multimodal {
     df.mapPartitions { it =>
       it.map { row =>
         val id = row.get(idx).asInstanceOf[Number].longValue
-        val bytes = encodePng(synthPixels(id, w, h), w, h)
-        Row.fromSeq(row.toSeq ++ Seq(bytes, Row("image/png", w, h)))
+        val fmt = if (id % 4 == 3) "bmp" else "png"
+        val bytes = encodeImage(synthPixels(id, w, h), w, h, fmt)
+        Row.fromSeq(row.toSeq ++ Seq(bytes, Row(s"image/$fmt", w, h)))
+      }
+    }
+  }
+
+  /** The lossy arm of the mixed-codec corpus: a genuine JPEG per id
+    * (ImageIO's JPEG writer, default quality). decode(encode(px)) is NOT
+    * px — DCT quantization, chroma subsampling, YCbCr rounding — so m16
+    * gates only codec-invariant facts (dimensions, row survival) and
+    * MultimodalSpec pins determinism + a measured per-channel error
+    * bound on the image MEANS.
+    */
+  def withJpegPayload(df: DataFrame, idCol: String,
+                      w: Int = 32, h: Int = 32): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("payload", BinaryType), StructField("meta", metaType)))
+    implicit val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val id = row.get(idx).asInstanceOf[Number].longValue
+        val bytes = encodeImage(synthPixels(id, w, h), w, h, "jpg")
+        Row.fromSeq(row.toSeq ++ Seq(bytes, Row("image/jpeg", w, h)))
       }
     }
   }
@@ -181,10 +237,10 @@ object Multimodal {
     * codec — swapping a real one changes only that branch).
     */
   private[graft] def decodeBytes(bytes: Array[Byte]): Array[Float] = {
-    if (isPng(bytes)) {
+    if (isImage(bytes)) {
       // corrupt image -> null features (identifiable downstream), never
       // a fake histogram and never a task failure
-      return decodePngSafe(bytes).map { case (w, h, px) =>
+      return decodeImageSafe(bytes).map { case (w, h, px) =>
         var rs = 0L; var gs = 0L; var bs = 0L; var rmin = 255; var rmax = 0
         var i = 0
         while (i < px.length) {
@@ -562,9 +618,12 @@ object Multimodal {
         val bad = all.filter(col("w").isNull).select("id", "content_hash")
         val p = s"$store/stats_v1"
         good.write.parquet(p)
-        bad.write.parquet(s"$store/failed_v1")
+        // the failed table exists only when failures do — the clean path
+        // pays zero extra jobs (a missing failed_v reads as empty)
+        val nBad = bad.count()
+        if (nBad > 0) bad.write.parquet(s"$store/failed_v1")
         val n = good.count()
-        ReconcileResult(n, n, bad.count(), p)
+        ReconcileResult(n, n, nBad, p)
       case Some((v, prev)) =>
         val stored = spark.read.parquet(prev)
         val prevFailed = latestVersion(store, "failed") match {
@@ -572,18 +631,23 @@ object Multimodal {
           case None => spark.createDataFrame(Seq.empty[(Long, String)])
             .toDF("id", "content_hash")
         }
-        // pass 1: hash-only staleness manifest, materialized ONCE
-        val manifest = fetch(idsN)
+        // pass 1: hash-only staleness manifest, materialized ONCE.
+        // Checkpoint exactly the node each mode re-consumes: snapshot
+        // mode reuses the MANIFEST (reuse + failed-carry legs);
+        // append-only reuses CHANGED (reuse leg) — checkpointing both
+        // unconditionally measured ~3 s of pure job overhead at sf0.1
+        val manifest0 = fetch(idsN)
           .select(col("id"), md5(col("payload")).as("content_hash"))
-          .localCheckpoint()
+        val manifest = if (dropMissing) manifest0.localCheckpoint()
+                       else manifest0
         // churn = presented content that differs from stored; the decode
         // attempt additionally skips pairs already known to fail (their
         // stale stats still drop below — a content change to undecodable
         // bytes must not serve the old stats)
-        val changed = manifest
+        val changed0 = manifest
           .join(stored.select("id", "content_hash"),
             Seq("id", "content_hash"), "left_anti")
-          .localCheckpoint() // churn-sized; consumed by three legs
+        val changed = if (dropMissing) changed0 else changed0.localCheckpoint()
         val toDecodeIds = changed.join(prevFailed,
           Seq("id", "content_hash"), "left_anti")
         // pass 2: payloads fetched for the CHURN ids only
@@ -596,19 +660,21 @@ object Multimodal {
             stored.join(manifest, Seq("id", "content_hash"), "left_semi")
           else // append-only: keep absent ids, replace changed-content ones
             stored.join(changed.select("id"), Seq("id"), "left_anti")
-        // failed carry-forward: trimmed to the live manifest under
-        // snapshot semantics; kept whole under append-only (a content
-        // revert to known-bad bytes must stay skippable)
-        val failedCarry =
-          if (dropMissing)
-            prevFailed.join(manifest, Seq("id", "content_hash"), "left_semi")
-          else prevFailed
         val p = s"$store/stats_v${v + 1}"
         reuse.unionByName(good).write.parquet(p)
-        failedCarry.unionByName(badNew).write
-          .parquet(s"$store/failed_v${v + 1}")
+        // write a new failed version only when THIS run failed something:
+        // the previous failed_v stays the live one otherwise (a stale
+        // entry for a since-removed id is harmless — it only ever
+        // suppresses a decode of bytes already known to fail), and the
+        // no-failure path pays zero extra jobs. Carry-forward keeps old
+        // pairs whole: a content revert to known-bad bytes must stay
+        // skippable.
+        val nBadNew = badNew.count()
+        if (nBadNew > 0)
+          prevFailed.unionByName(badNew).write
+            .parquet(s"$store/failed_v${v + 1}")
         val nTotal = spark.read.parquet(p).count()
-        ReconcileResult(good.count(), nTotal, badNew.count(), p)
+        ReconcileResult(good.count(), nTotal, nBadNew, p)
     }
   }
 

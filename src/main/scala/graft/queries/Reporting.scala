@@ -1485,6 +1485,105 @@ object Reporting {
           col("bucket"), col("n"))
     },
 
+    // ---- g40: the v0 household ICF table ------------------------------------
+    // The last residual reference report (pipeline-reporting/R/icf/
+    // icf_v0_report.Rmd:104-160): signed repeat individuals RIGHT-joined
+    // onto their v0demography parents (households with NO signed repeat
+    // still appear, participant columns null — the reference's
+    // right_join, a shape no other row exercises), icf_completed mapped
+    // 1→yes/no, and the household-level verification form rolled to its
+    // latest submission per hhid and LEFT-joined on. Row-per-participant
+    // output, so the whole chain is under the hash.
+    Query("g40_icf_v0_table",
+      """WITH par AS (
+        |  SELECT o_orderkey AS okey, o_custkey AS hhid,
+        |         o_custkey % 20 AS cluster, o_orderkey % 97 AS wid,
+        |         o_custkey % 50 AS fa_id,
+        |         CASE WHEN o_orderstatus = 'F' THEN 'yes' ELSE 'no' END
+        |           AS icf_completed,
+        |         CAST(o_orderdate AS DATE) AS v0_submission_date
+        |  FROM orders WHERE o_orderpriority = '4-NOT SPECIFIED'),
+        |signed AS (
+        |  SELECT l_orderkey AS okey,
+        |         'P' || CAST(l_orderkey*100 + l_linenumber AS VARCHAR)
+        |           AS participant_id,
+        |         CAST(floor(l_quantity) AS INT) AS age,
+        |         l_partkey AS extid
+        |  FROM lineitem WHERE l_returnflag = 'A'),
+        |base AS (
+        |  SELECT p.hhid, p.cluster, p.wid, p.fa_id, p.icf_completed,
+        |         p.v0_submission_date, s.participant_id, s.age, s.extid
+        |  FROM signed s RIGHT JOIN par p ON s.okey = p.okey),
+        |ver0 AS (
+        |  SELECT o.o_custkey AS hhid, l.l_suppkey AS archivist_id,
+        |         CAST(l.l_shipdate AS DATE) AS icf_submission_date,
+        |         CASE l.l_returnflag WHEN 'A' THEN 'Archived'
+        |                             WHEN 'R' THEN 'Rectification'
+        |                             ELSE 'Lost-Not Found' END
+        |           AS hh_icf_status,
+        |         row_number() OVER (PARTITION BY o.o_custkey
+        |           ORDER BY l.l_shipdate DESC,
+        |                    l.l_orderkey*100 + l.l_linenumber DESC) AS rn
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  WHERE o.o_orderpriority = '3-MEDIUM'),
+        |ver AS (SELECT hhid, archivist_id, icf_submission_date,
+        |               hh_icf_status,
+        |               'demography_icf_verification' AS source_id
+        |        FROM ver0 WHERE rn = 1)
+        |SELECT b.participant_id, b.age, b.extid, b.hhid, b.cluster,
+        |       b.wid, b.fa_id, b.icf_completed, b.v0_submission_date,
+        |       v.archivist_id,
+        |       CAST(v.icf_submission_date AS VARCHAR) AS icf_submission_date,
+        |       v.hh_icf_status, v.source_id
+        |FROM base b LEFT JOIN ver v ON b.hhid = v.hhid""".stripMargin) {
+      (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val par = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "4-NOT SPECIFIED")
+        .select(col("o_orderkey").as("okey"), col("o_custkey").as("hhid"),
+          (col("o_custkey") % 20).as("cluster"),
+          (col("o_orderkey") % 97).as("wid"),
+          (col("o_custkey") % 50).as("fa_id"),
+          when(col("o_orderstatus") === "F", "yes").otherwise("no")
+            .as("icf_completed"),
+          col("o_orderdate").cast("date").as("v0_submission_date"))
+      val signed = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "A")
+        .select(col("l_orderkey").as("okey"),
+          concat(lit("P"), (col("l_orderkey") * 100 + col("l_linenumber"))
+            .cast("string")).as("participant_id"),
+          floor(col("l_quantity")).cast("int").as("age"),
+          col("l_partkey").as("extid"))
+      val base = signed.join(par, Seq("okey"), "right")
+        .select("hhid", "cluster", "wid", "fa_id", "icf_completed",
+          "v0_submission_date", "participant_id", "age", "extid")
+      val w = Window.partitionBy("hhid")
+        .orderBy(col("icf_submission_date").desc, col("inst").desc)
+      val ver = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "3-MEDIUM")
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("hhid"),
+          col("l_suppkey").as("archivist_id"),
+          col("l_shipdate").cast("date").as("icf_submission_date"),
+          when(col("l_returnflag") === "A", "Archived")
+            .when(col("l_returnflag") === "R", "Rectification")
+            .otherwise("Lost-Not Found").as("hh_icf_status"),
+          (col("l_orderkey") * 100 + col("l_linenumber")).as("inst"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("hhid"), col("archivist_id"), col("icf_submission_date"),
+          col("hh_icf_status"),
+          lit("demography_icf_verification").as("source_id"))
+      base.join(ver, Seq("hhid"), "left")
+        .select(col("participant_id"), col("age"), col("extid"), col("hhid"),
+          col("cluster"), col("wid"), col("fa_id"), col("icf_completed"),
+          col("v0_submission_date"), col("archivist_id"),
+          // NULLABLE date: as a string, or the gate's null canon diverges
+          // (Spark None vs DuckDB NaT under a datetime64 column)
+          col("icf_submission_date").cast("string").as("icf_submission_date"),
+          col("hh_icf_status"), col("source_id"))
+    },
+
     Query("g18_icf_aging",
       """WITH wk0 AS (
         |  SELECT unnest(generate_series(DATE '1996-01-06', DATE '1996-03-30',

@@ -252,6 +252,54 @@ class MultimodalSpec extends SparkSpec {
     assert((r5.decoded, r5.total) == ((1L, 5L))) // id 2 reverts: 1 decode
   }
 
+  test("mixed-codec corpus: BMP rows decode to the exact formula pixels") {
+    val ids = spark.range(8).select(col("id").as("doc_id"))
+    val p = Multimodal.withImagePayload(ids, "doc_id")
+    // ids 3 and 7 carry BMP, the rest PNG — assert the split is real
+    val kinds = p.select(col("doc_id"), col("meta.media_type")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0L until 8L).foreach { id =>
+      val want = if (id % 4 == 3) "image/bmp" else "image/png"
+      assert(kinds(id) == want, s"id $id codec")
+    }
+    // magic bytes match the declared codec and BOTH decode losslessly
+    p.select("doc_id", "payload").collect().foreach { r =>
+      val (id, bytes) = (r.getLong(0), r.getAs[Array[Byte]](1))
+      if (id % 4 == 3) assert(Multimodal.isBmp(bytes) && !Multimodal.isPng(bytes))
+      else assert(Multimodal.isPng(bytes))
+      val Some((w, h, px)) = Multimodal.decodeImageSafe(bytes)
+      assert((w, h) == ((32, 32)))
+      assert(px.toSeq == Multimodal.synthPixels(id, 32, 32).toSeq,
+        s"id $id: decoded pixels diverge from the formula")
+    }
+  }
+
+  test("JPEG arm: deterministic decode, right dims, bounded mean error") {
+    val ids = spark.range(6).select(col("id").as("doc_id"))
+    val j = Multimodal.withJpegPayload(ids, "doc_id")
+    val rows = j.select("doc_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    (0L until 6L).foreach { id =>
+      val bytes = rows(id)
+      assert(Multimodal.isJpeg(bytes))
+      val Some((w, h, px)) = Multimodal.decodeImageSafe(bytes)
+      assert((w, h) == ((32, 32)))
+      // decode is deterministic (same bytes -> same pixels)
+      val Some((_, _, px2)) = Multimodal.decodeImageSafe(bytes)
+      assert(px.toSeq == px2.toSeq, "JPEG decode must be deterministic")
+      // lossy but bounded: per-channel MEAN within 8/255 of the formula
+      // (the wrapping-gradient fixture is JPEG-hostile — sharp 255->0
+      // edges ring locally — but the image mean stays tight)
+      val truth = Multimodal.synthPixels(id, 32, 32)
+      def mean(a: Array[Int], shift: Int) =
+        a.map(p => (p >> shift) & 0xFF).sum.toDouble / a.length
+      for (shift <- Seq(16, 8, 0)) {
+        val err = math.abs(mean(px, shift) - mean(truth, shift))
+        assert(err <= 8.0, s"id $id shift $shift: mean error $err")
+      }
+    }
+  }
+
   test("reconcileStats records failures once and skips known-bad content") {
     val store = graft.core.TempDirs.scratch("m12fail_").toString
     val ids = spark.range(4).select(col("id").as("doc_id"))
