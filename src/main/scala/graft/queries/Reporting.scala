@@ -1292,12 +1292,12 @@ object Reporting {
           .when(col("o_orderstatus") === "F", "eos")
           .when(col("o_totalprice") < 100000, "out")
           .otherwise("refusal").as("status"))
-      // each slice replays the scan + broadcast-join subtree; a shared
-      // localCheckpoint was MEASURED SLOWER at sf0.1 (8.4 vs 7.4 s —
-      // materializing 600k joined rows costs more than six broadcast
-      // joins over pruned parquet scans), and at cluster scale the
-      // broadcast replays stay shuffle-free while a checkpoint pins
-      // executor storage
+      // ONE slice helper replaying the scan + broadcast-join subtree per
+      // consumer (a shared localCheckpoint was MEASURED SLOWER at sf0.1:
+      // materializing 600k joined rows costs more than broadcast joins
+      // over pruned parquet scans). The three roster legs and the two
+      // record forms each FOLD into single scans below — one window per
+      // rollup family instead of one per leg (25 → ~half the exchanges).
       def slice(pris: String*) =
         par.filter(col("pri").isin(pris: _*)).join(rep, "okey")
       // v0demography roster: PARENT_KEY join + derived age, one row per
@@ -1308,29 +1308,34 @@ object Reporting {
           min("submit").as("dob"))
         .select(col("extid"), col("hhid"), col("fa_id"),
           floor(datediff(runDate, col("dob")) / 365.25).cast("int").as("age"))
-      val v0h = v0.groupBy("hhid").agg(min("fa_id").as("fa_id"))
-      val latest = Window.partitionBy("extid")
+      val v0h = v0.groupBy("hhid").agg(min("fa_id").as("fa_h"))
+      // per-arm roster legs folded into ONE scan: a leg tag picks the
+      // slice-specific filter, and the latest-visit rollup runs as a
+      // single window over (leg, extid) — identical per-leg semantics,
+      // one shuffle instead of three (Rmd:252-309)
+      val tagged = slice("1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW")
+        .withColumn("leg",
+          when(col("pri") === "3-MEDIUM", "sftynew")
+            .when(col("pri") === "5-LOW", "eff").otherwise("sfty"))
+        .filter(col("ls") === "F" &&
+          when(col("leg") === "eff", col("rf") === "A")
+            .otherwise(col("rf") =!= "N"))
+      val latestLeg = Window.partitionBy("leg", "extid")
         .orderBy(col("submit").desc, col("inst").desc)
-      // per-arm roster legs: completed+signed filter, latest visit per
-      // participant (Rmd:252-309), v0 attributes by extid (safety,
-      // efficacy) or by household (safetynew)
-      def leg(df: org.apache.spark.sql.DataFrame, study: String) = df
-        .withColumn("rn", row_number().over(latest)).filter(col("rn") === 1)
-        .select(col("extid"), lit(study).as("study"), col("status"),
-          col("submit"), col("inst"), col("hhid"), col("own_age"))
-      val sfty = leg(slice("1-URGENT", "2-HIGH")
-          .filter(col("ls") === "F" && col("rf") =!= "N")
-          .withColumn("own_age", lit(null).cast("int")), "safety")
+      val legs = tagged
+        .withColumn("rn", row_number().over(latestLeg)).filter(col("rn") === 1)
+        .select(col("extid"),
+          when(col("leg") === "eff", "efficacy").otherwise("safety").as("study"),
+          col("status"), col("submit"), col("inst"), col("hhid"), col("leg"),
+          floor(col("l_quantity")).cast("int").as("own_age"))
         .join(v0.select("extid", "age", "fa_id"), Seq("extid"), "left")
-      val sftynew = leg(slice("3-MEDIUM")
-          .filter(col("ls") === "F" && col("rf") =!= "N")
-          .withColumn("own_age", floor(col("l_quantity")).cast("int")), "safety")
         .join(v0h, Seq("hhid"), "left")
-        .withColumn("age", col("own_age"))
-      val eff = leg(slice("5-LOW")
-          .filter(col("ls") === "F" && col("rf") === "A")
-          .withColumn("own_age", lit(null).cast("int")), "efficacy")
-        .join(v0.select("extid", "age", "fa_id"), Seq("extid"), "left")
+        .select(col("extid"), col("study"), col("status"), col("submit"),
+          col("inst"),
+          when(col("leg") === "sftynew", col("own_age"))
+            .otherwise(col("age")).as("age"),
+          when(col("leg") === "sftynew", col("fa_h"))
+            .otherwise(col("fa_id")).as("fa_id"))
       // departures (left/migrated/died) are RARE events — the quantity
       // guard keeps the excluded-extid set at reference-like rarity
       // instead of letting any 'R'+'O' line mark a departure
@@ -1338,31 +1343,29 @@ object Reporting {
         .filter(col("rf") === "R" && col("ls") === "O" &&
           col("l_quantity") <= 2)
         .select("extid").distinct()
-      val cols = Seq("extid", "study", "status", "submit", "inst", "age", "fa_id")
       val latest2 = Window.partitionBy("extid", "study")
         .orderBy(col("submit").desc, col("inst").desc)
-      val roster = sfty.select(cols.map(col): _*)
-        .unionByName(sftynew.select(cols.map(col): _*))
-        .unionByName(eff.select(cols.map(col): _*))
+      val roster = legs
         .filter(col("status").isin("in", "eos", "out"))
         .join(dep, Seq("extid"), "left_anti")
         .withColumn("rn2", row_number().over(latest2)).filter(col("rn2") === 1)
         .select("extid", "study", "status", "age", "fa_id")
-      // verification ∪ resolution: latest per (extid, study) per form,
-      // then the union rolled again (Rmd:330-385's double rollup)
-      val vslice = slice("4-NOT SPECIFIED").select(col("extid"),
-        when(col("okey") % 2 === 0, "safety").otherwise("efficacy").as("study"),
-        col("rf"), col("ls"), col("submit"), col("inst"))
-      def roll(df: org.apache.spark.sql.DataFrame) = df
-        .withColumn("rn", row_number().over(latest2)).filter(col("rn") === 1)
-        .select("extid", "study", "icf_stat", "submit", "inst")
-      val verif = roll(vslice.filter(col("rf").isin("A", "R"))
-        .withColumn("icf_stat",
-          when(col("rf") === "A", "Archived").otherwise("Rectification")))
-      val resol = roll(vslice.filter(col("rf") === "N")
-        .withColumn("icf_stat",
-          when(col("ls") === "F", "Archived").otherwise("Lost-Not Found")))
-      val icf = verif.unionByName(resol)
+      // verification ∪ resolution in ONE scan (rf partitions the two
+      // forms): per-form rollup = one window over (extid, study, src),
+      // then the union rolled AGAIN over (extid, study) — Rmd:330-385's
+      // double rollup, two stacked windows instead of three subtrees
+      val recs = slice("4-NOT SPECIFIED").select(col("extid"),
+          when(col("okey") % 2 === 0, "safety").otherwise("efficacy").as("study"),
+          when(col("rf") === "N", "resol").otherwise("verif").as("src"),
+          when(col("rf") === "A", "Archived")
+            .when(col("rf") === "R", "Rectification")
+            .when(col("ls") === "F", "Archived")
+            .otherwise("Lost-Not Found").as("icf_stat"),
+          col("submit"), col("inst"))
+      val latestSrc = Window.partitionBy("extid", "study", "src")
+        .orderBy(col("submit").desc, col("inst").desc)
+      val icf = recs
+        .withColumn("rn", row_number().over(latestSrc)).filter(col("rn") === 1)
         .withColumn("rn2", row_number().over(latest2)).filter(col("rn2") === 1)
       icf.join(roster, Seq("extid", "study"))
         .select(col("extid"), col("study"), col("status"), col("icf_stat"),
