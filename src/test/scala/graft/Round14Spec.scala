@@ -105,6 +105,65 @@ class Round14Spec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  // ---- reconcileStatsBy end-state invariant ---------------------------------
+  // The rewrite's contract, stated once and checked after EVERY step of
+  // an adversarial snapshot sequence (adds, removes, content changes,
+  // corruption, reverts): the stored stats version must equal a FRESH
+  // decode of exactly the current corpus's decodable payloads — no
+  // stale rows, no missing rows, regardless of what the incremental
+  // path reused, skipped, or failed.
+  test("reconcile invariant: store == fresh decode after every snapshot") {
+    import graft.operators.Multimodal
+    val store = graft.core.TempDirs.scratch("m12inv_").toString
+    // content selector: image formula id, or None for undecodable bytes
+    def present(ids: Map[Long, Option[Long]])
+        (sub: org.apache.spark.sql.DataFrame) = {
+      val pairs = ids.toSeq.map { case (k, v) => (k, v.getOrElse(-1L)) }
+      val sel = typedlit(pairs.toMap)
+      val withSrc = sub.withColumn("__src",
+        element_at(sel, col("doc_id")))
+      Multimodal.withImagePayload(
+          withSrc.withColumn("__orig", col("doc_id"))
+            .withColumn("doc_id", col("__src")), "doc_id")
+        .withColumn("payload",
+          when(col("__src") === -1L, lit("corrupt!".getBytes))
+            .otherwise(col("payload")))
+        .withColumn("doc_id", col("__orig"))
+        .drop("__src", "__orig")
+    }
+    def check(ids: Map[Long, Option[Long]], label: String): Unit = {
+      val s = spark
+      val idsDf = s.createDataFrame(ids.keys.toSeq.map(Tuple1(_)))
+        .toDF("doc_id")
+      val r = Multimodal.reconcileStatsBy(
+        s, idsDf, "doc_id", present(ids), "payload", store)
+      val stored = s.read.parquet(r.path)
+      val fresh = Multimodal.reduceStats(Multimodal.decodeStats(
+        present(ids)(idsDf), "doc_id", "payload"))
+      assert(stored.exceptAll(fresh).isEmpty &&
+        fresh.exceptAll(stored).isEmpty,
+        s"$label: store diverges from a fresh decode")
+      assert(r.total == fresh.count(), s"$label: total ${r.total}")
+    }
+    // 1: initial corpus, one undecodable payload
+    check(Map(1L -> Some(1L), 2L -> Some(2L), 3L -> None), "initial")
+    // 2: add ids, change id 2's content, keep the bad one
+    check(Map(1L -> Some(1L), 2L -> Some(99L), 3L -> None,
+      4L -> Some(4L)), "add+change")
+    // 3: remove id 1, fix the bad payload, corrupt a formerly-good one
+    check(Map(2L -> Some(99L), 3L -> Some(3L), 4L -> None), "remove+fix+break")
+    // 4: revert id 4 to its known-bad content AND id 2 to its original
+    check(Map(2L -> Some(2L), 3L -> Some(3L), 4L -> None), "revert")
+    // 5: no-op re-run must decode nothing and still hold
+    val idsDf = spark.createDataFrame(Seq(2L, 3L, 4L).map(Tuple1(_)))
+      .toDF("doc_id")
+    val last = Map(2L -> Some(2L), 3L -> Some(3L), 4L -> (None: Option[Long]))
+    val r = Multimodal.reconcileStatsBy(
+      spark, idsDf, "doc_id", present(last), "payload", store)
+    assert(r.decoded == 0 && r.failed == 0,
+      s"no-op re-run must reuse everything: $r")
+  }
+
   test("s54: the decision column is exactly the documented CASE") {
     val bad = s54.filter(col("decision") =!=
       when(col("l2_shift") > 0.825, "rebuild")
