@@ -36,6 +36,16 @@ object Sessions {
     // selective joins — significant at fact-table scale
     "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true")
 
+  // spark.local.dir stays on DISK, deliberately (measured, round 14):
+  // pointing it at /dev/shm sped small-shuffle rows ~2x on this host's
+  // ~290 MB/s virtual disk (w47 @100x 40.7 -> 23.5 s) but shuffle files
+  // in a long JVM free only on GC, and WITHOUT SWAP tmpfs pages pin
+  // RAM — beside a 100g heap the big ento chain thrashed kernel
+  // reclaim instead of spilling (g3132 @100x 266 -> 1126 s). Slow disk
+  // degrades linearly; RAM-pinned shuffle degrades cliff-shaped.
+  // (TempDirs' shm scratch is different: sink outputs are small and
+  // deleted eagerly.)
+
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
             appName: String = "graft"): SparkSession = {
     val spark = SparkSession.builder()
