@@ -150,6 +150,12 @@ object ScaleReplica {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // shuffle files release via ContextCleaner only when their
+      // ShuffleDependency is GC'd — with a 100g posture heap that can
+      // be never, and the 100x ento chain measured 16G+ of dead
+      // shuffle files accumulating mid-run. One explicit GC per query
+      // bounds the growth (milliseconds against multi-minute rows).
+      System.gc()
       (n, (System.nanoTime() - t0) / 1e9, ok)
     }
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f",
