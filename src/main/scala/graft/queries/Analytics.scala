@@ -4144,44 +4144,40 @@ object Analytics {
         |                   * (day - dp) / (dn - dp) END AS cents
         |FROM f""".stripMargin) {
       (s, d) => {
+        // Round-14 shape: the spine NEVER materializes as an input.
+        // Every interpolated day lies in exactly one gap between
+        // CONSECUTIVE observations, so one obs-sized lead() window
+        // yields the bracketing pair and a narrow explode generates the
+        // gap days with the interpolation formula inline — no
+        // spine×obs left join, no two spine-sized IGNORE NULLS window
+        // passes, and no fan-out pinning (the round-12 form needed an
+        // explicit repartition because AQE coalesced the tiny bounds
+        // agg to ONE task and the whole 2.5M-row pipeline ran serial,
+        // measured 97 s; this form's explode inherits the window's
+        // supplier partitioning). Output is identical: first obs per
+        // gap emits 'obs' with its own value, the rest interpolate
+        // against the pair in the oracle's exact double op order.
         val dly = Tables.lineitem(s, d)
           .groupBy(col("l_suppkey").as("s"),
             datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
               .cast("long").as("day"))
           .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("xc"))
-          .localCheckpoint() // spine bounds + the left join share one agg
-        // the bounds agg is O(suppliers) rows, so AQE coalesces its exchange
-        // to ONE partition and everything downstream of the explode — the
-        // 2.5M-row spine, the join, both window passes — runs in a single
-        // task (measured: 97 s). A bare repartition(col("s")) is removed as
-        // redundant (same hash distribution as the agg); the EXPLICIT
-        // partition count pins the fan-out AQE cannot coalesce away —
-        // 2x core count so it scales with the executor fleet, not a
-        // local[32] literal.
-        val spine = dly.groupBy("s").agg(min("day").as("mn"), max("day").as("mx"))
-          .repartition(s.sparkContext.defaultParallelism * 2, col("s"))
-          .select(col("s"), explode(sequence(col("mn"), col("mx"))).as("day"))
-        val j = spine.join(dly.toDF("s2", "d2", "xc"),
-          col("s") === col("s2") && col("day") === col("d2"), "left")
-          .select("s", "day", "xc")
-        val wp = Window.partitionBy("s").orderBy("day")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wn = Window.partitionBy("s").orderBy("day")
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        val obsDay = when(col("xc").isNotNull, col("day"))
-        val f = j.select(col("s"), col("day"), col("xc"),
-          last(col("xc"), ignoreNulls = true).over(wp).as("xp"),
-          last(obsDay, ignoreNulls = true).over(wp).as("dp"),
-          first(col("xc"), ignoreNulls = true).over(wn).as("xn"),
-          first(obsDay, ignoreNulls = true).over(wn).as("dn"))
-        f.select(col("s").cast("long").as("suppkey"),
-          col("day").cast("long").as("day"),
-          when(col("xc").isNotNull, lit("obs")).otherwise(lit("interp")).as("src"),
-          when(col("xc").isNotNull, col("xc").cast("double"))
-            .otherwise(col("xp").cast("double")
-              + (col("xn").cast("double") - col("xp").cast("double"))
-                * (col("day") - col("dp")) / (col("dn") - col("dp")))
-            .as("cents"))
+        val w = Window.partitionBy("s").orderBy("day")
+        val pairs = dly.select(col("s"), col("day").as("d0"), col("xc"),
+          lead("day", 1).over(w).as("nd"), lead("xc", 1).over(w).as("nx"))
+        pairs
+          .select(col("s"), col("d0"), col("xc"), col("nd"), col("nx"),
+            explode(sequence(col("d0"),
+              coalesce(col("nd") - 1, col("d0")))).as("day"))
+          .select(col("s").cast("long").as("suppkey"),
+            col("day").cast("long").as("day"),
+            when(col("day") === col("d0"), lit("obs"))
+              .otherwise(lit("interp")).as("src"),
+            when(col("day") === col("d0"), col("xc").cast("double"))
+              .otherwise(col("xc").cast("double")
+                + (col("nx").cast("double") - col("xc").cast("double"))
+                  * (col("day") - col("d0")) / (col("nd") - col("d0")))
+              .as("cents"))
       }
     }
   )
