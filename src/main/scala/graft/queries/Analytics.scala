@@ -2554,13 +2554,18 @@ object Analytics {
         |         AS spearman_rho
         |FROM s""".stripMargin) {
       (s, d) => {
+        // aggregate lineitem BEFORE the join: y is just lines-per-order,
+        // so the pre-agg (map-side partial) shuffles order-count rows
+        // instead of joining the full lineitem fact and aggregating
+        // after — same result (customer is 1:1 per order), ~4x less
+        // join input. Catalyst has no generic agg-through-join pushdown.
+        val lc = Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("y"))
         val pairs = Tables.orders(s, d)
           .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-          .join(Tables.lineitem(s, d).select("l_orderkey"),
-            col("l_orderkey") === col("o_orderkey"))
-          .groupBy(col("c_mktsegment").as("seg"), col("o_orderkey").as("k"),
-            col("o_totalprice").as("x"))
-          .agg(count(lit(1)).as("y"))
+          .join(lc, col("l_orderkey") === col("o_orderkey"))
+          .select(col("c_mktsegment").as("seg"), col("o_orderkey").as("k"),
+            col("o_totalprice").as("x"), col("y"))
         val wx = Window.partitionBy("seg").orderBy("x", "k")
         val wy = Window.partitionBy("seg").orderBy("y", "k")
         val r = pairs.select(col("seg"),
