@@ -3921,13 +3921,15 @@ object Analytics {
         |         AS tau_b
         |FROM s""".stripMargin) {
       (s, d) => {
+        // same pre-aggregation as a44: y is lines-per-order, so the
+        // fact table aggregates map-side BEFORE the join
+        val lc = Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("y"))
         val pairs0 = Tables.orders(s, d)
           .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-          .join(Tables.lineitem(s, d).select("l_orderkey"),
-            col("l_orderkey") === col("o_orderkey"))
-          .groupBy(col("c_mktsegment").as("seg"), col("o_orderkey").as("k"),
-            round(col("o_totalprice") * 100).cast("long").as("x"))
-          .agg(count(lit(1)).as("y"))
+          .join(lc, col("l_orderkey") === col("o_orderkey"))
+          .select(col("c_mktsegment").as("seg"), col("o_orderkey").as("k"),
+            round(col("o_totalprice") * 100).cast("long").as("x"), col("y"))
         val samp = pairs0.withColumn("rn",
             row_number().over(Window.partitionBy("seg").orderBy("k")))
           .filter(col("rn") <= 200).select("seg", "k", "x", "y")
