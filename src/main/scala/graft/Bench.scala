@@ -67,10 +67,57 @@ object Bench {
     try parseLedger(readFile("BASELINE.md"))
     catch { case _: Throwable => Map.empty }
 
+  /** Sequential fsync'd write throughput of java.io.tmpdir (the Spark
+    * local dir's filesystem), MB/s — the host-CLASS probe. Round 14
+    * proved cross-round 100x absolutes incomparable by measuring the
+    * box's /tmp at ~290 MB/s (NOTES r14 host-class controls, via dd);
+    * this stamps the same figure INSIDE the artifact so any later
+    * reader can adjudicate a reading without the narrative (VERDICT
+    * r14 item 3). 128 MB keeps the probe under ~0.5 s on every host
+    * class seen so far.
+    */
+  private[graft] def tmpWriteMbps(): Double =
+    try {
+      val f = java.io.File.createTempFile("graft_bench_probe_", ".bin")
+      try {
+        val buf = java.nio.ByteBuffer.allocate(8 << 20)
+        val ch = java.nio.channels.FileChannel.open(f.toPath,
+          java.nio.file.StandardOpenOption.WRITE)
+        val t0 = System.nanoTime()
+        try {
+          var i = 0
+          while (i < 16) { buf.rewind(); ch.write(buf); i += 1 }
+          ch.force(true)
+        } finally ch.close()
+        128.0 / ((System.nanoTime() - t0) / 1e9)
+      } finally { f.delete(); () }
+    } catch { case _: Throwable => -1.0 }
+
+  /** The artifact's own noise-class verdict: CPU burned by other
+    * processes while the bench ran is the one direct contention signal
+    * a Firecracker microVM exposes (loadavg hides neighbors; steal is
+    * invisible). The round-14 driver run measured other_cpu 85.9 s
+    * (contended, 21 reruns); builder quiet runs sit in single digits.
+    */
+  private[graft] def hostClass(otherCpuSec: Double): String =
+    if (otherCpuSec < 0) "unknown"
+    else if (otherCpuSec > 30.0) "contended"
+    else "quiet"
+
+  /** The host-probe JSON fragment shared by the tail line and the full
+    * artifact — BenchLedgerSpec pins the fields' presence.
+    */
+  private[graft] def hostProbeJson(tmpMbps: Double, otherCpuSec: Double): String = {
+    def f1(v: Double) = String.format(java.util.Locale.ROOT, "%.1f",
+      java.lang.Double.valueOf(v))
+    s""""host_probe":{"tmp_mbps":${f1(tmpMbps)},"other_cpu_sec":${f1(otherCpuSec)},"class":"${hostClass(otherCpuSec)}"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val loadStart = loadAvg()
+    val tmpMbps = tmpWriteMbps()
     val (busy0, self0) = cpuJiffies()
     val spark = graft.core.Sessions.local(cpus, "graft-bench")
     // keep stderr quiet so a driver that merges streams still sees the
@@ -174,7 +221,8 @@ object Bench {
       else ((busy1 - busy0) - (self1 - self0)) / 100.0
     val loads = s""""load_start":$loadStart,"load_end":$loadEnd,""" +
       s""""other_cpu_sec":${String.format(java.util.Locale.ROOT, "%.1f",
-        java.lang.Double.valueOf(otherCpu))}"""
+        java.lang.Double.valueOf(otherCpu))},""" +
+      hostProbeJson(tmpMbps, otherCpu)
     val rerunJson = reruns.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     try {

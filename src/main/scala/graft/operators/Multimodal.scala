@@ -473,11 +473,17 @@ object Multimodal {
         // hash BEFORE the decode attempt: failure rows need the content
         // hash too (a known-bad payload is skipped by (id, hash) until
         // its content changes — reconcileStats's failed_v store)
+        // a NULL payload hashes as md5 of the empty byte string, never
+        // as a null key: null keys match no (id, hash) anti-join, so a
+        // null payload would re-attempt its decode and append a fresh
+        // (id, null) failure row on EVERY reconcile (ADVICE r14). The
+        // manifest's md5(coalesce(payload, X'')) agrees byte-for-byte.
         val hash =
-          if (withHash && bytes != null) {
-            md.reset(); md.digest(bytes).map("%02x".format(_)).mkString
-          } else if (withHash) null
-          else ""
+          if (withHash) {
+            md.reset()
+            md.digest(if (bytes == null) Array.emptyByteArray else bytes)
+              .map("%02x".format(_)).mkString
+          } else ""
         val decoded = decodePngSafe(bytes)
         if (decoded.isEmpty && emitFailures)
           Iterator.single(Row(id, hash, null, null, null, null, null, null,
@@ -608,12 +614,26 @@ object Multimodal {
       fetchPayloads(sub.select(col("id").as(idCol)))
         .select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
     val idsN = ids.select(col(idCol).cast("long").as("id"))
+    // the reduced decode output is staged to parquet scratch under the
+    // store, NOT localCheckpoint: checkpoint blocks pin the whole stats
+    // table in executor storage memory with no recompute path (eviction
+    // = job failure — the AGGREGATE_OUT_OF_MEMORY mode Ento.scala
+    // documents at 100x), while a disk scratch is re-read twice and
+    // freed (ADVICE r14). latestVersion's anchored ^stats_v(\d+)$ regex
+    // never matches the scratch dir name.
+    def staged(df: DataFrame, tag: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$store/scratch_decode_$tag")
+      spark.read.parquet(s"$store/scratch_decode_$tag")
+    }
+    def dropStaged(tag: String): Unit =
+      graft.core.TempDirs.deleteRecursively(
+        java.nio.file.Path.of(s"$store/scratch_decode_$tag"))
     latestVersion(store, "stats") match {
       case None =>
         // first build: the decode pass ITSELF emits the content hashes
         // (and the failures), so no separate manifest scan runs at all
-        val all = reduceStats(decodeStats(fetch(idsN), "id", "payload",
-          withHash = true, emitFailures = true)).localCheckpoint()
+        val all = staged(reduceStats(decodeStats(fetch(idsN), "id", "payload",
+          withHash = true, emitFailures = true)), "v1")
         val good = all.filter(col("w").isNotNull)
         val bad = all.filter(col("w").isNull).select("id", "content_hash")
         val p = s"$store/stats_v1"
@@ -622,7 +642,8 @@ object Multimodal {
         // pays zero extra jobs (a missing failed_v reads as empty)
         val nBad = bad.count()
         if (nBad > 0) bad.write.parquet(s"$store/failed_v1")
-        val n = good.count()
+        val n = spark.read.parquet(p).count()
+        dropStaged("v1")
         ReconcileResult(n, n, nBad, p)
       case Some((v, prev)) =>
         val stored = spark.read.parquet(prev)
@@ -637,7 +658,8 @@ object Multimodal {
         // append-only reuses CHANGED (reuse leg) — checkpointing both
         // unconditionally measured ~3 s of pure job overhead at sf0.1
         val manifest0 = fetch(idsN)
-          .select(col("id"), md5(col("payload")).as("content_hash"))
+          .select(col("id"), md5(coalesce(col("payload"),
+            lit(Array.emptyByteArray))).as("content_hash"))
         val manifest = if (dropMissing) manifest0.localCheckpoint()
                        else manifest0
         // churn = presented content that differs from stored; the decode
@@ -651,8 +673,8 @@ object Multimodal {
         val toDecodeIds = changed.join(prevFailed,
           Seq("id", "content_hash"), "left_anti")
         // pass 2: payloads fetched for the CHURN ids only
-        val all = reduceStats(decodeStats(fetch(toDecodeIds), "id", "payload",
-          withHash = true, emitFailures = true)).localCheckpoint()
+        val all = staged(reduceStats(decodeStats(fetch(toDecodeIds), "id",
+          "payload", withHash = true, emitFailures = true)), s"v${v + 1}")
         val good = all.filter(col("w").isNotNull)
         val badNew = all.filter(col("w").isNull).select("id", "content_hash")
         val reuse =
@@ -674,7 +696,9 @@ object Multimodal {
           prevFailed.unionByName(badNew).write
             .parquet(s"$store/failed_v${v + 1}")
         val nTotal = spark.read.parquet(p).count()
-        ReconcileResult(good.count(), nTotal, nBadNew, p)
+        val nGood = good.count()
+        dropStaged(s"v${v + 1}")
+        ReconcileResult(nGood, nTotal, nBadNew, p)
     }
   }
 

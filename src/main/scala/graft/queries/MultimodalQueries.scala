@@ -25,11 +25,16 @@ object MultimodalQueries {
     * the gate runs rows from four threads.
     */
   private object SharedDecode {
-    // ConcurrentHashMap.computeIfAbsent: same-dataset callers wait for
-    // the one build; a build for a DIFFERENT dataset never blocks on it
-    // (the gate runs four worker threads — an object-wide lock would
-    // serialize unrelated work for the full decode duration)
-    private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    // ConcurrentHashMap.compute: same-dataset callers wait for the one
+    // build; a build for a DIFFERENT dataset never blocks on it (the
+    // gate runs four worker threads — an object-wide lock would
+    // serialize unrelated work for the full decode duration). Keyed by
+    // the dataset's ABSOLUTE PATH with the fingerprint in the value, so
+    // an in-place regeneration EVICTS the superseded entry and deletes
+    // its scratch dir instead of accumulating one stats parquet per
+    // fingerprint for the JVM's lifetime (ADVICE r14).
+    private val cache = new java.util.concurrent.ConcurrentHashMap[
+      String, (String, String)]() // abs path -> (fingerprint, stats dir)
     // mtime+length of the documents table folds into the key: a dataset
     // regenerated in-place mid-JVM must rebuild, not serve stale stats
     private def fingerprint(d: String): String = {
@@ -42,11 +47,20 @@ object MultimodalQueries {
       parts.mkString(",")
     }
     def path(s: org.apache.spark.sql.SparkSession, d: String): String = {
-      val key = new java.io.File(d).getAbsolutePath + "|" + fingerprint(d)
-      val p = cache.computeIfAbsent(key, _ => build(s, d))
-      // the scratch dir can be cleaned mid-JVM — revalidate, then rebuild
-      if (new java.io.File(p).exists()) p
-      else { cache.remove(key, p); path(s, d) }
+      val abs = new java.io.File(d).getAbsolutePath
+      val fp = fingerprint(d)
+      val (_, p) = cache.compute(abs, (_, old) =>
+        // stale fingerprint OR a mid-JVM-cleaned scratch dir: drop the
+        // superseded stats parquet, then rebuild under the new key
+        if (old != null && old._1 == fp && new java.io.File(old._2).exists())
+          old
+        else {
+          if (old != null)
+            graft.core.TempDirs.deleteRecursively(
+              java.nio.file.Path.of(old._2).getParent)
+          (fp, build(s, d))
+        })
+      p
     }
     private def build(s: org.apache.spark.sql.SparkSession,
                       d: String): String = {
@@ -621,9 +635,11 @@ object MultimodalQueries {
         |FROM s""".stripMargin) { (s, d) =>
       val store = graft.core.TempDirs.scratch("m12_store_").toString
       val ids = Tables.documents(s, d).select("doc_id")
-      // fetch-by-ids form: the decode leg synthesizes payloads for the
-      // CHURN ids only (run 2 encodes just the new third, not the full
-      // corpus — the round-13 form re-encoded the corpus ~3x/reconcile)
+      // fetch-by-ids form: the manifest pass still synthesizes every
+      // presented payload once (hash-only, codec-free), but the DECODE
+      // leg fetches churn ids only — run 2 decodes just the new third
+      // (the round-13 form re-ran the whole manifest ~3x/reconcile and
+      // shuffled payload bytes through its anti-join)
       def fetchP(sub: org.apache.spark.sql.DataFrame) =
         Multimodal.withImagePayload(sub, "doc_id")
       val r1 = Multimodal.reconcileStatsBy(

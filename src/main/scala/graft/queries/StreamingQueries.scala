@@ -1366,8 +1366,10 @@ object StreamingQueries {
         var finalPath = ""
         val q = src.writeStream
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            // fetch-by-ids: re-delivered ids hash-match the store and
-            // never re-encode — only the genuinely new slice synthesizes
+            // fetch-by-ids: every presented id re-synthesizes for the
+            // hash-only manifest pass, but re-delivered ids hash-match
+            // the store and never re-DECODE — the decode leg (the
+            // expensive one) is churn-sized, the manifest is codec-free
             val r = graft.operators.Multimodal.reconcileStatsBy(
               ss, batch, "doc_id",
               sub => graft.operators.Multimodal.withImagePayload(sub, "doc_id"),

@@ -33,6 +33,22 @@ class BenchLedgerSpec extends AnyFunSuite {
     assert(led("min_rule") == 2.00)           // min across mentions
   }
 
+  test("bench artifact self-describes its noise class (VERDICT r14 item 3)") {
+    // the probe fields ride BOTH emitted JSON lines via the shared
+    // fragment; pin the fragment's shape and the class boundaries so a
+    // refactor cannot silently drop the artifact's self-adjudication
+    val j = Bench.hostProbeJson(287.3, 85.9)
+    assert(j.contains("\"host_probe\":{"), j)
+    assert(j.contains("\"tmp_mbps\":287.3"), j)
+    assert(j.contains("\"other_cpu_sec\":85.9"), j)
+    assert(j.contains("\"class\":\"contended\""), j)
+    assert(Bench.hostClass(3.0) == "quiet")
+    assert(Bench.hostClass(-1.0) == "unknown")
+    // the probe itself runs and returns a positive throughput here
+    val mbps = Bench.tmpWriteMbps()
+    assert(mbps > 0, s"tmp probe returned $mbps")
+  }
+
   test("live BASELINE.md ledger covers every registered query") {
     val led = Bench.ledger()
     // Guard the guard: an unreadable/renamed BASELINE.md must fail here,
