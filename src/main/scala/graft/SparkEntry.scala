@@ -25,6 +25,7 @@ object SparkEntry {
     graft.queries.Ento.queries ++
     graft.queries.Goals.queries ++
     graft.queries.Reporting.queries ++
+    graft.queries.LabReports.queries ++
     graft.queries.Keys.queries ++
     graft.queries.SinkQueries.queries ++
     graft.queries.StreamingQueries.queries

@@ -47,6 +47,111 @@ class Round15Spec extends SparkSpec {
     assert((r4.decoded, r4.total, r4.failed) == ((1L, 4L, 0L)), s"run 4: $r4")
   }
 
+  // ---- g41/g42 lab reports: cascade, normalization, latest-ties ------------
+
+  private def labFixture(rows: Seq[(Long, String, String, String, String,
+      String, String, String)]) = {
+    spark.createDataFrame(rows)
+      .toDF("sample", "study", "submit", "sample_status",
+        "mt1", "mt2", "pend", "quar")
+      .withColumn("submit", col("submit").cast("date"))
+  }
+
+  test("g41 cascade: per-status coalesce order and na_if fall-through") {
+    val f = labFixture(Seq(
+      // Approved prefers mt2 over mt1; pend/quar must be IGNORED
+      (1L, "efficacy", "2024-01-01", "Approved",
+        "other", "data_mismatch", "dbs_incomplete", "icf_status"),
+      // Approved with mt2 = 'none' normalizes away -> falls to mt1
+      (2L, "efficacy", "2024-01-01", "Approved",
+        "tracking_issue", "none", null, null),
+      // Pending prefers its own select over the mt pair
+      (3L, "efficacy", "2024-01-01", "Pending",
+        "other", "data_mismatch", "dbs_incomplete", null),
+      // Pending with pend = '' falls to mt2
+      (4L, "efficacy", "2024-01-01", "Pending",
+        "other", "data_mismatch", "", null),
+      // Quarantine prefers its own select
+      (5L, "efficacy", "2024-01-01", "Quarantine",
+        "other", "data_mismatch", null, "icf_status"),
+      // Quarantine with quar = 'none' falls to the mt pair
+      (6L, "efficacy", "2024-01-01", "Quarantine",
+        "other", null, null, "none"),
+      // every select '' / 'none' / NULL -> the cascade yields NULL
+      (7L, "efficacy", "2024-01-01", "Approved", "", "none", null, null),
+      // NULL status falls off the CASE -> NULL
+      (8L, "efficacy", "2024-01-01", null,
+        "other", "data_mismatch", "dbs_incomplete", "icf_status")))
+    val out = graft.queries.LabReports.incidenceCascade(f, lab2 = false)
+      .select("sample", "incidences").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L) == Some("data_mismatch"))
+    assert(out(2L) == Some("tracking_issue"))
+    assert(out(3L) == Some("dbs_incomplete"))
+    assert(out(4L) == Some("data_mismatch"))
+    assert(out(5L) == Some("icf_status"))
+    assert(out(6L) == Some("other")) // quar='none', mt2 NULL -> mt1
+    assert(out(7L) == None)
+    assert(out(8L) == None)
+    // lab2 mode: ONLY quarantine rows contribute, from quar alone
+    val out2 = graft.queries.LabReports.incidenceCascade(f, lab2 = true)
+      .select("sample", "incidences").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out2(5L) == Some("icf_status"))
+    assert(out2(1L) == None && out2(3L) == None && out2(6L) == None)
+  }
+
+  test("g41 latest-per-sample keeps ALL ties, splits tokens, maps labels") {
+    val f = labFixture(Seq(
+      // sample 1: two rows at the max date (ties BOTH kept), one older
+      (1L, "efficacy", "2024-02-01", "Approved",
+        null, "dbs_incomplete participant_issue", null, null),
+      (1L, "efficacy", "2024-02-01", "Pending",
+        null, null, "tracking_issue", null),
+      (1L, "efficacy", "2024-01-01", "Approved",
+        null, "other", null, null),
+      // sample 2: a NULL cascade survives the unnest as one NULL row
+      (2L, "pk", "2024-03-01", "Approved", "", "none", null, null)))
+    val inc = graft.queries.LabReports.latestIncidences(
+      graft.queries.LabReports.incidenceCascade(f, lab2 = false))
+    val rows = inc.select("sample", "code", "incidence_long").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getString(2))))
+      .toSet
+    assert(rows == Set(
+      (1L, Some("dbs_incomplete"), Some("DBS incomplete")),
+      (1L, Some("participant_issue"),
+        Some("Participant not preselected or wrong age")),
+      (1L, Some("tracking_issue"), Some("Sample not in the tracking form")),
+      (2L, None, None)), s"got $rows")
+  }
+
+  test("g41 summary: to-be-logged derives field - lab, efficacy only") {
+    val field = spark.createDataFrame(
+        Seq((10L, "efficacy"), (11L, "efficacy"), (12L, "efficacy"),
+          (13L, "pk"), (14L, "pk")))
+      .toDF("sample", "study")
+    val f = labFixture(Seq(
+      (10L, "efficacy", "2024-01-01", "Approved", "other", null, null, null),
+      (11L, "efficacy", "2024-01-01", "Pending", null, null,
+        "tracking_issue", null),
+      (13L, "pk", "2024-01-01", "Approved", "other", null, null, null),
+      // NULL status: excluded from every logged metric
+      (12L, "efficacy", "2024-01-01", null, "other", null, null, null)))
+    val d = graft.queries.LabReports.labSummary(
+      graft.queries.LabReports.latestIncidences(
+        graft.queries.LabReports.incidenceCascade(f, lab2 = false)), field)
+      .collect()
+      .map(r => r.getString(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]),
+         Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    assert(d("Samples collected to date (field)") == ((Some(3L), Some(2L))))
+    assert(d("Samples logged in Lab") == ((Some(2L), Some(1L))))
+    // 3 field - 2 logged = 1; pk NEVER gets the difference (Rmd quirk)
+    assert(d("Samples to be logged in Lab") == ((Some(1L), None)))
+    assert(d("Samples Approved") == ((Some(1L), Some(1L))))
+    assert(d("Samples Pending") == ((Some(1L), None)))
+  }
+
   test("reconcile: no scratch dirs survive a reconcile (staged decode)") {
     val store = graft.core.TempDirs.scratch("m12scr_").toString
     val ids = spark.range(3).select(col("id").as("doc_id"))
