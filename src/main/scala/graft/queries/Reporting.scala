@@ -208,6 +208,21 @@ object Reporting {
     "CASE o_custkey % 4 WHEN 0 THEN 'control' WHEN 1 THEN 'intervention_a' " +
       "WHEN 2 THEN 'intervention_b' ELSE 'buffer' END"
 
+  /** g43's shared fixture fragments (engine expr() and DuckDB parse the
+    * same ANSI strings): the form tag each monitoring record belongs
+    * to, and that form's SubmissionDate floor (the reference hardcodes
+    * one floor per variant Rmd; distinct values here exercise the
+    * knob). Event rows synthesize open records under event_id and
+    * resolve records under event_id - 5, so the form CASE keys on the
+    * OPEN record's id in both uses. */
+  private[graft] val SiteUiFormFrag: String =
+    """CASE event_id % 4 WHEN 0 THEN 'CRA' WHEN 1 THEN 'ICF'
+      |     WHEN 2 THEN 'LAB' ELSE 'PHARM' END""".stripMargin
+  private[graft] val SiteUiFloorFrag: String =
+    """CASE form WHEN 'ICF' THEN DATE '2024-01-08'
+      |     WHEN 'LAB' THEN DATE '2024-01-15'
+      |     ELSE DATE '2024-01-01' END""".stripMargin
+
   val queries: Seq[Query] = Seq(
 
     // ---- r18: status/reason decision table at reference width ---------------
@@ -1430,13 +1445,6 @@ object Reporting {
         |SELECT run_date, site, bucket, CAST(count(*) AS BIGINT) AS n
         |FROM st WHERE bucket IS NOT NULL
         |GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val base = lit("2024-01-01").cast("date")
-      val nWeeks = 6
-      // first grid week index whose run_date >= dt, clamped into [0, 6]
-      def kOf(dt: org.apache.spark.sql.Column) =
-        least(lit(nWeeks), greatest(lit(0),
-          ceil(datediff(dt, base) / 7.0)).cast("int"))
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("ts").cast("date").as("d"),
           col("user_id"), col("event_type"))
@@ -1451,41 +1459,7 @@ object Reporting {
         .join(op.select(col("inst")), col("issue_id") === col("inst"))
         .groupBy("issue_id").agg(min("rd").as("resolved"))
       val iss = op.join(res, col("inst") === col("issue_id"), "left")
-      // bucket membership as week-index intervals: entry at the open
-      // week, regrades at +8d/+15d (aging > 7/14 ⇔ run ≥ open+8/+15),
-      // all clipped at the resolve week; 'closed' from the resolve week
-      val ks = kOf(col("opened"))
-      val k8 = kOf(date_add(col("opened"), 8))
-      val k15 = kOf(date_add(col("opened"), 15))
-      val kr = coalesce(
-        when(col("resolved").isNotNull, kOf(col("resolved"))), lit(nWeeks))
-      val legs = iss.select(col("site"), explode(array(
-          struct(lit("0-7d").as("b"), ks.as("ks"), least(k8, kr).as("ke")),
-          struct(lit("8-14d").as("b"), k8.as("ks"), least(k15, kr).as("ke")),
-          struct(lit("15d+").as("b"), k15.as("ks"), kr.as("ke")),
-          struct(lit("closed").as("b"), kr.as("ks"), lit(nWeeks + 1).as("ke"))
-        )).as("iv"))
-        .select(col("site"), col("iv.b").as("bucket"),
-          col("iv.ks").as("ks"), col("iv.ke").as("ke"))
-        .filter(col("ks") < col("ke"))
-      val deltas = legs.select(col("site"), col("bucket"), explode(concat(
-          array(struct(col("ks").as("k"), lit(1L).as("dd"))),
-          when(col("ke") <= nWeeks,
-            array(struct(col("ke").as("k"), lit(-1L).as("dd"))))
-            .otherwise(array()))).as("dl"))
-        .select(col("site"), col("bucket"),
-          col("dl.k").as("k"), col("dl.dd").as("dd"))
-        .groupBy("k", "site", "bucket").agg(sum("dd").as("dd"))
-      val groups = deltas.select("site", "bucket").distinct()
-      val grid = s.range(0, nWeeks + 1).select(col("id").cast("int").as("k"))
-        .crossJoin(broadcast(groups))
-      val w = Window.partitionBy("site", "bucket").orderBy("k")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      grid.join(deltas, Seq("k", "site", "bucket"), "left")
-        .withColumn("n", sum(coalesce(col("dd"), lit(0L))).over(w))
-        .filter(col("n") > 0 && col("k") <= nWeeks - 1)
-        .select(date_add(base, col("k") * 7).as("run_date"), col("site"),
-          col("bucket"), col("n"))
+      siteIssueSnapshots(iss, Seq("site"), "2024-01-01", 6)
     },
 
     // ---- g40: the v0 household ICF table ------------------------------------
@@ -1587,6 +1561,75 @@ object Reporting {
           col("hh_icf_status"), col("source_id"))
     },
 
+    // ---- g43: the site-UI VARIANT family, table-driven -----------------------
+    // The four monitoring-issues-ui reports share one engine
+    // (cra_site_ui.Rmd is canonical; icf_site_ui.Rmd:129-130,
+    // lab_site_ui.Rmd:129-130, pharmacy_site_ui.Rmd:130-131 diff only
+    // in a per-form str_detect(report_id, 'ICF'|'LAB'|'PHARM') filter
+    // and the SubmissionDate floor applied BEFORE the open/resolve
+    // linkage — a resolve below the floor is dropped, leaving its
+    // issue open). Here every variant rides ONE fused engine pass:
+    // the form tag is just another grouping key through
+    // siteIssueSnapshots, so four reports cost one set of exchanges.
+    // The form/floor CASEs are shared ANSI fragments (engine expr()
+    // and oracle parse the same strings).
+    Query("g43_site_ui_variants",
+      s"""WITH wk AS (SELECT unnest(generate_series(0, 5)) AS k),
+        |ev AS (SELECT event_id, CAST(ts AS DATE) AS d, user_id, event_type
+        |       FROM events),
+        |op0 AS (
+        |  SELECT event_id AS inst, d AS opened, $SiteUiFormFrag AS form,
+        |         'site' || CAST(user_id % 8 AS VARCHAR) AS site
+        |  FROM ev WHERE event_type = 'error'),
+        |op AS (SELECT * FROM op0 WHERE opened >= $SiteUiFloorFrag),
+        |res AS (
+        |  SELECT r.issue_id, min(r.rd) AS resolved
+        |  FROM (SELECT event_id - 5 AS issue_id, d AS rd FROM ev
+        |        WHERE event_type = 'purchase') r
+        |  JOIN op ON r.issue_id = op.inst
+        |  WHERE r.rd >= ${SiteUiFloorFrag.replace("CASE form",
+              "CASE op.form")}
+        |  GROUP BY 1),
+        |iss AS (
+        |  SELECT op.inst, op.form, op.site, op.opened, res.resolved
+        |  FROM op LEFT JOIN res ON op.inst = res.issue_id),
+        |grid AS (
+        |  SELECT i.*, CAST(DATE '2024-01-01' + CAST(k*7 AS INT) AS DATE)
+        |           AS run_date
+        |  FROM iss i, wk),
+        |st AS (
+        |  SELECT run_date, form, site,
+        |         CASE WHEN resolved IS NOT NULL AND resolved <= run_date
+        |                THEN 'closed'
+        |              WHEN opened <= run_date
+        |                   AND datediff('day', opened, run_date) > 14
+        |                THEN '15d+'
+        |              WHEN opened <= run_date
+        |                   AND datediff('day', opened, run_date) > 7
+        |                THEN '8-14d'
+        |              WHEN opened <= run_date THEN '0-7d'
+        |              ELSE NULL END AS bucket
+        |  FROM grid)
+        |SELECT run_date, form, site, bucket, CAST(count(*) AS BIGINT) AS n
+        |FROM st WHERE bucket IS NOT NULL
+        |GROUP BY 1, 2, 3, 4""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts").cast("date").as("d"),
+          col("user_id"), col("event_type"))
+      val op = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("inst"), col("d").as("opened"),
+          expr(SiteUiFormFrag).as("form"),
+          concat(lit("site"), (col("user_id") % 8).cast("string")).as("site"))
+        .filter(col("opened") >= expr(SiteUiFloorFrag))
+      val res = ev.filter(col("event_type") === "purchase")
+        .select((col("event_id") - 5).as("issue_id"), col("d").as("rd"))
+        .join(op.select("inst", "form"), col("issue_id") === col("inst"))
+        .filter(col("rd") >= expr(SiteUiFloorFrag))
+        .groupBy("issue_id").agg(min("rd").as("resolved"))
+      val iss = op.join(res, col("inst") === col("issue_id"), "left")
+      siteIssueSnapshots(iss, Seq("form", "site"), "2024-01-01", 6)
+    },
+
     Query("g18_icf_aging",
       """WITH wk0 AS (
         |  SELECT unnest(generate_series(DATE '1996-01-06', DATE '1996-03-30',
@@ -1636,6 +1679,67 @@ object Reporting {
         Tables.lineitem(s, d).select("l_orderkey", "l_returnflag", "l_shipdate"))
     }
   )
+
+  /** g39's engine, parameterized over the site-UI family
+    * (pipeline-reporting/R/monitoring-issues-ui/ — cra_site_ui.Rmd is
+    * the canonical shape; icf/lab/pharmacy_site_ui.Rmd:98-130 are the
+    * same engine under a per-form report_id filter + date floor):
+    * weekly as-of snapshots of open-issue aging buckets, reconstructed
+    * from per-issue week-index INTERVALS (entry at the open week,
+    * regrades at +8d/+15d — aging > 7/14 ⇔ run ≥ open+8/+15 — all
+    * clipped at the resolve week; 'closed' from the resolve week on)
+    * and +1/−1 deltas with a prefix sum over the
+    * week × groupCols × bucket grid. Never materializes week × issue —
+    * the only form that survives weekly snapshots over years of issue
+    * history at 100 TB. `iss` needs groupCols ++ (opened DATE,
+    * resolved DATE nullable); extra group columns (e.g. the form tag)
+    * ride every exchange as grouping keys, so all four site-UI
+    * variants cost ONE engine pass, not four.
+    */
+  def siteIssueSnapshots(iss: org.apache.spark.sql.DataFrame,
+                         groupCols: Seq[String], baseDate: String,
+                         nWeeks: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = iss.sparkSession
+    val base = lit(baseDate).cast("date")
+    // first grid week index whose run_date >= dt, clamped into [0, nWeeks]
+    def kOf(dt: org.apache.spark.sql.Column) =
+      least(lit(nWeeks), greatest(lit(0),
+        ceil(datediff(dt, base) / 7.0)).cast("int"))
+    val gcols = groupCols.map(col)
+    val ks = kOf(col("opened"))
+    val k8 = kOf(date_add(col("opened"), 8))
+    val k15 = kOf(date_add(col("opened"), 15))
+    val kr = coalesce(
+      when(col("resolved").isNotNull, kOf(col("resolved"))), lit(nWeeks))
+    val legs = iss.select(gcols :+ explode(array(
+        struct(lit("0-7d").as("b"), ks.as("ks"), least(k8, kr).as("ke")),
+        struct(lit("8-14d").as("b"), k8.as("ks"), least(k15, kr).as("ke")),
+        struct(lit("15d+").as("b"), k15.as("ks"), kr.as("ke")),
+        struct(lit("closed").as("b"), kr.as("ks"), lit(nWeeks + 1).as("ke"))
+      )).as("iv"): _*)
+      .select(gcols ++ Seq(col("iv.b").as("bucket"),
+        col("iv.ks").as("ks"), col("iv.ke").as("ke")): _*)
+      .filter(col("ks") < col("ke"))
+    val deltas = legs.select(gcols ++ Seq(col("bucket"), explode(concat(
+        array(struct(col("ks").as("k"), lit(1L).as("dd"))),
+        when(col("ke") <= nWeeks,
+          array(struct(col("ke").as("k"), lit(-1L).as("dd"))))
+          .otherwise(array()))).as("dl")): _*)
+      .select(gcols ++ Seq(col("bucket"),
+        col("dl.k").as("k"), col("dl.dd").as("dd")): _*)
+      .groupBy((col("k") +: gcols :+ col("bucket")): _*).agg(sum("dd").as("dd"))
+    val groups = deltas.select(gcols :+ col("bucket"): _*).distinct()
+    val grid = s.range(0, nWeeks + 1).select(col("id").cast("int").as("k"))
+      .crossJoin(broadcast(groups))
+    val w = Window.partitionBy(gcols :+ col("bucket"): _*).orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(deltas, Seq("k") ++ groupCols :+ "bucket", "left")
+      .withColumn("n", sum(coalesce(col("dd"), lit(0L))).over(w))
+      .filter(col("n") > 0 && col("k") <= nWeeks - 1)
+      .select(date_add(base, col("k") * 7).as("run_date") +: gcols
+        :+ col("bucket") :+ col("n"): _*)
+  }
 
   /** g18's engine: weekly ICF aging snapshots reconstructed from
     * per-record week-index intervals (entry / +21d / +31d regrades,

@@ -152,6 +152,45 @@ class Round15Spec extends SparkSpec {
     assert(d("Samples Pending") == ((Some(1L), None)))
   }
 
+  // ---- g43: the site-UI variant family --------------------------------------
+
+  test("g43 covers all four site-UI variants; fused pass == per-variant runs") {
+    val sf = "/root/testdata/sf0.001"
+    val fused = SparkEntry.queries("g43_site_ui_variants")(spark, sf).persist()
+    // the reference family: cra_site_ui + icf/lab/pharmacy_site_ui
+    val forms = fused.select("form").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(forms == Set("CRA", "ICF", "LAB", "PHARM"), s"forms: $forms")
+    // parameterization law: the fused run sliced to one form equals the
+    // g39-shaped engine run on that form's records alone (the variant
+    // Rmds ARE the cra engine under a per-form filter + floor)
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts").cast("date").as("d"),
+        col("user_id"), col("event_type"))
+    for ((form, floor) <- Seq(("CRA", "2024-01-01"), ("ICF", "2024-01-08"),
+        ("LAB", "2024-01-15"), ("PHARM", "2024-01-01"))) {
+      val op = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("inst"), col("d").as("opened"),
+          expr(graft.queries.Reporting.SiteUiFormFrag).as("form"),
+          concat(lit("site"), (col("user_id") % 8).cast("string")).as("site"))
+        .filter(col("form") === form && col("opened") >= lit(floor).cast("date"))
+        .drop("form")
+      val res = ev.filter(col("event_type") === "purchase")
+        .select((col("event_id") - 5).as("issue_id"), col("d").as("rd"))
+        .join(op.select("inst"), col("issue_id") === col("inst"))
+        .filter(col("rd") >= lit(floor).cast("date"))
+        .groupBy("issue_id").agg(min("rd").as("resolved"))
+      val iss = op.join(res, col("inst") === col("issue_id"), "left")
+      val solo = graft.queries.Reporting
+        .siteIssueSnapshots(iss, Seq("site"), "2024-01-01", 6)
+      val sliced = fused.filter(col("form") === form).drop("form")
+      assert(sliced.exceptAll(solo).isEmpty && solo.exceptAll(sliced).isEmpty,
+        s"variant $form diverges from its solo run")
+    }
+    fused.unpersist()
+    ()
+  }
+
   test("reconcile: no scratch dirs survive a reconcile (staged decode)") {
     val store = graft.core.TempDirs.scratch("m12scr_").toString
     val ids = spark.range(3).select(col("id").as("doc_id"))
