@@ -556,6 +556,97 @@ object Composite {
       }
     },
 
+    // ---- G44: the ento-labs gsheets update round-trip ------------------------
+    // The one S9 surface without a composite (VERDICT r14 item 5): the
+    // ento-lab sheet update loop (pipeline-gsheets/gsheets_src/
+    // ento_update.py:242-256) as a two-run fixture. Run 1 writes the
+    // spreadsheet: three worksheets — two visible forms plus a HIDDEN
+    // QC sheet that must be skipped — each with the sheets' junk
+    // export headers and a leading units subheader row. Run 2 is
+    // graft.sources.Connectors.entoSheetUpdate: iterate non-hidden worksheets,
+    // snake-case the title into the landed filename, drop the
+    // subheader positionally (iloc[1:]), replace columns wholesale
+    // with the per-form VARNAME list, land one CSV per form. The
+    // final table reads the landed CSVs back BY THEIR ASSIGNED NAMES
+    // (selection only works if the positional rename happened) and
+    // unions the forms; the oracle replays the fixture straight from
+    // the source tables — a surviving subheader, a leaked hidden
+    // sheet, an off-by-one drop, or a misassigned column all
+    // hash-mismatch.
+    Query("g44_ento_sheet_update",
+      """WITH a AS (
+        |  SELECT 'cdc_individual_mosquitoes.csv' AS out_file,
+        |         CAST(l_shipdate AS VARCHAR) AS date_of_collection,
+        |         'SA-' || CAST(l_orderkey*100 + l_linenumber AS VARCHAR)
+        |           AS sample_id,
+        |         CASE l_suppkey % 3 WHEN 0 THEN 'An. gambiae'
+        |              WHEN 1 THEN 'An. funestus' ELSE 'Culex' END AS result
+        |  FROM lineitem WHERE l_partkey % 23 = 0),
+        |b AS (
+        |  SELECT 'insecticide_resistance.csv' AS out_file,
+        |         CAST(o_orderdate AS VARCHAR) AS date_of_collection,
+        |         'TB-' || CAST(o_orderkey AS VARCHAR) AS sample_id,
+        |         CASE o_custkey % 2 WHEN 0 THEN 'alive' ELSE 'dead' END
+        |           AS result
+        |  FROM orders WHERE o_orderkey % 29 = 0)
+        |SELECT * FROM a UNION ALL SELECT * FROM b""".stripMargin) {
+      (s, d) => {
+        val root = graft.core.TempDirs.scratch("g44_sheets_").toString
+        val sheetDir = s"$root/sheet"
+        val outDir = s"$root/landed"
+        // ---- run 1: the spreadsheet side --------------------------------
+        val aData = Tables.lineitem(s, d)
+          .filter(col("l_partkey") % 23 === 0)
+          .select(col("l_shipdate").cast("string").as("c1"),
+            concat(lit("SA-"),
+              (col("l_orderkey") * 100 + col("l_linenumber")).cast("string"))
+              .as("c2"),
+            when(col("l_suppkey") % 3 === 0, "An. gambiae")
+              .when(col("l_suppkey") % 3 === 1, "An. funestus")
+              .otherwise("Culex").as("c3"))
+        val bData = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 29 === 0)
+          .select(col("o_orderdate").cast("string").as("c1"),
+            concat(lit("TB-"), col("o_orderkey").cast("string")).as("c2"),
+            when(col("o_custkey") % 2 === 0, "alive").otherwise("dead")
+              .as("c3"))
+        // the sheets' units subheader — FIRST data row of each export
+        // (a 1-row, 1-partition df unioned ahead keeps file position 0
+        // through coalesce(1)'s in-order concatenation)
+        def subhead = s.createDataFrame(Seq(("date", "id", "unit")))
+          .toDF("c1", "c2", "c3")
+        def sheet(data: org.apache.spark.sql.DataFrame) =
+          subhead.unionByName(data)
+            .toDF("Date of-Collection", "Sample ID-raw", "Result Col")
+        graft.sources.Connectors.publishTable(sheet(aData), s"$sheetDir/ws_a")
+        graft.sources.Connectors.publishTable(sheet(bData), s"$sheetDir/ws_b")
+        graft.sources.Connectors.publishTable(sheet(bData.limit(3)), s"$sheetDir/ws_h")
+        graft.sources.Connectors.publishTable(s.createDataFrame(Seq(
+            ("CDC Individual Mosquitoes", "ws_a", "false"),
+            ("QC Internal", "ws_h", "true"),
+            ("Insecticide Resistance", "ws_b", "false")))
+          .toDF("title", "file", "hidden"), s"$sheetDir/worksheets.csv")
+        // ---- run 2: the update loop -------------------------------------
+        val varnames = Map(
+          "CDC Individual Mosquitoes" ->
+            Seq("date_of_collection", "sample_id", "species_pcr_complex_id"),
+          "Insecticide Resistance" ->
+            Seq("date_of_collection", "tube_id", "alive_or_dead"))
+        val landed = graft.sources.Connectors.entoSheetUpdate(s, sheetDir, varnames, outDir)
+          .toMap
+        def read(title: String) = s.read.option("header", "true")
+          .csv(landed(title))
+        read("CDC Individual Mosquitoes")
+          .select(lit("cdc_individual_mosquitoes.csv").as("out_file"),
+            col("date_of_collection"), col("sample_id"),
+            col("species_pcr_complex_id").as("result"))
+          .unionByName(read("Insecticide Resistance")
+            .select(lit("insecticide_resistance.csv").as("out_file"),
+              col("date_of_collection"), col("tube_id").as("sample_id"),
+              col("alive_or_dead").as("result")))
+      }
+    },
+
     Query("a16_flagship_dup_pipeline",
       """WITH latest AS (
         |  SELECT * FROM (

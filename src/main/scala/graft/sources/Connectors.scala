@@ -168,6 +168,46 @@ object Connectors {
   def publishTable(df: DataFrame, stagingPath: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(stagingPath)
 
+  /** S9: the ento-labs sheet update loop
+    * (pipeline-gsheets/gsheets_src/ento_update.py:242-256): iterate the
+    * spreadsheet's worksheets SKIPPING hidden ones, derive each
+    * landed filename from the title (lowercased words joined by '_'),
+    * drop the first data row positionally (`get_as_df().iloc[1:]` — the
+    * sheets' units subheader), REPLACE the column names wholesale with
+    * the per-form variable list (`data.columns = VARNAME_DICT[title]`,
+    * ibid:255 — positional, the exported junk headers never survive),
+    * and land one CSV per form. The worksheet manifest is
+    * `{sheetDir}/worksheets.csv` (title, file, hidden) — driver-side
+    * like the reference's `sh.worksheets()` listing, bounded by the
+    * spreadsheet's worksheet count. The positional drop reads the
+    * export as ONE file (sheets are ≤20k rows — BASELINE.md's tracker
+    * bound), where the single partition's monotonically_increasing_id
+    * IS file order. Returns (title, landed path) per visible sheet.
+    */
+  def entoSheetUpdate(spark: SparkSession, sheetDir: String,
+                      varnames: Map[String, Seq[String]],
+                      outDir: String): Seq[(String, String)] = {
+    val manifest = spark.read.option("header", "true")
+      .schema("title STRING, file STRING, hidden STRING")
+      .csv(s"$sheetDir/worksheets.csv")
+      .collect().toSeq.sortBy(_.getString(0))
+    manifest.filter(_.getString(2) != "true").map { r =>
+      val title = r.getString(0)
+      val outname =
+        title.split("\\s+").map(_.toLowerCase).mkString("_") + ".csv"
+      val df = spark.read.option("header", "true")
+        .csv(s"$sheetDir/${r.getString(1)}")
+        .coalesce(1)
+        .withColumn("_i", org.apache.spark.sql.functions
+          .monotonically_increasing_id())
+        .filter(org.apache.spark.sql.functions.col("_i") > 0).drop("_i")
+      val renamed = df.toDF(varnames(title): _*)
+      val out = s"$outDir/$outname"
+      publishTable(renamed, out)
+      (title, out)
+    }
+  }
+
   /** S10: zip packaging sink — package a staged form folder for
     * download as `{dir}/{basename(dir)}.zip`, holding the folder's
     * top-level files by basename (the reference zips with `-j`,
