@@ -20,6 +20,63 @@ import graft.functions.{Similarity, TextFunctions}
   */
 object SimilaritySearch {
 
+  /** The s54/s55 maintenance family's shared oracle CTEs: IVF cell
+    * assignment against the first-8-vector centroids (relational — no
+    * literal matrix), the per-cell tombstone counts, the live-member
+    * quantized centroid sums (the s45 exact-sum device), the L2 drift
+    * fold, and the rebuild/compact/keep DECISION. One definition feeds
+    * both the decision row (s54) and the actuation row (s55), so the
+    * two oracles cannot drift.
+    */
+  private val AnnMaintCtes: String =
+    """cents AS (
+      |  SELECT vec_id AS cell_id, embedding AS c FROM embeddings
+      |  WHERE vec_id < 8),
+      |dist AS (
+      |  SELECT vec_id, cell_id,
+      |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list_transform(range(1, 65),
+      |             i -> (CAST(embedding[i] AS DOUBLE) - CAST(c[i] AS DOUBLE))
+      |                  * (CAST(embedding[i] AS DOUBLE) - CAST(c[i] AS DOUBLE)))),
+      |           (a, x) -> a + x) AS d
+      |  FROM embeddings CROSS JOIN cents),
+      |assigned AS (SELECT vec_id, cell_id FROM (
+      |  SELECT vec_id, cell_id,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+      |  FROM dist) WHERE rn = 1),
+      |cnt AS (
+      |  SELECT cell_id, count(*) AS n_total,
+      |         sum(CASE WHEN vec_id % 7 = 3 THEN 1 ELSE 0 END) AS n_tomb
+      |  FROM assigned GROUP BY 1),
+      |live AS (
+      |  SELECT a.cell_id, e.embedding
+      |  FROM assigned a JOIN embeddings e USING (vec_id)
+      |  WHERE a.vec_id % 7 <> 3),
+      |base AS (
+      |  SELECT cell_id, r.range - 1 AS dim,
+      |         CAST(floor(CAST(embedding[r.range] AS DOUBLE) * 1000000.0
+      |                    + 0.5) AS BIGINT) AS q
+      |  FROM live CROSS JOIN range(1, 65) r),
+      |sums AS (SELECT cell_id, dim, sum(q) AS sq, count(*) AS nl
+      |         FROM base GROUP BY 1, 2),
+      |m AS (SELECT cell_id, dim, CAST(sq AS DOUBLE) / 1000000.0 / nl AS m
+      |      FROM sums),
+      |f AS (SELECT m.cell_id,
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list((m - CAST(c[dim+1] AS DOUBLE))
+      |               * (m - CAST(c[dim+1] AS DOUBLE)) ORDER BY dim)),
+      |          (a, x) -> a + x) AS l2q
+      |      FROM m JOIN cents ON m.cell_id = cents.cell_id GROUP BY 1),
+      |dec AS (
+      |  SELECT c.cell_id, CAST(n_total AS BIGINT) AS n_total,
+      |         CAST(n_tomb AS BIGINT) AS n_tomb,
+      |         CAST(n_tomb AS DOUBLE) / n_total AS tomb_frac,
+      |         sqrt(l2q) AS l2_shift,
+      |         CASE WHEN sqrt(l2q) > 0.825 THEN 'rebuild'
+      |              WHEN CAST(n_tomb AS DOUBLE) / n_total > 0.15 THEN 'compact'
+      |              ELSE 'keep' END AS decision
+      |  FROM cnt c JOIN f USING (cell_id))""".stripMargin
+
   /** s22's oracle, shared verbatim by st08 (the streaming run of the
     * same incremental shape must hash-match the batch SQL). */
   private[queries] val IncrementalNearDupOracleSql: String =
@@ -1012,52 +1069,9 @@ object SimilaritySearch {
     // 64-way posexplode, one 8-row fold — the whole decision costs one
     // corpus pass at any scale.
     Query("s54_ann_retrain_decision",
-      s"""WITH cents AS (
-        |  SELECT vec_id AS cell_id, embedding AS c FROM embeddings
-        |  WHERE vec_id < 8),
-        |dist AS (
-        |  SELECT vec_id, cell_id,
-        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |           list_transform(range(1, 65),
-        |             i -> (CAST(embedding[i] AS DOUBLE) - CAST(c[i] AS DOUBLE))
-        |                  * (CAST(embedding[i] AS DOUBLE) - CAST(c[i] AS DOUBLE)))),
-        |           (a, x) -> a + x) AS d
-        |  FROM embeddings CROSS JOIN cents),
-        |assigned AS (SELECT vec_id, cell_id FROM (
-        |  SELECT vec_id, cell_id,
-        |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
-        |  FROM dist) WHERE rn = 1),
-        |cnt AS (
-        |  SELECT cell_id, count(*) AS n_total,
-        |         sum(CASE WHEN vec_id % 7 = 3 THEN 1 ELSE 0 END) AS n_tomb
-        |  FROM assigned GROUP BY 1),
-        |live AS (
-        |  SELECT a.cell_id, e.embedding
-        |  FROM assigned a JOIN embeddings e USING (vec_id)
-        |  WHERE a.vec_id % 7 <> 3),
-        |base AS (
-        |  SELECT cell_id, r.range - 1 AS dim,
-        |         CAST(floor(CAST(embedding[r.range] AS DOUBLE) * 1000000.0
-        |                    + 0.5) AS BIGINT) AS q
-        |  FROM live CROSS JOIN range(1, 65) r),
-        |sums AS (SELECT cell_id, dim, sum(q) AS sq, count(*) AS nl
-        |         FROM base GROUP BY 1, 2),
-        |m AS (SELECT cell_id, dim, CAST(sq AS DOUBLE) / 1000000.0 / nl AS m
-        |      FROM sums),
-        |f AS (SELECT m.cell_id,
-        |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |          list((m - CAST(c[dim+1] AS DOUBLE))
-        |               * (m - CAST(c[dim+1] AS DOUBLE)) ORDER BY dim)),
-        |          (a, x) -> a + x) AS l2q
-        |      FROM m JOIN cents ON m.cell_id = cents.cell_id GROUP BY 1)
-        |SELECT c.cell_id, CAST(n_total AS BIGINT) AS n_total,
-        |       CAST(n_tomb AS BIGINT) AS n_tomb,
-        |       CAST(n_tomb AS DOUBLE) / n_total AS tomb_frac,
-        |       sqrt(l2q) AS l2_shift,
-        |       CASE WHEN sqrt(l2q) > 0.825 THEN 'rebuild'
-        |            WHEN CAST(n_tomb AS DOUBLE) / n_total > 0.15 THEN 'compact'
-        |            ELSE 'keep' END AS decision
-        |FROM cnt c JOIN f USING (cell_id)""".stripMargin) { (s, d) =>
+      s"""WITH $AnnMaintCtes
+        |SELECT cell_id, n_total, n_tomb, tomb_frac, l2_shift, decision
+        |FROM dec""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
       val cents = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cell_id"), col("embedding").as("c_vec"))
@@ -1092,6 +1106,113 @@ object SimilaritySearch {
             .when(col("n_tomb").cast("double") / col("n_total") > 0.15,
               "compact")
             .otherwise("keep").as("decision"))
+    },
+
+    // ---- S55: maintenance actuation — the decision table EXECUTED -----------
+    // s54 emits rebuild/compact/keep but executed nothing (VERDICT r14
+    // item 6). This row runs the lifecycle end to end: build the v1
+    // partitioned store + tombstone set (s52/io25's state), take the
+    // s54 row AS the decision table, then actuate — compact- and
+    // rebuild-marked cells fold their tombstones in one
+    // partition-preserving rewrite (io25's anti-join), keep cells carry
+    // their rows (and tombstones) unchanged for read-time anti-joins;
+    // rebuild cells additionally RETRAIN: their centroid re-centers on
+    // the live members (one exact quantized-mean Lloyd step — s09's
+    // trained path under a frozen membership; the s45 quantize device
+    // keeps it bit-identical cross-engine) and lands in the v2 centroid
+    // store. The audit is computed FROM THE WRITTEN STORES (io25's
+    // post-state pattern) while the oracle restates everything from the
+    // source tables: per cell the decision, before/after counts, the
+    // order-canonical md5 of surviving ids (the live-set law), and the
+    // rebuilt centroid's quantized md5 — a rewrite that drops a live
+    // row, resurrects a tombstone, touches a keep cell, or re-centers
+    // off the wrong member set all hash-mismatch. Scale: one anti-join
+    // rewrite partitioned by cell + one (cell, dim) agg over the
+    // rebuilt slice — the actuation costs one pass over the AFFECTED
+    // cells, never the corpus.
+    Query("s55_ann_maintenance_apply",
+      s"""WITH $AnnMaintCtes,
+        |aft AS (
+        |  SELECT a.vec_id, a.cell_id
+        |  FROM assigned a JOIN dec USING (cell_id)
+        |  WHERE dec.decision = 'keep' OR a.vec_id % 7 <> 3),
+        |aud AS (
+        |  SELECT cell_id, count(*) AS n_after,
+        |         md5(string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY vec_id))
+        |           AS ids_md5
+        |  FROM aft GROUP BY 1),
+        |cent2 AS (
+        |  SELECT s.cell_id,
+        |         md5(string_agg(CAST(CAST(floor(CAST(sq AS DOUBLE) / nl + 0.5)
+        |                               AS BIGINT) AS VARCHAR),
+        |                        ',' ORDER BY dim)) AS cent_md5
+        |  FROM sums s JOIN dec USING (cell_id)
+        |  WHERE dec.decision = 'rebuild' GROUP BY 1)
+        |SELECT d.cell_id, d.decision, d.n_total AS n_before,
+        |       CAST(coalesce(a.n_after, 0) AS BIGINT) AS n_after,
+        |       a.ids_md5, c2.cent_md5
+        |FROM dec d LEFT JOIN aud a USING (cell_id)
+        |           LEFT JOIN cent2 c2 USING (cell_id)""".stripMargin) {
+      (s, d) =>
+      import org.apache.spark.sql.DataFrame
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("c_vec"))
+      val root = graft.core.TempDirs.scratch("s55_").toString
+      // BUILD: the v1 store + tombstone set
+      graft.operators.Ivf.assign(e, cents, "vec_id", "embedding")
+        .write.partitionBy("cell_id").parquet(s"$root/v1")
+      e.filter(col("vec_id") % 7 === 3).select("vec_id")
+        .write.parquet(s"$root/tombstones")
+      // DECIDE: the s54 row IS the decision table (8 rows — broadcast)
+      val dec = graft.SparkEntry.queries("s54_ann_retrain_decision")(s, d)
+        .select(col("cell_id"), col("decision"))
+      val v1 = s.read.parquet(s"$root/v1")
+        .withColumn("cell_id", col("cell_id").cast("long"))
+      val tomb = s.read.parquet(s"$root/tombstones")
+      // ACT: fold tombstones for compact+rebuild cells; keep cells ride
+      val tagged = v1.join(broadcast(dec), Seq("cell_id"))
+      tagged.filter(col("decision") === "keep")
+        .unionByName(tagged.filter(col("decision") =!= "keep")
+          .join(broadcast(tomb), Seq("vec_id"), "left_anti"))
+        .drop("decision")
+        .write.partitionBy("cell_id").parquet(s"$root/v2")
+      val v2 = s.read.parquet(s"$root/v2")
+        .withColumn("cell_id", col("cell_id").cast("long"))
+      // RETRAIN: rebuild cells re-center on their live members
+      val rebuildCells = dec.filter(col("decision") === "rebuild")
+        .select("cell_id")
+      v2.join(broadcast(rebuildCells), Seq("cell_id"))
+        .select(col("cell_id"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("cell_id"), col("dim"),
+          floor(col("v").cast("double") * lit(1000000.0) + lit(0.5))
+            .cast("long").as("q"))
+        .groupBy("cell_id", "dim")
+        .agg(sum("q").as("sq"), count(lit(1)).as("nl"))
+        .select(col("cell_id"), col("dim"),
+          floor(col("sq").cast("double") / col("nl") + lit(0.5))
+            .cast("long").as("qc"))
+        .write.parquet(s"$root/cents_v2")
+      // AUDIT — from the written stores, never the source
+      val before = v1.groupBy("cell_id").agg(count(lit(1)).as("n_before"))
+      val after = v2.groupBy("cell_id")
+        .agg(count(lit(1)).as("n_after"),
+          md5(concat_ws(",",
+            transform(sort_array(collect_list(col("vec_id"))),
+              v => v.cast("string")))).as("ids_md5"))
+      val cent2 = s.read.parquet(s"$root/cents_v2")
+        .groupBy("cell_id")
+        .agg(md5(concat_ws(",",
+          transform(sort_array(collect_list(struct(col("dim"), col("qc")))),
+            t => t.getField("qc").cast("string")))).as("cent_md5"))
+      dec.join(before, Seq("cell_id"))
+        .join(after, Seq("cell_id"), "left")
+        .join(cent2, Seq("cell_id"), "left")
+        .select(col("cell_id"), col("decision"),
+          col("n_before").cast("long").as("n_before"),
+          coalesce(col("n_after"), lit(0L)).cast("long").as("n_after"),
+          col("ids_md5"), col("cent_md5"))
     },
 
     // ---- S32: FILTERED vector search over the persisted index --------------

@@ -191,6 +191,40 @@ class Round15Spec extends SparkSpec {
     ()
   }
 
+  // ---- s55: maintenance actuation laws --------------------------------------
+
+  test("s55 actuation: live-set law per decision class, retrain on rebuild") {
+    val sf = "/root/testdata/sf0.001"
+    val dec = SparkEntry.queries("s54_ann_retrain_decision")(spark, sf)
+      .select("cell_id", "decision", "n_total", "n_tomb").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val out = SparkEntry.queries("s55_ann_maintenance_apply")(spark, sf)
+      .collect()
+    assert(out.length == dec.size, "one audit row per cell")
+    out.foreach { r =>
+      val (cell, decision, nb, na) =
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))
+      val (d0, nTotal, nTomb) = dec(cell)
+      assert(decision == d0, s"cell $cell decision drifted")
+      assert(nb == nTotal, s"cell $cell n_before")
+      if (decision == "keep")
+        // keep cells are untouched — tombstones still present, served
+        // by read-time anti-joins until a later compaction
+        assert(na == nb, s"keep cell $cell rewritten")
+      else
+        assert(na == nb - nTomb, s"cell $cell live-set law")
+      // retrained centroid exists exactly for rebuild cells with
+      // surviving members
+      val centNull = r.isNullAt(5)
+      if (decision == "rebuild" && na > 0)
+        assert(!centNull, s"rebuild cell $cell has no retrained centroid")
+      else assert(centNull, s"cell $cell unexpectedly retrained")
+      // surviving cells carry an id manifest
+      assert((na == 0) == r.isNullAt(4), s"cell $cell ids_md5 presence")
+    }
+  }
+
   test("reconcile: no scratch dirs survive a reconcile (staged decode)") {
     val store = graft.core.TempDirs.scratch("m12scr_").toString
     val ids = spark.range(3).select(col("id").as("doc_id"))
