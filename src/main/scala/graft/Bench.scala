@@ -96,12 +96,16 @@ object Bench {
   /** The artifact's own noise-class verdict: CPU burned by other
     * processes while the bench ran is the one direct contention signal
     * a Firecracker microVM exposes (loadavg hides neighbors; steal is
-    * invisible). The round-14 driver run measured other_cpu 85.9 s
-    * (contended, 21 reruns); builder quiet runs sit in single digits.
+    * invisible). Calibration: `run / fork := true` means the sbt PARENT
+    * JVM is itself an "other" process — every sbt-launched full run
+    * carries ~5-10% of wall as baseline other_cpu (measured: 33 s over
+    * a 447 s quiet closing run; a 2-row run showed 4.8 s over ~50 s),
+    * so the contended threshold needs headroom above that floor. The
+    * round-14 driver's contended run measured 85.9 s with 21 reruns.
     */
   private[graft] def hostClass(otherCpuSec: Double): String =
     if (otherCpuSec < 0) "unknown"
-    else if (otherCpuSec > 30.0) "contended"
+    else if (otherCpuSec > 60.0) "contended"
     else "quiet"
 
   /** The host-probe JSON fragment shared by the tail line and the full

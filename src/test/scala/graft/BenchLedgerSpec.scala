@@ -42,7 +42,7 @@ class BenchLedgerSpec extends AnyFunSuite {
     assert(j.contains("\"tmp_mbps\":287.3"), j)
     assert(j.contains("\"other_cpu_sec\":85.9"), j)
     assert(j.contains("\"class\":\"contended\""), j)
-    assert(Bench.hostClass(3.0) == "quiet")
+    assert(Bench.hostClass(33.0) == "quiet") // sbt-parent floor, not a neighbor
     assert(Bench.hostClass(-1.0) == "unknown")
     // the probe itself runs and returns a positive throughput here
     val mbps = Bench.tmpWriteMbps()
