@@ -97,24 +97,30 @@ object Bench {
     * processes while the bench ran is the one direct contention signal
     * a Firecracker microVM exposes (loadavg hides neighbors; steal is
     * invisible). Calibration: `run / fork := true` means the sbt PARENT
-    * JVM is itself an "other" process — every sbt-launched full run
-    * carries ~5-10% of wall as baseline other_cpu (measured: 33 s over
-    * a 447 s quiet closing run; a 2-row run showed 4.8 s over ~50 s),
-    * so the contended threshold needs headroom above that floor. The
-    * round-14 driver's contended run measured 85.9 s with 21 reruns.
+    * JVM is itself an "other" process — every sbt-launched run carries
+    * ~7-10% of wall as baseline other_cpu (measured: 33 s over a 447 s
+    * quiet closing run; 4.8 s over a ~50 s 2-row run) — so the
+    * threshold scales with wall time rather than sitting at an
+    * absolute that long quiet runs would cross (the suite only grows).
+    * 20% of wall ≈ 2x the floor; the 60 s absolute lower bound keeps
+    * short runs from flapping on a single neighbor burst. The round-14
+    * driver's contended run measured 85.9 s other_cpu over ~600 s
+    * (14%+ with 21 reruns); the two contended round-15 runs read
+    * 223.6/528 s (42%) and 424.8/721 s (59%).
     */
-  private[graft] def hostClass(otherCpuSec: Double): String =
+  private[graft] def hostClass(otherCpuSec: Double, wallSec: Double): String =
     if (otherCpuSec < 0) "unknown"
-    else if (otherCpuSec > 60.0) "contended"
+    else if (otherCpuSec > math.max(60.0, 0.2 * wallSec)) "contended"
     else "quiet"
 
   /** The host-probe JSON fragment shared by the tail line and the full
     * artifact — BenchLedgerSpec pins the fields' presence.
     */
-  private[graft] def hostProbeJson(tmpMbps: Double, otherCpuSec: Double): String = {
+  private[graft] def hostProbeJson(tmpMbps: Double, otherCpuSec: Double,
+                                   wallSec: Double): String = {
     def f1(v: Double) = String.format(java.util.Locale.ROOT, "%.1f",
       java.lang.Double.valueOf(v))
-    s""""host_probe":{"tmp_mbps":${f1(tmpMbps)},"other_cpu_sec":${f1(otherCpuSec)},"class":"${hostClass(otherCpuSec)}"}"""
+    s""""host_probe":{"tmp_mbps":${f1(tmpMbps)},"other_cpu_sec":${f1(otherCpuSec)},"wall_sec":${f1(wallSec)},"class":"${hostClass(otherCpuSec, wallSec)}"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -122,6 +128,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val loadStart = loadAvg()
     val tmpMbps = tmpWriteMbps()
+    val wallT0 = System.nanoTime()
     val (busy0, self0) = cpuJiffies()
     val spark = graft.core.Sessions.local(cpus, "graft-bench")
     // keep stderr quiet so a driver that merges streams still sees the
@@ -226,7 +233,7 @@ object Bench {
     val loads = s""""load_start":$loadStart,"load_end":$loadEnd,""" +
       s""""other_cpu_sec":${String.format(java.util.Locale.ROOT, "%.1f",
         java.lang.Double.valueOf(otherCpu))},""" +
-      hostProbeJson(tmpMbps, otherCpu)
+      hostProbeJson(tmpMbps, otherCpu, (System.nanoTime() - wallT0) / 1e9)
     val rerunJson = reruns.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     try {

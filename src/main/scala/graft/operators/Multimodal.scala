@@ -629,7 +629,7 @@ object Multimodal {
       graft.core.TempDirs.deleteRecursively(
         java.nio.file.Path.of(s"$store/scratch_decode_$tag"))
     latestVersion(store, "stats") match {
-      case None =>
+      case None => try {
         // first build: the decode pass ITSELF emits the content hashes
         // (and the failures), so no separate manifest scan runs at all
         val all = staged(reduceStats(decodeStats(fetch(idsN), "id", "payload",
@@ -643,9 +643,13 @@ object Multimodal {
         val nBad = bad.count()
         if (nBad > 0) bad.write.parquet(s"$store/failed_v1")
         val n = spark.read.parquet(p).count()
-        dropStaged("v1")
         ReconcileResult(n, n, nBad, p)
-      case Some((v, prev)) =>
+      // finally, not inline: a throw after staged() (disk-full on the
+      // version write, a killed job) must not leak the scratch copy
+      // into the store forever — later reconciles only ever delete
+      // their OWN tag
+      } finally dropStaged("v1")
+      case Some((v, prev)) => try {
         val stored = spark.read.parquet(prev)
         val prevFailed = latestVersion(store, "failed") match {
           case Some((_, fp)) => spark.read.parquet(fp)
@@ -697,8 +701,8 @@ object Multimodal {
             .parquet(s"$store/failed_v${v + 1}")
         val nTotal = spark.read.parquet(p).count()
         val nGood = good.count()
-        dropStaged(s"v${v + 1}")
         ReconcileResult(nGood, nTotal, nBadNew, p)
+      } finally dropStaged(s"v${v + 1}")
     }
   }
 

@@ -32,9 +32,14 @@ object MultimodalQueries {
     // the dataset's ABSOLUTE PATH with the fingerprint in the value, so
     // an in-place regeneration EVICTS the superseded entry and deletes
     // its scratch dir instead of accumulating one stats parquet per
-    // fingerprint for the JVM's lifetime (ADVICE r14).
+    // fingerprint for the JVM's lifetime (ADVICE r14). Deletion runs
+    // ONE GENERATION LATE: the gate's other worker threads may hold a
+    // lazily-planned job over the just-superseded dir, so each miss
+    // deletes the generation BEFORE last and marks the outgoing dir
+    // doomed — in-flight readers of the last generation stay safe, and
+    // the JVM-exit hook sweeps whatever the grace leaves behind.
     private val cache = new java.util.concurrent.ConcurrentHashMap[
-      String, (String, String)]() // abs path -> (fingerprint, stats dir)
+      String, (String, String, String)]() // path -> (fp, stats dir, doomed prior scratch)
     // mtime+length of the documents table folds into the key: a dataset
     // regenerated in-place mid-JVM must rebuild, not serve stale stats
     private def fingerprint(d: String): String = {
@@ -49,18 +54,20 @@ object MultimodalQueries {
     def path(s: org.apache.spark.sql.SparkSession, d: String): String = {
       val abs = new java.io.File(d).getAbsolutePath
       val fp = fingerprint(d)
-      val (_, p) = cache.compute(abs, (_, old) =>
-        // stale fingerprint OR a mid-JVM-cleaned scratch dir: drop the
-        // superseded stats parquet, then rebuild under the new key
+      val t = cache.compute(abs, (_, old) =>
+        // stale fingerprint OR a mid-JVM-cleaned scratch dir: rebuild
+        // under the new key, delete the generation-before-last, and
+        // doom the outgoing dir for the NEXT miss (grace window)
         if (old != null && old._1 == fp && new java.io.File(old._2).exists())
           old
-        else {
-          if (old != null)
+        else if (old != null) {
+          if (old._3 != null)
             graft.core.TempDirs.deleteRecursively(
-              java.nio.file.Path.of(old._2).getParent)
-          (fp, build(s, d))
-        })
-      p
+              java.nio.file.Path.of(old._3))
+          (fp, build(s, d), new java.io.File(old._2).getParent)
+        } else (fp, build(s, d), null)
+      )
+      t._2
     }
     private def build(s: org.apache.spark.sql.SparkSession,
                       d: String): String = {

@@ -1164,9 +1164,13 @@ object SimilaritySearch {
         .write.partitionBy("cell_id").parquet(s"$root/v1")
       e.filter(col("vec_id") % 7 === 3).select("vec_id")
         .write.parquet(s"$root/tombstones")
-      // DECIDE: the s54 row IS the decision table (8 rows — broadcast)
+      // DECIDE: the s54 row IS the decision table — 8 rows, pinned with
+      // localCheckpoint because it feeds three downstream jobs (the v2
+      // rewrite, the retrain slice, the returned audit): unpinned, each
+      // would replay s54's full corpus pass for an 8-row table
       val dec = graft.SparkEntry.queries("s54_ann_retrain_decision")(s, d)
         .select(col("cell_id"), col("decision"))
+        .localCheckpoint()
       val v1 = s.read.parquet(s"$root/v1")
         .withColumn("cell_id", col("cell_id").cast("long"))
       val tomb = s.read.parquet(s"$root/tombstones")
@@ -3166,8 +3170,13 @@ object SimilaritySearch {
         .dropDuplicates("a", "b"), Seq("a", "b"), "left")
       .agg(count(lit(1)).as("n_true_pairs"), count(col("__h")).as("__hits"))
       .select(col("n_true_pairs").cast("long").as("n_true_pairs"),
-        (col("__hits").cast("double") / col("n_true_pairs").cast("double")
-          >= floor).as("recall_ok"))
+        // empty truth band => vacuously ok, matching the oracle's
+        // literal `true` — the unguarded divide gave NULL (0/0 under
+        // Spark's non-ANSI division), a cross-engine mismatch the
+        // sliced bands (s39/s40) could actually hit at tiny SFs
+        when(col("n_true_pairs") === 0, lit(true))
+          .otherwise(col("__hits").cast("double")
+            / col("n_true_pairs").cast("double") >= floor).as("recall_ok"))
 
 
   /** s33's 16x64 ±1 JL sign matrix, shared verbatim with its oracle. */

@@ -37,13 +37,19 @@ class BenchLedgerSpec extends AnyFunSuite {
     // the probe fields ride BOTH emitted JSON lines via the shared
     // fragment; pin the fragment's shape and the class boundaries so a
     // refactor cannot silently drop the artifact's self-adjudication
-    val j = Bench.hostProbeJson(287.3, 85.9)
+    val j = Bench.hostProbeJson(287.3, 85.9, 400.0)
     assert(j.contains("\"host_probe\":{"), j)
     assert(j.contains("\"tmp_mbps\":287.3"), j)
     assert(j.contains("\"other_cpu_sec\":85.9"), j)
+    assert(j.contains("\"wall_sec\":400.0"), j)
     assert(j.contains("\"class\":\"contended\""), j)
-    assert(Bench.hostClass(33.0) == "quiet") // sbt-parent floor, not a neighbor
-    assert(Bench.hostClass(-1.0) == "unknown")
+    // the sbt-parent floor (~7-10% of wall) reads quiet at ANY length:
+    // the threshold scales with wall, it is not an absolute
+    assert(Bench.hostClass(33.0, 447.0) == "quiet")
+    assert(Bench.hostClass(110.0, 900.0) == "quiet")   // 12% of a long run
+    assert(Bench.hostClass(223.6, 528.0) == "contended")
+    assert(Bench.hostClass(70.0, 100.0) == "contended")
+    assert(Bench.hostClass(-1.0, 400.0) == "unknown")
     // the probe itself runs and returns a positive throughput here
     val mbps = Bench.tmpWriteMbps()
     assert(mbps > 0, s"tmp probe returned $mbps")
