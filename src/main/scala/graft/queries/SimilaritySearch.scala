@@ -3152,8 +3152,11 @@ object SimilaritySearch {
       .agg(countDistinct(col("query_id")).as("n_queries"),
         count(col("__h")).as("__hits"))
       .select(col("n_queries").cast("long").as("n_queries"),
-        (col("__hits").cast("double")
-          / (col("n_queries") * k).cast("double") >= floor).as("recall_ok"))
+        // no queries => vacuously ok (the pairRecallGate guard's twin:
+        // 0/0 under non-ANSI division reads NULL, the oracle says true)
+        when(col("n_queries") === 0, lit(true))
+          .otherwise(col("__hits").cast("double")
+            / (col("n_queries") * k).cast("double") >= floor).as("recall_ok"))
   }
 
   private lazy val AnnGateOracleSql: String =
