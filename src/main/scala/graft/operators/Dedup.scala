@@ -24,10 +24,20 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Exploded distinct word-n-gram shingles: (id, s). */
-  private def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int) =
-    df.select(col(idCol).as("__id"),
-      explode(TextFunctions.shingles(col(textCol), n)).as("s"))
+  /** Exploded distinct word-n-gram shingles: (id, s). `fanned` fans the
+    * narrow (id, text) rows out before the explode — the shingle blow-up
+    * is the plan's heavy map side, and a single-row-group input would
+    * otherwise run it in one task (guide §2.5). Callers on BOUNDED
+    * subsets (the exactJaccardPairs/containment baselines) keep the
+    * direct scan: measured on the 300-doc t06 slice, the extra exchange
+    * and 32-way persisted partitions cost more than the single-task map
+    * (1.6 s → 5.9 s), while the corpus-sized s39 band gains ~2x. */
+  private def shingleTable(df: DataFrame, idCol: String, textCol: String,
+                           n: Int, fanned: Boolean = false) = {
+    val narrow = df.select(col(idCol).as("__id"), col(textCol))
+    val src = if (fanned) graft.core.Par.fanOut(narrow, col("__id")) else narrow
+    src.select(col("__id"), explode(TextFunctions.shingles(col(textCol), n)).as("s"))
+  }
 
   private def verified(sh: DataFrame, cand: DataFrame, sizes: DataFrame,
                        threshold: Double): DataFrame = {
@@ -75,7 +85,7 @@ object Dedup {
   def exactJaccardPairsFrom(df: DataFrame, idCol: String, textCol: String,
                             n: Int, threshold: Double,
                             queryPred: Column => Column): DataFrame = {
-    val sh = shingleTable(df, idCol, textCol, n)
+    val sh = shingleTable(df, idCol, textCol, n, fanned = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("__id").agg(count(lit(1)).as("n"))
     val inter = sh.filter(queryPred(col("__id"))).toDF("doc_a", "s")
@@ -163,7 +173,8 @@ object Dedup {
     */
   def dupSubstringsHashed(df: DataFrame, idCol: String, textCol: String,
                           width: Int, minDocs: Int): DataFrame =
-    df.select(explode(graft.plans.CharWindowHashes(col(textCol), width)).as("win_h"))
+    graft.core.Par.fanOut(df.select(col(idCol), col(textCol)), col(idCol))
+      .select(explode(graft.plans.CharWindowHashes(col(textCol), width)).as("win_h"))
       .groupBy("win_h").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
 
@@ -719,8 +730,9 @@ object Dedup {
     // path lives in exactJaccardPairs.
     val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("__id"))
       .distinct()
-    val sh = df.select(col(idCol).as("__id"),
-        graft.plans.ShingleHashes(col(textCol), n).as("__shs"))
+    val sh = graft.core.Par.fanOut(
+        df.select(col(idCol).as("__id"), col(textCol)), col("__id"))
+      .select(col("__id"), graft.plans.ShingleHashes(col(textCol), n).as("__shs"))
       .join(candIds, Seq("__id"), "left_semi")
       .select(col("__id"), explode(col("__shs")).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -735,7 +747,10 @@ object Dedup {
     * shingles are dropped (they cannot near-dup). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int, k: Int): DataFrame =
-    df.select(col(idCol), graft.plans.MinHashSketch(col(textCol), n, k).as("__sk"))
+    // fanned: the fused sketch is one full byte scan per doc — the heavy
+    // map side a single-row-group input would run in one task (§2.5)
+    graft.core.Par.fanOut(df.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol), graft.plans.MinHashSketch(col(textCol), n, k).as("__sk"))
       .select(col(idCol), col("__sk.sig").as("sig"), col("__sk.n").as("n"))
       .filter(col("n") > 0)
 
@@ -893,8 +908,12 @@ object Dedup {
     */
   def md5Signatures(docs: DataFrame, idCol: String, textCol: String,
                     n: Int, k: Int): DataFrame = {
-    val sh = docs.select(col(idCol),
-      explode(TextFunctions.shingles(col(textCol), n)).as("s"))
+    // fanned: 16 md5s per distinct shingle is the oracle family's
+    // inherent map cost (NOTES) — a single-row-group input would burn
+    // it all in one task (§2.5)
+    val sh = graft.core.Par.fanOut(
+        docs.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol), explode(TextFunctions.shingles(col(textCol), n)).as("s"))
     val aggs = count(lit(1)).as("n") +: (0 until k).map(i =>
       min(substring(md5(concat(col("s"), lit(":" + i))), 1, 16)).as(s"m$i"))
     sh.groupBy(idCol).agg(aggs.head, aggs.tail: _*)

@@ -38,7 +38,7 @@ object Winnowing {
       array_distinct(transform(sequence(lit(0), size(ks) - w),
         st => substring(array_min(slice(ks, st + 1, lit(w))), 1, 16)))
     }
-    docs.filter(n >= k + w - 1)
+    graft.core.Par.fanOut(docs, col("doc_id")).filter(n >= k + w - 1)
       .select(col("doc_id"), explode(selected).as("h"))
   }
 
@@ -52,7 +52,8 @@ object Winnowing {
   def fingerprintsHashed(docs: DataFrame, k: Int = 8, w: Int = 16): DataFrame =
     // octet_length, not length: the kernel windows BYTES, so a multi-byte
     // doc with >= w+k-1 bytes but fewer characters must not be skipped
-    docs.filter(octet_length(col("text")) >= k + w - 1)
+    graft.core.Par.fanOut(docs, col("doc_id"))
+      .filter(octet_length(col("text")) >= k + w - 1)
       .select(col("doc_id"),
         explode(graft.plans.WinnowingHashes(col("text"), k, w)).as("h"))
 

@@ -227,7 +227,10 @@ object SimilaritySearch {
         |       string_agg(substring('0123456789abcdef', CAST(dv AS INT) + 1, 1),
         |                  '' ORDER BY dpos DESC) AS simhash_hex
         |FROM d GROUP BY doc_id""".stripMargin) { (s, d) =>
-      Tables.documents(s, d)
+      // fanned before the token explode + per-token md5 (the heavy map
+      // side; single-task on a one-row-group input otherwise — §2.5)
+      graft.core.Par.fanOut(
+          Tables.documents(s, d).select("doc_id", "text"), col("doc_id"))
         .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
         .select(col("doc_id") +: Similarity.md5Digits16(col("tok")): _*)
         .groupBy("doc_id").agg(Similarity.simhashVoteAggsMd5.head,
@@ -542,8 +545,12 @@ object SimilaritySearch {
         |           JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.3""".stripMargin) {
       (s, d) => {
-        val sh = Tables.documents(s, d).select(col("doc_id"),
-          explode(TextFunctions.shingles(col("text"), 2)).as("s"))
+        // fanned before the shingle explode + 16-way md5 signature
+        // aggregate — the oracle family's heavy map side (§2.5)
+        val sh = graft.core.Par.fanOut(
+            Tables.documents(s, d).select("doc_id", "text"), col("doc_id"))
+          .select(col("doc_id"),
+            explode(TextFunctions.shingles(col("text"), 2)).as("s"))
         // distinct-shingle count fused into the signature pass (same
         // one-scan trick MinHashSketch does natively for s03)
         val sigAggs = count(lit(1)).as("n") +: (0 until 16).map(i =>
@@ -622,7 +629,8 @@ object SimilaritySearch {
         |        GROUP BY 1, 2)
         |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 6""".stripMargin) {
       (s, d) => {
-        val hx = Tables.documents(s, d)
+        val hx = graft.core.Par.fanOut(
+            Tables.documents(s, d).select("doc_id", "text"), col("doc_id"))
           .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
           .select(col("doc_id") +: Similarity.md5Digits16(col("tok")): _*)
           .groupBy("doc_id").agg(Similarity.simhashVoteAggsMd5.head,
@@ -1700,8 +1708,11 @@ object SimilaritySearch {
       IncrementalNearDupOracleSql) {
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val sh = docs.select(col("doc_id"),
-          explode(TextFunctions.shingles(col("text"), 2)).as("s"))
+        // fanned shingle explode (§2.5; same device as md5Signatures)
+        val sh = graft.core.Par.fanOut(
+            docs.select("doc_id", "text"), col("doc_id"))
+          .select(col("doc_id"),
+            explode(TextFunctions.shingles(col("text"), 2)).as("s"))
         val sig = graft.operators.Dedup.md5Signatures(docs, "doc_id", "text",
           n = 2, k = 16)
         val bandRows = graft.operators.Dedup.md5BandRows(sig, "doc_id",

@@ -412,7 +412,9 @@ object StreamingQueries {
         val docs = Tables.documents(ss, d)
         val corpus = docs.filter(col("doc_id") % 5 =!= 0)
         // stored-corpus artifacts: computed once, reused by every batch
-        val corpusSh = corpus.select(col("doc_id").as("old_id"),
+        val corpusSh = graft.core.Par.fanOut(
+            corpus.select("doc_id", "text"), col("doc_id"))
+          .select(col("doc_id").as("old_id"),
             explode(TextFunctions.shingles(col("text"), 2)).as("s"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val corpusSig = Dedup.md5Signatures(corpus, "doc_id", "text",

@@ -589,7 +589,8 @@ object TextAnalysis {
         |SELECT md5(win) AS win_md5, count(*) AS n_docs
         |FROM w GROUP BY 1 HAVING count(*) >= 2""".stripMargin) {
       (s, d) =>
-        Tables.documents(s, d)
+        graft.core.Par.fanOut(
+            Tables.documents(s, d).select("doc_id", "text"), col("doc_id"))
           .select(explode(array_distinct(transform(
               sequence(lit(1), greatest(length(col("text")) - 39, lit(1))),
               i => col("text").substr(i, lit(40))))).as("win"))
@@ -2475,9 +2476,13 @@ object TextAnalysis {
     val battery = bind1(split(col("text"), " ")) { wb =>
       struct((2 to 8).map(n => stats(wb, n).as(s"s$n")): _*)
     }
-    val base = Tables.documents(s, d).select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("n_tokens"),
-      battery.as("b"))
+    // fanned: the whole zero-exchange battery is map-side work — on a
+    // one-row-group input it would run in one task (§2.5)
+    val base = graft.core.Par.fanOut(
+        Tables.documents(s, d).select("doc_id", "text"), col("doc_id"))
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        battery.as("b"))
     def topFrac(n: Int) = round(
       col("b").getField(s"s$n").getField("topc") * n.toDouble / col("n_tokens"), 6)
     def dupFrac(n: Int) = round(
@@ -2512,9 +2517,13 @@ object TextAnalysis {
                   array_join(slice(w, i.cast("int"), n.cast("int")), " ").as("g"))))
               .otherwise(array().cast("array<struct<n:int,g:string>>"))))
         }
-        val base = Tables.documents(s, d).select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("ntok"),
-          grams.as("grams"))
+        // fanned before the 7-size gram explode — the battery's heavy map
+        // side, single-task on a one-row-group input otherwise (§2.5)
+        val base = graft.core.Par.fanOut(
+            Tables.documents(s, d).select("doc_id", "text"), col("doc_id"))
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("ntok"),
+            grams.as("grams"))
         val gc = base.select(col("doc_id"), col("ntok"), explode(col("grams")).as("gr"))
           .groupBy(col("doc_id"), col("ntok"), col("gr.n").as("n"), col("gr.g").as("g"))
           .agg(count(lit(1)).as("c"))
