@@ -195,8 +195,13 @@ object Multimodal {
       StructField("payload", BinaryType), StructField("meta", metaType)))
     implicit val enc: ExpressionEncoder[Row] =
       ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    val idx = df.schema.fieldIndex(idCol)
-    df.mapPartitions { it =>
+    // fan the NARROW id rows before synthesizing payloads: encode +
+    // every downstream decode then parallelize, and the exchange moves
+    // ids, never payload bytes (guide §2.5/§8; identity once the
+    // source scan already fans)
+    val fanned = graft.core.Par.fanOut(df, col(idCol))
+    val idx = fanned.schema.fieldIndex(idCol)
+    fanned.mapPartitions { it =>
       it.map { row =>
         val id = row.get(idx).asInstanceOf[Number].longValue
         val fmt = if (id % 4 == 3) "bmp" else "png"
@@ -219,8 +224,10 @@ object Multimodal {
       StructField("payload", BinaryType), StructField("meta", metaType)))
     implicit val enc: ExpressionEncoder[Row] =
       ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    val idx = df.schema.fieldIndex(idCol)
-    df.mapPartitions { it =>
+    // same narrow-id fan-out as withImagePayload (§2.5)
+    val fanned = graft.core.Par.fanOut(df, col(idCol))
+    val idx = fanned.schema.fieldIndex(idCol)
+    fanned.mapPartitions { it =>
       it.map { row =>
         val id = row.get(idx).asInstanceOf[Number].longValue
         val bytes = encodeImage(synthPixels(id, w, h), w, h, "jpg")
@@ -913,8 +920,10 @@ object Multimodal {
     val outSchema = StructType(df.schema.fields :+ StructField("payload", BinaryType))
     implicit val enc: ExpressionEncoder[Row] =
       ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    val idx = df.schema.fieldIndex(idCol)
-    df.mapPartitions { it =>
+    // same narrow-id fan-out as withImagePayload (§2.5)
+    val fanned = graft.core.Par.fanOut(df, col(idCol))
+    val idx = fanned.schema.fieldIndex(idCol)
+    fanned.mapPartitions { it =>
       it.map { row =>
         val id = row.get(idx).asInstanceOf[Number].longValue
         Row.fromSeq(row.toSeq :+ encodeWav(synthSamples(id, n)))

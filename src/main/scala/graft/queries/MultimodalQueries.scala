@@ -719,19 +719,20 @@ object MultimodalQueries {
           .localCheckpoint() // totals, entropy, and mode share the decode
         val tot = hist.groupBy("doc_id").agg(sum("c").as("n"))
         val p = col("c").cast("double") / col("n")
-        val ent = hist.join(tot, "doc_id").groupBy("doc_id")
+        // entropy + mode in ONE aggregate over the joined hist: the mode
+        // rule (highest c, tie -> smallest r) is exactly
+        // max(struct(c, 255 - r)) — this replaces the former per-doc
+        // row_number window (a full extra sort pass that AQE coalesced
+        // to one partition at bench scale) and one join (§2.4)
+        val em = hist.join(tot, "doc_id").groupBy("doc_id", "n")
           .agg(sum(round((lit(0.0) - p) * log(p), 6).cast("decimal(18,6)"))
-            .as("ent"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy(col("c").desc, col("r"))
-        val md = hist.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("doc_id"), col("r").as("r_mode"), col("c").as("r_mode_n"))
-        tot.join(ent, "doc_id").join(md, "doc_id")
-          .select(col("doc_id"), col("n").cast("long").as("n_px"),
-            col("r_mode").cast("int").as("r_mode"),
-            col("r_mode_n").cast("long").as("r_mode_n"),
-            col("ent").cast("double").as("r_entropy"))
+            .as("ent"),
+            max(struct(col("c").as("c"), (lit(255) - col("r")).as("nr")))
+              .as("m"))
+        em.select(col("doc_id"), col("n").cast("long").as("n_px"),
+          (lit(255) - col("m.nr")).cast("int").as("r_mode"),
+          col("m.c").cast("long").as("r_mode_n"),
+          col("ent").cast("double").as("r_entropy"))
       }
     },
 
