@@ -1983,7 +1983,12 @@ object Analytics {
         |               * (CAST(d_sum AS DOUBLE) / (2.0 * m)), 9) AS term
         |FROM deg LEFT JOIN ein ON deg.c = ein.c CROSS JOIN m""".stripMargin) {
       (s, d) => {
-        val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        // fanned (§2.5): the co-supplier pair build is a broadcast-join
+        // probe over the whole fact scan exploding to ~3x its rows —
+        // heavy map work a one-row-group input runs in one task
+        val li = graft.core.Par.fanOut(
+          Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("l_orderkey"))
         val pair = li.toDF("ok", "x")
           .join(li.toDF("ok2", "y"), col("ok") === col("ok2") && col("x") < col("y"))
           .select("x", "y").distinct()
@@ -2029,7 +2034,12 @@ object Analytics {
         |FROM wedge JOIN de ON (wedge.v = de.src AND wedge.w = de.dst)
         |                   OR (wedge.w = de.src AND wedge.v = de.dst)""".stripMargin) {
       (s, d) => {
-        val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        // fanned (§2.5): the co-supplier pair build is a broadcast-join
+        // probe over the whole fact scan exploding to ~3x its rows —
+        // heavy map work a one-row-group input runs in one task
+        val li = graft.core.Par.fanOut(
+          Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("l_orderkey"))
         val pair = li.toDF("ok", "x")
           .join(li.toDF("ok2", "y"), col("ok") === col("ok2") && col("x") < col("y"))
           .select("x", "y").distinct()
@@ -2233,7 +2243,12 @@ object Analytics {
         |         SELECT x AS node FROM e5 UNION ALL SELECT y FROM e5) t GROUP BY 1)
         |SELECT node, CAST(dg AS BIGINT) AS core_deg FROM d6""".stripMargin) {
       (s, d) => {
-        val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        // fanned (§2.5): the co-supplier pair build is a broadcast-join
+        // probe over the whole fact scan exploding to ~3x its rows —
+        // heavy map work a one-row-group input runs in one task
+        val li = graft.core.Par.fanOut(
+          Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("l_orderkey"))
         val pair = li.toDF("ok", "x")
           .join(li.toDF("ok2", "y"), col("ok") === col("ok2") && col("x") < col("y"))
           .select("x", "y").distinct()
@@ -2291,7 +2306,12 @@ object Analytics {
         |    FROM v3) t WHERE rn = 1)
         |SELECT node, CAST(label AS BIGINT) AS label FROM l3""".stripMargin) {
       (s, d) => {
-        val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        // fanned (§2.5): the co-supplier pair build is a broadcast-join
+        // probe over the whole fact scan exploding to ~3x its rows —
+        // heavy map work a one-row-group input runs in one task
+        val li = graft.core.Par.fanOut(
+          Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("l_orderkey"))
         val pair = li.toDF("ok", "x")
           .join(li.toDF("ok2", "y"), col("ok") === col("ok2") && col("x") < col("y"))
           .select("x", "y").distinct()
@@ -2339,7 +2359,12 @@ object Analytics {
         |         / (da.dg + db.dg - ne.common) AS jaccard
         |FROM ne JOIN deg da ON ne.x = da.s JOIN deg db ON ne.y = db.s""".stripMargin) {
       (s, d) => {
-        val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        // fanned (§2.5): the co-supplier pair build is a broadcast-join
+        // probe over the whole fact scan exploding to ~3x its rows —
+        // heavy map work a one-row-group input runs in one task
+        val li = graft.core.Par.fanOut(
+          Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("l_orderkey"))
         val pair = li.toDF("ok", "x")
           .join(li.toDF("ok2", "y"), col("ok") === col("ok2") && col("x") < col("y"))
           .select("x", "y").distinct()
@@ -2413,7 +2438,12 @@ object Analytics {
         |  GROUP BY 1)
         |SELECT node, CAST(dist AS BIGINT) AS dist FROM d4""".stripMargin) {
       (s, d) => {
-        val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        // fanned (§2.5): the co-supplier pair build is a broadcast-join
+        // probe over the whole fact scan exploding to ~3x its rows —
+        // heavy map work a one-row-group input runs in one task
+        val li = graft.core.Par.fanOut(
+          Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("l_orderkey"))
         val pair = li.toDF("ok", "x")
           .join(li.toDF("ok2", "y"), col("ok") === col("ok2") && col("x") < col("y"))
           .select("x", "y").distinct()
@@ -2909,7 +2939,12 @@ object Analytics {
         |FROM deg LEFT JOIN pt ON deg.node = pt.node
         |WHERE dg >= 2""".stripMargin) {
       (s, d) => {
-        val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        // fanned (§2.5): the co-supplier pair build is a broadcast-join
+        // probe over the whole fact scan exploding to ~3x its rows —
+        // heavy map work a one-row-group input runs in one task
+        val li = graft.core.Par.fanOut(
+          Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("l_orderkey"))
         val pair = li.toDF("ok", "x")
           .join(li.toDF("ok2", "y"), col("ok") === col("ok2") && col("x") < col("y"))
           .select("x", "y").distinct()
@@ -2984,7 +3019,12 @@ object Analytics {
         |FROM sums
         |WHERE m * sj2 - sj * sj <> 0""".stripMargin) {
       (s, d) => {
-        val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        // fanned (§2.5): the co-supplier pair build is a broadcast-join
+        // probe over the whole fact scan exploding to ~3x its rows —
+        // heavy map work a one-row-group input runs in one task
+        val li = graft.core.Par.fanOut(
+          Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("l_orderkey"))
         val pair = li.toDF("ok", "x")
           .join(li.toDF("ok2", "y"), col("ok") === col("ok2") && col("x") < col("y"))
           .select("x", "y").distinct()
@@ -3042,7 +3082,9 @@ object Analytics {
         |SELECT 'hub', CAST(c AS BIGINT), CAST(hub AS BIGINT) FROM h2""".stripMargin) {
       (s, d) => {
         val e = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-          .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          .join(graft.core.Par.fanOut( // §2.5: parallel probe of the fact scan
+              Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+              col("l_orderkey")),
             col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
           .distinct()
@@ -3743,7 +3785,12 @@ object Analytics {
         |FROM deg LEFT JOIN (SELECT u, count(*) AS n2 FROM pure GROUP BY 1) p
         |  ON deg.u = p.u""".stripMargin) {
       (s, d) => {
-        val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        // fanned (§2.5): the co-supplier pair build is a broadcast-join
+        // probe over the whole fact scan exploding to ~3x its rows —
+        // heavy map work a one-row-group input runs in one task
+        val li = graft.core.Par.fanOut(
+          Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("l_orderkey"))
         val pair = li.toDF("ok", "x")
           .join(li.toDF("ok2", "y"), col("ok") === col("ok2") && col("x") < col("y"))
           .select("x", "y").distinct()

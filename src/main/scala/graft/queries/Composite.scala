@@ -280,6 +280,11 @@ object Composite {
         // three lineitem⋈orders shuffle joins were. The fix that landed
         // is the r9/r12/r11 three-rule fusion below: ONE join feeds all
         // per-row joined rules, removing a full data-sized join.)
+        // (Round-15 optimization pass: fanning these base scans
+        // (Par.fanOut) was tried and measured SLOWER — min 10.6 s vs
+        // 7.4 s back-to-back — the wide-row exchange costs more than
+        // the parallel partial-agg gains, the same shape as the r11
+        // caching negative above. The battery keeps direct scans.)
         val orders = Tables.orders(s, d)
         val li = Tables.lineitem(s, d)
         val cust = Tables.customer(s, d)

@@ -466,7 +466,9 @@ object Goals {
         |FROM i3""".stripMargin) {
       (s, d) => {
         val base = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-          .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          .join(graft.core.Par.fanOut( // §2.5: parallel probe of the fact scan
+              Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+              col("l_orderkey")),
             col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("c"),
             (col("l_suppkey") + 1000000L).as("s2"))
@@ -530,7 +532,9 @@ object Goals {
         |FROM i3""".stripMargin) {
       (s, d) => {
         val base = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-          .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          .join(graft.core.Par.fanOut( // §2.5: parallel probe of the fact scan
+              Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+              col("l_orderkey")),
             col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("c"),
             (col("l_suppkey") + 1000000L).as("s2"))
