@@ -1354,8 +1354,14 @@ object Analytics {
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY 1""".stripMargin) {
       (s, d) => {
-        val nested = Tables.lineitem(s, d)
-          .select("l_orderkey", "l_linenumber", "l_quantity")
+        // fanned by the GROUP key (§2.5): collect_list partials don't
+        // shrink, so the exchange moves the same bytes either way, the
+        // same-key groupBy reuses the partitioning (no second exchange),
+        // and the JSON encode runs parallel instead of single-task
+        val nested = graft.core.Par.fanOut(
+            Tables.lineitem(s, d)
+              .select("l_orderkey", "l_linenumber", "l_quantity"),
+            col("l_orderkey"))
           .groupBy("l_orderkey")
           .agg(to_json(struct(col("l_orderkey").as("ok"),
             sort_array(collect_list(struct(col("l_linenumber").as("ln"),
@@ -1922,8 +1928,12 @@ object Analytics {
         |FROM p GROUP BY 1, 2""".stripMargin) {
       (s, d) => {
         val u = round(col("value") * 10000).cast("long")
-        val base = Tables.events(s, d).select(col("event_id"), col("event_type"),
-          u.as("u"), floor(u / 500.0).cast("long").as("bkt"))
+        // fanned (§2.5): the bucket join's pair blow-up + band filter is
+        // the heavy map side — single-task on a one-row-group input
+        val base = graft.core.Par.fanOut(
+          Tables.events(s, d).select(col("event_id"), col("event_type"),
+            u.as("u"), floor(u / 500.0).cast("long").as("bkt")),
+          col("event_id"))
         val l = base
         val r = base.select(col("event_id").as("r_id"), col("event_type").as("r_type"),
             col("u").as("r_u"),

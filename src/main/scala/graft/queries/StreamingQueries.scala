@@ -54,7 +54,9 @@ object StreamingQueries {
         // hold back windows newer than the final watermark)
         val sink = "st01_counts_" + System.nanoTime()
         val q = agg.writeStream.format("memory").queryName(sink)
-          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+          .outputMode("complete").option("checkpointLocation",
+            graft.core.TempDirs.scratch("st_ckpt_").toString)
+          .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         ss.table(sink)
       }
@@ -90,7 +92,9 @@ object StreamingQueries {
           windowLen = "1 hour", slide = "30 minutes", watermark = "2 hours")
         val sink = "st18_sliding_" + System.nanoTime()
         val q = agg.writeStream.format("memory").queryName(sink)
-          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+          .outputMode("complete").option("checkpointLocation",
+            graft.core.TempDirs.scratch("st_ckpt_").toString)
+          .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         ss.table(sink)
       }
@@ -126,7 +130,9 @@ object StreamingQueries {
         val out = Streams.sessionizeStream(src, gapMicros = 1800L * 1000000)
         val sink = "st02_sessions_" + System.nanoTime()
         val q = out.writeStream.format("memory").queryName(sink)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          .outputMode("append").option("checkpointLocation",
+            graft.core.TempDirs.scratch("st_ckpt_").toString)
+          .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         ss.table(sink)
           .select(col("eventId").as("event_id"), col("sessionId").as("session_id"))
@@ -156,7 +162,9 @@ object StreamingQueries {
           watermark = "10 days")
         val sink = "st03_dedup_" + System.nanoTime()
         val q = out.writeStream.format("memory").queryName(sink)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          .outputMode("append").option("checkpointLocation",
+            graft.core.TempDirs.scratch("st_ckpt_").toString)
+          .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         ss.table(sink).select("event_id", "event_type")
       }
@@ -192,7 +200,9 @@ object StreamingQueries {
           "imp_ts", "conv_ts", maxDelay = "30 minutes", watermark = "10 days")
         val sink = "st04_attr_" + System.nanoTime()
         val q = joined.writeStream.format("memory").queryName(sink)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          .outputMode("append").option("checkpointLocation",
+            graft.core.TempDirs.scratch("st_ckpt_").toString)
+          .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         ss.table(sink).select("imp_id", "conv_id")
       }
@@ -222,7 +232,9 @@ object StreamingQueries {
           .select(col("event_id"), col("segment"))
         val sink = "st05_enrich_" + System.nanoTime()
         val q = joined.writeStream.format("memory").queryName(sink)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          .outputMode("append").option("checkpointLocation",
+            graft.core.TempDirs.scratch("st_ckpt_").toString)
+          .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         ss.table(sink)
       }
@@ -316,6 +328,8 @@ object StreamingQueries {
             merged.write.mode("overwrite").parquet(dim)
             ()
           }
+          .option("checkpointLocation",
+            graft.core.TempDirs.scratch("st_ckpt_").toString)
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         ss.read.parquet(dim).select(col("c_custkey"), col("seg"),
@@ -373,7 +387,9 @@ object StreamingQueries {
             src.withColumn("__k", col("event_id")),
             "events", "value_too_high", "__k", col("value"), 300.0)
           .writeStream.format("memory").queryName(thrSink)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          .outputMode("append").option("checkpointLocation",
+            graft.core.TempDirs.scratch("st_ckpt_").toString)
+          .trigger(Trigger.AvailableNow()).start()
         // stateful rule: complete-mode aggregation (collect_list member
         // ids survive across micro-batches in the aggregation state)
         val dupSink = "st07_dup_" + System.nanoTime()
@@ -382,7 +398,9 @@ object StreamingQueries {
             "events", "user_hour_burst", Seq("user_id", "__hr"), "event_id",
             threshold = 2L)
           .writeStream.format("memory").queryName(dupSink)
-          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+          .outputMode("complete").option("checkpointLocation",
+            graft.core.TempDirs.scratch("st_ckpt_").toString)
+          .trigger(Trigger.AvailableNow()).start()
         qThr.awaitTermination()
         qDup.awaitTermination()
         graft.operators.Anomalies.consolidate(
@@ -468,6 +486,8 @@ object StreamingQueries {
               .write.mode("append").parquet(out)
             ()
           }
+          .option("checkpointLocation",
+            graft.core.TempDirs.scratch("st_ckpt_").toString)
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         Seq(corpusSh, corpusSig, corpusBands).foreach(_.unpersist(false))
@@ -515,7 +535,9 @@ object StreamingQueries {
           .agg(count(lit(1)).as("n"),
             sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
           .writeStream.format("memory").queryName(sink)
-          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+          .outputMode("complete").option("checkpointLocation",
+            graft.core.TempDirs.scratch("st_ckpt_").toString)
+          .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         ss.table(sink)
       }
@@ -582,7 +604,9 @@ object StreamingQueries {
             col("event_type"), col("n"))
         val sink = "st10_late_" + System.nanoTime()
         val q = out.writeStream.format("memory").queryName(sink)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          .outputMode("append").option("checkpointLocation",
+            graft.core.TempDirs.scratch("st_ckpt_").toString)
+          .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         ss.table(sink)
       }
@@ -638,7 +662,9 @@ object StreamingQueries {
           watermark = "1 hour", joinType = "leftOuter")
         val sink = "st09_attr_" + System.nanoTime()
         val q = joined.writeStream.format("memory").queryName(sink)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          .outputMode("append").option("checkpointLocation",
+            graft.core.TempDirs.scratch("st_ckpt_").toString)
+          .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         ss.table(sink).select("imp_id", "conv_id")
       }
@@ -694,7 +720,9 @@ object StreamingQueries {
           .agg(count(lit(1)).as("n"))
         val sink = "st12_psi_" + System.nanoTime()
         val q = counts.writeStream.format("memory").queryName(sink)
-          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+          .outputMode("complete").option("checkpointLocation",
+            graft.core.TempDirs.scratch("st_ckpt_").toString)
+          .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         // the memory-sink view cannot self-join (MemoryPlan re-references
         // keep the SAME attribute ids -> "conflicting references"); cut
@@ -731,7 +759,9 @@ object StreamingQueries {
         val out = Streams.holtStream(src, alpha = 0.5, beta = 0.25)
         val sink = "st13_holt_" + System.nanoTime()
         val q = out.writeStream.format("memory").queryName(sink)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          .outputMode("append").option("checkpointLocation",
+            graft.core.TempDirs.scratch("st_ckpt_").toString)
+          .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         ss.table(sink)
           .select(col("userId").as("user_id"), col("eventId").as("event_id"),
@@ -804,7 +834,9 @@ object StreamingQueries {
         val out = Streams.cusumStream(src, slackFrac = 0.25, threshFrac = 1.0)
         val sink = "st14_cusum_" + System.nanoTime()
         val q = out.writeStream.format("memory").queryName(sink)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          .outputMode("append").option("checkpointLocation",
+            graft.core.TempDirs.scratch("st_ckpt_").toString)
+          .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         ss.table(sink)
           .select(col("userId").as("user_id"), col("eventId").as("event_id"),
@@ -869,6 +901,8 @@ object StreamingQueries {
                 cands(r.getString(0)) ++ r.getSeq[String](1))
             ()
           }
+          .option("checkpointLocation",
+            graft.core.TempDirs.scratch("st_ckpt_").toString)
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         // exact verify over the landed corpus: only candidate tokens are
@@ -967,6 +1001,8 @@ object StreamingQueries {
             version += 1
             ()
           }
+          .option("checkpointLocation",
+            graft.core.TempDirs.scratch("st_ckpt_").toString)
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         ss.read.parquet(s"$store/v$version")
@@ -1000,7 +1036,9 @@ object StreamingQueries {
         val out = Streams.kalmanStream(src, q = 0.25, r = 1.0)
         val sink = "st17_kalman_" + System.nanoTime()
         val q = out.writeStream.format("memory").queryName(sink)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          .outputMode("append").option("checkpointLocation",
+            graft.core.TempDirs.scratch("st_ckpt_").toString)
+          .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         ss.table(sink)
           .select(col("userId").as("user_id"), col("eventId").as("event_id"),
@@ -1054,7 +1092,9 @@ object StreamingQueries {
         val out = Streams.macdStream(src, aFast = 0.5, aSlow = 0.125, aSig = 0.25)
         val sink = "st20_macd_" + System.nanoTime()
         val q = out.writeStream.format("memory").queryName(sink)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          .outputMode("append").option("checkpointLocation",
+            graft.core.TempDirs.scratch("st_ckpt_").toString)
+          .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         ss.table(sink)
           .select(col("userId").as("user_id"), col("eventId").as("event_id"),
@@ -1103,7 +1143,9 @@ object StreamingQueries {
         val out = Streams.hashChainStream(src)
         val sink = "st21_chain_" + System.nanoTime()
         val q = out.writeStream.format("memory").queryName(sink)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          .outputMode("append").option("checkpointLocation",
+            graft.core.TempDirs.scratch("st_ckpt_").toString)
+          .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         ss.table(sink)
           .groupBy(col("userId").as("user_id"))
@@ -1164,7 +1206,9 @@ object StreamingQueries {
           .groupBy("event_type")
           .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
           .writeStream.format("memory").queryName(sink)
-          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+          .outputMode("complete").option("checkpointLocation",
+            graft.core.TempDirs.scratch("st_ckpt_").toString)
+          .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         val ests = ss.table(sink).agg(
           max(when(col("event_type") === "view",
@@ -1209,7 +1253,9 @@ object StreamingQueries {
         val q = src.groupBy("event_type")
           .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
           .writeStream.format("memory").queryName(sink)
-          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+          .outputMode("complete").option("checkpointLocation",
+            graft.core.TempDirs.scratch("st_ckpt_").toString)
+          .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         val est = ss.table(sink)
           .select(col("event_type"),
@@ -1286,7 +1332,9 @@ object StreamingQueries {
         val q = src.groupBy(col("event_type"), bucket.as("bucket"))
           .agg(count(lit(1)).as("c"))
           .writeStream.format("memory").queryName(sink)
-          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+          .outputMode("complete").option("checkpointLocation",
+            graft.core.TempDirs.scratch("st_ckpt_").toString)
+          .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         import org.apache.spark.sql.expressions.Window
         val cumW = Window.partitionBy("event_type").orderBy("bucket")
@@ -1379,6 +1427,8 @@ object StreamingQueries {
             finalPath = r.path
             ()
           }
+          .option("checkpointLocation",
+            graft.core.TempDirs.scratch("st_ckpt_").toString)
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         ss.read.parquet(finalPath)
