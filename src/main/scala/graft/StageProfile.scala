@@ -59,8 +59,12 @@ object StageProfile {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
-        // listener events drain asynchronously
-        Thread.sleep(300)
+        // listener events drain asynchronously; block until the bus is
+        // actually empty instead of sleeping (ADVICE r15 — a slow bus at
+        // bench scale can drop late stage completions from the report)
+        try org.apache.spark.GraftListenerShim
+          .waitUntilListenerBusEmpty(spark.sparkContext, 10000)
+        catch { case _: Throwable => Thread.sleep(300) }
         println(f"%n== $n rep$r wall=$wall%.2fs stages=${stages.size}")
         val top = stages.synchronized(stages.sortBy(-_.ms).take(18))
         top.foreach { s =>

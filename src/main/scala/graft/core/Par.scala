@@ -27,12 +27,28 @@ object Par {
     * many partitions. Call on the NARROW projection (ids + the columns
     * the heavy stage needs), never on payload-carrying rows unless the
     * payload itself is what the heavy stage consumes.
+    *
+    * The decision never executes the input (ADVICE r15): with AQE on,
+    * `df.rdd` on a plan containing exchanges materializes its query
+    * stages — real shuffle/broadcast jobs run at DataFrame-CONSTRUCTION
+    * time and then again at the action. So:
+    *  - plan has any Exchange -> repartition unconditionally. The
+    *    runtime partition count is unknowable without executing (AQE
+    *    coalescing), the rows at every call site are narrow projections,
+    *    and a pinned hash fan before a heavy map stage is the posture
+    *    that survives coalescing (AQE does not merge user-specified
+    *    repartitions with an explicit numPartitions).
+    *  - exchange-free plan (scan+project chains) -> `df.rdd` builds RDD
+    *    lineage only (no stages exist, so no job), and the scan's split
+    *    count is exact: fan only the degenerate single-row-group case.
     */
   def fanOut(df: DataFrame, key: Column): DataFrame = {
     if (df.isStreaming) return df // micro-batch planner owns partitioning
     val p = df.sparkSession.sparkContext.defaultParallelism
-    // .rdd plans (no job); cheap for the scan+project shapes this is
-    // called on, and the answer is exact rather than estimated
-    if (df.rdd.getNumPartitions * 2 >= p) df else df.repartition(p, key)
+    val hasExchange = df.queryExecution.sparkPlan.find(
+      n => n.getClass.getName.contains("Exchange")).isDefined
+    if (hasExchange) df.repartition(p, key)
+    else if (df.rdd.getNumPartitions * 2 >= p) df
+    else df.repartition(p, key)
   }
 }

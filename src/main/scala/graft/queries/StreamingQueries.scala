@@ -57,7 +57,7 @@ object StreamingQueries {
           .outputMode("complete").option("checkpointLocation",
             graft.core.TempDirs.scratch("st_ckpt_").toString)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        graft.core.TempDirs.awaitThenSweepCkpt(q)
         ss.table(sink)
       }
     },
@@ -95,7 +95,7 @@ object StreamingQueries {
           .outputMode("complete").option("checkpointLocation",
             graft.core.TempDirs.scratch("st_ckpt_").toString)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        graft.core.TempDirs.awaitThenSweepCkpt(q)
         ss.table(sink)
       }
     },
@@ -133,7 +133,7 @@ object StreamingQueries {
           .outputMode("append").option("checkpointLocation",
             graft.core.TempDirs.scratch("st_ckpt_").toString)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        graft.core.TempDirs.awaitThenSweepCkpt(q)
         ss.table(sink)
           .select(col("eventId").as("event_id"), col("sessionId").as("session_id"))
       }
@@ -165,7 +165,7 @@ object StreamingQueries {
           .outputMode("append").option("checkpointLocation",
             graft.core.TempDirs.scratch("st_ckpt_").toString)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        graft.core.TempDirs.awaitThenSweepCkpt(q)
         ss.table(sink).select("event_id", "event_type")
       }
     },
@@ -203,7 +203,7 @@ object StreamingQueries {
           .outputMode("append").option("checkpointLocation",
             graft.core.TempDirs.scratch("st_ckpt_").toString)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        graft.core.TempDirs.awaitThenSweepCkpt(q)
         ss.table(sink).select("imp_id", "conv_id")
       }
     },
@@ -235,7 +235,7 @@ object StreamingQueries {
           .outputMode("append").option("checkpointLocation",
             graft.core.TempDirs.scratch("st_ckpt_").toString)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        graft.core.TempDirs.awaitThenSweepCkpt(q)
         ss.table(sink)
       }
     },
@@ -331,7 +331,7 @@ object StreamingQueries {
           .option("checkpointLocation",
             graft.core.TempDirs.scratch("st_ckpt_").toString)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        graft.core.TempDirs.awaitThenSweepCkpt(q)
         ss.read.parquet(dim).select(col("c_custkey"), col("seg"),
           col("valid_from").cast("string").as("valid_from"),
           col("valid_to").cast("string").as("valid_to"))
@@ -401,8 +401,8 @@ object StreamingQueries {
           .outputMode("complete").option("checkpointLocation",
             graft.core.TempDirs.scratch("st_ckpt_").toString)
           .trigger(Trigger.AvailableNow()).start()
-        qThr.awaitTermination()
-        qDup.awaitTermination()
+        graft.core.TempDirs.awaitThenSweepCkpt(qThr)
+        graft.core.TempDirs.awaitThenSweepCkpt(qDup)
         graft.operators.Anomalies.consolidate(
           Seq(ss.table(thrSink), ss.table(dupSink)))
       }
@@ -489,7 +489,7 @@ object StreamingQueries {
           .option("checkpointLocation",
             graft.core.TempDirs.scratch("st_ckpt_").toString)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        graft.core.TempDirs.awaitThenSweepCkpt(q)
         Seq(corpusSh, corpusSig, corpusBands).foreach(_.unpersist(false))
         ss.read.parquet(out)
       }
@@ -538,7 +538,7 @@ object StreamingQueries {
           .outputMode("complete").option("checkpointLocation",
             graft.core.TempDirs.scratch("st_ckpt_").toString)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        graft.core.TempDirs.awaitThenSweepCkpt(q)
         ss.table(sink)
       }
     },
@@ -607,7 +607,7 @@ object StreamingQueries {
           .outputMode("append").option("checkpointLocation",
             graft.core.TempDirs.scratch("st_ckpt_").toString)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        graft.core.TempDirs.awaitThenSweepCkpt(q)
         ss.table(sink)
       }
     },
@@ -665,7 +665,7 @@ object StreamingQueries {
           .outputMode("append").option("checkpointLocation",
             graft.core.TempDirs.scratch("st_ckpt_").toString)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        graft.core.TempDirs.awaitThenSweepCkpt(q)
         ss.table(sink).select("imp_id", "conv_id")
       }
     },
@@ -723,7 +723,7 @@ object StreamingQueries {
           .outputMode("complete").option("checkpointLocation",
             graft.core.TempDirs.scratch("st_ckpt_").toString)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        graft.core.TempDirs.awaitThenSweepCkpt(q)
         // the memory-sink view cannot self-join (MemoryPlan re-references
         // keep the SAME attribute ids -> "conflicting references"); cut
         // to a LogicalRDD first — it's the finished counter table,
@@ -762,7 +762,7 @@ object StreamingQueries {
           .outputMode("append").option("checkpointLocation",
             graft.core.TempDirs.scratch("st_ckpt_").toString)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        graft.core.TempDirs.awaitThenSweepCkpt(q)
         ss.table(sink)
           .select(col("userId").as("user_id"), col("eventId").as("event_id"),
             col("level"), col("trend"),
@@ -837,7 +837,7 @@ object StreamingQueries {
           .outputMode("append").option("checkpointLocation",
             graft.core.TempDirs.scratch("st_ckpt_").toString)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        graft.core.TempDirs.awaitThenSweepCkpt(q)
         ss.table(sink)
           .select(col("userId").as("user_id"), col("eventId").as("event_id"),
             col("sPos").as("s_pos"), col("sNeg").as("s_neg"), col("alarm"))
@@ -904,7 +904,7 @@ object StreamingQueries {
           .option("checkpointLocation",
             graft.core.TempDirs.scratch("st_ckpt_").toString)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        graft.core.TempDirs.awaitThenSweepCkpt(q)
         // exact verify over the landed corpus: only candidate tokens are
         // ever grouped (a27's phase 2), per language
         val candDf = ss.createDataFrame(
@@ -1004,7 +1004,7 @@ object StreamingQueries {
           .option("checkpointLocation",
             graft.core.TempDirs.scratch("st_ckpt_").toString)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        graft.core.TempDirs.awaitThenSweepCkpt(q)
         ss.read.parquet(s"$store/v$version")
       }
     },
@@ -1039,7 +1039,7 @@ object StreamingQueries {
           .outputMode("append").option("checkpointLocation",
             graft.core.TempDirs.scratch("st_ckpt_").toString)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        graft.core.TempDirs.awaitThenSweepCkpt(q)
         ss.table(sink)
           .select(col("userId").as("user_id"), col("eventId").as("event_id"),
             col("kalmanLevel").as("kalman_level"),
@@ -1095,7 +1095,7 @@ object StreamingQueries {
           .outputMode("append").option("checkpointLocation",
             graft.core.TempDirs.scratch("st_ckpt_").toString)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        graft.core.TempDirs.awaitThenSweepCkpt(q)
         ss.table(sink)
           .select(col("userId").as("user_id"), col("eventId").as("event_id"),
             col("macd"), col("sig"))
@@ -1146,7 +1146,7 @@ object StreamingQueries {
           .outputMode("append").option("checkpointLocation",
             graft.core.TempDirs.scratch("st_ckpt_").toString)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        graft.core.TempDirs.awaitThenSweepCkpt(q)
         ss.table(sink)
           .groupBy(col("userId").as("user_id"))
           .agg(count(lit(1)).cast("long").as("n_events"),
@@ -1209,7 +1209,7 @@ object StreamingQueries {
           .outputMode("complete").option("checkpointLocation",
             graft.core.TempDirs.scratch("st_ckpt_").toString)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        graft.core.TempDirs.awaitThenSweepCkpt(q)
         val ests = ss.table(sink).agg(
           max(when(col("event_type") === "view",
             expr("hll_sketch_estimate(sk)"))).as("est_a"),
@@ -1256,7 +1256,7 @@ object StreamingQueries {
           .outputMode("complete").option("checkpointLocation",
             graft.core.TempDirs.scratch("st_ckpt_").toString)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        graft.core.TempDirs.awaitThenSweepCkpt(q)
         val est = ss.table(sink)
           .select(col("event_type"),
             expr("hll_sketch_estimate(sk)").as("est"))
@@ -1335,7 +1335,7 @@ object StreamingQueries {
           .outputMode("complete").option("checkpointLocation",
             graft.core.TempDirs.scratch("st_ckpt_").toString)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        graft.core.TempDirs.awaitThenSweepCkpt(q)
         import org.apache.spark.sql.expressions.Window
         val cumW = Window.partitionBy("event_type").orderBy("bucket")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1430,7 +1430,7 @@ object StreamingQueries {
           .option("checkpointLocation",
             graft.core.TempDirs.scratch("st_ckpt_").toString)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        graft.core.TempDirs.awaitThenSweepCkpt(q)
         ss.read.parquet(finalPath)
           .agg(count(lit(1)).as("n_images"),
             sum("n_px").cast("long").as("n_px"),

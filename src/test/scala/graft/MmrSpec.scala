@@ -55,4 +55,32 @@ class MmrSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
     assert(a.count(_._1 == 7L) == 2 && a.filter(_._1 == 7L).head._3 == 9L)
   }
+
+  test("single-pass greedy fold is bitwise-identical to the unrolled form") {
+    // deterministic pseudo-random fixture: 3 queries x 40 candidates of
+    // 8-dim embeddings — large enough that picks genuinely depend on the
+    // redundancy term, including duplicate vectors (sim exactly 1.0 ties)
+    val sess = spark; import sess.implicits._
+    def emb(q: Long, c: Long): Array[Float] =
+      Array.tabulate(8)(i => (((q * 131 + c * 37 + i * 17) % 23) - 11).toFloat)
+    val rows = for (q <- 0L until 3L; c <- 0L until 40L) yield {
+      val e = if (c % 7 == 0) emb(q, 1L) else emb(q, c) // planted duplicates
+      val nrm = math.sqrt(e.map(x => x.toDouble * x).sum)
+      val rel = ((q * 7 + c * 13) % 19).toDouble / 19.0
+      (q, c, e, nrm, rel)
+    }
+    val cand = rows.toDF("qid", "cid", "c_emb", "c_norm", "rel")
+    val fast = Mmr.rerank(cand, k = 5, lam = 0.7, mu = 0.3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val slow = Mmr.rerankUnrolled(cand, k = 5, lam = 0.7, mu = 0.3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(fast.length == 15)
+    // bitwise: compare raw long bits of the scores, not an epsilon
+    assert(fast.map(t => (t._1, t._2, t._3,
+        java.lang.Double.doubleToLongBits(t._4))).toSeq ==
+      slow.map(t => (t._1, t._2, t._3,
+        java.lang.Double.doubleToLongBits(t._4))).toSeq)
+  }
 }
