@@ -167,8 +167,12 @@ object LabReports {
     val logged = inc.filter(col("sample_status").isNotNull)
     val base = logged.select("study", "sample_status", "sample")
       .distinct().localCheckpoint()
+    // agg feeds two branches (smplAll + byStatus); unpinned, the
+    // rollup's Expand pass over base runs once per consumer. It is
+    // ≤ (studies+1) x (statuses+1) rows — pin it.
     val agg = base.rollup("study", "sample_status")
       .agg(countDistinct("sample").as("val"), grouping_id().as("g"))
+      .localCheckpoint()
     // fieldCnt replays for its two consumers — the field scan is a
     // key-pruned dim read, cheaper than an eager checkpoint job
     val fieldCnt = field.groupBy("study")
@@ -181,7 +185,14 @@ object LabReports {
     val byStatus = agg.filter(col("g") === 0)
       .select(col("study"),
         concat(lit("Samples "), col("sample_status")).as("metric"), col("val"))
+    // longm is consumed TWICE (the final union and the needLog fold),
+    // and inside it `agg` feeds two branches — without a pin the
+    // rollup's Expand pass over base runs 4x and the field scan 2x
+    // (StageProfile r16: four ~4 s t=10 expand/partial stages + six
+    // single-task finals, ~24 s of the row's 25 s profile wall). The
+    // table is ≤ metrics x studies rows, so the checkpoint is free.
     val longm = fieldCnt.unionByName(smplAll).unionByName(byStatus)
+      .localCheckpoint()
     // the reference inner-joins its EFFICACY-ONLY field row, so pk
     // never gets a to-be-logged difference (Rmd:228-233) — preserved.
     // Derived as a conditional-sum fold over the long table, not a
