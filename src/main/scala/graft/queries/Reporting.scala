@@ -1729,6 +1729,9 @@ object Reporting {
       .select(gcols ++ Seq(col("bucket"),
         col("dl.k").as("k"), col("dl.dd").as("dd")): _*)
       .groupBy((col("k") +: gcols :+ col("bucket")): _*).agg(sum("dd").as("dd"))
+      // pinned for the same two-consumer reason as icfAging's deltas:
+      // week x groups x bucket cardinality, never week x issue
+      .localCheckpoint()
     val groups = deltas.select(gcols :+ col("bucket"): _*).distinct()
     val grid = s.range(0, nWeeks + 1).select(col("id").cast("int").as("k"))
       .crossJoin(broadcast(groups))
@@ -1816,7 +1819,16 @@ object Reporting {
     // uniform islands pass is one tiny per-key window
     val byKey = Window.partitionBy("extid", "study", "m").orderBy("ks", "ke")
     val prevMax = max("ke").over(byKey.rowsBetween(Window.unboundedPreceding, -1))
-    val islands = legs
+    // keyed repartition to the session parallelism: the islands window's
+    // own exchange moves ~2 MB, which AQE coalesces to ONE post-shuffle
+    // partition — the whole window+delta pipeline then runs single-task
+    // (~1.5 s at sf0.1). A user repartition on the window keys satisfies
+    // the window's ClusteredDistribution (no second exchange appears)
+    // and is exempt from AQE coalescing, so the pass stays parallel.
+    val fannedLegs = legs.repartition(
+      legs.sparkSession.sparkContext.defaultParallelism,
+      col("extid"), col("study"), col("m"))
+    val islands = fannedLegs
       .withColumn("isNew", when(prevMax.isNull || col("ks") >= prevMax, 1).otherwise(0))
       .withColumn("isl", sum("isNew").over(byKey.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy("extid", "study", "m", "isl")
@@ -1827,6 +1839,10 @@ object Reporting {
           .otherwise(array()))).as("dl"))
       .select(col("study"), col("m"), col("dl.k").as("k"), col("dl.d").as("d"))
       .groupBy("k", "study", "m").agg(sum("d").as("d"))
+      // two consumers (groups + the grid join) re-ran the whole
+      // legs->islands->deltas pipeline; the table is k x study x metric
+      // rows (~182 at sf0.1) — pin it (the g41 lesson)
+      .localCheckpoint()
     val groups = deltas.select("study", "m").distinct()
     val grid = s.range(0, nWeeks).select(col("id").cast("int").as("k"))
       .crossJoin(broadcast(groups))
