@@ -267,10 +267,21 @@ object Anomalies {
     * Output: keys..., n_<label> (long), ids_<label> (sorted comma list).
     */
   def memberStats(df: DataFrame, keys: Seq[String],
-                  conds: Seq[(String, Column)], memberCol: String): DataFrame = {
+                  conds: Seq[(String, Column)], memberCol: String): DataFrame =
+    memberStats(df, keys, conds, memberCol, rowCount = false)
+
+  /** As above; `rowCount = true` additionally emits `n_rows` — the
+    * group's plain row count (sum of the level-1 per-member counts, so
+    * it rides the same two-level pass) — letting a repeat-count rule
+    * share this scan instead of running its own groupBy over the same
+    * key (round-16: a24's r10 re-aggregated lineitem a second time).
+    */
+  def memberStats(df: DataFrame, keys: Seq[String],
+                  conds: Seq[(String, Column)], memberCol: String,
+                  rowCount: Boolean): DataFrame = {
     val flags = conds.map { case (label, cond) =>
       max(when(cond, lit(1)).otherwise(lit(0))).as(s"__f_$label")
-    }
+    } ++ (if (rowCount) Seq(count(lit(1)).as("__n_rows_l1")) else Nil)
     val l1 = df.groupBy((keys :+ memberCol).map(col): _*)
       .agg(flags.head, flags.tail: _*)
     val l2aggs = conds.flatMap { case (label, _) => Seq(
@@ -279,7 +290,7 @@ object Anomalies {
       concat_ws(",", array_sort(collect_list(
         when(col(s"__f_$label") === 1, col(memberCol).cast("string")))))
         .as(s"ids_$label"))
-    }
+    } ++ (if (rowCount) Seq(sum("__n_rows_l1").as("n_rows")) else Nil)
     l1.groupBy(keys.map(col): _*).agg(l2aggs.head, l2aggs.tail: _*)
   }
 

@@ -300,9 +300,14 @@ object Composite {
         // (memberStats), then emit as per-row rules over the aggregated
         // frame — one scan and no Expand where two detectors each paid a
         // scan + an Expanded distinct aggregate.
+        // rowCount = true + localCheckpoint: r10's repeat-count rule
+        // reads the SAME l_orderkey grouping, so its per-parent actuals
+        // ride this pass instead of a second full lineitem groupBy (and
+        // the pin keeps the shared pass from re-running per consumer)
         val mstats = Anomalies.memberStats(li, Seq("l_orderkey"), Seq(
           ("died", col("l_returnflag") === "R"),
-          ("migrated", col("l_returnflag") === "A")), "l_linenumber")
+          ("migrated", col("l_returnflag") === "A")), "l_linenumber",
+          rowCount = true).localCheckpoint()
         val r3r13 = Anomalies.detectRowBattery(mstats, "lineitem",
           col("l_orderkey"), Seq(
             ("hh_more_than_3_members_returned",
@@ -372,15 +377,24 @@ object Composite {
         // r10: repeat-group cardinality vs parent-declared count — the
         // declared value is the actual count with a deterministic +1
         // discrepancy injected for orderkey % 97 == 0 families, so the
-        // detector has a known-truth anomaly set
-        val actual = li.groupBy(col("l_orderkey").as("o_orderkey"))
-          .agg(count(lit(1)).as("__cnt"))
+        // detector has a known-truth anomaly set. The actuals come off
+        // the shared mstats pass (n_rows), and the mismatch emits as a
+        // row rule directly: detectRepeatCountMismatch would groupBy
+        // lineitem and join orders a SECOND time for a count already
+        // sitting in `declared` (round-16 profile: two of the battery's
+        // seven 600k-row shuffles were this duplicate).
+        val actual = mstats.select(col("l_orderkey").as("o_orderkey"),
+          col("n_rows").as("__cnt"))
         val declared = orders.join(actual, Seq("o_orderkey"), "left")
-          .withColumn("__declared", coalesce(col("__cnt"), lit(0L)) +
+          .withColumn("__actual", coalesce(col("__cnt"), lit(0L)))
+          .withColumn("__declared", col("__actual") +
             when(pmod(col("o_orderkey"), lit(97)) === 0, 1L).otherwise(0L))
-        val r10 = Anomalies.detectRepeatCountMismatch(declared, "orders",
-          "repeat_count_mismatch", "o_orderkey", col("__declared"),
-          li, "l_orderkey")
+        val r10 = Anomalies.detectRowBattery(declared, "orders",
+          col("o_orderkey"), Seq(
+            ("repeat_count_mismatch",
+              concat(lit("declared="), col("__declared").cast("string"),
+                lit(" actual="), col("__actual").cast("string")),
+              col("__declared") =!= col("__actual"))))
         val all = Anomalies.consolidate(
           Seq(r1, r2, r3r13, r4r6, r5, r7, r8, r9r12r11, r10))
         // end-to-end: through the daily-partitioned history sink and back
