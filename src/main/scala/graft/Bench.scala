@@ -134,9 +134,26 @@ object Bench {
     // keep stderr quiet so a driver that merges streams still sees the
     // JSON line last (Sessions defaults to WARN; ERROR for the bench)
     spark.sparkContext.setLogLevel("ERROR")
-    // untimed warmup: JIT, codegen cache, parquet footers
+    // untimed warmup: JIT, codegen cache, parquet footers. The scan
+    // alone left the first timed rows (alphabetically a01/a02...)
+    // paying the shuffle/join/window/agg codegen + JIT compile tax —
+    // several seconds charged to whichever row sorts first. Exercise
+    // those engine paths once on a small table; no registered query
+    // runs untimed (results are never precomputed).
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .write.format("noop").mode("overwrite").save()
+    locally {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val agg = o.groupBy("o_custkey").agg(count(lit(1)).as("__n"),
+        countDistinct("o_orderkey").as("__d"))
+      o.join(agg, Seq("o_custkey"))
+        .withColumn("__r", row_number().over(
+          Window.partitionBy("o_custkey").orderBy("o_orderkey")))
+        .write.format("noop").mode("overwrite").save()
+    }
     // SPARK_GRAFT_ONLY=name1,name2 restricts the run for local iteration;
     // the driver never sets it, so the contract run covers every query.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
