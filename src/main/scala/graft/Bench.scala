@@ -158,21 +158,39 @@ object Bench {
     // the driver never sets it, so the contract run covers every query.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    def runOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+    val doneReruns = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+    val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // None on failure: a failed row records NO reading (a time-to-failure
+    // masquerading as a fast run would be worse than an absent row — and
+    // during a SIGTERM shutdown every in-flight/subsequent row fails in
+    // milliseconds, which must not enter the partial artifact). A healthy
+    // run has zero failures (the correctness gate proves each query runs).
+    def runOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          // first line only (Spark embeds whole stack traces in messages),
+          // and nothing at all once the report is out — during a SIGTERM
+          // shutdown the main thread's in-flight failure would otherwise
+          // print AFTER the hook's JSON line and push it out of the
+          // driver's 2000-char tail window
+          if (!emitted.get()) System.err.println(s"[bench] $name failed: ${
+            Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.next()}")
+          false
+        }
       // queries are self-contained: drop any tables they persisted so
       // later queries aren't measured under another query's cache pressure.
       // clearCache() only covers CacheManager entries — localCheckpoint /
       // bare-RDD persists (e.g. iterative loops) need the explicit sweep,
       // or their blocks linger as GC pressure on every later query
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      (System.nanoTime() - t0) / 1e9
+      try {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      } catch { case _: Throwable => () } // context may be mid-shutdown
+      if (ok) Some((System.nanoTime() - t0) / 1e9) else None
     }
     // Registry tier split, PRE-BUILT for the recorded trigger (round-12
     // decision: split st*/io* into a slow tier when a quiet full bench
@@ -187,9 +205,37 @@ object Bench {
       case _ => true
     }
     val qmap = SparkEntry.queries
-    val results = qmap.toSeq.sortBy(_._1)
+    // Results accumulate into a buffer a shutdown hook can read: round
+    // 15's driver KILLED the 32-core bench at its timeout (BENCH_r15
+    // rc 124) and the round got NO bench artifact at all, because this
+    // main prints everything at the end. `timeout` sends SIGTERM first,
+    // which runs JVM shutdown hooks — so emit the JSON line (flagged
+    // "partial":true, with whatever rows completed) from a hook if the
+    // normal path has not printed yet. An honest partial measurement
+    // beats an empty one; the flag makes it self-describing.
+    def emit(stopSpark: Boolean, partial: Boolean): Unit = {
+      if (!emitted.compareAndSet(false, true)) return
+      import scala.jdk.CollectionConverters._
+      emitReport(done.iterator().asScala.toSeq,
+        doneReruns.iterator().asScala.toSeq,
+        spark, stopSpark, partial, sfDir, only, tier,
+        loadStart, tmpMbps, wallT0, busy0, self0)
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      // silence executor shutdown noise (dead-blockmgr task errors print
+      // at ERROR and would land after the JSON), then give the main
+      // thread's in-flight job-cancellation failure a moment to surface
+      // (and be suppressed) before the JSON prints, so the line stays
+      // LAST in the driver's tail capture
+      try spark.sparkContext.setLogLevel("OFF") catch { case _: Throwable => () }
+      Thread.sleep(1500)
+      emit(stopSpark = false, partial = true)
+    }))
+    qmap.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) && inTier(name) }
-      .map { case (name, fn) => name -> runOne(name, fn) }
+      .foreach { case (name, fn) => runOne(name, fn).foreach(t => done.add(name -> t)) }
+    import scala.jdk.CollectionConverters._
+    val results = done.iterator().asScala.toSeq
     // Self-adjudication pass: rows >1.5x their BASELINE.md quiet ledger are
     // re-measured once, back-to-back, and the rerun map rides the artifact —
     // a neighbor burst (invisible to every host stamp on a microVM) then
@@ -207,25 +253,41 @@ object Bench {
     //    rerun is adjudication evidence, not the measurement)
     val led = ledger()
     val rerunBudgetSec = 60.0
-    val reruns =
-      if (cpus.toIntOption.exists(_ < 16)) Seq.empty[(String, Double)]
-      else {
-        var spent = 0.0
-        results
-          .flatMap { case (n, v) =>
-            led.get(n).filter(b => v > 1.5 * b).map(b => (n, v / b)) }
-          .sortBy(-_._2)
-          .take(12)
-          .flatMap { case (n, _) =>
-            if (spent > rerunBudgetSec) None
-            else { val t = runOne(n, qmap(n)); spent += t; Some(n -> t) }
-          }
-      }
+    if (!cpus.toIntOption.exists(_ < 16)) {
+      var spent = 0.0
+      results
+        .flatMap { case (n, v) =>
+          led.get(n).filter(b => v > 1.5 * b).map(b => (n, v / b)) }
+        .sortBy(-_._2)
+        .take(12)
+        .foreach { case (n, _) =>
+          if (spent <= rerunBudgetSec)
+            runOne(n, qmap(n)).foreach { t => spent += t; doneReruns.add(n -> t) }
+        }
+    }
+    emit(stopSpark = true, partial = false)
+  }
+
+  /** The whole end-of-run report: per-query lines, the full-map file,
+    * and the ONE JSON line the driver parses. Called exactly once —
+    * from the normal end of main, or (flagged `"partial":true`, with
+    * whatever rows completed) from the SIGTERM shutdown hook when a
+    * driver timeout kills the run (round 15's 32-core bench died with
+    * rc 124 and NO artifact because everything printed at the end).
+    */
+  private def emitReport(results: Seq[(String, Double)],
+                         reruns: Seq[(String, Double)],
+                         spark: org.apache.spark.sql.SparkSession,
+                         stopSpark: Boolean, partial: Boolean,
+                         sfDir: String, only: Option[Set[String]],
+                         tier: String, loadStart: Double, tmpMbps: Double,
+                         wallT0: Long, busy0: Long, self0: Long): Unit = {
     // Stop Spark BEFORE emitting the JSON: a driver that merges stderr
     // into its tail capture would otherwise see the shutdown log lines
     // AFTER the JSON and could push it out of the 2000-char window.
-    // With the context stopped, nothing prints after our own output.
-    try spark.stop() catch { case _: Throwable => () }
+    // (From the shutdown hook, Spark's own hook handles the stop —
+    // calling it here too risks a hook-ordering deadlock.)
+    if (stopSpark) { try spark.stop() catch { case _: Throwable => () } }
     // Per-query detail for humans/logs (scrolls out of the driver's tail).
     results.foreach { case (k, v) => println(f"[bench] $k $v%.3f") }
     val total = results.map(_._2).sum
@@ -270,7 +332,9 @@ object Bench {
     val otherCpu =
       if (busy0 < 0 || busy1 < 0) -1.0
       else ((busy1 - busy0) - (self1 - self0)) / 100.0
-    val loads = s""""load_start":$loadStart,"load_end":$loadEnd,""" +
+    val partialJson = if (partial) """"partial":true,""" else ""
+    val loads = partialJson +
+      s""""load_start":$loadStart,"load_end":$loadEnd,""" +
       s""""other_cpu_sec":${String.format(java.util.Locale.ROOT, "%.1f",
         java.lang.Double.valueOf(otherCpu))},""" +
       hostProbeJson(tmpMbps, otherCpu, (System.nanoTime() - wallT0) / 1e9)
