@@ -300,14 +300,20 @@ object Composite {
         // (memberStats), then emit as per-row rules over the aggregated
         // frame — one scan and no Expand where two detectors each paid a
         // scan + an Expanded distinct aggregate.
-        // rowCount = true + localCheckpoint: r10's repeat-count rule
-        // reads the SAME l_orderkey grouping, so its per-parent actuals
-        // ride this pass instead of a second full lineitem groupBy (and
-        // the pin keeps the shared pass from re-running per consumer)
+        // rowCount = true: r10's repeat-count rule reads the SAME
+        // l_orderkey grouping, so its per-parent actuals ride this pass
+        // instead of the former third aggregation (the old path ran
+        // memberStats + an inline groupBy + detectRepeatCountMismatch's
+        // internal groupBy — three l_orderkey aggs; now two). NOT
+        // localCheckpoint-ed: the pin was tried (round 16) and its
+        // EAGER materialization job serializes ~1-2 s that the battery's
+        // independent rule subtrees otherwise overlap under AQE's
+        // concurrent stage execution — two lazy consumers of one lazy
+        // frame keep the concurrency and still save the third pass.
         val mstats = Anomalies.memberStats(li, Seq("l_orderkey"), Seq(
           ("died", col("l_returnflag") === "R"),
           ("migrated", col("l_returnflag") === "A")), "l_linenumber",
-          rowCount = true).localCheckpoint()
+          rowCount = true)
         val r3r13 = Anomalies.detectRowBattery(mstats, "lineitem",
           col("l_orderkey"), Seq(
             ("hh_more_than_3_members_returned",
